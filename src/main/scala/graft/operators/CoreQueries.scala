@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.KsqlFunctions._
+import graft.functions.{KsqlFunctions => KF}
+import org.apache.spark.sql.functions._
+
+/** KSQL relational core + scalar-function library + aggregation surface,
+  * each as a driver-verifiable query (SURVEY.md §2.1–§2.3).
+  *
+  * Design notes for scale:
+  *  - Every query is pure Column algebra → whole-stage codegen; filters and
+  *    projections reach the parquet scan (PushedFilters / pruned ReadSchema).
+  *  - Aggregations use groupBy().agg() → Catalyst plans partial (map-side)
+  *    aggregation before the shuffle automatically.
+  *  - Doubles that result from arithmetic are rounded in BOTH engines so the
+  *    driver's hash compare is stable across summation orders.
+  */
+object CoreQueries {
+
+  def entries: Map[String, Q] = Map(
+    // ---- §2.1 relational core ----------------------------------------
+    "q_filter_project" -> Q(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 50)
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value")),
+      """SELECT event_id, user_id, round(value, 2) AS value
+        |FROM events WHERE event_type = 'purchase' AND value > 50""".stripMargin),
+
+    "q_like_between_in" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")
+          && col("c_acctbal").between(100, 5000)
+          && col("c_name").like("%5%"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("c_acctbal")),
+      """SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |  AND c_acctbal BETWEEN 100 AND 5000 AND c_name LIKE '%5%'""".stripMargin),
+
+    "q_case_when" -> Q(
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_label"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("size_label")),
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |       WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label,
+        |  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_label
+        |FROM orders""".stripMargin),
+
+    "q_cast_coalesce" -> Q(
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        floor(col("value")).cast("long").as("value_int"),
+        ifNull(nullif(col("event_type"), lit("error")), lit("unknown")).as("etype")),
+      """SELECT event_id, CAST(floor(value) AS BIGINT) AS value_int,
+        |  coalesce(nullif(event_type, 'error'), 'unknown') AS etype
+        |FROM events""".stripMargin),
+
+    "q_topn" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .limit(10),
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+
+    // ---- §2.2 scalar functions ---------------------------------------
+    "q_scalar_string" -> Q(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        KF.ucase(ksqlSubstring(col("text"), 1, 10)).as("head_upper"),
+        KF.lcase(col("source")).as("source_lower"),
+        KF.len(col("text")).as("text_len"),
+        ksqlConcat(col("lang"), lit("-"), col("source")).as("lang_source"),
+        ksqlReplace(col("lang"), "en", "EN").as("lang_repl"),
+        size(ksqlSplit(col("text"), " ")).as("n_tokens")),
+      """SELECT doc_id, upper(substring(text, 1, 10)) AS head_upper,
+        |  lower(source) AS source_lower, length(text) AS text_len,
+        |  lang || '-' || source AS lang_source,
+        |  replace(lang, 'en', 'EN') AS lang_repl,
+        |  len(string_split(text, ' ')) AS n_tokens
+        |FROM documents""".stripMargin),
+
+    "q_mask" -> Q(
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        KF.mask(col("c_name")).as("masked"),
+        maskLeft(col("c_name"), 3).as("mask_left3"),
+        maskRight(col("c_name"), 3).as("mask_right3"),
+        maskKeepLeft(col("c_name"), 5).as("keep_left5"),
+        maskKeepRight(col("c_name"), 4).as("keep_right4")),
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS masked,
+        |  regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,3),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |    || substring(c_name, 4) AS mask_left3,
+        |  CASE WHEN length(c_name) <= 3
+        |    THEN regexp_replace(regexp_replace(regexp_replace(c_name,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |    ELSE substring(c_name, 1, length(c_name)-3)
+        |      || regexp_replace(regexp_replace(regexp_replace(substring(c_name,length(c_name)-2),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |  END AS mask_right3,
+        |  substring(c_name,1,5) ||
+        |    regexp_replace(regexp_replace(regexp_replace(substring(c_name,6),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS keep_left5,
+        |  CASE WHEN length(c_name) <= 4 THEN c_name
+        |    ELSE regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,length(c_name)-4),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |      || substring(c_name, length(c_name)-3)
+        |  END AS keep_right4
+        |FROM customer""".stripMargin),
+
+    "q_scalar_math" -> Q(
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        ksqlAbs(col("l_quantity") - 25).as("abs_qty_dev"),
+        ksqlCeil(col("l_extendedprice") / 1000).cast("long").as("price_k_ceil"),
+        ksqlFloor(col("l_extendedprice") / 1000).cast("long").as("price_k_floor"),
+        ksqlRound(col("l_discount") * 100, 0).cast("long").as("disc_pct"),
+        round(ksqlSqrt(col("l_extendedprice")), 3).as("price_sqrt")),
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS abs_qty_dev,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+        |  round(sqrt(l_extendedprice), 3) AS price_sqrt
+        |FROM lineitem""".stripMargin),
+
+    "q_extract_json" -> Q(
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        extractJsonField(col("props"), "$.k").cast("long").as("k")),
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events""".stripMargin),
+
+    "q_time_format" -> Q(
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        timestampToString(unix_millis(col("ts")), "yyyy-MM-dd HH:mm").as("ts_str"),
+        dateToString(col("ts"), "yyyy-MM-dd").as("day_str"),
+        hour(col("ts")).as("hr")),
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS ts_str,
+        |  strftime(ts, '%Y-%m-%d') AS day_str,
+        |  CAST(hour(ts) AS INT) AS hr
+        |FROM events""".stripMargin),
+
+    "q_geo_distance" -> Q(
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        round(geoDistance(
+          (col("c_custkey") % 90).cast("double"), (col("c_custkey") % 180).cast("double"),
+          (col("c_nationkey") % 90).cast("double"), ((col("c_nationkey") * 7) % 180).cast("double"),
+          "KM"), 3).as("dist_km")),
+      """SELECT c_custkey,
+        |  round(2 * 6371 * asin(sqrt(
+        |    pow(sin(radians(CAST(c_nationkey % 90 AS DOUBLE) - CAST(c_custkey % 90 AS DOUBLE)) / 2), 2)
+        |    + cos(radians(CAST(c_custkey % 90 AS DOUBLE))) * cos(radians(CAST(c_nationkey % 90 AS DOUBLE)))
+        |      * pow(sin(radians(CAST((c_nationkey * 7) % 180 AS DOUBLE) - CAST(c_custkey % 180 AS DOUBLE)) / 2), 2)
+        |  )), 3) AS dist_km
+        |FROM customer""".stripMargin),
+
+    "q_array_contains" -> Q(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        arrayContains(ksqlSplit(col("text"), " "), "spark").as("has_spark")),
+      """SELECT doc_id, list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents""".stripMargin),
+
+    // ---- §2.3 aggregations -------------------------------------------
+    // Flagship: TPC-H Q1 pricing summary (COUNT/SUM/AVG map-side partial agg).
+    "q_agg_core" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order")),
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q_count_distinct" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders")),
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+
+    "q_having" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .filter(col("n_events") > 5),
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id HAVING count(*) > 5""".stripMargin),
+
+    "q_collect" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+          size(collect_list(col("event_type"))).as("n_all")),
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  CAST(len(list(event_type)) AS INT) AS n_all
+        |FROM events GROUP BY user_id""".stripMargin),
+
+    "q_topk" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("v", floor(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          array_join(slice(sort_array(collect_list(col("v")), asc = false), 1, 3), ",").as("top3"),
+          array_join(slice(sort_array(collect_set(col("v")), asc = false), 1, 3), ",").as("top3_distinct")),
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type,
+        |  array_to_string((list_sort(list(v), 'DESC'))[1:3], ',') AS top3,
+        |  array_to_string((list_sort(list(DISTINCT v), 'DESC'))[1:3], ',') AS top3_distinct
+        |FROM e GROUP BY event_type""".stripMargin),
+
+    // HISTOGRAM(col): built as a map per group, exploded back to rows so the
+    // oracle compare is nested-type-free.
+    "q_histogram" -> Q(
+      (s, d) => {
+        val buckets = Tables.events(s, d)
+          .withColumn("bucket", floor(col("value") / 10).cast("long"))
+          .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        // exercise the map-shape (HISTOGRAM returns MAP<bucket,count>) …
+        val asMap = buckets.groupBy(col("event_type"))
+          .agg(map_from_entries(sort_array(collect_list(struct(col("bucket"), col("cnt"))))).as("hist"))
+        // … then explode to verifiable rows
+        asMap.select(col("event_type"), explode(col("hist")).as(Seq("bucket", "cnt")))
+      },
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type, bucket""".stripMargin),
+
+    "q_latest_by_offset" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          round(max_by(col("value"), col("event_id")), 2).as("latest_value"),
+          round(min_by(col("value"), col("event_id")), 2).as("earliest_value"),
+          max_by(col("event_type"), col("event_id")).as("latest_type")),
+      """SELECT user_id,
+        |  round(arg_max(value, event_id), 2) AS latest_value,
+        |  round(arg_min(value, event_id), 2) AS earliest_value,
+        |  arg_max(event_type, event_id) AS latest_type
+        |FROM events GROUP BY user_id""".stripMargin),
+
+    // approx aggregates: semantics are engine-specific → rows-only driver
+    // check; ScalaTest asserts HLL error < 5% vs exact.
+    "q_approx" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value")),
+      None)
+  )
+}

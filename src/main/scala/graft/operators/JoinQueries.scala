@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** KSQL join surface (SURVEY.md §2.5) in batch-verifiable form.
+  *
+  * Scale design:
+  *  - dimension tables (customer, nation, region) are `broadcast()` — the
+  *    fact side (orders/lineitem) is NEVER shuffled for a dim join. At
+  *    100 TB the fact scan streams through map-side hash joins.
+  *  - the stream-stream WITHIN join is an equi-join on the key plus a range
+  *    predicate on time — Spark plans the equi-part as the join key, the
+  *    range as a post-filter, so shuffle volume stays linear in input.
+  */
+object JoinQueries {
+
+  def entries: Map[String, Q] = Map(
+    // stream-table join analog: orders (fact) ⋈ customer (dim, broadcast)
+    "q_join_orders_customer" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("c_name"), col("c_mktsegment")),
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
+
+    // n-way star join with aggregation: revenue per region/nation
+    "q_join_star" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items")),
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin),
+
+    // LEFT OUTER join: every customer, order count (0 for order-less)
+    "q_join_left" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent")),
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin),
+
+    // stream-stream join WITHIN 1 HOUR: signup followed by a purchase by the
+    // same user within an hour (equi-join on user + time-range predicate)
+    "q_join_within" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id").as("su"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        signups.join(purchases,
+          col("su") === col("pu")
+            && col("p_ts") >= col("s_ts")
+            && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("su").as("user_id"), col("signup_id"), col("purchase_id"))
+      },
+      """SELECT s.user_id AS user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""".stripMargin)
+  )
+}

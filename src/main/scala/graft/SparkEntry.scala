@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** All operator registries, merged. Keys are unique per module. */
   private def all: Map[String, Q] =
-    CoreQueries.entries ++ WindowQueries.entries ++ JoinQueries.entries
+    CoreQueries.entries ++ WindowQueries.entries ++ JoinQueries.entries ++
+      Dedup.entries ++ Similarity.entries ++ TextAnalysis.entries ++
+      Multimodal.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

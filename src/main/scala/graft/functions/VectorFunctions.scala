@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector ops over `array<double>` columns as pure Column algebra
+  * (higher-order functions → codegen'd, no UDFs, no driver collects).
+  *
+  * At 100 TB these run as per-row projections inside whole-stage codegen;
+  * the only data movement similarity queries need is the join strategy
+  * around them (broadcast probes / LSH bucket equi-joins).
+  */
+object VectorFunctions {
+
+  /** Elementwise product then left-fold sum — deterministic order, which
+    * keeps results reproducible (and oracle-comparable) across runs. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine with a precomputed norm on each side — at scale, norms are
+    * computed once per row before a join, not once per candidate pair. */
+  def cosinePrenormed(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
+    * Hyperplane j's i-th component is ±1, derived deterministically from
+    * md5(j:i) — reproducible across executors with zero state shipping.
+    */
+  def rhpSignature(v: Column, dim: Int, nBits: Int): Column = {
+    val bitCols = (0 until nBits).map { j =>
+      // dot(v, hp_j) where hp_j(i) = ±1 from a hash of (j, i)
+      val proj = (0 until dim).map { i =>
+        val sign = if (TextFunctions.stableHash32Static(s"$j:$i") % 2 == 0) 1.0 else -1.0
+        element_at(v, i + 1) * lit(sign)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines (SURVEY.md §2.8).
+  *
+  * Scale architecture — the common theme is turning O(n²) pair comparison
+  * into linear-shuffle equi-joins:
+  *  - exact: one hash groupBy (map-side partial agg).
+  *  - MinHash/LSH: signature is a per-row projection; banding makes
+  *    candidate generation an equi-join on (band, band_key); the exact
+  *    Jaccard check runs only inside buckets.
+  *  - SimHash: per-row fingerprint; near-dup pairing = equi-join on
+  *    fingerprint bytes (hamming-band trick), spec'd in DedupSpec.
+  *  - word-Jaccard: blocked self-join (here by lang; in production the
+  *    block key IS the MinHash band — that's q_dedup_minhash).
+  *  - embedding: norms precomputed per row before the pair join so the
+  *    pair stage does one fused dot per candidate.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per identical text, plus multiplicity. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word 3-gram shingles — discriminative even on small-vocab
+    * text, where char-3-grams saturate (~0.5 baseline Jaccard would turn
+    * LSH banding into a near-cross-join). */
+  private def wordShingles(text: org.apache.spark.sql.Column) = {
+    val w = split(text, " ")
+    array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+    *
+    * Shuffle discipline: the band self-join carries ONLY (band, key,
+    * doc_id) — shingle arrays never enter the candidate shuffle; they are
+    * re-joined per side after pair dedup. Candidate volume ≈ true
+    * near-dup pairs (band collision P = j^4 ≈ 0 for unrelated docs).
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    val sh = docs.select(col("doc_id"), wordShingles(col("text")).as("shingles"))
+    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), k))
+    val banded = sig.select(col("doc_id"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"),
+      col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))).as("band_key"))
+    val cand = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** SimHash 32-bit fingerprints (md5-stable → oracle-replayable). */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(distinctWords(col("text")), w => stableHash32(w)).as("whash"))
+      .select(col("doc_id"), simhash32("whash").as("simhash"))
+
+  /** SimHash near-dup pairs: hamming(simhash) <= maxDist. Candidate
+    * generation uses the byte-band trick (two 32-bit hashes within
+    * hamming distance 3 share at least one of their 4 bytes) — an
+    * equi-join, not a cross join. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("byte_idx"))
+      .withColumn("byte_val", expr("shiftright(simhash, byte_idx * 8) % 256"))
+    val a = banded.select(col("byte_idx"), col("byte_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("byte_idx"), col("byte_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("byte_idx", "byte_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("dist", hamming(col("h_a"), col("h_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** Exact word-set Jaccard pairs within a blocking key (lang). */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      distinctWords(col("text")).as("w"))
+    val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("w").as("wa"))
+    val b = d.select(col("lang"), col("doc_id").as("doc_b"), col("w").as("wb"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", jaccard(col("wa"), col("wb")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs (norms precomputed pre-join). */
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  // ---- driver-verifiable entries ------------------------------------
+
+  def entries: Map[String, Q] = Map(
+    "q_dedup_exact" -> Q(
+      (s, d) => exact(Tables.documents(s, d)),
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    "q_dedup_minhash" -> Q(
+      (s, d) => minhashPairs(Tables.documents(s, d)),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(w) - 1, 2))]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), hh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |), sig AS (
+        |  SELECT doc_id, k,
+        |    min(((2*k + 1) * h + k * 12345 + 7) % 2147483647) AS m
+        |  FROM hh CROSS JOIN (SELECT unnest(range(16)) AS k) GROUP BY doc_id, k
+        |), bands AS (
+        |  SELECT doc_id, k // 4 AS band,
+        |    string_agg(m::VARCHAR, ',' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY doc_id, k // 4
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT da AS doc_a, db AS doc_b,
+        |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac
+        |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+        |)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.7""".stripMargin),
+
+    "q_dedup_simhash" -> Q(
+      (s, d) => simhashFingerprints(Tables.documents(s, d)),
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv FROM w
+        |), b AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) GROUP BY doc_id, i
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM b GROUP BY doc_id""".stripMargin),
+
+    "q_dedup_jaccard" -> Q(
+      (s, d) => jaccardPairs(Tables.documents(s, d)),
+      """WITH sh AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.w, b.w))::DOUBLE
+        |    / len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE
+        |    / len(list_distinct(list_concat(a.w, b.w))) >= 0.7""".stripMargin),
+
+    "q_dedup_embed" -> Q(
+      (s, d) => embeddingPairs(Tables.embeddings(s, d)),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin)
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.9).
+  *
+  * Scale architecture:
+  *  - brute force: the PROBE set is broadcast (small); the corpus is never
+  *    shuffled — score+rank streams through the corpus scan once. This is
+  *    the exact baseline and the right plan whenever |probes| is small.
+  *  - LSH: random-hyperplane signatures bucket the corpus; probes only
+  *    compare within their bucket (multi-probe: exact bucket here; at
+  *    production scale you'd also probe neighboring buckets). Candidate
+  *    volume drops ~2^bits fold for a recall tradeoff, measured in
+  *    SimilaritySpec.
+  *  - IVF: coarse centroids (hash-seeded, iterated once) partition the
+  *    corpus; probes search the nearest nProbe partitions only.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe row. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").cast("array<double>").as("pv"))
+      .withColumn("pn", l2Norm(col("pv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(p).join(c, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("pv"), col("cv")), col("pn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** LSH-bucketed ANN with multi-probe: each probe also searches every
+    * hamming-1 neighbor of its signature bucket (nBits+1 buckets total) —
+    * the standard recall fix that keeps candidate generation an equi-join.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, dim: Int, nBits: Int = 4,
+              k: Int = 3): DataFrame = {
+    val sig = (df: DataFrame) => df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", rhpSignature(col("v"), dim, nBits))
+      .withColumn("nrm", l2Norm(col("v")))
+    val c = sig(corpus).select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val p = sig(probes).withColumn("bucket", explode(expr(
+      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), " +
+        "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+      .select(col("bucket"), col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    p.join(c, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("pv"), col("cv")), col("pn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** IVF-style ANN: corpus assigned to hash-seeded coarse centroids
+    * refined by one averaging pass; probes search nProbe nearest cells.
+    * The centroid table is tiny → broadcast both in assignment and search.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, nCells: Int = 8,
+              nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val c0 = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // seed centroids: mean of rows hashed into each cell, one pass
+    val seeded = c0.withColumn("cell", pmod(crc32(col("vec_id").cast("string")), lit(nCells)))
+    val centroids = seeded.groupBy(col("cell"))
+      .agg(transform(sequence(lit(0), size(first(col("v"))) - 1),
+        i => lit(0.0)).as("zero"), collect_list(col("v")).as("vs"))
+      .select(col("cell"), expr(
+        """transform(sequence(0, size(vs[0]) - 1),
+          |  i -> aggregate(vs, cast(0.0 as double), (acc, x) -> acc + x[i]) / size(vs))"""
+          .stripMargin).as("centroid"))
+    val assign = (df: DataFrame, n: Int) => {
+      val x = df.crossJoin(broadcast(centroids))
+        .withColumn("d", l2Distance(col("v"), col("centroid")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
+      x.withColumn("r", row_number().over(w)).filter(col("r") <= n)
+        .select(df.columns.map(col) :+ col("cell"): _*)
+    }
+    val corpusCells = assign(c0, 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val probeCells = assign(
+      probes.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), nProbe)
+      .select(col("cell"), col("vec_id").as("probe_id"), col("v").as("pv"))
+      .withColumn("pn", l2Norm(col("pv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probeCells.join(corpusCells, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("pv"), col("cv")), col("pn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  // ---- driver-verifiable entries ------------------------------------
+
+  def entries: Map[String, Q] = Map(
+    "q_ann_brute" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT * FROM e WHERE vec_id % 100 = 0)
+        |SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS INT) AS rank,
+        |  round(list_cosine_similarity(p.v, c.v), 4) AS cos_sim
+        |FROM p JOIN e c ON p.vec_id <> c.vec_id
+        |QUALIFY rank <= 5""".stripMargin),
+
+    // approximate → rows-only driver check; recall vs brute force is
+    // asserted in SimilaritySpec.
+    "q_ann_lsh" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), dim = 64)
+      },
+      None)
+  )
+}

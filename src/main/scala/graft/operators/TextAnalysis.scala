@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY.md §2.10): language
+  * ID, quality scoring, token counting, fingerprinting. All per-row
+  * Column projections — embarrassingly parallel, no shuffle at any scale.
+  */
+object TextAnalysis {
+
+  private val enMarkers = Seq("the", "a", "of", "and", "to")
+  private val esMarkers = Seq("el", "la", "de", "y", "que")
+  private val frMarkers = Seq("le", "les", "des", "et", "une")
+
+  private def markerScore(ws: org.apache.spark.sql.Column, markers: Seq[String]) =
+    size(filter(ws, w => w.isInCollection(markers)))
+
+  /** Marker-word language ID (deterministic, SQL-replayable). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"),
+      markerScore(ws, enMarkers).as("score_en"),
+      markerScore(ws, esMarkers).as("score_es"),
+      markerScore(ws, frMarkers).as("score_fr"))
+      .withColumn("pred_lang",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_fr"), "en")
+          .when(col("score_es") >= col("score_fr"), "es")
+          .otherwise("fr"))
+  }
+
+  /** Heuristic quality scores: length, word stats, punctuation/digit/
+    * stopword ratios, and a composite score. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t)
+    val nWords = size(words(t))
+    val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
+    val digits = length(regexp_replace(t, "[^0-9]", ""))
+    val stop = markerScore(words(t), enMarkers)
+    docs.select(col("doc_id"),
+      nChars.as("n_chars"), nWords.as("n_words"),
+      round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4).as("avg_word_len"),
+      round(punct.cast("double") / nChars, 4).as("punct_ratio"),
+      round(digits.cast("double") / nChars, 4).as("digit_ratio"),
+      round(stop.cast("double") / nWords, 4).as("stopword_ratio"))
+      .withColumn("quality",
+        // floor-truncate instead of round: both engines compute the same
+        // double, and floor is unambiguous at .5 boundaries where their
+        // round() implementations differ
+        (floor((least(col("n_words").cast("double") / 100, lit(1.0)) * 0.5
+          + (lit(1.0) - least(col("punct_ratio") * 10, lit(1.0))) * 0.25
+          + least(col("stopword_ratio") * 5, lit(1.0)) * 0.25) * 10000) / 10000).as("quality"))
+  }
+
+  /** Token counts: whitespace, BPE-ish regex pieces, chars/4 estimate. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+      size(words(t)).as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"),
+      ceil(length(t) / lit(4.0)).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** Content fingerprints over normalized text: full md5 + a 60-bit
+    * numeric prefix (join-key-friendly). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = normalizeText(col("text"))
+    docs.select(col("doc_id"),
+      md5(norm).as("fp_md5"),
+      conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp_prefix60"))
+  }
+
+  // ---- driver-verifiable entries ------------------------------------
+
+  def entries: Map[String, Q] = Map(
+    "q_text_langid" -> Q(
+      (s, d) => languageId(Tables.documents(s, d)),
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['el','la','de','y','que'], w))) AS INT) AS score_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['le','les','des','et','une'], w))) AS INT) AS score_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id, score_en, score_es, score_fr,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |       WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM sc""".stripMargin),
+
+    "q_text_quality" -> Q(
+      (s, d) => qualityScores(Tables.documents(s, d)),
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS digits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS stop,
+        |    CAST(length(replace(text, ' ', '')) AS INT) AS nospace
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_words,
+        |  round(nospace::DOUBLE / n_words, 4) AS avg_word_len,
+        |  round(punct::DOUBLE / n_chars, 4) AS punct_ratio,
+        |  round(digits::DOUBLE / n_chars, 4) AS digit_ratio,
+        |  round(stop::DOUBLE / n_words, 4) AS stopword_ratio,
+        |  floor((least(n_words::DOUBLE / 100, 1.0) * 0.5
+        |    + (1.0 - least(round(punct::DOUBLE / n_chars, 4) * 10, 1.0)) * 0.25
+        |    + least(round(stop::DOUBLE / n_words, 4) * 5, 1.0) * 0.25) * 10000) / 10000 AS quality
+        |FROM q""".stripMargin),
+
+    "q_text_tokens" -> Q(
+      (s, d) => tokenCounts(Tables.documents(s, d)),
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents""".stripMargin),
+
+    "q_text_fingerprint" -> Q(
+      (s, d) => fingerprints(Tables.documents(s, d)),
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_prefix60
+        |FROM n""".stripMargin)
+  )
+}

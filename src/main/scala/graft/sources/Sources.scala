@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.7): KSQL's topic+format model mapped
+  * to Spark readers/writers.
+  *
+  * KSQL value formats: JSON → `from_json`, DELIMITED → csv, AVRO → the
+  * avro jars (present in /opt/spark/jars). The Kafka connector jar is NOT
+  * in this zero-egress image, so [[kafka]] builds the exact reader config
+  * (format/options/value-decode) without starting it — the config path is
+  * unit-tested, the physical connection is not testable here.
+  */
+object Sources {
+
+  // ---- batch ---------------------------------------------------------
+  def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  def csv(s: SparkSession, path: String, schema: StructType,
+          delimiter: String = ","): DataFrame =
+    s.read.schema(schema).option("delimiter", delimiter)
+      .option("header", "true").csv(path)
+
+  def json(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  // ---- streaming -----------------------------------------------------
+  /** Streaming file source — the test/CI stand-in for a topic. */
+  def fileStream(s: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    s.readStream.schema(schema).format(format).option("path", path).load()
+
+  def rateStream(s: SparkSession, rowsPerSecond: Int): DataFrame =
+    s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** CREATE STREAM ... WITH (kafka_topic=..., value_format='JSON'):
+    * returns (format, options, decode) — `decode` turns the raw Kafka
+    * value into typed columns. Apply as:
+    * {{{
+    *   val (fmt, opts, decode) = Sources.kafka("broker:9092", "events", schema)
+    *   decode(spark.readStream.format(fmt).options(opts).load())
+    * }}}
+    */
+  def kafka(bootstrap: String, topic: String, valueSchema: StructType,
+            startingOffsets: String = "latest")
+  : (String, Map[String, String], DataFrame => DataFrame) = {
+    val opts = Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      // at 100 TB/day topics: cap per-trigger intake so micro-batches
+      // stay within executor memory; tune with cluster size
+      "maxOffsetsPerTrigger" -> "10000000")
+    val decode = (raw: DataFrame) => raw.select(
+      col("key").cast("string").as("key"),
+      from_json(col("value").cast("string"), valueSchema).as("v"),
+      col("timestamp").as("kafka_ts"),
+      col("offset"))
+      .select(col("key"), col("v.*"), col("kafka_ts"), col("offset"))
+    ("kafka", opts, decode)
+  }
+
+  /** Kafka sink config: value as JSON of all columns. */
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
+                keyCol: String): (DataFrame, String, Map[String, String]) = {
+    val payload = df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+    (payload, "kafka", Map(
+      "kafka.bootstrap.servers" -> bootstrap, "topic" -> topic))
+  }
+}
+
+/** Sink helpers: partitioned + bucketed writes for co-located downstream
+  * joins (SURVEY.md §5 — bucketing pre-shuffles ONCE at write time so
+  * every later join/agg on the bucket key is shuffle-free).
+  */
+object Sinks {
+  def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+}

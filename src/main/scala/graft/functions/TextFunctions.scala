@@ -40,8 +40,17 @@ object TextFunctions {
     * mod p over the shingle set's stable hashes. Returns array<long>[k].
     * Pure projection — signatures cost O(k * |shingles|) per row, no
     * shuffle; the LSH banding afterwards is what bounds pair generation.
+    * Computed by the native one-pass codegen expression (the HOF version
+    * below is interpreted per-lambda and ~50x slower at scale).
     */
   def minhashSignature(shingles: Column, k: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, MinHashSignature}
+    ColumnBridge.column(MinHashSignature(
+      ColumnBridge.expression(transform(shingles, s => stableHash32(s))), k))
+  }
+
+  /** Reference HOF formulation (kept for equivalence testing). */
+  def minhashSignatureHof(shingles: Column, k: Int = 16): Column = {
     val hashes = transform(shingles, s => stableHash32(s))
     transform(sequence(lit(0), lit(k - 1)), j =>
       aggregate(hashes, lit(Long.MaxValue),

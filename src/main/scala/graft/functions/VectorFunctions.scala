@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise product then left-fold sum — deterministic order, which
-    * keeps results reproducible (and oracle-comparable) across runs. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product via the native codegen expression — identical
+    * sequential summation order to the HOF formulation (so results stay
+    * reproducible and oracle-comparable), without the per-row intermediate
+    * array or lambda dispatch. See expressions.DotProduct. */
+  def dot(a: Column, b: Column): Column = expressions.VectorExpressions.dot(a, b)
+
+  /** Reference HOF formulation (kept for equivalence testing). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -27,7 +32,7 @@ object VectorFunctions {
     dotAb / (normA * normB)
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    sqrt(expressions.VectorExpressions.l2sq(a, b))
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplane j's i-th component is ±1, derived deterministically from

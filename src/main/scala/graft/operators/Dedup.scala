@@ -59,9 +59,13 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // exact-Jaccard verification on long-hashed shingles (ratio unchanged,
+    // 8-byte compares instead of string compares)
+    val shh = sh.select(col("doc_id"),
+      array_distinct(transform(col("shingles"), s => xxhash64(s))).as("shingles"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(shh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -94,13 +98,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
-  /** Exact word-set Jaccard pairs within a blocking key (lang). */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+  /** Exact word-set Jaccard pairs within a blocking key (lang).
+    *
+    * Scale details:
+    *  - words are pre-hashed to longs (xxhash64) so the per-pair
+    *    intersect/union compares 8-byte values, not strings; the Jaccard
+    *    ratio is unchanged barring 2^-64 collisions.
+    *  - the block key has only |langs| distinct values — a raw equi-join
+    *    would put all work on 5 tasks regardless of cluster size. The
+    *    left side is salted (doc_id mod S) and the right side replicated
+    *    S ways, spreading pair generation across 5*S partitions; each
+    *    (a,b) pair still joins exactly once.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.7,
+                   salt: Int = 16): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"),
-      distinctWords(col("text")).as("w"))
+      array_distinct(transform(split(col("text"), " "), w => xxhash64(w))).as("w"))
     val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .withColumn("salt", pmod(col("doc_a"), lit(salt)).cast("int"))
     val b = d.select(col("lang"), col("doc_id").as("doc_b"), col("w").as("wb"))
-    a.join(b, Seq("lang"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    a.join(b, Seq("lang", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac", jaccard(col("wa"), col("wb")))
       .filter(col("jac") >= threshold)

@@ -72,6 +72,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.groupBy("probe_id").count().filter(col("count") > 3).count() == 0)
   }
 
+  test("native minhash signature equals the HOF formulation") {
+    import graft.functions.TextFunctions
+    val sh = docs.select(col("doc_id"),
+      array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin)).as("s"))
+    val both = sh.select(
+      TextFunctions.minhashSignature(col("s")).as("native"),
+      TextFunctions.minhashSignatureHof(col("s")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native codegen dot product is bit-identical to the HOF formulation") {
+    import graft.functions.VectorFunctions
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = v.as("a").join(v.as("b"), col("a.vec_id") === col("b.vec_id") - 1)
+    val diff = paired.select(
+      (VectorFunctions.dot(col("a.v"), col("b.v"))
+        - VectorFunctions.dotHof(col("a.v"), col("b.v"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0)
+  }
+
   test("multimodal decode preserves rows, drops payload, emits features") {
     val media = Multimodal.asMedia(docs)
     val decoded = Multimodal.decode(media)

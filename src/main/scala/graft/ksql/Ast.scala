@@ -1,0 +1,42 @@
+package graft.ksql
+
+/** AST for the KSQL statement subset (SURVEY.md §2.12).
+  *
+  * Expressions are carried as token streams rather than a full expression
+  * tree: KSQL expression syntax is close enough to Spark SQL that the
+  * translator only rewrites function names / operators and passes the
+  * rest through Catalyst's own parser — one less parser to get wrong.
+  */
+sealed trait WindowSpec
+case class Tumbling(sizeMs: Long) extends WindowSpec
+case class Hopping(sizeMs: Long, advanceMs: Long) extends WindowSpec
+case class Session(gapMs: Long) extends WindowSpec
+
+case class JoinClause(
+    joinType: String,            // INNER | LEFT
+    table: String,
+    alias: Option[String],
+    withinMs: Option[Long],      // stream-stream join bound
+    onLeft: String, onRight: String)
+
+case class SelectStmt(
+    columns: Seq[(String, Option[String])],   // (exprSql, alias)
+    from: String,
+    fromAlias: Option[String],
+    join: Option[JoinClause],
+    where: Option[String],
+    window: Option[WindowSpec],
+    groupBy: Seq[String],
+    having: Option[String],
+    partitionBy: Option[String],
+    emitChanges: Boolean)
+
+sealed trait Statement
+case class CreateSource(
+    isTable: Boolean, name: String,
+    columns: Seq[(String, String)],           // (name, ksqlType)
+    props: Map[String, String]) extends Statement // WITH(...) normalized keys
+case class CreateAsSelect(
+    isTable: Boolean, name: String, select: SelectStmt) extends Statement
+case class InsertInto(target: String, select: SelectStmt) extends Statement
+case class Query(select: SelectStmt) extends Statement

@@ -1,0 +1,71 @@
+package graft.ksql
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable queries that run REAL KSQL text through the
+  * parser+translator (SURVEY.md §2.12) — proving a reference user's
+  * statements execute on Spark with oracle-matching results.
+  */
+object KsqlQueries {
+
+  private def catalogFor(s: org.apache.spark.sql.SparkSession, d: String): Translator.Catalog =
+    Map(
+      "events" -> Translator.Source(Tables.events(s, d), "ts"),
+      "orders" -> Translator.Source(Tables.orders(s, d), "o_orderdate"),
+      "customer" -> Translator.Source(Tables.customer(s, d), "o_orderdate"))
+
+  val ctasWindowed: String =
+    """CREATE TABLE hourly_by_type AS
+      |SELECT event_type, COUNT(*) AS cnt, SUM(value) AS sum_value
+      |FROM events WINDOW TUMBLING (SIZE 1 HOURS)
+      |GROUP BY event_type EMIT CHANGES""".stripMargin
+
+  val csasScalar: String =
+    """CREATE STREAM enriched AS
+      |SELECT event_id, UCASE(event_type) AS etype_upper,
+      |  LEN(event_type) AS etype_len,
+      |  EXTRACTJSONFIELD(props, '$.k') AS k_str,
+      |  MASK(event_type) AS etype_masked,
+      |  IFNULL(NULLIF(event_type, 'error'), 'unknown') AS etype_clean
+      |FROM events WHERE value > 10 EMIT CHANGES""".stripMargin
+
+  val streamTableJoin: String =
+    """SELECT o_orderkey, o_totalprice, c.c_name AS c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o_totalprice > 150000""".stripMargin
+
+  def entries: Map[String, Q] = Map(
+    "q_ksql_ctas_window" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d), ctasWindowed): @unchecked
+        df.select(col("windowstart").as("ws"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      },
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
+    "q_ksql_csas_scalar" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d), csasScalar): @unchecked
+        df
+      },
+      """SELECT event_id, upper(event_type) AS etype_upper,
+        |  CAST(length(event_type) AS INT) AS etype_len,
+        |  props->>'$.k' AS k_str,
+        |  regexp_replace(regexp_replace(regexp_replace(event_type,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS etype_masked,
+        |  coalesce(nullif(event_type, 'error'), 'unknown') AS etype_clean
+        |FROM events WHERE value > 10""".stripMargin),
+
+    "q_ksql_join" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d), streamTableJoin): @unchecked
+        df.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("c_name"))
+      },
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 150000""".stripMargin)
+  )
+}

@@ -1,0 +1,219 @@
+package graft.ksql
+
+/** Hand-rolled tokenizer + recursive-descent parser for the KSQL
+  * statement subset. Case-insensitive keywords, 'single-quoted' strings,
+  * backtick-free identifiers (KSQL uppercases unquoted idents; we keep
+  * them as written and match case-insensitively downstream).
+  */
+object Parser {
+
+  // ---- lexer ---------------------------------------------------------
+  final case class Tok(text: String, isString: Boolean) {
+    def up: String = text.toUpperCase
+  }
+
+  def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && sql.charAt(i) != '\'') { sb.append(sql.charAt(i)); i += 1 }
+        i += 1 // closing quote
+        out += Tok(sb.toString, isString = true)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        out += Tok(sql.substring(start, i), isString = false)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
+        out += Tok(sql.substring(start, i), isString = false)
+      } else if ("<>!=".contains(c) && i + 1 < n && sql.charAt(i + 1) == '=') {
+        out += Tok(sql.substring(i, i + 2), isString = false); i += 2
+      } else {
+        out += Tok(c.toString, isString = false); i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser --------------------------------------------------------
+  final class P(val toks: Vector[Tok]) {
+    var pos = 0
+    def atEnd: Boolean = pos >= toks.length
+    def peek: Tok = if (pos < toks.length) toks(pos) else Tok("", isString = false)
+    def peekUp: String = peek.up
+    def next(): Tok = { val t = peek; pos += 1; t }
+    def accept(kw: String): Boolean =
+      if (!peek.isString && peekUp == kw) { pos += 1; true } else false
+    def expect(kw: String): Unit =
+      if (!accept(kw)) fail(s"expected $kw, got '${peek.text}'")
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"KSQL parse error at token $pos: $msg")
+    def done: Boolean = pos >= toks.length || peekUp == ";"
+  }
+
+  private val durationUnits = Map(
+    "MILLISECOND" -> 1L, "MILLISECONDS" -> 1L,
+    "SECOND" -> 1000L, "SECONDS" -> 1000L,
+    "MINUTE" -> 60000L, "MINUTES" -> 60000L,
+    "HOUR" -> 3600000L, "HOURS" -> 3600000L,
+    "DAY" -> 86400000L, "DAYS" -> 86400000L)
+
+  private def parseDuration(p: P): Long = {
+    val num = p.next().text.toDouble
+    val unit = p.next().up
+    (num * durationUnits.getOrElse(unit, p.fail(s"unknown unit $unit"))).toLong
+  }
+
+  def parse(sql: String): Statement = {
+    val p = new P(tokenize(sql))
+    val stmt =
+      if (p.accept("CREATE")) {
+        val isTable = if (p.accept("TABLE")) true
+          else { p.expect("STREAM"); false }
+        val name = p.next().text
+        if (p.peekUp == "(") parseCreateSource(p, isTable, name)
+        else { p.expect("AS"); CreateAsSelect(isTable, name, parseSelect(p)) }
+      } else if (p.accept("INSERT")) {
+        p.expect("INTO")
+        val target = p.next().text
+        InsertInto(target, parseSelect(p))
+      } else Query(parseSelect(p))
+    stmt
+  }
+
+  private def parseCreateSource(p: P, isTable: Boolean, name: String): CreateSource = {
+    p.expect("(")
+    val cols = Seq.newBuilder[(String, String)]
+    while (!p.accept(")")) {
+      val cname = p.next().text
+      val sb = new StringBuilder(p.next().text)
+      // composite types: ARRAY<...>, MAP<...,...>, DECIMAL(p,s)
+      if (p.peekUp == "<" || p.peekUp == "(") {
+        var depth = 0
+        var go = true
+        while (go) {
+          val t = p.next().text
+          sb.append(t)
+          if (t == "<" || t == "(") depth += 1
+          if (t == ">" || t == ")") depth -= 1
+          go = depth > 0
+        }
+      }
+      cols += (cname -> sb.toString)
+      p.accept(",")
+      // swallow KEY / PRIMARY KEY column modifiers
+      if (p.accept("PRIMARY")) { p.expect("KEY"); p.accept(",") }
+      else if (p.accept("KEY")) p.accept(",")
+    }
+    val props = Map.newBuilder[String, String]
+    if (p.accept("WITH")) {
+      p.expect("(")
+      while (!p.accept(")")) {
+        val k = p.next().up
+        p.expect("=")
+        props += (k -> p.next().text)
+        p.accept(",")
+      }
+    }
+    CreateSource(isTable, name, cols.result(), props.result())
+  }
+
+  /** Collect raw expression tokens until a top-level keyword/terminator. */
+  private def exprUntil(p: P, stops: Set[String]): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    while (!p.atEnd && {
+      val t = p.peek
+      val u = t.up
+      !(depth == 0 && !t.isString && (stops.contains(u) || u == ";"))
+    }) {
+      val t = p.next()
+      if (!t.isString && (t.text == "(")) depth += 1
+      if (!t.isString && (t.text == ")")) {
+        if (depth == 0) p.fail("unbalanced )")
+        depth -= 1
+      }
+      if (sb.nonEmpty) sb.append(' ')
+      if (t.isString) sb.append('\'').append(t.text.replace("'", "''")).append('\'')
+      else sb.append(t.text)
+    }
+    sb.toString
+  }
+
+  private val selectStops = Set("FROM", "WHERE", "WINDOW", "GROUP", "HAVING",
+    "PARTITION", "EMIT", "JOIN", "INNER", "LEFT", "ON", "WITHIN", ",", ")")
+
+  private def parseSelect(p: P): SelectStmt = {
+    p.expect("SELECT")
+    val cols = Seq.newBuilder[(String, Option[String])]
+    var more = true
+    while (more) {
+      val e = exprUntilCol(p)
+      val alias = if (p.accept("AS")) Some(p.next().text) else None
+      cols += (e -> alias)
+      more = p.accept(",")
+    }
+    p.expect("FROM")
+    val from = p.next().text
+    val fromAlias = if (!p.peek.isString
+      && !selectStops.contains(p.peekUp) && p.peekUp.headOption.exists(_.isLetter))
+      Some(p.next().text) else None
+
+    var join: Option[JoinClause] = None
+    val jt = if (p.accept("INNER")) Some("inner")
+      else if (p.accept("LEFT")) { p.accept("OUTER"); Some("left") }
+      else if (p.peekUp == "JOIN") Some("inner") else None
+    if (jt.isDefined) {
+      p.expect("JOIN")
+      val t = p.next().text
+      val ta = if (!p.peek.isString && !selectStops.contains(p.peekUp)
+        && p.peekUp.headOption.exists(_.isLetter)) Some(p.next().text) else None
+      val within = if (p.accept("WITHIN")) Some(parseDuration(p)) else None
+      p.expect("ON")
+      val l = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
+      p.expect("=")
+      val r = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
+      join = Some(JoinClause(jt.get, t, ta, within, l, r))
+    }
+
+    val where = if (p.accept("WHERE")) Some(exprUntil(p, selectStops - ",")) else None
+    val window = if (p.accept("WINDOW")) Some {
+      if (p.accept("TUMBLING")) {
+        p.expect("("); p.expect("SIZE"); val d = parseDuration(p); p.expect(")")
+        Tumbling(d)
+      } else if (p.accept("HOPPING")) {
+        p.expect("("); p.expect("SIZE"); val d = parseDuration(p)
+        p.expect(","); p.expect("ADVANCE"); p.expect("BY")
+        val a = parseDuration(p); p.expect(")")
+        Hopping(d, a)
+      } else {
+        p.expect("SESSION")
+        p.expect("("); val d = parseDuration(p); p.expect(")")
+        Session(d)
+      }
+    } else None
+    val groupBy = if (p.accept("GROUP")) {
+      p.expect("BY")
+      val gs = Seq.newBuilder[String]
+      var m = true
+      while (m) { gs += exprUntilCol(p); m = p.accept(",") }
+      gs.result()
+    } else Seq.empty
+    val having = if (p.accept("HAVING")) Some(exprUntil(p, selectStops - ",")) else None
+    val partitionBy = if (p.accept("PARTITION")) { p.expect("BY"); Some(p.next().text) } else None
+    val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
+    SelectStmt(cols.result(), from, fromAlias, join, where, window,
+      groupBy, having, partitionBy, emit)
+  }
+
+  // column-level expressions additionally stop at AS (aliases); CAST(x AS
+  // INT) is safe because its AS sits inside parens (depth > 0)
+  private def exprUntilCol(p: P): String = exprUntil(p, selectStops + "AS")
+}

@@ -1,0 +1,182 @@
+package graft.ksql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Translates the KSQL AST onto Spark.
+  *
+  * Design: expression text passes through Spark SQL's own parser after
+  * KSQL→Spark function-name rewriting (UCASE→upper, EXTRACTJSONFIELD→
+  * get_json_object, MASK→regexp chain, …); statement structure (windows,
+  * WITHIN joins, PARTITION BY, EMIT CHANGES) is rebuilt as DataFrame
+  * algebra — windows become `window()`/`session_window()` groupings, so a
+  * translated continuous query plans EXACTLY like the hand-written
+  * operators in graft.operators (same Catalyst plan, same scale posture).
+  *
+  * `Catalog` supplies sources: name → (DataFrame, event-time column).
+  * Batch DataFrames give instant materialization (and oracle testing);
+  * streaming DataFrames make the same translation a continuous query.
+  */
+object Translator {
+
+  final case class Source(df: DataFrame, timeColumn: String)
+  type Catalog = Map[String, Source]
+
+  // KSQL function name → Spark SQL rewrite. Applied token-wise, case-
+  // insensitively, only at word boundaries followed by '('.
+  private val fnRename: Map[String, String] = Map(
+    "UCASE" -> "upper", "LCASE" -> "lower", "LEN" -> "length",
+    "TRIM" -> "trim", "SUBSTRING" -> "substring", "CONCAT" -> "concat",
+    "REPLACE" -> "replace", "SPLIT" -> "split", "IFNULL" -> "coalesce",
+    "EXTRACTJSONFIELD" -> "get_json_object",
+    "ARRAYCONTAINS" -> "array_contains",
+    "STRINGTOTIMESTAMP" -> "to_timestamp", "STRINGTODATE" -> "to_date",
+    "TIMESTAMPTOSTRING" -> "date_format", "DATETOSTRING" -> "date_format",
+    "ABS" -> "abs", "CEIL" -> "ceil", "FLOOR" -> "floor",
+    "ROUND" -> "round", "SQRT" -> "sqrt", "RANDOM" -> "rand",
+    "COUNT" -> "count", "SUM" -> "sum", "MIN" -> "min", "MAX" -> "max",
+    "AVG" -> "avg", "COUNT_DISTINCT" -> "count_distinct",
+    "COLLECT_LIST" -> "collect_list", "COLLECT_SET" -> "collect_set",
+    "LATEST_BY_OFFSET" -> "max_by", "EARLIEST_BY_OFFSET" -> "min_by")
+
+  /** MASK(x) family → nested regexp_replace chains (no UDF). */
+  private def expandMask(sql: String): String = {
+    def chain(inner: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace($inner,'[A-Z]','X'),'[a-z]','x'),'[0-9]','n')"
+    // only the plain MASK(col) form; the _LEFT/_RIGHT variants are served
+    // by graft.functions.KsqlFunctions for programmatic use
+    raw"(?i)\bMASK\s*\(([^()]*)\)".r.replaceAllIn(sql, m => chain(m.group(1)))
+  }
+
+  /** Rewrite KSQL function names to Spark SQL equivalents. */
+  def rewriteExpr(e: String): String = {
+    val masked = expandMask(e)
+    fnRename.foldLeft(masked) { case (acc, (k, v)) =>
+      acc.replaceAll(s"(?i)\\b$k\\s*\\(", s"$v(")
+    }
+  }
+
+  private def windowStruct(w: WindowSpec, timeCol: Column): Column = w match {
+    case Tumbling(ms) => window(timeCol, s"$ms milliseconds")
+    case Hopping(ms, adv) => window(timeCol, s"$ms milliseconds", s"$adv milliseconds")
+    case Session(gap) => session_window(timeCol, s"$gap milliseconds")
+  }
+
+  /** Materialize a SELECT statement as a DataFrame over the catalog. */
+  def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
+    val src = catalog.getOrElse(s.from.toLowerCase,
+      throw new IllegalArgumentException(s"unknown source ${s.from}"))
+    var df = s.fromAlias.fold(src.df)(a => src.df.alias(a))
+
+    s.join.foreach { j =>
+      val right = catalog.getOrElse(j.table.toLowerCase,
+        throw new IllegalArgumentException(s"unknown source ${j.table}"))
+      val rdf = j.alias.fold(right.df)(a => right.df.alias(a))
+      val cond0 = expr(s"${rewriteExpr(j.onLeft)} = ${rewriteExpr(j.onRight)}")
+      val cond = j.withinMs match {
+        case Some(ms) =>
+          val lt = col(s"${s.fromAlias.getOrElse(s.from)}.${src.timeColumn}")
+          val rt = col(s"${j.alias.getOrElse(j.table)}.${right.timeColumn}")
+          cond0 && rt >= lt && rt < lt + expr(s"INTERVAL $ms MILLISECONDS")
+        case None => cond0
+      }
+      // stream-table join: broadcast the table side
+      val rside = if (j.withinMs.isEmpty) broadcast(rdf) else rdf
+      df = df.join(rside, cond, j.joinType)
+    }
+
+    s.where.foreach(w => df = df.filter(expr(rewriteExpr(w))))
+
+    val projected: DataFrame =
+      if (s.groupBy.nonEmpty || s.window.isDefined) {
+        val winCol = s.window.map(w => windowStruct(w, col(src.timeColumn)))
+        val keys = winCol.toSeq ++ s.groupBy.map(g => expr(rewriteExpr(g)))
+        val keyTexts = s.groupBy.map(g => rewriteExpr(g)).toSet
+        val aggs = s.columns.filterNot { case (e, _) =>
+          keyTexts.contains(rewriteExpr(e))
+        }.map { case (e, alias) =>
+          val c = expr(rewriteExpr(e))
+          alias.fold(c)(c.as)
+        }
+        val grouped = df.groupBy(keys: _*)
+        val out =
+          if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
+          else grouped.count()
+        // expose KSQL WINDOWSTART/WINDOWEND pseudo-columns as epoch millis
+        val withWin = s.window match {
+          case Some(_: Session) => out
+            .withColumn("windowstart", unix_millis(col("session_window.start")))
+            .withColumn("windowend", unix_millis(col("session_window.end")))
+            .drop("session_window")
+          case Some(_) => out
+            .withColumn("windowstart", unix_millis(col("window.start")))
+            .withColumn("windowend", unix_millis(col("window.end")))
+            .drop("window")
+          case None => out
+        }
+        withWin
+      } else {
+        val cols = s.columns.map {
+          case ("*", _) => col("*")
+          case (e, alias) =>
+            val c = expr(rewriteExpr(e))
+            alias.fold(c)(c.as)
+        }
+        df.select(cols: _*)
+      }
+
+    val withHaving = s.having.fold(projected)(h => projected.filter(expr(rewriteExpr(h))))
+    s.partitionBy.fold(withHaving)(k => withHaving.repartition(col(k)))
+  }
+
+  /** Execute one statement. CSAS/CTAS register the result back into the
+    * returned catalog so later statements can reference it. */
+  def run(spark: SparkSession, catalog: Catalog, sql: String): (Catalog, Option[DataFrame]) =
+    Parser.parse(sql) match {
+      case CreateSource(_, name, cols, props) =>
+        // physical source binding happens through graft.sources; here we
+        // register an empty-schema placeholder unless the catalog already
+        // provides the physical frame (tests/driver always do).
+        val existing = catalog.get(name.toLowerCase)
+        val ts = props.getOrElse("TIMESTAMP", "ts")
+        existing match {
+          case Some(src) => (catalog + (name.toLowerCase -> src.copy(timeColumn = ts)), None)
+          case None =>
+            val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+              org.apache.spark.sql.types.StructField(n, sparkType(t))
+            })
+            val empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            (catalog + (name.toLowerCase -> Source(empty, ts)), None)
+        }
+      case CreateAsSelect(_, name, sel) =>
+        val df = select(spark, catalog, sel)
+        val srcTime = catalog(sel.from.toLowerCase).timeColumn
+        val tc = if (df.columns.contains(srcTime)) srcTime
+          else if (df.columns.contains("windowstart")) "windowstart" else df.columns.head
+        (catalog + (name.toLowerCase -> Source(df, tc)), Some(df))
+      case InsertInto(target, sel) =>
+        val df = select(spark, catalog, sel)
+        val tgt = catalog.getOrElse(target.toLowerCase,
+          throw new IllegalArgumentException(s"unknown target $target"))
+        val merged = tgt.copy(df = tgt.df.unionByName(df, allowMissingColumns = true))
+        (catalog + (target.toLowerCase -> merged), Some(merged.df))
+      case Query(sel) => (catalog, Some(select(spark, catalog, sel)))
+    }
+
+  private def sparkType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t.toUpperCase match {
+      case "VARCHAR" | "STRING" => StringType
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" => LongType
+      case "DOUBLE" => DoubleType
+      case "BOOLEAN" => BooleanType
+      case "TIMESTAMP" => TimestampType
+      case a if a.startsWith("ARRAY") =>
+        ArrayType(sparkType(a.stripPrefix("ARRAY").stripPrefix("<").stripSuffix(">")))
+      case m if m.startsWith("MAP") => MapType(StringType, StringType)
+      case _ => StringType
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ksql._
+import org.apache.spark.sql.functions._
+
+class KsqlSpec extends SparkSpec {
+
+  test("parser handles CREATE STREAM with schema and WITH props") {
+    val s = Parser.parse(
+      """CREATE STREAM pageviews (viewtime BIGINT, userid VARCHAR,
+        |  pageid VARCHAR, tags ARRAY<VARCHAR>)
+        |WITH (KAFKA_TOPIC='pageviews', VALUE_FORMAT='JSON', TIMESTAMP='viewtime')"""
+        .stripMargin)
+    val cs = s.asInstanceOf[CreateSource]
+    assert(!cs.isTable && cs.name == "pageviews")
+    assert(cs.columns.map(_._1) == Seq("viewtime", "userid", "pageid", "tags"))
+    assert(cs.props("KAFKA_TOPIC") == "pageviews")
+    assert(cs.props("TIMESTAMP") == "viewtime")
+  }
+
+  test("parser handles windowed CTAS with EMIT CHANGES") {
+    val s = Parser.parse(KsqlQueries.ctasWindowed).asInstanceOf[CreateAsSelect]
+    assert(s.isTable && s.name == "hourly_by_type")
+    assert(s.select.window.contains(Tumbling(3600000L)))
+    assert(s.select.groupBy == Seq("event_type"))
+    assert(s.select.emitChanges)
+  }
+
+  test("parser handles HOPPING and SESSION windows") {
+    val h = Parser.parse(
+      "SELECT COUNT(*) FROM events WINDOW HOPPING (SIZE 1 HOURS, ADVANCE BY 30 MINUTES) GROUP BY event_type")
+      .asInstanceOf[Query]
+    assert(h.select.window.contains(Hopping(3600000L, 1800000L)))
+    val se = Parser.parse(
+      "SELECT COUNT(*) FROM events WINDOW SESSION (6 HOURS) GROUP BY user_id")
+      .asInstanceOf[Query]
+    assert(se.select.window.contains(Session(21600000L)))
+  }
+
+  test("parser handles JOIN WITHIN") {
+    val s = Parser.parse(
+      """SELECT s.event_id FROM signups s JOIN purchases p WITHIN 1 HOURS
+        |ON s.user_id = p.user_id""".stripMargin).asInstanceOf[Query]
+    val j = s.select.join.get
+    assert(j.withinMs.contains(3600000L))
+    assert(j.onLeft == "s.user_id" && j.onRight == "p.user_id")
+  }
+
+  test("function rewrite maps KSQL names to Spark") {
+    val r = Translator.rewriteExpr("UCASE(SUBSTRING(name, 1, 3))")
+    assert(r == "upper(substring( name , 1 , 3 ))"
+      || r.replaceAll("\\s", "") == "upper(substring(name,1,3))")
+    assert(Translator.rewriteExpr("EXTRACTJSONFIELD(props, '$.k')")
+      .startsWith("get_json_object"))
+    assert(Translator.rewriteExpr("MASK(name)").contains("regexp_replace"))
+  }
+
+  test("translated hopping window matches hand-written operator") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """CREATE TABLE t AS SELECT event_type, COUNT(*) AS cnt FROM events
+        |WINDOW HOPPING (SIZE 1 HOURS, ADVANCE BY 30 MINUTES)
+        |GROUP BY event_type EMIT CHANGES""".stripMargin): @unchecked
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("windowstart"), col("event_type"), col("cnt"))
+    val a = df.select("windowstart", "event_type", "cnt").collect().toSet
+    val b = direct.collect().toSet
+    assert(a == b)
+  }
+
+  test("CSAS result is referencable by later statements (catalog chaining)") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (cat2, _) = Translator.run(spark, catalog,
+      "CREATE STREAM purchases AS SELECT * FROM events WHERE event_type = 'purchase'")
+    val (_, Some(out)) = Translator.run(spark, cat2,
+      "SELECT user_id, COUNT(*) AS n FROM purchases GROUP BY user_id"): @unchecked
+    assert(out.agg(sum("n")).head.getLong(0) ==
+      Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count())
+  }
+
+  test("INSERT INTO unions into an existing source") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (cat2, _) = Translator.run(spark, catalog,
+      "CREATE STREAM sink AS SELECT event_id, event_type FROM events WHERE event_type = 'signup'")
+    val before = cat2("sink").df.count()
+    val (cat3, _) = Translator.run(spark, cat2,
+      "INSERT INTO sink SELECT event_id, event_type FROM events WHERE event_type = 'error'")
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(cat3("sink").df.count() == before + errors)
+  }
+}

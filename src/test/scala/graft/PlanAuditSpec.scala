@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan audits: the properties that decide whether a plan
+  * survives a 100x scale-up, asserted against the actual executed plan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type"), p)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = plan("q_filter_project")
+    // only event_id, user_id, event_type, value should be read — props
+    // (the widest column) must not appear in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), readSchema)
+  }
+
+  test("star join broadcasts every dimension (no fact shuffle for dims)") {
+    val p = plan("q_join_star")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+    // the only shuffle-exchange allowed: lineitem<->orders join + final agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges)\n$p")
+  }
+
+  test("aggregation is map-side partial before the shuffle") {
+    val p = plan("q_agg_core")
+    assert(p.contains("partial_sum") || p.contains("partial_count")
+      || "HashAggregate.*partial".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    val p = plan("q_filter_project")
+    // codegen stages render as "*(n) Operator" in the plan string
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("native vector expressions stay inside codegen (no BatchEvalPython/UDF)") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("BatchEval"), p)
+    assert(p.contains("vec_dot") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("minhash candidate join is an equi-join, not a cartesian product") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      || p.indexOf("BroadcastNestedLoopJoin") > p.indexOf("band_key"), p)
+  }
+
+  test("ANN brute force broadcasts the probe side, never shuffles the corpus") {
+    val df = SparkEntry.queries("q_ann_brute")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -73,9 +73,24 @@ object TextFunctions {
   /** Hamming distance between two packed-bit longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Word-set Jaccard similarity of two array columns. */
+  /** Word-set Jaccard similarity of two array columns (hash-set based;
+    * works on any element type). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Jaccard over pre-sorted distinct long arrays — native merge-walk
+    * expression, zero allocation per pair. Sort once per row with
+    * [[sortedHashes]] BEFORE the pair join. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, JaccardSorted}
+    ColumnBridge.column(JaccardSorted(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Distinct xxhash64 values of an array's elements, sorted — the
+    * per-row preparation for [[jaccardSorted]] pair scoring. */
+  def sortedHashes(arr: Column): Column =
+    sort_array(array_distinct(transform(arr, e => xxhash64(e))))
 
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics, collapse whitespace. */

@@ -59,14 +59,13 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification on long-hashed shingles (ratio unchanged,
-    // 8-byte compares instead of string compares)
-    val shh = sh.select(col("doc_id"),
-      array_distinct(transform(col("shingles"), s => xxhash64(s))).as("shingles"))
+    // exact-Jaccard verification on sorted long-hashed shingles (ratio
+    // unchanged barring 2^-64 collisions); native merge-walk per pair
+    val shh = sh.select(col("doc_id"), sortedHashes(col("shingles")).as("shingles"))
     cand
       .join(shh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jac", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
@@ -113,14 +112,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.7,
                    salt: Int = 16): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"),
-      array_distinct(transform(split(col("text"), " "), w => xxhash64(w))).as("w"))
+      sortedHashes(split(col("text"), " ")).as("w"))
     val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("w").as("wa"))
       .withColumn("salt", pmod(col("doc_a"), lit(salt)).cast("int"))
     val b = d.select(col("lang"), col("doc_id").as("doc_b"), col("w").as("wb"))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     a.join(b, Seq("lang", "salt"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", jaccard(col("wa"), col("wb")))
+      .withColumn("jac", jaccardSorted(col("wa"), col("wb")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }

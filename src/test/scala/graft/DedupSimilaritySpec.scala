@@ -84,6 +84,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("sorted-merge jaccard equals hash-set jaccard") {
+    import graft.functions.TextFunctions
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val h = d.select(col("doc_id"),
+      TextFunctions.sortedHashes(col("w")).as("sw"),
+      array_distinct(expr("transform(w, x -> xxhash64(x))")).as("hw"))
+    val pairs = h.as("a").join(h.as("b"), col("a.doc_id") === col("b.doc_id") - 7)
+    val diff = pairs.select(
+      (TextFunctions.jaccardSorted(col("a.sw"), col("b.sw"))
+        - TextFunctions.jaccard(col("a.hw"), col("b.hw"))).as("d"))
+      .filter(abs(col("d")) > 1e-12).count()
+    assert(diff == 0)
+  }
+
   test("native codegen dot product is bit-identical to the HOF formulation") {
     import graft.functions.VectorFunctions
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.{DotProduct, JaccardSorted, MinHashSignature, SquaredL2Distance}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so pure-SQL users (spark.sql, JDBC,
+  * ksql-translated text) get the codegen'd hot paths too:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions       // at session build
+  *   GraftExtensions.register(spark)                  // or at runtime
+  *
+  * SQL surface: vec_dot(a,b), vec_l2sq(a,b), jaccard_sorted(a,b),
+  * minhash_sig(hashes, k).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("vec_dot", info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("vec_l2sq", info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two double arrays"),
+      (args: Seq[Expression]) => SquaredL2Distance(args(0), args(1))),
+    ("jaccard_sorted", info("jaccard_sorted",
+      "jaccard_sorted(a, b) - Jaccard of two sorted distinct long arrays"),
+      (args: Seq[Expression]) => JaccardSorted(args(0), args(1))),
+    ("minhash_sig", info("minhash_sig",
+      "minhash_sig(hashes, k) - k-permutation MinHash signature of a long array"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
+
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, i, b) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, b)
+    }
+}

@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class KsqlSpec extends SparkSpec {
 
+  test("GraftExtensions registers native expressions as SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  vec_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  size(minhash_sig(array(42L, 7L), 16)) AS k""".stripMargin).head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+    assert(r.getInt(3) == 16)
+  }
+
   test("parser handles CREATE STREAM with schema and WITH props") {
     val s = Parser.parse(
       """CREATE STREAM pageviews (viewtime BIGINT, userid VARCHAR,

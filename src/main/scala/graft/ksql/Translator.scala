@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Translator {
 
-  final case class Source(df: DataFrame, timeColumn: String)
+  final case class Source(df: DataFrame, timeColumn: String,
+                          watermark: String = "10 minutes")
   type Catalog = Map[String, Source]
 
   // KSQL function name → Spark SQL rewrite. Applied token-wise, case-
@@ -66,12 +67,22 @@ object Translator {
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
     val src = catalog.getOrElse(s.from.toLowerCase,
       throw new IllegalArgumentException(s"unknown source ${s.from}"))
-    var df = s.fromAlias.fold(src.df)(a => src.df.alias(a))
+    // streaming sources get a watermark so windowed aggs / WITHIN joins
+    // keep bounded state; batch frames pass through untouched
+    val based =
+      if (src.df.isStreaming && (s.window.isDefined || s.join.exists(_.withinMs.isDefined)))
+        src.df.withWatermark(src.timeColumn, src.watermark)
+      else src.df
+    var df = s.fromAlias.fold(based)(a => based.alias(a))
 
     s.join.foreach { j =>
       val right = catalog.getOrElse(j.table.toLowerCase,
         throw new IllegalArgumentException(s"unknown source ${j.table}"))
-      val rdf = j.alias.fold(right.df)(a => right.df.alias(a))
+      val rbase =
+        if (right.df.isStreaming && j.withinMs.isDefined)
+          right.df.withWatermark(right.timeColumn, right.watermark)
+        else right.df
+      val rdf = j.alias.fold(rbase)(a => rbase.alias(a))
       val cond0 = expr(s"${rewriteExpr(j.onLeft)} = ${rewriteExpr(j.onRight)}")
       val cond = j.withinMs match {
         case Some(ms) =>

@@ -260,6 +260,29 @@ object CoreQueries {
         |  arg_max(event_type, event_id) AS latest_type
         |FROM events GROUP BY user_id""".stripMargin),
 
+    // stddev/variance: compute from power sums explicitly so both engines
+    // evaluate the same arithmetic (library implementations use different
+    // accumulation algorithms); round cuts summation-order noise.
+    "q_stats" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2)
+            .as("var_qty"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+            .as("std_qty")),
+      """WITH p AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s1,
+        |    sum(l_quantity * l_quantity) AS s2
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 2) AS var_qty,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS std_qty
+        |FROM p""".stripMargin),
+
     // approx aggregates: semantics are engine-specific → rows-only driver
     // check; ScalaTest asserts HLL error < 5% vs exact.
     "q_approx" -> Q(

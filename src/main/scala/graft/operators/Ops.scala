@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable scale utilities (SURVEY.md §5): the join/agg shapes that
+  * decide whether a plan survives 100x data growth.
+  */
+object Ops {
+
+  /** KSQL PARTITION BY: rekey the frame (hash repartition on the key).
+    * At scale this is THE way to co-locate a stream with a later join
+    * or stateful op on the same key. */
+  def partitionBy(df: DataFrame, key: Column): DataFrame = df.repartition(key)
+
+  /** Salted equi-join for low-cardinality or skewed join keys: the left
+    * side gets a deterministic salt, the right side is replicated
+    * `salt` ways, so a key that would land on one task spreads over
+    * `salt` tasks. Result is identical to `left.join(right, keys)`.
+    * Right side should be the smaller input (it is replicated).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltLeft: Column, salt: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", pmod(saltLeft, lit(salt)).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Top-k rows per group without a global sort: partial top-k inside
+    * each partition first (map-side prune), then the final rank. For
+    * small k this cuts the shuffle to ~k rows per (group, partition).
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Windowed dedup: keep the first row per key by an ordering column —
+    * the batch twin of KsqlStream.dedupByKey. */
+  def keepFirst(df: DataFrame, keys: Seq[Column], order: Column): DataFrame =
+    topKPerKey(df, keys, Seq(order.asc), 1)
+
+  /** Explicit range repartition + sort-within-partitions: the write-side
+    * preparation for sorted/bucketed layouts that downstream merge joins
+    * and range scans exploit. */
+  def sortedLayout(df: DataFrame, key: Column, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+}

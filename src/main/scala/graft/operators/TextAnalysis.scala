@@ -73,9 +73,60 @@ object TextAnalysis {
       conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp_prefix60"))
   }
 
+  /** Composite curation pipeline: fingerprint-dedup the corpus, keep the
+    * canonical doc per fingerprint, attach quality + token stats, and
+    * filter to training-worthy docs. The full LLM-data flow in one
+    * declarative plan — dedup groupBy and metric projections fuse into
+    * two shuffle stages regardless of corpus size.
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val keep = fingerprints(docs)
+      .groupBy(col("fp_md5")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    keep.join(qualityScores(docs), "doc_id")
+      .join(tokenCounts(docs), "doc_id")
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("n_words"), col("quality"),
+        col("ws_tokens"), col("est_bpe_tokens"))
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    "q_text_curation" -> Q(
+      (s, d) => curate(Tables.documents(s, d)),
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(norm)
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS stop
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, n_words,
+        |    floor((least(n_words::DOUBLE / 100, 1.0) * 0.5
+        |      + (1.0 - least(round(punct::DOUBLE / n_chars, 4) * 10, 1.0)) * 0.25
+        |      + least(round(stop::DOUBLE / n_words, 4) * 5, 1.0) * 0.25) * 10000) / 10000 AS quality
+        |  FROM q
+        |), tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |  FROM documents
+        |)
+        |SELECT keep.doc_id, scored.n_words, scored.quality,
+        |  tok.ws_tokens, tok.est_bpe_tokens
+        |FROM keep JOIN scored ON keep.doc_id = scored.doc_id
+        |JOIN tok ON keep.doc_id = tok.doc_id
+        |WHERE scored.quality >= 0.3""".stripMargin),
+
     "q_text_langid" -> Q(
       (s, d) => languageId(Tables.documents(s, d)),
       """WITH sc AS (

@@ -109,6 +109,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("multimodal features feed similarity search (media -> ANN flow)") {
+    val feats = Multimodal.decode(Multimodal.asMedia(docs))
+      .select(col("media_id").as("vec_id"),
+        col("features").cast("array<float>").as("embedding"))
+    val probes = feats.filter(col("vec_id") % 100 === 0)
+    val nn = Similarity.bruteForceTopK(feats, probes, k = 3)
+    assert(nn.groupBy("probe_id").count().filter(col("count") =!= 3).count() == 0)
+  }
+
   test("multimodal decode preserves rows, drops payload, emits features") {
     val media = Multimodal.asMedia(docs)
     val decoded = Multimodal.decode(media)

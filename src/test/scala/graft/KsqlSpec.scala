@@ -18,6 +18,31 @@ class KsqlSpec extends SparkSpec {
     assert(r.getInt(3) == 16)
   }
 
+  test("translated KSQL text runs as a continuous streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val catalog: Translator.Catalog = Map(
+      "clicks" -> Translator.Source(mem.toDF(), "ts", "5 minutes"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """CREATE TABLE per_min AS
+        |SELECT event_type, COUNT(*) AS cnt FROM clicks
+        |WINDOW TUMBLING (SIZE 10 MINUTES)
+        |GROUP BY event_type EMIT CHANGES""".stripMargin): @unchecked
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("ksql_stream")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    mem.addData(
+      Ev(1, new java.sql.Timestamp(t0), 1, "click", 1.0),
+      Ev(2, new java.sql.Timestamp(t0 + 60000), 1, "click", 1.0),
+      Ev(3, new java.sql.Timestamp(t0 + 40 * 60000), 1, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ksql_stream").collect()
+    assert(out.exists(r => r.getAs[String]("event_type") == "click"
+      && r.getAs[Long]("cnt") == 2))
+  }
+
   test("parser handles CREATE STREAM with schema and WITH props") {
     val s = Parser.parse(
       """CREATE STREAM pageviews (viewtime BIGINT, userid VARCHAR,

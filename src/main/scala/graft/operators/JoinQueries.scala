@@ -59,6 +59,25 @@ object JoinQueries {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin),
 
+    // as-of join: latest order at-or-before each event's timestamp for the
+    // same customer (time-series enrichment; DuckDB's native ASOF JOIN is
+    // the oracle). Output keeps only tie-deterministic columns.
+    "q_asof_join" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val o = Tables.orders(s, d)
+        Ops.asOfJoin(e, o, col("event_id"),
+            col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"))
+          .select(col("event_id"), col("user_id"),
+            // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+            // is an identity relabel for unix_millis
+            unix_millis(col("o_orderdate").cast("timestamp")).as("last_order_ms"))
+      },
+      """SELECT e.event_id, e.user_id,
+        |  epoch_ms(o.o_orderdate) AS last_order_ms
+        |FROM events e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin),
+
     // stream-stream join WITHIN 1 HOUR: signup followed by a purchase by the
     // same user within an hour (equi-join on user + time-range predicate)
     "q_join_within" -> Q(

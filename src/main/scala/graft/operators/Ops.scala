@@ -45,6 +45,26 @@ object Ops {
   def keepFirst(df: DataFrame, keys: Seq[Column], order: Column): DataFrame =
     topKPerKey(df, keys, Seq(order.asc), 1)
 
+  /** As-of join: for each left row, attach the latest right row with
+    * rightTime <= leftTime on the same key (the time-series enrichment
+    * operator KSQL lacks; DuckDB/kdb call it ASOF JOIN).
+    *
+    * Spark-first shape: equi-join on the key (shuffle bounded by key
+    * cardinality), range filter, then keep-latest per left row via a
+    * window rank — no custom physical operator needed. Right-side
+    * multiplicity per key is the cost driver; for huge right sides,
+    * pre-aggregate right to (key, time-bucket) first.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftId: Column, leftKey: Column, rightKey: Column,
+               leftTime: Column, rightTime: Column): DataFrame = {
+    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime)
+    val w = Window.partitionBy(leftId).orderBy(rightTime.desc)
+    joined.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Explicit range repartition + sort-within-partitions: the write-side
     * preparation for sorted/bucketed layouts that downstream merge joins
     * and range scans exploit. */

@@ -63,6 +63,26 @@ class SourcesSpec extends SparkSpec {
     assert(v.contains("n_name"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sinks.bucketedTable(Tables.orders(spark, sfDir), "b_orders", "o_custkey", 4)
+      Sinks.bucketedTable(
+        Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", "o_custkey", 4)
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing pre-shuffled at write time: the join itself must not
+      // re-exchange either side
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == Tables.orders(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("partitioned parquet write lays out by partition column") {
     Sinks.partitionedParquet(Tables.nation(spark, sfDir), s"$tmp/part", Seq("n_regionkey"))
     val dirs = new java.io.File(s"$tmp/part").listFiles().map(_.getName)

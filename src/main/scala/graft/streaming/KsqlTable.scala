@@ -28,6 +28,45 @@ object KsqlTable {
       .agg(max(struct(col(offsetCol) +: valueCols.map(col): _*)).as("latest"))
       .select(col(keyCol) +: (offsetCol +: valueCols).map(c => col(s"latest.$c").as(c)): _*)
 
+  /** KSQL TABLE via Spark 4's transformWithState: per-key latest value
+    * with optional state TTL (the changelog-compaction analog — old keys
+    * age out of the store instead of growing it unboundedly). RocksDB
+    * state store recommended at scale:
+    * spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider
+    */
+  def latestWithState(df: DataFrame, keyCol: String, offsetCol: String,
+                      valueCol: String, ttl: java.time.Duration = null): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    val ttlConf = Option(ttl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+
+    class LatestProcessor extends StatefulProcessor[Long, (Long, Long, Double), (Long, Long, Double)] {
+      @transient private var state: ValueState[(Long, Double)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[(Long, Double)]("latest",
+          Encoders.product[(Long, Double)], ttlConf)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+        var (bestOff, bestVal) = Option(state.get()).getOrElse((-1L, 0.0))
+        rows.foreach { case (_, off, v) =>
+          if (off > bestOff) { bestOff = off; bestVal = v }
+        }
+        state.update((bestOff, bestVal))
+        Iterator.single((key, bestOff, bestVal))
+      }
+    }
+
+    df.select(col(keyCol).cast("long"), col(offsetCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new LatestProcessor, TimeMode.None(),
+        OutputMode.Update(), Encoders.product[(Long, Long, Double)])
+      .toDF(keyCol, offsetCol, valueCol)
+  }
+
   /** Custom stateful operator via flatMapGroupsWithState: running
     * per-key counter + running sum over a value column, emitting one
     * update per input record — the KSQL `TABLE ... GROUP BY` changelog

@@ -136,6 +136,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("sum")).toSeq == Seq(1.0, 3.0))
   }
 
+  test("transformWithState latest-per-key across micro-batches (RocksDB store)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val out = KsqlTable.latestWithState(mem.toDF(), "user_id", "event_id", "value")
+      val w = out.writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update)
+      val q = w.start()
+      mem.addData(Ev(1, t(0), 1, "a", 10.0), Ev(3, t(2), 1, "a", 30.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, t(1), 1, "a", 20.0)) // older offset: must NOT win
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      // last update for key 1 keeps offset 3 / value 30.0
+      assert(rows.last == ((1L, 3L, 30.0)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CSAS writes an append stream to parquet files") {
     val dir = java.nio.file.Files.createTempDirectory("csas").toString
     val mem = MemoryStream[Ev](spark)

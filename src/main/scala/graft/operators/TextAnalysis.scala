@@ -90,9 +90,52 @@ object TextAnalysis {
         col("ws_tokens"), col("est_bpe_tokens"))
   }
 
+  /** PII redaction: emails, long digit runs (phone/ids), and @handles
+    * masked in place — pure regexp projection, no shuffle at any scale. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+          "[0-9]{7,}", "<NUM>"),
+        "@[a-zA-Z0-9_]+", "<HANDLE>").as("redacted"))
+  }
+
+  /** Deterministic hash-based stratified sampling: keep a per-stratum
+    * rate using a stable hash of the id — reproducible across runs,
+    * engines and cluster sizes (no RNG state), the standard way to cut
+    * reproducible training subsets at 100 TB. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Int],
+                       defaultPct: Int = 20): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100))
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, p).otherwise(acc)
+    }
+    docs.filter(bucket < pct).select(col("doc_id"), col("lang"))
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    "q_text_pii" -> Q(
+      (s, d) => redactPii(Tables.documents(s, d)),
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g'),
+        |    '@[a-zA-Z0-9_]+', '<HANDLE>', 'g') AS redacted
+        |FROM documents""".stripMargin),
+
+    "q_sample_stratified" -> Q(
+      (s, d) => sampleStratified(Tables.documents(s, d),
+        Map("en" -> 50), defaultPct = 20),
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin),
+
     "q_text_curation" -> Q(
       (s, d) => curate(Tables.documents(s, d)),
       """WITH n AS (

@@ -171,6 +171,26 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == 1 && written.head.getAs[String]("event_type") == "click")
   }
 
+  test("CSAS restart from checkpoint is exactly-once (no dup, no loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    mem.addData(Ev(1, t(0), 1, "a", 1), Ev(2, t(1), 1, "a", 2))
+    val q1 = s.df.writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Append).start()
+    q1.processAllAvailable(); q1.stop()
+    // second incarnation of the same query, same checkpoint + sink
+    mem.addData(Ev(3, t(2), 2, "b", 3))
+    val q2 = s.df.writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Append).start()
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    assert(out.select("event_id").distinct().count() == 3)
+  }
+
   test("INSERT INTO unions streams by name") {
     val m1 = MemoryStream[Ev](spark)
     val m2 = MemoryStream[Ev](spark)

@@ -40,3 +40,5 @@ case class CreateAsSelect(
     isTable: Boolean, name: String, select: SelectStmt) extends Statement
 case class InsertInto(target: String, select: SelectStmt) extends Statement
 case class Query(select: SelectStmt) extends Statement
+case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABLES
+case class Describe(name: String) extends Statement

@@ -84,6 +84,11 @@ object Parser {
         p.expect("INTO")
         val target = p.next().text
         InsertInto(target, parseSelect(p))
+      } else if (p.accept("SHOW")) {
+        if (p.accept("TABLES")) ShowSources(tables = true)
+        else { p.expect("STREAMS"); ShowSources(tables = false) }
+      } else if (p.accept("DESCRIBE")) {
+        Describe(p.next().text)
       } else Query(parseSelect(p))
     stmt
   }

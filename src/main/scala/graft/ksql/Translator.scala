@@ -173,6 +173,18 @@ object Translator {
         val merged = tgt.copy(df = tgt.df.unionByName(df, allowMissingColumns = true))
         (catalog + (target.toLowerCase -> merged), Some(merged.df))
       case Query(sel) => (catalog, Some(select(spark, catalog, sel)))
+      case ShowSources(_) =>
+        import spark.implicits._
+        val rows = catalog.toSeq.map { case (n, src) =>
+          (n, src.timeColumn, src.df.isStreaming)
+        }.sortBy(_._1)
+        (catalog, Some(rows.toDF("name", "time_column", "is_streaming")))
+      case Describe(name) =>
+        import spark.implicits._
+        val src = catalog.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"unknown source $name"))
+        val rows = src.df.schema.map(f => (f.name, f.dataType.simpleString))
+        (catalog, Some(rows.toDF("column", "type")))
     }
 
   private def sparkType(t: String): org.apache.spark.sql.types.DataType = {

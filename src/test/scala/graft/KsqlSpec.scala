@@ -120,6 +120,16 @@ class KsqlSpec extends SparkSpec {
       Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count())
   }
 
+  test("SHOW STREAMS and DESCRIBE return catalog metadata") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(shown)) = Translator.run(spark, catalog, "SHOW STREAMS"): @unchecked
+    assert(shown.collect().map(_.getString(0)).contains("events"))
+    val (_, Some(desc)) = Translator.run(spark, catalog, "DESCRIBE events"): @unchecked
+    val cols = desc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cols("event_id") == "bigint" && cols("ts") == "timestamp")
+  }
+
   test("INSERT INTO unions into an existing source") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -171,6 +171,32 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == 1 && written.head.getAs[String]("event_type") == "click")
   }
 
+  test("streaming minhash near-dup detection flags repeats across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.streaming.StreamingDedup
+      val mem = MemoryStream[(Long, String)](spark)
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val out = StreamingDedup.nearDupCandidates(docs)
+      val q = out.writeStream.format("memory").queryName("sdedup")
+        .outputMode(OutputMode.Update).start()
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      mem.addData((1L, base), (2L, "completely different words about spark shuffles and joins here"))
+      q.processAllAvailable()
+      mem.addData((3L, base + " ok")) // near-dup of doc 1, later batch
+      q.processAllAvailable()
+      q.stop()
+      val matches = spark.table("sdedup").filter(col("matched_doc") >= 0)
+        .select("doc_id", "matched_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matches.contains((3L, 1L)), s"got $matches")
+      assert(!matches.exists(_._1 == 2L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CSAS restart from checkpoint is exactly-once (no dup, no loss)") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val mem = MemoryStream[Ev](spark)

@@ -49,9 +49,17 @@ object Translator {
     raw"(?i)\bMASK\s*\(([^()]*)\)".r.replaceAllIn(sql, m => chain(m.group(1)))
   }
 
+  /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted-slice aggregates. */
+  private def expandTopK(sql: String): String = {
+    val topk = raw"(?i)\bTOPKDISTINCT\s*\(([^,()]+),\s*(\d+)\s*\)".r
+      .replaceAllIn(sql, m => s"slice(sort_array(collect_set(${m.group(1)}), false), 1, ${m.group(2)})")
+    raw"(?i)\bTOPK\s*\(([^,()]+),\s*(\d+)\s*\)".r
+      .replaceAllIn(topk, m => s"slice(sort_array(collect_list(${m.group(1)}), false), 1, ${m.group(2)})")
+  }
+
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val masked = expandMask(e)
+    val masked = expandTopK(expandMask(e))
     fnRename.foldLeft(masked) { case (acc, (k, v)) =>
       acc.replaceAll(s"(?i)\\b$k\\s*\\(", s"$v(")
     }

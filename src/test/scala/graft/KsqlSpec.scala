@@ -120,6 +120,21 @@ class KsqlSpec extends SparkSpec {
       Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count())
   }
 
+  test("TOPK/TOPKDISTINCT rewrite to sorted-slice aggregates") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """CREATE TABLE t AS SELECT event_type, TOPK(value, 3) AS top3
+        |FROM events GROUP BY event_type""".stripMargin): @unchecked
+    val row = df.filter(col("event_type") === "purchase").head
+    val top3 = row.getAs[scala.collection.Seq[Double]]("top3")
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc).limit(3)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(top3.toSeq == expected)
+  }
+
   test("SHOW STREAMS and DESCRIBE return catalog metadata") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -37,16 +37,20 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplane j's i-th component is ±1, derived deterministically from
     * md5(j:i) — reproducible across executors with zero state shipping.
+    * Signs are packed into bitmasks and evaluated by the native
+    * RhpSignature codegen loop (an expression-tree formulation needs
+    * nBits*dim terms — slow to plan, codegen-hostile at high dims).
     */
   def rhpSignature(v: Column, dim: Int, nBits: Int): Column = {
-    val bitCols = (0 until nBits).map { j =>
-      // dot(v, hp_j) where hp_j(i) = ±1 from a hash of (j, i)
-      val proj = (0 until dim).map { i =>
-        val sign = if (TextFunctions.stableHash32Static(s"$j:$i") % 2 == 0) 1.0 else -1.0
-        element_at(v, i + 1) * lit(sign)
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, RhpSignature}
+    val masks: Seq[Seq[Long]] = (0 until nBits).map { j =>
+      val words = new Array[Long]((dim + 63) / 64)
+      (0 until dim).foreach { i =>
+        if (TextFunctions.stableHash32Static(s"$j:$i") % 2 == 0)
+          words(i / 64) |= (1L << (i % 64))
+      }
+      words.toSeq
     }
-    bitCols.reduce(_ + _)
+    ColumnBridge.column(RhpSignature(ColumnBridge.expression(v), masks))
   }
 }

@@ -25,8 +25,17 @@ object TextFunctions {
         i => t.substr(i, lit(n))))
   }
 
-  /** Stable 32-bit hash: first 8 hex chars of md5, as a long in [0, 2^32). */
-  def stableHash32(c: Column): Column =
+  /** Stable 32-bit hash: first 4 md5 bytes as a long in [0, 2^32) —
+    * native expression, no hex-string round-trip (see graftbridge.
+    * StableHash32). Oracle-equivalent to
+    * ('0x'||substr(md5(s),1,8))::BIGINT. */
+  def stableHash32(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, StableHash32}
+    ColumnBridge.column(StableHash32(ColumnBridge.expression(c)))
+  }
+
+  /** SQL-built formulation (kept for equivalence testing). */
+  def stableHash32Sql(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Driver-side twin of [[stableHash32]] for baking constants into plans. */

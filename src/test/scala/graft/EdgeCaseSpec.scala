@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hardening against degenerate inputs the synthetic tables don't
+  * contain: empty strings, single-word docs, unicode, shared prefixes. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val weird = Seq(
+    (1L, "", "en", "src0", 0L),
+    (2L, "word", "en", "src0", 4L),
+    (3L, "a b", "es", "src0", 3L),
+    (4L, "héllo wörld ünïcode tëxt hére tödäy", "fr", "src1", 35L),
+    (5L, "héllo wörld ünïcode tëxt hére tödäy", "fr", "src1", 35L),
+    (6L, "x y z x y z x y z", "en", "src2", 17L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("native stableHash32 equals the SQL formulation (incl. unicode)") {
+    val d = weird.select(
+      TextFunctions.stableHash32(col("text")).as("native"),
+      TextFunctions.stableHash32Sql(col("text")).as("sql"))
+    assert(d.filter(col("native") =!= col("sql")).count() == 0)
+  }
+
+  test("minhash pipeline survives empty and single-word docs") {
+    val pairs = Dedup.minhashPairs(weird)
+    // docs 4 and 5 are identical -> must be found
+    assert(pairs.filter(col("doc_a") === 4 && col("doc_b") === 5).count() == 1)
+  }
+
+  test("simhash fingerprints defined for all docs including empty") {
+    val fp = Dedup.simhashFingerprints(weird)
+    assert(fp.count() == 6)
+    assert(fp.filter(col("simhash").isNull).count() == 0)
+  }
+
+  test("jaccard pairs handles degenerate docs without dividing by zero") {
+    val pairs = Dedup.jaccardPairs(weird, threshold = 0.0)
+    assert(pairs.filter(col("jaccard").isNull).count() == 0)
+  }
+
+  test("quality/tokens/fingerprint projections never null out") {
+    val nonEmpty = weird.filter(length(col("text")) > 0)
+    val q = TextAnalysis.qualityScores(nonEmpty)
+    assert(q.filter(col("quality").isNull).count() == 0)
+    val t = TextAnalysis.tokenCounts(nonEmpty)
+    assert(t.filter(col("ws_tokens").isNull || col("est_bpe_tokens").isNull).count() == 0)
+    val f = TextAnalysis.fingerprints(weird)
+    assert(f.filter(col("fp_md5").isNull).count() == 0)
+  }
+
+  test("exact dedup collapses the identical pair") {
+    val kept = Dedup.exact(weird)
+    assert(kept.count() == 5) // 6 docs, one exact dup
+    assert(kept.agg(sum("n_copies")).head.getLong(0) == 6)
+  }
+}

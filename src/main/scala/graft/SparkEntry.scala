@@ -13,7 +13,8 @@ object SparkEntry {
   private def all: Map[String, Q] =
     CoreQueries.entries ++ WindowQueries.entries ++ JoinQueries.entries ++
       Dedup.entries ++ Similarity.entries ++ TextAnalysis.entries ++
-      Multimodal.entries ++ graft.ksql.KsqlQueries.entries
+      Multimodal.entries ++ AnalyticsQueries.entries ++
+      graft.ksql.KsqlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

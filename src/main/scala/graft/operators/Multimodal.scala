@@ -76,6 +76,32 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  /** Resize stage: rescales decoded dimensions and features to a target
+    * box. STUBBED math (real codecs would re-decode pixels), real stage
+    * contract: schema-preserving, per-partition, no raw media bytes.
+    */
+  def resize(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = decoded.sparkSession
+    val rdd = decoded.rdd.mapPartitions(_.map { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      val scale = math.min(targetW.toDouble / w, targetH.toDouble / h).toFloat
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+        .map(_ * scale).toArray
+      Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+        r.getAs[Long]("n_bytes"), targetW, targetH,
+        r.getAs[Int]("n_frames"), feats)
+    })
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Frame sampling for temporal media: every nth frame index, exploded
+    * to one row per sampled frame — a pure Column projection (sequence +
+    * explode), so sampling never leaves whole-stage codegen.
+    */
+  def frameSample(decoded: DataFrame, everyN: Int): DataFrame =
+    decoded.select(col("media_id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+
   // ---- driver-verifiable entry (metadata path, SQL-expressible) ------
 
   def entries: Map[String, Q] = Map(

@@ -118,6 +118,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nn.groupBy("probe_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("multimodal resize + frame-sample stages keep contract schemas") {
+    val decoded = Multimodal.decode(Multimodal.asMedia(docs))
+    val resized = Multimodal.resize(decoded, 224, 224)
+    assert(resized.count() == decoded.count())
+    assert(resized.select("width").distinct().head.getInt(0) == 224)
+    assert(resized.schema == Multimodal.decodedSchema)
+    val frames = Multimodal.frameSample(decoded, 5)
+    // every media row contributes ceil(n_frames/5) sampled frames
+    val expectedN = decoded.select(ceil(col("n_frames") / 5.0).cast("long").as("k"))
+      .agg(sum("k")).head.getLong(0)
+    assert(frames.count() == expectedN)
+    assert(frames.filter(col("frame_idx") >= col("n_frames")).count() == 0)
+  }
+
   test("multimodal decode preserves rows, drops payload, emits features") {
     val media = Multimodal.asMedia(docs)
     val decoded = Multimodal.decode(media)

@@ -145,6 +145,23 @@ class KsqlSpec extends SparkSpec {
     assert(cols("event_id") == "bigint" && cols("ts") == "timestamp")
   }
 
+  test("parse and catalog errors are precise") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val e1 = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog, "SELECT * FROM nonexistent")
+    }
+    assert(e1.getMessage.contains("unknown source nonexistent"))
+    val e2 = intercept[IllegalArgumentException] {
+      Parser.parse("CREATE BOGUS foo AS SELECT 1")
+    }
+    assert(e2.getMessage.contains("expected STREAM"))
+    val e3 = intercept[IllegalArgumentException] {
+      Parser.parse("SELECT a FROM t WINDOW TUMBLING (SIZE 1 PARSECS)")
+    }
+    assert(e3.getMessage.contains("unknown unit"))
+  }
+
   test("INSERT INTO unions into an existing source") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -58,6 +58,19 @@ object TextFunctions {
       ColumnBridge.expression(transform(shingles, s => stableHash32(s))), k))
   }
 
+  /** Distinct word n-gram shingle hashes in one native pass (split →
+    * n-gram → md5-hash → distinct); see graftbridge.WordShingleHashes. */
+  def wordShingleHashes(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordShingleHashes}
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(text), n))
+  }
+
+  /** MinHash signature over an already-hashed shingle array. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, MinHashSignature}
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k))
+  }
+
   /** Reference HOF formulation (kept for equivalence testing). */
   def minhashSignatureHof(shingles: Column, k: Int = 16): Column = {
     val hashes = transform(shingles, s => stableHash32(s))

@@ -47,8 +47,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.7): DataFrame = {
     val rows = k / bands
-    val sh = docs.select(col("doc_id"), wordShingles(col("text")).as("shingles"))
-    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), k))
+    // one native pass: split -> trigram -> md5-hash -> distinct
+    val sh = docs.select(col("doc_id"), wordShingleHashes(col("text")).as("hs"))
+    val sig = sh.withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
     val banded = sig.select(col("doc_id"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"),
       col("sig"))
@@ -59,9 +60,9 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification on sorted long-hashed shingles (ratio
-    // unchanged barring 2^-64 collisions); native merge-walk per pair
-    val shh = sh.select(col("doc_id"), sortedHashes(col("shingles")).as("shingles"))
+    // exact-Jaccard verification on the sorted hash arrays (ratio equals
+    // the string-set Jaccard barring collisions); native merge-walk per pair
+    val shh = sh.select(col("doc_id"), sort_array(col("hs")).as("shingles"))
     cand
       .join(shh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

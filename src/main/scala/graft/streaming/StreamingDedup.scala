@@ -49,12 +49,8 @@ object StreamingDedup {
     import docs.sparkSession.implicits._
     val rows = k / bands
     val banded = docs
-      .withColumn("shingles", {
-        val w = split(col("text"), " ")
-        array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
-          i => concat_ws(" ", slice(w, i, lit(3)))))
-      })
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("sig", minhashSignatureFromHashes(
+        wordShingleHashes(col("text")), k))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(

@@ -18,6 +18,19 @@ class EdgeCaseSpec extends SparkSpec {
     (6L, "x y z x y z x y z", "en", "src2", 17L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("native wordShingleHashes equals the HOF shingle+hash chain") {
+    val hof = weird.select(col("doc_id"), expr(
+      """array_sort(array_distinct(transform(
+        |  transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |    i -> concat_ws(' ', slice(split(text, ' '), i, 3))),
+        |  s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))))"""
+        .stripMargin).as("h"))
+    val native = weird.select(col("doc_id"),
+      sort_array(TextFunctions.wordShingleHashes(col("text"))).as("h"))
+    val joined = hof.as("a").join(native.as("b"), col("a.doc_id") === col("b.doc_id"))
+    assert(joined.filter(col("a.h") =!= col("b.h")).count() == 0)
+  }
+
   test("native stableHash32 equals the SQL formulation (incl. unicode)") {
     val d = weird.select(
       TextFunctions.stableHash32(col("text")).as("native"),

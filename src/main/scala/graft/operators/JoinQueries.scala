@@ -59,6 +59,35 @@ object JoinQueries {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin),
 
+    // TPC-H Q3 shape: revenue of unshipped orders per order/date/priority,
+    // top 10 — join + agg + order + limit in one plan (broadcast dim,
+    // shuffle only on the fact-fact key and the final agg)
+    "q_tpch_q3" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz")
+          && col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
     // as-of join: latest order at-or-before each event's timestamp for the
     // same customer (time-series enrichment; DuckDB's native ASOF JOIN is
     // the oracle). Output keeps only tie-deterministic columns.

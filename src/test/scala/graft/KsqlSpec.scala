@@ -43,6 +43,35 @@ class KsqlSpec extends SparkSpec {
       && r.getAs[Long]("cnt") == 2))
   }
 
+  test("translated stream-stream JOIN WITHIN runs as a streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val m1 = MemoryStream[Ev](spark)
+    val m2 = MemoryStream[Ev](spark)
+    val catalog: Translator.Catalog = Map(
+      "signups" -> Translator.Source(
+        m1.toDF().select(col("user_id"), col("ts"), col("event_id").as("signup_id")),
+        "ts", "10 minutes"),
+      "purchases" -> Translator.Source(
+        m2.toDF().select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id")),
+        "p_ts", "10 minutes"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT s.signup_id AS signup_id, p.purchase_id AS purchase_id
+        |FROM signups s JOIN purchases p WITHIN 30 MINUTES
+        |ON s.user_id = p.p_user EMIT CHANGES""".stripMargin): @unchecked
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("ksql_ssj")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    m1.addData(Ev(1, new java.sql.Timestamp(t0), 7, "signup", 0))
+    m2.addData(Ev(2, new java.sql.Timestamp(t0 + 600000), 7, "purchase", 1.0),
+      Ev(3, new java.sql.Timestamp(t0 + 3600000), 7, "purchase", 2.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ksql_ssj").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("purchase_id") == 2L)
+  }
+
   test("parser handles CREATE STREAM with schema and WITH props") {
     val s = Parser.parse(
       """CREATE STREAM pageviews (viewtime BIGINT, userid VARCHAR,

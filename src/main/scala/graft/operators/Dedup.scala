@@ -138,6 +138,23 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Line/chunk-level dedup (C4/RefinedWeb style): split each doc into
+    * fixed 8-word chunks, hash them, report chunks appearing in more
+    * than one place with a canonical keeper. Chunking is a per-row
+    * projection; the only shuffle is the hash groupBy (map-side
+    * partially aggregated), so cost is linear in corpus size.
+    */
+  def chunkDupes(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+    val w = split(col("text"), " ")
+    val nChunks = greatest(ceil(size(w) / lit(chunkWords.toDouble)).cast("int"), lit(1))
+    val chunks = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))).as("chunk"))
+    chunks.groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_copies") > 1)
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
@@ -146,6 +163,19 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin),
+
+    "q_dedup_chunks" -> Q(
+      (s, d) => chunkDupes(Tables.documents(s, d)),
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, unnest([array_to_string(w[(i*8+1):(i*8+8)], ' ')
+        |    FOR i IN range(0, greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1))]) AS chunk
+        |  FROM w
+        |)
+        |SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_doc
+        |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin),
 
     "q_dedup_minhash" -> Q(
       (s, d) => minhashPairs(Tables.documents(s, d)),

@@ -110,6 +110,18 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Symmetric int8 quantization per vector (max-abs scaling) — the
+    * standard 4x memory cut for ANN corpora. Returns the scale and the
+    * quantized array; the driver query exposes scale + a checksum so the
+    * oracle compare stays nested-type-free.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x)))
+    emb.select(col("vec_id"), scale.as("scale"),
+      transform(v, x => round(x / scale * 127, 0).cast("int")).as("q"))
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
@@ -126,6 +138,21 @@ object Similarity {
         |  round(list_cosine_similarity(p.v, c.v), 4) AS cos_sim
         |FROM p JOIN e c ON p.vec_id <> c.vec_id
         |QUALIFY rank <= 5""".stripMargin),
+
+    "q_vec_quantize" -> Q(
+      (s, d) => quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("checksum")),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, list_max([abs(x) FOR x IN v]) AS scale,
+        |    [CAST(round(x / list_max([abs(y) FOR y IN v]) * 127, 0) AS INT)
+        |     FOR x IN v] AS qv
+        |  FROM e
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS checksum
+        |FROM q""".stripMargin),
 
     // approximate → rows-only driver check; recall vs brute force is
     // asserted in SimilaritySpec.

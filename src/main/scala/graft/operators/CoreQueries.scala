@@ -69,6 +69,24 @@ object CoreQueries {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
 
+    // NULL semantics: null group keys aggregate into their own group;
+    // null-safe equality (<=> / IS NOT DISTINCT FROM) matches nulls
+    "q_null_semantics" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("etype_n", nullif(col("event_type"), lit("error")))
+        e.groupBy(col("etype_n"))
+          .agg(count(lit(1)).as("cnt"),
+            count(col("etype_n")).as("cnt_nonnull"),
+            sum(when(col("etype_n") <=> lit(null), 1).otherwise(0)).as("n_nullsafe_eq"))
+      },
+      """WITH e AS (
+        |  SELECT nullif(event_type, 'error') AS etype_n FROM events
+        |)
+        |SELECT etype_n, count(*) AS cnt, count(etype_n) AS cnt_nonnull,
+        |  sum(CASE WHEN etype_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq
+        |FROM e GROUP BY etype_n""".stripMargin),
+
     // ---- §2.2 scalar functions ---------------------------------------
     "q_scalar_string" -> Q(
       (s, d) => Tables.documents(s, d).select(

@@ -119,6 +119,55 @@ object TextAnalysis {
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    // URL parsing (KSQL URL_EXTRACT_* family). Test docs carry no URLs,
+    // so a deterministic URL is derived from (source, doc_id) first —
+    // the extraction logic is the operator under test.
+    "q_url_extract" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id"), lit("?lang="), col("lang")))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "^([a-z]+)://", 1).as("protocol"),
+          regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_extract(col("url"), "\\?(.*)$", 1).as("query")),
+      """WITH u AS (
+        |  SELECT doc_id, 'https://' || source || '.example.com/docs/' ||
+        |    doc_id || '?lang=' || lang AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  coalesce(regexp_extract(url, '^([a-z]+)://', 1), '') AS protocol,
+        |  coalesce(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '') AS host,
+        |  coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1), '') AS path,
+        |  coalesce(regexp_extract(url, '\?(.*)$', 1), '') AS query
+        |FROM u""".stripMargin),
+
+    // Gopher-style repetition signals: distinct-word ratio + duplicate
+    // word-bigram fraction (high values flag boilerplate/spam)
+    "q_text_repetition" -> Q(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val bigrams = expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin)
+        Tables.documents(s, d).select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
+            .as("dup_word_ratio"),
+          round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
+            / size(bigrams), 4).as("dup_bigram_ratio"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    [array_to_string(string_split(text, ' ')[i:i+1], ' ')
+        |     FOR i IN range(1, greatest(len(string_split(text, ' ')), 2))] AS bg
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_word_ratio,
+        |  round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4) AS dup_bigram_ratio
+        |FROM t""".stripMargin),
+
     "q_text_pii" -> Q(
       (s, d) => redactPii(Tables.documents(s, d)),
       """SELECT doc_id,

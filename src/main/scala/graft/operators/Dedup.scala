@@ -120,6 +120,12 @@ object Dedup {
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     a.join(b, Seq("lang", "salt"))
       .filter(col("doc_a") < col("doc_b"))
+      // size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a
+      // pair whose set sizes differ by more than the threshold ratio can
+      // never pass — prunes before the per-pair merge walk, and provably
+      // never changes the result set
+      .filter(least(size(col("wa")), size(col("wb"))).cast("double")
+        / greatest(size(col("wa")), size(col("wb"))) >= threshold)
       .withColumn("jac", jaccardSorted(col("wa"), col("wb")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))

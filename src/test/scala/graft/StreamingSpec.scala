@@ -217,6 +217,13 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 3)
   }
 
+  test("PARTITION BY repartitions the stream on the key") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes").partitionBy(col("user_id"))
+    val plan = s.df.queryExecution.logical.toString
+    assert(plan.contains("RepartitionByExpression"), plan)
+  }
+
   test("INSERT INTO unions streams by name") {
     val m1 = MemoryStream[Ev](spark)
     val m2 = MemoryStream[Ev](spark)

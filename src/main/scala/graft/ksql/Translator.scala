@@ -153,21 +153,36 @@ object Translator {
   def run(spark: SparkSession, catalog: Catalog, sql: String): (Catalog, Option[DataFrame]) =
     Parser.parse(sql) match {
       case CreateSource(_, name, cols, props) =>
-        // physical source binding happens through graft.sources; here we
-        // register an empty-schema placeholder unless the catalog already
-        // provides the physical frame (tests/driver always do).
-        val existing = catalog.get(name.toLowerCase)
+        // Physical binding, in order of preference:
+        //  1. catalog already provides the frame (driver/tests) → rebind time col
+        //  2. WITH (PATH='...', VALUE_FORMAT=PARQUET|JSON|DELIMITED) → file read
+        //     (KAFKA_TOPIC would bind through Sources.kafka — connector jar
+        //      not present in this image)
+        //  3. otherwise an empty-schema placeholder
         val ts = props.getOrElse("TIMESTAMP", "ts")
-        existing match {
-          case Some(src) => (catalog + (name.toLowerCase -> src.copy(timeColumn = ts)), None)
-          case None =>
-            val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
-              org.apache.spark.sql.types.StructField(n, sparkType(t))
-            })
-            val empty = spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-            (catalog + (name.toLowerCase -> Source(empty, ts)), None)
+        val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, sparkType(t))
+        })
+        val bound: Source = catalog.get(name.toLowerCase) match {
+          case Some(src) => src.copy(timeColumn = ts)
+          case None => props.get("PATH") match {
+            case Some(path) =>
+              val fmt = props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase
+              // tolerate TIMESTAMP(NANOS) parquet (see Tables.events)
+              spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+              val df = fmt match {
+                case "JSON" => spark.read.schema(schema).json(path)
+                case "DELIMITED" => spark.read.schema(schema)
+                  .option("header", "true").csv(path)
+                case _ => spark.read.parquet(path)
+              }
+              Source(df, ts)
+            case None =>
+              Source(spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), ts)
+          }
         }
+        (catalog + (name.toLowerCase -> bound), None)
       case CreateAsSelect(_, name, sel) =>
         val df = select(spark, catalog, sel)
         val srcTime = catalog(sel.from.toLowerCase).timeColumn
@@ -194,6 +209,18 @@ object Translator {
         val rows = src.df.schema.map(f => (f.name, f.dataType.simpleString))
         (catalog, Some(rows.toDF("column", "type")))
     }
+
+  /** Run a multi-statement KSQL script (';'-separated), threading the
+    * catalog through; returns the final catalog and the last statement's
+    * result. The whole reference workflow — declare sources, build
+    * derived streams/tables, query — in one call.
+    */
+  def runScript(spark: SparkSession, catalog: Catalog, script: String)
+  : (Catalog, Option[DataFrame]) =
+    script.split(";").map(_.trim).filter(_.nonEmpty)
+      .foldLeft((catalog, Option.empty[DataFrame])) {
+        case ((cat, _), stmt) => run(spark, cat, stmt)
+      }
 
   private def sparkType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._

@@ -174,6 +174,22 @@ class KsqlSpec extends SparkSpec {
     assert(cols("event_id") == "bigint" && cols("ts") == "timestamp")
   }
 
+  test("self-contained KSQL script: PATH-bound source through CTAS to result") {
+    val script =
+      s"""CREATE STREAM ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR,
+         |  value DOUBLE)
+         |WITH (PATH='$sfDir/events.parquet', VALUE_FORMAT='PARQUET', TIMESTAMP='ts');
+         |
+         |CREATE TABLE by_type AS
+         |SELECT event_type, COUNT(*) AS cnt FROM ev GROUP BY event_type;
+         |
+         |SELECT event_type, cnt FROM by_type WHERE cnt > 0
+         |""".stripMargin
+    val (_, Some(df)) = Translator.runScript(spark, Map.empty, script): @unchecked
+    val total = df.agg(sum("cnt")).head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
   test("parse and catalog errors are precise") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

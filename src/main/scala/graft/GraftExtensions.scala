@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{DotProduct, JaccardSorted, MinHashSignature, SquaredL2Distance}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, GetJsonObject, Length, Lower, Upper}
+import org.apache.spark.sql.graftbridge.{DotProduct, JaccardSorted, MinHashSignature, SquaredL2Distance, StableHash32, WordShingleHashes}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so pure-SQL users (spark.sql, JDBC,
@@ -40,7 +40,26 @@ object GraftExtensions {
     ("minhash_sig", info("minhash_sig",
       "minhash_sig(hashes, k) - k-permutation MinHash signature of a long array"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int])),
+    ("stable_hash32", info("stable_hash32",
+      "stable_hash32(s) - first 4 md5 bytes as unsigned 32-bit long"),
+      (args: Seq[Expression]) => StableHash32(args(0))),
+    ("word_shingle_hashes", info("word_shingle_hashes",
+      "word_shingle_hashes(text, n) - distinct word n-gram shingle hashes"),
+      (args: Seq[Expression]) => WordShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int])),
+    // KSQL spellings for pure-SQL users
+    ("ucase", info("ucase", "ucase(s) - KSQL alias of upper"),
+      (args: Seq[Expression]) => Upper(args(0))),
+    ("lcase", info("lcase", "lcase(s) - KSQL alias of lower"),
+      (args: Seq[Expression]) => Lower(args(0))),
+    ("len", info("len", "len(s) - KSQL alias of length"),
+      (args: Seq[Expression]) => Length(args(0))),
+    ("ifnull", info("ifnull", "ifnull(x, alt) - KSQL alias of coalesce"),
+      (args: Seq[Expression]) => Coalesce(args)),
+    ("extractjsonfield", info("extractjsonfield",
+      "extractjsonfield(json, path) - KSQL alias of get_json_object"),
+      (args: Seq[Expression]) => GetJsonObject(args(0), args(1))))
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =

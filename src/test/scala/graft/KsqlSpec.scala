@@ -16,6 +16,12 @@ class KsqlSpec extends SparkSpec {
     assert(r.getDouble(1) == 25.0)
     assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
     assert(r.getInt(3) == 16)
+    val k = spark.sql(
+      """SELECT UCASE('ab') AS u, LCASE('AB') AS l, LEN('abc') AS n,
+        |  IFNULL(NULL, 'x') AS f,
+        |  EXTRACTJSONFIELD('{"k": 7}', '$.k') AS j""".stripMargin).head
+    assert(k.getString(0) == "AB" && k.getString(1) == "ab")
+    assert(k.getInt(2) == 3 && k.getString(3) == "x" && k.getString(4) == "7")
   }
 
   test("translated KSQL text runs as a continuous streaming query") {

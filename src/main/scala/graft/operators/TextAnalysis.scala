@@ -83,8 +83,23 @@ object TextAnalysis {
     val keep = fingerprints(docs)
       .groupBy(col("fp_md5")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    keep.join(qualityScores(docs), "doc_id")
-      .join(tokenCounts(docs), "doc_id")
+    // quality + token metrics fused into ONE pass over the corpus (they
+    // are all projections of the same row) — at 100 TB the second scan
+    // and second join were pure waste
+    val t = col("text")
+    val nWords = size(words(t))
+    val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
+    val stop = markerScore(words(t), enMarkers)
+    val punctRatio = round(punct.cast("double") / length(t), 4)
+    val stopRatio = round(stop.cast("double") / nWords, 4)
+    val metrics = docs.select(col("doc_id"),
+      nWords.as("n_words"),
+      (floor((least(nWords.cast("double") / 100, lit(1.0)) * 0.5
+        + (lit(1.0) - least(punctRatio * 10, lit(1.0))) * 0.25
+        + least(stopRatio * 5, lit(1.0)) * 0.25) * 10000) / 10000).as("quality"),
+      nWords.as("ws_tokens"),
+      ceil(length(t) / lit(4.0)).cast("long").as("est_bpe_tokens"))
+    keep.join(metrics, "doc_id")
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("n_words"), col("quality"),
         col("ws_tokens"), col("est_bpe_tokens"))

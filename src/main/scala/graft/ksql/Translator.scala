@@ -111,8 +111,15 @@ object Translator {
         val winCol = s.window.map(w => windowStruct(w, col(src.timeColumn)))
         val keys = winCol.toSeq ++ s.groupBy.map(g => expr(rewriteExpr(g)))
         val keyTexts = s.groupBy.map(g => rewriteExpr(g)).toSet
+        // WINDOWSTART/WINDOWEND in the select list are pseudo-columns of
+        // the window key — they surface post-agg, not as aggregates
+        val isWinPseudo = (e: String) =>
+          e.trim.equalsIgnoreCase("windowstart") || e.trim.equalsIgnoreCase("windowend")
+        val winAliases = s.columns.collect {
+          case (e, alias) if isWinPseudo(e) => (e.trim.toLowerCase, alias)
+        }
         val aggs = s.columns.filterNot { case (e, _) =>
-          keyTexts.contains(rewriteExpr(e))
+          keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)
         }.map { case (e, alias) =>
           val c = expr(rewriteExpr(e))
           alias.fold(c)(c.as)
@@ -133,7 +140,11 @@ object Translator {
             .drop("window")
           case None => out
         }
-        withWin
+        // apply user aliases for the pseudo-columns
+        winAliases.foldLeft(withWin) {
+          case (df0, (name, Some(alias))) => df0.withColumnRenamed(name, alias)
+          case (df0, _) => df0
+        }
       } else {
         val cols = s.columns.map {
           case ("*", _) => col("*")

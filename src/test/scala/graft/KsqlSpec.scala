@@ -170,6 +170,17 @@ class KsqlSpec extends SparkSpec {
     assert(top3.toSeq == expected)
   }
 
+  test("WINDOWSTART/WINDOWEND are referencable in the select list") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT WINDOWSTART AS ws, WINDOWEND AS we, event_type, COUNT(*) AS cnt
+        |FROM events WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY event_type"""
+        .stripMargin): @unchecked
+    assert(df.columns.toSet == Set("ws", "we", "event_type", "cnt"))
+    assert(df.filter(col("we") - col("ws") =!= 3600000L).count() == 0)
+  }
+
   test("SHOW STREAMS and DESCRIBE return catalog metadata") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
 
 /** Physical-plan audits: the properties that decide whether a plan
   * survives a 100x scale-up, asserted against the actual executed plan.
@@ -59,6 +58,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin")
       || p.indexOf("BroadcastNestedLoopJoin") > p.indexOf("band_key"), p)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 100k rows, ~90% on key 1 → one fat shuffle partition
+      val left = spark.range(100000)
+        .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THIS plan (count()/foreach plan derived queries and the
+      // adaptive re-plan would not be visible on joined's QueryExecution)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("ANN brute force broadcasts the probe side, never shuffles the corpus") {

@@ -31,8 +31,7 @@ object Translator {
     "REPLACE" -> "replace", "SPLIT" -> "split", "IFNULL" -> "coalesce",
     "EXTRACTJSONFIELD" -> "get_json_object",
     "ARRAYCONTAINS" -> "array_contains",
-    "STRINGTOTIMESTAMP" -> "to_timestamp", "STRINGTODATE" -> "to_date",
-    "TIMESTAMPTOSTRING" -> "date_format", "DATETOSTRING" -> "date_format",
+    "STRINGTODATE" -> "to_date", "DATETOSTRING" -> "date_format",
     "ABS" -> "abs", "CEIL" -> "ceil", "FLOOR" -> "floor",
     "ROUND" -> "round", "SQRT" -> "sqrt", "RANDOM" -> "rand",
     "COUNT" -> "count", "SUM" -> "sum", "MIN" -> "min", "MAX" -> "max",
@@ -49,6 +48,27 @@ object Translator {
     raw"(?i)\bMASK\s*\(([^()]*)\)".r.replaceAllIn(sql, m => chain(m.group(1)))
   }
 
+  /** KSQL time functions work in epoch MILLIS (BIGINT), Spark's in
+    * TIMESTAMPs — a name rename alone would change the result type, so
+    * these expand to the millis-preserving forms. */
+  private def expandTimeFns(sql: String): String = {
+    val s1 = raw"(?i)\bSTRINGTOTIMESTAMP\s*\(([^()]*)\)".r
+      .replaceAllIn(sql, m => s"unix_millis(to_timestamp(${m.group(1)}))")
+    raw"(?i)\bTIMESTAMPTOSTRING\s*\(([^,()]+),\s*([^()]*)\)".r
+      .replaceAllIn(s1, m => s"date_format(timestamp_millis(${m.group(1)}), ${m.group(2)})")
+  }
+
+  /** GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) → haversine formula. */
+  private def expandGeo(sql: String): String =
+    raw"(?i)\bGEO_DISTANCE\s*\(([^()]*)\)".r.replaceAllIn(sql, m => {
+      val args = m.group(1).split(",").map(_.trim)
+      val Array(lat1, lon1, lat2, lon2) = args.take(4)
+      val r = if (args.length > 4 && args(4).toUpperCase.contains("MI")) 3959.0 else 6371.0
+      s"(2 * $r * asin(sqrt(pow(sin(radians($lat2 - $lat1) / 2), 2) " +
+        s"+ cos(radians($lat1)) * cos(radians($lat2)) " +
+        s"* pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+    })
+
   /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted-slice aggregates. */
   private def expandTopK(sql: String): String = {
     val topk = raw"(?i)\bTOPKDISTINCT\s*\(([^,()]+),\s*(\d+)\s*\)".r
@@ -59,8 +79,8 @@ object Translator {
 
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val masked = expandTopK(expandMask(e))
-    fnRename.foldLeft(masked) { case (acc, (k, v)) =>
+    val expanded = expandGeo(expandTimeFns(expandTopK(expandMask(e))))
+    fnRename.foldLeft(expanded) { case (acc, (k, v)) =>
       acc.replaceAll(s"(?i)\\b$k\\s*\\(", s"$v(")
     }
   }

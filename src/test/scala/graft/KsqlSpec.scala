@@ -119,6 +119,22 @@ class KsqlSpec extends SparkSpec {
     assert(j.onLeft == "s.user_id" && j.onRight == "p.user_id")
   }
 
+  test("time/geo rewrites preserve KSQL semantics (epoch millis, km)") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT event_id,
+        |  STRINGTOTIMESTAMP('2024-01-01 00:00:00') AS ms,
+        |  TIMESTAMPTOSTRING(1704067200000, 'yyyy-MM-dd') AS day,
+        |  GEO_DISTANCE(0.0, 0.0, 0.0, 1.0) AS dist
+        |FROM events WHERE event_id = 1""".stripMargin): @unchecked
+    val r = df.head
+    assert(r.getAs[Long]("ms") == 1704067200000L)
+    assert(r.getAs[String]("day") == "2024-01-01")
+    // 1 degree of longitude at the equator ≈ 111.19 km
+    assert(math.abs(r.getAs[Double]("dist") - 111.19) < 0.1)
+  }
+
   test("function rewrite maps KSQL names to Spark") {
     val r = Translator.rewriteExpr("UCASE(SUBSTRING(name, 1, 3))")
     assert(r == "upper(substring( name , 1 , 3 ))"

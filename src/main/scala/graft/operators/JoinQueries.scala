@@ -59,6 +59,26 @@ object JoinQueries {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin),
 
+    // range join: parts priced into irregular bands — binned equi-join,
+    // not a nested-loop inequality join (see Ops.rangeJoinBinned)
+    "q_range_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          (0.0, 500.0, "low"), (500.0, 900.0, "mid"),
+          (900.0, 1500.0, "high"), (1500.0, 100000.0, "lux"))
+          .toDF("lo", "hi", "band")
+        Ops.rangeJoinBinned(Tables.part(s, d), col("p_retailprice"),
+            bands, col("lo"), col("hi"), binWidth = 500.0)
+          .select(col("p_partkey"), col("band"))
+      },
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (0.0, 500.0, 'low'), (500.0, 900.0, 'mid'),
+        |  (900.0, 1500.0, 'high'), (1500.0, 100000.0, 'lux'))
+        |SELECT p_partkey, band FROM part
+        |JOIN bands ON p_retailprice >= lo AND p_retailprice < hi"""
+        .stripMargin),
+
     // TPC-H Q3 shape: revenue of unshipped orders per order/date/priority,
     // top 10 — join + agg + order + limit in one plan (broadcast dim,
     // shuffle only on the fact-fact key and the final agg)

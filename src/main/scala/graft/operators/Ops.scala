@@ -45,6 +45,26 @@ object Ops {
   def keepFirst(df: DataFrame, keys: Seq[Column], order: Column): DataFrame =
     topKPerKey(df, keys, Seq(order.asc), 1)
 
+  /** Range join via bin alignment: joining `probe.value` into interval
+    * table `bands(lo, hi, …)` with a raw inequality condition plans as a
+    * nested-loop join — O(|probe| * |bands|) and no shuffle pruning. This
+    * instead explodes each band into the fixed-width bins it covers and
+    * equi-joins on the bin id (the standard "range join bin" technique):
+    * candidates are only the bands overlapping the probe's bin, and the
+    * residual lo/hi filter restores exact semantics.
+    */
+  def rangeJoinBinned(probe: DataFrame, probeVal: Column,
+                      bands: DataFrame, lo: Column, hi: Column,
+                      binWidth: Double): DataFrame = {
+    val binned = bands.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth).cast("long"),
+        floor((hi - lit(1e-9)) / binWidth).cast("long"))))
+    probe.withColumn("__bin", floor(probeVal / binWidth).cast("long"))
+      .join(binned, "__bin")
+      .filter(probeVal >= lo && probeVal < hi)
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, attach the latest right row with
     * rightTime <= leftTime on the same key (the time-series enrichment
     * operator KSQL lacks; DuckDB/kdb call it ASOF JOIN).

@@ -184,6 +184,18 @@ object CoreQueries {
       """SELECT doc_id, list_contains(string_split(text, ' '), 'spark') AS has_spark
         |FROM documents""".stripMargin),
 
+    // KSQL EXPLODE table function: one row per array element, with
+    // ordinality (posexplode) — lateral flattening
+    "q_explode" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word"))),
+      """SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, u.word
+        |FROM documents,
+        |  LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+        |           generate_subscripts(string_split(text, ' '), 1) AS i) u
+        |WHERE doc_id < 20""".stripMargin),
+
     // ---- §2.3 aggregations -------------------------------------------
     // Flagship: TPC-H Q1 pricing summary (COUNT/SUM/AVG map-side partial agg).
     "q_agg_core" -> Q(

@@ -28,16 +28,10 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word 3-gram shingles — discriminative even on small-vocab
-    * text, where char-3-grams saturate (~0.5 baseline Jaccard would turn
-    * LSH banding into a near-cross-join). */
-  private def wordShingles(text: org.apache.spark.sql.Column) = {
-    val w = split(text, " ")
-    array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3)))))
-  }
-
   /** MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+    * Shingles are word 3-grams — discriminative even on small-vocab text,
+    * where char-3-grams saturate (~0.5 baseline Jaccard would turn LSH
+    * banding into a near-cross-join).
     *
     * Shuffle discipline: the band self-join carries ONLY (band, key,
     * doc_id) — shingle arrays never enter the candidate shuffle; they are

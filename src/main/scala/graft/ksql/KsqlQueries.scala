@@ -35,7 +35,24 @@ object KsqlQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE o_totalprice > 150000""".stripMargin
 
+  val llmFromKsql: String =
+    """SELECT doc_id, STABLE_HASH32(text) AS h,
+      |  LEN(text) AS n FROM docs WHERE LEN(text) > 100""".stripMargin
+
   def entries: Map[String, Q] = Map(
+    // LLM-pipeline native expression invoked from KSQL text — the dialect
+    // exposes graft's codegen'd hashing to pure-SQL users
+    "q_ksql_llm_hash" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(graft.Tables.documents(s, d), "doc_id"))
+        val (_, Some(df)) = Translator.run(s, cat, llmFromKsql): @unchecked
+        df
+      },
+      """SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+        |  CAST(length(text) AS INT) AS n
+        |FROM documents WHERE length(text) > 100""".stripMargin),
+
     "q_ksql_ctas_window" -> Q(
       (s, d) => {
         val (_, Some(df)) = Translator.run(s, catalogFor(s, d), ctasWindowed): @unchecked

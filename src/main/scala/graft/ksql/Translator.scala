@@ -181,7 +181,11 @@ object Translator {
 
   /** Execute one statement. CSAS/CTAS register the result back into the
     * returned catalog so later statements can reference it. */
-  def run(spark: SparkSession, catalog: Catalog, sql: String): (Catalog, Option[DataFrame]) =
+  def run(spark: SparkSession, catalog: Catalog, sql: String): (Catalog, Option[DataFrame]) = {
+    // graft's native expressions are part of the dialect surface
+    // (stable_hash32, minhash_sig, vec_dot, jaccard_sorted, UCASE, …);
+    // registration is idempotent
+    graft.GraftExtensions.register(spark)
     Parser.parse(sql) match {
       case CreateSource(_, name, cols, props) =>
         // Physical binding, in order of preference:
@@ -240,6 +244,7 @@ object Translator {
         val rows = src.df.schema.map(f => (f.name, f.dataType.simpleString))
         (catalog, Some(rows.toDF("column", "type")))
     }
+  }
 
   /** Run a multi-statement KSQL script (';'-separated), threading the
     * catalog through; returns the final catalog and the last statement's

@@ -131,6 +131,42 @@ object TextAnalysis {
     docs.filter(bucket < pct).select(col("doc_id"), col("lang"))
   }
 
+  /** Exact greedy sequence packing: assign docs (in doc_id order) to
+    * packs of at most `budget` tokens; a doc larger than the budget gets
+    * its own pack. Packing is inherently sequential, so parallelism
+    * comes from bucketing: docs are hash-bucketed, each bucket packs
+    * independently inside one partition (mapPartitions after
+    * repartition+sort) — at 100 TB every executor packs its buckets with
+    * zero coordination, and pack ids are namespaced by bucket.
+    */
+  def packSequences(docs: DataFrame, budget: Long, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val withTokens = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("tokens"),
+      pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("tokens", LongType),
+      StructField("bucket", IntegerType), StructField("pack_id", LongType)))
+    val packed = withTokens
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .rdd.mapPartitions { it =>
+        var curBucket = -1
+        var packInBucket = 0L
+        var used = 0L
+        it.map { r =>
+          val b = r.getAs[Int]("bucket")
+          val t = r.getAs[Long]("tokens")
+          if (b != curBucket) { curBucket = b; packInBucket = 0L; used = 0L }
+          if (used + t > budget && used > 0) { packInBucket += 1; used = 0L }
+          used += t
+          Row(r.getAs[Long]("doc_id"), t, b, b.toLong * 1000000L + packInBucket)
+        }
+      }
+    docs.sparkSession.createDataFrame(packed, schema)
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(

@@ -65,6 +65,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(f.filter(col("fp_md5").isNull).count() == 0)
   }
 
+  test("greedy sequence packing: packs respect the budget, no doc lost") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = TextAnalysis.packSequences(docs, budget = 200, buckets = 8)
+    assert(packed.count() == docs.count())
+    val packTotals = packed.groupBy("pack_id")
+      .agg(sum("tokens").as("total"), count(lit(1)).as("n"))
+    // a pack may only exceed the budget when it holds a single oversized doc
+    assert(packTotals.filter(col("total") > 200 && col("n") > 1).count() == 0)
+    // packing is reasonably tight: average pack fill > 50% of budget
+    val avg = packTotals.agg(org.apache.spark.sql.functions.avg("total")).head.getDouble(0)
+    assert(avg > 100, s"avg pack fill $avg")
+  }
+
   test("exact dedup collapses the identical pair") {
     val kept = Dedup.exact(weird)
     assert(kept.count() == 5) // 6 docs, one exact dup

@@ -56,6 +56,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("cnt") == 2)) // merged session
   }
 
+  test("hopping window agg in streaming emits size/slide replicas") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    val agg = s.hoppingAgg("20 minutes", "10 minutes", Seq(col("event_type")),
+      Seq(count(lit(1)).as("cnt")))
+    val w = agg.writeStream.format("memory").queryName("hop")
+      .outputMode(OutputMode.Update)
+    mem.addData(Ev(1, t(15), 1, "click", 1.0))
+    runToCompletion(w)
+    // one event at minute 15 belongs to windows starting at 0 and 10
+    assert(spark.table("hop").count() == 2)
+  }
+
+  test("CTAS writer materializes a grouped table in complete mode") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    val agg = s.groupByAgg(Seq(col("event_type")), Seq(count(lit(1)).as("cnt")))
+    val q = s.createTableAs(agg, "ctas_tab").start()
+    mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 2, "click", 2.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ctas_tab").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("cnt") == 2)
+  }
+
   test("stream-stream join WITHIN emits matched pairs") {
     val m1 = MemoryStream[Ev](spark)
     val m2 = MemoryStream[Ev](spark)

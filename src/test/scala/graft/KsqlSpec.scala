@@ -119,6 +119,22 @@ class KsqlSpec extends SparkSpec {
     assert(j.onLeft == "s.user_id" && j.onRight == "p.user_id")
   }
 
+  test("CASE WHEN / BETWEEN / IN pass through the translator") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT event_id,
+        |  CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band
+        |FROM events
+        |WHERE value BETWEEN 10 AND 90 AND event_type IN ('click', 'view')"""
+        .stripMargin): @unchecked
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("value").between(10, 90) && col("event_type").isin("click", "view"))
+    assert(df.count() == direct.count())
+    assert(df.filter(col("band") === "hi").count() ==
+      direct.filter(col("value") > 50).count())
+  }
+
   test("time/geo rewrites preserve KSQL semantics (epoch millis, km)") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

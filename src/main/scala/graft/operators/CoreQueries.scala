@@ -84,7 +84,7 @@ object CoreQueries {
         |  SELECT nullif(event_type, 'error') AS etype_n FROM events
         |)
         |SELECT etype_n, count(*) AS cnt, count(etype_n) AS cnt_nonnull,
-        |  sum(CASE WHEN etype_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq
+        |  CAST(sum(CASE WHEN etype_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
         |FROM e GROUP BY etype_n""".stripMargin),
 
     // ---- §2.2 scalar functions ---------------------------------------

@@ -138,6 +138,29 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Edit-distance fuzzy near-dup pairs (entity-resolution style):
+    * block by (lang, length bucket), compare levenshtein on a fixed
+    * text prefix inside each block. Blocking bounds candidate pairs to
+    * ~linear (docs whose lengths differ by a bucket can't be near-dups
+    * of each other), and the fixed prefix caps the O(m·n) edit-distance
+    * cost per pair — both are what make edit distance usable at scale.
+    */
+  def fuzzyPairs(docs: DataFrame, prefixLen: Int = 60,
+                 maxDist: Int = 30): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      expr("n_chars DIV 100").as("len_bucket"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    val a = d.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("id_a"), col("pre").as("pre_a"))
+    val b = d.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("id_b"), col("pre").as("pre_b"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Line/chunk-level dedup (C4/RefinedWeb style): split each doc into
     * fixed 8-word chunks, hash them, report chunks appearing in more
     * than one place with a canonical keeper. Chunking is a per-row
@@ -236,6 +259,18 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE
         |    / len(list_distinct(list_concat(a.w, b.w))) >= 0.7""".stripMargin),
+
+    "q_dedup_fuzzy" -> Q(
+      (s, d) => fuzzyPairs(Tables.documents(s, d)),
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb, substr(text, 1, 60) AS pre
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(levenshtein(a.pre, c.pre) AS INT) AS dist
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
+        |  AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.pre, c.pre) <= 30""".stripMargin),
 
     "q_dedup_embed" -> Q(
       (s, d) => embeddingPairs(Tables.embeddings(s, d)),

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword-search relevance over the document corpus (SURVEY.md §2.10
+  * extension): TF-IDF term weighting, BM25 ranked retrieval, and the
+  * inverted-index build — the batch side of a search/retrieval pipeline
+  * over training data.
+  *
+  * Scale architecture: everything is explode → groupBy — partial
+  * aggregation halves the token shuffle, and the per-term statistics
+  * (document frequency) join back on the term key, so the corpus
+  * shuffles by (doc, term) once and by term once, both linear in token
+  * count. The global scalars (corpus size, average doc length) are
+  * single-row aggregates broadcast to every executor — never a
+  * recompute-per-row subquery.
+  */
+object Search {
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  /** Top-k TF-IDF terms per document: tf·ln(N/df), deterministic
+    * tie-break on the rounded score then term. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = tokens(docs).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** BM25 (k1=1.2, b=0.75) top-n retrieval for a bag of query terms.
+    * Tokens are pre-filtered to the query vocabulary before the tf
+    * aggregation — the shuffle carries only matching terms, which at
+    * 100 TB is the difference between scanning and indexing. */
+  def bm25TopN(docs: DataFrame, queryTerms: Seq[String], n: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = tokens(docs)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = tok.filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))
+    tf.join(dfq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * col("tf") * (k1 + 1) / norm), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
+  /** Inverted index: term → document frequency + sorted posting sample.
+    * Postings are collected per term — bounded by corpus df, and the
+    * sample slice keeps the output row small regardless of df. */
+  def invertedIndex(docs: DataFrame, sampleSize: Int = 5): DataFrame =
+    tokens(docs).groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"),
+        concat_ws(",", slice(sort_array(collect_set(col("doc_id"))), 1, sampleSize))
+          .as("sample_postings"))
+
+  // ---- driver-verifiable entries ------------------------------------
+
+  def entries: Map[String, Q] = Map(
+    "q_tfidf" -> Q(
+      (s, d) => tfIdfTopK(Tables.documents(s, d), k = 3),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, tfidf FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY tfidf DESC, term) <= 3""".stripMargin),
+
+    "q_bm25" -> Q(
+      (s, d) => bm25TopN(Tables.documents(s, d), Seq("spark", "data", "query")),
+      """WITH q AS (SELECT unnest(['spark','data','query']) AS term),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents
+        |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |avgdl AS (SELECT avg(dl::DOUBLE) AS avgdl FROM dl),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT tok.doc_id, tok.term, count(*) AS tf
+        |  FROM tok JOIN q USING (term) GROUP BY 1, 2
+        |), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN avgdl CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin),
+
+    "q_inverted_index" -> Q(
+      (s, d) => invertedIndex(Tables.documents(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents
+        |)
+        |SELECT term, count(DISTINCT doc_id) AS df,
+        |  array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',')
+        |    AS sample_postings
+        |FROM tok GROUP BY term""".stripMargin)
+  )
+}

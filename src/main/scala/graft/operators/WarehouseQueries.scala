@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-grade analytic surface, round 2 (SURVEY.md §2.1/§2.3
+  * extensions): multi-dimensional aggregation (CUBE / GROUPING SETS),
+  * FULL OUTER join, ordered string aggregation, exact percentiles,
+  * bivariate statistics, the full analytic-window function family,
+  * UNPIVOT, frame-bounded moving aggregates, scalar / correlated
+  * subquery shapes, bitwise ops and array algebra.
+  *
+  * Scale notes: CUBE/GROUPING SETS expand each input row once per
+  * grouping set BEFORE the shuffle, so partial aggregation still
+  * applies — same posture as a plain groupBy. The subquery shapes are
+  * deliberately expressed as broadcast-of-aggregate (scalar) and
+  * window-over-partition (correlated): both avoid the naive
+  * re-scan-per-row plan a literal subquery would imply.
+  */
+object WarehouseQueries {
+
+  def entries: Map[String, Q] = Map(
+    // CUBE: all 4 aggregation levels over (mktsegment, orderpriority)
+    "q_cube" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue")),
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin),
+
+    // GROUPING SETS: two independent one-dimension rollups in one pass
+    "q_grouping_sets" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 2).as("avg_price")),
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin),
+
+    // FULL OUTER join: per-nation premium customers vs debtor suppliers —
+    // partial coverage on both sides exercises both null directions
+    "q_join_full" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_rich_cust"))
+        val sup = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_debt_supp"))
+        c.join(sup, Seq("nationkey"), "full_outer")
+      },
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_rich_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+        |), s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_debt_supp
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+        |)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  n_rich_cust, n_debt_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin),
+
+    // ordered string aggregation (LISTAGG): sort_array keeps the result
+    // deterministic regardless of partitioning — the only safe form of
+    // string_agg on a cluster
+    "q_string_agg" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment"))))
+          .as("segments"),
+          count(lit(1)).as("n_orders")),
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderstatus""".stripMargin),
+
+    // exact percentiles (linear interpolation, the percentile_cont
+    // convention both engines share)
+    "q_percentiles" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price")),
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // bivariate statistics: correlation, covariance, spread
+    "q_corr_stats" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+          round(var_pop(col("l_quantity")), 6).as("qty_varpop")),
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(var_pop(l_quantity), 6) AS qty_varpop
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // the analytic-window function family over one deterministic ordering
+    "q_window_analytics" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_key"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          round(first_value(col("o_totalprice")).over(w), 2).as("top_price"),
+          round(last_value(col("o_totalprice")).over(wFull), 2).as("bottom_price"))
+      },
+      """SELECT o_orderkey, o_orderpriority,
+        |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  round(first_value(o_totalprice) OVER w, 2) AS top_price,
+        |  round(last_value(o_totalprice) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |    AS bottom_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
+
+    // UNPIVOT (melt): wide measure columns → (metric, value) rows
+    "q_unpivot" -> Q(
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("retail"),
+          col("p_size").cast("double").as("psize"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retail"), col("psize")), "metric", "value"),
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retail,
+        |    CAST(p_size AS DOUBLE) AS psize FROM part
+        |) UNPIVOT (value FOR metric IN (retail, psize))""".stripMargin),
+
+    // frame-bounded moving aggregate: trailing-4-order average per customer
+    "q_moving_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, Window.currentRow)
+        // frame-sum exact integer cents, floor the per-frame mean: float
+        // frame sums and .5-boundary rounding both differ between
+        // engines; integer sum + floor is order- and engine-independent
+        Tables.orders(s, d)
+          .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            floor(sum(col("cents")).over(w) / count(col("cents")).over(w))
+              .cast("long").as("trailing_avg_cents"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
+        |    / (count(*) OVER w)) AS BIGINT) AS trailing_avg_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // scalar subquery → broadcast-of-aggregate: one tiny agg row joined
+    // to every order beats re-evaluating the subquery per row
+    "q_subquery_scalar" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgPrice = o.agg(avg(col("o_totalprice")).as("global_avg"))
+        o.crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("global_avg") * 1.5)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      },
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)"""
+        .stripMargin),
+
+    // correlated subquery → window-over-partition: the per-key aggregate
+    // computes once per partition instead of once per probe row
+    "q_subquery_correlated" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        Tables.orders(s, d)
+          .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") > col("cust_avg") * 1.8)
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin),
+
+    // bitwise algebra on the key column
+    "q_bitwise" -> Q(
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        (col("event_id").bitwiseAND(lit(255L))).as("low_byte"),
+        (col("event_id").bitwiseOR(lit(4096L))).as("with_flag"),
+        (col("event_id").bitwiseXOR(lit(1234L))).as("xored"),
+        shiftleft(col("event_id"), 2).as("shifted"),
+        bit_count(col("event_id")).as("n_bits")),
+      """SELECT event_id, event_id & 255 AS low_byte,
+        |  event_id | 4096 AS with_flag, xor(event_id, 1234) AS xored,
+        |  event_id << 2 AS shifted,
+        |  CAST(bit_count(event_id) AS INT) AS n_bits
+        |FROM events""".stripMargin),
+
+    // array algebra over tokenized text: distinct, intersect, sorted slice
+    "q_array_ops" -> Q(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        Tables.documents(s, d).select(col("doc_id"),
+          size(array_distinct(w)).as("n_distinct"),
+          size(array_intersect(w, array(lit("the"), lit("a"), lit("of"))))
+            .as("n_markers"),
+          concat_ws(" ", slice(sort_array(array_distinct(w)), 1, 3))
+            .as("first3"))
+      },
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |  CAST(len(list_intersect(w, ['the','a','of'])) AS INT) AS n_markers,
+        |  array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3
+        |FROM t""".stripMargin),
+
+    // extended string scalar surface: pad, reverse, repeat, slice, ascii
+    "q_scalar_string2" -> Q(
+      (s, d) => Tables.customer(s, d).select(col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, "*").as("padded_l"),
+        rpad(col("c_mktsegment"), 12, ".").as("padded_r"),
+        reverse(col("c_name")).as("rev_name"),
+        repeat(col("c_mktsegment"), 2).as("doubled"),
+        substring(col("c_name"), 1, 4).as("left4"),
+        ascii(col("c_mktsegment")).as("first_code")),
+      """SELECT c_custkey,
+        |  lpad(c_mktsegment, 12, '*') AS padded_l,
+        |  rpad(c_mktsegment, 12, '.') AS padded_r,
+        |  reverse(c_name) AS rev_name,
+        |  repeat(c_mktsegment, 2) AS doubled,
+        |  substring(c_name, 1, 4) AS left4,
+        |  CAST(ascii(c_mktsegment) AS INT) AS first_code
+        |FROM customer""".stripMargin)
+  )
+}

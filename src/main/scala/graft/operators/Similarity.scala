@@ -68,23 +68,47 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** IVF-style ANN: corpus assigned to hash-seeded coarse centroids
-    * refined by one averaging pass; probes search nProbe nearest cells.
-    * The centroid table is tiny → broadcast both in assignment and search.
+  /** Lloyd k-means over an embedding column, DataFrame-native.
+    *
+    * Init is deterministic: rows hash-bucketed into cells, each cell's
+    * mean is the seed (no RNG state — reproducible on any cluster).
+    * Each iteration: assign every vector to its nearest centroid
+    * (broadcast the tiny centroid table against the corpus scan), then
+    * recompute centroids as the element-wise mean via posexplode →
+    * groupBy (cell, dim) — the shuffle is rows × dims, linear in corpus
+    * size, never a collect. Centroid count stays small by construction,
+    * so the broadcast side never grows with the corpus.
+    */
+  def kMeansCentroids(vecs: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
+    val meanByCell = (assigned: DataFrame) => assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), col("dm.m").as("centroid"))
+    val seeded = vecs.withColumn("cell",
+      pmod(crc32(col("vec_id").cast("string")), lit(nCells)))
+    var centroids = meanByCell(seeded)
+    for (_ <- 1 to iters) {
+      val x = vecs.crossJoin(broadcast(centroids))
+        .withColumn("d", l2Distance(col("v"), col("centroid")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
+      val assigned = x.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("cell"), col("v"))
+      centroids = meanByCell(assigned)
+    }
+    centroids
+  }
+
+  /** IVF ANN: corpus partitioned by Lloyd-iterated coarse centroids;
+    * probes search the nProbe nearest cells only. The centroid table is
+    * tiny → broadcast both in assignment and search.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, nCells: Int = 8,
-              nProbe: Int = 2, k: Int = 3): DataFrame = {
+              nProbe: Int = 2, k: Int = 3, iters: Int = 3): DataFrame = {
     val c0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    // seed centroids: mean of rows hashed into each cell, one pass
-    val seeded = c0.withColumn("cell", pmod(crc32(col("vec_id").cast("string")), lit(nCells)))
-    val centroids = seeded.groupBy(col("cell"))
-      .agg(transform(sequence(lit(0), size(first(col("v"))) - 1),
-        i => lit(0.0)).as("zero"), collect_list(col("v")).as("vs"))
-      .select(col("cell"), expr(
-        """transform(sequence(0, size(vs[0]) - 1),
-          |  i -> aggregate(vs, cast(0.0 as double), (acc, x) -> acc + x[i]) / size(vs))"""
-          .stripMargin).as("centroid"))
+    val centroids = kMeansCentroids(c0, nCells, iters)
     val assign = (df: DataFrame, n: Int) => {
       val x = df.crossJoin(broadcast(centroids))
         .withColumn("d", l2Distance(col("v"), col("centroid")))
@@ -160,6 +184,13 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), dim = 64)
+      },
+      None),
+
+    "q_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0))
       },
       None)
   )

@@ -65,6 +65,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("k-means iterations reduce (never increase) within-cluster distortion") {
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def distortion(iters: Int): Double = {
+      val cents = Similarity.kMeansCentroids(vecs, nCells = 4, iters = iters)
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.VectorFunctions.l2Distance(col("v"), col("centroid")))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("dmin"))
+        .agg(avg("dmin")).head.getDouble(0)
+    }
+    val d0 = distortion(0)
+    val d3 = distortion(3)
+    assert(d3 <= d0 + 1e-9, s"distortion rose: $d0 -> $d3")
+  }
+
+  test("IVF ANN recall vs brute force with Lloyd-iterated centroids") {
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 3)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, nCells = 4, nProbe = 2, k = 3)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // nProbe=2 of 4 cells searches ~half the corpus; on near-random
+    // vectors expect recall well above that floor for top-3
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("IVF ANN returns k neighbors per probe with nProbe cells") {
     val probes = emb.filter(col("vec_id") % 250 === 0)
     val r = Similarity.ivfTopK(emb, probes, nCells = 4, nProbe = 2, k = 3)

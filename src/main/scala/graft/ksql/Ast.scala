@@ -21,7 +21,7 @@ case class JoinClause(
 
 case class SelectStmt(
     columns: Seq[(String, Option[String])],   // (exprSql, alias)
-    from: String,
+    from: String,                             // name, or alias when fromSub set
     fromAlias: Option[String],
     join: Option[JoinClause],
     where: Option[String],
@@ -29,7 +29,8 @@ case class SelectStmt(
     groupBy: Seq[String],
     having: Option[String],
     partitionBy: Option[String],
-    emitChanges: Boolean)
+    emitChanges: Boolean,
+    fromSub: Option[SelectStmt] = None)       // derived table: FROM (SELECT ...)
 
 sealed trait Statement
 case class CreateSource(

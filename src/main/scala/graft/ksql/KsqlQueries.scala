@@ -75,6 +75,56 @@ object KsqlQueries {
         |  coalesce(nullif(event_type, 'error'), 'unknown') AS etype_clean
         |FROM events WHERE value > 10""".stripMargin),
 
+    // full multi-statement workflow: file-bound CREATE STREAM, a CSAS,
+    // an INSERT INTO merging a second filtered stream, and a final CTAS
+    // aggregation over the merged stream — the catalog threads results
+    // statement to statement exactly like a KSQL server session
+    "q_ksql_script" -> Q(
+      (s, d) => {
+        val script =
+          s"""CREATE STREAM src (doc_id BIGINT, text VARCHAR, lang VARCHAR,
+             |  source VARCHAR, n_chars INT)
+             |  WITH (PATH='$d/documents.parquet', VALUE_FORMAT='PARQUET',
+             |        TIMESTAMP='doc_id');
+             |CREATE STREAM big_docs AS
+             |  SELECT doc_id, lang, LEN(text) AS n_chars2 FROM src
+             |  WHERE n_chars > 150;
+             |INSERT INTO big_docs
+             |  SELECT doc_id, lang, LEN(text) AS n_chars2 FROM src
+             |  WHERE n_chars <= 150 AND lang = 'en';
+             |CREATE TABLE lang_stats AS
+             |  SELECT lang, COUNT(*) AS cnt, MAX(n_chars2) AS max_chars
+             |  FROM big_docs GROUP BY lang""".stripMargin
+        val (_, Some(df)) = Translator.runScript(s, Map.empty, script): @unchecked
+        df
+      },
+      """WITH big_docs AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars2
+        |  FROM documents WHERE n_chars > 150
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars2
+        |  FROM documents WHERE n_chars <= 150 AND lang = 'en'
+        |)
+        |SELECT lang, count(*) AS cnt, max(n_chars2) AS max_chars
+        |FROM big_docs GROUP BY lang""".stripMargin),
+
+    // derived-table subquery: aggregation over an inline SELECT
+    "q_ksql_subquery" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(Tables.documents(s, d), "doc_id"))
+        val q =
+          """SELECT lang, COUNT(*) AS cnt, MAX(n2) AS max_n2
+            |FROM (SELECT lang, LEN(text) AS n2 FROM docs WHERE n_chars > 200)
+            |GROUP BY lang""".stripMargin
+        val (_, Some(df)) = Translator.run(s, cat, q): @unchecked
+        df
+      },
+      """SELECT lang, count(*) AS cnt, max(n2) AS max_n2
+        |FROM (SELECT lang, CAST(length(text) AS INT) AS n2
+        |      FROM documents WHERE n_chars > 200)
+        |GROUP BY lang""".stripMargin),
+
     "q_ksql_join" -> Q(
       (s, d) => {
         val (_, Some(df)) = Translator.run(s, catalogFor(s, d), streamTableJoin): @unchecked

@@ -166,8 +166,17 @@ object Parser {
       more = p.accept(",")
     }
     p.expect("FROM")
-    val from = p.next().text
-    val fromAlias = if (!p.peek.isString
+    // derived table: FROM ( SELECT ... ) [alias]
+    val fromSub = if (p.accept("(")) {
+      val sub = parseSelect(p)
+      p.expect(")")
+      Some(sub)
+    } else None
+    val from = if (fromSub.isDefined) {
+      if (!p.peek.isString && !selectStops.contains(p.peekUp)
+        && p.peekUp.headOption.exists(_.isLetter)) p.next().text else "__sub"
+    } else p.next().text
+    val fromAlias = if (fromSub.isEmpty && !p.peek.isString
       && !selectStops.contains(p.peekUp) && p.peekUp.headOption.exists(_.isLetter))
       Some(p.next().text) else None
 
@@ -215,7 +224,7 @@ object Parser {
     val partitionBy = if (p.accept("PARTITION")) { p.expect("BY"); Some(p.next().text) } else None
     val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
     SelectStmt(cols.result(), from, fromAlias, join, where, window,
-      groupBy, having, partitionBy, emit)
+      groupBy, having, partitionBy, emit, fromSub)
   }
 
   // column-level expressions additionally stop at AS (aliases); CAST(x AS

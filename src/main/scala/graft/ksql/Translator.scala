@@ -37,16 +37,54 @@ object Translator {
     "COUNT" -> "count", "SUM" -> "sum", "MIN" -> "min", "MAX" -> "max",
     "AVG" -> "avg", "COUNT_DISTINCT" -> "count_distinct",
     "COLLECT_LIST" -> "collect_list", "COLLECT_SET" -> "collect_set",
-    "LATEST_BY_OFFSET" -> "max_by", "EARLIEST_BY_OFFSET" -> "min_by")
+    "LATEST_BY_OFFSET" -> "max_by", "EARLIEST_BY_OFFSET" -> "min_by",
+    "INITCAP" -> "initcap", "LPAD" -> "lpad", "RPAD" -> "rpad",
+    "INSTR" -> "instr", "ARRAY_LENGTH" -> "size",
+    "REGEXP_EXTRACT" -> "regexp_extract")
 
-  /** MASK(x) family → nested regexp_replace chains (no UDF). */
+  /** MASK(x) family → nested regexp_replace chains (no UDF). Semantics
+    * mirror graft.functions.KsqlFunctions (upper→X, lower→x, digit→n;
+    * the positional variants mask/keep a prefix or suffix). */
   private def expandMask(sql: String): String = {
     def chain(inner: String): String =
       s"regexp_replace(regexp_replace(regexp_replace($inner,'[A-Z]','X'),'[a-z]','x'),'[0-9]','n')"
-    // only the plain MASK(col) form; the _LEFT/_RIGHT variants are served
-    // by graft.functions.KsqlFunctions for programmatic use
-    raw"(?i)\bMASK\s*\(([^()]*)\)".r.replaceAllIn(sql, m => chain(m.group(1)))
+    val variants: Seq[(String, (String, String) => String)] = Seq(
+      "MASK_LEFT" -> ((x: String, n: String) =>
+        s"concat(${chain(s"substring($x, 1, $n)")}, " +
+          s"substring($x, $n + 1, greatest(length($x) - $n, 0)))"),
+      "MASK_RIGHT" -> ((x: String, n: String) =>
+        s"if(length($x) <= $n, ${chain(x)}, " +
+          s"concat(substring($x, 1, length($x) - $n), " +
+          s"${chain(s"substring($x, length($x) - $n + 1, $n)")}))"),
+      "MASK_KEEP_LEFT" -> ((x: String, n: String) =>
+        s"concat(substring($x, 1, $n), " +
+          s"${chain(s"substring($x, $n + 1, greatest(length($x) - $n, 0))")})"),
+      "MASK_KEEP_RIGHT" -> ((x: String, n: String) =>
+        s"if(length($x) <= $n, $x, " +
+          s"concat(${chain(s"substring($x, 1, length($x) - $n)")}, " +
+          s"substring($x, length($x) - $n + 1, $n)))"))
+    val expanded = variants.foldLeft(sql) { case (acc, (name, f)) =>
+      raw"(?i)\b$name\s*\(([^,()]+),\s*(\d+)\s*\)".r
+        .replaceAllIn(acc, m => f(m.group(1).trim, m.group(2)))
+    }
+    raw"(?i)\bMASK\s*\(([^()]*)\)".r.replaceAllIn(expanded, m => chain(m.group(1)))
   }
+
+  /** HISTOGRAM(x) → map<string,bigint> of value counts, built by
+    * run-length-encoding the sorted collect_list — one aggregate, no
+    * UDAF, no duplicate-map-key hazard. */
+  private def expandHistogram(sql: String): String =
+    raw"(?i)\bHISTOGRAM\s*\(([^()]*)\)".r.replaceAllIn(sql, m => {
+      val x = m.group(1).trim
+      s"""map_from_entries(aggregate(
+         |  sort_array(collect_list(cast($x as string))),
+         |  cast(array() as array<struct<k: string, v: bigint>>),
+         |  (acc, e) -> if(size(acc) > 0 and element_at(acc, -1).k = e,
+         |    concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('k', e, 'v', element_at(acc, -1).v + 1))),
+         |    concat(acc, array(named_struct('k', e, 'v', cast(1 as bigint)))))))"""
+        .stripMargin.replaceAll("\n", " ")
+    })
 
   /** KSQL time functions work in epoch MILLIS (BIGINT), Spark's in
     * TIMESTAMPs — a name rename alone would change the result type, so
@@ -79,7 +117,8 @@ object Translator {
 
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val expanded = expandGeo(expandTimeFns(expandTopK(expandMask(e))))
+    val expanded =
+      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e)))))
     fnRename.foldLeft(expanded) { case (acc, (k, v)) =>
       acc.replaceAll(s"(?i)\\b$k\\s*\\(", s"$v(")
     }
@@ -91,10 +130,23 @@ object Translator {
     case Session(gap) => session_window(timeCol, s"$gap milliseconds")
   }
 
+  /** The event-time column of a statement's source chain: the named
+    * source's, or (for a derived table) the innermost named source's. */
+  def resolveTime(catalog: Catalog, s: SelectStmt): String = s.fromSub match {
+    case Some(sub) => resolveTime(catalog, sub)
+    case None => catalog.get(s.from.toLowerCase).map(_.timeColumn)
+      .getOrElse("ts")
+  }
+
   /** Materialize a SELECT statement as a DataFrame over the catalog. */
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
-    val src = catalog.getOrElse(s.from.toLowerCase,
-      throw new IllegalArgumentException(s"unknown source ${s.from}"))
+    // derived table (FROM (SELECT ...)) recurses; a named FROM resolves
+    // through the catalog
+    val src: Source = s.fromSub match {
+      case Some(sub) => Source(select(spark, catalog, sub), resolveTime(catalog, sub))
+      case None => catalog.getOrElse(s.from.toLowerCase,
+        throw new IllegalArgumentException(s"unknown source ${s.from}"))
+    }
     // streaming sources get a watermark so windowed aggs / WITHIN joins
     // keep bounded state; batch frames pass through untouched
     val based =
@@ -220,7 +272,7 @@ object Translator {
         (catalog + (name.toLowerCase -> bound), None)
       case CreateAsSelect(_, name, sel) =>
         val df = select(spark, catalog, sel)
-        val srcTime = catalog(sel.from.toLowerCase).timeColumn
+        val srcTime = resolveTime(catalog, sel)
         val tc = if (df.columns.contains(srcTime)) srcTime
           else if (df.columns.contains("windowstart")) "windowstart" else df.columns.head
         (catalog + (name.toLowerCase -> Source(df, tc)), Some(df))

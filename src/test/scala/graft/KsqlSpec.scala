@@ -160,6 +160,49 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("MASK(name)").contains("regexp_replace"))
   }
 
+  test("MASK positional variants match the programmatic KsqlFunctions") {
+    import graft.functions.KsqlFunctions
+    val catalog: Translator.Catalog =
+      Map("customer" -> Translator.Source(Tables.customer(spark, sfDir), "c_custkey"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT c_custkey, MASK_LEFT(c_name, 3) AS ml, MASK_RIGHT(c_name, 3) AS mr,
+        |  MASK_KEEP_LEFT(c_name, 5) AS kl, MASK_KEEP_RIGHT(c_name, 4) AS kr
+        |FROM customer""".stripMargin): @unchecked
+    val direct = Tables.customer(spark, sfDir).select(col("c_custkey"),
+      KsqlFunctions.maskLeft(col("c_name"), 3).as("ml"),
+      KsqlFunctions.maskRight(col("c_name"), 3).as("mr"),
+      KsqlFunctions.maskKeepLeft(col("c_name"), 5).as("kl"),
+      KsqlFunctions.maskKeepRight(col("c_name"), 4).as("kr"))
+    assert(df.exceptAll(direct).count() == 0 && direct.exceptAll(df).count() == 0)
+  }
+
+  test("HISTOGRAM aggregates to a per-group value-count map") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT user_id, HISTOGRAM(event_type) AS h FROM events
+        |GROUP BY user_id""".stripMargin): @unchecked
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type")).count()
+    val fromMap = df.select(col("user_id"),
+      explode(col("h")).as(Seq("event_type", "count")))
+    assert(fromMap.exceptAll(direct).count() == 0
+      && direct.exceptAll(fromMap).count() == 0)
+  }
+
+  test("derived-table subquery: FROM (SELECT ...) feeds the outer query") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT etype, COUNT(*) AS cnt
+        |FROM (SELECT UCASE(event_type) AS etype, value FROM events
+        |      WHERE value > 50)
+        |GROUP BY etype""".stripMargin): @unchecked
+    val direct = Tables.events(spark, sfDir).filter(col("value") > 50)
+      .groupBy(upper(col("event_type")).as("etype")).count().withColumnRenamed("count", "cnt")
+    assert(df.exceptAll(direct).count() == 0 && direct.exceptAll(df).count() == 0)
+  }
+
   test("translated hopping window matches hand-written operator") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -167,9 +167,123 @@ object TextAnalysis {
     docs.sparkSession.createDataFrame(packed, schema)
   }
 
+  /** Benchmark-contamination detection: sliding word 8-grams of every
+    * doc, hashed; training docs sharing grams with the benchmark split
+    * are flagged with the overlap count. Both sides shuffle once on the
+    * gram hash — the join carries (hash, doc_id) only, linear in corpus
+    * size, the standard decontamination shape for training corpora.
+    */
+  def contamination(docs: DataFrame, benchMod: Int = 10,
+                    gramWords: Int = 8): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(w) - (gramWords - 2), lit(2)) - 1),
+        i => concat_ws(" ", slice(w, i, lit(gramWords)))))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("gh"))
+    val train = grams.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("gh"))
+    train.join(bench, "gh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Domain-mixture statistics: per (lang, source) doc/token counts,
+    * token share of the corpus, and an inverse-sqrt upweight — the
+    * inputs to temperature-based mixture sampling. One groupBy plus a
+    * broadcast single-row total. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val t = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).cast("long").as("n_tokens"))
+    val tot = t.agg(sum(col("n_tokens")).as("total_tokens"))
+    t.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+        round(lit(1.0) / sqrt(col("n_tokens") / col("total_tokens")), 4)
+          .as("upweight"))
+  }
+
+  /** Per-language quality band filter: keep docs between the p5 and p95
+    * quality percentiles of their language. percent_rank partitions by
+    * lang, so the sort parallelizes across languages (a global band
+    * would be one big sort — partition on the natural stratum instead).
+    */
+  def qualityBand(docs: DataFrame, lo: Double = 0.05,
+                  hi: Double = 0.95): DataFrame = {
+    val t = col("text")
+    val nWords = size(words(t))
+    val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
+    val stop = markerScore(words(t), enMarkers)
+    val punctRatio = round(punct.cast("double") / length(t), 4)
+    val stopRatio = round(stop.cast("double") / nWords, 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+      (floor((least(nWords.cast("double") / 100, lit(1.0)) * 0.5
+        + (lit(1.0) - least(punctRatio * 10, lit(1.0))) * 0.25
+        + least(stopRatio * 5, lit(1.0)) * 0.25) * 10000) / 10000).as("quality"))
+      .withColumn("pct", round(percent_rank().over(w), 6))
+      .filter(col("pct") >= lo && col("pct") <= hi)
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    "q_contamination" -> Q(
+      (s, d) => contamination(Tables.documents(s, d)),
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |    FOR i IN range(1, greatest(len(w) - 6, 2))])) AS gram
+        |  FROM w
+        |), h AS (SELECT doc_id, md5(gram) AS gh FROM c),
+        |bench AS (SELECT doc_id AS bench_id, gh FROM h WHERE doc_id % 10 = 0),
+        |train AS (SELECT doc_id AS train_id, gh FROM h WHERE doc_id % 10 <> 0)
+        |SELECT train_id, bench_id, count(*) AS n_shared
+        |FROM train JOIN bench USING (gh)
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_domain_mix" -> Q(
+      (s, d) => domainMix(Tables.documents(s, d)),
+      """WITH t AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (SELECT sum(n_tokens) AS total_tokens FROM t)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(n_tokens / total_tokens, 6) AS token_share,
+        |  round(1.0 / sqrt(n_tokens / total_tokens), 4) AS upweight
+        |FROM t CROSS JOIN tot""".stripMargin),
+
+    "q_quality_band" -> Q(
+      (s, d) => qualityBand(Tables.documents(s, d)),
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS stop
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    floor((least(n_words::DOUBLE / 100, 1.0) * 0.5
+        |      + (1.0 - least(round(punct::DOUBLE / n_chars, 4) * 10, 1.0)) * 0.25
+        |      + least(round(stop::DOUBLE / n_words, 4) * 5, 1.0) * 0.25) * 10000)
+        |      / 10000 AS quality
+        |  FROM q
+        |)
+        |SELECT doc_id, lang, quality, round(pct, 6) AS pct FROM (
+        |  SELECT doc_id, lang, quality,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY quality, doc_id) AS pct
+        |  FROM scored)
+        |WHERE pct >= 0.05 AND pct <= 0.95""".stripMargin),
+
     // URL parsing (KSQL URL_EXTRACT_* family). Test docs carry no URLs,
     // so a deterministic URL is derived from (source, doc_id) first —
     // the extraction logic is the operator under test.

@@ -147,17 +147,23 @@ object Dedup {
     */
   def fuzzyPairs(docs: DataFrame, prefixLen: Int = 60,
                  maxDist: Int = 30): DataFrame = {
+    // block on (lang, length bucket, first token): near-dup prefixes
+    // share their first token, and the extra key cuts candidate pairs
+    // by ~|vocab| — the difference between quadratic and linear here
     val d = docs.select(col("doc_id"), col("lang"),
       expr("n_chars DIV 100").as("len_bucket"),
+      split(col("text"), " ").getItem(0).as("tok0"),
       substring(col("text"), 1, prefixLen).as("pre"))
-    val a = d.select(col("lang"), col("len_bucket"),
+    val a = d.select(col("lang"), col("len_bucket"), col("tok0"),
       col("doc_id").as("id_a"), col("pre").as("pre_a"))
-    val b = d.select(col("lang"), col("len_bucket"),
+    val b = d.select(col("lang"), col("len_bucket"), col("tok0"),
       col("doc_id").as("id_b"), col("pre").as("pre_b"))
-    a.join(b, Seq("lang", "len_bucket"))
+    a.join(b, Seq("lang", "len_bucket", "tok0"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
-      .filter(col("dist") <= maxDist)
+      // 3-arg levenshtein runs the banded O(n·maxDist) algorithm and
+      // returns -1 past the bound — cheaper than the full matrix
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -263,13 +269,14 @@ object Dedup {
     "q_dedup_fuzzy" -> Q(
       (s, d) => fuzzyPairs(Tables.documents(s, d)),
       """WITH b AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS lb, substr(text, 1, 60) AS pre
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    string_split(text, ' ')[1] AS tok0, substr(text, 1, 60) AS pre
         |  FROM documents
         |)
         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(levenshtein(a.pre, c.pre) AS INT) AS dist
         |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
-        |  AND a.doc_id < c.doc_id
+        |  AND a.tok0 = c.tok0 AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.pre, c.pre) <= 30""".stripMargin),
 
     "q_dedup_embed" -> Q(

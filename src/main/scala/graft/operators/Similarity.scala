@@ -92,9 +92,11 @@ object Similarity {
     for (_ <- 1 to iters) {
       val x = vecs.crossJoin(broadcast(centroids))
         .withColumn("d", l2Distance(col("v"), col("centroid")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
-      val assigned = x.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .select(col("cell"), col("v"))
+      // argmin via min-of-struct (compares d, then cell — deterministic):
+      // a plain hash aggregate, no per-key sort like a window rank
+      val assigned = x.groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cell"), col("v"))).as("s"))
+        .select(col("s.cell").as("cell"), col("s.v").as("v"))
       centroids = meanByCell(assigned)
     }
     centroids

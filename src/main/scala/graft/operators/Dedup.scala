@@ -167,6 +167,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Connected components over a near-dup pair graph: assigns every doc
+    * in the graph its cluster id (the minimum doc_id reachable), the
+    * step that turns pairwise near-dup hits into keep-one-per-cluster
+    * decisions.
+    *
+    * Iterative min-label propagation, pure DataFrame algebra: each round
+    * every node takes the min of its own and its neighbors' labels —
+    * after k rounds labels cover the k-hop neighborhood. Near-dup
+    * clusters are clique-like (diameter ≤ a few hops), so a fixed small
+    * iteration count converges; each round is one equi-join + one
+    * groupBy on the (pairs-only) node set, linear shuffles throughout.
+    */
+  def connectedComponents(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    for (_ <- 1 to iters) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      labels = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Line/chunk-level dedup (C4/RefinedWeb style): split each doc into
     * fixed 8-word chunks, hash them, report chunks appearing in more
     * than one place with a canonical keeper. Chunking is a per-row
@@ -278,6 +304,32 @@ object Dedup {
         |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
         |  AND a.tok0 = c.tok0 AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.pre, c.pre) <= 30""".stripMargin),
+
+    "q_dedup_components" -> Q(
+      (s, d) => connectedComponents(fuzzyPairs(Tables.documents(s, d))),
+      """WITH RECURSIVE fp AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM (SELECT doc_id, lang, n_chars // 100 AS lb,
+        |          string_split(text,' ')[1] AS tok0, substr(text,1,60) AS pre
+        |        FROM documents) a
+        |  JOIN (SELECT doc_id, lang, n_chars // 100 AS lb,
+        |          string_split(text,' ')[1] AS tok0, substr(text,1,60) AS pre
+        |        FROM documents) c
+        |    ON a.lang = c.lang AND a.lb = c.lb AND a.tok0 = c.tok0
+        |   AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.pre, c.pre) <= 30
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM fp
+        |  UNION SELECT id_b, id_a FROM fp
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, lbl) AS (
+        |  SELECT src, dst FROM edges WHERE dst < src
+        |  UNION
+        |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
+        |  WHERE w.lbl < e.src
+        |), comp AS (SELECT id, min(lbl) AS c FROM walk GROUP BY id)
+        |SELECT n.id AS doc_id, coalesce(comp.c, n.id) AS component
+        |FROM nodes n LEFT JOIN comp ON n.id = comp.id""".stripMargin),
 
     "q_dedup_embed" -> Q(
       (s, d) => embeddingPairs(Tables.embeddings(s, d)),

@@ -65,6 +65,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("connected components resolve transitive chains to the min label") {
+    import spark.implicits._
+    val pairs = Seq((1L, 5L), (5L, 9L), (9L, 12L), (2L, 3L), (20L, 7L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L,
+      2L -> 2L, 3L -> 2L, 7L -> 7L, 20L -> 7L))
+  }
+
   test("k-means iterations reduce (never increase) within-cluster distortion") {
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

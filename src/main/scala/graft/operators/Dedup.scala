@@ -181,14 +181,23 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, iters: Int = 8): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // self-loops fold "keep own label" into the join, so each round
+    // references the label frame exactly ONCE — referencing it twice
+    // (union + join) doubles the logical plan per round, i.e. 2^iters
+    // re-executions of the pair-generation lineage. The edge set is
+    // reused by every round → persist it.
+    val edges = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     for (_ <- 1 to iters) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("component"))
-      labels = labels.union(nbr)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+      labels = edges
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("component"))
     }
     labels.select(col("id").as("doc_id"), col("component"))
   }

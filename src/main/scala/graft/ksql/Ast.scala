@@ -30,7 +30,9 @@ case class SelectStmt(
     having: Option[String],
     partitionBy: Option[String],
     emitChanges: Boolean,
-    fromSub: Option[SelectStmt] = None)       // derived table: FROM (SELECT ...)
+    fromSub: Option[SelectStmt] = None,       // derived table: FROM (SELECT ...)
+    orderBy: Seq[(String, Boolean)] = Seq.empty, // (expr, descending)
+    limit: Option[Int] = None)
 
 sealed trait Statement
 case class CreateSource(

@@ -153,7 +153,8 @@ object Parser {
   }
 
   private val selectStops = Set("FROM", "WHERE", "WINDOW", "GROUP", "HAVING",
-    "PARTITION", "EMIT", "JOIN", "INNER", "LEFT", "ON", "WITHIN", ",", ")")
+    "PARTITION", "EMIT", "JOIN", "INNER", "LEFT", "ON", "WITHIN", ",", ")",
+    "ORDER", "LIMIT")
 
   private def parseSelect(p: P): SelectStmt = {
     p.expect("SELECT")
@@ -222,9 +223,22 @@ object Parser {
     } else Seq.empty
     val having = if (p.accept("HAVING")) Some(exprUntil(p, selectStops - ",")) else None
     val partitionBy = if (p.accept("PARTITION")) { p.expect("BY"); Some(p.next().text) } else None
+    val orderBy = if (p.accept("ORDER")) {
+      p.expect("BY")
+      val os = Seq.newBuilder[(String, Boolean)]
+      var m = true
+      while (m) {
+        val e = exprUntil(p, selectStops ++ Set("AS", "DESC", "ASC"))
+        val desc = if (p.accept("DESC")) true else { p.accept("ASC"); false }
+        os += (e -> desc)
+        m = p.accept(",")
+      }
+      os.result()
+    } else Seq.empty
+    val limit = if (p.accept("LIMIT")) Some(p.next().text.toInt) else None
     val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
     SelectStmt(cols.result(), from, fromAlias, join, where, window,
-      groupBy, having, partitionBy, emit, fromSub)
+      groupBy, having, partitionBy, emit, fromSub, orderBy, limit)
   }
 
   // column-level expressions additionally stop at AS (aliases); CAST(x AS

@@ -228,7 +228,16 @@ object Translator {
       }
 
     val withHaving = s.having.fold(projected)(h => projected.filter(expr(rewriteExpr(h))))
-    s.partitionBy.fold(withHaving)(k => withHaving.repartition(col(k)))
+    val keyed = s.partitionBy.fold(withHaving)(k => withHaving.repartition(col(k)))
+    // ORDER BY + LIMIT (KSQL pull-query tail): Catalyst plans the pair
+    // as TakeOrderedAndProject — a per-partition top-k then a k-row
+    // merge, never a global sort of the full input
+    val ordered =
+      if (s.orderBy.isEmpty) keyed
+      else keyed.orderBy(s.orderBy.map { case (e, desc) =>
+        val c = expr(rewriteExpr(e)); if (desc) c.desc else c.asc
+      }: _*)
+    s.limit.fold(ordered)(ordered.limit)
   }
 
   /** Execute one statement. CSAS/CTAS register the result back into the

@@ -87,6 +87,25 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN etype_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
         |FROM e GROUP BY etype_n""".stripMargin),
 
+    // calendar field extraction + day truncation (UTC both engines)
+    "q_time_parts" -> Q(
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"), second(col("ts")).as("sec"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_start_ms"),
+        unix_millis(col("ts")).as("ts_ms")),
+      """SELECT event_id,
+        |  CAST(date_part('year', ts) AS INT) AS y,
+        |  CAST(date_part('month', ts) AS INT) AS mo,
+        |  CAST(date_part('day', ts) AS INT) AS d,
+        |  CAST(date_part('hour', ts) AS INT) AS h,
+        |  CAST(date_part('minute', ts) AS INT) AS mi,
+        |  CAST(floor(date_part('second', ts)) AS INT) AS sec,
+        |  epoch_ms(date_trunc('day', ts)) AS day_start_ms,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events""".stripMargin),
+
     // ---- §2.2 scalar functions ---------------------------------------
     "q_scalar_string" -> Q(
       (s, d) => Tables.documents(s, d).select(

@@ -26,6 +26,13 @@ object Sources {
   def json(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** ORC: the other columnar format Spark ships natively — same pushdown
+    * and pruning posture as parquet. */
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def orcSink(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   // ---- streaming -----------------------------------------------------
   /** Streaming file source — the test/CI stand-in for a topic. */
   def fileStream(s: SparkSession, path: String, schema: StructType,

@@ -203,6 +203,22 @@ class KsqlSpec extends SparkSpec {
     assert(df.exceptAll(direct).count() == 0 && direct.exceptAll(df).count() == 0)
   }
 
+  test("ORDER BY + LIMIT translate to a top-k plan") {
+    val catalog: Translator.Catalog =
+      Map("orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1000
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin): @unchecked
+    val direct = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 1000)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice")).limit(5)
+    assert(df.collect().toSeq == direct.collect().toSeq)
+    // ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    // top-k + k-row merge), not a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("translated hopping window matches hand-written operator") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

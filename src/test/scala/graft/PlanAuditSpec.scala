@@ -95,4 +95,43 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("tfidf top-k gets the map-side rank prune (WindowGroupLimit)") {
+    val p = plan("q_tfidf")
+    // Spark inserts WindowGroupLimit below the rank shuffle: each map
+    // task forwards at most k rows per doc instead of every (doc, term)
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("bm25 prunes to query terms and plans the top-n as TakeOrdered") {
+    val df = SparkEntry.queries("q_bm25")(spark, sfDir)
+    val op = df.queryExecution.optimizedPlan.toString
+    // the term IN (...) prefilter must survive optimization (it keeps
+    // the tf shuffle to matching terms only)
+    assert(op.contains("INSET") || op.contains("IN ("), op.take(3000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("contamination join carries only gram hashes (equi-join, no cartesian)") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("fuzzy dedup joins on the full blocking key") {
+    val df = SparkEntry.queries("q_dedup_fuzzy")(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    // all three blocking columns must be join keys, not post-join filters
+    assert(p.contains("lang") && p.contains("len_bucket") && p.contains("tok0"),
+      p.take(3000))
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("scalar-subquery shape broadcasts the one-row aggregate") {
+    val df = SparkEntry.queries("q_subquery_scalar")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
+  }
 }

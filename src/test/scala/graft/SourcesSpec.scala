@@ -24,6 +24,14 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("orc round-trips with schema and value equality") {
+    val df = Tables.customer(spark, sfDir)
+    Sources.orcSink(df, s"$tmp/orc")
+    val back = Sources.orc(spark, s"$tmp/orc")
+    assert(back.schema == df.schema)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
+
   test("streaming file source reads with declared schema") {
     val df = Tables.region(spark, sfDir)
     df.write.mode("overwrite").parquet(s"$tmp/stream-in")

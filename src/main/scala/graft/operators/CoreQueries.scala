@@ -87,6 +87,36 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN etype_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
         |FROM e GROUP BY etype_n""".stripMargin),
 
+    // JSON payload as a MAP column: parse once, then pure map algebra
+    // (keys, lookup, typed cast) — the KSQL MAP<K,V> surface over the
+    // topic payload
+    "q_map_json" -> Q(
+      (s, d) => {
+        val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+        Tables.events(s, d).select(col("event_id"),
+          concat_ws(",", sort_array(map_keys(m))).as("keys_sorted"),
+          element_at(m, "k").as("k_val"),
+          element_at(m, "k").cast("int").as("k_int"))
+      },
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys_sorted,
+        |  props->>'$.k' AS k_val,
+        |  CAST(props->>'$.k' AS INT) AS k_int
+        |FROM events""".stripMargin),
+
+    // boolean aggregates + filtered count
+    "q_bool_agg" -> Q(
+      (s, d) => Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("bool_and(value > 1)").as("all_gt1"),
+          expr("bool_or(value > 99)").as("any_gt99"),
+          count(when(col("value") > 50, 1)).as("n_hi")),
+      """SELECT event_type, bool_and(value > 1) AS all_gt1,
+        |  bool_or(value > 99) AS any_gt99,
+        |  CAST(count(*) FILTER (value > 50) AS BIGINT) AS n_hi
+        |FROM events GROUP BY event_type""".stripMargin),
+
     // calendar field extraction + day truncation (UTC both engines)
     "q_time_parts" -> Q(
       (s, d) => Tables.events(s, d).select(col("event_id"),

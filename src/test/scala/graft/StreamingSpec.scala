@@ -221,6 +221,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming contamination check: doc stream vs static benchmark grams") {
+    // the batch contamination op's gram projection applied to a stream,
+    // joined against a STATIC benchmark gram set — stream-static joins
+    // need no watermark and broadcast the (small) benchmark side
+    val mem = MemoryStream[(Long, String)](spark)
+    val gram = (df: org.apache.spark.sql.DataFrame) => df.select(col("doc_id"),
+      explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 6, 2) - 1),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 8))))""".stripMargin)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = gram(Seq((100L, benchText)).toDF("doc_id", "text"))
+      .select(col("doc_id").as("bench_id"), col("gh"))
+    val stream = gram(mem.toDF().toDF("doc_id", "text"))
+    val flagged = stream.join(broadcast(bench), "gh")
+      .select(col("doc_id"), col("bench_id"))
+    val q = flagged.writeStream.format("memory").queryName("scontam")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (1L, "prefix words then " + benchText + " trailing content here"),
+      (2L, "totally unrelated text with no overlap whatsoever in any gram window"))
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("scontam").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), s"got $hits")
+  }
+
   test("CSAS restart from checkpoint is exactly-once (no dup, no loss)") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val mem = MemoryStream[Ev](spark)

@@ -33,6 +33,18 @@ object WindowQueries {
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
 
+    // windowed distinct cardinality: unique users per (hour, event_type)
+    "q_window_distinct" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("cnt"))
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("event_type"), col("n_users"), col("cnt")),
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws,
+        |  event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
     // WINDOW HOPPING (SIZE 1 HOUR, ADVANCE BY 30 MINUTES) — each row lands
     // in size/slide = 2 windows.
     "q_window_hopping" -> Q(

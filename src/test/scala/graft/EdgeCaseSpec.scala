@@ -31,6 +31,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(joined.filter(col("a.h") =!= col("b.h")).count() == 0)
   }
 
+  test("fuzzy pairs find the unicode exact-dup, skip the rest") {
+    val p = Dedup.fuzzyPairs(weird).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((4L, 5L)))
+  }
+
+  test("connected components of an empty pair set is empty") {
+    val none = weird.filter(col("doc_id") < 0)
+      .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+    assert(Dedup.connectedComponents(none).count() == 0)
+  }
+
+  test("tfidf/domain-mix survive empty and single-word docs") {
+    import graft.operators.Search
+    val tfidf = Search.tfIdfTopK(weird, k = 2)
+    assert(tfidf.filter(col("doc_id") === 2L).count() >= 1)
+    val mix = TextAnalysis.domainMix(weird)
+    assert(mix.agg(sum("n_docs")).head.getLong(0) == 6L)
+  }
+
   test("native stableHash32 equals the SQL formulation (incl. unicode)") {
     val d = weird.select(
       TextFunctions.stableHash32(col("text")).as("native"),

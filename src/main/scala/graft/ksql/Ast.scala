@@ -45,3 +45,5 @@ case class InsertInto(target: String, select: SelectStmt) extends Statement
 case class Query(select: SelectStmt) extends Statement
 case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABLES
 case class Describe(name: String) extends Statement
+case class DropSource(name: String, ifExists: Boolean) extends Statement
+case class ExplainStmt(select: SelectStmt) extends Statement

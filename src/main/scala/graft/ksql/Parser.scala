@@ -89,6 +89,12 @@ object Parser {
         else { p.expect("STREAMS"); ShowSources(tables = false) }
       } else if (p.accept("DESCRIBE")) {
         Describe(p.next().text)
+      } else if (p.accept("DROP")) {
+        if (!p.accept("STREAM")) p.expect("TABLE")
+        val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+        DropSource(p.next().text, ifExists)
+      } else if (p.accept("EXPLAIN")) {
+        ExplainStmt(parseSelect(p))
       } else Query(parseSelect(p))
     stmt
   }

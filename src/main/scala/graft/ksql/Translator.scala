@@ -304,6 +304,16 @@ object Translator {
           throw new IllegalArgumentException(s"unknown source $name"))
         val rows = src.df.schema.map(f => (f.name, f.dataType.simpleString))
         (catalog, Some(rows.toDF("column", "type")))
+      case DropSource(name, ifExists) =>
+        if (!ifExists && !catalog.contains(name.toLowerCase))
+          throw new IllegalArgumentException(s"unknown source $name")
+        (catalog - name.toLowerCase, None)
+      case ExplainStmt(sel) =>
+        import spark.implicits._
+        val df = select(spark, catalog, sel)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        (catalog, Some(Seq(plan).toDF("plan")))
     }
   }
 

@@ -272,6 +272,24 @@ class KsqlSpec extends SparkSpec {
     assert(df.filter(col("we") - col("ws") =!= 3600000L).count() == 0)
   }
 
+  test("DROP removes a source; EXPLAIN returns the physical plan") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (cat2, _) = Translator.run(spark, catalog, "DROP STREAM events")
+    assert(!cat2.contains("events"))
+    // IF EXISTS tolerates a missing name; bare DROP does not
+    val (cat3, _) = Translator.run(spark, cat2, "DROP STREAM IF EXISTS events")
+    assert(cat3.isEmpty)
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, cat3, "DROP TABLE events")
+    }
+    val (_, Some(plan)) = Translator.run(spark, catalog,
+      "EXPLAIN SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+    ): @unchecked
+    val txt = plan.head.getString(0)
+    assert(txt.contains("HashAggregate") && txt.contains("Physical Plan"))
+  }
+
   test("SHOW STREAMS and DESCRIBE return catalog metadata") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -95,9 +95,11 @@ class SourcesSpec extends SparkSpec {
     Sinks.partitionedParquet(Tables.nation(spark, sfDir), s"$tmp/part", Seq("n_regionkey"))
     val dirs = new java.io.File(s"$tmp/part").listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("n_regionkey=")))
-    // partition pruning: reading one partition touches one directory
+    // partition pruning must reach the scan: the filter shows up as a
+    // PartitionFilter (directory skip), not a post-scan row filter
     val one = spark.read.parquet(s"$tmp/part").filter(col("n_regionkey") === 0)
     val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("n_regionkey"), p.take(2000))
     assert(one.count() > 0)
   }
 }

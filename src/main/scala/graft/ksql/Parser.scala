@@ -96,6 +96,9 @@ object Parser {
       } else if (p.accept("EXPLAIN")) {
         ExplainStmt(parseSelect(p))
       } else Query(parseSelect(p))
+    // a statement must consume its whole input — trailing tokens mean a
+    // clause was silently dropped (the worst failure mode for a dialect)
+    if (!p.done) p.fail(s"unexpected trailing token '${p.peek.text}'")
     stmt
   }
 
@@ -241,8 +244,12 @@ object Parser {
       }
       os.result()
     } else Seq.empty
-    val limit = if (p.accept("LIMIT")) Some(p.next().text.toInt) else None
+    // LIMIT may sit either side of EMIT CHANGES (pull queries put it
+    // last; push queries write EMIT CHANGES LIMIT n)
+    val limit0 = if (p.accept("LIMIT")) Some(p.next().text.toInt) else None
     val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
+    val limit = limit0.orElse(
+      if (p.accept("LIMIT")) Some(p.next().text.toInt) else None)
     SelectStmt(cols.result(), from, fromAlias, join, where, window,
       groupBy, having, partitionBy, emit, fromSub, orderBy, limit)
   }

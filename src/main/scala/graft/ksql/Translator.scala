@@ -143,7 +143,11 @@ object Translator {
     // derived table (FROM (SELECT ...)) recurses; a named FROM resolves
     // through the catalog
     val src: Source = s.fromSub match {
-      case Some(sub) => Source(select(spark, catalog, sub), resolveTime(catalog, sub))
+      case Some(sub) =>
+        // s.from carries the derived table's alias — apply it so
+        // qualified references (a.col) resolve against the subquery
+        Source(select(spark, catalog, sub).alias(s.from),
+          resolveTime(catalog, sub))
       case None => catalog.getOrElse(s.from.toLowerCase,
         throw new IllegalArgumentException(s"unknown source ${s.from}"))
     }

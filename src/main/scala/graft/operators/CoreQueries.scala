@@ -101,7 +101,7 @@ object CoreQueries {
           element_at(m, "k").cast("int").as("k_int"))
       },
       """SELECT event_id,
-        |  array_to_string(json_keys(props), ',') AS keys_sorted,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
         |  props->>'$.k' AS k_val,
         |  CAST(props->>'$.k' AS INT) AS k_int
         |FROM events""".stripMargin),

@@ -182,11 +182,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, iters: Int = 8): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    // self-loops fold "keep own label" into the join, so each round
-    // references the label frame exactly ONCE — referencing it twice
-    // (union + join) doubles the logical plan per round, i.e. 2^iters
-    // re-executions of the pair-generation lineage. The edge set is
-    // reused by every round → persist it.
+    // self-loops fold "keep own label" into the join. The edge set is
+    // reused by every round → persist it (unpersisted after the final
+    // labels are materialized).
     val edges = sym
       .union(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
@@ -194,11 +192,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     for (_ <- 1 to iters) {
-      labels = edges
+      // 1-hop min-label propagation ...
+      val prop = edges
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("component"))
+        // ... then path halving: follow the label's own label, doubling
+        // the effective reach per round (diameter 2^iters, not iters).
+        // localCheckpoint truncates lineage — the label frame is
+        // referenced twice below, and without truncation the logical
+        // plan doubles every round
+        .localCheckpoint(true)
+      labels = prop
+        .join(prop.select(col("id").as("component"),
+          col("component").as("root")), "component")
+        .select(col("id"), col("root").as("component"))
+        .localCheckpoint(true)
     }
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))
   }
 

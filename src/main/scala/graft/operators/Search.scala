@@ -64,13 +64,23 @@ object Search {
   }
 
   /** Inverted index: term → document frequency + sorted posting sample.
-    * Postings are collected per term — bounded by corpus df, and the
-    * sample slice keeps the output row small regardless of df. */
-  def invertedIndex(docs: DataFrame, sampleSize: Int = 5): DataFrame =
-    tokens(docs).groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"),
-        concat_ws(",", slice(sort_array(collect_set(col("doc_id"))), 1, sampleSize))
-          .as("sample_postings"))
+    * The sample is pruned BEFORE any per-term collection: a rank window
+    * over distinct (term, doc) pairs gets Spark's WindowGroupLimit
+    * map-side prune, so no aggregation buffer ever holds more than
+    * `sampleSize` postings — collecting all of a stop-word's postings
+    * and slicing afterwards would be an O(df) hot-key buffer. */
+  def invertedIndex(docs: DataFrame, sampleSize: Int = 5): DataFrame = {
+    val td = tokens(docs).groupBy(col("term"), col("doc_id")).agg(count(lit(1)))
+      .select(col("term"), col("doc_id"))
+    val dfq = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id").asc)
+    val sample = td.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sampleSize)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("sample_postings"))
+    dfq.join(sample, "term")
+  }
 
   // ---- driver-verifiable entries ------------------------------------
 

@@ -88,7 +88,11 @@ object Similarity {
       .select(col("cell"), col("dm.m").as("centroid"))
     val seeded = vecs.withColumn("cell",
       pmod(crc32(col("vec_id").cast("string")), lit(nCells)))
-    var centroids = meanByCell(seeded)
+    // localCheckpoint each round: the centroid table is nCells rows but
+    // its lineage embeds a full corpus pass per iteration — downstream
+    // consumers (corpus AND probe assignment both broadcast it) would
+    // otherwise re-execute the whole chain once per reference
+    var centroids = meanByCell(seeded).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val x = vecs.crossJoin(broadcast(centroids))
         .withColumn("d", l2Distance(col("v"), col("centroid")))
@@ -97,7 +101,7 @@ object Similarity {
       val assigned = x.groupBy(col("vec_id"))
         .agg(min(struct(col("d"), col("cell"), col("v"))).as("s"))
         .select(col("s.cell").as("cell"), col("s.v").as("v"))
-      centroids = meanByCell(assigned)
+      centroids = meanByCell(assigned).localCheckpoint(true)
     }
     centroids
   }

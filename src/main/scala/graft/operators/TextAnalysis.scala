@@ -18,6 +18,17 @@ object TextAnalysis {
   private def markerScore(ws: org.apache.spark.sql.Column, markers: Seq[String]) =
     size(filter(ws, w => w.isInCollection(markers)))
 
+  /** The composite quality score, shared by qualityScores / curate /
+    * qualityBand (and mirrored by each SQL oracle). Floor-truncated to
+    * 4 decimals: both engines compute the same double, and floor is
+    * unambiguous at .5 boundaries where their round() differ. */
+  private def qualityExpr(nWords: org.apache.spark.sql.Column,
+                          punctRatio: org.apache.spark.sql.Column,
+                          stopRatio: org.apache.spark.sql.Column) =
+    floor((least(nWords.cast("double") / 100, lit(1.0)) * 0.5
+      + (lit(1.0) - least(punctRatio * 10, lit(1.0))) * 0.25
+      + least(stopRatio * 5, lit(1.0)) * 0.25) * 10000) / 10000
+
   /** Marker-word language ID (deterministic, SQL-replayable). */
   def languageId(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
@@ -47,12 +58,7 @@ object TextAnalysis {
       round(digits.cast("double") / nChars, 4).as("digit_ratio"),
       round(stop.cast("double") / nWords, 4).as("stopword_ratio"))
       .withColumn("quality",
-        // floor-truncate instead of round: both engines compute the same
-        // double, and floor is unambiguous at .5 boundaries where their
-        // round() implementations differ
-        (floor((least(col("n_words").cast("double") / 100, lit(1.0)) * 0.5
-          + (lit(1.0) - least(col("punct_ratio") * 10, lit(1.0))) * 0.25
-          + least(col("stopword_ratio") * 5, lit(1.0)) * 0.25) * 10000) / 10000).as("quality"))
+        qualityExpr(col("n_words"), col("punct_ratio"), col("stopword_ratio")))
   }
 
   /** Token counts: whitespace, BPE-ish regex pieces, chars/4 estimate. */
@@ -94,9 +100,7 @@ object TextAnalysis {
     val stopRatio = round(stop.cast("double") / nWords, 4)
     val metrics = docs.select(col("doc_id"),
       nWords.as("n_words"),
-      (floor((least(nWords.cast("double") / 100, lit(1.0)) * 0.5
-        + (lit(1.0) - least(punctRatio * 10, lit(1.0))) * 0.25
-        + least(stopRatio * 5, lit(1.0)) * 0.25) * 10000) / 10000).as("quality"),
+      qualityExpr(nWords, punctRatio, stopRatio).as("quality"),
       nWords.as("ws_tokens"),
       ceil(length(t) / lit(4.0)).cast("long").as("est_bpe_tokens"))
     keep.join(metrics, "doc_id")
@@ -222,11 +226,13 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
     docs.select(col("doc_id"), col("lang"),
-      (floor((least(nWords.cast("double") / 100, lit(1.0)) * 0.5
-        + (lit(1.0) - least(punctRatio * 10, lit(1.0))) * 0.25
-        + least(stopRatio * 5, lit(1.0)) * 0.25) * 10000) / 10000).as("quality"))
-      .withColumn("pct", round(percent_rank().over(w), 6))
-      .filter(col("pct") >= lo && col("pct") <= hi)
+      qualityExpr(nWords, punctRatio, stopRatio).as("quality"))
+      // filter on the RAW rank (the contract), round only for display —
+      // filtering on the rounded value would shift the band edges
+      .withColumn("pct_raw", percent_rank().over(w))
+      .filter(col("pct_raw") >= lo && col("pct_raw") <= hi)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        round(col("pct_raw"), 6).as("pct"))
   }
 
   // ---- driver-verifiable entries ------------------------------------

@@ -75,6 +75,16 @@ class DedupSimilaritySpec extends SparkSpec {
       2L -> 2L, 3L -> 2L, 7L -> 7L, 20L -> 7L))
   }
 
+  test("connected components converge on a chain longer than the round count") {
+    import spark.implicits._
+    // a 40-node path with ids ordered AGAINST the propagation direction:
+    // 1-hop-per-round would need 39 rounds; path halving covers 2^8
+    val chain = (1 to 39).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 40 && comp.values.forall(_ == 1L), s"got $comp")
+  }
+
   test("k-means iterations reduce (never increase) within-cluster distortion") {
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

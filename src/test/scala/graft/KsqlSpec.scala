@@ -190,6 +190,30 @@ class KsqlSpec extends SparkSpec {
       && direct.exceptAll(fromMap).count() == 0)
   }
 
+  test("EMIT CHANGES LIMIT n applies the limit (push-query form)") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      "SELECT event_id FROM events EMIT CHANGES LIMIT 7"): @unchecked
+    assert(df.count() == 7)
+    // trailing garbage must be a parse error, never silently dropped
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog, "SELECT event_id FROM events BOGUS TRAILING")
+    }
+  }
+
+  test("aliased derived table resolves qualified column references") {
+    val catalog: Translator.Catalog =
+      Map("docs" -> Translator.Source(Tables.documents(spark, sfDir), "doc_id"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT a.lang, COUNT(*) AS cnt
+        |FROM (SELECT lang FROM docs WHERE n_chars > 100) a
+        |GROUP BY a.lang""".stripMargin): @unchecked
+    val direct = Tables.documents(spark, sfDir).filter(col("n_chars") > 100)
+      .groupBy("lang").count()
+    assert(df.count() == direct.count())
+  }
+
   test("derived-table subquery: FROM (SELECT ...) feeds the outer query") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

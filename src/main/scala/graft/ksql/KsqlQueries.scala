@@ -108,6 +108,22 @@ object KsqlQueries {
         |SELECT lang, count(*) AS cnt, max(n_chars2) AS max_chars
         |FROM big_docs GROUP BY lang""".stripMargin),
 
+    // subquery predicate: correlated NOT EXISTS through the dialect
+    "q_ksql_exists" -> Q(
+      (s, d) => {
+        val q =
+          """SELECT c_custkey, c_name FROM customer c
+            |WHERE NOT EXISTS (SELECT 1 FROM orders o
+            |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"""
+            .stripMargin
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d), q): @unchecked
+        df
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"""
+        .stripMargin),
+
     // derived-table subquery: aggregation over an inline SELECT
     "q_ksql_subquery" -> Q(
       (s, d) => {

@@ -180,7 +180,19 @@ object Translator {
       df = df.join(rside, cond, j.joinType)
     }
 
-    s.where.foreach(w => df = df.filter(expr(rewriteExpr(w))))
+    s.where.foreach { w =>
+      val rw = rewriteExpr(w)
+      // subquery predicates (EXISTS / IN (SELECT ...)) can't live in a
+      // Column expression — route the filter through Spark's SQL parser
+      // over catalog-registered views; Catalyst plans them as semi/anti
+      // joins (broadcast when the subquery side is small)
+      if (raw"(?i)\(\s*select\b".r.findFirstIn(rw).isDefined) {
+        catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
+        val vn = s.fromAlias.getOrElse(s.from)
+        df.createOrReplaceTempView(vn)
+        df = spark.sql(s"SELECT * FROM $vn WHERE $rw")
+      } else df = df.filter(expr(rw))
+    }
 
     val projected: DataFrame =
       if (s.groupBy.nonEmpty || s.window.isDefined) {

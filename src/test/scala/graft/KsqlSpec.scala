@@ -202,6 +202,36 @@ class KsqlSpec extends SparkSpec {
     }
   }
 
+  test("WHERE EXISTS / IN subqueries plan as semi and anti joins") {
+    val catalog: Translator.Catalog = Map(
+      "customer" -> Translator.Source(Tables.customer(spark, sfDir), "c_custkey"),
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"))
+    val (_, Some(semi)) = Translator.run(spark, catalog,
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+        .stripMargin): @unchecked
+    val directSemi = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+    assert(semi.count() == directSemi.count())
+    assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+
+    val (_, Some(anti)) = Translator.run(spark, catalog,
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+        .stripMargin): @unchecked
+    assert(anti.count() == Tables.customer(spark, sfDir).count() - semi.count())
+
+    val (_, Some(in)) = Translator.run(spark, catalog,
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"""
+        .stripMargin): @unchecked
+    val directIn = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir).filter(col("c_acctbal") > 9000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(in.count() == directIn.count() && in.count() > 0)
+  }
+
   test("aliased derived table resolves qualified column references") {
     val catalog: Translator.Catalog =
       Map("docs" -> Translator.Source(Tables.documents(spark, sfDir), "doc_id"))

@@ -246,10 +246,16 @@ object Parser {
     } else Seq.empty
     // LIMIT may sit either side of EMIT CHANGES (pull queries put it
     // last; push queries write EMIT CHANGES LIMIT n)
-    val limit0 = if (p.accept("LIMIT")) Some(p.next().text.toInt) else None
+    def limitOperand(): Int = {
+      val t = p.next()
+      if (t.isString || !t.text.matches("\\d+"))
+        p.fail(s"LIMIT expects an integer literal, got '${t.text}'")
+      t.text.toInt
+    }
+    val limit0 = if (p.accept("LIMIT")) Some(limitOperand()) else None
     val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
     val limit = limit0.orElse(
-      if (p.accept("LIMIT")) Some(p.next().text.toInt) else None)
+      if (p.accept("LIMIT")) Some(limitOperand()) else None)
     SelectStmt(cols.result(), from, fromAlias, join, where, window,
       groupBy, having, partitionBy, emit, fromSub, orderBy, limit)
   }

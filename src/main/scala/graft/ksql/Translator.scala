@@ -23,6 +23,14 @@ object Translator {
                           watermark: String = "10 minutes")
   type Catalog = Map[String, Source]
 
+  // Subquery predicates route through spark.sql over temp views, which
+  // are SESSION-GLOBAL mutable state — Bench runs statements concurrently
+  // on one SparkSession, so the register→analyze→drop span must be
+  // atomic, and the outer frame needs a name that can never shadow a
+  // catalog source.
+  private val viewLock = new Object
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong
+
   // KSQL function name → Spark SQL rewrite. Applied token-wise, case-
   // insensitively, only at word boundaries followed by '('.
   private val fnRename: Map[String, String] = Map(
@@ -41,6 +49,48 @@ object Translator {
     "INITCAP" -> "initcap", "LPAD" -> "lpad", "RPAD" -> "rpad",
     "INSTR" -> "instr", "ARRAY_LENGTH" -> "size",
     "REGEXP_EXTRACT" -> "regexp_extract")
+
+  /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
+    * balanced parens (quote-aware) so nested calls and arbitrary
+    * expressions survive as arguments — a `[^,()]+` regex silently
+    * skips MASK_LEFT(UCASE(x), n) and surfaces later as an opaque
+    * unresolved-function error from Spark's parser. After each
+    * replacement the string is rescanned; replacement text never
+    * reintroduces `name`, so the loop terminates. */
+  private def rewriteCall(sql: String, name: String)(f: Seq[String] => String): String = {
+    val re = raw"(?i)\b$name\s*\(".r
+    @annotation.tailrec
+    def loop(s: String): String = re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = m.end - 1
+        var i = open; var depth = 0; var close = -1; var inStr = false
+        var argStart = open + 1
+        val args = Seq.newBuilder[String]
+        while (close < 0 && i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\'') inStr = !inStr
+          else if (!inStr) c match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case ',' if depth == 1 =>
+              args += s.substring(argStart, i).trim; argStart = i + 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0)
+          throw new IllegalArgumentException(s"unbalanced parens in $name(…): $s")
+        val last = s.substring(argStart, close).trim
+        val all = args.result() ++ (if (last.nonEmpty || args.result().nonEmpty) Seq(last) else Nil)
+        loop(s.substring(0, m.start) + f(all) + s.substring(close + 1))
+    }
+    loop(sql)
+  }
+
+  private def arity(name: String, args: Seq[String], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.length}: (${args.mkString(", ")})")
 
   /** MASK(x) family → nested regexp_replace chains (no UDF). Semantics
     * mirror graft.functions.KsqlFunctions (upper→X, lower→x, digit→n;
@@ -64,18 +114,22 @@ object Translator {
           s"concat(${chain(s"substring($x, 1, length($x) - $n)")}, " +
           s"substring($x, length($x) - $n + 1, $n)))"))
     val expanded = variants.foldLeft(sql) { case (acc, (name, f)) =>
-      raw"(?i)\b$name\s*\(([^,()]+),\s*(\d+)\s*\)".r
-        .replaceAllIn(acc, m => f(m.group(1).trim, m.group(2)))
+      rewriteCall(acc, name) { args =>
+        arity(name, args, 2); f(args(0), args(1))
+      }
     }
-    raw"(?i)\bMASK\s*\(([^()]*)\)".r.replaceAllIn(expanded, m => chain(m.group(1)))
+    rewriteCall(expanded, "MASK") { args =>
+      arity("MASK", args, 1); chain(args.head)
+    }
   }
 
   /** HISTOGRAM(x) → map<string,bigint> of value counts, built by
     * run-length-encoding the sorted collect_list — one aggregate, no
     * UDAF, no duplicate-map-key hazard. */
   private def expandHistogram(sql: String): String =
-    raw"(?i)\bHISTOGRAM\s*\(([^()]*)\)".r.replaceAllIn(sql, m => {
-      val x = m.group(1).trim
+    rewriteCall(sql, "HISTOGRAM") { args =>
+      arity("HISTOGRAM", args, 1)
+      val x = args.head
       s"""map_from_entries(aggregate(
          |  sort_array(collect_list(cast($x as string))),
          |  cast(array() as array<struct<k: string, v: bigint>>),
@@ -84,35 +138,42 @@ object Translator {
          |      array(named_struct('k', e, 'v', element_at(acc, -1).v + 1))),
          |    concat(acc, array(named_struct('k', e, 'v', cast(1 as bigint)))))))"""
         .stripMargin.replaceAll("\n", " ")
-    })
+    }
 
   /** KSQL time functions work in epoch MILLIS (BIGINT), Spark's in
     * TIMESTAMPs — a name rename alone would change the result type, so
     * these expand to the millis-preserving forms. */
   private def expandTimeFns(sql: String): String = {
-    val s1 = raw"(?i)\bSTRINGTOTIMESTAMP\s*\(([^()]*)\)".r
-      .replaceAllIn(sql, m => s"unix_millis(to_timestamp(${m.group(1)}))")
-    raw"(?i)\bTIMESTAMPTOSTRING\s*\(([^,()]+),\s*([^()]*)\)".r
-      .replaceAllIn(s1, m => s"date_format(timestamp_millis(${m.group(1)}), ${m.group(2)})")
+    val s1 = rewriteCall(sql, "STRINGTOTIMESTAMP")(args =>
+      s"unix_millis(to_timestamp(${args.mkString(", ")}))")
+    rewriteCall(s1, "TIMESTAMPTOSTRING") { args =>
+      arity("TIMESTAMPTOSTRING", args, 2)
+      s"date_format(timestamp_millis(${args(0)}), ${args(1)})"
+    }
   }
 
   /** GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) → haversine formula. */
   private def expandGeo(sql: String): String =
-    raw"(?i)\bGEO_DISTANCE\s*\(([^()]*)\)".r.replaceAllIn(sql, m => {
-      val args = m.group(1).split(",").map(_.trim)
-      val Array(lat1, lon1, lat2, lon2) = args.take(4)
+    rewriteCall(sql, "GEO_DISTANCE") { args =>
+      if (args.length < 4) throw new IllegalArgumentException(
+        s"GEO_DISTANCE expects (lat1, lon1, lat2, lon2[, unit]), got ${args.length} args")
+      val Seq(lat1, lon1, lat2, lon2) = args.take(4)
       val r = if (args.length > 4 && args(4).toUpperCase.contains("MI")) 3959.0 else 6371.0
       s"(2 * $r * asin(sqrt(pow(sin(radians($lat2 - $lat1) / 2), 2) " +
         s"+ cos(radians($lat1)) * cos(radians($lat2)) " +
         s"* pow(sin(radians($lon2 - $lon1) / 2), 2))))"
-    })
+    }
 
   /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted-slice aggregates. */
   private def expandTopK(sql: String): String = {
-    val topk = raw"(?i)\bTOPKDISTINCT\s*\(([^,()]+),\s*(\d+)\s*\)".r
-      .replaceAllIn(sql, m => s"slice(sort_array(collect_set(${m.group(1)}), false), 1, ${m.group(2)})")
-    raw"(?i)\bTOPK\s*\(([^,()]+),\s*(\d+)\s*\)".r
-      .replaceAllIn(topk, m => s"slice(sort_array(collect_list(${m.group(1)}), false), 1, ${m.group(2)})")
+    val topk = rewriteCall(sql, "TOPKDISTINCT") { args =>
+      arity("TOPKDISTINCT", args, 2)
+      s"slice(sort_array(collect_set(${args(0)}), false), 1, ${args(1)})"
+    }
+    rewriteCall(topk, "TOPK") { args =>
+      arity("TOPK", args, 2)
+      s"slice(sort_array(collect_list(${args(0)}), false), 1, ${args(1)})"
+    }
   }
 
   /** Rewrite KSQL function names to Spark SQL equivalents. */
@@ -187,10 +248,25 @@ object Translator {
       // over catalog-registered views; Catalyst plans them as semi/anti
       // joins (broadcast when the subquery side is small)
       if (raw"(?i)\(\s*select\b".r.findFirstIn(rw).isDefined) {
-        catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
-        val vn = s.fromAlias.getOrElse(s.from)
-        df.createOrReplaceTempView(vn)
-        df = spark.sql(s"SELECT * FROM $vn WHERE $rw")
+        // The outer frame registers under a GENERATED view name, then is
+        // re-aliased in SQL to the statement's own name: registering it
+        // AS s.from would shadow the catalog view of the same name, so a
+        // subquery whose FROM references the outer table itself (e.g.
+        // ... WHERE x > (SELECT avg(x) FROM orders)) would silently read
+        // the partially-built outer frame (join/watermark applied)
+        // instead of the base table. The SQL-level alias still lets the
+        // outer WHERE qualify columns (o.x / orders.x), while the inner
+        // subquery's FROM resolves against the catalog views.
+        df = viewLock.synchronized {
+          catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
+          val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(vn)
+          // spark.sql analyzes eagerly — the resolved plan survives the drop
+          val out = spark.sql(
+            s"SELECT * FROM $vn AS ${s.fromAlias.getOrElse(s.from)} WHERE $rw")
+          spark.catalog.dropTempView(vn)
+          out
+        }
       } else df = df.filter(expr(rw))
     }
 

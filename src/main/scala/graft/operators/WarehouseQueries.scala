@@ -143,14 +143,19 @@ object WarehouseQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
 
-    // UNPIVOT (melt): wide measure columns → (metric, value) rows
+    // UNPIVOT (melt): wide measure columns → (metric, value) rows.
+    // Contract: EXCLUDE NULLS (DuckDB's UNPIVOT default). Spark's
+    // unpivot RETAINS null measure values, so the explicit isNotNull
+    // filter pins the semantics — without it the pair only agrees
+    // because these TPC-H measures happen to be non-null.
     "q_unpivot" -> Q(
       (s, d) => Tables.part(s, d)
         .select(col("p_partkey"),
           col("p_retailprice").cast("double").as("retail"),
           col("p_size").cast("double").as("psize"))
         .unpivot(Array(col("p_partkey")),
-          Array(col("retail"), col("psize")), "metric", "value"),
+          Array(col("retail"), col("psize")), "metric", "value")
+        .filter(col("value").isNotNull),
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retail,
         |    CAST(p_size AS DOUBLE) AS psize FROM part

@@ -387,6 +387,54 @@ class KsqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("unknown unit"))
   }
 
+  test("self-referencing subquery reads the BASE table, not the outer joined frame") {
+    // orders JOIN lineitem multiplies each order by its line count, so
+    // avg(o_totalprice) over the JOINED frame differs from the base-table
+    // avg. Registering the outer frame under the name 'orders' (the old
+    // behavior) would make the subquery read the joined frame and shift
+    // the threshold — the count below would silently change.
+    val catalog: Translator.Catalog = Map(
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"),
+      "lineitem" -> Translator.Source(Tables.lineitem(spark, sfDir), "l_shipdate"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT o_orderkey, l_linenumber FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"""
+        .stripMargin): @unchecked
+    val base = Tables.orders(spark, sfDir)
+    val threshold = base.agg(avg("o_totalprice")).head.getDouble(0)
+    val direct = base
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_totalprice") > threshold)
+    assert(df.count() == direct.count())
+  }
+
+  test("MASK variants accept nested calls and expression counts") {
+    val r = Translator.rewriteExpr("MASK_LEFT(UCASE(name), 3)")
+    assert(r.contains("upper(name)") && r.contains("regexp_replace")
+      && !r.toUpperCase.contains("MASK"))
+    val r2 = Translator.rewriteExpr("MASK_KEEP_RIGHT(CONCAT(a, b), LEN(a) - 1)")
+    assert(r2.contains("concat(a, b)") && !r2.toUpperCase.contains("MASK"))
+    // quote-aware scan: commas/parens inside string literals are opaque
+    val r3 = Translator.rewriteExpr("TIMESTAMPTOSTRING(ts, 'yyyy (MM,dd)')")
+    assert(r3.contains("date_format(timestamp_millis(ts), 'yyyy (MM,dd)')"))
+    val e = intercept[IllegalArgumentException] {
+      Translator.rewriteExpr("MASK_LEFT(name)")
+    }
+    assert(e.getMessage.contains("expects 2 arguments"))
+  }
+
+  test("LIMIT with a non-integer operand fails with a positioned parse error") {
+    val e = intercept[IllegalArgumentException] {
+      Parser.parse("SELECT a FROM t LIMIT foo")
+    }
+    assert(e.getMessage.contains("LIMIT expects an integer literal"))
+    val e2 = intercept[IllegalArgumentException] {
+      Parser.parse("SELECT a FROM t EMIT CHANGES LIMIT 'ten'")
+    }
+    assert(e2.getMessage.contains("LIMIT expects an integer literal"))
+  }
+
   test("INSERT INTO unions into an existing source") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

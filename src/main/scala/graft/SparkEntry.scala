@@ -14,6 +14,7 @@ object SparkEntry {
     CoreQueries.entries ++ WindowQueries.entries ++ JoinQueries.entries ++
       Dedup.entries ++ Similarity.entries ++ TextAnalysis.entries ++
       Multimodal.entries ++ AnalyticsQueries.entries ++
+      EventAnalytics.entries ++
       WarehouseQueries.entries ++ Search.entries ++
       graft.ksql.KsqlQueries.entries
 

@@ -47,3 +47,6 @@ case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABL
 case class Describe(name: String) extends Statement
 case class DropSource(name: String, ifExists: Boolean) extends Statement
 case class ExplainStmt(select: SelectStmt) extends Statement
+case object ShowQueries extends Statement                   // SHOW QUERIES
+case class Terminate(id: String) extends Statement          // TERMINATE <id>|ALL
+case class RunScript(path: String) extends Statement        // RUN SCRIPT '<path>'

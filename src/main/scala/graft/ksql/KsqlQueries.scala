@@ -149,6 +149,31 @@ object KsqlQueries {
       },
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_totalprice > 150000""".stripMargin)
+        |WHERE o_totalprice > 150000""".stripMargin),
+
+    // CASE WHEN / BETWEEN / IN through the dialect: scalar conditionals
+    // pass the parser's balanced-token expression scan intact and land
+    // in Catalyst as ordinary codegen'd expressions; the derived table
+    // makes the computed band a groupable column
+    "q_ksql_case" -> Q(
+      (s, d) => {
+        val q =
+          """SELECT band, event_type, COUNT(*) AS cnt
+            |FROM (SELECT event_type,
+            |        CASE WHEN value < 10 THEN 'low'
+            |             WHEN value BETWEEN 10 AND 50 THEN 'mid'
+            |             ELSE 'high' END AS band
+            |      FROM events WHERE event_type IN ('click', 'view', 'purchase'))
+            |GROUP BY band, event_type""".stripMargin
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d), q): @unchecked
+        df
+      },
+      """SELECT band, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT event_type,
+        |        CASE WHEN value < 10 THEN 'low'
+        |             WHEN value BETWEEN 10 AND 50 THEN 'mid'
+        |             ELSE 'high' END AS band
+        |      FROM events WHERE event_type IN ('click', 'view', 'purchase'))
+        |GROUP BY band, event_type""".stripMargin)
   )
 }

@@ -86,7 +86,15 @@ object Parser {
         InsertInto(target, parseSelect(p))
       } else if (p.accept("SHOW")) {
         if (p.accept("TABLES")) ShowSources(tables = true)
+        else if (p.accept("QUERIES")) ShowQueries
         else { p.expect("STREAMS"); ShowSources(tables = false) }
+      } else if (p.accept("TERMINATE")) {
+        Terminate(p.next().text)
+      } else if (p.accept("RUN")) {
+        p.expect("SCRIPT")
+        val t = p.next()
+        if (!t.isString) p.fail("RUN SCRIPT expects a quoted file path")
+        RunScript(t.text)
       } else if (p.accept("DESCRIBE")) {
         Describe(p.next().text)
       } else if (p.accept("DROP")) {

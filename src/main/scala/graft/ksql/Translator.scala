@@ -406,6 +406,25 @@ object Translator {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         (catalog, Some(Seq(plan).toDF("plan")))
+      case ShowQueries =>
+        import spark.implicits._
+        val rows = spark.streams.active.toSeq.map(q =>
+          (q.id.toString, Option(q.name).getOrElse(""), q.isActive))
+        (catalog, Some(rows.toDF("query_id", "name", "is_active")))
+      case Terminate(id) =>
+        val targets =
+          if (id.equalsIgnoreCase("ALL")) spark.streams.active.toSeq
+          else spark.streams.active.toSeq.filter(q =>
+            q.id.toString == id || Option(q.name).contains(id))
+        if (targets.isEmpty && !id.equalsIgnoreCase("ALL"))
+          throw new IllegalArgumentException(s"no active query $id")
+        targets.foreach(_.stop())
+        (catalog, None)
+      case RunScript(path) =>
+        val script = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        runScript(spark, catalog, script)
     }
   }
 

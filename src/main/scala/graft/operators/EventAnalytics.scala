@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: sessionization, funnels, cohort retention,
+  * SCD type-2 version intervals. These are the batch forms of the
+  * stream-processing patterns a KSQL user builds over event topics
+  * (cf. reference README's clickstream/session examples); the batch
+  * form is driver-oracle-checked, the streaming forms live in
+  * graft.streaming (session_window, transformWithState).
+  *
+  * Scale posture: every query is one window-function pass or one
+  * partial→final aggregation over the events fact — no self-joins, no
+  * collects. The sessionize/scd2 sorts are per-user-key within shuffle
+  * partitions (Spark's window exec sorts per partition after hash
+  * exchange on the partition key), so they scale with executor count.
+  */
+object EventAnalytics {
+
+  private val SessionGapMs = 1800000L // 30 min
+
+  def entries: Map[String, Q] = Map(
+    // gaps-and-islands sessionization: a new session starts when the
+    // per-user gap exceeds 30 min; session_seq = running count of
+    // session starts. One window pass, no join.
+    "q_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("new_sess",
+            when(col("ms") - lag(col("ms"), 1).over(w) > SessionGapMs
+              || lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L))
+          .select(col("event_id"), col("user_id"),
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("session_seq"))
+      },
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |           OR lag(epoch_ms(ts)) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM g""".stripMargin),
+
+    // ordered funnel view→click→purchase: stage times collapse to one
+    // min-aggregate per user (partial→final, no window), then one
+    // global conditional count. Integer epoch-millis comparisons keep
+    // both engines exact.
+    "q_funnel" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", unix_millis(col("ts")))).as("t_view"),
+          min(when(col("event_type") === "click", unix_millis(col("ts")))).as("t_click"),
+          min(when(col("event_type") === "purchase", unix_millis(col("ts")))).as("t_purchase"))
+        .agg(
+          count(when(col("t_view").isNotNull, 1)).as("n_view"),
+          count(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1))
+            .as("n_view_click"),
+          count(when(col("t_view").isNotNull && col("t_click") > col("t_view")
+            && col("t_purchase") > col("t_click"), 1)).as("n_full_funnel")),
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(epoch_ms(ts)) FILTER (event_type = 'view') AS t_view,
+        |    min(epoch_ms(ts)) FILTER (event_type = 'click') AS t_click,
+        |    min(epoch_ms(ts)) FILTER (event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT
+        |  CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+        |  CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+        |    AS BIGINT) AS n_view_click,
+        |  CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+        |    AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
+        |FROM m""".stripMargin),
+
+    // cohort retention: cohort = first active UTC day per user; count
+    // distinct users per (cohort_day, day_offset). Day numbers are
+    // integer epoch-millis div — engine-independent. The users-per-day
+    // frame joins back on user_id only (bigint key), never on text.
+    "q_retention" -> Q(
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), (unix_millis(col("ts")) / 86400000L)
+            .cast("long").as("day")).distinct()
+        val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        days.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("users"))
+      },
+      """WITH d AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+        |)
+        |SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
+
+    // SCD type-2 build: each order is a version row of its customer's
+    // history — valid_from = its date, valid_to = the next version's
+    // date (NULL ⇒ current). One lead() pass per customer partition.
+    "q_scd2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("valid_from_ms"),
+          unix_millis(lead(col("o_orderdate"), 1).over(w).cast("timestamp"))
+            .as("valid_to_ms"),
+          lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) AS valid_from_ms,
+        |  epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+        .stripMargin)
+  )
+}

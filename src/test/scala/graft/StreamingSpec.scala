@@ -9,6 +9,8 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class SDoc(doc_id: Long, text: String, lang: String, source: String)
+
 /** Streaming-runtime specs: KSQL semantics through actual micro-batch
   * execution (MemoryStream in, memory sink out). */
 class StreamingSpec extends SparkSpec {
@@ -273,6 +275,47 @@ class StreamingSpec extends SparkSpec {
     val s = KsqlStream(mem.toDF(), "ts", "5 minutes").partitionBy(col("user_id"))
     val plan = s.df.queryExecution.logical.toString
     assert(plan.contains("RepartitionByExpression"), plan)
+  }
+
+  test("incremental term document-frequency folds new docs across micro-batches") {
+    val mem = MemoryStream[SDoc](spark)
+    val w = graft.streaming.StreamingText.incrementalTermDf(mem.toDF()).writeStream.format("memory")
+      .queryName("inc_df").outputMode(OutputMode.Update)
+    val q = w.start()
+    mem.addData(SDoc(1, "spark joins data", "en", "web"),
+      SDoc(2, "spark state data data", "en", "web"))
+    q.processAllAvailable()
+    mem.addData(SDoc(3, "spark streams", "en", "wiki"))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink accumulates per-batch updates; df is
+    // monotone, so the running value per term is the max emitted
+    val fin = spark.table("inc_df").groupBy("term").agg(max("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch replay over the full corpus must agree with the running state
+    assert(fin == Map("spark" -> 3L, "data" -> 2L, "joins" -> 1L,
+      "state" -> 1L, "streams" -> 1L))
+    // array_distinct guarantees df counts DOCS, not occurrences: doc 2
+    // repeats "data" but contributes 1
+    assert(fin("data") == 2L)
+  }
+
+  test("incremental domain-mix stats fold counts across micro-batches") {
+    val mem = MemoryStream[SDoc](spark)
+    val w = graft.streaming.StreamingText.incrementalDomainMix(mem.toDF()).writeStream.format("memory")
+      .queryName("inc_mix").outputMode(OutputMode.Update)
+    val q = w.start()
+    mem.addData(SDoc(1, "a b c", "en", "web"), SDoc(2, "d e", "en", "wiki"))
+    q.processAllAvailable()
+    mem.addData(SDoc(3, "f g h i", "en", "web"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("inc_mix")
+      .groupBy("lang", "source")
+      .agg(max("n_docs").as("n_docs"), max("n_tokens").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(fin == Map(("en", "web") -> ((2L, 7L)), ("en", "wiki") -> ((1L, 2L))))
   }
 
   test("INSERT INTO unions streams by name") {

@@ -34,6 +34,10 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(expressions.VectorExpressions.l2sq(a, b))
 
+  /** Squared L2 — monotone in true distance, so rankers skip the sqrt. */
+  def l2Sq(a: Column, b: Column): Column =
+    expressions.VectorExpressions.l2sq(a, b)
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplane j's i-th component is ±1, derived deterministically from
     * md5(j:i) — reproducible across executors with zero state shipping.

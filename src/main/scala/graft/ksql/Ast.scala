@@ -23,7 +23,7 @@ case class SelectStmt(
     columns: Seq[(String, Option[String])],   // (exprSql, alias)
     from: String,                             // name, or alias when fromSub set
     fromAlias: Option[String],
-    join: Option[JoinClause],
+    joins: Seq[JoinClause],                   // applied left-to-right (star joins)
     where: Option[String],
     window: Option[WindowSpec],
     groupBy: Seq[String],

@@ -13,7 +13,8 @@ object KsqlQueries {
     Map(
       "events" -> Translator.Source(Tables.events(s, d), "ts"),
       "orders" -> Translator.Source(Tables.orders(s, d), "o_orderdate"),
-      "customer" -> Translator.Source(Tables.customer(s, d), "o_orderdate"))
+      "customer" -> Translator.Source(Tables.customer(s, d), "o_orderdate"),
+      "nation" -> Translator.Source(Tables.nation(s, d), "n_nationkey"))
 
   val ctasWindowed: String =
     """CREATE TABLE hourly_by_type AS
@@ -174,6 +175,29 @@ object KsqlQueries {
         |             WHEN value BETWEEN 10 AND 50 THEN 'mid'
         |             ELSE 'high' END AS band
         |      FROM events WHERE event_type IN ('click', 'view', 'purchase'))
-        |GROUP BY band, event_type""".stripMargin)
+        |GROUP BY band, event_type""".stripMargin),
+
+    // multi-way star join through the dialect: JOIN clauses chain
+    // left-to-right, each dim broadcast (stream-table join posture) —
+    // the translated plan is the same broadcast-star Catalyst plan as
+    // the hand-written q_join_star
+    "q_ksql_star" -> Q(
+      (s, d) => {
+        val q =
+          """SELECT n_name, COUNT(*) AS cnt,
+            |  ROUND(SUM(o_totalprice), 2) AS revenue
+            |FROM orders o
+            |JOIN customer c ON o.o_custkey = c.c_custkey
+            |JOIN nation n ON c.c_nationkey = n.n_nationkey
+            |GROUP BY n_name""".stripMargin
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d), q): @unchecked
+        df
+      },
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
   )
 }

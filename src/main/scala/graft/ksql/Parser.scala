@@ -198,21 +198,27 @@ object Parser {
       && !selectStops.contains(p.peekUp) && p.peekUp.headOption.exists(_.isLetter))
       Some(p.next().text) else None
 
-    var join: Option[JoinClause] = None
-    val jt = if (p.accept("INNER")) Some("inner")
-      else if (p.accept("LEFT")) { p.accept("OUTER"); Some("left") }
-      else if (p.peekUp == "JOIN") Some("inner") else None
-    if (jt.isDefined) {
-      p.expect("JOIN")
-      val t = p.next().text
-      val ta = if (!p.peek.isString && !selectStops.contains(p.peekUp)
-        && p.peekUp.headOption.exists(_.isLetter)) Some(p.next().text) else None
-      val within = if (p.accept("WITHIN")) Some(parseDuration(p)) else None
-      p.expect("ON")
-      val l = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
-      p.expect("=")
-      val r = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
-      join = Some(JoinClause(jt.get, t, ta, within, l, r))
+    // any number of JOIN clauses, applied left-to-right (star joins)
+    val joins = Seq.newBuilder[JoinClause]
+    var moreJoins = true
+    while (moreJoins) {
+      val jt = if (p.accept("INNER")) Some("inner")
+        else if (p.accept("LEFT")) { p.accept("OUTER"); Some("left") }
+        else if (p.peekUp == "JOIN") Some("inner") else None
+      jt match {
+        case None => moreJoins = false
+        case Some(joinType) =>
+          p.expect("JOIN")
+          val t = p.next().text
+          val ta = if (!p.peek.isString && !selectStops.contains(p.peekUp)
+            && p.peekUp.headOption.exists(_.isLetter)) Some(p.next().text) else None
+          val within = if (p.accept("WITHIN")) Some(parseDuration(p)) else None
+          p.expect("ON")
+          val l = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
+          p.expect("=")
+          val r = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
+          joins += JoinClause(joinType, t, ta, within, l, r)
+      }
     }
 
     val where = if (p.accept("WHERE")) Some(exprUntil(p, selectStops - ",")) else None
@@ -264,7 +270,7 @@ object Parser {
     val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
     val limit = limit0.orElse(
       if (p.accept("LIMIT")) Some(limitOperand()) else None)
-    SelectStmt(cols.result(), from, fromAlias, join, where, window,
+    SelectStmt(cols.result(), from, fromAlias, joins.result(), where, window,
       groupBy, having, partitionBy, emit, fromSub, orderBy, limit)
   }
 

@@ -215,12 +215,12 @@ object Translator {
     // streaming sources get a watermark so windowed aggs / WITHIN joins
     // keep bounded state; batch frames pass through untouched
     val based =
-      if (src.df.isStreaming && (s.window.isDefined || s.join.exists(_.withinMs.isDefined)))
+      if (src.df.isStreaming && (s.window.isDefined || s.joins.exists(_.withinMs.isDefined)))
         src.df.withWatermark(src.timeColumn, src.watermark)
       else src.df
     var df = s.fromAlias.fold(based)(a => based.alias(a))
 
-    s.join.foreach { j =>
+    s.joins.foreach { j =>
       val right = catalog.getOrElse(j.table.toLowerCase,
         throw new IllegalArgumentException(s"unknown source ${j.table}"))
       val rbase =

@@ -140,6 +140,87 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Split (vec_id, v) into m equal subvectors: (vec_id, sub, sv).
+    * The split is a pure Column transform — size(v) keeps it schema-
+    * driven, no collected dimension constant. */
+  private def pqSubvecs(vecs: DataFrame, m: Int): DataFrame =
+    vecs.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * (size(v) div $m) + 1, size(v) div $m))"))
+      .as(Seq("sub", "sv")))
+
+  /** Per-subspace Lloyd codebooks for product quantization: ONE frame
+    * keyed by (sub, cell) trains all m codebooks together — m separate
+    * k-means runs would scan the corpus m times. Same iterative-op
+    * discipline as kMeansCentroids: the codebook is localCheckpointed
+    * per round (tiny table, corpus-sized lineage) and the loop frame is
+    * referenced exactly once per iteration.
+    */
+  def pqCodebooks(subvecs: DataFrame, ksub: Int, iters: Int = 2): DataFrame = {
+    val meanByCell = (assigned: DataFrame) => assigned
+      .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("sub"), col("cell"), col("dm.m").as("codeword"))
+    val seeded = subvecs.withColumn("cell",
+      pmod(crc32(concat_ws("_", col("vec_id"), col("sub"))), lit(ksub)))
+    var cb = meanByCell(seeded).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = subvecs.join(broadcast(cb), "sub")
+        .withColumn("d", l2Sq(col("sv"), col("codeword")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("cell"), col("sv"))).as("s"))
+        .select(col("sub"), col("s.cell").as("cell"), col("s.sv").as("sv"))
+      cb = meanByCell(assigned).localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011):
+    * vectors split into m subvectors, each subspace k-means'd into ksub
+    * codewords, a vector encodes as m small codes. Search is asymmetric
+    * distance computation (ADC): each probe precomputes an (m × ksub)
+    * table of subvector→codeword squared distances; a candidate's
+    * approximate distance is the sum of m table lookups.
+    *
+    * Scale posture: codebooks and probe tables are tiny → broadcast;
+    * the encoded corpus (m rows of (sub, code) per vector — in a real
+    * store, m BYTES per vector) is the only large frame and shuffles
+    * once, for the per-(probe, candidate) sum. Corpus raw vectors are
+    * read once for encoding and never join the probes.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, m: Int = 8,
+             ksub: Int = 32, k: Int = 3, iters: Int = 2): DataFrame = {
+    val c0 = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val csub = pqSubvecs(c0, m)
+    val cb = pqCodebooks(csub, ksub, iters)
+    // encode: argmin codeword per (vector, subspace) — min-struct hash
+    // aggregate, no per-key sort
+    val codes = csub.join(broadcast(cb), "sub")
+      .withColumn("d", l2Sq(col("sv"), col("codeword")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("cell"))).as("s"))
+      .select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("s.cell").as("code"))
+    // ADC table: probe × subspace × codeword squared distances
+    val ptab = pqSubvecs(
+      probes.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), m)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("probe_id"), col("sub"),
+        col("cell").as("code"), l2Sq(col("sv"), col("codeword")).as("d2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(ptab), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("adist"), 4).as("approx_d2"))
+  }
+
   /** Symmetric int8 quantization per vector (max-abs scaling) — the
     * standard 4x memory cut for ANN corpora. Returns the scale and the
     * quantized array; the driver query exposes scale + a checksum so the
@@ -197,6 +278,13 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0))
+      },
+      None),
+
+    "q_ann_pq" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        pqTopK(emb, emb.filter(col("vec_id") % 100 === 0))
       },
       None)
   )

@@ -114,6 +114,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("PQ ADC finds exact-L2 neighbors within its top-10 (recall@10)") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    // exact squared-L2 top-3 (PQ approximates L2, so L2 is the right
+    // ground truth — cosine would conflate metric and quantization error)
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").cast("array<double>").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val exact = broadcast(p).join(c, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("d", VectorFunctions.l2Sq(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, probes, m = 8, ksub = 32, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 $recall")
+    // per-probe cap and determinism (crc32-seeded codebooks, no RNG)
+    val again = Similarity.pqTopK(emb, probes, m = 8, ksub = 32, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == again)
+  }
+
   test("IVF ANN returns k neighbors per probe with nProbe cells") {
     val probes = emb.filter(col("vec_id") % 250 === 0)
     val r = Similarity.ivfTopK(emb, probes, nCells = 4, nProbe = 2, k = 3)

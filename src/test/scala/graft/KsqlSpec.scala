@@ -114,7 +114,7 @@ class KsqlSpec extends SparkSpec {
     val s = Parser.parse(
       """SELECT s.event_id FROM signups s JOIN purchases p WITHIN 1 HOURS
         |ON s.user_id = p.user_id""".stripMargin).asInstanceOf[Query]
-    val j = s.select.join.get
+    val j = s.select.joins.head
     assert(j.withinMs.contains(3600000L))
     assert(j.onLeft == "s.user_id" && j.onRight == "p.user_id")
   }
@@ -487,6 +487,29 @@ class KsqlSpec extends SparkSpec {
     val expected = Tables.events(spark, sfDir)
       .filter(col("event_type") === "click").count()
     assert(df.head.getLong(0) == expected)
+  }
+
+  test("dialect multi-way star join chains JOINs and broadcasts each dim") {
+    val catalog: Translator.Catalog = Map(
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"),
+      "customer" -> Translator.Source(Tables.customer(spark, sfDir), "c_custkey"),
+      "nation" -> Translator.Source(Tables.nation(spark, sfDir), "n_nationkey"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT n_name, COUNT(*) AS cnt
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name""".stripMargin): @unchecked
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count()
+    val a = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // both dims must broadcast — the fact side never shuffles for them
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
   test("INSERT INTO unions into an existing source") {

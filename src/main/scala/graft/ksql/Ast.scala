@@ -7,16 +7,18 @@ package graft.ksql
   * translator only rewrites function names / operators and passes the
   * rest through Catalyst's own parser — one less parser to get wrong.
   */
-sealed trait WindowSpec
-case class Tumbling(sizeMs: Long) extends WindowSpec
-case class Hopping(sizeMs: Long, advanceMs: Long) extends WindowSpec
-case class Session(gapMs: Long) extends WindowSpec
+sealed trait WindowSpec { def graceMs: Option[Long] }
+case class Tumbling(sizeMs: Long, graceMs: Option[Long] = None) extends WindowSpec
+case class Hopping(sizeMs: Long, advanceMs: Long,
+                   graceMs: Option[Long] = None) extends WindowSpec
+case class Session(gapMs: Long, graceMs: Option[Long] = None) extends WindowSpec
 
 case class JoinClause(
     joinType: String,            // INNER | LEFT
     table: String,
     alias: Option[String],
-    withinMs: Option[Long],      // stream-stream join bound
+    withinMs: Option[(Long, Long)], // stream-stream bound (before, after);
+                                    // WITHIN d = (d, d), KSQL symmetric
     onLeft: String, onRight: String)
 
 case class SelectStmt(

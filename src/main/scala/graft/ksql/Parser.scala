@@ -212,7 +212,14 @@ object Parser {
           val t = p.next().text
           val ta = if (!p.peek.isString && !selectStops.contains(p.peekUp)
             && p.peekUp.headOption.exists(_.isLetter)) Some(p.next().text) else None
-          val within = if (p.accept("WITHIN")) Some(parseDuration(p)) else None
+          // WITHIN d (symmetric, KSQL default) or WITHIN (before, after)
+          val within = if (p.accept("WITHIN")) Some {
+            if (p.accept("(")) {
+              val before = parseDuration(p); p.expect(",")
+              val after = parseDuration(p); p.expect(")")
+              (before, after)
+            } else { val d = parseDuration(p); (d, d) }
+          } else None
           p.expect("ON")
           val l = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
           p.expect("=")
@@ -222,19 +229,29 @@ object Parser {
     }
 
     val where = if (p.accept("WHERE")) Some(exprUntil(p, selectStops - ",")) else None
+    // optional trailing ", GRACE PERIOD d" inside the window parens —
+    // KSQL's bound on how late out-of-order rows may arrive (the
+    // watermark delay in Spark terms)
+    def grace(): Option[Long] =
+      if (p.accept(",")) {
+        p.expect("GRACE"); p.expect("PERIOD"); Some(parseDuration(p))
+      } else None
     val window = if (p.accept("WINDOW")) Some {
       if (p.accept("TUMBLING")) {
-        p.expect("("); p.expect("SIZE"); val d = parseDuration(p); p.expect(")")
-        Tumbling(d)
+        p.expect("("); p.expect("SIZE"); val d = parseDuration(p)
+        val g = grace(); p.expect(")")
+        Tumbling(d, g)
       } else if (p.accept("HOPPING")) {
         p.expect("("); p.expect("SIZE"); val d = parseDuration(p)
         p.expect(","); p.expect("ADVANCE"); p.expect("BY")
-        val a = parseDuration(p); p.expect(")")
-        Hopping(d, a)
+        val a = parseDuration(p)
+        val g = grace(); p.expect(")")
+        Hopping(d, a, g)
       } else {
         p.expect("SESSION")
-        p.expect("("); val d = parseDuration(p); p.expect(")")
-        Session(d)
+        p.expect("("); val d = parseDuration(p)
+        val g = grace(); p.expect(")")
+        Session(d, g)
       }
     } else None
     val groupBy = if (p.accept("GROUP")) {

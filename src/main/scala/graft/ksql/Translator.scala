@@ -186,9 +186,9 @@ object Translator {
   }
 
   private def windowStruct(w: WindowSpec, timeCol: Column): Column = w match {
-    case Tumbling(ms) => window(timeCol, s"$ms milliseconds")
-    case Hopping(ms, adv) => window(timeCol, s"$ms milliseconds", s"$adv milliseconds")
-    case Session(gap) => session_window(timeCol, s"$gap milliseconds")
+    case Tumbling(ms, _) => window(timeCol, s"$ms milliseconds")
+    case Hopping(ms, adv, _) => window(timeCol, s"$ms milliseconds", s"$adv milliseconds")
+    case Session(gap, _) => session_window(timeCol, s"$gap milliseconds")
   }
 
   /** The event-time column of a statement's source chain: the named
@@ -213,10 +213,14 @@ object Translator {
         throw new IllegalArgumentException(s"unknown source ${s.from}"))
     }
     // streaming sources get a watermark so windowed aggs / WITHIN joins
-    // keep bounded state; batch frames pass through untouched
+    // keep bounded state; batch frames pass through untouched. GRACE
+    // PERIOD is KSQL's per-statement late-arrival bound — exactly
+    // Spark's watermark delay — so it overrides the source default.
+    val wmDelay = s.window.flatMap(_.graceMs)
+      .map(g => s"$g milliseconds").getOrElse(src.watermark)
     val based =
       if (src.df.isStreaming && (s.window.isDefined || s.joins.exists(_.withinMs.isDefined)))
-        src.df.withWatermark(src.timeColumn, src.watermark)
+        src.df.withWatermark(src.timeColumn, wmDelay)
       else src.df
     var df = s.fromAlias.fold(based)(a => based.alias(a))
 
@@ -229,11 +233,15 @@ object Translator {
         else right.df
       val rdf = j.alias.fold(rbase)(a => rbase.alias(a))
       val cond0 = expr(s"${rewriteExpr(j.onLeft)} = ${rewriteExpr(j.onRight)}")
+      // KSQL WITHIN is symmetric (|lt - rt| <= d); WITHIN (b, a) bounds
+      // the right event to [lt - b, lt + a]. Both directions bounded →
+      // Spark can expire interval-join state on the watermark.
       val cond = j.withinMs match {
-        case Some(ms) =>
+        case Some((before, after)) =>
           val lt = col(s"${s.fromAlias.getOrElse(s.from)}.${src.timeColumn}")
           val rt = col(s"${j.alias.getOrElse(j.table)}.${right.timeColumn}")
-          cond0 && rt >= lt && rt < lt + expr(s"INTERVAL $ms MILLISECONDS")
+          cond0 && rt >= lt - expr(s"INTERVAL $before MILLISECONDS") &&
+            rt <= lt + expr(s"INTERVAL $after MILLISECONDS")
         case None => cond0
       }
       // stream-table join: broadcast the table side

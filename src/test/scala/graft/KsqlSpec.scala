@@ -115,8 +115,44 @@ class KsqlSpec extends SparkSpec {
       """SELECT s.event_id FROM signups s JOIN purchases p WITHIN 1 HOURS
         |ON s.user_id = p.user_id""".stripMargin).asInstanceOf[Query]
     val j = s.select.joins.head
-    assert(j.withinMs.contains(3600000L))
+    assert(j.withinMs.contains((3600000L, 3600000L)))
     assert(j.onLeft == "s.user_id" && j.onRight == "p.user_id")
+  }
+
+  test("parser handles GRACE PERIOD and asymmetric WITHIN bounds") {
+    val t = Parser.parse(
+      """SELECT COUNT(*) FROM events
+        |WINDOW TUMBLING (SIZE 1 HOURS, GRACE PERIOD 5 MINUTES)
+        |GROUP BY event_type""".stripMargin).asInstanceOf[Query]
+    assert(t.select.window.contains(Tumbling(3600000L, Some(300000L))))
+    val se = Parser.parse(
+      """SELECT COUNT(*) FROM events
+        |WINDOW SESSION (30 SECONDS, GRACE PERIOD 10 SECONDS)
+        |GROUP BY user_id""".stripMargin).asInstanceOf[Query]
+    assert(se.select.window.contains(Session(30000L, Some(10000L))))
+    val j = Parser.parse(
+      """SELECT s.a FROM s1 s JOIN s2 p WITHIN (10 MINUTES, 20 MINUTES)
+        |ON s.k = p.k""".stripMargin).asInstanceOf[Query]
+    assert(j.select.joins.head.withinMs.contains((600000L, 1200000L)))
+  }
+
+  test("GRACE PERIOD becomes the watermark delay of the translated stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val catalog: Translator.Catalog = Map(
+      "clicks" -> Translator.Source(mem.toDF(), "ts", "10 minutes"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """CREATE TABLE t AS SELECT event_type, COUNT(*) AS cnt FROM clicks
+        |WINDOW TUMBLING (SIZE 10 MINUTES, GRACE PERIOD 2 MINUTES)
+        |GROUP BY event_type EMIT CHANGES""".stripMargin): @unchecked
+    assert(df.isStreaming)
+    val plan = df.queryExecution.analyzed.toString
+    // the grace period (120000 ms), not the source default (10 min),
+    // must be the EventTimeWatermark delay
+    assert(plan.contains("EventTimeWatermark"), plan)
+    assert(plan.contains("2 minutes") || plan.contains("120 seconds")
+      || plan.contains("120000"), plan)
   }
 
   test("CASE WHEN / BETWEEN / IN pass through the translator") {

@@ -127,6 +127,42 @@ object EventAnalytics {
         |  (lead(o_orderdate) OVER w IS NULL) AS is_current
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
-        .stripMargin)
+        .stripMargin),
+
+    // table upsert (stream/table duality): apply a keyed changelog batch
+    // to a snapshot — delta rows win per key, snapshot rows survive
+    // untouched keys. The KSQL TABLE materialization step as a batch op:
+    // two partial→final latest-by-offset aggs + one full-outer merge on
+    // the key (both sides shuffle once on user_id; at scale snapshot and
+    // delta co-partition, so the merge is local).
+    "q_table_upsert" -> Q(
+      (s, d) => {
+        val latest = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy(col("user_id"))
+          .agg(max_by(col("value"), col("event_id")).as("value"),
+            max(col("event_id")).as("last_event_id"))
+        val ev = Tables.events(s, d)
+        val snap = latest(ev.filter(col("event_id") < 5000))
+          .withColumnsRenamed(Map("value" -> "sv", "last_event_id" -> "se"))
+        val delta = latest(ev.filter(col("event_id") >= 5000))
+          .withColumnsRenamed(Map("value" -> "dv", "last_event_id" -> "de"))
+        snap.join(delta, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("dv"), col("sv")).as("value"),
+            coalesce(col("de"), col("se")).as("last_event_id"))
+      },
+      """WITH s AS (
+        |  SELECT user_id, max_by(value, event_id) AS sv,
+        |    max(event_id) AS se
+        |  FROM events WHERE event_id < 5000 GROUP BY user_id
+        |), d AS (
+        |  SELECT user_id, max_by(value, event_id) AS dv,
+        |    max(event_id) AS de
+        |  FROM events WHERE event_id >= 5000 GROUP BY user_id
+        |)
+        |SELECT COALESCE(s.user_id, d.user_id) AS user_id,
+        |  COALESCE(d.dv, s.sv) AS value,
+        |  COALESCE(d.de, s.se) AS last_event_id
+        |FROM s FULL JOIN d ON s.user_id = d.user_id""".stripMargin)
   )
 }

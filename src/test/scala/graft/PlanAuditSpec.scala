@@ -135,6 +135,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("sessionize plans ONE exchange: both window passes share the user_id partitioning") {
+    val df = SparkEntry.queries("q_sessionize")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"lag + running-sum should reuse one user_id shuffle\n$p")
+  }
+
+  test("ngram frequency plans partial aggregation and a top-k take, not a global sort") {
+    val df = SparkEntry.queries("q_ngram_freq")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("table upsert shuffles each side once on the key (partial aggs before the merge)") {
+    val df = SparkEntry.queries("q_table_upsert")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"one exchange per side max\n$p")
+  }
+
   test("runtime bloom-filter pruning injects into a selective shuffle join") {
     // At 100 TB a fact⋈dim shuffle join with a selective dim filter
     // should prune fact rows BEFORE the shuffle via an injected bloom

@@ -190,8 +190,10 @@ object Dedup {
         .select(col("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-    for (_ <- 1 to iters) {
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       // 1-hop min-label propagation ...
       val prop = edges
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
@@ -203,11 +205,21 @@ object Dedup {
         // referenced twice below, and without truncation the logical
         // plan doubles every round
         .localCheckpoint(true)
-      labels = prop
+      val next = prop
         .join(prop.select(col("id").as("component"),
           col("component").as("root")), "component")
         .select(col("id"), col("root").as("component"))
         .localCheckpoint(true)
+      // convergence early-exit: both label frames are checkpointed and
+      // tiny, so this probe join is one cheap job — real dedup clusters
+      // converge in 2-3 rounds, and the remaining rounds' edge joins
+      // (the expensive part) are pure waste once labels are stable
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() == 0
+      labels = next
+      round += 1
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))

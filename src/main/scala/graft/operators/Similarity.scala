@@ -190,11 +190,21 @@ object Similarity {
     * read once for encoding and never join the probes.
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, m: Int = 8,
-             ksub: Int = 32, k: Int = 3, iters: Int = 2): DataFrame = {
+             ksub: Int = 32, k: Int = 3, iters: Int = 1,
+             trainMod: Int = 4): DataFrame = {
     val c0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val csub = pqSubvecs(c0, m)
-    val cb = pqCodebooks(csub, ksub, iters)
+    // codebooks train on a deterministic 1/trainMod hash-sample — the
+    // standard PQ recipe (codebooks need ~1000 points per codeword, not
+    // the corpus): at 100 TB the Lloyd rounds touch only the sample,
+    // while encoding still streams the full corpus exactly once. The
+    // sample is the round-invariant input → persisted for the rounds,
+    // released once the (tiny, checkpointed) codebook materializes.
+    val sample = csub.filter(
+      pmod(crc32(col("vec_id").cast("string")), lit(trainMod)) === 0).persist()
+    val cb = pqCodebooks(sample, ksub, iters)
+    sample.unpersist()
     // encode: argmin codeword per (vector, subspace) — min-struct hash
     // aggregate, no per-key sort
     val codes = csub.join(broadcast(cb), "sub")

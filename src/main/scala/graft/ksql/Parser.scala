@@ -170,8 +170,8 @@ object Parser {
   }
 
   private val selectStops = Set("FROM", "WHERE", "WINDOW", "GROUP", "HAVING",
-    "PARTITION", "EMIT", "JOIN", "INNER", "LEFT", "ON", "WITHIN", ",", ")",
-    "ORDER", "LIMIT")
+    "PARTITION", "EMIT", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "ON",
+    "WITHIN", ",", ")", "ORDER", "LIMIT")
 
   private def parseSelect(p: P): SelectStmt = {
     p.expect("SELECT")
@@ -204,6 +204,8 @@ object Parser {
     while (moreJoins) {
       val jt = if (p.accept("INNER")) Some("inner")
         else if (p.accept("LEFT")) { p.accept("OUTER"); Some("left") }
+        else if (p.accept("RIGHT")) { p.accept("OUTER"); Some("right") }
+        else if (p.accept("FULL")) { p.accept("OUTER"); Some("full_outer") }
         else if (p.peekUp == "JOIN") Some("inner") else None
       jt match {
         case None => moreJoins = false

@@ -244,8 +244,13 @@ object Translator {
             rt <= lt + expr(s"INTERVAL $after MILLISECONDS")
         case None => cond0
       }
-      // stream-table join: broadcast the table side
-      val rside = if (j.withinMs.isEmpty) broadcast(rdf) else rdf
+      // stream-table join: broadcast the table side. A RIGHT/FULL outer
+      // join preserves the right side, which a broadcast can't — leave
+      // those to Catalyst's own strategy choice.
+      val rside =
+        if (j.withinMs.isEmpty && (j.joinType == "inner" || j.joinType == "left"))
+          broadcast(rdf)
+        else rdf
       df = df.join(rside, cond, j.joinType)
     }
 

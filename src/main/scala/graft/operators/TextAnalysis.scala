@@ -340,6 +340,73 @@ object TextAnalysis {
         |  round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4) AS dup_bigram_ratio
         |FROM t""".stripMargin),
 
+    // Gopher-style rule filter: the DECISION layer over the repetition/
+    // quality signals — per-doc booleans from rounded (engine-stable)
+    // ratios, plus the conjunction the pipeline would drop on. Pure
+    // projection: the filter adds zero shuffles at any corpus size.
+    "q_gopher_filter" -> Q(
+      (s, d) => {
+        val t = col("text")
+        val w = split(t, " ")
+        val nWords = size(w)
+        val awl = round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4)
+        val stop = size(filter(w, x => x.isInCollection(Seq("the", "a", "of", "and", "to"))))
+        val stopRatio = round(stop.cast("double") / nWords, 4)
+        val bigrams = expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin)
+        val dupBg = round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
+          / size(bigrams), 4)
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          (nWords >= 15 && nWords <= 5000).as("ok_words"),
+          (awl >= 3.0 && awl <= 10.0).as("ok_word_len"),
+          (dupBg < 0.3).as("ok_repetition"),
+          (col("lang") =!= "en" || stopRatio >= 0.01).as("ok_stopwords"))
+          .withColumn("keep", col("ok_words") && col("ok_word_len")
+            && col("ok_repetition") && col("ok_stopwords"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |    [array_to_string(string_split(text, ' ')[i:i+1], ' ')
+        |     FOR i IN range(1, greatest(len(string_split(text, ' ')), 2))] AS bg,
+        |    length(replace(text, ' ', '')) AS nospace
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, len(w) AS n_words,
+        |    round(nospace::DOUBLE / len(w), 4) AS awl,
+        |    round(len(list_filter(w, x -> list_contains(
+        |      ['the','a','of','and','to'], x)))::DOUBLE / len(w), 4) AS stop_ratio,
+        |    round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4) AS dup_bg
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  (n_words >= 15 AND n_words <= 5000) AS ok_words,
+        |  (awl >= 3.0 AND awl <= 10.0) AS ok_word_len,
+        |  (dup_bg < 0.3) AS ok_repetition,
+        |  (lang <> 'en' OR stop_ratio >= 0.01) AS ok_stopwords,
+        |  ((n_words >= 15 AND n_words <= 5000) AND (awl >= 3.0 AND awl <= 10.0)
+        |   AND (dup_bg < 0.3) AND (lang <> 'en' OR stop_ratio >= 0.01)) AS keep
+        |FROM m""".stripMargin),
+
+    // per-source document caps (data-mixing): keep the top-N docs per
+    // source by length with a unique tiebreaker. The window rank gets
+    // Spark's WindowGroupLimit map-side prune, so each partition ships
+    // at most N rows per source to the rank shuffle.
+    "q_source_cap" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 100)
+          .select(col("doc_id"), col("source"), col("rk"))
+      },
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 100""".stripMargin),
+
     "q_text_pii" -> Q(
       (s, d) => redactPii(Tables.documents(s, d)),
       """SELECT doc_id,

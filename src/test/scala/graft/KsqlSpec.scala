@@ -155,6 +155,26 @@ class KsqlSpec extends SparkSpec {
       || plan.contains("120000"), plan)
   }
 
+  test("RIGHT and FULL OUTER joins translate with correct preserved sides") {
+    val catalog: Translator.Catalog = Map(
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"),
+      "customer" -> Translator.Source(Tables.customer(spark, sfDir), "c_custkey"))
+    val (_, Some(r)) = Translator.run(spark, catalog,
+      """SELECT c_custkey, o_orderkey FROM orders o
+        |RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin): @unchecked
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "right")
+    assert(r.count() == direct.count())
+    // every customer survives, including order-less ones
+    assert(r.select("c_custkey").distinct().count() ==
+      Tables.customer(spark, sfDir).count())
+    val (_, Some(f)) = Translator.run(spark, catalog,
+      """SELECT c_custkey, o_orderkey FROM orders o
+        |FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin): @unchecked
+    assert(f.count() == direct.count()) // every order has a customer here
+  }
+
   test("CASE WHEN / BETWEEN / IN pass through the translator") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

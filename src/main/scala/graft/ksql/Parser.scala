@@ -116,12 +116,16 @@ object Parser {
     while (!p.accept(")")) {
       val cname = p.next().text
       val sb = new StringBuilder(p.next().text)
-      // composite types: ARRAY<...>, MAP<...,...>, DECIMAL(p,s)
+      // composite types: ARRAY<...>, MAP<...,...>, STRUCT<f T, ...>,
+      // DECIMAL(p,s). Adjacent word tokens keep a space so STRUCT
+      // field declarations ("a INT") survive re-joining.
       if (p.peekUp == "<" || p.peekUp == "(") {
         var depth = 0
         var go = true
         while (go) {
           val t = p.next().text
+          if (sb.nonEmpty && sb.last.isLetterOrDigit
+            && t.headOption.exists(_.isLetterOrDigit)) sb.append(' ')
           sb.append(t)
           if (t == "<" || t == "(") depth += 1
           if (t == ">" || t == ")") depth -= 1

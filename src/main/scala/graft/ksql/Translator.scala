@@ -453,9 +453,23 @@ object Translator {
         case ((cat, _), stmt) => run(spark, cat, stmt)
       }
 
+  /** Split a composite type body on top-level commas only. */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '<' | '(' => depth += 1
+      case '>' | ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def sparkType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
-    t.toUpperCase match {
+    t.trim.toUpperCase match {
       case "VARCHAR" | "STRING" => StringType
       case "INT" | "INTEGER" => IntegerType
       case "BIGINT" => LongType
@@ -464,6 +478,23 @@ object Translator {
       case "TIMESTAMP" => TimestampType
       case a if a.startsWith("ARRAY") =>
         ArrayType(sparkType(a.stripPrefix("ARRAY").stripPrefix("<").stripSuffix(">")))
+      case st if st.startsWith("STRUCT") =>
+        // extract the original-case body between the outer <...>
+        val raw = t.trim
+        val body = raw.substring(raw.indexOf('<') + 1, raw.lastIndexOf('>'))
+        StructType(topLevelSplit(body).map { f =>
+          val i = f.indexOf(' ')
+          if (i < 0) throw new IllegalArgumentException(
+            s"STRUCT field needs 'name TYPE', got '$f'")
+          StructField(f.substring(0, i), sparkType(f.substring(i + 1)))
+        })
+      case d if d.startsWith("DECIMAL") =>
+        val body = d.stripPrefix("DECIMAL").stripPrefix("(").stripSuffix(")").trim
+        topLevelSplit(body).map(_.toInt) match {
+          case Seq(p, s) => DecimalType(p, s)
+          case Seq(p) => DecimalType(p, 0)
+          case _ => DecimalType(10, 0)
+        }
       case m if m.startsWith("MAP") => MapType(StringType, StringType)
       case _ => StringType
     }

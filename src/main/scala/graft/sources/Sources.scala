@@ -105,4 +105,24 @@ object Sinks {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet dir into files of
+    * ~targetRowsPerFile. Streaming sinks (and per-batch upserts)
+    * accrete thousands of tiny files; at 100 TB the file LISTING alone
+    * dominates scan planning, so periodic compaction is part of the
+    * sink contract, not an afterthought. localCheckpoint materializes
+    * the data before the overwrite of its own source dir (parquet
+    * reads are lazy). maxRecordsPerFile lets Spark split oversized
+    * partitions without a row-count pass.
+    */
+  def compactParquet(s: SparkSession, path: String,
+                     targetRowsPerFile: Long = 1000000L): Unit = {
+    val df = s.read.parquet(path).localCheckpoint(true)
+    val rows = df.count()
+    val nFiles = math.max(1, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(nFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
 }

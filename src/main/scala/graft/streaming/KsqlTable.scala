@@ -90,4 +90,40 @@ object KsqlTable {
       }
     out.toDF(keyCol, "n", "sum")
   }
+
+  /** Continuous TABLE materialization to parquet: each micro-batch is
+    * collapsed to its latest row per key, then merged into the stored
+    * snapshot (delta wins per key — the same changelog-apply semantics
+    * as EventAnalytics.q_table_upsert, run incrementally). The merged
+    * frame is localCheckpointed BEFORE the overwrite: parquet reads are
+    * lazy, so without materialization the write would scan files it is
+    * deleting. A production deployment swaps this two-step for an
+    * ACID table format's MERGE; the streaming contract (foreachBatch +
+    * per-key latest + checkpointed offsets) is identical.
+    */
+  def upsertSink(stream: DataFrame, keyCol: String, offsetCol: String,
+                 path: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns
+        val latest = batch.groupBy(col(keyCol))
+          .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
+          .select(col("r.*"))
+        val existing =
+          try spark.read.parquet(path)
+          catch { case _: Exception =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema) }
+        val merged = existing.unionByName(latest)
+          .groupBy(col(keyCol))
+          .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
+          .select(col("r.*"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(path)
+        ()
+      }
+  }
 }

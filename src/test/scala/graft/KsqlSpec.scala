@@ -155,6 +155,17 @@ class KsqlSpec extends SparkSpec {
       || plan.contains("120000"), plan)
   }
 
+  test("CREATE schema supports STRUCT and DECIMAL types") {
+    val (cat, _) = Translator.run(spark, Map.empty,
+      """CREATE STREAM payments (id BIGINT, amount DECIMAL(10, 2),
+        |  billing STRUCT<city VARCHAR, zip INT>)""".stripMargin)
+    val schema = cat("payments").df.schema
+    import org.apache.spark.sql.types._
+    assert(schema("amount").dataType == DecimalType(10, 2))
+    assert(schema("billing").dataType ==
+      StructType(Seq(StructField("city", StringType), StructField("zip", IntegerType))))
+  }
+
   test("RIGHT and FULL OUTER joins translate with correct preserved sides") {
     val catalog: Translator.Catalog = Map(
       "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"),

@@ -54,6 +54,19 @@ class SourcesSpec extends SparkSpec {
     assert(decoded == Seq(3L, 5L))
   }
 
+  test("compaction rewrites a fragmented parquet dir into few files, data intact") {
+    val df = Tables.orders(spark, sfDir)
+    df.repartition(20).write.mode("overwrite").parquet(s"$tmp/frag")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/frag") == 20)
+    Sinks.compactParquet(spark, s"$tmp/frag", targetRowsPerFile = 10000000L)
+    assert(parquetFiles(s"$tmp/frag") == 1)
+    val back = spark.read.parquet(s"$tmp/frag")
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).count() == 0)
+  }
+
   test("streaming file source reads with declared schema") {
     val df = Tables.region(spark, sfDir)
     df.write.mode("overwrite").parquet(s"$tmp/stream-in")

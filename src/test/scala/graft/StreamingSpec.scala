@@ -318,6 +318,24 @@ class StreamingSpec extends SparkSpec {
     assert(fin == Map(("en", "web") -> ((2L, 7L)), ("en", "wiki") -> ((1L, 2L))))
   }
 
+  test("upsert sink materializes a keyed table across micro-batches (delta wins)") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val mem = MemoryStream[Ev](spark)
+    val q = KsqlTable.upsertSink(mem.toDF(), "user_id", "event_id",
+      s"$dir/tab", s"$dir/cp").start()
+    mem.addData(Ev(1, t(0), 1, "a", 10.0), Ev(2, t(1), 1, "a", 20.0),
+      Ev(3, t(2), 2, "b", 30.0))
+    q.processAllAvailable()
+    mem.addData(Ev(5, t(4), 1, "a", 50.0), Ev(4, t(3), 3, "c", 40.0))
+    q.processAllAvailable()
+    q.stop()
+    val tab = spark.read.parquet(s"$dir/tab").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    // key 1 upserted by the batch-2 delta; keys 2 and 3 retain their rows
+    assert(tab == Map(1L -> ((5L, 50.0)), 2L -> ((3L, 30.0)), 3L -> ((4L, 40.0))))
+  }
+
   test("INSERT INTO unions streams by name") {
     val m1 = MemoryStream[Ev](spark)
     val m2 = MemoryStream[Ev](spark)

@@ -138,6 +138,43 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al., 2023): k-means
+    * cluster the embedding corpus, then score cosine pairs only WITHIN
+    * a cluster — candidate volume drops from O(n²) to O(n²/k) with
+    * near-dup pairs (which cluster together by construction) retained.
+    * This is the scale path for `embeddingPairs`: the all-pairs form is
+    * the exact baseline, this is what runs on a 10⁹-row corpus. Recall
+    * vs the exact pairs is measured in DedupSimilaritySpec.
+    */
+  def semanticDedupPairs(emb: DataFrame, nClusters: Int = 8,
+                         threshold: Double = 0.35, iters: Int = 2,
+                         nAssign: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.kMeansCentroids(e, nClusters, iters)
+    // multi-assignment: each vector lands in its nAssign nearest cells,
+    // so a borderline pair straddling a cluster boundary still shares a
+    // cell — the same recall fix as IVF's nProbe, for nAssign× the
+    // candidate volume
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d", l2Distance(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))))
+      .filter(col("r") <= nAssign)
+      .select(col("cell"), col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b") // a pair can share both of its cells
+  }
+
   /** Edit-distance fuzzy near-dup pairs (entity-resolution style):
     * block by (lang, length bucket), compare levenshtein on a fixed
     * text prefix inside each block. Blocking bounds candidate pairs to
@@ -369,6 +406,12 @@ object Dedup {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin)
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin),
+
+    // approximate (cluster-pruned) → rows-only; recall vs the exact
+    // all-pairs form asserted in DedupSimilaritySpec
+    "q_dedup_semantic" -> Q(
+      (s, d) => semanticDedupPairs(Tables.embeddings(s, d)),
+      None)
   )
 }

@@ -161,6 +161,24 @@ object WarehouseQueries {
         |    CAST(p_size AS DOUBLE) AS psize FROM part
         |) UNPIVOT (value FOR metric IN (retail, psize))""".stripMargin),
 
+    // value-based (RANGE) window frame: for each order, how many of the
+    // same customer's orders fall within ±5000 of its price. RANGE
+    // frames bound by VALUE, not row position — counts are integers, so
+    // the pair is engine-exact even on double ordering keys.
+    "q_range_frame" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-5000, 5000)
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_similar_price"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT)
+        |    AS n_similar_price
+        |FROM orders""".stripMargin),
+
     // frame-bounded moving aggregate: trailing-4-order average per customer
     "q_moving_avg" -> Q(
       (s, d) => {

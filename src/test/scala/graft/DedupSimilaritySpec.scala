@@ -143,6 +143,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pq == again)
   }
 
+  test("semantic dedup: cluster-pruned pairs are a subset of exact pairs with good recall") {
+    val exact = Dedup.embeddingPairs(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDedupPairs(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same threshold + scoring → precision is 1.0 by construction
+    assert((sem -- exact).isEmpty, s"false pairs: ${sem -- exact}")
+    // near-dup pairs cluster together; most survive the pruning
+    assert(exact.nonEmpty)
+    val recall = (exact & sem).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("IVF ANN returns k neighbors per probe with nProbe cells") {
     val probes = emb.filter(col("vec_id") % 250 === 0)
     val r = Similarity.ivfTopK(emb, probes, nCells = 4, nProbe = 2, k = 3)

@@ -163,6 +163,47 @@ object EventAnalytics {
         |SELECT COALESCE(s.user_id, d.user_id) AS user_id,
         |  COALESCE(d.dv, s.sv) AS value,
         |  COALESCE(d.de, s.se) AS last_event_id
-        |FROM s FULL JOIN d ON s.user_id = d.user_id""".stripMargin)
+        |FROM s FULL JOIN d ON s.user_id = d.user_id""".stripMargin),
+
+    // CDC snapshot diff: given two keyed snapshots (event windows),
+    // emit the changelog between them — insert / update / delete per
+    // key. One full-outer merge on the key; at scale both snapshots
+    // co-partition on user_id so the diff is shuffle-local. This is the
+    // inverse of q_table_upsert (table → changelog; upsert applies
+    // changelog → table).
+    "q_cdc_diff" -> Q(
+      (s, d) => {
+        val latest = (lo: Long, hi: Long) => Tables.events(s, d)
+          .filter(col("event_id") >= lo && col("event_id") < hi)
+          .groupBy(col("user_id"))
+          .agg(max_by(col("value"), col("event_id")).as("v"))
+        val v1 = latest(0L, 300L).withColumnRenamed("v", "old_value")
+        val v2 = latest(150L, 450L).withColumnRenamed("v", "new_value")
+        v1.join(v2, Seq("user_id"), "full_outer")
+          .withColumn("op",
+            when(col("old_value").isNull, "I")
+              .when(col("new_value").isNull, "D")
+              .when(col("old_value") =!= col("new_value"), "U")
+              .otherwise("N"))
+          .filter(col("op") =!= "N")
+          .select(col("user_id"), col("op"), col("old_value"), col("new_value"))
+      },
+      """WITH v1 AS (
+        |  SELECT user_id, max_by(value, event_id) AS old_value
+        |  FROM events WHERE event_id >= 0 AND event_id < 300 GROUP BY user_id
+        |), v2 AS (
+        |  SELECT user_id, max_by(value, event_id) AS new_value
+        |  FROM events WHERE event_id >= 150 AND event_id < 450 GROUP BY user_id
+        |), j AS (
+        |  SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+        |    old_value, new_value,
+        |    CASE WHEN old_value IS NULL THEN 'I'
+        |         WHEN new_value IS NULL THEN 'D'
+        |         WHEN old_value <> new_value THEN 'U'
+        |         ELSE 'N' END AS op
+        |  FROM v1 FULL JOIN v2 ON v1.user_id = v2.user_id
+        |)
+        |SELECT user_id, op, old_value, new_value FROM j WHERE op <> 'N'"""
+        .stripMargin)
   )
 }

@@ -48,7 +48,7 @@ object Translator {
     "LATEST_BY_OFFSET" -> "max_by", "EARLIEST_BY_OFFSET" -> "min_by",
     "INITCAP" -> "initcap", "LPAD" -> "lpad", "RPAD" -> "rpad",
     "INSTR" -> "instr", "ARRAY_LENGTH" -> "size",
-    "REGEXP_EXTRACT" -> "regexp_extract")
+    "REGEXP_EXTRACT" -> "regexp_extract", "POWER" -> "pow")
 
   /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
     * balanced parens (quote-aware) so nested calls and arbitrary

@@ -73,6 +73,17 @@ final case class KsqlStream(df: DataFrame, timeColumn: String = "ts",
   def dedupByKey(keyCol: String, dedupCol: String): DataFrame =
     wm.dropDuplicates(Seq(keyCol, dedupCol))
 
+  /** Watermark-bounded dedup: like dedupByKey but state for a key is
+    * DROPPED once the watermark passes it — the unbounded-state fix for
+    * high-cardinality keys. Duplicates arriving within the watermark
+    * window dedup exactly; older re-arrivals are late data (already
+    * beyond the correctness horizon). THE streaming dedup for document
+    * pipelines, where the key space (content hashes) never stops
+    * growing but duplicates cluster in time.
+    */
+  def dedupWithinWatermark(cols: String*): DataFrame =
+    wm.dropDuplicatesWithinWatermark(cols)
+
   /** CSAS: CREATE STREAM AS SELECT → append-mode writer. */
   def createStreamAs(format: String, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format(format).option("path", path)

@@ -155,6 +155,23 @@ class KsqlSpec extends SparkSpec {
       || plan.contains("120000"), plan)
   }
 
+  test("HAVING filters on WINDOWSTART (window-bound predicates post-agg)") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val cutoff = 1704070800000L // 2024-01-01T01:00Z — one window in
+    val (_, Some(all)) = Translator.run(spark, catalog,
+      """SELECT WINDOWSTART, event_type, COUNT(*) AS cnt
+        |FROM events WINDOW TUMBLING (SIZE 1 HOURS)
+        |GROUP BY event_type""".stripMargin): @unchecked
+    val (_, Some(filtered)) = Translator.run(spark, catalog,
+      s"""SELECT WINDOWSTART, event_type, COUNT(*) AS cnt
+         |FROM events WINDOW TUMBLING (SIZE 1 HOURS)
+         |GROUP BY event_type HAVING WINDOWSTART >= $cutoff""".stripMargin): @unchecked
+    assert(filtered.filter(col("windowstart") < cutoff).count() == 0)
+    assert(filtered.count() ==
+      all.filter(col("windowstart") >= cutoff).count())
+  }
+
   test("CREATE schema supports STRUCT and DECIMAL types") {
     val (cat, _) = Translator.run(spark, Map.empty,
       """CREATE STREAM payments (id BIGINT, amount DECIMAL(10, 2),

@@ -135,6 +135,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("tpch q5 broadcasts the dims; the fact pair is the only shuffled join") {
+    val p = plan("q_tpch_q5")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges)\n${p.take(3000)}")
+  }
+
   test("sessionize plans ONE exchange: both window passes share the user_id partitioning") {
     val df = SparkEntry.queries("q_sessionize")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

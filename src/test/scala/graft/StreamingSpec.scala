@@ -318,6 +318,28 @@ class StreamingSpec extends SparkSpec {
     assert(fin == Map(("en", "web") -> ((2L, 7L)), ("en", "wiki") -> ((1L, 2L))))
   }
 
+  test("dedup within watermark: exact inside the horizon, state expires beyond it") {
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "10 minutes")
+    val w = s.dedupWithinWatermark("user_id", "event_type").writeStream
+      .format("memory").queryName("dedup_wm").outputMode(OutputMode.Append)
+    val q = w.start()
+    // in-horizon duplicate dedups exactly
+    mem.addData(Ev(1, t(0), 1, "click", 1), Ev(2, t(1), 1, "click", 2))
+    q.processAllAvailable()
+    // advance the watermark far past the first occurrence (other key)
+    mem.addData(Ev(3, t(60), 2, "view", 3))
+    q.processAllAvailable()
+    // (1, click) state has expired -> this re-emits instead of growing
+    // state forever (the point: bounded state on unbounded key spaces)
+    mem.addData(Ev(4, t(55), 1, "click", 4))
+    q.processAllAvailable()
+    q.stop()
+    val clicks = spark.table("dedup_wm")
+      .filter(col("user_id") === 1 && col("event_type") === "click").count()
+    assert(clicks == 2, s"expected re-emit after state expiry, got $clicks")
+  }
+
   test("upsert sink materializes a keyed table across micro-batches (delta wins)") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val mem = MemoryStream[Ev](spark)

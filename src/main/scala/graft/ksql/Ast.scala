@@ -34,7 +34,8 @@ case class SelectStmt(
     emitChanges: Boolean,
     fromSub: Option[SelectStmt] = None,       // derived table: FROM (SELECT ...)
     orderBy: Seq[(String, Boolean)] = Seq.empty, // (expr, descending)
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    emitFinal: Boolean = false)  // EMIT FINAL: only closed windows (append mode)
 
 sealed trait Statement
 case class CreateSource(
@@ -42,7 +43,8 @@ case class CreateSource(
     columns: Seq[(String, String)],           // (name, ksqlType)
     props: Map[String, String]) extends Statement // WITH(...) normalized keys
 case class CreateAsSelect(
-    isTable: Boolean, name: String, select: SelectStmt) extends Statement
+    isTable: Boolean, name: String, select: SelectStmt,
+    props: Map[String, String] = Map.empty) extends Statement // WITH(...)
 case class InsertInto(target: String, select: SelectStmt) extends Statement
 case class Query(select: SelectStmt) extends Statement
 case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABLES

@@ -79,7 +79,22 @@ object Parser {
           else { p.expect("STREAM"); false }
         val name = p.next().text
         if (p.peekUp == "(") parseCreateSource(p, isTable, name)
-        else { p.expect("AS"); CreateAsSelect(isTable, name, parseSelect(p)) }
+        else {
+          // CREATE ... name [WITH (K=V, ...)] AS SELECT — the WITH props
+          // bind the materialization target (PATH / VALUE_FORMAT)
+          val props = Map.newBuilder[String, String]
+          if (p.accept("WITH")) {
+            p.expect("(")
+            while (!p.accept(")")) {
+              val k = p.next().up
+              p.expect("=")
+              props += (k -> p.next().text)
+              p.accept(",")
+            }
+          }
+          p.expect("AS")
+          CreateAsSelect(isTable, name, parseSelect(p), props.result())
+        }
       } else if (p.accept("INSERT")) {
         p.expect("INTO")
         val target = p.next().text
@@ -290,11 +305,15 @@ object Parser {
       t.text.toInt
     }
     val limit0 = if (p.accept("LIMIT")) Some(limitOperand()) else None
-    val emit = if (p.accept("EMIT")) { p.expect("CHANGES"); true } else false
+    var emitFinal = false
+    val emit = if (p.accept("EMIT")) {
+      if (p.accept("FINAL")) { emitFinal = true; false }
+      else { p.expect("CHANGES"); true }
+    } else false
     val limit = limit0.orElse(
       if (p.accept("LIMIT")) Some(limitOperand()) else None)
     SelectStmt(cols.result(), from, fromAlias, joins.result(), where, window,
-      groupBy, having, partitionBy, emit, fromSub, orderBy, limit)
+      groupBy, having, partitionBy, emit, fromSub, orderBy, limit, emitFinal)
   }
 
   // column-level expressions additionally stop at AS (aliases); CAST(x AS

@@ -286,8 +286,21 @@ object Translator {
     val projected: DataFrame =
       if (s.groupBy.nonEmpty || s.window.isDefined) {
         val winCol = s.window.map(w => windowStruct(w, col(src.timeColumn)))
-        val keys = winCol.toSeq ++ s.groupBy.map(g => expr(rewriteExpr(g)))
-        val keyTexts = s.groupBy.map(g => rewriteExpr(g)).toSet
+        // GROUP BY may reference a SELECT alias (the natural KSQL form:
+        // SELECT CASE … AS band … GROUP BY band) — substitute the
+        // aliased expression as the grouping key and keep the alias as
+        // the output column name
+        val aliasMap = s.columns.collect {
+          case (e, Some(a)) => a.toLowerCase -> e
+        }.toMap
+        val keys = winCol.toSeq ++ s.groupBy.map { g =>
+          aliasMap.get(g.trim.toLowerCase) match {
+            case Some(e) => expr(rewriteExpr(e)).as(g.trim)
+            case None => expr(rewriteExpr(g))
+          }
+        }
+        val keyTexts = s.groupBy
+          .map(g => rewriteExpr(aliasMap.getOrElse(g.trim.toLowerCase, g))).toSet
         // WINDOWSTART/WINDOWEND in the select list are pseudo-columns of
         // the window key — they surface post-agg, not as aggregates
         val isWinPseudo = (e: String) =>
@@ -384,11 +397,22 @@ object Translator {
           }
         }
         (catalog + (name.toLowerCase -> bound), None)
-      case CreateAsSelect(_, name, sel) =>
+      case CreateAsSelect(_, name, sel, props) =>
         val df = select(spark, catalog, sel)
         val srcTime = resolveTime(catalog, sel)
         val tc = if (df.columns.contains(srcTime)) srcTime
           else if (df.columns.contains("windowstart")) "windowstart" else df.columns.head
+        // WITH (PATH=...) on a batch CSAS materializes immediately; a
+        // streaming CSAS returns the frame for the caller to start
+        // (KsqlStream.createStreamAs wires path + checkpoint + trigger)
+        props.get("PATH").filter(_ => !df.isStreaming).foreach { path =>
+          props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase match {
+            case "JSON" => df.write.mode("overwrite").json(path)
+            case "DELIMITED" => df.write.mode("overwrite")
+              .option("header", "true").csv(path)
+            case _ => df.write.mode("overwrite").parquet(path)
+          }
+        }
         (catalog + (name.toLowerCase -> Source(df, tc)), Some(df))
       case InsertInto(target, sel) =>
         val df = select(spark, catalog, sel)

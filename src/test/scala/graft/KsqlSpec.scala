@@ -172,6 +172,45 @@ class KsqlSpec extends SparkSpec {
       all.filter(col("windowstart") >= cutoff).count())
   }
 
+  test("GROUP BY resolves SELECT aliases (KSQL idiom, no derived table needed)") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY band""".stripMargin): @unchecked
+    assert(df.columns.toSeq == Seq("band", "cnt"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+    assert(m("hi") == ev.filter(col("value") > 50).count())
+    assert(m("lo") == ev.filter(col("value") <= 50).count())
+  }
+
+  test("CSAS WITH (PATH=...) materializes the result to files") {
+    val dir = java.nio.file.Files.createTempDirectory("csas_path").toString
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (cat2, Some(df)) = Translator.run(spark, catalog,
+      s"""CREATE STREAM clicks WITH (PATH='$dir/out', VALUE_FORMAT='PARQUET') AS
+         |SELECT event_id, value FROM events WHERE event_type = 'click'"""
+        .stripMargin): @unchecked
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == df.count() && back.count() > 0)
+    assert(cat2.contains("clicks"))
+  }
+
+  test("EMIT FINAL parses and is distinguished from EMIT CHANGES") {
+    val f = Parser.parse(
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY event_type EMIT FINAL"""
+        .stripMargin).asInstanceOf[Query]
+    assert(f.select.emitFinal && !f.select.emitChanges)
+    val c = Parser.parse(
+      "SELECT COUNT(*) FROM events GROUP BY event_type EMIT CHANGES")
+      .asInstanceOf[Query]
+    assert(c.select.emitChanges && !c.select.emitFinal)
+  }
+
   test("CREATE schema supports STRUCT and DECIMAL types") {
     val (cat, _) = Translator.run(spark, Map.empty,
       """CREATE STREAM payments (id BIGINT, amount DECIMAL(10, 2),

@@ -86,6 +86,7 @@ object Parser {
           if (p.accept("WITH")) {
             p.expect("(")
             while (!p.accept(")")) {
+              if (p.done) p.fail("expected ) closing WITH properties")
               val k = p.next().up
               p.expect("=")
               props += (k -> p.next().text)
@@ -104,7 +105,12 @@ object Parser {
         else if (p.accept("QUERIES")) ShowQueries
         else { p.expect("STREAMS"); ShowSources(tables = false) }
       } else if (p.accept("TERMINATE")) {
-        Terminate(p.next().text)
+        // a query id is a UUID, which the lexer splits at '-' — rejoin
+        // everything to end-of-statement (UUIDs contain no spaces)
+        val sb = new StringBuilder
+        while (!p.done) sb.append(p.next().text)
+        if (sb.isEmpty) p.fail("TERMINATE expects a query id, name, or ALL")
+        Terminate(sb.toString)
       } else if (p.accept("RUN")) {
         p.expect("SCRIPT")
         val t = p.next()
@@ -129,6 +135,7 @@ object Parser {
     p.expect("(")
     val cols = Seq.newBuilder[(String, String)]
     while (!p.accept(")")) {
+      if (p.done) p.fail("expected ) closing the column list")
       val cname = p.next().text
       val sb = new StringBuilder(p.next().text)
       // composite types: ARRAY<...>, MAP<...,...>, STRUCT<f T, ...>,
@@ -157,6 +164,7 @@ object Parser {
     if (p.accept("WITH")) {
       p.expect("(")
       while (!p.accept(")")) {
+        if (p.done) p.fail("expected ) closing WITH properties")
         val k = p.next().up
         p.expect("=")
         props += (k -> p.next().text)

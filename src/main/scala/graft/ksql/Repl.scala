@@ -52,12 +52,22 @@ object Repl {
         return catalog
       }
       buf.append(line).append('\n')
-      // a ';' anywhere in the buffer closes ≥1 statement; trailing text
+      // an UNQUOTED ';' in the buffer closes ≥1 statement (a ';' inside
+      // a 'string literal' must not tear the statement); trailing text
       // stays buffered for the next round
-      if (buf.indexOf(";") >= 0) {
-        val parts = buf.toString.split(";", -1)
-        buf.clear(); buf.append(parts.last)
-        parts.dropRight(1).map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+      val text = buf.toString
+      val lastSemi = {
+        var inStr = false; var last = -1
+        for (i <- text.indices) text.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case ';' if !inStr => last = i
+          case _ =>
+        }
+        last
+      }
+      if (lastSemi >= 0) {
+        buf.clear(); buf.append(text.substring(lastSemi + 1))
+        Translator.splitStatements(text.substring(0, lastSemi)).foreach { stmt =>
           try {
             val (cat2, res) = Translator.run(spark, catalog, stmt)
             catalog = cat2

@@ -185,6 +185,16 @@ object Translator {
     }
   }
 
+  /** The streaming output mode a statement's EMIT clause implies:
+    * EMIT FINAL → Append (only closed windows, after the watermark
+    * passes), everything else → Update (per-batch changelog). The
+    * translator returns frames, not running queries — callers pass
+    * this to their writeStream.
+    */
+  def outputModeFor(s: SelectStmt): org.apache.spark.sql.streaming.OutputMode =
+    if (s.emitFinal) org.apache.spark.sql.streaming.OutputMode.Append()
+    else org.apache.spark.sql.streaming.OutputMode.Update()
+
   private def windowStruct(w: WindowSpec, timeCol: Column): Column = w match {
     case Tumbling(ms, _) => window(timeCol, s"$ms milliseconds")
     case Hopping(ms, adv, _) => window(timeCol, s"$ms milliseconds", s"$adv milliseconds")
@@ -274,11 +284,11 @@ object Translator {
           catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
           val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
           df.createOrReplaceTempView(vn)
-          // spark.sql analyzes eagerly — the resolved plan survives the drop
-          val out = spark.sql(
+          // spark.sql analyzes eagerly — the resolved plan survives the
+          // drop; finally, so a failed analysis can't leak the view
+          try spark.sql(
             s"SELECT * FROM $vn AS ${s.fromAlias.getOrElse(s.from)} WHERE $rw")
-          spark.catalog.dropTempView(vn)
-          out
+          finally spark.catalog.dropTempView(vn)
         }
       } else df = df.filter(expr(rw))
     }
@@ -465,6 +475,23 @@ object Translator {
     }
   }
 
+  /** Split a script on ';' at quote-depth 0 only — a ';' inside a
+    * 'string literal' must not tear the statement ('' escapes toggle
+    * twice, leaving the state consistent). Shared by runScript and the
+    * REPL's buffer flush.
+    */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inStr = false; var start = 0
+    for (i <- script.indices) script.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case ';' if !inStr => out += script.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += script.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Run a multi-statement KSQL script (';'-separated), threading the
     * catalog through; returns the final catalog and the last statement's
     * result. The whole reference workflow — declare sources, build
@@ -472,7 +499,7 @@ object Translator {
     */
   def runScript(spark: SparkSession, catalog: Catalog, script: String)
   : (Catalog, Option[DataFrame]) =
-    script.split(";").map(_.trim).filter(_.nonEmpty)
+    splitStatements(script)
       .foldLeft((catalog, Option.empty[DataFrame])) {
         case ((cat, _), stmt) => run(spark, cat, stmt)
       }

@@ -526,6 +526,10 @@ object TextAnalysis {
         val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
         Tables.documents(s, d).filter(col("lang") === "en")
           .select(toks.as("toks"))
+          // <2 tokens → sequence(1, 0) DESCENDS and indexes out of
+          // bounds (ANSI error); DuckDB's generate_series(1, 0) is just
+          // empty — filter to docs that can form a bigram
+          .filter(size(col("toks")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
             .as("bigram"))

@@ -113,10 +113,15 @@ object KsqlTable {
         val latest = batch.groupBy(col(keyCol))
           .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
           .select(col("r.*"))
+        // Only a genuinely-missing snapshot dir falls back to empty —
+        // catching arbitrary read exceptions here would treat a
+        // transient IO error as "first batch" and the overwrite below
+        // would silently destroy every previously upserted key.
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          try spark.read.parquet(path)
-          catch { case _: Exception =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema) }
+          if (fs.exists(hPath)) spark.read.parquet(path)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
         val merged = existing.unionByName(latest)
           .groupBy(col(keyCol))
           .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))

@@ -211,6 +211,50 @@ class KsqlSpec extends SparkSpec {
     assert(c.select.emitChanges && !c.select.emitFinal)
   }
 
+  test("EMIT FINAL drives append mode: only watermark-closed windows emit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val catalog: Translator.Catalog = Map(
+      "clicks" -> Translator.Source(mem.toDF(), "ts", "5 minutes"))
+    val stmt =
+      """CREATE TABLE t AS SELECT event_type, COUNT(*) AS cnt FROM clicks
+        |WINDOW TUMBLING (SIZE 10 MINUTES) GROUP BY event_type EMIT FINAL"""
+        .stripMargin
+    val sel = Parser.parse(stmt).asInstanceOf[CreateAsSelect].select
+    val (_, Some(df)) = Translator.run(spark, catalog, stmt): @unchecked
+    val q = df.writeStream.format("memory").queryName("emit_final")
+      .outputMode(Translator.outputModeFor(sel)).start()
+    val t0 = 1700000000000L
+    mem.addData(
+      Ev(1, new java.sql.Timestamp(t0), 1, "click", 1.0),
+      Ev(2, new java.sql.Timestamp(t0 + 60000), 1, "click", 1.0),
+      Ev(3, new java.sql.Timestamp(t0 + 40 * 60000), 1, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("emit_final").collect()
+    // the click window [0,10) closed when the watermark passed -> emits
+    // its FINAL count once; the view window at +40min is still open ->
+    // nothing emitted for it
+    assert(out.exists(r => r.getAs[String]("event_type") == "click"
+      && r.getAs[Long]("cnt") == 2), out.mkString(","))
+    assert(!out.exists(r => r.getAs[String]("event_type") == "view"), out.mkString(","))
+  }
+
+  test("statement splitting ignores ';' inside string literals") {
+    val stmts = Translator.splitStatements(
+      "SELECT 1 WHERE x = 'a;b'; SELECT 2; SELECT 'it''s; fine'")
+    assert(stmts == Seq("SELECT 1 WHERE x = 'a;b'", "SELECT 2",
+      "SELECT 'it''s; fine'"))
+    val e = intercept[IllegalArgumentException] {
+      Parser.parse("CREATE STREAM s (a INT")
+    }
+    assert(e.getMessage.contains("expected )"))
+    // TERMINATE accepts a UUID id (lexer splits at '-', parser rejoins)
+    val t = Parser.parse("TERMINATE 22d2a852-9f11-4e0a-8888-000000000001")
+      .asInstanceOf[Terminate]
+    assert(t.id == "22d2a852-9f11-4e0a-8888-000000000001")
+  }
+
   test("CREATE schema supports STRUCT and DECIMAL types") {
     val (cat, _) = Translator.run(spark, Map.empty,
       """CREATE STREAM payments (id BIGINT, amount DECIMAL(10, 2),

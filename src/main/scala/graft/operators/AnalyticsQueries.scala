@@ -106,6 +106,43 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
+
+    // GROUPING() indicators distinguish a real NULL key from a rollup
+    // subtotal row — the standard way to consume ROLLUP output safely
+    "q_grouping_id" -> Q(
+      (s, d) => Tables.events(s, d)
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("event_type")).cast("int").as("is_total"))
+        .select(col("event_type"), col("is_total"), col("cnt")),
+      """SELECT event_type,
+        |  CAST(GROUPING(event_type) AS INT) AS is_total,
+        |  count(*) AS cnt
+        |FROM events GROUP BY ROLLUP (event_type)""".stripMargin),
+
+    // windowed top-k (trending items): top-3 users by event count per
+    // tumbling hour — the window rank gets WindowGroupLimit's map-side
+    // prune, so each partition ships at most k rows per (window, rank)
+    "q_window_topk" -> Q(
+      (s, d) => {
+        val hour = (unix_millis(col("ts")) / 3600000L).cast("long")
+        val w = Window.partitionBy(col("hour"))
+          .orderBy(col("cnt").desc, col("user_id"))
+        Tables.events(s, d)
+          .groupBy(hour.as("hour"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+      },
+      """WITH c AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hour, user_id,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT hour, user_id, cnt,
+        |  CAST(row_number() OVER (PARTITION BY hour
+        |    ORDER BY cnt DESC, user_id) AS INT) AS rk
+        |FROM c QUALIFY rk <= 3""".stripMargin)
   )
 }

@@ -103,4 +103,62 @@ class EdgeCaseSpec extends SparkSpec {
     assert(kept.count() == 5) // 6 docs, one exact dup
     assert(kept.agg(sum("n_copies")).head.getLong(0) == 6)
   }
+
+  test("sessionize: a lone event starts session 1; a 31-min gap starts session 2") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    val ev = Seq(
+      (1L, new Timestamp(t0), 7L),                    // user 7: lone event
+      (2L, new Timestamp(t0), 8L),                    // user 8: two sessions
+      (3L, new Timestamp(t0 + 31 * 60000L), 8L),
+      (4L, new Timestamp(t0 + 32 * 60000L), 8L)       // same session as 3
+    ).toDF("event_id", "ts", "user_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val out = ev.withColumn("ms", unix_millis(col("ts")))
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L
+          || lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L))
+      .select(col("event_id"),
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("session_seq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("winnowing emits nothing for docs under 7 tokens and one fp at exactly 7") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5L),                 // 3 toks < k+w-1
+      (2L, "a b c d e f g", "en", "s", 13L)         // exactly one full window
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // replicate the q_winnowing shape over the synthetic frame
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val fp = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1], ' ', toks[i+2]))"""
+          .stripMargin)).as(Seq("i", "gram")))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+      .withColumn("fp", min(col("h")).over(w.rowsBetween(0, 3)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("i") <= col("n") - 4)
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().map(_.getLong(0))
+    // doc 1: no 4-token shingle window → nothing; doc 2: 4 shingles =
+    // exactly one window of 4 → exactly one fingerprint
+    assert(fp.toSeq == Seq(2L))
+  }
+
+  test("semantic dedup handles a corpus smaller than the cluster count") {
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(tiny, nClusters = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // near-identical pair found, opposite vector not
+  }
 }

@@ -46,6 +46,9 @@ case class CreateAsSelect(
     isTable: Boolean, name: String, select: SelectStmt,
     props: Map[String, String] = Map.empty) extends Statement // WITH(...)
 case class InsertInto(target: String, select: SelectStmt) extends Statement
+case class InsertValues(target: String, columns: Seq[String],
+                        values: Seq[String]) extends Statement // literal row
+case class PrintRows(source: String, limit: Int) extends Statement // PRINT name
 case class Query(select: SelectStmt) extends Statement
 case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABLES
 case class Describe(name: String) extends Statement

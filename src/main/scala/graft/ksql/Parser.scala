@@ -75,8 +75,10 @@ object Parser {
     val p = new P(tokenize(sql))
     val stmt =
       if (p.accept("CREATE")) {
+        if (p.accept("OR")) p.expect("REPLACE") // CSAS/CTAS rebind anyway
         val isTable = if (p.accept("TABLE")) true
           else { p.expect("STREAM"); false }
+        if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
         val name = p.next().text
         if (p.peekUp == "(") parseCreateSource(p, isTable, name)
         else {
@@ -99,7 +101,36 @@ object Parser {
       } else if (p.accept("INSERT")) {
         p.expect("INTO")
         val target = p.next().text
-        InsertInto(target, parseSelect(p))
+        if (p.peekUp == "(" || p.peekUp == "VALUES") {
+          // INSERT INTO t [(c1, …)] VALUES (v1, …) — the CLI test-data path
+          val cols = Seq.newBuilder[String]
+          if (p.accept("(")) {
+            while (!p.accept(")")) {
+              if (p.done) p.fail("expected ) closing the column list")
+              cols += p.next().text
+              p.accept(",")
+            }
+          }
+          p.expect("VALUES")
+          p.expect("(")
+          val vals = Seq.newBuilder[String]
+          while (!p.accept(")")) {
+            if (p.done) p.fail("expected ) closing VALUES")
+            vals += exprUntil(p, Set(",", ")"))
+            p.accept(",")
+          }
+          InsertValues(target, cols.result(), vals.result())
+        } else InsertInto(target, parseSelect(p))
+      } else if (p.accept("PRINT")) {
+        // PRINT 'name' | PRINT name [LIMIT n] — peek at a source's rows
+        val name = p.next().text
+        val limit = if (p.accept("LIMIT")) {
+          val t = p.next()
+          if (t.isString || !t.text.matches("\\d+"))
+            p.fail(s"LIMIT expects an integer literal, got '${t.text}'")
+          t.text.toInt
+        } else 10
+        PrintRows(name, limit)
       } else if (p.accept("SHOW")) {
         if (p.accept("TABLES")) ShowSources(tables = true)
         else if (p.accept("QUERIES")) ShowQueries

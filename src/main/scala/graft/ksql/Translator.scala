@@ -146,10 +146,17 @@ object Translator {
   private def expandTimeFns(sql: String): String = {
     val s1 = rewriteCall(sql, "STRINGTOTIMESTAMP")(args =>
       s"unix_millis(to_timestamp(${args.mkString(", ")}))")
-    rewriteCall(s1, "TIMESTAMPTOSTRING") { args =>
+    val s2 = rewriteCall(s1, "TIMESTAMPTOSTRING") { args =>
       arity("TIMESTAMPTOSTRING", args, 2)
       s"date_format(timestamp_millis(${args(0)}), ${args(1)})"
     }
+    val s3 = rewriteCall(s2, "FROM_UNIXTIME") { args =>
+      arity("FROM_UNIXTIME", args, 1)
+      s"timestamp_millis(${args.head})"
+    }
+    rewriteCall(s3, "UNIX_TIMESTAMP")(args =>
+      if (args.isEmpty) "unix_millis(current_timestamp())"
+      else s"unix_millis(${args.mkString(", ")})")
   }
 
   /** GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) → haversine formula. */
@@ -430,6 +437,30 @@ object Translator {
           throw new IllegalArgumentException(s"unknown target $target"))
         val merged = tgt.copy(df = tgt.df.unionByName(df, allowMissingColumns = true))
         (catalog + (target.toLowerCase -> merged), Some(merged.df))
+      case InsertValues(target, colsSpec, values) =>
+        val tgt = catalog.getOrElse(target.toLowerCase,
+          throw new IllegalArgumentException(s"unknown target $target"))
+        if (tgt.df.isStreaming) throw new IllegalArgumentException(
+          s"INSERT VALUES into streaming source $target is not supported")
+        val names = if (colsSpec.nonEmpty) colsSpec else tgt.df.columns.toSeq
+        if (names.length != values.length) throw new IllegalArgumentException(
+          s"INSERT VALUES: ${names.length} columns but ${values.length} values")
+        val given = names.map(_.toLowerCase).zip(values).toMap
+        // one literal row shaped and typed exactly like the target —
+        // unlisted columns become typed NULLs
+        val projected = tgt.df.schema.map { f =>
+          val sql = given.get(f.name.toLowerCase)
+            .map(v => s"CAST(${rewriteExpr(v)} AS ${f.dataType.sql})")
+            .getOrElse(s"CAST(NULL AS ${f.dataType.sql})")
+          s"$sql AS ${f.name}"
+        }
+        val row = spark.sql(s"SELECT ${projected.mkString(", ")}")
+        val merged = tgt.copy(df = tgt.df.unionByName(row))
+        (catalog + (target.toLowerCase -> merged), Some(merged.df))
+      case PrintRows(name, limit) =>
+        val src = catalog.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"unknown source $name"))
+        (catalog, Some(src.df.limit(limit)))
       case Query(sel) => (catalog, Some(select(spark, catalog, sel)))
       case ShowSources(_) =>
         import spark.implicits._

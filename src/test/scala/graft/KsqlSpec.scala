@@ -240,6 +240,39 @@ class KsqlSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[String]("event_type") == "view"), out.mkString(","))
   }
 
+  test("INSERT INTO ... VALUES appends a typed literal row; PRINT pages a source") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val before = Tables.events(spark, sfDir).count()
+    val (cat2, _) = Translator.run(spark, catalog,
+      """INSERT INTO events (event_id, user_id, event_type, value)
+        |VALUES (999999, 7, 'manual', 42.5)""".stripMargin)
+    val ev2 = cat2("events").df
+    assert(ev2.count() == before + 1)
+    val row = ev2.filter(col("event_id") === 999999L).head
+    assert(row.getAs[String]("event_type") == "manual"
+      && row.getAs[Double]("value") == 42.5)
+    assert(row.isNullAt(row.fieldIndex("ts"))) // unlisted column -> typed NULL
+    // schema is preserved exactly (union would fail otherwise)
+    assert(ev2.schema == Tables.events(spark, sfDir).schema)
+    val (_, Some(page)) = Translator.run(spark, cat2,
+      "PRINT events LIMIT 5"): @unchecked
+    assert(page.count() == 5)
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, cat2,
+        "INSERT INTO events (event_id) VALUES (1, 2)")
+    }
+    assert(e.getMessage.contains("1 columns but 2 values"))
+  }
+
+  test("FROM_UNIXTIME / UNIX_TIMESTAMP expand to millis-preserving forms") {
+    val r = Translator.rewriteExpr("FROM_UNIXTIME(1704067200000)")
+    assert(r == "timestamp_millis(1704067200000)")
+    assert(Translator.rewriteExpr("UNIX_TIMESTAMP()")
+      == "unix_millis(current_timestamp())")
+    assert(Translator.rewriteExpr("UNIX_TIMESTAMP(ts)") == "unix_millis(ts)")
+  }
+
   test("statement splitting ignores ';' inside string literals") {
     val stmts = Translator.splitStatements(
       "SELECT 1 WHERE x = 'a;b'; SELECT 2; SELECT 'it''s; fine'")

@@ -369,6 +369,26 @@ object CoreQueries {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value")),
+      None),
+
+    // mergeable HLL sketches (Apache DataSketches): distinct-user
+    // sketches built per (event_type) partition, then UNIONED into a
+    // global estimate — the pre-aggregation architecture that matters
+    // at 100 TB: per-partition sketches are tiny, mergeable, and
+    // incrementally maintainable, so "distinct users overall" never
+    // rescans raw data. Approximate → rows-only; error bound spec'd.
+    "q_hll_rollup" -> Q(
+      (s, d) => {
+        val perType = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val total = perType.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("users"))
+          .select(lit("__all__").as("event_type"), col("users"))
+        perType.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("users"))
+          .unionByName(total)
+      },
       None)
   )
 }

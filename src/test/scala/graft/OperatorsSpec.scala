@@ -59,4 +59,16 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(approx(k).toDouble - e) / e < 0.05, s"$k: ${approx(k)} vs $e")
     }
   }
+
+  test("HLL sketch union estimate within 5% of exact global distinct") {
+    val rows = run("q_hll_rollup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).head.getLong(0)
+    val est = rows("__all__").toDouble
+    assert(math.abs(est - exactAll) / exactAll < 0.05, s"$est vs $exactAll")
+    // the union can't exceed the sum of parts and can't be below the max
+    val parts = rows.filter(_._1 != "__all__").values
+    assert(est <= parts.sum * 1.05 && est >= parts.max * 0.95)
+  }
 }

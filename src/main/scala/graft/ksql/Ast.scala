@@ -41,10 +41,13 @@ sealed trait Statement
 case class CreateSource(
     isTable: Boolean, name: String,
     columns: Seq[(String, String)],           // (name, ksqlType)
-    props: Map[String, String]) extends Statement // WITH(...) normalized keys
+    props: Map[String, String],               // WITH(...) normalized keys
+    ifNotExists: Boolean = false,             // keep an existing binding
+    orReplace: Boolean = false) extends Statement // force a fresh binding
 case class CreateAsSelect(
     isTable: Boolean, name: String, select: SelectStmt,
-    props: Map[String, String] = Map.empty) extends Statement // WITH(...)
+    props: Map[String, String] = Map.empty,   // WITH(...)
+    ifNotExists: Boolean = false) extends Statement
 case class InsertInto(target: String, select: SelectStmt) extends Statement
 case class InsertValues(target: String, columns: Seq[String],
                         values: Seq[String]) extends Statement // literal row

@@ -20,10 +20,17 @@ object Parser {
       val c = sql.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '\'') {
+        // '' inside a literal is an escaped quote — one token, one quote
         val sb = new StringBuilder
         i += 1
-        while (i < n && sql.charAt(i) != '\'') { sb.append(sql.charAt(i)); i += 1 }
-        i += 1 // closing quote
+        var closed = false
+        while (!closed && i < n) {
+          val ch = sql.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb.append(ch); i += 1 }
+        }
         out += Tok(sb.toString, isString = true)
       } else if (c.isLetter || c == '_') {
         val start = i
@@ -65,6 +72,13 @@ object Parser {
     "HOUR" -> 3600000L, "HOURS" -> 3600000L,
     "DAY" -> 86400000L, "DAYS" -> 86400000L)
 
+  private def limitOperand(p: P): Int = {
+    val t = p.next()
+    if (t.isString || !t.text.matches("\\d+"))
+      p.fail(s"LIMIT expects an integer literal, got '${t.text}'")
+    t.text.toInt
+  }
+
   private def parseDuration(p: P): Long = {
     val num = p.next().text.toDouble
     val unit = p.next().up
@@ -75,12 +89,14 @@ object Parser {
     val p = new P(tokenize(sql))
     val stmt =
       if (p.accept("CREATE")) {
-        if (p.accept("OR")) p.expect("REPLACE") // CSAS/CTAS rebind anyway
+        val orReplace = if (p.accept("OR")) { p.expect("REPLACE"); true } else false
         val isTable = if (p.accept("TABLE")) true
           else { p.expect("STREAM"); false }
-        if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
+        val ifNotExists =
+          if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS"); true } else false
         val name = p.next().text
-        if (p.peekUp == "(") parseCreateSource(p, isTable, name)
+        if (p.peekUp == "(")
+          parseCreateSource(p, isTable, name, ifNotExists, orReplace)
         else {
           // CREATE ... name [WITH (K=V, ...)] AS SELECT — the WITH props
           // bind the materialization target (PATH / VALUE_FORMAT)
@@ -96,7 +112,7 @@ object Parser {
             }
           }
           p.expect("AS")
-          CreateAsSelect(isTable, name, parseSelect(p), props.result())
+          CreateAsSelect(isTable, name, parseSelect(p), props.result(), ifNotExists)
         }
       } else if (p.accept("INSERT")) {
         p.expect("INTO")
@@ -124,12 +140,7 @@ object Parser {
       } else if (p.accept("PRINT")) {
         // PRINT 'name' | PRINT name [LIMIT n] — peek at a source's rows
         val name = p.next().text
-        val limit = if (p.accept("LIMIT")) {
-          val t = p.next()
-          if (t.isString || !t.text.matches("\\d+"))
-            p.fail(s"LIMIT expects an integer literal, got '${t.text}'")
-          t.text.toInt
-        } else 10
+        val limit = if (p.accept("LIMIT")) limitOperand(p) else 10
         PrintRows(name, limit)
       } else if (p.accept("SHOW")) {
         if (p.accept("TABLES")) ShowSources(tables = true)
@@ -162,7 +173,8 @@ object Parser {
     stmt
   }
 
-  private def parseCreateSource(p: P, isTable: Boolean, name: String): CreateSource = {
+  private def parseCreateSource(p: P, isTable: Boolean, name: String,
+                                ifNotExists: Boolean, orReplace: Boolean): CreateSource = {
     p.expect("(")
     val cols = Seq.newBuilder[(String, String)]
     while (!p.accept(")")) {
@@ -202,7 +214,7 @@ object Parser {
         p.accept(",")
       }
     }
-    CreateSource(isTable, name, cols.result(), props.result())
+    CreateSource(isTable, name, cols.result(), props.result(), ifNotExists, orReplace)
   }
 
   /** Collect raw expression tokens until a top-level keyword/terminator. */
@@ -215,9 +227,9 @@ object Parser {
       !(depth == 0 && !t.isString && (stops.contains(u) || u == ";"))
     }) {
       val t = p.next()
-      if (!t.isString && (t.text == "(")) depth += 1
-      if (!t.isString && (t.text == ")")) {
-        if (depth == 0) p.fail("unbalanced )")
+      if (!t.isString && (t.text == "(" || t.text == "[")) depth += 1
+      if (!t.isString && (t.text == ")" || t.text == "]")) {
+        if (depth == 0) p.fail(s"unbalanced ${t.text}")
         depth -= 1
       }
       if (sb.nonEmpty) sb.append(' ')
@@ -337,20 +349,14 @@ object Parser {
     } else Seq.empty
     // LIMIT may sit either side of EMIT CHANGES (pull queries put it
     // last; push queries write EMIT CHANGES LIMIT n)
-    def limitOperand(): Int = {
-      val t = p.next()
-      if (t.isString || !t.text.matches("\\d+"))
-        p.fail(s"LIMIT expects an integer literal, got '${t.text}'")
-      t.text.toInt
-    }
-    val limit0 = if (p.accept("LIMIT")) Some(limitOperand()) else None
+    val limit0 = if (p.accept("LIMIT")) Some(limitOperand(p)) else None
     var emitFinal = false
     val emit = if (p.accept("EMIT")) {
       if (p.accept("FINAL")) { emitFinal = true; false }
       else { p.expect("CHANGES"); true }
     } else false
     val limit = limit0.orElse(
-      if (p.accept("LIMIT")) Some(limitOperand()) else None)
+      if (p.accept("LIMIT")) Some(limitOperand(p)) else None)
     SelectStmt(cols.result(), from, fromAlias, joins.result(), where, window,
       groupBy, having, partitionBy, emit, fromSub, orderBy, limit, emitFinal)
   }

@@ -154,9 +154,12 @@ object Translator {
       arity("FROM_UNIXTIME", args, 1)
       s"timestamp_millis(${args.head})"
     }
-    rewriteCall(s3, "UNIX_TIMESTAMP")(args =>
+    rewriteCall(s3, "UNIX_TIMESTAMP") { args =>
+      if (args.length > 1) throw new IllegalArgumentException(
+        s"UNIX_TIMESTAMP expects 0 or 1 arguments, got ${args.length}")
       if (args.isEmpty) "unix_millis(current_timestamp())"
-      else s"unix_millis(${args.mkString(", ")})")
+      else s"unix_millis(${args.head})"
+    }
   }
 
   /** GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) → haversine formula. */
@@ -383,18 +386,23 @@ object Translator {
     // registration is idempotent
     graft.GraftExtensions.register(spark)
     Parser.parse(sql) match {
-      case CreateSource(_, name, cols, props) =>
+      case CreateSource(_, name, cols, props, ifNotExists, orReplace) =>
         // Physical binding, in order of preference:
         //  1. catalog already provides the frame (driver/tests) → rebind time col
         //  2. WITH (PATH='...', VALUE_FORMAT=PARQUET|JSON|DELIMITED) → file read
         //     (KAFKA_TOPIC would bind through Sources.kafka — connector jar
         //      not present in this image)
         //  3. otherwise an empty-schema placeholder
+        // IF NOT EXISTS: an existing binding survives UNTOUCHED (no
+        // timeColumn rebind). OR REPLACE: the existing binding is
+        // ignored and the source re-binds fresh from WITH/PATH.
+        if (ifNotExists && catalog.contains(name.toLowerCase))
+          return (catalog, None)
         val ts = props.getOrElse("TIMESTAMP", "ts")
         val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
           org.apache.spark.sql.types.StructField(n, sparkType(t))
         })
-        val bound: Source = catalog.get(name.toLowerCase) match {
+        val bound: Source = catalog.get(name.toLowerCase).filter(_ => !orReplace) match {
           case Some(src) => src.copy(timeColumn = ts)
           case None => props.get("PATH") match {
             case Some(path) =>
@@ -414,7 +422,10 @@ object Translator {
           }
         }
         (catalog + (name.toLowerCase -> bound), None)
-      case CreateAsSelect(_, name, sel, props) =>
+      case CreateAsSelect(_, name, sel, props, ifNotExists) =>
+        // IF NOT EXISTS: an existing binding wins; the SELECT does not run
+        if (ifNotExists && catalog.contains(name.toLowerCase))
+          return (catalog, None)
         val df = select(spark, catalog, sel)
         val srcTime = resolveTime(catalog, sel)
         val tc = if (df.columns.contains(srcTime)) srcTime
@@ -445,7 +456,17 @@ object Translator {
         val names = if (colsSpec.nonEmpty) colsSpec else tgt.df.columns.toSeq
         if (names.length != values.length) throw new IllegalArgumentException(
           s"INSERT VALUES: ${names.length} columns but ${values.length} values")
-        val given = names.map(_.toLowerCase).zip(values).toMap
+        // names must be real, distinct target columns — a typo must not
+        // silently become an all-NULL row
+        val schemaNames = tgt.df.columns.map(_.toLowerCase).toSet
+        val unknown = names.filterNot(n => schemaNames.contains(n.toLowerCase))
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT VALUES: unknown column(s) ${unknown.mkString(", ")} in $target")
+        val lower = names.map(_.toLowerCase)
+        if (lower.distinct.length != lower.length)
+          throw new IllegalArgumentException(
+            s"INSERT VALUES: duplicate column in (${names.mkString(", ")})")
+        val given = lower.zip(values).toMap
         // one literal row shaped and typed exactly like the target —
         // unlisted columns become typed NULLs
         val projected = tgt.df.schema.map { f =>
@@ -460,6 +481,9 @@ object Translator {
       case PrintRows(name, limit) =>
         val src = catalog.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"unknown source $name"))
+        if (src.df.isStreaming) throw new IllegalArgumentException(
+          s"PRINT on streaming source $name needs a running sink — " +
+            "use SELECT ... EMIT CHANGES with a writer instead")
         (catalog, Some(src.df.limit(limit)))
       case Query(sel) => (catalog, Some(select(spark, catalog, sel)))
       case ShowSources(_) =>

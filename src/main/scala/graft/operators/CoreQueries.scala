@@ -379,9 +379,12 @@ object CoreQueries {
     // rescans raw data. Approximate → rows-only; error bound spec'd.
     "q_hll_rollup" -> Q(
       (s, d) => {
+        // the tiny sketch table is referenced twice (per-type rows AND
+        // the union total) — checkpoint so the raw-events scan runs once
         val perType = Tables.events(s, d)
           .groupBy(col("event_type"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .localCheckpoint(true)
         val total = perType.agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("users"))
           .select(lit("__all__").as("event_type"), col("users"))

@@ -273,6 +273,44 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("UNIX_TIMESTAMP(ts)") == "unix_millis(ts)")
   }
 
+  test("IF NOT EXISTS keeps an existing binding; OR REPLACE rebinds fresh") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    // IF NOT EXISTS on an existing name: binding survives untouched,
+    // including its time column (a bare CREATE would rebind it to 'ts')
+    val (cat2, _) = Translator.run(spark, catalog,
+      "CREATE STREAM IF NOT EXISTS events (event_id BIGINT) WITH (TIMESTAMP='event_id')")
+    assert(cat2("events").timeColumn == "ts")
+    val (cat3, _) = Translator.run(spark, cat2,
+      "CREATE TABLE IF NOT EXISTS events AS SELECT COUNT(*) AS n FROM events")
+    assert(cat3("events").df.columns.toSeq == cat2("events").df.columns.toSeq)
+    // OR REPLACE ignores the existing binding: empty placeholder schema
+    val (cat4, _) = Translator.run(spark, cat3,
+      "CREATE OR REPLACE STREAM events (event_id BIGINT)")
+    assert(cat4("events").df.columns.toSeq == Seq("event_id"))
+  }
+
+  test("INSERT VALUES rejects unknown and duplicate columns; escaped quotes survive") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val e1 = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog,
+        "INSERT INTO events (event_typ) VALUES ('click')")
+    }
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog,
+        "INSERT INTO events (event_id, event_id) VALUES (1, 2)")
+    }
+    assert(e2.getMessage.contains("duplicate column"))
+    // '' escape: the literal keeps its quote through tokenize → insert
+    val (cat2, _) = Translator.run(spark, catalog,
+      "INSERT INTO events (event_id, event_type) VALUES (999998, 'o''brien')")
+    val v = cat2("events").df.filter(col("event_id") === 999998L)
+      .head.getAs[String]("event_type")
+    assert(v == "o'brien", v)
+  }
+
   test("statement splitting ignores ';' inside string literals") {
     val stmts = Translator.splitStatements(
       "SELECT 1 WHERE x = 'a;b'; SELECT 2; SELECT 'it''s; fine'")

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ksql._
+import org.apache.spark.sql.functions._
+
+/** The full reference-user workflow, end to end through the dialect:
+  * declare file-bound sources, derive streams, aggregate into tables,
+  * inspect the catalog, insert test rows, run subquery-predicate pull
+  * queries, and tear down — one script, one catalog thread. Plus a
+  * concurrency stress on the subquery-predicate path (session-global
+  * temp views are the shared state the viewLock must protect).
+  */
+class EndToEndSpec extends SparkSpec {
+
+  test("reference workflow: sources -> derived streams -> tables -> queries -> teardown") {
+    val script =
+      s"""CREATE STREAM ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR,
+         |  value DOUBLE)
+         |WITH (PATH='$sfDir/events.parquet', VALUE_FORMAT='PARQUET',
+         |      TIMESTAMP='ts');
+         |CREATE STREAM purchases AS
+         |  SELECT event_id, user_id, value FROM ev
+         |  WHERE event_type = 'purchase';
+         |INSERT INTO purchases (event_id, user_id, value)
+         |  VALUES (999997, 42, 10.5);
+         |CREATE TABLE spend AS
+         |  SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+         |  FROM purchases GROUP BY user_id""".stripMargin
+    val (cat, _) = Translator.runScript(spark, Map.empty, script)
+
+    // catalog holds the whole lineage
+    assert(Set("ev", "purchases", "spend").subsetOf(cat.keySet))
+    // the inserted literal row flowed into the aggregate
+    val manual = cat("spend").df.filter(col("user_id") === 42L)
+    assert(manual.count() >= 1)
+    // DESCRIBE sees the derived table's schema
+    val (_, Some(desc)) = Translator.run(spark, cat, "DESCRIBE spend"): @unchecked
+    assert(desc.collect().map(_.getString(0)).toSet == Set("user_id", "n", "total"))
+    // PRINT pages rows; a subquery-predicate pull query runs over the
+    // derived catalog
+    val (_, Some(page)) = Translator.run(spark, cat, "PRINT spend LIMIT 3"): @unchecked
+    assert(page.count() == 3)
+    val (_, Some(big)) = Translator.run(spark, cat,
+      "SELECT user_id, total FROM spend WHERE total > (SELECT AVG(total) FROM spend)"): @unchecked
+    val avg0 = cat("spend").df.agg(avg("total")).head.getDouble(0)
+    assert(big.count() ==
+      cat("spend").df.filter(col("total") > avg0).count())
+    // teardown
+    val (cat2, _) = Translator.run(spark, cat, "DROP TABLE spend")
+    assert(!cat2.contains("spend"))
+  }
+
+  test("concurrent subquery-predicate statements don't clobber each other's views") {
+    val catalog: Translator.Catalog = Map(
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"),
+      "customer" -> Translator.Source(Tables.customer(spark, sfDir), "c_custkey"))
+    val expectedOrders = {
+      val t = Tables.orders(spark, sfDir).agg(avg("o_totalprice")).head.getDouble(0)
+      Tables.orders(spark, sfDir).filter(col("o_totalprice") > t).count()
+    }
+    val expectedCust = {
+      val t = Tables.customer(spark, sfDir).agg(avg("c_acctbal")).head.getDouble(0)
+      Tables.customer(spark, sfDir).filter(col("c_acctbal") > t).count()
+    }
+    // 8 threads alternate two different subquery statements against the
+    // SAME SparkSession — before the viewLock fix these raced on the
+    // shared temp-view registry between registration and analysis
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    val futures = (0 until 16).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val q =
+            if (i % 2 == 0)
+              "SELECT o_orderkey FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"
+            else
+              "SELECT c_custkey FROM customer WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)"
+          val (_, Some(df)) = Translator.run(spark, catalog, q): @unchecked
+          df.count()
+        }
+      })
+    }
+    pool.shutdown()
+    val results = futures.map(_.get())
+    results.zipWithIndex.foreach { case (n, i) =>
+      val expected = if (i % 2 == 0) expectedOrders else expectedCust
+      assert(n == expected, s"statement $i: $n != $expected")
+    }
+  }
+}

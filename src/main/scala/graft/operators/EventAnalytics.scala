@@ -204,6 +204,26 @@ object EventAnalytics {
         |  FROM v1 FULL JOIN v2 ON v1.user_id = v2.user_id
         |)
         |SELECT user_id, op, old_value, new_value FROM j WHERE op <> 'N'"""
+        .stripMargin),
+
+    // per-group z-score normalization (feature scaling): one stats agg
+    // broadcast back onto the stream of rows — two scans fused by the
+    // join, no window sort. Rounded to 4 decimals for engine parity.
+    "q_zscore" -> Q(
+      (s, d) => {
+        val stats = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+        Tables.events(s, d)
+          .join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+      },
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type"""
         .stripMargin)
   )
 }

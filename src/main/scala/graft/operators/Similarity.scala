@@ -296,6 +296,27 @@ object Similarity {
         val emb = Tables.embeddings(s, d)
         pqTopK(emb, emb.filter(col("vec_id") % 100 === 0))
       },
-      None)
+      None),
+
+    // unit-L2 normalization — the standard pre-step that turns cosine
+    // search into dot-product search (and dot into a codegen'd
+    // one-pass). Pure projection; compared via norm + first component
+    // so the oracle stays nested-type-free. Both engines fold the sum
+    // sequentially, so the rounded values match exactly.
+    "q_vec_normalize" -> Q(
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+        Tables.embeddings(s, d).select(col("vec_id"),
+          round(nrm, 6).as("norm"),
+          round(element_at(v, 1) / nrm, 6).as("u0"))
+      },
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e
+        |)
+        |SELECT vec_id, round(nrm, 6) AS norm, round(v[1] / nrm, 6) AS u0
+        |FROM n""".stripMargin)
   )
 }

@@ -76,6 +76,11 @@ object Dedup {
     * hamming distance 3 share at least one of their 4 bytes) — an
     * equi-join, not a cross join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // the 4-byte band is only a complete candidate generator up to
+    // distance 3 (pigeonhole: ≤3 flipped bits can't touch all 4 bytes);
+    // a larger bound would silently lose pairs, so reject it
+    require(maxDist <= 3,
+      s"byte-banded simhash pairs are complete only for maxDist <= 3, got $maxDist")
     val fp = simhashFingerprints(docs)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("byte_idx"))

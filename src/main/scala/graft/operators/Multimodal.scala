@@ -122,6 +122,11 @@ object Multimodal {
   // ---- driver-verifiable entry (metadata path, SQL-expressible) ------
 
   def entries: Map[String, Q] = Map(
+    // NOTE: this metadata path derives its fake dims from character
+    // CODEPOINTS (ascii() — SQL-replayable in both engines), while
+    // decodeStub reads raw UTF-8 BYTES. They agree on ASCII payloads
+    // (all test data) but are NOT bit-identical on multibyte text —
+    // both are stand-ins for a real codec, not mirrors of each other.
     "q_media_meta" -> Q(
       (s, d) => asMedia(Tables.documents(s, d)).select(
         col("media_id"), col("mime"), col("n_bytes"),

@@ -19,10 +19,18 @@ object Ops {
     * `salt` ways, so a key that would land on one task spreads over
     * `salt` tasks. Result is identical to `left.join(right, keys)`.
     * Right side should be the smaller input (it is replicated).
+    *
+    * Left-preserving join types only: under RIGHT/FULL OUTER the
+    * replicated right side would emit every unmatched right row `salt`
+    * times — rejected up front rather than silently wrong.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltLeft: Column, salt: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     val l = left.withColumn("__salt", pmod(saltLeft, lit(salt)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

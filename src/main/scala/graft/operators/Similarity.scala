@@ -239,8 +239,11 @@ object Similarity {
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val scale = array_max(transform(v, x => abs(x)))
+    // all-zero vector → scale 0: quantize to zeros instead of x/0
+    // (NULL on Spark, NaN-cast error in a SQL replay)
     emb.select(col("vec_id"), scale.as("scale"),
-      transform(v, x => round(x / scale * 127, 0).cast("int")).as("q"))
+      when(scale === 0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => round(x / scale * 127, 0).cast("int"))).as("q"))
   }
 
   // ---- driver-verifiable entries ------------------------------------
@@ -267,8 +270,9 @@ object Similarity {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (
         |  SELECT vec_id, list_max([abs(x) FOR x IN v]) AS scale,
-        |    [CAST(round(x / list_max([abs(y) FOR y IN v]) * 127, 0) AS INT)
-        |     FOR x IN v] AS qv
+        |    CASE WHEN list_max([abs(x) FOR x IN v]) = 0 THEN [0 FOR x IN v]
+        |    ELSE [CAST(round(x / list_max([abs(y) FOR y IN v]) * 127, 0) AS INT)
+        |     FOR x IN v] END AS qv
         |  FROM e
         |)
         |SELECT vec_id, round(scale, 6) AS scale,

@@ -166,7 +166,9 @@ object TextAnalysis {
           if (b != curBucket) { curBucket = b; packInBucket = 0L; used = 0L }
           if (used + t > budget && used > 0) { packInBucket += 1; used = 0L }
           used += t
-          Row(r.getAs[Long]("doc_id"), t, b, b.toLong * 1000000L + packInBucket)
+          // 40-bit pack space per bucket: a collision would need 2^40
+          // packs in ONE bucket (~10^12 — beyond any corpus/bucket combo)
+          Row(r.getAs[Long]("doc_id"), t, b, (b.toLong << 40) + packInBucket)
         }
       }
     docs.sparkSession.createDataFrame(packed, schema)

@@ -66,9 +66,14 @@ final case class KsqlStream(df: DataFrame, timeColumn: String = "ts",
   def insertInto(other: KsqlStream): KsqlStream =
     copy(df = df.unionByName(other.df))
 
-  /** Per-key streaming dedup on a column (exact, state-backed, watermark-
-    * bounded): emits only the first record per (key, dedupCol) value.
-    * KSQL has no built-in dedup; this is the LLM-pipeline streaming path.
+  /** Per-key streaming dedup on a column (exact, state-backed): emits
+    * only the first record per (key, dedupCol) value. State is
+    * UNBOUNDED — Spark only evicts dropDuplicates state when the
+    * event-time column is part of the subset, and it isn't here (adding
+    * it would change dedup identity to per-timestamp). Right for
+    * bounded key spaces; for unbounded ones (content hashes) use
+    * `dedupWithinWatermark`, which trades re-emission after the
+    * horizon for bounded state.
     */
   def dedupByKey(keyCol: String, dedupCol: String): DataFrame =
     wm.dropDuplicates(Seq(keyCol, dedupCol))

@@ -49,12 +49,19 @@ object KsqlTable {
           Encoders.product[(Long, Double)], ttlConf)
       override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
           timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
-        var (bestOff, bestVal) = Option(state.get()).getOrElse((-1L, 0.0))
+        // explicit empty-state handling (no sentinel): the first row
+        // always wins, so negative offsets are legal and no fabricated
+        // (-1, 0.0) row can escape
+        var best = Option(state.get())
         rows.foreach { case (_, off, v) =>
-          if (off > bestOff) { bestOff = off; bestVal = v }
+          if (best.forall(off > _._1)) best = Some((off, v))
         }
-        state.update((bestOff, bestVal))
-        Iterator.single((key, bestOff, bestVal))
+        best match {
+          case Some(b) =>
+            state.update(b)
+            Iterator.single((key, b._1, b._2))
+          case None => Iterator.empty
+        }
       }
     }
 
@@ -113,12 +120,18 @@ object KsqlTable {
         val latest = batch.groupBy(col(keyCol))
           .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
           .select(col("r.*"))
-        // Only a genuinely-missing snapshot dir falls back to empty —
-        // catching arbitrary read exceptions here would treat a
-        // transient IO error as "first batch" and the overwrite below
-        // would silently destroy every previously upserted key.
+        // Crash-safe two-phase write: merged state lands in a staging
+        // dir FIRST, then swaps in via delete+rename, so the live
+        // snapshot is never a partially-written dir. Recovery: if a
+        // crash hit between delete and rename, the staging dir holds
+        // the complete merged state — promote it before reading. Only
+        // a genuinely-missing snapshot falls back to empty; any other
+        // read failure must fail the batch (a transient IO error
+        // treated as "first batch" would silently destroy every key).
         val hPath = new org.apache.hadoop.fs.Path(path)
+        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hPath) && fs.exists(staging)) fs.rename(staging, hPath)
         val existing =
           if (fs.exists(hPath)) spark.read.parquet(path)
           else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
@@ -126,8 +139,9 @@ object KsqlTable {
           .groupBy(col(keyCol))
           .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
           .select(col("r.*"))
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(path)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(hPath)) fs.delete(hPath, true)
+        fs.rename(staging, hPath)
         ()
       }
   }

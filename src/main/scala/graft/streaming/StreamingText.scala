@@ -21,7 +21,10 @@ object StreamingText {
     * array_distinct before explode makes each (doc, term) pair count
     * once, so the running `df` is exact document frequency; idf =
     * ln(N/df) derives at read time from this frame plus the running
-    * doc count (`incrementalDocCount`).
+    * doc count (`incrementalDocCount`). Contract note: empty tokens
+    * (from consecutive whitespace) are DROPPED here — df('') is
+    * meaningless state — whereas the raw batch split in Search keeps
+    * them; join the two frames on non-empty terms only.
     */
   def incrementalTermDf(docs: DataFrame): DataFrame =
     docs.select(explode(array_distinct(split(col("text"), " "))).as("term"))

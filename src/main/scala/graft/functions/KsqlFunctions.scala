@@ -29,9 +29,12 @@ object KsqlFunctions {
   def initcap_(c: Column): Column = initcap(c)
 
   // ---- masking ------------------------------------------------------------
-  // KSQL masks: upper→'X', lower→'x', digit→'n', other kept.
+  // KSQL masks: upper→'X', lower→'x', digit→'n', other→'-' (the
+  // documented ksqlDB defaults — leaving punctuation unmasked would
+  // leak emails/phone structure through a masking function).
   private def maskCol(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c, "[A-Z]", "X"), "[a-z]", "x"), "[0-9]", "n")
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "[^A-Za-z0-9]", "-"), "[A-Z]", "X"), "[a-z]", "x"), "[0-9]", "n")
 
   /** MASK(col): mask every character class. */
   def mask(c: Column): Column = maskCol(c)
@@ -96,6 +99,8 @@ object KsqlFunctions {
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    lit(2 * r) * asin(sqrt(a))
+    // near-antipodal rounding can push a infinitesimally above 1 ->
+    // asin(sqrt(a)) = NaN; clamp to the asin domain
+    lit(2 * r) * asin(sqrt(least(a, lit(1.0))))
   }
 }

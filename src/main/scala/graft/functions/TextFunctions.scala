@@ -96,9 +96,13 @@ object TextFunctions {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Word-set Jaccard similarity of two array columns (hash-set based;
-    * works on any element type). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    * works on any element type). Two empty sets score 0.0 — matching
+    * jaccardSorted's contract, and avoiding an ANSI DIVIDE_BY_ZERO. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
 
   /** Jaccard over pre-sorted distinct long arrays — native merge-walk
     * expression, zero allocation per pair. Sort once per row with

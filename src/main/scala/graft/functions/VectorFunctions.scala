@@ -24,12 +24,16 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity; a zero vector has no direction, so any pair
+    * involving one scores 0.0 — dividing instead would abort the whole
+    * job under Spark 4's default ANSI mode (DIVIDE_BY_ZERO). */
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(dot(a, b), l2Norm(a), l2Norm(b))
 
   /** Cosine with a precomputed norm on each side — at scale, norms are
     * computed once per row before a join, not once per candidate pair. */
   def cosinePrenormed(dotAb: Column, normA: Column, normB: Column): Column =
-    dotAb / (normA * normB)
+    when(normA * normB === 0, 0.0).otherwise(dotAb / (normA * normB))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(expressions.VectorExpressions.l2sq(a, b))
@@ -47,6 +51,10 @@ object VectorFunctions {
     */
   def rhpSignature(v: Column, dim: Int, nBits: Int): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, RhpSignature}
+    // 1L << j wraps mod 64: hyperplane 64 would silently collide with
+    // hyperplane 0, corrupting every bucket
+    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
+    require(dim >= 1, s"dim must be positive, got $dim")
     val masks: Seq[Seq[Long]] = (0 until nBits).map { j =>
       val words = new Array[Long]((dim + 63) / 64)
       (0 until dim).foreach { i =>

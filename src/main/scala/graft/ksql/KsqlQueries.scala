@@ -72,7 +72,7 @@ object KsqlQueries {
       """SELECT event_id, upper(event_type) AS etype_upper,
         |  CAST(length(event_type) AS INT) AS etype_len,
         |  props->>'$.k' AS k_str,
-        |  regexp_replace(regexp_replace(regexp_replace(event_type,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS etype_masked,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(event_type,'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS etype_masked,
         |  coalesce(nullif(event_type, 'error'), 'unknown') AS etype_clean
         |FROM events WHERE value > 10""".stripMargin),
 

@@ -97,7 +97,8 @@ object Translator {
     * the positional variants mask/keep a prefix or suffix). */
   private def expandMask(sql: String): String = {
     def chain(inner: String): String =
-      s"regexp_replace(regexp_replace(regexp_replace($inner,'[A-Z]','X'),'[a-z]','x'),'[0-9]','n')"
+      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"$inner,'[^A-Za-z0-9]','-'),'[A-Z]','X'),'[a-z]','x'),'[0-9]','n')"
     val variants: Seq[(String, (String, String) => String)] = Seq(
       "MASK_LEFT" -> ((x: String, n: String) =>
         s"concat(${chain(s"substring($x, 1, $n)")}, " +
@@ -169,9 +170,9 @@ object Translator {
         s"GEO_DISTANCE expects (lat1, lon1, lat2, lon2[, unit]), got ${args.length} args")
       val Seq(lat1, lon1, lat2, lon2) = args.take(4)
       val r = if (args.length > 4 && args(4).toUpperCase.contains("MI")) 3959.0 else 6371.0
-      s"(2 * $r * asin(sqrt(pow(sin(radians($lat2 - $lat1) / 2), 2) " +
+      s"(2 * $r * asin(sqrt(least(pow(sin(radians($lat2 - $lat1) / 2), 2) " +
         s"+ cos(radians($lat1)) * cos(radians($lat2)) " +
-        s"* pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+        s"* pow(sin(radians($lon2 - $lon1) / 2), 2), 1.0))))"
     }
 
   /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted-slice aggregates. */

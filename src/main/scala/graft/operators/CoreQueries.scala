@@ -162,18 +162,18 @@ object CoreQueries {
         maskKeepLeft(col("c_name"), 5).as("keep_left5"),
         maskKeepRight(col("c_name"), 4).as("keep_right4")),
       """SELECT c_custkey,
-        |  regexp_replace(regexp_replace(regexp_replace(c_name,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS masked,
-        |  regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,3),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS masked,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,3),'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
         |    || substring(c_name, 4) AS mask_left3,
         |  CASE WHEN length(c_name) <= 3
-        |    THEN regexp_replace(regexp_replace(regexp_replace(c_name,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |    THEN regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
         |    ELSE substring(c_name, 1, length(c_name)-3)
-        |      || regexp_replace(regexp_replace(regexp_replace(substring(c_name,length(c_name)-2),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |      || regexp_replace(regexp_replace(regexp_replace(regexp_replace(substring(c_name,length(c_name)-2),'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
         |  END AS mask_right3,
         |  substring(c_name,1,5) ||
-        |    regexp_replace(regexp_replace(regexp_replace(substring(c_name,6),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS keep_left5,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(substring(c_name,6),'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g') AS keep_left5,
         |  CASE WHEN length(c_name) <= 4 THEN c_name
-        |    ELSE regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,length(c_name)-4),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
+        |    ELSE regexp_replace(regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,length(c_name)-4),'[^A-Za-z0-9]','-','g'),'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')
         |      || substring(c_name, length(c_name)-3)
         |  END AS keep_right4
         |FROM customer""".stripMargin),
@@ -219,11 +219,11 @@ object CoreQueries {
           (col("c_nationkey") % 90).cast("double"), ((col("c_nationkey") * 7) % 180).cast("double"),
           "KM"), 3).as("dist_km")),
       """SELECT c_custkey,
-        |  round(2 * 6371 * asin(sqrt(
+        |  round(2 * 6371 * asin(sqrt(least(
         |    pow(sin(radians(CAST(c_nationkey % 90 AS DOUBLE) - CAST(c_custkey % 90 AS DOUBLE)) / 2), 2)
         |    + cos(radians(CAST(c_custkey % 90 AS DOUBLE))) * cos(radians(CAST(c_nationkey % 90 AS DOUBLE)))
         |      * pow(sin(radians(CAST((c_nationkey * 7) % 180 AS DOUBLE) - CAST(c_custkey % 180 AS DOUBLE)) / 2), 2)
-        |  )), 3) AS dist_km
+        |  , 1.0))), 3) AS dist_km
         |FROM customer""".stripMargin),
 
     "q_array_contains" -> Q(

@@ -28,6 +28,11 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      // null slots are absent shingles, not hash value 0 — skipping
+      // them keeps signatures honest (getLong on a null slot reads 0,
+      // which would collapse every permutation's min to h_j(0))
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val x = arr.getLong(i)
       var j = 0
       while (j < k) {
@@ -36,6 +41,7 @@ case class MinHashSignature(child: Expression, k: Int)
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }
@@ -53,6 +59,7 @@ case class MinHashSignature(child: Expression, k: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $x = $a.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $h = ((2L * $j + 1L) * $x + 12345L * $j + 7L) % 2147483647L;

@@ -33,9 +33,13 @@ case class RhpSignature(child: Expression, signMasks: Seq[Seq[Long]])
     var j = 0
     while (j < masks.length) {
       val mask = masks(j)
+      // cap at the mask's bit capacity: dims beyond the declared width
+      // have no derived sign — reading past would index out of bounds
+      // (or pull padding bits), so they are excluded from the projection
+      val lim = math.min(n, mask.length << 6)
       var proj = 0.0
       var i = 0
-      while (i < n) {
+      while (i < lim) {
         val sign = if (((mask(i >>> 6) >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
         proj += v.getDouble(i) * sign
         i += 1
@@ -57,8 +61,9 @@ case class RhpSignature(child: Expression, signMasks: Seq[Seq[Long]])
          |long $sig = 0L;
          |for (int $j = 0; $j < ${masks.length}; $j++) {
          |  long[] $mask = $masksRef[$j];
+         |  int ${i}_lim = java.lang.Math.min($n, $mask.length << 6);
          |  double $proj = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < ${i}_lim; $i++) {
          |    $proj += $v.getDouble($i)
          |      * ((($mask[$i >>> 6] >>> ($i & 63)) & 1L) == 1L ? 1.0 : -1.0);
          |  }

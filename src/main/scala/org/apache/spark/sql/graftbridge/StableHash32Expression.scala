@@ -18,11 +18,17 @@ case class StableHash32(child: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // ThreadLocal: Catalyst expressions must be thread-safe unless marked
+  // Stateful — a shared digest would interleave update/digest across
+  // threads and emit silently wrong hashes
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
-    md.reset()
-    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(input.asInstanceOf[UTF8String].getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 

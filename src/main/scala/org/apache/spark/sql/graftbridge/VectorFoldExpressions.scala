@@ -9,7 +9,9 @@ import org.apache.spark.sql.types._
   * graft.functions.VectorFunctions for the public API and rationale).
   * Located under org.apache.spark.sql because ExpectsInputTypes /
   * AbstractDataType are private[sql]. Fold order is the same sequential
-  * left-to-right as the HOF formulation, so results are bit-identical.
+  * left-to-right as the HOF formulation, so results are bit-identical
+  * for equal-length inputs; mismatched lengths FAIL FAST (the HOF form
+  * yields NULL via zip_with padding) — a partial sum would mis-rank.
   */
 abstract class BinaryVectorFold extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
@@ -23,7 +25,12 @@ abstract class BinaryVectorFold extends BinaryExpression with ExpectsInputTypes 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // fail fast on dimension mismatch: a partial sum over min(lengths)
+    // would look like a plausible score and silently mis-rank
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += combine(x.getDouble(i), y.getDouble(i)); i += 1 }
@@ -38,7 +45,12 @@ abstract class BinaryVectorFold extends BinaryExpression with ExpectsInputTypes 
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector lengths differ (" + $a.numElements()
+         |      + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);

@@ -22,27 +22,32 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // ThreadLocal digest: expression instances must be thread-safe (see
+  // StableHash32); the split pattern is hoisted off the per-row path
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
   @transient private lazy val space = Array[Byte](' ')
+  @transient private lazy val spacePattern = UTF8String.fromString(" ")
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String]
-      .split(UTF8String.fromString(" "), -1)
+    val digest = md.get()
+    val words = input.asInstanceOf[UTF8String].split(spacePattern, -1)
     val count = math.max(words.length - (n - 1), 1)
     val seen = new java.util.HashSet[Long](count * 2)
     val out = new Array[Long](count)
     var outLen = 0
     var i = 0
     while (i < count) {
-      md.reset()
+      digest.reset()
       var j = i
       val end = math.min(i + n, words.length)
       while (j < end) {
-        if (j > i) md.update(space)
-        md.update(words(j).getBytes)
+        if (j > i) digest.update(space)
+        digest.update(words(j).getBytes)
         j += 1
       }
-      val d = md.digest()
+      val d = digest.digest()
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       if (seen.add(h)) { out(outLen) = h; outLen += 1 }

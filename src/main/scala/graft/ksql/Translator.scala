@@ -56,11 +56,22 @@ object Translator {
     * skips MASK_LEFT(UCASE(x), n) and surfaces later as an opaque
     * unresolved-function error from Spark's parser. After each
     * replacement the string is rescanned; replacement text never
-    * reintroduces `name`, so the loop terminates. */
+    * reintroduces `name`, so the loop terminates.
+    *
+    * A candidate match is skipped when it starts INSIDE a single-quoted
+    * literal (WHERE note = 'see MASK(x)') — quote parity is scanned up
+    * to the match start ('' escapes toggle twice, netting out), so the
+    * arg scanner below also starts with a correct inStr=false. */
   private def rewriteCall(sql: String, name: String)(f: Seq[String] => String): String = {
     val re = raw"(?i)\b$name\s*\(".r
+    def inLiteral(s: String, until: Int): Boolean = {
+      var in = false; var i = 0
+      while (i < until) { if (s.charAt(i) == '\'') in = !in; i += 1 }
+      in
+    }
     @annotation.tailrec
-    def loop(s: String): String = re.findFirstMatchIn(s) match {
+    def loop(s: String): String =
+      re.findAllMatchIn(s).find(m => !inLiteral(s, m.start)) match {
       case None => s
       case Some(m) =>
         val open = m.end - 1
@@ -191,8 +202,25 @@ object Translator {
   def rewriteExpr(e: String): String = {
     val expanded =
       expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e)))))
+    // plain renames are quote-aware too: a match starting inside a
+    // single-quoted literal must survive verbatim (same rule as
+    // rewriteCall; '' escapes toggle twice and net out)
     fnRename.foldLeft(expanded) { case (acc, (k, v)) =>
-      acc.replaceAll(s"(?i)\\b$k\\s*\\(", s"$v(")
+      val re = s"(?i)\\b$k\\s*\\(".r
+      val sb = new StringBuilder
+      var last = 0; var in = false
+      for (m <- re.findAllMatchIn(acc)) {
+        var i = last
+        while (i < m.start) { if (acc.charAt(i) == '\'') in = !in; i += 1 }
+        sb.append(acc.substring(last, m.start))
+        sb.append(if (in) m.matched else s"$v(")
+        // advance quote state across the matched span (no quotes can
+        // appear in `name\s*(`, but keep the scan honest anyway)
+        while (i < m.end) { if (acc.charAt(i) == '\'') in = !in; i += 1 }
+        last = m.end
+      }
+      sb.append(acc.substring(last))
+      sb.toString
     }
   }
 

@@ -209,6 +209,9 @@ object EventAnalytics {
     // per-group z-score normalization (feature scaling): one stats agg
     // broadcast back onto the stream of rows — two scans fused by the
     // join, no window sort. Rounded to 4 decimals for engine parity.
+    // sigma is guarded: a constant-valued group has stddev_samp = 0 and
+    // under Spark 4's ANSI mode an unguarded division would abort the
+    // job (DuckDB would return inf) — both sides emit NULL instead.
     "q_zscore" -> Q(
       (s, d) => {
         val stats = Tables.events(s, d).groupBy(col("event_type"))
@@ -216,13 +219,16 @@ object EventAnalytics {
         Tables.events(s, d)
           .join(broadcast(stats), "event_type")
           .select(col("event_id"), col("event_type"),
-            round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+            when(col("sigma").isNull || col("sigma") === 0, lit(null).cast("double"))
+              .otherwise(round((col("value") - col("mu")) / col("sigma"), 4)).as("z"))
       },
       """WITH st AS (
         |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |  FROM events GROUP BY event_type
         |)
-        |SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+        |       ELSE round((value - mu) / sigma, 4) END AS z
         |FROM events e JOIN st ON e.event_type = st.event_type"""
         .stripMargin)
   )

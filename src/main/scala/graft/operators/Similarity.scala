@@ -140,12 +140,19 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Split (vec_id, v) into m equal subvectors: (vec_id, sub, sv).
+  /** Split (vec_id, v) into m subvectors: (vec_id, sub, sv).
     * The split is a pure Column transform — size(v) keeps it schema-
-    * driven, no collected dimension constant. */
-  private def pqSubvecs(vecs: DataFrame, m: Int): DataFrame =
+    * driven, no collected dimension constant. When size(v) is not
+    * divisible by m, the first (size mod m) subvectors absorb one extra
+    * dimension each, so EVERY dimension lands in exactly one subspace —
+    * silently dropping the tail would make PQ distances blind to those
+    * components. Divisible sizes split exactly as before. */
+  private[graft] def pqSubvecs(vecs: DataFrame, m: Int): DataFrame =
     vecs.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * (size(v) div $m) + 1, size(v) div $m))"))
+      s"""transform(sequence(0, ${m - 1}), s ->
+         |  slice(v,
+         |    s * (size(v) div $m) + least(s, size(v) % $m) + 1,
+         |    (size(v) div $m) + if(s < size(v) % $m, 1, 0)))""".stripMargin))
       .as(Seq("sub", "sv")))
 
   /** Per-subspace Lloyd codebooks for product quantization: ONE frame
@@ -307,20 +314,24 @@ object Similarity {
     // one-pass). Pure projection; compared via norm + first component
     // so the oracle stays nested-type-free. Both engines fold the sum
     // sequentially, so the rounded values match exactly.
+    // nrm is guarded: an all-zero embedding has norm 0 and an unguarded
+    // division aborts under ANSI mode (DuckDB: inf) — both sides NULL.
     "q_vec_normalize" -> Q(
       (s, d) => {
         val v = col("embedding").cast("array<double>")
         val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
         Tables.embeddings(s, d).select(col("vec_id"),
           round(nrm, 6).as("norm"),
-          round(element_at(v, 1) / nrm, 6).as("u0"))
+          when(nrm === 0, lit(null).cast("double"))
+            .otherwise(round(element_at(v, 1) / nrm, 6)).as("u0"))
       },
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |), n AS (
         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e
         |)
-        |SELECT vec_id, round(nrm, 6) AS norm, round(v[1] / nrm, 6) AS u0
+        |SELECT vec_id, round(nrm, 6) AS norm,
+        |  CASE WHEN nrm = 0 THEN NULL ELSE round(v[1] / nrm, 6) END AS u0
         |FROM n""".stripMargin)
   )
 }

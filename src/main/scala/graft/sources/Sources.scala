@@ -110,19 +110,34 @@ object Sinks {
     * ~targetRowsPerFile. Streaming sinks (and per-batch upserts)
     * accrete thousands of tiny files; at 100 TB the file LISTING alone
     * dominates scan planning, so periodic compaction is part of the
-    * sink contract, not an afterthought. localCheckpoint materializes
-    * the data before the overwrite of its own source dir (parquet
-    * reads are lazy). maxRecordsPerFile lets Spark split oversized
+    * sink contract, not an afterthought.
+    *
+    * Crash-safe two-phase rewrite (same swap as KsqlTable.upsertSink):
+    * the compacted copy lands in `<path>.compact-staging` first, read
+    * straight from the ORIGINAL files — never from checkpointed blocks
+    * that an executor loss could drop after the source is deleted —
+    * then swaps in via delete+rename. A crash before the swap leaves
+    * the source intact; a crash between delete and rename leaves the
+    * complete staging dir, which the recovery branch promotes on the
+    * next call. maxRecordsPerFile lets Spark split oversized
     * partitions without a row-count pass.
     */
   def compactParquet(s: SparkSession, path: String,
                      targetRowsPerFile: Long = 1000000L): Unit = {
-    val df = s.read.parquet(path).localCheckpoint(true)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // recovery: a previous call crashed after deleting the source but
+    // before renaming the finished staging dir — promote it
+    if (!fs.exists(hPath) && fs.exists(staging)) { fs.rename(staging, hPath); return }
+    val df = s.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     df.repartition(nFiles)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRowsPerFile)
-      .parquet(path)
+      .parquet(staging.toString)
+    fs.delete(hPath, true)
+    fs.rename(staging, hPath)
   }
 }

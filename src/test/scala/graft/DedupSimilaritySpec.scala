@@ -143,6 +143,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pq == again)
   }
 
+  test("PQ subvector split covers every dimension when dim is not divisible by m") {
+    import spark.implicits._
+    val vecs = Seq((1L, (1 to 10).map(_.toDouble)))
+      .toDF("vec_id", "v")
+    val subs = Similarity.pqSubvecs(vecs, m = 4)
+      .orderBy("sub").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("sv")))
+    // 10 dims over 4 subspaces: first 10%4=2 absorb one extra → 3,3,2,2
+    assert(subs.map(_.length).toSeq == Seq(3, 3, 2, 2))
+    assert(subs.flatten.toSeq == (1 to 10).map(_.toDouble))
+    // divisible case unchanged: 8 dims over 4 → 2,2,2,2
+    val even = Similarity.pqSubvecs(
+      Seq((1L, (1 to 8).map(_.toDouble))).toDF("vec_id", "v"), m = 4)
+      .orderBy("sub").collect().map(r => r.getSeq[Double](r.fieldIndex("sv")))
+    assert(even.map(_.length).toSeq == Seq(2, 2, 2, 2))
+    assert(even.flatten.toSeq == (1 to 8).map(_.toDouble))
+  }
+
   test("semantic dedup: cluster-pruned pairs are a subset of exact pairs with good recall") {
     val exact = Dedup.embeddingPairs(emb)
       .select("vec_a", "vec_b").collect()

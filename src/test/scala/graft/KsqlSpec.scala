@@ -398,6 +398,20 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("MASK(name)").contains("regexp_replace"))
   }
 
+  test("function rewrite leaves function names inside string literals untouched") {
+    // a call-looking token inside a quoted literal must not be rewritten
+    assert(Translator.rewriteExpr("note = 'see MASK(x)'")
+      == "note = 'see MASK(x)'")
+    assert(Translator.rewriteExpr("note = 'UCASE(a)'") == "note = 'UCASE(a)'")
+    // ...while the same name outside the literal still rewrites, even
+    // when a literal containing the name precedes it
+    val mixed = Translator.rewriteExpr("CONCAT('MASK(keep)', MASK(name))")
+    assert(mixed.contains("'MASK(keep)'"))
+    assert(mixed.contains("regexp_replace"))
+    // '' escape keeps quote parity intact across the scan
+    assert(Translator.rewriteExpr("x = 'it''s MASK(y)'") == "x = 'it''s MASK(y)'")
+  }
+
   test("MASK positional variants match the programmatic KsqlFunctions") {
     import graft.functions.KsqlFunctions
     val catalog: Translator.Catalog =

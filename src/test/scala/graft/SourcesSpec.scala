@@ -67,6 +67,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0)
   }
 
+  test("compaction is crash-safe: source intact until staging complete, staging promoted on recovery") {
+    val df = Tables.nation(spark, sfDir)
+    // normal path leaves no staging dir behind
+    df.repartition(5).write.mode("overwrite").parquet(s"$tmp/cs")
+    Sinks.compactParquet(spark, s"$tmp/cs")
+    assert(!new java.io.File(s"$tmp/cs.compact-staging").exists())
+    assert(spark.read.parquet(s"$tmp/cs").count() == df.count())
+    // recovery path: crash happened after delete, before rename — the
+    // live dir is gone and the complete staging dir remains
+    val live = new java.io.File(s"$tmp/cs")
+    val staging = new java.io.File(s"$tmp/cs.compact-staging")
+    assert(live.renameTo(staging))
+    Sinks.compactParquet(spark, s"$tmp/cs")
+    assert(!staging.exists())
+    assert(spark.read.parquet(s"$tmp/cs").count() == df.count())
+  }
+
   test("streaming file source reads with declared schema") {
     val df = Tables.region(spark, sfDir)
     df.write.mode("overwrite").parquet(s"$tmp/stream-in")

@@ -417,6 +417,45 @@ object Dedup {
     // all-pairs form asserted in DedupSimilaritySpec
     "q_dedup_semantic" -> Q(
       (s, d) => semanticDedupPairs(Tables.embeddings(s, d)),
-      None)
+      None),
+
+    // the END of the dedup pipeline: the kept corpus. pairs →
+    // connected components → keep each cluster's min-id representative
+    // (plus every unpaired doc). The anti-join is the scale shape: the
+    // duplicate list is tiny relative to the corpus, so Catalyst
+    // broadcasts it and the corpus never shuffles.
+    "q_dedup_keep" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val comp = connectedComponents(fuzzyPairs(docs))
+        val dupes = comp.filter(col("doc_id") =!= col("component"))
+          .select(col("doc_id"))
+        docs.join(dupes, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      """WITH RECURSIVE fp AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM (SELECT doc_id, lang, n_chars // 100 AS lb,
+        |          string_split(text,' ')[1] AS tok0, substr(text,1,60) AS pre
+        |        FROM documents) a
+        |  JOIN (SELECT doc_id, lang, n_chars // 100 AS lb,
+        |          string_split(text,' ')[1] AS tok0, substr(text,1,60) AS pre
+        |        FROM documents) c
+        |    ON a.lang = c.lang AND a.lb = c.lb AND a.tok0 = c.tok0
+        |   AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.pre, c.pre) <= 30
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM fp
+        |  UNION SELECT id_b, id_a FROM fp
+        |), walk(id, lbl) AS (
+        |  SELECT src, dst FROM edges WHERE dst < src
+        |  UNION
+        |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
+        |  WHERE w.lbl < e.src
+        |), comp AS (SELECT id, min(lbl) AS c FROM walk GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.c < d.doc_id)"""
+        .stripMargin)
   )
 }

@@ -206,6 +206,33 @@ object EventAnalytics {
         |SELECT user_id, op, old_value, new_value FROM j WHERE op <> 'N'"""
         .stripMargin),
 
+    // per-user modal event type (KSQL-style "most frequent value"):
+    // count per (user, type) partial-aggregates map-side, then ONE
+    // row_number window picks the argmax with a deterministic
+    // lexicographic tiebreak — mode() builtins differ between engines
+    // on ties, the explicit rank does not.
+    "q_mode" -> Q(
+      (s, d) => {
+        val cnt = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("event_type").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+      },
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c
+        |)
+        |SELECT user_id, event_type AS mode_type, cnt FROM r WHERE rn = 1"""
+        .stripMargin),
+
     // per-group z-score normalization (feature scaling): one stats agg
     // broadcast back onto the stream of rows — two scans fused by the
     // join, no window sort. Rounded to 4 decimals for engine parity.

@@ -278,6 +278,49 @@ object WarehouseQueries {
         |  repeat(c_mktsegment, 2) AS doubled,
         |  substring(c_name, 1, 4) AS left4,
         |  CAST(ascii(c_mktsegment) AS INT) AS first_code
+        |FROM customer""".stripMargin),
+
+    // KSQL ELT / FIELD / INSTR / INITCAP / CONCAT_WS surface. FIELD is
+    // expressed as its when-chain expansion (the Spark-first form — a
+    // lookup against a literal list folds to a codegen'd CASE), ELT via
+    // the built-in; both engines compute the same labels.
+    "q_scalar_misc" -> Q(
+      (s, d) => Tables.customer(s, d).select(col("c_custkey"),
+        elt((col("c_custkey") % 3 + 1).cast("int"),
+          lit("alpha"), lit("beta"), lit("gamma")).as("elt_val"),
+        when(col("c_mktsegment") === "BUILDING", 1)
+          .when(col("c_mktsegment") === "MACHINERY", 2)
+          .otherwise(0).as("field_idx"),
+        instr(col("c_name"), "5").cast("long").as("pos5"),
+        initcap(lower(col("c_mktsegment"))).as("seg_cap"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined")),
+      """SELECT c_custkey,
+        |  CASE c_custkey % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |    ELSE 'gamma' END AS elt_val,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2
+        |    ELSE 0 END AS field_idx,
+        |  CAST(strpos(c_name, '5') AS BIGINT) AS pos5,
+        |  upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+        |    AS seg_cap,
+        |  concat_ws('-', c_mktsegment, c_name) AS joined
+        |FROM customer""".stripMargin),
+
+    // regexp family: extract / extract_all count / replace-all / rlike.
+    // Patterns stay in the RE2-compatible subset so Java regex (Spark)
+    // and RE2 (DuckDB) agree; DuckDB's regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics.
+    "q_regexp" -> Q(
+      (s, d) => Tables.customer(s, d).select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        size(regexp_extract_all(col("c_name"), lit("0"), lit(0)))
+          .cast("int").as("zeros"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("00$").as("ends_00")),
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  CAST(len(regexp_extract_all(c_name, '0', 0)) AS INT) AS zeros,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(c_name, '00$') AS ends_00
         |FROM customer""".stripMargin)
   )
 }

@@ -461,13 +461,18 @@ object Translator {
           else if (df.columns.contains("windowstart")) "windowstart" else df.columns.head
         // WITH (PATH=...) on a batch CSAS materializes immediately; a
         // streaming CSAS returns the frame for the caller to start
-        // (KsqlStream.createStreamAs wires path + checkpoint + trigger)
+        // (KsqlStream.createStreamAs wires path + checkpoint + trigger).
+        // PARTITION BY k persists a hive-partitioned layout on k — the
+        // file analogue of KSQL's re-keyed output topic: downstream
+        // scans partition-prune on the key instead of reading the full
+        // materialization.
         props.get("PATH").filter(_ => !df.isStreaming).foreach { path =>
+          val writer0 = df.write.mode("overwrite")
+          val writer = sel.partitionBy.fold(writer0)(k => writer0.partitionBy(k))
           props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase match {
-            case "JSON" => df.write.mode("overwrite").json(path)
-            case "DELIMITED" => df.write.mode("overwrite")
-              .option("header", "true").csv(path)
-            case _ => df.write.mode("overwrite").parquet(path)
+            case "JSON" => writer.json(path)
+            case "DELIMITED" => writer.option("header", "true").csv(path)
+            case _ => writer.parquet(path)
           }
         }
         (catalog + (name.toLowerCase -> Source(df, tc)), Some(df))

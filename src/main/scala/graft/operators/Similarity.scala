@@ -243,6 +243,103 @@ object Similarity {
     * quantized array; the driver query exposes scale + a checksum so the
     * oracle compare stays nested-type-free.
     */
+  /** Bounded-degree k-NN graph — the navigable-graph half of an
+    * HNSW-style index, built with LINEAR shuffles: candidate pairs come
+    * from random-hyperplane buckets (src side multi-probes its
+    * hamming-1 buckets, which is what creates the cross-bucket edges a
+    * greedy search needs to escape its entry region), then one window
+    * rank keeps the top-`degree` neighbors per node. Edges are
+    * symmetrized (HNSW's bidirectional links) so search can walk "up"
+    * to a hub as well as down. At 100 TB: candidates are an equi-join
+    * on bucket keys and the result is n×degree rows — never O(n²).
+    */
+  def knnGraph(corpus: DataFrame, dim: Int, degree: Int = 8,
+               nBits: Int = 4): DataFrame = {
+    val sig = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", rhpSignature(col("v"), dim, nBits))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = sig.withColumn("bucket", explode(expr(
+      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), " +
+        "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+      .select(col("bucket"), col("vec_id").as("src"),
+        col("v").as("sv"), col("nrm").as("sn"))
+    val b = sig.select(col("bucket"), col("vec_id").as("dst"),
+      col("v").as("dv"), col("nrm").as("dn"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    val fwd = a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosinePrenormed(dot(col("sv"), col("dv")), col("sn"), col("dn")).as("cos"))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= degree)
+      .select(col("src"), col("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Greedy beam search over the k-NN graph (the HNSW search loop as
+    * set-at-a-time DataFrame rounds): seed each probe's beam with a
+    * deterministic hash-sample of entry points, then each round expands
+    * the beam along graph edges, scores the new candidates, and keeps
+    * the best `beam` per probe. All per-round state is
+    * (probe, node, score) rows — probes broadcast, edge expansion is an
+    * equi-join on node id, and localCheckpoint truncates the loop
+    * lineage. Candidate volume per round is |probes|·beam·degree,
+    * independent of corpus size — that is the whole point of the graph.
+    */
+  def graphSearchTopK(corpus: DataFrame, probes: DataFrame, dim: Int,
+                      k: Int = 10, beam: Int = 20, rounds: Int = 3,
+                      degree: Int = 8): DataFrame = {
+    val vecs = corpus
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", l2Norm(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = knnGraph(corpus, dim, degree)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = probes
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pv"))
+      .withColumn("pn", l2Norm(col("pv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    // deterministic entry points: ~1/64 hash-sample of the corpus
+    val entry = vecs.filter(crc32(col("nid").cast("string")) % 64 === 0)
+    val scoreAgainstProbes = (cand: DataFrame) => cand
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("cos",
+        cosinePrenormed(dot(col("pv"), col("nv")), col("pn"), col("nn")))
+      .select(col("probe_id"), col("nid"), col("cos"))
+    var beamDf = scoreAgainstProbes(
+      broadcast(p.select(col("probe_id"))).crossJoin(entry))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= beam)
+      .select(col("probe_id"), col("nid"), col("cos"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val cand = beamDf
+        .join(edges.withColumnRenamed("src", "nid"), Seq("nid"))
+        .select(col("probe_id"), col("dst").as("nid")).distinct()
+        .join(vecs, Seq("nid"))
+      // union old beam + scored frontier, dedupe (a candidate may
+      // already sit in the beam), keep best `beam` per probe
+      beamDf = scoreAgainstProbes(cand)
+        .unionByName(beamDf)
+        .groupBy(col("probe_id"), col("nid")).agg(max(col("cos")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= beam)
+        .select(col("probe_id"), col("nid"), col("cos"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    vecs.unpersist(); edges.unpersist()
+    beamDf
+      .filter(col("probe_id") =!= col("nid"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("nid").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val scale = array_max(transform(v, x => abs(x)))
@@ -306,6 +403,15 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         pqTopK(emb, emb.filter(col("vec_id") % 100 === 0))
+      },
+      None),
+
+    // HNSW-style graph ANN (approximate → rows-only; recall vs brute
+    // force asserted in SimilaritySpec)
+    "q_ann_graph" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graphSearchTopK(emb, emb.filter(col("vec_id") % 100 === 0), dim = 64)
       },
       None),
 

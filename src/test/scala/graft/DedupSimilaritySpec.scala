@@ -65,6 +65,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("graph ANN: beam search over the kNN graph finds brute-force neighbors") {
+    val probes = emb.filter(col("vec_id") % 250 === 0)
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = Similarity.graphSearchTopK(emb, probes, dim = 64, k = 5)
+    val graph = g.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // beam is bounded: at most k rows per probe, ranks 1..k
+    val perProbe = g.groupBy("probe_id").count()
+      .filter(col("count") > 5).count()
+    assert(perProbe == 0)
+    val recall = (brute & graph).size.toDouble / brute.size
+    // near-random vectors are the hostile case for graph navigation
+    // (no hub structure); beam+entry sampling still recovers a solid
+    // fraction of the exact top-5
+    assert(recall >= 0.3, s"recall $recall")
+    // determinism: hash-sampled entries + lexicographic tiebreaks
+    val again = Similarity.graphSearchTopK(emb, probes, dim = 64, k = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graph == again)
+  }
+
   test("connected components resolve transitive chains to the min label") {
     import spark.implicits._
     val pairs = Seq((1L, 5L), (5L, 9L), (9L, 12L), (2L, 3L), (20L, 7L))

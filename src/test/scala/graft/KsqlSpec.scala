@@ -199,6 +199,27 @@ class KsqlSpec extends SparkSpec {
     assert(cat2.contains("clicks"))
   }
 
+  test("CSAS PARTITION BY persists a hive-partitioned layout on the key") {
+    val dir = java.nio.file.Files.createTempDirectory("csas_part").toString
+    val catalog: Translator.Catalog =
+      Map("documents" -> Translator.Source(Tables.documents(spark, sfDir), "doc_id"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      s"""CREATE STREAM bylang WITH (PATH='$dir/out', VALUE_FORMAT='PARQUET') AS
+         |SELECT doc_id, lang, n_chars FROM documents PARTITION BY lang"""
+        .stripMargin): @unchecked
+    val subdirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("lang=")), s"no partition dirs: $subdirs")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == df.count() && back.count() > 0)
+    // the layout actually prunes: a lang filter reads only that subdir
+    val one = subdirs.find(_.startsWith("lang=")).get.stripPrefix("lang=")
+    val pruned = back.filter(col("lang") === one)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(scan.contains("PartitionFilters") || scan.contains("partitionFilters"))
+  }
+
   test("EMIT FINAL parses and is distinguished from EMIT CHANGES") {
     val f = Parser.parse(
       """SELECT event_type, COUNT(*) AS cnt FROM events

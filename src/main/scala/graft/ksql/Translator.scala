@@ -48,7 +48,8 @@ object Translator {
     "LATEST_BY_OFFSET" -> "max_by", "EARLIEST_BY_OFFSET" -> "min_by",
     "INITCAP" -> "initcap", "LPAD" -> "lpad", "RPAD" -> "rpad",
     "INSTR" -> "instr", "ARRAY_LENGTH" -> "size",
-    "REGEXP_EXTRACT" -> "regexp_extract", "POWER" -> "pow")
+    "REGEXP_EXTRACT" -> "regexp_extract", "POWER" -> "pow",
+    "ELT" -> "elt", "CONCAT_WS" -> "concat_ws")
 
   /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
     * balanced parens (quote-aware) so nested calls and arbitrary
@@ -198,10 +199,22 @@ object Translator {
     }
   }
 
+  /** FIELD(x, v1, v2, …) → 1-based index of x in the list, 0 when
+    * absent (ksqlDB semantics) — expanded to a CASE chain so it stays
+    * inside whole-stage codegen. */
+  private def expandField(sql: String): String =
+    rewriteCall(sql, "FIELD") { args =>
+      if (args.length < 2) throw new IllegalArgumentException(
+        s"FIELD expects (expr, v1, …), got ${args.length} arguments")
+      val whens = args.tail.zipWithIndex
+        .map { case (v, i) => s"WHEN ($v) THEN ${i + 1}" }.mkString(" ")
+      s"(CASE (${args.head}) $whens ELSE 0 END)"
+    }
+
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val expanded =
-      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e)))))
+    val expanded = expandField(
+      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

@@ -59,6 +59,29 @@ object JoinQueries {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin),
 
+    // salted skew join, oracle-gated: event_type has 5 values, so the
+    // plain shuffle join lands each type on ONE task; the salt spreads
+    // every type over 8 tasks and the result is provably identical to
+    // the unsalted join (the oracle IS the plain join). This is the
+    // skew remedy when AQE's skew-split can't kick in (e.g. a
+    // low-cardinality key under an agg that needs the join first).
+    "q_salted_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val typeDim = ev.groupBy(col("event_type"))
+          .agg(avg(col("value")).as("type_avg"))
+        Ops.saltedJoin(ev, typeDim, Seq("event_type"),
+          saltLeft = col("event_id"), salt = 8)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") - col("type_avg"), 4).as("delta"))
+      },
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1
+        |)
+        |SELECT event_id, e.event_type,
+        |  round(value - type_avg, 4) AS delta
+        |FROM events e JOIN st USING (event_type)""".stripMargin),
+
     // range join: parts priced into irregular bands — binned equi-join,
     // not a nested-loop inequality join (see Ops.rangeJoinBinned)
     "q_range_join" -> Q(

@@ -549,6 +549,45 @@ object TextAnalysis {
         |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
         |FROM g GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin),
 
+    // corpus-LM document scoring (the cheap stand-in for perplexity
+    // filtering): p(w2|w1) = c(w1,w2)/c(w1) estimated FROM the corpus
+    // itself, each doc scored by its mean log bigram probability. Three
+    // aggs over one exploded bigram frame; the count tables join back
+    // on (w1,w2)/(w1) — all equi-joins, vocabulary-sized, broadcastable
+    // at production scale.
+    "q_lm_score" -> Q(
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+        val bi = Tables.documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cBi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt12"))
+        val cUni = bi.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+        bi.join(cBi, Seq("w1", "w2")).join(cUni, Seq("w1"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(log(col("cnt12").cast("double") / col("cnt1"))), 4)
+            .as("avg_logp"),
+            count(lit(1)).as("n_bigrams"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents WHERE lang = 'en'
+        |), b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i)
+        |  WHERE len(toks) >= 2
+        |), c12 AS (SELECT w1, w2, count(*) AS cnt12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM b GROUP BY 1)
+        |SELECT doc_id, round(avg(ln(CAST(cnt12 AS DOUBLE) / cnt1)), 4) AS avg_logp,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin),
+
     // winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     // MOSS algorithm): hash every 4-token shingle, slide a window of 4
     // consecutive hashes, keep each window's min — guarantees any

@@ -419,6 +419,19 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("MASK(name)").contains("regexp_replace"))
   }
 
+  test("ELT / FIELD / CONCAT_WS rewrite and evaluate with ksqlDB semantics") {
+    assert(Translator.rewriteExpr("ELT(2, 'a', 'b')").startsWith("elt("))
+    assert(Translator.rewriteExpr("CONCAT_WS('-', a, b)").startsWith("concat_ws("))
+    val f = Translator.rewriteExpr("FIELD(seg, 'BUILDING', 'MACHINERY')")
+    assert(f.contains("CASE") && f.contains("ELSE 0"))
+    // evaluate through Spark: index is 1-based, 0 when absent
+    val row = spark.sql(
+      s"SELECT ${Translator.rewriteExpr("FIELD('MACHINERY', 'BUILDING', 'MACHINERY')")} AS i1, " +
+        s"${Translator.rewriteExpr("FIELD('x', 'BUILDING', 'MACHINERY')")} AS i0, " +
+        s"${Translator.rewriteExpr("ELT(2, 'a', 'b')")} AS e").head
+    assert(row.getInt(0) == 2 && row.getInt(1) == 0 && row.getString(2) == "b")
+  }
+
   test("function rewrite leaves function names inside string literals untouched") {
     // a call-looking token inside a quoted literal must not be rewritten
     assert(Translator.rewriteExpr("note = 'see MASK(x)'")

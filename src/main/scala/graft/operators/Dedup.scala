@@ -428,8 +428,12 @@ object Dedup {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val comp = connectedComponents(fuzzyPairs(docs))
-        val dupes = comp.filter(col("doc_id") =!= col("component"))
-          .select(col("doc_id"))
+        // explicit broadcast: the checkpointed label frame has no
+        // stats, so the planner would default to a sort-merge anti —
+        // but the duplicate list is near-dup pairs only, always tiny
+        // relative to the corpus, and the corpus must not shuffle
+        val dupes = broadcast(comp.filter(col("doc_id") =!= col("component"))
+          .select(col("doc_id")))
         docs.join(dupes, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("n_chars"))
       },

@@ -165,6 +165,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"one exchange per side max\n$p")
   }
 
+  test("salted join replicates only the small side and keeps the equi-join shape") {
+    val p = plan("q_salted_join")
+    // the explode (replication) must sit on the aggregated dim side,
+    // never on the fact scan; join stays hash/sort-merge equi
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("dedup-keep plans the duplicate list as a broadcast anti-join") {
+    val p = plan("q_dedup_keep")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("lm-score count tables partial-aggregate before their shuffles") {
+    val p = plan("q_lm_score")
+    // three aggregations (bigram counts, left counts, per-doc mean) —
+    // each plans partial_ before final; no cartesian anywhere
+    assert("partial_count".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+  }
+
+  test("graph ANN beam expansion is an equi-join on node id") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val g = Similarity.knnGraph(emb, dim = 64)
+    val p = g.queryExecution.executedPlan.toString
+    // candidate generation joins on bucket — equi, never cartesian
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+    assert(p.contains("bucket"), p.take(3000))
+  }
+
   test("runtime bloom-filter pruning injects into a selective shuffle join") {
     // At 100 TB a fact⋈dim shuffle join with a selective dim filter
     // should prune fact rows BEFORE the shuffle via an injected bloom

@@ -268,6 +268,43 @@ object TextAnalysis {
         |  round(1.0 / sqrt(n_tokens / total_tokens), 4) AS upweight
         |FROM t CROSS JOIN tot""".stripMargin),
 
+    // weighted data-mixing sampler: the executable form of the
+    // domain-mix upweights. Per-(lang, source) keep-rate is
+    // sqrt(min_n / n_g) — inverse-sqrt flattening where the rarest
+    // group keeps 100% — and the keep decision is the md5 hash gate
+    // (reproducible on any cluster, no RNG state; the same doc set
+    // survives a re-run or a backfill). The rate table is tiny →
+    // broadcast; the corpus scan never shuffles.
+    "q_mix_sample" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val g = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_g"))
+        val m = g.agg(min(col("n_g")).as("min_n"))
+        val rates = g.crossJoin(broadcast(m))
+          .withColumn("cut",
+            floor(sqrt(col("min_n").cast("double") / col("n_g")) * 10000)
+              .cast("long"))
+          .select(col("lang"), col("source"), col("cut"))
+        docs.join(broadcast(rates), Seq("lang", "source"))
+          .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000 < col("cut"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n_g FROM documents GROUP BY 1, 2
+        |), m AS (SELECT min(n_g) AS min_n FROM g),
+        |r AS (
+        |  SELECT lang, source,
+        |    CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_g) * 10000) AS BIGINT)
+        |      AS cut
+        |  FROM g CROSS JOIN m
+        |)
+        |SELECT doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang, source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  % 10000 < cut""".stripMargin),
+
     "q_quality_band" -> Q(
       (s, d) => qualityBand(Tables.documents(s, d)),
       """WITH q AS (

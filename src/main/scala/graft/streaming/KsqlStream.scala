@@ -57,6 +57,28 @@ final case class KsqlStream(df: DataFrame, timeColumn: String = "ts",
         && col(s"r.${other.timeColumn}") < col(s"l.$timeColumn") + expr(s"INTERVAL $within"))
   }
 
+  /** LEFT / FULL OUTER stream-stream JOIN ... WITHIN: KSQL's outer
+    * stream joins. Spark requires BOTH directions time-bounded for
+    * outer interval joins (the unmatched side can only emit once the
+    * watermark proves no match can still arrive), so the bound is
+    * symmetric: |r.time - l.time| <= within. Unmatched rows emit with
+    * NULLs after the watermark passes their window — the same "late
+    * result, correct result" contract as KSQL's grace period.
+    */
+  def outerJoinWithin(other: KsqlStream, key: String, within: String,
+                      joinType: String = "left_outer"): DataFrame = {
+    require(Set("left_outer", "full_outer", "right_outer")
+      .contains(joinType.toLowerCase),
+      s"outerJoinWithin is for outer joins, got $joinType")
+    val l = wm.alias("l")
+    val r = other.df.withWatermark(other.timeColumn, other.watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key")
+        && col(s"r.${other.timeColumn}") >= col(s"l.$timeColumn") - expr(s"INTERVAL $within")
+        && col(s"r.${other.timeColumn}") <= col(s"l.$timeColumn") + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   /** Stream-table join: table side is a (small) static/changelog snapshot
     * → broadcast, no stream shuffle. */
   def joinTable(table: DataFrame, cond: Column, joinType: String = "inner"): KsqlStream =

@@ -104,6 +104,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("purchase_id") == 2)
   }
 
+  test("LEFT OUTER stream-stream join WITHIN emits unmatched rows with NULLs after the watermark") {
+    val m1 = MemoryStream[Ev](spark)
+    val m2 = MemoryStream[Ev](spark)
+    val signups = KsqlStream(m1.toDF().select(
+      col("user_id"), col("ts"), col("event_id").as("signup_id")), "ts", "5 minutes")
+    val purchases = KsqlStream(m2.toDF().select(
+      col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id")), "p_ts", "5 minutes")
+    val joined = signups.outerJoinWithin(purchases, "user_id", "10 MINUTES")
+      .select(col("signup_id"), col("purchase_id"))
+    val w = joined.writeStream.format("memory").queryName("lsoj")
+      .outputMode(OutputMode.Append)
+    // batch 1: the joinable data; batch 2: rows far in the future on
+    // BOTH streams — the global watermark is the min across inputs, and
+    // unmatched left rows only emit once it passes their join window
+    val q = w.start()
+    m1.addData(Ev(1, t(0), 7, "signup", 0),   // will match
+      Ev(2, t(1), 8, "signup", 0))            // will NOT match
+    m2.addData(Ev(3, t(5), 7, "purchase", 9.99))
+    q.processAllAvailable()
+    m1.addData(Ev(5, t(120), 98, "signup", 0))
+    m2.addData(Ev(4, t(120), 99, "purchase", 1.0))
+    q.processAllAvailable()
+    // one more empty-progress cycle lets the state-store eviction emit
+    m2.addData(Ev(6, t(121), 99, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("lsoj").collect()
+    val matched = out.filter(_.getAs[Long]("signup_id") == 1)
+    val unmatched = out.filter(_.getAs[Long]("signup_id") == 2)
+    assert(matched.length == 1 && matched.head.getAs[Long]("purchase_id") == 3)
+    assert(unmatched.length == 1 && unmatched.head.isNullAt(
+      unmatched.head.fieldIndex("purchase_id")))
+  }
+
   test("stream-table join enriches records against a broadcast table") {
     val mem = MemoryStream[Ev](spark)
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")

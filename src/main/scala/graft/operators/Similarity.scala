@@ -309,8 +309,13 @@ object Similarity {
       .withColumn("pn", l2Norm(col("pv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nid").asc)
-    // deterministic entry points: ~1/64 hash-sample of the corpus
+    // deterministic entry points: ~1/64 hash-sample of the corpus,
+    // plus the min-id node so a tiny corpus (where the sample can be
+    // empty) still seeds every beam — one cheap reduce on the cached
+    // frame, never a collect of vectors
     val entry = vecs.filter(crc32(col("nid").cast("string")) % 64 === 0)
+      .unionByName(vecs.orderBy(col("nid").asc).limit(1))
+      .dropDuplicates("nid")
     val scoreAgainstProbes = (cand: DataFrame) => cand
       .join(broadcast(p), Seq("probe_id"))
       .withColumn("cos",

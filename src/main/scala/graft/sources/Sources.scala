@@ -128,8 +128,9 @@ object Sinks {
     val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     // recovery: a previous call crashed after deleting the source but
-    // before renaming the finished staging dir — promote it
-    if (!fs.exists(hPath) && fs.exists(staging)) { fs.rename(staging, hPath); return }
+    // before renaming the finished staging dir — promote it, then fall
+    // through and compact normally (the promoted data IS the source)
+    if (!fs.exists(hPath) && fs.exists(staging)) fs.rename(staging, hPath)
     val df = s.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt

@@ -89,6 +89,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graph == again)
   }
 
+  test("graph ANN still seeds beams on a corpus smaller than the entry-sample stride") {
+    val tiny = emb.filter(col("vec_id") < 20)  // < 64, hash-sample may be empty
+    val probes = tiny.filter(col("vec_id") < 2)
+    val r = Similarity.graphSearchTopK(tiny, probes, dim = 64, k = 3,
+      beam = 8, rounds = 2)
+    assert(r.count() > 0, "min-id fallback entry must seed the beam")
+    assert(r.groupBy("probe_id").count().filter(col("count") > 3).count() == 0)
+  }
+
   test("connected components resolve transitive chains to the min label") {
     import spark.implicits._
     val pairs = Seq((1L, 5L), (5L, 9L), (9L, 12L), (2L, 3L), (20L, 7L))

@@ -162,6 +162,39 @@ object JoinQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin),
 
+    // TPC-H Q18 shape (large-volume customers): the HAVING aggregate
+    // runs FIRST and partial-aggregates map-side, so only the ~big
+    // orders reach the joins — at 100 TB the lineitem scan reduces to
+    // (orderkey, sum) before anything shuffles, and the surviving key
+    // list is small enough that AQE broadcasts the join sides. Top-100
+    // plans as TakeOrdered, never a global sort. l_quantity is
+    // integer-valued so the HAVING/ORDER sums are exact in both engines.
+    "q_tpch_q18" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 100)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            round(col("sum_qty"), 2).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 100
+        |)
+        |SELECT c_custkey, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  round(sum_qty, 2) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
     // as-of join: latest order at-or-before each event's timestamp for the
     // same customer (time-series enrichment; DuckDB's native ASOF JOIN is
     // the oracle). Output keeps only tie-deterministic columns.

@@ -106,6 +106,22 @@ object CoreQueries {
         |  CAST(props->>'$.k' AS INT) AS k_int
         |FROM events""".stripMargin),
 
+    // KSQL ENTRIES(map): explode the JSON payload map to one row per
+    // (key, value) entry — the lateral-flatten twin of q_map_json's
+    // scalar lookups. Deterministic row set (no positional ordinality),
+    // so the sorted compare hash-matches.
+    "q_map_entries" -> Q(
+      (s, d) => {
+        val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+        Tables.events(s, d)
+          .select(col("event_id"), explode(m).as(Seq("k", "v")))
+      },
+      """SELECT event_id, k, props->>('$.' || k) AS v
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+        |      FROM events)""".stripMargin),
+
     // boolean aggregates + filtered count
     "q_bool_agg" -> Q(
       (s, d) => Tables.events(s, d).groupBy(col("event_type"))

@@ -215,9 +215,13 @@ class KsqlSpec extends SparkSpec {
     // the layout actually prunes: a lang filter reads only that subdir
     val one = subdirs.find(_.startsWith("lang=")).get.stripPrefix("lang=")
     val pruned = back.filter(col("lang") === one)
-    val scan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() > 0)
-    assert(scan.contains("PartitionFilters") || scan.contains("partitionFilters"))
+    // the lang predicate must land in PartitionFilters (non-empty),
+    // not in PushedFilters/post-scan — that's what makes the layout
+    // prune at scale. "PartitionFilters" alone prints even when empty.
+    val pf = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), pf)
   }
 
   test("EMIT FINAL parses and is distinguished from EMIT CHANGES") {

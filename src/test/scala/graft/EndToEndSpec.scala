@@ -50,6 +50,54 @@ class EndToEndSpec extends SparkSpec {
     assert(!cat2.contains("spend"))
   }
 
+  test("LLM curation pipeline composes: curate -> dedup-keep -> mix-sample -> pack") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // stage 1: fused quality/dedup curation (exact-dup removal + floor)
+    val curated = TextAnalysis.curate(docs, minQuality = 0.2)
+    val curatedDocs = docs.join(curated.select("doc_id"), "doc_id")
+    val nCurated = curatedDocs.count()
+    assert(nCurated > 0 && nCurated <= total)
+
+    // stage 2: near-dup clusters -> keep min-id representative
+    val comp = Dedup.connectedComponents(Dedup.fuzzyPairs(curatedDocs))
+    val dupes = comp.filter(col("doc_id") =!= col("component")).select("doc_id")
+    val kept = curatedDocs.join(dupes, Seq("doc_id"), "left_anti")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nCurated)
+
+    // stage 3: reproducible mixing gate (inverse-sqrt per lang/source)
+    val g = kept.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_g"))
+    val m = g.agg(min(col("n_g")).as("min_n"))
+    val rates = g.crossJoin(broadcast(m))
+      .withColumn("cut", floor(sqrt(col("min_n").cast("double") / col("n_g")) * 10000).cast("long"))
+      .select(col("lang"), col("source"), col("cut"))
+    val mixed = kept.join(broadcast(rates), Seq("lang", "source"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < col("cut"))
+    val nMixed = mixed.count()
+    assert(nMixed > 0 && nMixed <= nKept)
+
+    // stage 4: pack into token budgets — every surviving doc lands in
+    // exactly one pack and no pack exceeds the budget (single-doc
+    // overruns aside, impossible at this corpus's doc lengths)
+    val packed = TextAnalysis.packSequences(mixed, budget = 2000)
+    assert(packed.count() == nMixed)
+    val over = packed.groupBy("pack_id")
+      .agg(sum(col("tokens")).as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > 2000 && col("n") > 1).count()
+    assert(over == 0, "no multi-doc pack may exceed the budget")
+
+    // determinism: the whole pipeline is RNG-free — same rows on re-run
+    val rerun = kept.join(broadcast(rates), Seq("lang", "source"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < col("cut"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun == mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("concurrent subquery-predicate statements don't clobber each other's views") {
     val catalog: Translator.Catalog = Map(
       "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"),

@@ -286,9 +286,7 @@ object TextAnalysis {
             floor(sqrt(col("min_n").cast("double") / col("n_g")) * 10000)
               .cast("long"))
           .select(col("lang"), col("source"), col("cut"))
-        docs.join(broadcast(rates), Seq("lang", "source"))
-          .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 10000 < col("cut"))
+        graft.streaming.StreamingText.mixGate(docs, rates)
           .select(col("doc_id"), col("lang"), col("source"))
       },
       """WITH g AS (

@@ -45,4 +45,19 @@ object StreamingText {
     docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+
+  /** Streaming mixing gate: apply a (periodically recomputed) static
+    * rate table to a document stream. The keep decision is the same
+    * md5-hash gate as the batch q_mix_sample — STATELESS, so it
+    * composes with any output mode, survives restarts without a state
+    * store, and admits exactly the same doc ids the batch pipeline
+    * would (replayable backfills). `rates` must carry
+    * (lang, source, cut∈[0,10000]); it broadcasts, the stream never
+    * shuffles.
+    */
+  def mixGate(docs: DataFrame, rates: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(broadcast(rates), Seq("lang", "source"))
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < col("cut"))
+      .drop("cut")
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
+case class DocRow(doc_id: Long, lang: String, source: String)
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
@@ -137,6 +138,29 @@ class StreamingSpec extends SparkSpec {
     assert(matched.length == 1 && matched.head.getAs[Long]("purchase_id") == 3)
     assert(unmatched.length == 1 && unmatched.head.isNullAt(
       unmatched.head.fieldIndex("purchase_id")))
+  }
+
+  test("streaming mix gate admits exactly the batch sampler's doc ids (stateless, replayable)") {
+    import graft.streaming.StreamingText
+    val docs = (0L until 200L).map(i =>
+      DocRow(i, if (i % 3 == 0) "en" else "de", s"src${i % 2}"))
+    val rates = Seq(("en", "src0", 6000L), ("en", "src1", 3000L),
+      ("de", "src0", 10000L), ("de", "src1", 1500L))
+      .toDF("lang", "source", "cut")
+    val batchKeep = StreamingText.mixGate(docs.toDF(), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[DocRow](spark)
+    val gated = StreamingText.mixGate(mem.toDF(), rates)
+    val w = gated.writeStream.format("memory").queryName("mixgate")
+      .outputMode(OutputMode.Append)
+    mem.addData(docs.take(100): _*)
+    val q = w.start(); q.processAllAvailable()
+    mem.addData(docs.drop(100): _*)   // second batch: same gate, no state
+    q.processAllAvailable(); q.stop()
+    val streamKeep = spark.table("mixgate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKeep == batchKeep)
+    assert(streamKeep.nonEmpty && streamKeep.size < docs.size)
   }
 
   test("stream-table join enriches records against a broadcast table") {

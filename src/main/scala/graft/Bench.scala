@@ -17,7 +17,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val parallel = sys.env.getOrElse("SPARK_GRAFT_PARALLEL", "4").toInt
+    // default 8: at 124 queries the ~0.35 s/query planning+scheduling
+    // floor dominates, and 8-way overlap beats 4-way by ~20% wall-clock
+    // (measured 3x each at sf0.1; heavier overlap was tried in round 3
+    // and regressed — iterative queries contend for the same cores)
+    val parallel = sys.env.getOrElse("SPARK_GRAFT_PARALLEL", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -33,6 +33,22 @@ object WindowQueries {
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
 
+    // windowed LATEST_BY_OFFSET: the per-window TABLE materialization —
+    // latest value per (user, hour window) by offset, ONE max_by hash
+    // agg (map-side partial), no window sort of the events
+    "q_window_latest" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("latest_value"),
+          max(col("event_id")).as("last_offset"))
+        .select(unix_millis(col("window.start")).as("ws"), col("user_id"),
+          round(col("latest_value"), 2).as("latest_value"),
+          col("last_offset")),
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws, user_id,
+        |  round(max_by(value, event_id), 2) AS latest_value,
+        |  max(event_id) AS last_offset
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
     // windowed distinct cardinality: unique users per (hour, event_type)
     "q_window_distinct" -> Q(
       (s, d) => Tables.events(s, d)

@@ -303,6 +303,37 @@ object TextAnalysis {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  % 10000 < cut""".stripMargin),
 
+    // training-window chunking: split each doc into fixed-token chunks
+    // with overlap (the context-window prep step every training
+    // pipeline runs before packing). Pure Column algebra — words →
+    // chunk-start sequence → slice/concat per chunk → posexplode; no
+    // shuffle at all, the op is a projection of the corpus scan.
+    "q_chunk_docs" -> Q(
+      (s, d) => {
+        val chunk = 64; val overlap = 8; val step = chunk - overlap
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(expr(
+              s"""transform(sequence(0, cast(greatest(1,
+                 |  ceil((size(split(text, ' ')) - $overlap) / ${step}.0)) as int) - 1,
+                 |  1),
+                 |  i -> concat_ws(' ', slice(split(text, ' '), i * $step + 1, $chunk)))"""
+                .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
+          .withColumn("n_tokens",
+            size(split(col("chunk_text"), " ")).cast("int"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    array_to_string(w[(i*56+1):(i*56+64)], ' ') AS chunk_text
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(greatest(1, ceil((len(w) - 8) / 56.0)) AS BIGINT) - 1)) AS i)
+        |)
+        |SELECT doc_id, chunk_idx, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+        |FROM c""".stripMargin),
+
     "q_quality_band" -> Q(
       (s, d) => qualityBand(Tables.documents(s, d)),
       """WITH q AS (

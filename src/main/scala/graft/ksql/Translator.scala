@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
 object Translator {
 
   final case class Source(df: DataFrame, timeColumn: String,
-                          watermark: String = "10 minutes")
+                          watermark: String = "10 minutes",
+                          key: Option[String] = None)
   type Catalog = Map[String, Source]
 
   // Subquery predicates route through spark.sql over temp views, which
@@ -284,7 +285,29 @@ object Translator {
       if (src.df.isStreaming && (s.window.isDefined || s.joins.exists(_.withinMs.isDefined)))
         src.df.withWatermark(src.timeColumn, wmDelay)
       else src.df
-    var df = s.fromAlias.fold(based)(a => based.alias(a))
+    // ROWTIME / ROWKEY pseudo-columns (KSQL 5.x): materialized lazily —
+    // only when the statement actually references them — so SELECT *
+    // stays the declared schema. ROWTIME is the source's event time in
+    // epoch millis; ROWKEY is the WITH(KEY='col') column. They resolve
+    // on the PRIMARY source (join sides use their own column names).
+    def stmtMentions(name: String): Boolean = {
+      val re = ("(?i)\\b" + name + "\\b").r
+      def in(x: String) = re.findFirstIn(x).isDefined
+      s.columns.exists(c => in(c._1)) || s.where.exists(in) ||
+        s.groupBy.exists(in) || s.having.exists(in) ||
+        s.orderBy.exists(o => in(o._1)) || s.partitionBy.exists(in)
+    }
+    val withRowtime =
+      if (stmtMentions("ROWTIME") && !based.columns.exists(_.equalsIgnoreCase("rowtime")))
+        based.withColumn("rowtime", unix_millis(col(src.timeColumn)))
+      else based
+    val withPseudo =
+      if (stmtMentions("ROWKEY") && !withRowtime.columns.exists(_.equalsIgnoreCase("rowkey"))) {
+        val k = src.key.getOrElse(throw new IllegalArgumentException(
+          s"ROWKEY referenced but source ${s.from} declares no WITH(KEY='…')"))
+        withRowtime.withColumn("rowkey", col(k))
+      } else withRowtime
+    var df = s.fromAlias.fold(withPseudo)(a => withPseudo.alias(a))
 
     s.joins.foreach { j =>
       val right = catalog.getOrElse(j.table.toLowerCase,
@@ -444,8 +467,12 @@ object Translator {
         val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
           org.apache.spark.sql.types.StructField(n, sparkType(t))
         })
+        // WITH (KEY='col') declares which value column mirrors the
+        // record key — the column ROWKEY resolves to (KSQL 5.x model)
+        val keyCol = props.get("KEY")
         val bound: Source = catalog.get(name.toLowerCase).filter(_ => !orReplace) match {
-          case Some(src) => src.copy(timeColumn = ts)
+          case Some(src) => src.copy(timeColumn = ts,
+            key = keyCol.orElse(src.key))
           case None => props.get("PATH") match {
             case Some(path) =>
               val fmt = props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase
@@ -455,12 +482,23 @@ object Translator {
                 case "JSON" => spark.read.schema(schema).json(path)
                 case "DELIMITED" => spark.read.schema(schema)
                   .option("header", "true").csv(path)
-                case _ => spark.read.parquet(path)
+                case _ =>
+                  // TIMESTAMP(NANOS) comes back as a raw nanos long
+                  // under the legacy conf — rebuild a real timestamp
+                  // (micros, integer div: nanos exceed double's
+                  // mantissa) so windows/ROWTIME work on PATH sources,
+                  // same normalization as Tables.events
+                  val raw = spark.read.parquet(path)
+                  if (raw.schema.fields.exists(f => f.name == ts &&
+                      f.dataType == org.apache.spark.sql.types.LongType))
+                    raw.withColumn(ts, timestamp_micros(expr(s"`$ts` div 1000")))
+                  else raw
               }
-              Source(df, ts)
+              Source(df, ts, key = keyCol)
             case None =>
               Source(spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), ts)
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+                ts, key = keyCol)
           }
         }
         (catalog + (name.toLowerCase -> bound), None)

@@ -423,6 +423,41 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("MASK(name)").contains("regexp_replace"))
   }
 
+  test("ROWTIME and ROWKEY pseudo-columns resolve; SELECT * stays the declared schema") {
+    val (cat, _) = Translator.run(spark, Map.empty,
+      s"""CREATE STREAM ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR,
+         |  value DOUBLE)
+         |WITH (PATH='$sfDir/events.parquet', VALUE_FORMAT='PARQUET',
+         |      TIMESTAMP='ts', KEY='user_id')""".stripMargin)
+    val (_, Some(r)) = Translator.run(spark, cat,
+      "SELECT event_id, ROWTIME, ROWKEY FROM ev WHERE ROWTIME > 0 AND event_id < 3")
+      : @unchecked
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("ROWTIME") > 0L)                 // epoch millis
+    }
+    // rowkey mirrors the declared key column
+    val (_, Some(r2)) = Translator.run(spark, cat,
+      "SELECT user_id, ROWKEY FROM ev WHERE event_id = 1"): @unchecked
+    val row2 = r2.head
+    assert(row2.getAs[Long]("ROWKEY") == row2.getAs[Long]("user_id"))
+    // SELECT * does NOT sprout pseudo-columns
+    val (_, Some(star)) = Translator.run(spark, cat,
+      "SELECT * FROM ev WHERE event_id < 5"): @unchecked
+    assert(!star.columns.exists(c => c.equalsIgnoreCase("rowtime")
+      || c.equalsIgnoreCase("rowkey")))
+    // ROWKEY without a declared KEY is a clear error
+    val (cat2, _) = Translator.run(spark, cat,
+      s"""CREATE STREAM nk (event_id BIGINT, value DOUBLE)
+         |WITH (PATH='$sfDir/events.parquet', VALUE_FORMAT='PARQUET',
+         |      TIMESTAMP='ts')""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, cat2, "SELECT ROWKEY FROM nk")
+    }
+    assert(e.getMessage.contains("KEY"))
+  }
+
   test("ELT / FIELD / CONCAT_WS rewrite and evaluate with ksqlDB semantics") {
     assert(Translator.rewriteExpr("ELT(2, 'a', 'b')").startsWith("elt("))
     assert(Translator.rewriteExpr("CONCAT_WS('-', a, b)").startsWith("concat_ws("))

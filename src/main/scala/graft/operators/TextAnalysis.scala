@@ -334,6 +334,26 @@ object TextAnalysis {
         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
         |FROM c""".stripMargin),
 
+    // deterministic train/val/test assignment: hash-range split on the
+    // stable md5 gate (90/5/5). Content-addressed and RNG-free — the
+    // same doc lands in the same split on every engine, cluster size,
+    // and backfill; pure projection, no shuffle.
+    "q_split_assign" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100
+        Tables.documents(s, d).select(col("doc_id"),
+          when(h < 90, "train").when(h < 95, "val").otherwise("test")
+            .as("split"))
+      },
+      """SELECT doc_id,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 100 AS h
+        |      FROM documents)""".stripMargin),
+
     "q_quality_band" -> Q(
       (s, d) => qualityBand(Tables.documents(s, d)),
       """WITH q AS (

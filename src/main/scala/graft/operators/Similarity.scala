@@ -147,12 +147,14 @@ object Similarity {
     * dimension each, so EVERY dimension lands in exactly one subspace —
     * silently dropping the tail would make PQ distances blind to those
     * components. Divisible sizes split exactly as before. */
+  private def subvecSql(m: Int, vcol: String): String =
+    s"""transform(sequence(0, ${m - 1}), s ->
+       |  slice($vcol,
+       |    s * (size($vcol) div $m) + least(s, size($vcol) % $m) + 1,
+       |    (size($vcol) div $m) + if(s < size($vcol) % $m, 1, 0)))""".stripMargin
+
   private[graft] def pqSubvecs(vecs: DataFrame, m: Int): DataFrame =
-    vecs.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${m - 1}), s ->
-         |  slice(v,
-         |    s * (size(v) div $m) + least(s, size(v) % $m) + 1,
-         |    (size(v) div $m) + if(s < size(v) % $m, 1, 0)))""".stripMargin))
+    vecs.select(col("vec_id"), posexplode(expr(subvecSql(m, "v")))
       .as(Seq("sub", "sv")))
 
   /** Per-subspace Lloyd codebooks for product quantization: ONE frame
@@ -229,6 +231,74 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     codes.join(broadcast(ptab), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("adist"), 4).as("approx_d2"))
+  }
+
+  /** IVF-PQ composite (the FAISS IVFPQ architecture): coarse Lloyd
+    * cells prune the search to nProbe cells, PQ codebooks trained on
+    * the RESIDUALS (v − centroid) quantize what remains — residuals
+    * have far less variance than raw vectors, so the same code budget
+    * buys much finer quantization.
+    *
+    * Scale posture inherits both halves': centroids, codebooks and the
+    * per-(probe, cell) ADC tables are tiny → broadcast; the encoded
+    * corpus — (cell, m codes) per vector, i.e. a few BYTES — is the
+    * only large frame; the cell equi-join IS the IVF pruning, so probes
+    * never touch candidates outside their nProbe cells. The raw corpus
+    * is scanned once for assignment/encoding and never joins probes.
+    */
+  def ivfpqTopK(corpus: DataFrame, probes: DataFrame, nCells: Int = 8,
+                nProbe: Int = 2, m: Int = 8, ksub: Int = 32, k: Int = 3,
+                coarseIters: Int = 2, pqIters: Int = 1,
+                trainMod: Int = 4): DataFrame = {
+    val c0 = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centroids = kMeansCentroids(c0, nCells, coarseIters)
+    // nearest-n cells + residual vector per row
+    def assignN(df: DataFrame, n: Int): DataFrame = {
+      val x = df.crossJoin(broadcast(centroids))
+        .withColumn("d", l2Distance(col("v"), col("centroid")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d").asc, col("cell").asc)
+      x.withColumn("r", row_number().over(w)).filter(col("r") <= n)
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("centroid"), (a, b) => a - b).as("rv"))
+    }
+    val corpusRes = assignN(c0, 1)
+    val csub = corpusRes.select(col("vec_id"), col("cell"),
+      posexplode(expr(subvecSql(m, "rv"))).as(Seq("sub", "sv")))
+    // one shared codebook set over residual subvectors (trained on a
+    // deterministic hash-sample; coarse cell dropped — codewords are
+    // shared across cells, the standard IVFPQ layout)
+    val sample = csub.filter(
+      pmod(crc32(col("vec_id").cast("string")), lit(trainMod)) === 0)
+      .select(col("vec_id"), col("sub"), col("sv")).persist()
+    val cb = pqCodebooks(sample, ksub, pqIters)
+    sample.unpersist()
+    val codes = csub.join(broadcast(cb.withColumnRenamed("cell", "code")), "sub")
+      .withColumn("d", l2Sq(col("sv"), col("codeword")))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("s"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("sub"),
+        col("s.code").as("code"))
+    // per-(probe, probed-cell) ADC tables over the probe's residual
+    val ptab = assignN(
+      probes.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      nProbe)
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        posexplode(expr(subvecSql(m, "rv"))).as(Seq("sub", "sv")))
+      .join(broadcast(cb.withColumnRenamed("cell", "code")), "sub")
+      .select(col("probe_id"), col("cell"), col("sub"), col("code"),
+        l2Sq(col("sv"), col("codeword")).as("d2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(ptab), Seq("cell", "sub", "code"))
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("adist"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -413,6 +483,14 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         pqTopK(emb, emb.filter(col("vec_id") % 100 === 0))
+      },
+      None),
+
+    // IVF-PQ composite (approximate → rows-only; recall spec)
+    "q_ann_ivfpq" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        ivfpqTopK(emb, emb.filter(col("vec_id") % 100 === 0), nProbe = 3)
       },
       None),
 

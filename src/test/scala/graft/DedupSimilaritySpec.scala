@@ -89,6 +89,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graph == again)
   }
 
+  test("IVF-PQ finds exact-L2 neighbors within its top-10 and stays deterministic") {
+    val probes = emb.filter(col("vec_id") % 250 === 0)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfpqTopK(emb, probes, nProbe = 3, k = 10)
+    val got = ivfpq.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.groupBy("probe_id").count()
+      .filter(col("count") > 10).count() == 0)
+    val recall = (exact & got).size.toDouble / exact.size
+    // coarse pruning (3/8 cells) + residual PQ on near-random vectors:
+    // a lenient floor, same spirit as the PQ and IVF specs
+    assert(recall >= 0.2, s"recall $recall")
+    val again = Similarity.ivfpqTopK(emb, probes, nProbe = 3, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+  }
+
   test("graph ANN still seeds beams on a corpus smaller than the entry-sample stride") {
     val tiny = emb.filter(col("vec_id") < 20)  // < 64, hash-sample may be empty
     val probes = tiny.filter(col("vec_id") < 2)

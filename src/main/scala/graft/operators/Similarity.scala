@@ -253,22 +253,34 @@ object Similarity {
     * never touch candidates outside their nProbe cells. The raw corpus
     * is scanned once for assignment/encoding and never joins probes.
     */
+  // coarseIters default 1: IVFPQ tolerates rougher cells than plain IVF
+  // (the residual codebook absorbs coarse error), and each Lloyd round
+  // is a full corpus pass — the recall spec holds at one round
   def ivfpqTopK(corpus: DataFrame, probes: DataFrame, nCells: Int = 8,
                 nProbe: Int = 2, m: Int = 8, ksub: Int = 32, k: Int = 3,
-                coarseIters: Int = 2, pqIters: Int = 1,
+                coarseIters: Int = 1, pqIters: Int = 1,
                 trainMod: Int = 4): DataFrame = {
     val c0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val centroids = kMeansCentroids(c0, nCells, coarseIters)
-    // nearest-n cells + residual vector per row
+    // nearest-n cells + residual vector per row. n=1 (the corpus side)
+    // is a min-struct hash aggregate — no per-key sort; only the tiny
+    // probe side pays the window rank for its nProbe cells.
     def assignN(df: DataFrame, n: Int): DataFrame = {
       val x = df.crossJoin(broadcast(centroids))
         .withColumn("d", l2Distance(col("v"), col("centroid")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d").asc, col("cell").asc)
-      x.withColumn("r", row_number().over(w)).filter(col("r") <= n)
-        .select(col("vec_id"), col("cell"),
-          zip_with(col("v"), col("centroid"), (a, b) => a - b).as("rv"))
+      if (n == 1)
+        x.groupBy(col("vec_id"))
+          .agg(min(struct(col("d"), col("cell"), col("v"), col("centroid"))).as("s"))
+          .select(col("vec_id"), col("s.cell").as("cell"),
+            zip_with(col("s.v"), col("s.centroid"), (a, b) => a - b).as("rv"))
+      else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").asc, col("cell").asc)
+        x.withColumn("r", row_number().over(w)).filter(col("r") <= n)
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("v"), col("centroid"), (a, b) => a - b).as("rv"))
+      }
     }
     val corpusRes = assignN(c0, 1)
     val csub = corpusRes.select(col("vec_id"), col("cell"),

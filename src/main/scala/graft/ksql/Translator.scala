@@ -295,7 +295,8 @@ object Translator {
       def in(x: String) = re.findFirstIn(x).isDefined
       s.columns.exists(c => in(c._1)) || s.where.exists(in) ||
         s.groupBy.exists(in) || s.having.exists(in) ||
-        s.orderBy.exists(o => in(o._1)) || s.partitionBy.exists(in)
+        s.orderBy.exists(o => in(o._1)) || s.partitionBy.exists(in) ||
+        s.joins.exists(j => in(j.onLeft) || in(j.onRight))
     }
     val withRowtime =
       if (stmtMentions("ROWTIME") && !based.columns.exists(_.equalsIgnoreCase("rowtime")))

@@ -144,6 +144,27 @@ object TextAnalysis {
     * repartition+sort) — at 100 TB every executor packs its buckets with
     * zero coordination, and pack ids are namespaced by bucket.
     */
+  /** Overlapping context-window chunking: each doc splits into
+    * `chunk`-word windows advancing by (chunk - overlap) words — the
+    * prep step ahead of packSequences. A doc shorter than one window
+    * yields exactly one (short) chunk. Pure projection of the corpus
+    * scan: words → chunk-start sequence → slice/concat → posexplode,
+    * no shuffle at any scale.
+    */
+  def chunkDocs(docs: DataFrame, chunk: Int, overlap: Int): DataFrame = {
+    require(chunk > overlap && overlap >= 0,
+      s"need chunk > overlap >= 0, got chunk=$chunk overlap=$overlap")
+    val step = chunk - overlap
+    docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(greatest(1,
+           |  ceil((size(split(text, ' ')) - $overlap) / ${step}.0)) as int) - 1,
+           |  1),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i * $step + 1, $chunk)))"""
+          .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("int"))
+  }
+
   def packSequences(docs: DataFrame, budget: Long, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -309,19 +330,7 @@ object TextAnalysis {
     // chunk-start sequence → slice/concat per chunk → posexplode; no
     // shuffle at all, the op is a projection of the corpus scan.
     "q_chunk_docs" -> Q(
-      (s, d) => {
-        val chunk = 64; val overlap = 8; val step = chunk - overlap
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(expr(
-              s"""transform(sequence(0, cast(greatest(1,
-                 |  ceil((size(split(text, ' ')) - $overlap) / ${step}.0)) as int) - 1,
-                 |  1),
-                 |  i -> concat_ws(' ', slice(split(text, ' '), i * $step + 1, $chunk)))"""
-                .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
-          .withColumn("n_tokens",
-            size(split(col("chunk_text"), " ")).cast("int"))
-      },
+      (s, d) => chunkDocs(Tables.documents(s, d), chunk = 64, overlap = 8),
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), c AS (

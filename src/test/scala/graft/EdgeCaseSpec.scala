@@ -51,6 +51,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(mix.agg(sum("n_docs")).head.getLong(0) == 6L)
   }
 
+  test("chunking covers every word once per stride and survives degenerate docs") {
+    val chunks = TextAnalysis.chunkDocs(weird, chunk = 4, overlap = 1)
+    // every doc (even the empty one) yields at least one chunk
+    assert(chunks.select("doc_id").distinct().count() == weird.count())
+    // short docs yield exactly one chunk equal to the full text
+    val short = chunks.filter(col("doc_id") === 2L).collect()
+    assert(short.length == 1 && short.head.getAs[String]("chunk_text") == "word")
+    // a 9-word doc with chunk=4, step=3: starts 0,3,6 → 3 chunks,
+    // adjacent chunks overlap by exactly one word
+    val c6 = chunks.filter(col("doc_id") === 6L)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(c6.length == 3, c6.mkString("|"))
+    assert(c6(0) == "x y z x" && c6(1) == "x y z x" && c6(2) == "x y z")
+    // reconstruction: dropping each chunk's overlap prefix re-yields the doc
+    val rebuilt = (c6.head +: c6.tail.map(_.split(" ").drop(1).mkString(" ")))
+      .mkString(" ")
+    assert(rebuilt == "x y z x y z x y z")
+    // invalid config is rejected up front
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(weird, chunk = 4, overlap = 4)
+    }
+  }
+
   test("native stableHash32 equals the SQL formulation (incl. unicode)") {
     val d = weird.select(
       TextFunctions.stableHash32(col("text")).as("native"),

@@ -188,6 +188,37 @@ object Translator {
         s"* pow(sin(radians($lon2 - $lon1) / 2), 2), 1.0))))"
     }
 
+  /** KSQL URL function family → Spark's parse_url / url codec.
+    * URL_EXTRACT_PORT has no parse_url part — a regexp on the
+    * authority; URL_EXTRACT_PARAMETER is the 3-arg parse_url form. */
+  private def expandUrl(sql: String): String = {
+    val parts = Seq("HOST" -> "HOST", "PATH" -> "PATH",
+      "PROTOCOL" -> "PROTOCOL", "QUERY" -> "QUERY", "FRAGMENT" -> "REF")
+    val s1 = parts.foldLeft(sql) { case (acc, (ksql, spark)) =>
+      rewriteCall(acc, s"URL_EXTRACT_$ksql") { args =>
+        arity(s"URL_EXTRACT_$ksql", args, 1)
+        s"parse_url(${args(0)}, '$spark')"
+      }
+    }
+    val s2 = rewriteCall(s1, "URL_EXTRACT_PARAMETER") { args =>
+      arity("URL_EXTRACT_PARAMETER", args, 2)
+      s"parse_url(${args(0)}, 'QUERY', ${args(1)})"
+    }
+    val s3 = rewriteCall(s2, "URL_EXTRACT_PORT") { args =>
+      arity("URL_EXTRACT_PORT", args, 1)
+      // port = digits after the last ':' of the authority; NULL when
+      // absent (KSQL semantics), hence the nullif on the empty match
+      s"cast(nullif(regexp_extract(parse_url(${args(0)}, 'AUTHORITY'), " +
+        "':([0-9]+)$', 1), '') as int)"
+    }
+    val s4 = rewriteCall(s3, "URL_ENCODE_PARAM") { args =>
+      arity("URL_ENCODE_PARAM", args, 1); s"url_encode(${args(0)})"
+    }
+    rewriteCall(s4, "URL_DECODE_PARAM") { args =>
+      arity("URL_DECODE_PARAM", args, 1); s"url_decode(${args(0)})"
+    }
+  }
+
   /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted-slice aggregates. */
   private def expandTopK(sql: String): String = {
     val topk = rewriteCall(sql, "TOPKDISTINCT") { args =>
@@ -214,8 +245,8 @@ object Translator {
 
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val expanded = expandField(
-      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e))))))
+    val expanded = expandUrl(expandField(
+      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e)))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

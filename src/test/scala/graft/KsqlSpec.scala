@@ -458,6 +458,34 @@ class KsqlSpec extends SparkSpec {
     assert(e.getMessage.contains("KEY"))
   }
 
+  test("URL function family rewrites and evaluates (extract, port, parameter, codec)") {
+    val u = "'https://ex.com:8443/a/b?x=1&y=two#frag'"
+    val row = spark.sql("SELECT " + Seq(
+      Translator.rewriteExpr(s"URL_EXTRACT_HOST($u)") + " AS host",
+      Translator.rewriteExpr(s"URL_EXTRACT_PATH($u)") + " AS path",
+      Translator.rewriteExpr(s"URL_EXTRACT_PROTOCOL($u)") + " AS proto",
+      Translator.rewriteExpr(s"URL_EXTRACT_QUERY($u)") + " AS q",
+      Translator.rewriteExpr(s"URL_EXTRACT_FRAGMENT($u)") + " AS frag",
+      Translator.rewriteExpr(s"URL_EXTRACT_PORT($u)") + " AS port",
+      Translator.rewriteExpr(s"URL_EXTRACT_PARAMETER($u, 'y')") + " AS p",
+      Translator.rewriteExpr("URL_ENCODE_PARAM('a b&c')") + " AS enc",
+      Translator.rewriteExpr("URL_DECODE_PARAM('a+b%26c')") + " AS dec"
+    ).mkString(", ")).head
+    assert(row.getAs[String]("host") == "ex.com")
+    assert(row.getAs[String]("path") == "/a/b")
+    assert(row.getAs[String]("proto") == "https")
+    assert(row.getAs[String]("q") == "x=1&y=two")
+    assert(row.getAs[String]("frag") == "frag")
+    assert(row.getAs[Int]("port") == 8443)
+    assert(row.getAs[String]("p") == "two")
+    assert(row.getAs[String]("enc") == "a+b%26c")
+    assert(row.getAs[String]("dec") == "a b&c")
+    // no port → NULL, not an empty-string cast error
+    val np = spark.sql("SELECT " +
+      Translator.rewriteExpr("URL_EXTRACT_PORT('https://ex.com/a')") + " AS port").head
+    assert(np.isNullAt(0))
+  }
+
   test("ELT / FIELD / CONCAT_WS rewrite and evaluate with ksqlDB semantics") {
     assert(Translator.rewriteExpr("ELT(2, 'a', 'b')").startsWith("elt("))
     assert(Translator.rewriteExpr("CONCAT_WS('-', a, b)").startsWith("concat_ws("))

@@ -158,11 +158,24 @@ object Translator {
     * TIMESTAMPs — a name rename alone would change the result type, so
     * these expand to the millis-preserving forms. */
   private def expandTimeFns(sql: String): String = {
-    val s1 = rewriteCall(sql, "STRINGTOTIMESTAMP")(args =>
-      s"unix_millis(to_timestamp(${args.mkString(", ")}))")
+    // optional 3rd arg (ksqlDB 5.4+): a timezone id. Parsing treats the
+    // string as wall-clock in that zone; formatting renders the instant
+    // in that zone — Spark's to_utc_/from_utc_timestamp pair.
+    val s1 = rewriteCall(sql, "STRINGTOTIMESTAMP") { args =>
+      if (args.length < 1 || args.length > 3) throw new IllegalArgumentException(
+        s"STRINGTOTIMESTAMP expects (str[, fmt[, tz]]), got ${args.length} args")
+      val parsed = s"to_timestamp(${args.take(2).mkString(", ")})"
+      if (args.length == 3)
+        s"unix_millis(to_utc_timestamp($parsed, ${args(2)}))"
+      else s"unix_millis($parsed)"
+    }
     val s2 = rewriteCall(s1, "TIMESTAMPTOSTRING") { args =>
-      arity("TIMESTAMPTOSTRING", args, 2)
-      s"date_format(timestamp_millis(${args(0)}), ${args(1)})"
+      if (args.length < 2 || args.length > 3) throw new IllegalArgumentException(
+        s"TIMESTAMPTOSTRING expects (millis, fmt[, tz]), got ${args.length} args")
+      val ts = if (args.length == 3)
+        s"from_utc_timestamp(timestamp_millis(${args(0)}), ${args(2)})"
+      else s"timestamp_millis(${args(0)})"
+      s"date_format($ts, ${args(1)})"
     }
     val s3 = rewriteCall(s2, "FROM_UNIXTIME") { args =>
       arity("FROM_UNIXTIME", args, 1)

@@ -458,6 +458,22 @@ class KsqlSpec extends SparkSpec {
     assert(e.getMessage.contains("KEY"))
   }
 
+  test("time-format functions accept the optional timezone argument") {
+    // 2024-01-01T00:00:00Z == 1704067200000 ms; in UTC+2 that is 02:00
+    val row = spark.sql("SELECT " + Seq(
+      Translator.rewriteExpr(
+        "TIMESTAMPTOSTRING(1704067200000, 'yyyy-MM-dd HH:mm', 'UTC+02:00')") + " AS s",
+      Translator.rewriteExpr(
+        "STRINGTOTIMESTAMP('2024-01-01 02:00', 'yyyy-MM-dd HH:mm', 'UTC+02:00')") + " AS ms"
+    ).mkString(", ")).head
+    assert(row.getAs[String]("s") == "2024-01-01 02:00")
+    assert(row.getAs[Long]("ms") == 1704067200000L)
+    // round trip: format(parse(x)) is identity in the same zone
+    intercept[IllegalArgumentException] {
+      Translator.rewriteExpr("TIMESTAMPTOSTRING(1)")
+    }
+  }
+
   test("URL function family rewrites and evaluates (extract, port, parameter, codec)") {
     val u = "'https://ex.com:8443/a/b?x=1&y=two#frag'"
     val row = spark.sql("SELECT " + Seq(

@@ -60,3 +60,7 @@ case class ExplainStmt(select: SelectStmt) extends Statement
 case object ShowQueries extends Statement                   // SHOW QUERIES
 case class Terminate(id: String) extends Statement          // TERMINATE <id>|ALL
 case class RunScript(path: String) extends Statement        // RUN SCRIPT '<path>'
+case class SetProp(key: String, value: String) extends Statement  // SET 'k'='v'
+case class UnsetProp(key: String) extends Statement         // UNSET 'k'
+case object ShowProperties extends Statement                // SHOW PROPERTIES
+case object ShowFunctions extends Statement                 // SHOW FUNCTIONS

@@ -145,7 +145,16 @@ object Parser {
       } else if (p.accept("SHOW")) {
         if (p.accept("TABLES")) ShowSources(tables = true)
         else if (p.accept("QUERIES")) ShowQueries
+        else if (p.accept("PROPERTIES")) ShowProperties
+        else if (p.accept("FUNCTIONS")) ShowFunctions
         else { p.expect("STREAMS"); ShowSources(tables = false) }
+      } else if (p.accept("SET")) {
+        // SET 'key' = 'value' (quoted, KSQL CLI style) or bare tokens
+        val key = p.next().text
+        p.expect("=")
+        SetProp(key, p.next().text)
+      } else if (p.accept("UNSET")) {
+        UnsetProp(p.next().text)
       } else if (p.accept("TERMINATE")) {
         // a query id is a UUID, which the lexer splits at '-' — rejoin
         // everything to end-of-statement (UUIDs contain no spaces)

@@ -24,6 +24,14 @@ object Translator {
                           key: Option[String] = None)
   type Catalog = Map[String, Source]
 
+  // session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES)
+  private val sessionProps =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def propsFor(spark: SparkSession) =
+    sessionProps.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, String])
+
   // Subquery predicates route through spark.sql over temp views, which
   // are SESSION-GLOBAL mutable state — Bench runs statements concurrently
   // on one SparkSession, so the register→analyze→drop span must be
@@ -643,6 +651,37 @@ object Translator {
         val rows = spark.streams.active.toSeq.map(q =>
           (q.id.toString, Option(q.name).getOrElse(""), q.isActive))
         (catalog, Some(rows.toDF("query_id", "name", "is_active")))
+      case SetProp(k, v) =>
+        // session-scoped property map (KSQL CLI SET). Keys that name
+        // Spark confs apply directly — the practical bridge for e.g.
+        // SET 'spark.sql.shuffle.partitions' = '64'; everything else is
+        // recorded and visible via SHOW PROPERTIES.
+        propsFor(spark).put(k, v)
+        if (k.startsWith("spark.")) spark.conf.set(k, v)
+        (catalog, None)
+      case UnsetProp(k) =>
+        propsFor(spark).remove(k)
+        if (k.startsWith("spark.")) spark.conf.unset(k)
+        (catalog, None)
+      case ShowProperties =>
+        import spark.implicits._
+        val rows = propsFor(spark).toSeq.sortBy(_._1)
+        (catalog, Some(rows.toDF("property", "value")))
+      case ShowFunctions =>
+        import spark.implicits._
+        val renames = fnRename.toSeq.map { case (k, v) => (k, v) }
+        val expansions = Seq("MASK", "MASK_LEFT", "MASK_RIGHT",
+          "MASK_KEEP_LEFT", "MASK_KEEP_RIGHT", "HISTOGRAM", "TOPK",
+          "TOPKDISTINCT", "GEO_DISTANCE", "FIELD", "STRINGTOTIMESTAMP",
+          "TIMESTAMPTOSTRING", "FROM_UNIXTIME", "UNIX_TIMESTAMP",
+          "URL_EXTRACT_HOST", "URL_EXTRACT_PATH", "URL_EXTRACT_PROTOCOL",
+          "URL_EXTRACT_QUERY", "URL_EXTRACT_FRAGMENT", "URL_EXTRACT_PORT",
+          "URL_EXTRACT_PARAMETER", "URL_ENCODE_PARAM", "URL_DECODE_PARAM")
+          .map(n => (n, "(expansion)"))
+        val native = graft.GraftExtensions.definitions
+          .map { case (n, _, _) => (n.toUpperCase, s"native $n") }
+        val rows = (renames ++ expansions ++ native).sortBy(_._1)
+        (catalog, Some(rows.toDF("function", "maps_to")))
       case Terminate(id) =>
         val targets =
           if (id.equalsIgnoreCase("ALL")) spark.streams.active.toSeq

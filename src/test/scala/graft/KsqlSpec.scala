@@ -458,6 +458,26 @@ class KsqlSpec extends SparkSpec {
     assert(e.getMessage.contains("KEY"))
   }
 
+  test("SET / UNSET / SHOW PROPERTIES / SHOW FUNCTIONS") {
+    val (c1, _) = Translator.run(spark, Map.empty, "SET 'graft.test.prop' = 'v1'")
+    val (_, Some(props)) = Translator.run(spark, c1, "SHOW PROPERTIES"): @unchecked
+    val m = props.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.get("graft.test.prop").contains("v1"))
+    Translator.run(spark, c1, "UNSET 'graft.test.prop'")
+    val (_, Some(after)) = Translator.run(spark, c1, "SHOW PROPERTIES"): @unchecked
+    assert(!after.collect().map(_.getString(0)).contains("graft.test.prop"))
+    // spark.-prefixed keys bridge to the live conf
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Translator.run(spark, c1, "SET 'spark.sql.shuffle.partitions' = '7'")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    val (_, Some(fns)) = Translator.run(spark, c1, "SHOW FUNCTIONS"): @unchecked
+    val names = fns.collect().map(_.getString(0)).toSet
+    assert(Set("UCASE", "MASK", "TOPK", "URL_EXTRACT_HOST", "VEC_DOT")
+      .subsetOf(names), names.toSeq.sorted.mkString(","))
+  }
+
   test("time-format functions accept the optional timezone argument") {
     // 2024-01-01T00:00:00Z == 1704067200000 ms; in UTC+2 that is 02:00
     val row = spark.sql("SELECT " + Seq(

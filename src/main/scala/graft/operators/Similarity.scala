@@ -498,6 +498,32 @@ object Similarity {
       },
       None),
 
+    // per-label embedding centroid: posexplode → (label, dim) partial
+    // mean — the shuffle is rows×dims and map-side-combined, never a
+    // collect; the oracle exposes norm + count so the compare stays
+    // nested-type-free. The class-centroid primitive behind few-shot
+    // heads and SemDeDup seeding.
+    "q_embed_centroid" -> Q(
+      (s, d) => {
+        val perDim = Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+        perDim.groupBy(col("label"))
+          .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+            count(lit(1)).as("n_dims"))
+      },
+      """WITH e AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings
+        |), pd AS (
+        |  SELECT label, dim, avg(x) AS m FROM e GROUP BY 1, 2
+        |)
+        |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+        |  CAST(count(*) AS BIGINT) AS n_dims
+        |FROM pd GROUP BY label""".stripMargin),
+
     // IVF-PQ composite (approximate → rows-only; recall spec)
     "q_ann_ivfpq" -> Q(
       (s, d) => {

@@ -199,6 +199,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bucket"), p.take(3000))
   }
 
+  test("mix sampler broadcasts the rate table; the corpus never shuffles for the gate") {
+    val p = plan("q_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the only exchanges allowed belong to the tiny rate-table aggs,
+    // all pre-broadcast — the documents scan side must join broadcast
+    assert(!p.toLowerCase.contains("cartesianproduct")
+      || p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("chunking is a pure projection: zero exchanges in the plan") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000))  // the posexplode
+  }
+
+  test("embedding centroid partial-aggregates the rows×dims shuffle") {
+    val p = plan("q_embed_centroid")
+    assert("partial_avg|partial_.*avg".r.findFirstIn(p).isDefined
+      || p.contains("partial"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+  }
+
   test("runtime bloom-filter pruning injects into a selective shuffle join") {
     // At 100 TB a fact⋈dim shuffle join with a selective dim filter
     // should prune fact rows BEFORE the shuffle via an injected bloom

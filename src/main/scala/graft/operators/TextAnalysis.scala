@@ -343,6 +343,34 @@ object TextAnalysis {
         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
         |FROM c""".stripMargin),
 
+    // hashing-trick featurization: tokens hash into D buckets, count
+    // per (doc, bucket) — the model-free sparse doc vector (classifier
+    // features, cheap similarity) with a FIXED dimensionality and no
+    // vocabulary table to build, ship, or keep consistent. Emitted as
+    // (doc_id, bucket, cnt) rows — the sparse representation IS the
+    // scale format (a dense array would be ~D columns of mostly zeros);
+    // md5-stable bucketing makes the whole featurization replayable.
+    "q_hash_features" -> Q(
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .withColumn("bucket",
+            (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+              .cast("long") % 128).cast("int"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 128 AS INT) AS bucket,
+        |  count(*) AS cnt
+        |FROM t GROUP BY 1, 2""".stripMargin),
+
     // deterministic train/val/test assignment: hash-range split on the
     // stable md5 gate (90/5/5). Content-addressed and RNG-free — the
     // same doc lands in the same split on every engine, cluster size,

@@ -54,7 +54,7 @@ case class InsertValues(target: String, columns: Seq[String],
 case class PrintRows(source: String, limit: Int) extends Statement // PRINT name
 case class Query(select: SelectStmt) extends Statement
 case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABLES
-case class Describe(name: String) extends Statement
+case class Describe(name: String, extended: Boolean = false) extends Statement
 case class DropSource(name: String, ifExists: Boolean) extends Statement
 case class ExplainStmt(select: SelectStmt) extends Statement
 case object ShowQueries extends Statement                   // SHOW QUERIES

@@ -168,7 +168,8 @@ object Parser {
         if (!t.isString) p.fail("RUN SCRIPT expects a quoted file path")
         RunScript(t.text)
       } else if (p.accept("DESCRIBE")) {
-        Describe(p.next().text)
+        val ext = p.accept("EXTENDED")
+        Describe(p.next().text, ext)
       } else if (p.accept("DROP")) {
         if (!p.accept("STREAM")) p.expect("TABLE")
         val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false

@@ -630,12 +630,26 @@ object Translator {
           (n, src.timeColumn, src.df.isStreaming)
         }.sortBy(_._1)
         (catalog, Some(rows.toDF("name", "time_column", "is_streaming")))
-      case Describe(name) =>
+      case Describe(name, extended) =>
         import spark.implicits._
         val src = catalog.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"unknown source $name"))
         val rows = src.df.schema.map(f => (f.name, f.dataType.simpleString))
-        (catalog, Some(rows.toDF("column", "type")))
+        if (!extended) (catalog, Some(rows.toDF("column", "type")))
+        else {
+          // EXTENDED: the schema plus source metadata rows, same
+          // 2-column shape so the frame stays uniform (KSQL prints a
+          // similar mixed listing). Row count only for batch frames —
+          // a streaming frame is unbounded by definition.
+          val meta = Seq(
+            "(time column)" -> src.timeColumn,
+            "(key column)" -> src.key.getOrElse("<none>"),
+            "(watermark)" -> src.watermark,
+            "(streaming)" -> src.df.isStreaming.toString) ++
+            (if (src.df.isStreaming) Nil
+             else Seq("(row count)" -> src.df.count().toString))
+          (catalog, Some((rows ++ meta).toDF("column", "type")))
+        }
       case DropSource(name, ifExists) =>
         if (!ifExists && !catalog.contains(name.toLowerCase))
           throw new IllegalArgumentException(s"unknown source $name")

@@ -458,6 +458,22 @@ class KsqlSpec extends SparkSpec {
     assert(e.getMessage.contains("KEY"))
   }
 
+  test("DESCRIBE EXTENDED adds source metadata to the schema listing") {
+    val catalog: Translator.Catalog = Map("ev" -> Translator.Source(
+      Tables.events(spark, sfDir), "ts", key = Some("user_id")))
+    val (_, Some(plain)) = Translator.run(spark, catalog, "DESCRIBE ev"): @unchecked
+    assert(plain.columns.toSeq == Seq("column", "type"))
+    assert(!plain.collect().map(_.getString(0)).exists(_.startsWith("(")))
+    val (_, Some(ext)) = Translator.run(spark, catalog,
+      "DESCRIBE EXTENDED ev"): @unchecked
+    val m = ext.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("(time column)") == "ts")
+    assert(m("(key column)") == "user_id")
+    assert(m("(streaming)") == "false")
+    assert(m("(row count)").toLong > 0)
+    assert(m.contains("event_type"))   // schema rows still present
+  }
+
   test("SET / UNSET / SHOW PROPERTIES / SHOW FUNCTIONS") {
     val (c1, _) = Translator.run(spark, Map.empty, "SET 'graft.test.prop' = 'v1'")
     val (_, Some(props)) = Translator.run(spark, c1, "SHOW PROPERTIES"): @unchecked

@@ -64,3 +64,4 @@ case class SetProp(key: String, value: String) extends Statement  // SET 'k'='v'
 case class UnsetProp(key: String) extends Statement         // UNSET 'k'
 case object ShowProperties extends Statement                // SHOW PROPERTIES
 case object ShowFunctions extends Statement                 // SHOW FUNCTIONS
+case class DescribeFunction(name: String) extends Statement // DESCRIBE FUNCTION f

@@ -142,7 +142,8 @@ object Parser {
         val name = p.next().text
         val limit = if (p.accept("LIMIT")) limitOperand(p) else 10
         PrintRows(name, limit)
-      } else if (p.accept("SHOW")) {
+      } else if (p.accept("SHOW") || p.accept("LIST")) {
+        // LIST is KSQL's synonym for SHOW
         if (p.accept("TABLES")) ShowSources(tables = true)
         else if (p.accept("QUERIES")) ShowQueries
         else if (p.accept("PROPERTIES")) ShowProperties
@@ -168,8 +169,11 @@ object Parser {
         if (!t.isString) p.fail("RUN SCRIPT expects a quoted file path")
         RunScript(t.text)
       } else if (p.accept("DESCRIBE")) {
-        val ext = p.accept("EXTENDED")
-        Describe(p.next().text, ext)
+        if (p.accept("FUNCTION")) DescribeFunction(p.next().text)
+        else {
+          val ext = p.accept("EXTENDED")
+          Describe(p.next().text, ext)
+        }
       } else if (p.accept("DROP")) {
         if (!p.accept("STREAM")) p.expect("TABLE")
         val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false

@@ -24,6 +24,33 @@ object Translator {
                           key: Option[String] = None)
   type Catalog = Map[String, Source]
 
+  // KSQL functions that expand to Spark SQL (not simple renames):
+  // name → usage line, served by SHOW FUNCTIONS / DESCRIBE FUNCTION
+  private val expansionFns: Map[String, String] = Map(
+    "MASK" -> "MASK(str) - mask letters/digits (X/x/n, other → -)",
+    "MASK_LEFT" -> "MASK_LEFT(str, n) - mask the first n chars",
+    "MASK_RIGHT" -> "MASK_RIGHT(str, n) - mask the last n chars",
+    "MASK_KEEP_LEFT" -> "MASK_KEEP_LEFT(str, n) - mask all but the first n",
+    "MASK_KEEP_RIGHT" -> "MASK_KEEP_RIGHT(str, n) - mask all but the last n",
+    "HISTOGRAM" -> "HISTOGRAM(col) - value → count map aggregate",
+    "TOPK" -> "TOPK(col, k) - k largest values per group",
+    "TOPKDISTINCT" -> "TOPKDISTINCT(col, k) - k largest distinct values",
+    "GEO_DISTANCE" -> "GEO_DISTANCE(lat1, lon1, lat2, lon2[, unit]) - haversine",
+    "FIELD" -> "FIELD(x, v1, ...) - 1-based index of x in the list, 0 if absent",
+    "STRINGTOTIMESTAMP" -> "STRINGTOTIMESTAMP(s[, fmt[, tz]]) - parse to epoch millis",
+    "TIMESTAMPTOSTRING" -> "TIMESTAMPTOSTRING(millis, fmt[, tz]) - format an instant",
+    "FROM_UNIXTIME" -> "FROM_UNIXTIME(millis) - millis to TIMESTAMP",
+    "UNIX_TIMESTAMP" -> "UNIX_TIMESTAMP([ts]) - TIMESTAMP to epoch millis",
+    "URL_EXTRACT_HOST" -> "URL_EXTRACT_HOST(url) - host part",
+    "URL_EXTRACT_PATH" -> "URL_EXTRACT_PATH(url) - path part",
+    "URL_EXTRACT_PROTOCOL" -> "URL_EXTRACT_PROTOCOL(url) - scheme",
+    "URL_EXTRACT_QUERY" -> "URL_EXTRACT_QUERY(url) - query string",
+    "URL_EXTRACT_FRAGMENT" -> "URL_EXTRACT_FRAGMENT(url) - fragment",
+    "URL_EXTRACT_PORT" -> "URL_EXTRACT_PORT(url) - port or NULL",
+    "URL_EXTRACT_PARAMETER" -> "URL_EXTRACT_PARAMETER(url, name) - query param value",
+    "URL_ENCODE_PARAM" -> "URL_ENCODE_PARAM(s) - urlencode",
+    "URL_DECODE_PARAM" -> "URL_DECODE_PARAM(s) - urldecode")
+
   // session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES)
   private val sessionProps =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
@@ -681,17 +708,22 @@ object Translator {
         import spark.implicits._
         val rows = propsFor(spark).toSeq.sortBy(_._1)
         (catalog, Some(rows.toDF("property", "value")))
+      case DescribeFunction(name) =>
+        import spark.implicits._
+        val n = name.toUpperCase
+        val desc: Option[(String, String, String)] =
+          fnRename.get(n).map(v => (n, "rename", s"maps to Spark `$v`"))
+            .orElse(expansionFns.get(n).map(u => (n, "expansion", u)))
+            .orElse(graft.GraftExtensions.definitions
+              .find(_._1.equalsIgnoreCase(n))
+              .map { case (fn, info, _) => (n, "native codegen", info.getUsage) })
+        val row = desc.getOrElse(throw new IllegalArgumentException(
+          s"unknown function $name"))
+        (catalog, Some(Seq(row).toDF("function", "kind", "usage")))
       case ShowFunctions =>
         import spark.implicits._
         val renames = fnRename.toSeq.map { case (k, v) => (k, v) }
-        val expansions = Seq("MASK", "MASK_LEFT", "MASK_RIGHT",
-          "MASK_KEEP_LEFT", "MASK_KEEP_RIGHT", "HISTOGRAM", "TOPK",
-          "TOPKDISTINCT", "GEO_DISTANCE", "FIELD", "STRINGTOTIMESTAMP",
-          "TIMESTAMPTOSTRING", "FROM_UNIXTIME", "UNIX_TIMESTAMP",
-          "URL_EXTRACT_HOST", "URL_EXTRACT_PATH", "URL_EXTRACT_PROTOCOL",
-          "URL_EXTRACT_QUERY", "URL_EXTRACT_FRAGMENT", "URL_EXTRACT_PORT",
-          "URL_EXTRACT_PARAMETER", "URL_ENCODE_PARAM", "URL_DECODE_PARAM")
-          .map(n => (n, "(expansion)"))
+        val expansions = expansionFns.keys.toSeq.map(n => (n, "(expansion)"))
         val native = graft.GraftExtensions.definitions
           .map { case (n, _, _) => (n.toUpperCase, s"native $n") }
         val rows = (renames ++ expansions ++ native).sortBy(_._1)

@@ -492,6 +492,18 @@ class KsqlSpec extends SparkSpec {
     val names = fns.collect().map(_.getString(0)).toSet
     assert(Set("UCASE", "MASK", "TOPK", "URL_EXTRACT_HOST", "VEC_DOT")
       .subsetOf(names), names.toSeq.sorted.mkString(","))
+    // LIST is a synonym; DESCRIBE FUNCTION resolves each kind
+    val (_, Some(viaList)) = Translator.run(spark, c1, "LIST FUNCTIONS"): @unchecked
+    assert(viaList.count() == fns.count())
+    for ((fn, kind) <- Seq(("UCASE", "rename"), ("MASK", "expansion"),
+        ("vec_dot", "native codegen"))) {
+      val (_, Some(d)) = Translator.run(spark, c1,
+        s"DESCRIBE FUNCTION $fn"): @unchecked
+      assert(d.head.getAs[String]("kind") == kind, fn)
+    }
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, c1, "DESCRIBE FUNCTION NO_SUCH_FN")
+    }
   }
 
   test("time-format functions accept the optional timezone argument") {

@@ -343,6 +343,38 @@ object TextAnalysis {
         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
         |FROM c""".stripMargin),
 
+    // n-gram novelty: the fraction of a doc's sliding 5-grams that are
+    // unique corpus-wide — low novelty flags templated/boilerplate
+    // docs that per-doc quality scores miss. Same linear shape as the
+    // contamination check: gram hashes shuffle once for the corpus
+    // count, once for the per-doc roll-up; text never joins.
+    "q_novelty" -> Q(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val grams = Tables.documents(s, d)
+          .filter(size(w) >= 5)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(split(text, ' ')) - 4),
+              |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 5))))"""
+              .stripMargin)).as("g"))
+        val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        grams.join(freq, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            round(sum(when(col("n") === 1, 1).otherwise(0))
+              .cast("double") / count(lit(1)), 4).as("novelty"))
+      },
+      """WITH g AS (
+        |  SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |     , LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+        |  WHERE len(w) >= 5
+        |), f AS (SELECT g, count(*) AS n FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |    AS novelty
+        |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin),
+
     // hashing-trick featurization: tokens hash into D buckets, count
     // per (doc, bucket) — the model-free sparse doc vector (classifier
     // features, cheap similarity) with a FIXED dimensionality and no

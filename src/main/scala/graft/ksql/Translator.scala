@@ -291,10 +291,32 @@ object Translator {
       s"(CASE (${args.head}) $whens ELSE 0 END)"
     }
 
+  /** KSQL struct dereference `s->f` → Spark `s.f`, quote-aware. Runs
+    * on the RAW user expression, before any expansion introduces Spark
+    * lambda arrows (`i -> ...`) that must survive verbatim. The lexer
+    * splits the arrow into `- >` tokens, so whitespace between the two
+    * characters is tolerated — unambiguous, since a binary minus needs
+    * an operand before a `>` could follow. */
+  private def structDeref(e: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var in = false
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (c == '\'') { in = !in; sb.append(c); i += 1 }
+      else if (!in && c == '-') {
+        var j = i + 1
+        while (j < e.length && e.charAt(j).isWhitespace) j += 1
+        if (j < e.length && e.charAt(j) == '>') { sb.append('.'); i = j + 1 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
     val expanded = expandUrl(expandField(
-      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(e)))))))
+      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(structDeref(e))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

@@ -458,6 +458,25 @@ class KsqlSpec extends SparkSpec {
     assert(e.getMessage.contains("KEY"))
   }
 
+  test("struct dereference s->f rewrites to dotted access and resolves end-to-end") {
+    assert(Translator.rewriteExpr("addr->city = 'x'") == "addr.city = 'x'")
+    // literals keep their arrows; minus stays minus
+    assert(Translator.rewriteExpr("note = 'a->b'") == "note = 'a->b'")
+    assert(Translator.rewriteExpr("a - b") == "a - b")
+    // nested deref through a live frame
+    val src = spark.sql(
+      "SELECT 1L AS id, named_struct('city', 'paris', 'geo', " +
+        "named_struct('lat', CAST(48.8 AS DOUBLE))) AS addr")
+    val catalog: Translator.Catalog =
+      Map("people" -> Translator.Source(src, "id"))
+    val (_, Some(r)) = Translator.run(spark, catalog,
+      "SELECT id, addr->city AS city, addr->geo->lat AS lat FROM people")
+      : @unchecked
+    val row = r.head
+    assert(row.getAs[String]("city") == "paris")
+    assert(row.getAs[Double]("lat") == 48.8)
+  }
+
   test("DESCRIBE EXTENDED adds source metadata to the schema listing") {
     val catalog: Translator.Catalog = Map("ev" -> Translator.Source(
       Tables.events(spark, sfDir), "ts", key = Some("user_id")))

@@ -375,6 +375,41 @@ object TextAnalysis {
         |    AS novelty
         |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin),
 
+    // exact repeated-span detection (the prep step for span-level
+    // dedup à la "Deduplicating Training Data Makes LMs Better"):
+    // every 20-word span whose hash repeats corpus-wide, with its
+    // 1-based word position — removal-ready output. Hashes shuffle,
+    // text never does; the repeated-gram set is a broadcast-scale
+    // fraction of the corpus in real data.
+    "q_span_dedup" -> Q(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val grams = Tables.documents(s, d)
+          .filter(size(w) >= 20)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(1, size(split(text, ' ')) - 19),
+              |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 20))))"""
+              .stripMargin)).as(Seq("pos", "g")))
+          .select(col("doc_id"), (col("pos") + 1).as("span_start"), col("g"))
+        val repeated = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        grams.join(repeated, "g")
+          .select(col("doc_id"), col("span_start").cast("int").as("span_start"),
+            col("g").as("span_hash"), col("n").as("n_copies"))
+      },
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS span_start,
+        |    md5(array_to_string(w[i:i+19], ' ')) AS span_hash
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |     , LATERAL (SELECT unnest(generate_series(1, len(w) - 19)) AS i)
+        |  WHERE len(w) >= 20
+        |), r AS (
+        |  SELECT span_hash, count(*) AS n_copies FROM g
+        |  GROUP BY 1 HAVING count(*) > 1
+        |)
+        |SELECT doc_id, span_start, span_hash, n_copies
+        |FROM g JOIN r USING (span_hash)""".stripMargin),
+
     // hashing-trick featurization: tokens hash into D buckets, count
     // per (doc, bucket) — the model-free sparse doc vector (classifier
     // features, cheap similarity) with a FIXED dimensionality and no

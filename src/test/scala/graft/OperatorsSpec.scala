@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
   * driver's DuckDB oracle; these pin invariants + edge semantics). */
 class OperatorsSpec extends SparkSpec {
 
+  test("query registry has no duplicate keys across modules (merge would silently shadow)") {
+    import graft.operators._
+    val modules = Seq(CoreQueries.entries, WindowQueries.entries,
+      JoinQueries.entries, Dedup.entries, Similarity.entries,
+      TextAnalysis.entries, Multimodal.entries, AnalyticsQueries.entries,
+      EventAnalytics.entries, WarehouseQueries.entries, Search.entries,
+      graft.ksql.KsqlQueries.entries)
+    val all = modules.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query keys: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
   test("every query runs and every oracle key has a query") {

@@ -313,10 +313,89 @@ object Translator {
     sb.toString
   }
 
+  /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and
+    * MAP('k' := v, …) → map('k', v, …). ARRAY's brackets are matched
+    * with a quote-aware balanced scan; MAP only rewrites when a
+    * top-level `:=` is present (otherwise the call is already Spark's
+    * own map(...) and passes through). */
+  private def expandConstructors(sql: String): String = {
+    // ARRAY[ ... ] — rescans after each replacement, like rewriteCall
+    @annotation.tailrec
+    def arrays(s: String): String = {
+      val re = raw"(?i)\bARRAY\s*\[".r
+      re.findAllMatchIn(s).find(m => {
+        var in = false; var i = 0
+        while (i < m.start) { if (s.charAt(i) == '\'') in = !in; i += 1 }
+        !in
+      }) match {
+        case None => s
+        case Some(m) =>
+          var i = m.end; var depth = 1; var in = false
+          while (depth > 0 && i < s.length) {
+            val c = s.charAt(i)
+            if (c == '\'') in = !in
+            else if (!in && c == '[') depth += 1
+            else if (!in && c == ']') depth -= 1
+            i += 1
+          }
+          if (depth > 0) throw new IllegalArgumentException(
+            s"unbalanced brackets in ARRAY[…]: $s")
+          arrays(s.substring(0, m.start) +
+            "array(" + s.substring(m.end, i - 1) + ")" + s.substring(i))
+      }
+    }
+    // MAP(k := v, …): a skip-forward scan (NOT rewriteCall — a
+    // passthrough MAP(..) would re-match the case-insensitive name and
+    // never terminate). Only calls with a top-level := rewrite.
+    var cur = arrays(sql)
+    var from = 0
+    val re = raw"(?i)\bMAP\s*\(".r
+    var go = true
+    while (go) {
+      re.findAllMatchIn(cur).find(m => m.start >= from && {
+        var in = false; var i = 0
+        while (i < m.start) { if (cur.charAt(i) == '\'') in = !in; i += 1 }
+        !in
+      }) match {
+        case None => go = false
+        case Some(m) =>
+          var i = m.end; var depth = 1; var in = false
+          var argStart = m.end
+          val args = Seq.newBuilder[String]
+          while (depth > 0 && i < cur.length) {
+            val c = cur.charAt(i)
+            if (c == '\'') in = !in
+            else if (!in && c == '(') depth += 1
+            else if (!in && c == ')') { depth -= 1
+              if (depth == 0) { args += cur.substring(argStart, i).trim } }
+            else if (!in && c == ',' && depth == 1) {
+              args += cur.substring(argStart, i).trim; argStart = i + 1 }
+            i += 1
+          }
+          if (depth > 0) throw new IllegalArgumentException(
+            s"unbalanced parens in MAP(…): $cur")
+          val as = args.result().filter(_.nonEmpty)
+          if (!as.exists(_.contains(":="))) from = m.end
+          else {
+            val kvs = as.map { a =>
+              val parts = a.split(":=", 2)
+              if (parts.length != 2) throw new IllegalArgumentException(
+                s"MAP entry needs 'key' := value, got: $a")
+              s"${parts(0).trim}, ${parts(1).trim}"
+            }
+            cur = cur.substring(0, m.start) + "map(" + kvs.mkString(", ") +
+              ")" + cur.substring(i)
+            from = m.start + 4
+          }
+      }
+    }
+    cur
+  }
+
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val expanded = expandUrl(expandField(
-      expandGeo(expandTimeFns(expandTopK(expandHistogram(expandMask(structDeref(e))))))))
+    val expanded = expandUrl(expandField(expandGeo(expandTimeFns(
+      expandTopK(expandHistogram(expandMask(expandConstructors(structDeref(e)))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

@@ -458,6 +458,23 @@ class KsqlSpec extends SparkSpec {
     assert(e.getMessage.contains("KEY"))
   }
 
+  test("ARRAY[...] and MAP(k := v) constructor syntax rewrite and evaluate") {
+    assert(Translator.rewriteExpr("ARRAY['a', 'b']") == "array('a', 'b')")
+    assert(Translator.rewriteExpr("x = 'ARRAY[1]'") == "x = 'ARRAY[1]'")
+    val m = Translator.rewriteExpr("MAP('k' := 1, 'j' := 2)")
+    assert(m == "map('k', 1, 'j', 2)", m)
+    // Spark's own map(...) call passes through untouched
+    assert(Translator.rewriteExpr("map('k', 1)") == "map('k', 1)")
+    val row = spark.sql("SELECT " +
+      Translator.rewriteExpr("ARRAY['x', 'y'][1]") + " AS a, " +
+      Translator.rewriteExpr("MAP('k' := 41 + 1)['k']") + " AS v").head
+    assert(row.getString(0) == "y")   // Spark arrays are 0-indexed
+    assert(row.getInt(1) == 42)
+    intercept[IllegalArgumentException] {
+      Translator.rewriteExpr("MAP('k' := 1, 'bad')")
+    }
+  }
+
   test("struct dereference s->f rewrites to dotted access and resolves end-to-end") {
     assert(Translator.rewriteExpr("addr->city = 'x'") == "addr.city = 'x'")
     // literals keep their arrows; minus stays minus

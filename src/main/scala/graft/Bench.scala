@@ -16,7 +16,12 @@ import java.util.concurrent.{Callable, Executors, TimeUnit}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core on the box: the driver invokes Bench with
+    // only SPARK_GRAFT_SF_DIR set, and a local[4] default serializes 8
+    // overlapped queries onto 4 cores (round-4 bench measured 5x slower
+    // than the same build at local[32])
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     // default 8: at 124 queries the ~0.35 s/query planning+scheduling
     // floor dominates, and 8-way overlap beats 4-way by ~20% wall-clock
     // (measured 3x each at sf0.1; heavier overlap was tried in round 3
@@ -49,9 +54,12 @@ object Bench {
     pool.shutdown()
     pool.awaitTermination(1, TimeUnit.MINUTES)
     val total = (System.nanoTime() - t0) / 1e9
+    // explicit Locale.ROOT: f"$v%.3f" is default-locale-sensitive, and a
+    // comma decimal separator would corrupt the driver-parsed JSON line
     def fmtMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
     // Full per-query detail goes to stderr (humans / logs). The stdout
     // JSON line must stay SHORT: the driver scans only a bounded tail of
     // stdout for it, and a ~4 KB line with all ~110 queries starts

@@ -150,12 +150,20 @@ object Parser {
         else if (p.accept("FUNCTIONS")) ShowFunctions
         else { p.expect("STREAMS"); ShowSources(tables = false) }
       } else if (p.accept("SET")) {
-        // SET 'key' = 'value' (quoted, KSQL CLI style) or bare tokens
-        val key = p.next().text
+        // SET 'key' = 'value' (quoted, KSQL CLI style). An unquoted
+        // dotted key (SET auto.offset.reset = 'earliest') lexes as
+        // several tokens — rejoin everything up to '='.
+        val sb = new StringBuilder
+        while (!p.done && p.peek.text != "=") sb.append(p.next().text)
+        if (sb.isEmpty) p.fail("SET expects a property key before '='")
         p.expect("=")
-        SetProp(key, p.next().text)
+        SetProp(sb.toString, p.next().text)
       } else if (p.accept("UNSET")) {
-        UnsetProp(p.next().text)
+        // same rejoin for dotted keys (UNSET runs to end-of-statement)
+        val sb = new StringBuilder
+        while (!p.done) sb.append(p.next().text)
+        if (sb.isEmpty) p.fail("UNSET expects a property key")
+        UnsetProp(sb.toString)
       } else if (p.accept("TERMINATE")) {
         // a query id is a UUID, which the lexer splits at '-' — rejoin
         // everything to end-of-statement (UUIDs contain no spaces)

@@ -51,13 +51,28 @@ object Translator {
     "URL_ENCODE_PARAM" -> "URL_ENCODE_PARAM(s) - urlencode",
     "URL_DECODE_PARAM" -> "URL_DECODE_PARAM(s) - urldecode")
 
-  // session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES)
+  // Session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES).
+  // WeakHashMap so a stopped/dropped SparkSession doesn't stay pinned
+  // for the JVM lifetime (a ConcurrentHashMap keyed by session would
+  // leak every session ever SET against). All access goes through the
+  // lock below; the returned TrieMap is itself concurrent.
+  // Concurrency caveat: SET 'spark.*' applies to the SHARED session
+  // conf, so a concurrent statement on the same session can observe the
+  // new value mid-flight — same semantics as the KSQL CLI, where SET is
+  // a session-global mutation, but worth knowing when Bench overlaps
+  // statements on one session.
   private val sessionProps =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+    new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, String]]()
   private def propsFor(spark: SparkSession) =
-    sessionProps.computeIfAbsent(spark,
-      _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    sessionProps.synchronized {
+      var m = sessionProps.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        sessionProps.put(spark, m)
+      }
+      m
+    }
 
   // Subquery predicates route through spark.sql over temp views, which
   // are SESSION-GLOBAL mutable state — Bench runs statements concurrently
@@ -195,22 +210,34 @@ object Translator {
   private def expandTimeFns(sql: String): String = {
     // optional 3rd arg (ksqlDB 5.4+): a timezone id. Parsing treats the
     // string as wall-clock in that zone; formatting renders the instant
-    // in that zone — Spark's to_utc_/from_utc_timestamp pair.
+    // in that zone. The tz forms go through TIMESTAMP_NTZ + convert_
+    // timezone + epoch arithmetic so the result is independent of
+    // spark.sql.session.timeZone (a to_utc_/from_utc_timestamp pair is
+    // only correct when the session zone is UTC — the session offset
+    // leaks into to_timestamp/date_format). The NO-tz forms stay
+    // session-zone dependent on purpose: KSQL without a tz arg uses the
+    // server default zone, and the session zone is our server zone.
+    val ntzEpoch = "timestamp_ntz'1970-01-01 00:00:00'"
     val s1 = rewriteCall(sql, "STRINGTOTIMESTAMP") { args =>
       if (args.length < 1 || args.length > 3) throw new IllegalArgumentException(
         s"STRINGTOTIMESTAMP expects (str[, fmt[, tz]]), got ${args.length} args")
-      val parsed = s"to_timestamp(${args.take(2).mkString(", ")})"
-      if (args.length == 3)
-        s"unix_millis(to_utc_timestamp($parsed, ${args(2)}))"
-      else s"unix_millis($parsed)"
+      if (args.length == 3) {
+        // wall-clock in tz → UTC wall-clock (NTZ, zone-rule aware) →
+        // millis since the epoch by pure NTZ subtraction
+        val ntz = s"to_timestamp_ntz(${args.take(2).mkString(", ")})"
+        s"timestampdiff(MILLISECOND, $ntzEpoch, " +
+          s"convert_timezone(${args(2)}, 'UTC', $ntz))"
+      } else s"unix_millis(to_timestamp(${args.mkString(", ")}))"
     }
     val s2 = rewriteCall(s1, "TIMESTAMPTOSTRING") { args =>
       if (args.length < 2 || args.length > 3) throw new IllegalArgumentException(
         s"TIMESTAMPTOSTRING expects (millis, fmt[, tz]), got ${args.length} args")
-      val ts = if (args.length == 3)
-        s"from_utc_timestamp(timestamp_millis(${args(0)}), ${args(2)})"
-      else s"timestamp_millis(${args(0)})"
-      s"date_format($ts, ${args(1)})"
+      if (args.length == 3) {
+        // millis → UTC wall-clock (NTZ) → tz wall-clock; date_format on
+        // NTZ renders the local datetime with no session-zone shift
+        val utcWall = s"timestampadd(MILLISECOND, ${args(0)}, $ntzEpoch)"
+        s"date_format(convert_timezone('UTC', ${args(2)}, $utcWall), ${args(1)})"
+      } else s"date_format(timestamp_millis(${args(0)}), ${args(1)})"
     }
     val s3 = rewriteCall(s2, "FROM_UNIXTIME") { args =>
       arity("FROM_UNIXTIME", args, 1)
@@ -767,15 +794,22 @@ object Translator {
         else {
           // EXTENDED: the schema plus source metadata rows, same
           // 2-column shape so the frame stays uniform (KSQL prints a
-          // similar mixed listing). Row count only for batch frames —
-          // a streaming frame is unbounded by definition.
+          // similar mixed listing). Size comes from optimizer STATS
+          // (file-size metadata, plus the exact row count when the plan
+          // carries one) — never a count() scan: DESCRIBE is a metadata
+          // command, and a full re-execution of a CSAS-derived frame at
+          // 100 TB as a side effect of describing it would be absurd.
           val meta = Seq(
             "(time column)" -> src.timeColumn,
             "(key column)" -> src.key.getOrElse("<none>"),
             "(watermark)" -> src.watermark,
             "(streaming)" -> src.df.isStreaming.toString) ++
             (if (src.df.isStreaming) Nil
-             else Seq("(row count)" -> src.df.count().toString))
+             else {
+               val stats = src.df.queryExecution.optimizedPlan.stats
+               Seq("(size bytes est)" -> stats.sizeInBytes.toString) ++
+                 stats.rowCount.map(c => "(row count est)" -> c.toString)
+             })
           (catalog, Some((rows ++ meta).toDF("column", "type")))
         }
       case DropSource(name, ifExists) =>

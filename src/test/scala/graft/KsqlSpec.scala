@@ -506,7 +506,8 @@ class KsqlSpec extends SparkSpec {
     assert(m("(time column)") == "ts")
     assert(m("(key column)") == "user_id")
     assert(m("(streaming)") == "false")
-    assert(m("(row count)").toLong > 0)
+    // size is a stats estimate, never a count() scan of the source
+    assert(BigInt(m("(size bytes est)")) > 0)
     assert(m.contains("event_type"))   // schema rows still present
   }
 
@@ -556,6 +557,37 @@ class KsqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Translator.rewriteExpr("TIMESTAMPTOSTRING(1)")
     }
+  }
+
+  test("tz-arg time functions are independent of spark.sql.session.timeZone") {
+    // 2024-06-01T12:00 Europe/Paris (CEST, UTC+2) == 2024-06-01T10:00Z
+    // == 1717236000000 ms — the answer must not move with the session zone
+    val sqlText = "SELECT " + Seq(
+      Translator.rewriteExpr(
+        "STRINGTOTIMESTAMP('2024-06-01 12:00', 'yyyy-MM-dd HH:mm', 'Europe/Paris')") + " AS ms",
+      Translator.rewriteExpr(
+        "TIMESTAMPTOSTRING(1717236000000, 'yyyy-MM-dd HH:mm', 'Europe/Paris')") + " AS s"
+    ).mkString(", ")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val row = spark.sql(sqlText).head
+        assert(row.getAs[Long]("ms") == 1717236000000L, s"session zone $zone")
+        assert(row.getAs[String]("s") == "2024-06-01 12:00", s"session zone $zone")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("SET accepts unquoted dotted keys and UNSET removes them") {
+    val (c1, _) = Translator.run(spark, Map.empty,
+      "SET auto.offset.reset = 'earliest'")
+    val (_, Some(props)) = Translator.run(spark, c1, "SHOW PROPERTIES"): @unchecked
+    val m = props.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("auto.offset.reset") == "earliest")
+    val (c2, _) = Translator.run(spark, c1, "UNSET auto.offset.reset")
+    val (_, Some(props2)) = Translator.run(spark, c2, "SHOW PROPERTIES"): @unchecked
+    assert(!props2.collect().map(_.getString(0)).contains("auto.offset.reset"))
   }
 
   test("URL function family rewrites and evaluates (extract, port, parameter, codec)") {

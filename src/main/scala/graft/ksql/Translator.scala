@@ -419,10 +419,28 @@ object Translator {
     cur
   }
 
+  /** 1-arg LATEST_BY_OFFSET / EARLIEST_BY_OFFSET — KSQL's offset-implicit
+    * aggregate form — expands to max_by/min_by over ROWTIME: records
+    * arrive in offset order and ROWTIME (source event time, epoch
+    * millis) is the offset proxy. The translator materializes ROWTIME
+    * whenever the REWRITTEN statement mentions it, so the sugar works
+    * without the user naming ROWTIME anywhere. The explicit 2-arg form
+    * (value, ordering) maps straight to max_by/min_by. */
+  private def expandLatest(sql: String): String = {
+    val s1 = rewriteCall(sql, "LATEST_BY_OFFSET") { args =>
+      if (args.length == 1) s"max_by(${args.head}, ROWTIME)"
+      else { arity("LATEST_BY_OFFSET", args, 2); s"max_by(${args.mkString(", ")})" }
+    }
+    rewriteCall(s1, "EARLIEST_BY_OFFSET") { args =>
+      if (args.length == 1) s"min_by(${args.head}, ROWTIME)"
+      else { arity("EARLIEST_BY_OFFSET", args, 2); s"min_by(${args.mkString(", ")})" }
+    }
+  }
+
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
-    val expanded = expandUrl(expandField(expandGeo(expandTimeFns(
-      expandTopK(expandHistogram(expandMask(expandConstructors(structDeref(e)))))))))
+    val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
+      expandTopK(expandHistogram(expandMask(expandConstructors(structDeref(e))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)
@@ -494,28 +512,48 @@ object Translator {
       else src.df
     // ROWTIME / ROWKEY pseudo-columns (KSQL 5.x): materialized lazily —
     // only when the statement actually references them — so SELECT *
-    // stays the declared schema. ROWTIME is the source's event time in
-    // epoch millis; ROWKEY is the WITH(KEY='col') column. They resolve
-    // on the PRIMARY source (join sides use their own column names).
+    // stays the declared schema by default. Strict KSQL 5.x parity
+    // (SELECT * printing ROWTIME/ROWKEY first) is opt-in via
+    //   SET 'ksql.star.pseudocolumns' = 'true';
+    // ROWTIME is the source's event time in epoch millis; ROWKEY is the
+    // WITH(KEY='col') column. They resolve on the PRIMARY source (join
+    // sides use their own column names). The mention scan runs over the
+    // REWRITTEN expression texts so sugar that expands to ROWTIME —
+    // 1-arg LATEST_BY_OFFSET(x) → max_by(x, ROWTIME) — triggers the
+    // materialization too.
     def stmtMentions(name: String): Boolean = {
       val re = ("(?i)\\b" + name + "\\b").r
-      def in(x: String) = re.findFirstIn(x).isDefined
+      def in(x: String) = re.findFirstIn(rewriteExpr(x)).isDefined
       s.columns.exists(c => in(c._1)) || s.where.exists(in) ||
         s.groupBy.exists(in) || s.having.exists(in) ||
         s.orderBy.exists(o => in(o._1)) || s.partitionBy.exists(in) ||
         s.joins.exists(j => in(j.onLeft) || in(j.onRight))
     }
+    val starPseudo =
+      propsFor(spark).get("ksql.star.pseudocolumns").exists(_.equalsIgnoreCase("true")) &&
+        s.columns.exists(_._1.trim == "*") && s.groupBy.isEmpty && s.window.isEmpty
     val withRowtime =
-      if (stmtMentions("ROWTIME") && !based.columns.exists(_.equalsIgnoreCase("rowtime")))
+      if ((stmtMentions("ROWTIME") || starPseudo) &&
+          !based.columns.exists(_.equalsIgnoreCase("rowtime")))
         based.withColumn("rowtime", unix_millis(col(src.timeColumn)))
       else based
     val withPseudo =
-      if (stmtMentions("ROWKEY") && !withRowtime.columns.exists(_.equalsIgnoreCase("rowkey"))) {
+      if ((stmtMentions("ROWKEY") || (starPseudo && src.key.isDefined)) &&
+          !withRowtime.columns.exists(_.equalsIgnoreCase("rowkey"))) {
         val k = src.key.getOrElse(throw new IllegalArgumentException(
           s"ROWKEY referenced but source ${s.from} declares no WITH(KEY='…')"))
         withRowtime.withColumn("rowkey", col(k))
       } else withRowtime
-    var df = s.fromAlias.fold(withPseudo)(a => withPseudo.alias(a))
+    // strict-parity star: pseudo-columns lead, as the KSQL CLI prints them
+    val starOrdered =
+      if (!starPseudo) withPseudo
+      else {
+        val lead = Seq("rowtime", "rowkey")
+          .filter(p => withPseudo.columns.exists(_.equalsIgnoreCase(p)))
+        val rest = withPseudo.columns.filterNot(c => lead.exists(_.equalsIgnoreCase(c)))
+        withPseudo.select((lead ++ rest).map(col): _*)
+      }
+    var df = s.fromAlias.fold(starOrdered)(a => starOrdered.alias(a))
 
     s.joins.foreach { j =>
       val right = catalog.getOrElse(j.table.toLowerCase,

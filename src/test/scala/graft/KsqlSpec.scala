@@ -774,6 +774,56 @@ class KsqlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("windowed 1-arg LATEST_BY_OFFSET materializes the implicit offset proxy") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """CREATE TABLE t AS SELECT user_id, LATEST_BY_OFFSET(value) AS last_v
+        |FROM events WINDOW TUMBLING (SIZE 1 HOURS)
+        |GROUP BY user_id EMIT CHANGES""".stripMargin): @unchecked
+    val got = df.select("windowstart", "user_id", "last_v").collect()
+    // ties on the max event-time make the picked value plan-dependent, so
+    // assert membership: last_v must be one of the values at max ts
+    val latestSets = Tables.events(spark, sfDir)
+      .withColumn("windowstart", unix_millis(window(col("ts"), "1 hour")("start")))
+      .withColumn("rt", unix_millis(col("ts")))
+      .groupBy("windowstart", "user_id")
+      .agg(max("rt").as("maxrt"), collect_list(struct(col("rt"), col("value"))).as("vs"))
+      .collect().map { r =>
+        val maxrt = r.getAs[Long]("maxrt")
+        (r.getAs[Long]("windowstart"), r.getAs[Long]("user_id")) ->
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("vs")
+            .filter(_.getAs[Long]("rt") == maxrt).map(_.getAs[Double]("value")).toSet
+      }.toMap
+    assert(got.nonEmpty && got.length == latestSets.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("windowstart"), r.getAs[Long]("user_id"))
+      assert(latestSets(k).contains(r.getAs[Double]("last_v")), s"group $k")
+    }
+  }
+
+  test("SET 'ksql.star.pseudocolumns' gives SELECT * the strict KSQL 5.x shape") {
+    val catalog: Translator.Catalog = Map("events" -> Translator.Source(
+      Tables.events(spark, sfDir), "ts", key = Some("user_id")))
+    val (_, Some(plain)) = Translator.run(spark, catalog,
+      "SELECT * FROM events LIMIT 5"): @unchecked
+    assert(!plain.columns.map(_.toLowerCase).contains("rowtime"))
+    val (c1, _) = Translator.run(spark, catalog,
+      "SET 'ksql.star.pseudocolumns' = 'true'")
+    try {
+      val (_, Some(star)) = Translator.run(spark, c1,
+        "SELECT * FROM events LIMIT 5"): @unchecked
+      assert(star.columns.take(2).map(_.toLowerCase).toSeq == Seq("rowtime", "rowkey"))
+      val r = star.head
+      assert(r.getAs[Long]("rowtime") > 0)
+      assert(r.getAs[Any]("rowkey") == r.getAs[Any]("user_id"))
+      // explicit projections keep their declared schema even when set
+      val (_, Some(proj)) = Translator.run(spark, c1,
+        "SELECT user_id FROM events LIMIT 1"): @unchecked
+      assert(proj.columns.toSeq == Seq("user_id"))
+    } finally Translator.run(spark, c1, "UNSET 'ksql.star.pseudocolumns'")
+  }
+
   test("CSAS result is referencable by later statements (catalog chaining)") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

@@ -38,6 +38,15 @@ object TextFunctions {
   def stableHash32Sql(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Unicode NFC canonical composition — native codegen expression
+    * (graftbridge.NfcNormalize); DuckDB-compatible semantics
+    * (nfc_normalize). The required first step before hashing text for
+    * dedup: composed vs decomposed accents md5 differently. */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NfcNormalize}
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+
   /** Driver-side twin of [[stableHash32]] for baking constants into plans. */
   def stableHash32Static(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -460,6 +460,75 @@ object Dedup {
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.c < d.doc_id)"""
-        .stripMargin)
+        .stripMargin),
+
+    // URL canonicalization + dedup — the crawl-frontier step: scheme
+    // and host case-folded, fragment dropped, utm_* tracking params
+    // dropped, remaining params sorted; keep the smallest doc_id per
+    // canonical URL. URLs are synthesized deterministically from
+    // doc_id/source (the corpus has no URL column) with the messy
+    // variations real crawls produce: mixed-case scheme/host, tracking
+    // params, fragments. Per-row string algebra + one hash-partition
+    // groupBy on the canonical key — linear at any scale.
+    "q_dedup_url" -> Q(
+      (s, d) => {
+        val raw = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+            lit("://"), col("source"), lit(".Example.COM/docs/"),
+            (col("doc_id") % 50).cast("string"),
+            lit("?id="), (col("doc_id") % 5).cast("string"),
+            when(col("doc_id") % 2 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+            .as("url"))
+        val canon = raw
+          .withColumn("u0", regexp_replace(col("url"), "#.*$", ""))
+          .withColumn("scheme", lower(regexp_extract(col("u0"), "^([A-Za-z]+)://", 1)))
+          .withColumn("host", lower(regexp_extract(col("u0"), "^[A-Za-z]+://([^/?#]+)", 1)))
+          .withColumn("pathq", regexp_replace(col("u0"), "^[A-Za-z]+://[^/?#]+", ""))
+          .withColumn("path", element_at(split(col("pathq"), "\\?", 2), 1))
+          .withColumn("qraw", when(col("pathq").contains("?"),
+            element_at(split(col("pathq"), "\\?", 2), 2)).otherwise(lit("")))
+          .withColumn("qclean", array_join(sort_array(filter(split(col("qraw"), "&"),
+            p => p =!= lit("") && p.substr(1, 4) =!= lit("utm_"))), "&"))
+          .withColumn("canonical_url", concat(col("scheme"), lit("://"), col("host"),
+            col("path"),
+            when(col("qclean") === "", lit("")).otherwise(concat(lit("?"), col("qclean")))))
+        canon.groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      },
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    source || '.Example.COM/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM raw
+        |), p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u0, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(u0, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+        |    regexp_replace(u0, '^[A-Za-z]+://[^/?#]+', '') AS pathq
+        |  FROM c
+        |), q AS (
+        |  SELECT doc_id, scheme, host,
+        |    string_split(pathq, '?')[1] AS path,
+        |    CASE WHEN contains(pathq, '?') THEN string_split(pathq, '?')[2]
+        |         ELSE '' END AS qraw
+        |  FROM p
+        |), cq AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN qclean = '' THEN '' ELSE '?' || qclean END AS canonical_url
+        |  FROM (SELECT doc_id, scheme, host, path,
+        |          array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+        |            x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&') AS qclean
+        |        FROM q)
+        |)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM cq GROUP BY canonical_url""".stripMargin)
   )
 }

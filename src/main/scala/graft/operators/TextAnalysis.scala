@@ -778,6 +778,68 @@ object TextAnalysis {
         |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin),
 
+    // Unicode NFC normalization + whitespace collapse — the canonical
+    // text-cleanup projection before any hash-based dedup (composed vs
+    // decomposed accents md5 differently). nfc_normalize is a native
+    // codegen expression (Spark has no built-in); DuckDB ships the same
+    // function under the same name, so the oracle is symmetric. Pure
+    // per-row projection: no shuffle at any scale.
+    "q_text_normalize" -> Q(
+      (s, d) => {
+        val norm = nfcNormalize(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        Tables.documents(s, d).select(col("doc_id"),
+          md5(norm).as("norm_md5"), substring(norm, 1, 40).as("norm_prefix"))
+      },
+      """SELECT doc_id,
+        |  md5(nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |    AS norm_md5,
+        |  substr(nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |    1, 40) AS norm_prefix
+        |FROM documents""".stripMargin),
+
+    // sequence packing: deterministic first-fit-with-straddle — docs in
+    // doc_id order fill fixed 8192-token training bins, bin =
+    // floor(prefix_tokens / budget). The prefix sum is TWO-LEVEL: a
+    // per-range window over ~64 deterministic doc_id ranges plus a
+    // broadcast of the 64 range offsets — never Window.orderBy with no
+    // partition, which would drag the full corpus through ONE task (the
+    // classic 100-TB failure mode of naive cumulative sums).
+    "q_pack_sequences" -> Q(
+      (s, d) => {
+        val nRanges = 64
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          ceil(length(col("text")) / lit(4.0)).cast("long").as("toks"))
+        val span = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        val ranged = docs.crossJoin(broadcast(span))
+          .withColumn("rng", least(lit(nRanges - 1),
+            floor((col("doc_id") - col("lo")) * nRanges /
+              (col("hi") - col("lo") + 1))).cast("long"))
+          .drop("lo", "hi")
+        val local = ranged.withColumn("cum",
+          sum(col("toks")).over(Window.partitionBy(col("rng")).orderBy(col("doc_id"))))
+        // 64 rows — the unpartitioned window is over the RANGE TOTALS
+        // (a plain partial-agg sum, not the per-row window), a
+        // constant-size frame at any corpus size
+        val offsets = ranged.groupBy(col("rng")).agg(sum(col("toks")).as("rng_total"))
+          .withColumn("offset", coalesce(
+            sum(col("rng_total")).over(Window.orderBy(col("rng"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("rng"), col("offset"))
+        local.join(broadcast(offsets), "rng")
+          .select(col("doc_id"), col("toks"),
+            floor((col("offset") + col("cum") - col("toks")) / lit(8192.0))
+              .cast("long").as("bin"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, toks,
+        |  CAST(floor((sum(toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+        |    / 8192.0) AS BIGINT) AS bin
+        |FROM t""".stripMargin),
+
     // winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     // MOSS algorithm): hash every 4-token shingle, slide a window of 4
     // consecutive hashes, keep each window's min — guarantees any

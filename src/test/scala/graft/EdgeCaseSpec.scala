@@ -81,6 +81,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(d.filter(col("native") =!= col("sql")).count() == 0)
   }
 
+  test("native nfcNormalize composes decomposed accents (eval + codegen paths)") {
+    import spark.implicits._
+    val composed = "caf\u00e9"              // é as U+00E9
+    val decomposed = "cafe\u0301"           // e + combining acute
+    val df = Seq((1, composed), (2, decomposed), (3, "plain ascii"), (4, ""))
+      .toDF("id", "s")
+      .select(col("id"), TextFunctions.nfcNormalize(col("s")).as("n"),
+        md5(TextFunctions.nfcNormalize(col("s"))).as("h"))
+    val m = df.collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("n")).toMap
+    assert(m(1) == composed && m(2) == composed)  // both normalize to NFC
+    val hashes = df.filter(col("id") <= 2).select("h").collect().map(_.getString(0))
+    assert(hashes.distinct.length == 1)           // identical post-NFC md5
+    assert(m(3) == "plain ascii" && m(4) == "")
+    // interpreted (non-codegen) path agrees
+    val expr = org.apache.spark.sql.graftbridge.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+    assert(expr.eval(null).toString == composed)
+    // null in, null out
+    assert(Seq(Tuple1(null: String)).toDF("s")
+      .select(TextFunctions.nfcNormalize(col("s"))).head.isNullAt(0))
+  }
+
+  test("pack_sequences bins are contiguous and respect the token budget") {
+    val df = SparkEntry.queries("q_pack_sequences")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("toks"), r.getAs[Long]("bin"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // bins are non-decreasing in doc_id order and start at 0
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"bin order broke at ${b._1}")
+    }
+    // straddle-fill invariant: every bin's UNSTRADDLED token mass is
+    // under budget + its first doc (prefix cumsum ÷ budget definition)
+    val cum = rows.scanLeft(0L)(_ + _._2).tail
+    rows.zip(cum).foreach { case ((id, toks, bin), c) =>
+      assert(bin == math.floor((c - toks) / 8192.0).toLong, s"doc $id")
+    }
+  }
+
   test("minhash pipeline survives empty and single-word docs") {
     val pairs = Dedup.minhashPairs(weird)
     // docs 4 and 5 are identical -> must be found

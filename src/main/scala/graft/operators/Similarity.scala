@@ -378,6 +378,19 @@ object Similarity {
   def graphSearchTopK(corpus: DataFrame, probes: DataFrame, dim: Int,
                       k: Int = 10, beam: Int = 20, rounds: Int = 3,
                       degree: Int = 8): DataFrame = {
+    val (vecs, edges) = buildGraphIndex(corpus, dim, degree)
+    val out = searchGraphIndex(vecs, edges, probes, k, beam, rounds)
+    vecs.unpersist(); edges.unpersist()
+    out
+  }
+
+  /** Build (and cache) the graph-ANN index once: prenormed vectors +
+    * k-NN edges. Splitting build from search is the serving posture —
+    * the index build is the heavy batch job; probing it (batch or
+    * per-micro-batch via streaming.StreamingSimilarity) is the cheap
+    * repeated workload and must not re-shuffle the corpus each call. */
+  def buildGraphIndex(corpus: DataFrame, dim: Int,
+                      degree: Int = 8): (DataFrame, DataFrame) = {
     val vecs = corpus
       .select(col("vec_id").as("nid"),
         col("embedding").cast("array<double>").as("nv"))
@@ -385,6 +398,13 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = knnGraph(corpus, dim, degree)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (vecs, edges)
+  }
+
+  /** Beam search over a PREBUILT index from [[buildGraphIndex]]. */
+  def searchGraphIndex(vecs: DataFrame, edges: DataFrame, probes: DataFrame,
+                       k: Int = 10, beam: Int = 20,
+                       rounds: Int = 3): DataFrame = {
     val p = probes
       .select(col("vec_id").as("probe_id"),
         col("embedding").cast("array<double>").as("pv"))
@@ -424,7 +444,6 @@ object Similarity {
         .localCheckpoint(true)
       r += 1
     }
-    vecs.unpersist(); edges.unpersist()
     beamDf
       .filter(col("probe_id") =!= col("nid"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

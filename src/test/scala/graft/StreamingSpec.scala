@@ -417,6 +417,37 @@ class StreamingSpec extends SparkSpec {
     assert(tab == Map(1L -> ((5L, 50.0)), 2L -> ((3L, 30.0)), 3L -> ((4L, 40.0))))
   }
 
+  test("streaming graph-ANN probes match the batch search on the prebuilt index") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingSimilarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val (vecs, edges) = Similarity.buildGraphIndex(emb, dim = 64)
+    try {
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val expected = Similarity.searchGraphIndex(vecs, edges, probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(expected.nonEmpty)
+      val probeRows = probes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val mem = MemoryStream[(Long, Array[Float])](spark)
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      val q = StreamingSimilarity.serveGraphAnn(vecs, edges,
+        mem.toDF().toDF("vec_id", "embedding")) { (out, _) =>
+        got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+      // two micro-batches: per-probe independence means the union of the
+      // batch results must equal the one-shot batch search
+      val (first, rest) = probeRows.splitAt(probeRows.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      assert(got.toSet == expected)
+    } finally { vecs.unpersist(); edges.unpersist() }
+  }
+
   test("INSERT INTO unions streams by name") {
     val m1 = MemoryStream[Ev](spark)
     val m2 = MemoryStream[Ev](spark)

@@ -221,6 +221,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
   }
 
+  test("text normalization is a shuffle-free codegen projection") {
+    val p = plan("q_text_normalize")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("BatchEval"), p.take(3000))  // native expr, no UDF
+    assert(p.contains("WholeStageCodegen")
+      || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("sequence packing never plans a single-partition global window") {
+    val p = plan("q_pack_sequences")
+    // the per-row cumsum must partition by the range key; the only
+    // allowed unpartitioned window is over the 64 range TOTALS
+    // (post-aggregate), which plans as SinglePartition over 64 rows —
+    // so assert the per-row window carries the rng partitioning
+    assert(p.contains("Window"), p.take(3000))
+    assert("Window .*rng".r.findFirstIn(p).isDefined
+      || p.contains("windowspecdefinition(rng"), p.take(5000))
+    // range offsets join back as a broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(5000))
+  }
+
+  test("url dedup is per-row string algebra + one grouping shuffle") {
+    val p = plan("q_dedup_url")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges\n${p.take(3000)}")
+    assert(p.contains("partial"), p.take(3000))  // map-side combine first
+  }
+
   test("runtime bloom-filter pruning injects into a selective shuffle join") {
     // At 100 TB a fact⋈dim shuffle join with a selective dim filter
     // should prune fact rows BEFORE the shuffle via an injected bloom

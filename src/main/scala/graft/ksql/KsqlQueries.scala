@@ -80,6 +80,30 @@ object KsqlQueries {
     // an INSERT INTO merging a second filtered stream, and a final CTAS
     // aggregation over the merged stream — the catalog threads results
     // statement to statement exactly like a KSQL server session
+    // AVRO value format end-to-end through the dialect: CSAS writes
+    // avro container files (core-avro FS-API sink), a column-less
+    // CREATE STREAM re-reads them via the embedded writer schema, and
+    // the aggregate over the round-tripped rows must hash-match the
+    // oracle aggregating the original parquet — proving the format
+    // preserves values exactly.
+    "q_ksql_avro" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ksql_avro").toString
+        val (c1, _) = Translator.run(s, catalogFor(s, d),
+          s"""CREATE STREAM natav WITH (PATH='$dir/nat', VALUE_FORMAT='AVRO') AS
+             |SELECT n_nationkey, n_regionkey, n_name FROM nation""".stripMargin)
+        val (c2, _) = Translator.run(s, c1,
+          s"CREATE STREAM natback WITH (PATH='$dir/nat', VALUE_FORMAT='AVRO')")
+        val (_, Some(df)) = Translator.run(s, c2,
+          """SELECT n_regionkey, COUNT(*) AS cnt,
+            |  MIN(n_name) AS first_name FROM natback
+            |GROUP BY n_regionkey""".stripMargin): @unchecked
+        df
+      },
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey""".stripMargin),
+
     "q_ksql_script" -> Q(
       (s, d) => {
         val script =

@@ -111,8 +111,17 @@ object Parser {
               p.accept(",")
             }
           }
-          p.expect("AS")
-          CreateAsSelect(isTable, name, parseSelect(p), props.result(), ifNotExists)
+          // column-less CREATE ... WITH (...) and no AS: a source bound
+          // entirely by its WITH props — legal when the format is
+          // self-describing (AVRO embeds the writer schema) or the
+          // catalog already provides the frame
+          val ps = props.result()
+          if (p.done && ps.nonEmpty)
+            CreateSource(isTable, name, Nil, ps, ifNotExists, orReplace)
+          else {
+            p.expect("AS")
+            CreateAsSelect(isTable, name, parseSelect(p), ps, ifNotExists)
+          }
         }
       } else if (p.accept("INSERT")) {
         p.expect("INTO")

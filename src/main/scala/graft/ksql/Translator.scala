@@ -728,6 +728,13 @@ object Translator {
                 case "JSON" => spark.read.schema(schema).json(path)
                 case "DELIMITED" => spark.read.schema(schema)
                   .option("header", "true").csv(path)
+                case "AVRO" =>
+                  // avro is self-describing: infer when the statement
+                  // declares no columns
+                  val sch = if (schema.isEmpty)
+                    graft.sources.Sources.avroInferSchema(spark, path)
+                  else schema
+                  graft.sources.Sources.avro(spark, path, sch)
                 case _ =>
                   // TIMESTAMP(NANOS) comes back as a raw nanos long
                   // under the legacy conf — rebuild a real timestamp
@@ -769,6 +776,10 @@ object Translator {
           props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase match {
             case "JSON" => writer.json(path)
             case "DELIMITED" => writer.option("header", "true").csv(path)
+            case "AVRO" =>
+              // avroSink manages the directory itself (FS-API writes);
+              // PARTITION BY layout is parquet/json/csv-only for now
+              graft.sources.Sources.avroSink(df, path)
             case _ => writer.parquet(path)
           }
         }

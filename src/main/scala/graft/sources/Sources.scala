@@ -44,6 +44,187 @@ object Sources {
   def orcSink(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  // ---- AVRO (KSQL's third value format) ------------------------------
+  // No spark-avro connector jar ships in this image, but the CORE avro
+  // library does — so the container-file read/write is implemented
+  // directly on the public org.apache.avro API. Reads distribute via
+  // the binaryFile datasource (Spark handles listing + file-granular
+  // task split), one DataFileStream per file; writes go through the
+  // Hadoop FileSystem API from each partition, so the same code path
+  // works against HDFS/S3 on a cluster. Granularity caveat vs a full
+  // FileFormat integration: a file is the split unit (no intra-file
+  // parallelism) and each file must fit in executor memory — the same
+  // contract as binaryFiles, acceptable for topic-dump-sized files.
+  // Supported field types: the KSQL value surface (boolean/int/long/
+  // float/double/string/bytes + timestamp-micros logical).
+
+  private def avroFieldSchema(dt: org.apache.spark.sql.types.DataType)
+  : org.apache.avro.Schema = {
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+      case IntegerType => ASchema.create(ASchema.Type.INT)
+      case LongType => ASchema.create(ASchema.Type.LONG)
+      case FloatType => ASchema.create(ASchema.Type.FLOAT)
+      case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+      case StringType => ASchema.create(ASchema.Type.STRING)
+      case BinaryType => ASchema.create(ASchema.Type.BYTES)
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      case other => throw new IllegalArgumentException(
+        s"AVRO value format supports primitive/timestamp columns, got $other")
+    }
+  }
+
+  /** Avro writer schema for a Spark schema (nullable → union[null, T]). */
+  def avroSchemaFor(st: StructType): org.apache.avro.Schema = {
+    import org.apache.avro.{JsonProperties, Schema => ASchema}
+    val fields = st.fields.map { f =>
+      val t = avroFieldSchema(f.dataType)
+      if (f.nullable)
+        new ASchema.Field(f.name,
+          ASchema.createUnion(ASchema.create(ASchema.Type.NULL), t),
+          null, JsonProperties.NULL_VALUE)
+      else new ASchema.Field(f.name, t, null, null.asInstanceOf[Object])
+    }
+    val rec = ASchema.createRecord("graft_row", null, "graft", false)
+    rec.setFields(java.util.Arrays.asList(fields: _*))
+    rec
+  }
+
+  private def sparkTypeOf(s: org.apache.avro.Schema)
+  : (org.apache.spark.sql.types.DataType, Boolean) = {
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.spark.sql.types._
+    s.getType match {
+      case ASchema.Type.UNION =>
+        val nonNull = s.getTypes.asScalaSeq
+          .filter(_.getType != ASchema.Type.NULL)
+        require(nonNull.size == 1, s"unsupported avro union $s")
+        (sparkTypeOf(nonNull.head)._1, true)
+      case ASchema.Type.BOOLEAN => (BooleanType, false)
+      case ASchema.Type.INT => (IntegerType, false)
+      case ASchema.Type.LONG =>
+        if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros])
+          (TimestampType, false) else (LongType, false)
+      case ASchema.Type.FLOAT => (FloatType, false)
+      case ASchema.Type.DOUBLE => (DoubleType, false)
+      case ASchema.Type.STRING => (StringType, false)
+      case ASchema.Type.BYTES => (BinaryType, false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro type $other")
+    }
+  }
+
+  /** Spark schema inferred from an avro container dir's embedded writer
+    * schema (avro is self-describing — CREATE STREAM may omit columns). */
+  def avroInferSchema(s: SparkSession, path: String): StructType = {
+    import org.apache.spark.sql.types._
+    val one = binaryFiles(s, path, "*.avro").select("content").head
+      .getAs[Array[Byte]]("content")
+    val ds = new org.apache.avro.file.DataFileStream(
+      new java.io.ByteArrayInputStream(one),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try StructType(ds.getSchema.getFields.asScalaSeq.map { f =>
+      val (dt, nullable) = sparkTypeOf(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+    finally ds.close()
+  }
+
+  /** Read an avro container dir into the given schema (or pass
+    * `avroInferSchema` output). Field lookup is BY NAME, values convert
+    * per the target Spark type. */
+  def avro(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = binaryFiles(s, path, "*.avro").select("content").rdd
+      .flatMap { fileRow =>
+        val bytes = fileRow.getAs[Array[Byte]]("content")
+        val ds = new org.apache.avro.file.DataFileStream(
+          new java.io.ByteArrayInputStream(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        try while (ds.hasNext) {
+          val rec = ds.next()
+          out += org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { f =>
+            val v = rec.get(f.name)
+            if (v == null) null else f.dataType match {
+              case StringType => v.toString
+              case TimestampType =>
+                val micros = v.asInstanceOf[java.lang.Long].longValue()
+                val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+                ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+                ts
+              case BinaryType =>
+                val bb = v.asInstanceOf[java.nio.ByteBuffer]
+                val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+              case _ => v
+            }
+          })
+        } finally ds.close()
+        out
+      }
+    s.createDataFrame(rows, schema)
+  }
+
+  /** Write a frame as avro container files, one per partition, via the
+    * Hadoop FS API (cluster-portable). Timestamps encode as
+    * timestamp-micros; the writer schema embeds in every file. */
+  def avroSink(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = df.schema
+    val schemaJson = avroSchemaFor(schema).toString
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fsRoot = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsRoot.exists(dir)) fsRoot.delete(dir, true)
+    fsRoot.mkdirs(dir)
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.nonEmpty) {
+        val aSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.avro")
+        val fs = file.getFileSystem(hadoopConf.value)
+        val os = fs.create(file, true)
+        val writer = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](aSchema))
+        writer.create(aSchema, os)
+        try it.foreach { row =>
+          val rec = new org.apache.avro.generic.GenericData.Record(aSchema)
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            val v = if (row.isNullAt(i)) null else f.dataType match {
+              case TimestampType =>
+                val ts = row.getAs[java.sql.Timestamp](i)
+                java.lang.Long.valueOf(
+                  Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+                    ts.getNanos / 1000L)
+              case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              case _ => row.get(i).asInstanceOf[AnyRef]
+            }
+            rec.put(f.name, v)
+          }
+          writer.append(rec)
+        } finally writer.close()
+      }
+      Iterator.empty[Int]
+    }.count(): Unit
+  }
+
+  // scala-friendly view of avro's java lists without a collection-compat
+  // import tangle at the use sites
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      l.forEach(a => b += a)
+      b.result()
+    }
+  }
+
   // ---- streaming -----------------------------------------------------
   /** Streaming file source — the test/CI stand-in for a topic. */
   def fileStream(s: SparkSession, path: String, schema: StructType,

@@ -195,6 +195,39 @@ object JoinQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
 
+    // TPC-H Q10 shape (returned-item revenue per customer): the classic
+    // fact⋈fact⋈two-dims top-k. customer/nation broadcast; the only
+    // shuffle pair is lineitem⋈orders; the quarter + returnflag filters
+    // push into both fact scans so the join sees pre-pruned rows; top-20
+    // plans as TakeOrdered on the ROUNDED revenue with c_custkey as the
+    // deterministic tie-break (both engines rank the same rounded key).
+    "q_tpch_q10" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20),
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
     // as-of join: latest order at-or-before each event's timestamp for the
     // same customer (time-series enrichment; DuckDB's native ASOF JOIN is
     // the oracle). Output keeps only tie-deterministic columns.

@@ -173,7 +173,18 @@ object Sources {
   /** Write a frame as avro container files, one per partition, via the
     * Hadoop FS API (cluster-portable). Timestamps encode as
     * timestamp-micros; the writer schema embeds in every file. */
-  def avroSink(df: DataFrame, path: String): Unit = {
+  def avroSink(df: DataFrame, path: String): Unit =
+    writeAvroFiles(df, path, "part", truncate = true)
+
+  /** Append one micro-batch as avro files (streaming CSAS sink). File
+    * names carry the batch id, so a replayed batch after a crash
+    * OVERWRITES its own files instead of duplicating rows — idempotent
+    * per batch, which is all exactly-once needs from a file sink. */
+  def avroAppend(df: DataFrame, path: String, batchId: Long): Unit =
+    writeAvroFiles(df, path, s"part-b$batchId", truncate = false)
+
+  private def writeAvroFiles(df: DataFrame, path: String,
+                             prefix: String, truncate: Boolean): Unit = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val schema = df.schema
@@ -182,12 +193,12 @@ object Sources {
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path)
     val fsRoot = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsRoot.exists(dir)) fsRoot.delete(dir, true)
+    if (truncate && fsRoot.exists(dir)) fsRoot.delete(dir, true)
     fsRoot.mkdirs(dir)
     df.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.nonEmpty) {
         val aSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.avro")
+        val file = new org.apache.hadoop.fs.Path(path, f"$prefix%s-$idx%05d.avro")
         val fs = file.getFileSystem(hadoopConf.value)
         val os = fs.create(file, true)
         val writer = new org.apache.avro.file.DataFileWriter(

@@ -117,6 +117,19 @@ final case class KsqlStream(df: DataFrame, timeColumn: String = "ts",
       .option("checkpointLocation", checkpoint).outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming CSAS with VALUE_FORMAT='AVRO': no avro streaming
+    * datasource exists here, so each micro-batch appends container
+    * files via Sources.avroAppend — batch-id-named files make replays
+    * overwrite themselves (idempotent), the file-sink half of
+    * exactly-once. */
+  def createStreamAsAvro(path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.avroAppend(batch, path, batchId))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+
   /** CTAS: CREATE TABLE AS SELECT <agg> → update/complete-mode writer. */
   def createTableAs(aggregated: DataFrame, queryName: String): DataStreamWriter[Row] =
     aggregated.writeStream.format("memory").queryName(queryName)

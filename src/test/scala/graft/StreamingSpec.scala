@@ -448,6 +448,33 @@ class StreamingSpec extends SparkSpec {
     } finally { vecs.unpersist(); edges.unpersist() }
   }
 
+  test("streaming CSAS to AVRO: micro-batches append, reader sees the union") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("avro-csas").toString
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    // AvailableNow processes what exists at start() then terminates, so
+    // each restart = one micro-batch; the shared checkpoint carries the
+    // offset (and batch id) across restarts — the production CSAS
+    // resume path
+    mem.addData(Ev(1, t(0), 1, "a", 1.5), Ev(2, t(1), 2, "b", 2.5))
+    val q1 = s.createStreamAsAvro(s"$dir/out", s"$dir/cp").start()
+    q1.awaitTermination(60000)
+    mem.addData(Ev(3, t(2), 3, "c", 3.5))
+    val q2 = s.createStreamAsAvro(s"$dir/out", s"$dir/cp").start()
+    q2.awaitTermination(60000)
+    val back = Sources.avro(spark, s"$dir/out",
+      Sources.avroInferSchema(spark, s"$dir/out"))
+    assert(back.count() == 3)
+    assert(back.select("event_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // batch-id-named files: the two batches wrote distinct file sets
+    val names = new java.io.File(s"$dir/out").listFiles()
+      .map(_.getName).filter(_.endsWith(".avro"))
+    assert(names.exists(_.startsWith("part-b0-"))
+      && names.exists(_.startsWith("part-b1-")), names.mkString(","))
+  }
+
   test("INSERT INTO unions streams by name") {
     val m1 = MemoryStream[Ev](spark)
     val m2 = MemoryStream[Ev](spark)

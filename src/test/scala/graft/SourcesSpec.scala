@@ -198,6 +198,33 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("z-order write localizes BOTH keys per file (data-skipping layout)") {
+    val df = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    Sinks.zorderParquet(df, s"$tmp/zorder", "user_id", "value", nFiles = 8)
+    val files = new java.io.File(s"$tmp/zorder").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    val (uLo, uHi) = { val r = df.agg(min("user_id"), max("user_id")).head
+      (r.getLong(0).toDouble, r.getLong(1).toDouble) }
+    val (vLo, vHi) = { val r = df.agg(min("value"), max("value")).head
+      (r.getDouble(0), r.getDouble(1)) }
+    // every file's span over each key, as a fraction of the full range;
+    // a random (non-clustered) layout gives ~1.0 on both — z-order must
+    // keep the AVERAGE well below that on both dimensions at once
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("user_id"), max("user_id"), min("value"), max("value")).head
+      ((r.getLong(1) - r.getLong(0)) / (uHi - uLo),
+        (r.getDouble(3) - r.getDouble(2)) / (vHi - vLo))
+    }
+    val avgU = spans.map(_._1).sum / spans.length
+    val avgV = spans.map(_._2).sum / spans.length
+    assert(avgU < 0.7 && avgV < 0.7, f"avg spans u=$avgU%.2f v=$avgV%.2f")
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(s"$tmp/zorder").count() == df.count())
+  }
+
   test("partitioned parquet write lays out by partition column") {
     Sinks.partitionedParquet(Tables.nation(spark, sfDir), s"$tmp/part", Seq("n_regionkey"))
     val dirs = new java.io.File(s"$tmp/part").listFiles().map(_.getName)

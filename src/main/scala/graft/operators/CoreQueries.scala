@@ -408,6 +408,33 @@ object CoreQueries {
           hll_sketch_estimate(col("sk")).as("users"))
           .unionByName(total)
       },
+      None),
+
+    // count-min-sketch heavy hitters: a FIXED-SIZE (KBs) mergeable
+    // summary of the full term stream — at 100 TB the sketch is what
+    // ships to the driver/dashboard, never the term counts. The exact
+    // top-30 here is the verification set (the spec asserts the CMS
+    // one-sided guarantee: est >= exact, overshoot <= eps·N);
+    // engine-specific sketch → rows-only driver check.
+    "q_heavy_hitters" -> Q(
+      (s, d) => {
+        val terms = Tables.documents(s, d).select(
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            t => length(t) > 0)).as("term"))
+        val skBytes = terms
+          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)")).head
+          .getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val top = terms.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("term")).limit(30)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            cms.estimateCount(r.getString(0))))
+        import s.implicits._
+        top.toSeq.toDF("term", "exact", "cms_est")
+      },
       None)
   )
 }

@@ -84,4 +84,22 @@ class OperatorsSpec extends SparkSpec {
     val parts = rows.filter(_._1 != "__all__").values
     assert(est <= parts.sum * 1.05 && est >= parts.max * 0.95)
   }
+
+  test("count-min heavy hitters: never undercounts, overshoot <= 2*eps*N") {
+    val rows = run("q_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 30)
+    val n = Tables.documents(spark, sfDir).select(
+      sum(size(filter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) > 0)))).head.getLong(0)
+    rows.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"$term: CMS must never undercount ($est < $exact)")
+      assert(est <= exact + 2 * (0.001 * n).toLong + 1,
+        s"$term: overshoot $est vs $exact beyond 2*eps*N")
+    }
+    // the sketch is deterministic for a fixed seed: rerun agrees
+    val again = run("q_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(again.toSeq.sorted == rows.map(r => (r._1, r._3)).toSeq.sorted)
+  }
 }

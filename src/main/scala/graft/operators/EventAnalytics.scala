@@ -257,6 +257,31 @@ object EventAnalytics {
         |  CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
         |       ELSE round((value - mu) / sigma, 4) END AS z
         |FROM events e JOIN st ON e.event_type = st.event_type"""
-        .stripMargin)
+        .stripMargin),
+
+    // theta-sketch audience overlap: |purchasers|, |clickers|, and the
+    // intersection/difference/union estimates — all from two KB-sized
+    // per-partition-built sketches (see functions.ThetaSketches). HLL
+    // can't intersect; an exact distinct-join at 100 TB shuffles both
+    // user sets. Engine-specific estimates → rows-only driver check;
+    // the spec bounds every estimate against exact set ops.
+    "q_theta_overlap" -> Q(
+      (s, d) => {
+        import graft.functions.ThetaSketches
+        val ev = Tables.events(s, d)
+        val a = ThetaSketches.sketchOf(
+          ev.filter(col("event_type") === "purchase"), "user_id")
+        val b = ThetaSketches.sketchOf(
+          ev.filter(col("event_type") === "click"), "user_id")
+        import s.implicits._
+        Seq(
+          ("purchase", a.getEstimate.round),
+          ("click", b.getEstimate.round),
+          ("both", ThetaSketches.intersection(a, b).getEstimate.round),
+          ("purchase_only", ThetaSketches.aNotB(a, b).getEstimate.round),
+          ("either", ThetaSketches.union(a, b).getEstimate.round)
+        ).toDF("audience", "users_est")
+      },
+      None)
   )
 }

@@ -85,6 +85,23 @@ class OperatorsSpec extends SparkSpec {
     assert(est <= parts.sum * 1.05 && est >= parts.max * 0.95)
   }
 
+  test("theta-sketch overlap estimates within 5% of exact set ops") {
+    val est = run("q_theta_overlap").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val a = users("purchase").collect().map(_.getLong(0)).toSet
+    val b = users("click").collect().map(_.getLong(0)).toSet
+    val exact = Map(
+      "purchase" -> a.size, "click" -> b.size, "both" -> a.intersect(b).size,
+      "purchase_only" -> a.diff(b).size, "either" -> a.union(b).size)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(est(k).toDouble - e) <= math.max(2, e * 0.05),
+        s"$k: est ${est(k)} vs exact $e")
+    }
+  }
+
   test("count-min heavy hitters: never undercounts, overshoot <= 2*eps*N") {
     val rows = run("q_heavy_hitters").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

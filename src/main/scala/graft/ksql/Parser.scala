@@ -42,6 +42,10 @@ object Parser {
         out += Tok(sql.substring(start, i), isString = false)
       } else if ("<>!=".contains(c) && i + 1 < n && sql.charAt(i + 1) == '=') {
         out += Tok(sql.substring(i, i + 2), isString = false); i += 2
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '>') {
+        // struct-deref arrow: one token, so reconstruction can glue it
+        // back tight (s->f) for the rewriter's tight-form rule
+        out += Tok("->", isString = false); i += 2
       } else {
         out += Tok(c.toString, isString = false); i += 1
       }
@@ -157,6 +161,9 @@ object Parser {
         else if (p.accept("QUERIES")) ShowQueries
         else if (p.accept("PROPERTIES")) ShowProperties
         else if (p.accept("FUNCTIONS")) ShowFunctions
+        // TOPICS: the file-backed analogue lists the same catalog —
+        // every bound source IS a "topic" in this engine's model
+        else if (p.accept("TOPICS")) ShowSources(tables = false)
         else { p.expect("STREAMS"); ShowSources(tables = false) }
       } else if (p.accept("SET")) {
         // SET 'key' = 'value' (quoted, KSQL CLI style). An unquoted
@@ -263,7 +270,12 @@ object Parser {
         if (depth == 0) p.fail(s"unbalanced ${t.text}")
         depth -= 1
       }
-      if (sb.nonEmpty) sb.append(' ')
+      // the deref arrow glues tight on both sides (s->f), matching the
+      // rewriter's tight-form structDeref rule
+      val glue = !t.isString && t.text == "->"
+      if (glue && sb.nonEmpty && sb.last == ' ') sb.deleteCharAt(sb.length - 1)
+      if (sb.nonEmpty && !glue && !(sb.nonEmpty && sb.last == '>'
+          && sb.length >= 2 && sb.charAt(sb.length - 2) == '-')) sb.append(' ')
       if (t.isString) sb.append('\'').append(t.text.replace("'", "''")).append('\'')
       else sb.append(t.text)
     }

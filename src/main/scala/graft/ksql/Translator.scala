@@ -318,23 +318,28 @@ object Translator {
       s"(CASE (${args.head}) $whens ELSE 0 END)"
     }
 
-  /** KSQL struct dereference `s->f` → Spark `s.f`, quote-aware. Runs
-    * on the RAW user expression, before any expansion introduces Spark
-    * lambda arrows (`i -> ...`) that must survive verbatim. The lexer
-    * splits the arrow into `- >` tokens, so whitespace between the two
-    * characters is tolerated — unambiguous, since a binary minus needs
-    * an operand before a `>` could follow. */
+  /** KSQL struct dereference `s->f` → Spark `s.f`, quote-aware. Only
+    * the TIGHT form rewrites — an identifier char (or `]`, for
+    * `arr[1]->f`) immediately before the arrow and a field-name start
+    * immediately after — so Spark lambda arrows survive verbatim, both
+    * in user-written HOFs (`transform(a, x -> x + 1)`) and in the
+    * lambdas our own expansions emit (HISTOGRAM's aggregate), which
+    * also makes the whole rewrite pipeline idempotent (fuzz-spec'd).
+    * A zero-space single-arg lambda `x->x` reads as deref by
+    * definition here: `->` IS this dialect's deref operator; write
+    * lambdas with the idiomatic spaces. */
   private def structDeref(e: String): String = {
     val sb = new StringBuilder
     var i = 0; var in = false
     while (i < e.length) {
       val c = e.charAt(i)
       if (c == '\'') { in = !in; sb.append(c); i += 1 }
-      else if (!in && c == '-') {
-        var j = i + 1
-        while (j < e.length && e.charAt(j).isWhitespace) j += 1
-        if (j < e.length && e.charAt(j) == '>') { sb.append('.'); i = j + 1 }
-        else { sb.append(c); i += 1 }
+      else if (!in && c == '-' && i + 1 < e.length && e.charAt(i + 1) == '>'
+          && i > 0 && { val p = e.charAt(i - 1)
+                        p.isLetterOrDigit || p == '_' || p == ']' }
+          && i + 2 < e.length && { val n = e.charAt(i + 2)
+                                   n.isLetter || n == '_' }) {
+        sb.append('.'); i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -747,7 +752,12 @@ object Translator {
                     raw.withColumn(ts, timestamp_micros(expr(s"`$ts` div 1000")))
                   else raw
               }
-              Source(df, ts, key = keyCol)
+              // WITH (PARTITIONS=n): KSQL's topic partition count maps
+              // to the frame's parallelism — the declared intent is "n
+              // units of parallel work downstream"
+              val parted = props.get("PARTITIONS")
+                .map(n => df.repartition(n.toInt)).getOrElse(df)
+              Source(parted, ts, key = keyCol)
             case None =>
               Source(spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
@@ -771,7 +781,11 @@ object Translator {
         // scans partition-prune on the key instead of reading the full
         // materialization.
         props.get("PATH").filter(_ => !df.isStreaming).foreach { path =>
-          val writer0 = df.write.mode("overwrite")
+          // WITH (PARTITIONS=n) on CSAS: output "topic" partition count
+          // → n output files/splits
+          val sized = props.get("PARTITIONS")
+            .map(n => df.repartition(n.toInt)).getOrElse(df)
+          val writer0 = sized.write.mode("overwrite")
           val writer = sel.partitionBy.fold(writer0)(k => writer0.partitionBy(k))
           props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase match {
             case "JSON" => writer.json(path)

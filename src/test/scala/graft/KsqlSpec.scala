@@ -579,6 +579,23 @@ class KsqlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("SHOW TOPICS lists the catalog; WITH(PARTITIONS=n) sizes the frame") {
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    Tables.nation(spark, sfDir).write.parquet(s"$dir/nat")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM nat WITH (PATH='$dir/nat', VALUE_FORMAT='PARQUET', PARTITIONS='3')")
+    val (_, Some(topics)) = Translator.run(spark, c1, "SHOW TOPICS"): @unchecked
+    assert(topics.collect().map(_.getString(0)).contains("nat"))
+    assert(c1("nat").df.rdd.getNumPartitions == 3)
+    // CSAS PARTITIONS sizes the materialization
+    val (_, _) = Translator.run(spark, c1,
+      s"""CREATE STREAM natout WITH (PATH='$dir/out', PARTITIONS='2') AS
+         |SELECT n_nationkey, n_name FROM nat""".stripMargin)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .map(_.getName).count(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    assert(files == 2, s"expected 2 part files, got $files")
+  }
+
   test("SET accepts unquoted dotted keys and UNSET removes them") {
     val (c1, _) = Translator.run(spark, Map.empty,
       "SET auto.offset.reset = 'earliest'")

@@ -165,6 +165,56 @@ object TextAnalysis {
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("int"))
   }
 
+  /** BPE vocabulary induction (Sennrich et al. 2016): iteratively merge
+    * the most frequent adjacent symbol pair. The scale trick is the
+    * WORD HISTOGRAM: one corpus-sized shuffle builds (word, freq), and
+    * every merge iteration then works on the vocab-bounded histogram —
+    * pair counts are sums of word freqs, so iterations cost
+    * O(vocab·word_len) regardless of corpus size. Each round's top pair
+    * is a 1-row collect (tie-broken deterministically); the merge
+    * applies as a leftmost-non-overlapping aggregate fold over each
+    * word's symbol array; localCheckpoint truncates the per-round
+    * lineage. Returns (rank, left, right) merge rules in order.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               vocabWords: Int = 5000): Seq[(Int, String, String)] = {
+    val words = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(vocabWords)
+    var seg = words.select(col("freq"), split(col("w"), "").as("sym"))
+      .localCheckpoint(true)
+    val rules = Seq.newBuilder[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val top = seg.filter(size(col("sym")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "j -> struct(sym[j-1] AS a, sym[j] AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        rank += 1
+        rules += ((rank, a, b))
+        // symbols are [a-z]+ by construction — safe to inline as SQL
+        // string literals
+        seg = seg.withColumn("sym", expr(
+          s"""aggregate(sym, cast(array() as array<string>), (acc, s) ->
+             |  if(size(acc) > 0 AND element_at(acc, -1) = '$a' AND s = '$b',
+             |     concat(slice(acc, 1, size(acc) - 1),
+             |            array(concat('$a', '$b'))),
+             |     concat(acc, array(s))))""".stripMargin))
+          .localCheckpoint(true)
+      }
+    }
+    rules.result()
+  }
+
   def packSequences(docs: DataFrame, budget: Long, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -777,6 +827,22 @@ object TextAnalysis {
         |  CAST(count(*) AS BIGINT) AS n_bigrams
         |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin),
+
+    // BPE tokenizer-vocabulary induction over the English slice: 20
+    // merge rules learned from the word histogram (see bpeTrain — the
+    // iterations are vocab-bounded, corpus-size-independent).
+    // Iterative + engine-specific tie-breaks → rows-only driver check;
+    // the spec verifies the exact merge sequence on a hand-computed
+    // corpus.
+    "q_bpe_vocab" -> Q(
+      (s, d) => {
+        val rules = bpeTrain(Tables.documents(s, d).filter(col("lang") === "en"),
+          merges = 20, vocabWords = 2000)
+        import s.implicits._
+        rules.toDF("rank", "left", "right")
+          .withColumn("merged", concat(col("left"), col("right")))
+      },
+      None),
 
     // Unicode NFC normalization + whitespace collapse — the canonical
     // text-cleanup projection before any hash-based dedup (composed vs

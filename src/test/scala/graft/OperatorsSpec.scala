@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** Batch-operator sanity specs (the deep equivalence check is the
@@ -83,6 +84,34 @@ class OperatorsSpec extends SparkSpec {
     // the union can't exceed the sum of parts and can't be below the max
     val parts = rows.filter(_._1 != "__all__").values
     assert(est <= parts.sum * 1.05 && est >= parts.max * 0.95)
+  }
+
+  test("BPE training learns the hand-computed merge sequence") {
+    import spark.implicits._
+    // Sennrich-style toy: low x5, lower x2, newest x6, widest x3.
+    // Char-pair counts: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, (n,e)=6,
+    // (e,w)=6, (w,e)=2+3(wid-est? no: lower w-e=2, newest w-e=6? newest
+    // = n,e,w,e,s,t → (w,e)=6) — ties break lexicographically:
+    // round 1: (e,s) vs (s,t) both 9 → (e,s) wins (e < s)
+    // round 2: (es,t)=9 beats all → merge (es,t)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower")
+      ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .map(w => (w, "en")).toDF("text", "lang")
+    val rules = TextAnalysis.bpeTrain(docs, merges = 3)
+    assert(rules.take(2) == Seq((1, "e", "s"), (2, "es", "t")))
+    // round 3: after est forms, remaining top pairs are (l,o)=7,(o,w)=7
+    // → (l,o) wins lexicographically at count 7 vs (n,e)=6,(w,est)=6? —
+    // (o,w)=7 ties (l,o); l < o
+    assert(rules(2) == ((3, "l", "o")))
+    // invariants on the real corpus: ranks ordered, merges distinct,
+    // merged token is the concatenation
+    val corpus = run("q_bpe_vocab").collect()
+    assert(corpus.length == 20)
+    assert(corpus.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val pairs = corpus.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length == pairs.length)
+    corpus.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
   }
 
   test("theta-sketch overlap estimates within 5% of exact set ops") {

@@ -221,6 +221,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
   }
 
+  test("tpch q10 broadcasts both dims and takes the top-20 without a global sort") {
+    val p = plan("q_tpch_q10")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // quarter + returnflag predicates push into the fact scans
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || p.contains("EqualTo(l_returnflag,R)"), p.take(5000))
+  }
+
   test("text normalization is a shuffle-free codegen projection") {
     val p = plan("q_text_normalize")
     assert(!p.contains("Exchange"), p.take(3000))

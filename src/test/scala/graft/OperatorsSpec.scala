@@ -131,6 +131,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("theta sketches maintain incrementally: old-union-delta == full-scan sketch") {
+    import graft.functions.ThetaSketches
+    val ev = Tables.events(spark, sfDir)
+    val old = ThetaSketches.sketchOf(ev.filter(col("event_id") % 2 === 0), "user_id")
+    val delta = ThetaSketches.sketchOf(ev.filter(col("event_id") % 2 === 1), "user_id")
+    val full = ThetaSketches.sketchOf(ev, "user_id")
+    // merging yesterday's sketch with today's delta must equal the
+    // full-rescan estimate EXACTLY (theta union is lossless at this
+    // cardinality) — the incremental-maintenance contract: distinct
+    // stats never need a rescan
+    assert(ThetaSketches.union(old, delta).getEstimate == full.getEstimate)
+  }
+
   test("count-min heavy hitters: never undercounts, overshoot <= 2*eps*N") {
     val rows = run("q_heavy_hitters").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

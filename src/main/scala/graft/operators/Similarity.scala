@@ -543,6 +543,39 @@ object Similarity {
         |  CAST(count(*) AS BIGINT) AS n_dims
         |FROM pd GROUP BY label""".stripMargin),
 
+    // random-projection dimensionality reduction (Achlioptas-style ±1
+    // signs): 64 → 16 dims with a DETERMINISTIC hash-sign matrix, so
+    // the whole projection — matrix included — replays exactly in
+    // DuckDB (full oracle; no RNG state to ship). Long-format output
+    // (vec_id, j, p): the rows×dims×k explode partial-aggregates
+    // map-side into rows×k, and no array compare is needed. The scale
+    // path for ANN preprocessing: project once, index the 16-dim
+    // vectors, 4× less memory and dot-product work.
+    "q_embed_project" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x"),
+          explode(expr("sequence(0, 15)")).as("j"))
+        .withColumn("sgn", when(
+          conv(substring(md5(concat(col("j").cast("string"), lit("_"),
+            col("i").cast("string"))), 1, 2), 16, 10).cast("int") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(round(sum(col("x") * col("sgn")) / 8, 4).as("p")),
+      """WITH c AS (
+        |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+        |), e AS (
+        |  SELECT vec_id, i, x, CAST(j AS INT) AS j
+        |  FROM c, LATERAL (SELECT unnest(generate_series(0, 15)) AS j)
+        |)
+        |SELECT vec_id, j,
+        |  round(sum(x * (CASE WHEN ('0x' || substr(md5(j || '_' || i), 1, 2))
+        |    ::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) / 8, 4) AS p
+        |FROM e GROUP BY 1, 2""".stripMargin),
+
     // IVF-PQ composite (approximate → rows-only; recall spec)
     "q_ann_ivfpq" -> Q(
       (s, d) => {

@@ -401,12 +401,17 @@ object TextAnalysis {
     "q_novelty" -> Q(
       (s, d) => {
         val w = split(col("text"), " ")
+        // grams feed BOTH the corpus-frequency table and the per-doc
+        // join — localCheckpoint so the explode+md5 pass runs once, not
+        // once per consumer (the gram frame is (doc_id, hash) only,
+        // tiny relative to recomputing the split+md5 over the text)
         val grams = Tables.documents(s, d)
           .filter(size(w) >= 5)
           .select(col("doc_id"), explode(expr(
             """transform(sequence(1, size(split(text, ' ')) - 4),
               |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 5))))"""
               .stripMargin)).as("g"))
+          .localCheckpoint(true)
         val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
         grams.join(freq, "g")
           .groupBy(col("doc_id"))
@@ -441,6 +446,9 @@ object TextAnalysis {
               |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 20))))"""
               .stripMargin)).as(Seq("pos", "g")))
           .select(col("doc_id"), (col("pos") + 1).as("span_start"), col("g"))
+          // two consumers (frequency filter + position join) — one
+          // explode+md5 pass, same rationale as q_novelty
+          .localCheckpoint(true)
         val repeated = grams.groupBy(col("g"))
           .agg(count(lit(1)).as("n")).filter(col("n") > 1)
         grams.join(repeated, "g")

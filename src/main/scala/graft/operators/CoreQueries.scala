@@ -418,9 +418,12 @@ object CoreQueries {
     // engine-specific sketch → rows-only driver check.
     "q_heavy_hitters" -> Q(
       (s, d) => {
+        // terms feed the sketch agg AND the exact verification top-30 —
+        // checkpoint so the split+explode runs once
         val terms = Tables.documents(s, d).select(
           explode(filter(split(lower(col("text")), "[^a-z]+"),
             t => length(t) > 0)).as("term"))
+          .localCheckpoint(true)
         val skBytes = terms
           .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)")).head
           .getAs[Array[Byte]](0)

@@ -344,13 +344,22 @@ object Parser {
     }
 
     val where = if (p.accept("WHERE")) Some(exprUntil(p, selectStops - ",")) else None
-    // optional trailing ", GRACE PERIOD d" inside the window parens —
-    // KSQL's bound on how late out-of-order rows may arrive (the
-    // watermark delay in Spark terms)
-    def grace(): Option[Long] =
-      if (p.accept(",")) {
-        p.expect("GRACE"); p.expect("PERIOD"); Some(parseDuration(p))
-      } else None
+    // optional trailing options inside the window parens, in any order:
+    // ", GRACE PERIOD d" — KSQL's bound on how late out-of-order rows
+    // may arrive (the watermark delay in Spark terms) — and
+    // ", RETENTION d" — how long the windowed STATE STORE keeps closed
+    // windows queryable. Retention is accepted and intentionally
+    // dropped: our materializations are files, retained until
+    // compaction/TTL policies delete them, so there is no state store
+    // to bound.
+    def grace(): Option[Long] = {
+      var g: Option[Long] = None
+      while (p.accept(",")) {
+        if (p.accept("RETENTION")) parseDuration(p): Unit
+        else { p.expect("GRACE"); p.expect("PERIOD"); g = Some(parseDuration(p)) }
+      }
+      g
+    }
     val window = if (p.accept("WINDOW")) Some {
       if (p.accept("TUMBLING")) {
         p.expect("("); p.expect("SIZE"); val d = parseDuration(p)

@@ -134,6 +134,13 @@ class KsqlSpec extends SparkSpec {
       """SELECT s.a FROM s1 s JOIN s2 p WITHIN (10 MINUTES, 20 MINUTES)
         |ON s.k = p.k""".stripMargin).asInstanceOf[Query]
     assert(j.select.joins.head.withinMs.contains((600000L, 1200000L)))
+    // RETENTION is accepted in any order with GRACE and dropped (file
+    // materializations have no state store to bound)
+    val r = Parser.parse(
+      """SELECT COUNT(*) FROM events
+        |WINDOW TUMBLING (SIZE 1 HOURS, RETENTION 2 DAYS, GRACE PERIOD 5 MINUTES)
+        |GROUP BY event_type""".stripMargin).asInstanceOf[Query]
+    assert(r.select.window.contains(Tumbling(3600000L, Some(300000L))))
   }
 
   test("GRACE PERIOD becomes the watermark delay of the translated stream") {

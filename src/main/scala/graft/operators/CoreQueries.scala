@@ -410,6 +410,29 @@ object CoreQueries {
       },
       None),
 
+    // z-order layout round-trip: write events z-clustered on
+    // (user_id, value), read back through the clustered files, and
+    // aggregate under a two-sided predicate — hash-matched against
+    // DuckDB running the same filter on the ORIGINAL parquet, proving
+    // the layout rewrite preserves every row/value while enabling
+    // two-key min/max skipping (per-file span audit lives in
+    // SourcesSpec).
+    "q_zorder_scan" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("zorder_q").toString
+        graft.sources.Sinks.zorderParquet(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          s"$dir/z", "user_id", "value", nFiles = 8)
+        s.read.parquet(s"$dir/z")
+          .filter(col("user_id") % 10 === 3 && col("value") > 50)
+          .groupBy((col("user_id") % 100).as("user_bucket"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      },
+      """SELECT user_id % 100 AS user_bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events WHERE user_id % 10 = 3 AND value > 50
+        |GROUP BY 1""".stripMargin),
+
     // count-min-sketch heavy hitters: a FIXED-SIZE (KBs) mergeable
     // summary of the full term stream — at 100 TB the sketch is what
     // ships to the driver/dashboard, never the term counts. The exact

@@ -417,6 +417,31 @@ class StreamingSpec extends SparkSpec {
     assert(tab == Map(1L -> ((5L, 50.0)), 2L -> ((3L, 30.0)), 3L -> ((4L, 40.0))))
   }
 
+  test("curation Column ops run unchanged on a stream (batch/stream parity)") {
+    import graft.functions.TextFunctions
+    val mem = MemoryStream[SDoc](spark)
+    // the same Column expressions the batch queries use — NFC cleanup
+    // hash + whitespace token count — applied to a streaming frame
+    def curationCols(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      md5(TextFunctions.nfcNormalize(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))).as("nhash"),
+      size(split(col("text"), "\\s+")).as("ws_tokens"))
+    val q = curationCols(mem.toDF()).writeStream.format("memory")
+      .queryName("cur_stream").outputMode(OutputMode.Append).start()
+    mem.addData(SDoc(1, "Café  societies", "fr", "s"),
+      SDoc(2, "café  societies", "fr", "s"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cur_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // NFC (composed vs decomposed é) + casefold + whitespace collapse
+    // make the two spellings hash-identical, on the stream, exactly as
+    // in batch
+    assert(rows(1L)._1 == rows(2L)._1)
+    assert(rows(1L)._2 == 2 && rows(2L)._2 == 2)
+  }
+
   test("streaming graph-ANN probes match the batch search on the prebuilt index") {
     import graft.operators.Similarity
     import graft.streaming.StreamingSimilarity

@@ -195,6 +195,32 @@ object JoinQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
 
+    // bloom-prefiltered semi join: a selective order subset prunes the
+    // lineitem scan through an inlined might_contain(xxhash64) predicate
+    // BEFORE the exact semi join (Ops.bloomSemiJoin) — results are
+    // exact, so the whole path oracle-checks against a plain semi join.
+    "q_bloom_semijoin" -> Q(
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT"
+            && col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+          .select(col("o_orderkey"))
+        Ops.bloomSemiJoin(Tables.lineitem(s, d), urgent,
+            "l_orderkey", "o_orderkey")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01')
+        |GROUP BY 1""".stripMargin),
+
     // TPC-H Q10 shape (returned-item revenue per customer): the classic
     // fact⋈fact⋈two-dims top-k. customer/nation broadcast; the only
     // shuffle pair is lineitem⋈orders; the quarter + returnflag filters

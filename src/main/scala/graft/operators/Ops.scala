@@ -98,4 +98,35 @@ object Ops {
     * and range scans exploit. */
   def sortedLayout(df: DataFrame, key: Column, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+
+  /** Bloom-prefiltered semi join: when the key side is too big to
+    * broadcast as a hash-join table but its KEY SET fits a bloom
+    * filter, build the filter once (Spark's own BloomFilterAggregate —
+    * the machinery behind AQE runtime filters, here under explicit
+    * control), inline it as a literal into a codegen'd
+    * `might_contain(xxhash64(k))` scan predicate, and only the ~1%
+    * false-positive survivors reach the exact semi join. At 100 TB this
+    * is the difference between shuffling the whole fact table to the
+    * join and shuffling a sliver of it; the trailing semi join removes
+    * the false positives, so results are EXACT (oracle-checkable). */
+  def bloomSemiJoin(fact: DataFrame, keys: DataFrame,
+                    factKey: String, keyCol: String,
+                    fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(keys.count(), 1L)
+    // standard bloom sizing: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(keyCol))),
+      Literal(n), Literal(numBits)).toAggregateExpression())
+    val bfBytes = keys.agg(bfAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(factKey)))))
+    fact.filter(might).join(keys.select(col(keyCol)).distinct(),
+      col(factKey) === col(keyCol), "left_semi")
+  }
 }

@@ -221,6 +221,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
   }
 
+  test("bloom semi join plans might_contain as a fact-scan filter before the join") {
+    val p = plan("q_bloom_semijoin")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    // the bloom predicate is a Filter below the join (prunes the scan),
+    // not a post-join residual: it must appear AFTER the join operator
+    // line in the plan dump (plans print top-down)
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"), p.take(5000))
+  }
+
   test("tpch q10 broadcasts both dims and takes the top-20 without a global sort") {
     val p = plan("q_tpch_q10")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))

@@ -155,12 +155,15 @@ object TextAnalysis {
     require(chunk > overlap && overlap >= 0,
       s"need chunk > overlap >= 0, got chunk=$chunk overlap=$overlap")
     val step = chunk - overlap
-    docs.select(col("doc_id"),
+    // w projected before the lambda: interpreted HOFs re-evaluate an
+    // inline split(text) per chunk — O(words·chunks) per doc otherwise
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
       posexplode(expr(
         s"""transform(sequence(0, cast(greatest(1,
-           |  ceil((size(split(text, ' ')) - $overlap) / ${step}.0)) as int) - 1,
+           |  ceil((size(w) - $overlap) / ${step}.0)) as int) - 1,
            |  1),
-           |  i -> concat_ws(' ', slice(split(text, ' '), i * $step + 1, $chunk)))"""
+           |  i -> concat_ws(' ', slice(w, i * $step + 1, $chunk)))"""
           .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("int"))
   }
@@ -253,12 +256,18 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, benchMod: Int = 10,
                     gramWords: Int = 8): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = docs.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(size(w) - (gramWords - 2), lit(2)) - 1),
-        i => concat_ws(" ", slice(w, i, lit(gramWords)))))).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    // w is projected before the lambda (HOFs are interpreted and
+    // re-evaluate their subtree per element — an inline split(text)
+    // would be O(words²) per doc); grams are keyed by xxhash64 over the
+    // word-array slice, so the train⋈bench shuffle moves 8-byte longs
+    // instead of digest strings. The hash never reaches the output —
+    // each engine's own hash only has to be injective on its grams.
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("w")) - (gramWords - 2), lit(2)) - 1),
+          i => xxhash64(slice(col("w"), i, lit(gramWords)))))).as("gh"))
     val bench = grams.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("gh"))
     val train = grams.filter(col("doc_id") % benchMod =!= 0)
@@ -400,17 +409,23 @@ object TextAnalysis {
     // count, once for the per-doc roll-up; text never joins.
     "q_novelty" -> Q(
       (s, d) => {
-        val w = split(col("text"), " ")
         // grams feed BOTH the corpus-frequency table and the per-doc
-        // join — localCheckpoint so the explode+md5 pass runs once, not
+        // join — localCheckpoint so the explode+hash pass runs once, not
         // once per consumer (the gram frame is (doc_id, hash) only,
-        // tiny relative to recomputing the split+md5 over the text)
+        // tiny relative to recomputing the split+hash over the text).
+        // w is projected BEFORE the lambda: higher-order functions are
+        // not codegen'd and re-evaluate their subtree per element, so a
+        // split(text) inside the lambda is O(words²) per doc. The gram
+        // key is xxhash64 over the word-array slice — an 8-byte long
+        // through the shuffle, not a 32-char digest string; the hash
+        // never reaches the output, so each engine only needs its own
+        // hash to be injective on the corpus grams.
         val grams = Tables.documents(s, d)
-          .filter(size(w) >= 5)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 5)
           .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(split(text, ' ')) - 4),
-              |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 5))))"""
-              .stripMargin)).as("g"))
+            "transform(sequence(1, size(w) - 4), i -> xxhash64(slice(w, i, 5)))"
+          )).as("g"))
           .localCheckpoint(true)
         val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
         grams.join(freq, "g")
@@ -438,12 +453,16 @@ object TextAnalysis {
     // fraction of the corpus in real data.
     "q_span_dedup" -> Q(
       (s, d) => {
-        val w = split(col("text"), " ")
+        // w projected before the lambda (interpreted HOFs re-evaluate
+        // an inline split per element — O(words²) per doc). The md5
+        // stays: span_hash IS the output contract and must replay
+        // byte-identically in DuckDB.
         val grams = Tables.documents(s, d)
-          .filter(size(w) >= 20)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 20)
           .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(1, size(split(text, ' ')) - 19),
-              |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 20))))"""
+            """transform(sequence(1, size(w) - 19),
+              |  i -> md5(concat_ws(' ', slice(w, i, 20))))"""
               .stripMargin)).as(Seq("pos", "g")))
           .select(col("doc_id"), (col("pos") + 1).as("span_start"), col("g"))
           // two consumers (frequency filter + position join) — one
@@ -569,11 +588,17 @@ object TextAnalysis {
     // word-bigram fraction (high values flag boilerplate/spam)
     "q_text_repetition" -> Q(
       (s, d) => {
-        val w = split(col("text"), " ")
+        // w projected before the lambda (interpreted HOFs re-evaluate
+        // an inline split per element — O(words²) per doc otherwise).
+        // slice (not w[i]) so a 1-word doc yields its one short "gram"
+        // instead of an ANSI out-of-bounds error.
+        val w = col("w")
         val bigrams = expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin)
-        Tables.documents(s, d).select(col("doc_id"),
+          """transform(sequence(1, greatest(size(w) - 1, 1)),
+            |  i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin)
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
           round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
             .as("dup_word_ratio"),
           round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
@@ -597,17 +622,21 @@ object TextAnalysis {
     "q_gopher_filter" -> Q(
       (s, d) => {
         val t = col("text")
-        val w = split(t, " ")
+        // w projected before the lambda (interpreted HOFs re-evaluate
+        // an inline split per element — O(words²) per doc otherwise)
+        val w = col("w")
         val nWords = size(w)
         val awl = round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4)
         val stop = size(filter(w, x => x.isInCollection(Seq("the", "a", "of", "and", "to"))))
         val stopRatio = round(stop.cast("double") / nWords, 4)
         val bigrams = expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin)
+          """transform(sequence(1, greatest(size(w) - 1, 1)),
+            |  i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin)
         val dupBg = round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
           / size(bigrams), 4)
-        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        Tables.documents(s, d)
+          .withColumn("w", split(t, " "))
+          .select(col("doc_id"), col("lang"),
           (nWords >= 15 && nWords <= 5000).as("ok_words"),
           (awl >= 3.0 && awl <= 10.0).as("ok_word_len"),
           (dupBg < 0.3).as("ok_repetition"),
@@ -923,21 +952,25 @@ object TextAnalysis {
     // selection replays exactly in DuckDB.
     "q_winnowing" -> Q(
       (s, d) => {
+        // the winnow (min over 4 consecutive shingle hashes) runs as
+        // array algebra INSIDE each row — a doc's hashes never leave
+        // it, so there is no per-doc window sort and no shuffle at all;
+        // array_distinct before the explode replaces the global
+        // DISTINCT (doc_id is part of the key, so per-doc dedup IS
+        // global dedup). md5 stays: fingerprints are the output
+        // contract and must replay byte-identically in DuckDB.
         val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
         Tables.documents(s, d)
           .select(col("doc_id"), toks.as("toks"))
-          .filter(size(col("toks")) >= 4)
-          .select(col("doc_id"), posexplode(expr(
+          .filter(size(col("toks")) >= 7) // ≥ 4 shingles → ≥ 1 full window
+          .select(col("doc_id"), expr(
             """transform(sequence(1, size(toks) - 3),
-              |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1], ' ', toks[i+2]))"""
-              .stripMargin)).as(Seq("i", "gram")))
-          .select(col("doc_id"), col("i"),
-            conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
-          .withColumn("fp", min(col("h")).over(w.rowsBetween(0, 3)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-          .filter(col("i") <= col("n") - 4) // full windows only (i is 0-based)
-          .select(col("doc_id"), col("fp")).distinct()
+              |  i -> cast(conv(substring(md5(concat(
+              |    toks[i-1], ' ', toks[i], ' ', toks[i+1], ' ', toks[i+2]
+              |  )), 1, 8), 16, 10) as bigint))""".stripMargin).as("hs"))
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"
+          ))).as("fp"))
       },
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

@@ -503,6 +503,47 @@ object Similarity {
       },
       None),
 
+    // two-stage retrieval with a FULL oracle — the production ANN
+    // pattern (cheap candidate generation, exact re-rank) made exactly
+    // replayable: hyperplane signs derive from md5, the signature fold
+    // is sequential on both engines (native codegen loop here,
+    // list_sum over an ordered comprehension there), so candidate sets
+    // — not just scores — hash-match. The one ANN query where the
+    // driver verifies the index itself, not only the rows-exist shape.
+    "q_ann_rerank" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        lshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          dim = 64, nBits = 6, k = 5)
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum([
+        |      CASE WHEN list_sum([
+        |        v[i+1] * (CASE WHEN ('0x' || substr(md5(j || ':' || i), 1, 8))
+        |          ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |        FOR i IN range(64)]) > 0
+        |      THEN (1::BIGINT << j) ELSE 0 END
+        |      FOR j IN range(6)]) AS BIGINT) AS bucket
+        |  FROM e
+        |),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+        |p AS (
+        |  SELECT vec_id AS probe_id, v AS pv,
+        |    unnest(list_prepend(bucket,
+        |      [xor(bucket, 1::BIGINT << j) FOR j IN range(6)])) AS bucket
+        |  FROM sig WHERE vec_id % 100 = 0
+        |)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY list_cosine_similarity(pv, cv) DESC, neighbor_id)
+        |    AS INT) AS rank,
+        |  round(list_cosine_similarity(pv, cv), 4) AS cos_sim
+        |FROM p JOIN c USING (bucket)
+        |WHERE probe_id <> neighbor_id
+        |QUALIFY rank <= 5""".stripMargin),
+
     "q_ann_ivf" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)

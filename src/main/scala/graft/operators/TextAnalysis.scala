@@ -218,6 +218,30 @@ object TextAnalysis {
     rules.result()
   }
 
+  /** Apply trained BPE merges: each word in `wordCol` gains an `encoded`
+    * column — its segmentation under the rules, pieces space-separated.
+    * The rules bake into the plan as a rank-ordered chain of
+    * boundary-anchored regexp_replace passes over the char-separated
+    * symbol string: one codegen'd projection per row, no per-row loop
+    * state, no shuffle at any corpus size. Left-to-right non-overlapping
+    * regex replacement reproduces the trainer's leftmost-first merge
+    * semantics ("a a a" + rule a+a → "aa a", never "a aa").
+    */
+  def bpeEncode(words: DataFrame, rules: Seq[(Int, String, String)],
+                wordCol: String = "word"): DataFrame = {
+    rules.foreach { case (_, l, r) =>
+      require((l + r).forall(c => c >= 'a' && c <= 'z'),
+        s"BPE symbols must be [a-z]+ (trainer tokenizes on [^a-z]+), got '$l'+'$r'") }
+    // split on "" can emit a trailing "" under Java's limit=-1 split —
+    // drop empties so the symbol string has no dangling separator
+    val sym0 = concat_ws(" ",
+      filter(split(lower(col(wordCol)), ""), x => length(x) > 0))
+    val encoded = rules.sortBy(_._1).foldLeft(sym0) { case (c, (_, l, r)) =>
+      regexp_replace(c, s"(?<=^| )$l $r(?= |$$)", l + r)
+    }
+    words.withColumn("encoded", encoded)
+  }
+
   def packSequences(docs: DataFrame, budget: Long, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -667,6 +691,47 @@ object TextAnalysis {
         |   AND (dup_bg < 0.3) AND (lang <> 'en' OR stop_ratio >= 0.01)) AS keep
         |FROM m""".stripMargin),
 
+    // logistic quality classifier: the fasttext-style keep/drop model
+    // as a fixed-weight linear head over the same cheap per-doc
+    // features the rule filters use — the decision layer a pipeline
+    // swaps in once it has labeled data, here with published-style
+    // hand weights so both engines replay it exactly. Pure projection:
+    // zero shuffles at any corpus size; the sigmoid stays inside
+    // whole-stage codegen.
+    "q_quality_logit" -> Q(
+      (s, d) => {
+        val w = col("w")
+        val nw = size(w).cast("double")
+        val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nw
+        val stop = size(filter(w, x =>
+          x.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double") / nw
+        val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nw
+        val z = lit(-2.0) + lit(0.8) * log(nw) + lit(-0.5) * awl +
+          lit(6.0) * stop + lit(-4.0) * dup
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), round(p, 4).as("quality_p"),
+            (p >= 0.5).as("keep"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    length(replace(text, ' ', '')) AS nospace
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    -2.0 + 0.8 * ln(len(w)::DOUBLE)
+        |      + (-0.5) * (nospace::DOUBLE / len(w)::DOUBLE)
+        |      + 6.0 * (len(list_filter(w, x -> list_contains(
+        |          ['the','a','of','and','to'], x)))::DOUBLE / len(w)::DOUBLE)
+        |      + (-4.0) * (1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)
+        |      AS z
+        |  FROM t
+        |)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_p,
+        |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+        |FROM f""".stripMargin),
+
     // per-source document caps (data-mixing): keep the top-N docs per
     // source by length with a unique tiebreaker. The window rank gets
     // Spark's WindowGroupLimit map-side prune, so each partition ships
@@ -878,6 +943,25 @@ object TextAnalysis {
         import s.implicits._
         rules.toDF("rank", "left", "right")
           .withColumn("merged", concat(col("left"), col("right")))
+      },
+      None),
+
+    // the APPLY half of the tokenizer story: encode the 50 most
+    // frequent words under the trained merges. Train touches the
+    // histogram only; encode is a pure projection (the rules compile
+    // into the plan), so at 100 TB the corpus pass costs one scan.
+    // Rules depend on the data → not expressible as a static oracle;
+    // exact segmentation is spec'd on the Sennrich toy corpus.
+    "q_bpe_encode" -> Q(
+      (s, d) => {
+        val en = Tables.documents(s, d).filter(col("lang") === "en")
+        val rules = bpeTrain(en, merges = 20, vocabWords = 2000)
+        val top = en.select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("word")).limit(50)
+        bpeEncode(top, rules)
+          .withColumn("n_pieces", size(split(col("encoded"), " ")))
       },
       None),
 

@@ -114,6 +114,40 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getString(3) == r.getString(1) + r.getString(2)))
   }
 
+  test("BPE encoding applies merges greedily, leftmost-first") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower")
+      ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .map(w => (w, "en")).toDF("text", "lang")
+    // rules: (e,s) → (es,t) → (l,o)
+    val rules = TextAnalysis.bpeTrain(docs, merges = 3)
+    val enc = TextAnalysis.bpeEncode(
+      Seq("lowest", "newest", "low", "wwww", "aaa").toDF("word"), rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(enc("lowest") == "lo w est")   // es → est → lo
+    assert(enc("newest") == "n e w est")
+    assert(enc("low") == "lo w")
+    assert(enc("wwww") == "w w w w")      // no rule applies
+    assert(enc("aaa") == "a a a")
+    // leftmost-first on overlapping pair runs: rule a+a over "aaaa"
+    // must give (aa)(aa), and over "aaa" give (aa)(a)
+    val run2 = TextAnalysis.bpeEncode(
+      Seq("aaaa", "aaa").toDF("word"), Seq((1, "a", "a")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run2("aaaa") == "aa aa")
+    assert(run2("aaa") == "aa a")
+    // driver query shape: top words (≤50 — the tiny sf vocab may be
+    // smaller), pieces reconstruct the word
+    val encoded = run("q_bpe_encode").collect()
+    assert(encoded.nonEmpty && encoded.length <= 50)
+    encoded.foreach { r =>
+      assert(r.getAs[String]("encoded").replace(" ", "")
+        == r.getAs[String]("word"))
+      assert(r.getAs[Int]("n_pieces")
+        == r.getAs[String]("encoded").split(" ").length)
+    }
+  }
+
   test("theta-sketch overlap estimates within 5% of exact set ops") {
     val est = run("q_theta_overlap").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -65,3 +65,9 @@ case class UnsetProp(key: String) extends Statement         // UNSET 'k'
 case object ShowProperties extends Statement                // SHOW PROPERTIES
 case object ShowFunctions extends Statement                 // SHOW FUNCTIONS
 case class DescribeFunction(name: String) extends Statement // DESCRIBE FUNCTION f
+case class DefineVar(name: String, value: String) extends Statement // DEFINE v='x'
+case class UndefineVar(name: String) extends Statement      // UNDEFINE v
+case object ShowVariables extends Statement                 // SHOW VARIABLES
+case class CreateType(name: String, typeSql: String) extends Statement // CREATE TYPE t AS ...
+case class DropType(name: String, ifExists: Boolean) extends Statement // DROP TYPE t
+case object ShowTypes extends Statement                     // SHOW TYPES

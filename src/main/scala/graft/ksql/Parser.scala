@@ -83,6 +83,20 @@ object Parser {
     t.text.toInt
   }
 
+  /** Re-join the remaining tokens of a statement into one text — word
+    * tokens keep a separating space (STRUCT<street VARCHAR> must not
+    * fuse into streetVARCHAR), punctuation glues tight. */
+  private def rejoinToEnd(p: P): String = {
+    val sb = new StringBuilder
+    while (!p.done) {
+      val t = p.next().text
+      if (sb.nonEmpty && sb.last.isLetterOrDigit &&
+          t.nonEmpty && t.charAt(0).isLetterOrDigit) sb.append(' ')
+      sb.append(t)
+    }
+    sb.toString
+  }
+
   private def parseDuration(p: P): Long = {
     val num = p.next().text.toDouble
     val unit = p.next().up
@@ -93,6 +107,14 @@ object Parser {
     val p = new P(tokenize(sql))
     val stmt =
       if (p.accept("CREATE")) {
+        if (p.accept("TYPE")) {
+          // CREATE TYPE name AS <type> — the type text runs to the end
+          // of the statement (composite types tokenize into many parts)
+          val name = p.next().text
+          p.expect("AS")
+          if (p.done) p.fail("CREATE TYPE expects a type after AS")
+          CreateType(name, rejoinToEnd(p))
+        } else {
         val orReplace = if (p.accept("OR")) { p.expect("REPLACE"); true } else false
         val isTable = if (p.accept("TABLE")) true
           else { p.expect("STREAM"); false }
@@ -126,6 +148,7 @@ object Parser {
             p.expect("AS")
             CreateAsSelect(isTable, name, parseSelect(p), ps, ifNotExists)
           }
+        }
         }
       } else if (p.accept("INSERT")) {
         p.expect("INTO")
@@ -161,6 +184,8 @@ object Parser {
         else if (p.accept("QUERIES")) ShowQueries
         else if (p.accept("PROPERTIES")) ShowProperties
         else if (p.accept("FUNCTIONS")) ShowFunctions
+        else if (p.accept("VARIABLES")) ShowVariables
+        else if (p.accept("TYPES")) ShowTypes
         // TOPICS: the file-backed analogue lists the same catalog —
         // every bound source IS a "topic" in this engine's model
         else if (p.accept("TOPICS")) ShowSources(tables = false)
@@ -198,10 +223,25 @@ object Parser {
           val ext = p.accept("EXTENDED")
           Describe(p.next().text, ext)
         }
+      } else if (p.accept("DEFINE")) {
+        // DEFINE name = 'value' (ksqlDB CLI variable; value must be a
+        // quoted string, matching the CLI's grammar)
+        val name = p.next().text
+        p.expect("=")
+        val v = p.next()
+        if (!v.isString) p.fail("DEFINE expects a 'quoted' value")
+        DefineVar(name, v.text)
+      } else if (p.accept("UNDEFINE")) {
+        UndefineVar(p.next().text)
       } else if (p.accept("DROP")) {
+        if (p.accept("TYPE")) {
+          val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+          DropType(p.next().text, ifExists)
+        } else {
         if (!p.accept("STREAM")) p.expect("TABLE")
         val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
         DropSource(p.next().text, ifExists)
+        }
       } else if (p.accept("EXPLAIN")) {
         ExplainStmt(parseSelect(p))
       } else Query(parseSelect(p))

@@ -74,6 +74,73 @@ object Translator {
       m
     }
 
+  // ksqlDB CLI variables (DEFINE / UNDEFINE / ${name} substitution) and
+  // custom type aliases (CREATE TYPE) — same session-scoped weak-keyed
+  // lifecycle as sessionProps
+  private val sessionVars =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def varsFor(spark: SparkSession) =
+    sessionVars.synchronized {
+      var m = sessionVars.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        sessionVars.put(spark, m)
+      }
+      m
+    }
+  private val sessionTypes =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def typesFor(spark: SparkSession) =
+    sessionTypes.synchronized {
+      var m = sessionTypes.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        sessionTypes.put(spark, m)
+      }
+      m
+    }
+
+  private val varRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r
+
+  /** `${name}` → the session variable's value, everywhere in the
+    * statement (string literals included — paths and topic names are
+    * the CLI's primary use). An undefined reference is an error, not a
+    * silent pass-through: the un-substituted text would otherwise fail
+    * later inside Spark's parser with an opaque message. */
+  private def substituteVars(spark: SparkSession, sql: String): String = {
+    val vars = varsFor(spark)
+    varRef.replaceAllIn(sql, m => {
+      val v = vars.getOrElse(m.group(1), throw new IllegalArgumentException(
+        s"undefined variable $${${m.group(1)}} — DEFINE it first"))
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
+  }
+
+  /** Expand CREATE TYPE aliases inside a KSQL type string (top level or
+    * nested in ARRAY<>/STRUCT<>), textually at word boundaries —
+    * iterated so aliases may reference earlier aliases, with a bound
+    * that turns definition cycles into a clear error. */
+  private def resolveType(spark: SparkSession, t: String): String = {
+    val types = typesFor(spark)
+    var cur = t
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((name, defn) <- types) {
+        val next = raw"(?i)\b${java.util.regex.Pattern.quote(name)}\b".r
+          .replaceAllIn(cur, java.util.regex.Matcher.quoteReplacement(defn))
+        if (next != cur) { cur = next; changed = true }
+      }
+      rounds += 1
+      if (rounds > 16) throw new IllegalArgumentException(
+        s"type alias expansion did not terminate for '$t' — cyclic CREATE TYPE definitions?")
+    }
+    cur
+  }
+
   // Subquery predicates route through spark.sql over temp views, which
   // are SESSION-GLOBAL mutable state — Bench runs statements concurrently
   // on one SparkSession, so the register→analyze→drop span must be
@@ -701,7 +768,7 @@ object Translator {
     // (stable_hash32, minhash_sig, vec_dot, jaccard_sorted, UCASE, …);
     // registration is idempotent
     graft.GraftExtensions.register(spark)
-    Parser.parse(sql) match {
+    Parser.parse(substituteVars(spark, sql)) match {
       case CreateSource(_, name, cols, props, ifNotExists, orReplace) =>
         // Physical binding, in order of preference:
         //  1. catalog already provides the frame (driver/tests) → rebind time col
@@ -716,7 +783,7 @@ object Translator {
           return (catalog, None)
         val ts = props.getOrElse("TIMESTAMP", "ts")
         val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
-          org.apache.spark.sql.types.StructField(n, sparkType(t))
+          org.apache.spark.sql.types.StructField(n, sparkType(resolveType(spark, t)))
         })
         // WITH (KEY='col') declares which value column mirrors the
         // record key — the column ROWKEY resolves to (KSQL 5.x model)
@@ -940,6 +1007,31 @@ object Translator {
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
         runScript(spark, catalog, script)
+      case DefineVar(n, v) =>
+        varsFor(spark).put(n, v)
+        (catalog, None)
+      case UndefineVar(n) =>
+        varsFor(spark).remove(n)
+        (catalog, None)
+      case ShowVariables =>
+        import spark.implicits._
+        val rows = varsFor(spark).toSeq.sortBy(_._1)
+        (catalog, Some(rows.toDF("variable", "value")))
+      case CreateType(n, t) =>
+        // eager validation: resolve + parse NOW so a bad definition
+        // fails at CREATE TYPE, not at first use inside a schema
+        sparkType(resolveType(spark, t))
+        typesFor(spark).put(n.toUpperCase, t)
+        (catalog, None)
+      case DropType(n, ifExists) =>
+        val removed = typesFor(spark).remove(n.toUpperCase)
+        if (removed.isEmpty && !ifExists)
+          throw new IllegalArgumentException(s"unknown type $n")
+        (catalog, None)
+      case ShowTypes =>
+        import spark.implicits._
+        val rows = typesFor(spark).toSeq.sortBy(_._1)
+        (catalog, Some(rows.toDF("type_name", "definition")))
     }
   }
 
@@ -996,7 +1088,11 @@ object Translator {
       case "BOOLEAN" => BooleanType
       case "TIMESTAMP" => TimestampType
       case a if a.startsWith("ARRAY") =>
-        ArrayType(sparkType(a.stripPrefix("ARRAY").stripPrefix("<").stripSuffix(">")))
+        // recurse on the ORIGINAL-case text: the uppercased match
+        // string would destroy nested STRUCT field-name case
+        val raw = t.trim
+        ArrayType(sparkType(
+          raw.substring(raw.indexOf('<') + 1, raw.lastIndexOf('>'))))
       case st if st.startsWith("STRUCT") =>
         // extract the original-case body between the outer <...>
         val raw = t.trim

@@ -1082,4 +1082,65 @@ class KsqlSpec extends SparkSpec {
     val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
     assert(cat3("sink").df.count() == before + errors)
   }
+
+  test("DEFINE / UNDEFINE / SHOW VARIABLES substitute ${var} references") {
+    import spark.implicits._
+    val src = Seq((1L, "a", 3.0), (2L, "b", 5.0), (3L, "a", 9.0))
+      .toDF("id", "grp", "v")
+    val catalog: Translator.Catalog = Map("src" -> Translator.Source(src, "ts"))
+    val (c1, _) = Translator.run(spark, catalog, "DEFINE min_v = '4.0'")
+    Translator.run(spark, c1, "DEFINE which = 'grp'")
+    val (_, Some(vars)) = Translator.run(spark, c1, "SHOW VARIABLES"): @unchecked
+    val vm = vars.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vm("min_v") == "4.0" && vm("which") == "grp")
+    // substitution reaches identifiers AND literals (the CLI's use case)
+    val (_, Some(out)) = Translator.run(spark, c1,
+      "SELECT id, ${which} AS g FROM src WHERE v >= ${min_v}"): @unchecked
+    assert(out.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // an undefined reference is a clear error, not a silent pass-through
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1, "SELECT ${nope} FROM src") }
+    assert(e.getMessage.contains("nope"))
+    Translator.run(spark, c1, "UNDEFINE min_v")
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, c1, "SELECT id FROM src WHERE v >= ${min_v}") }
+    Translator.run(spark, c1, "UNDEFINE which")
+    val (_, Some(after)) = Translator.run(spark, c1, "SHOW VARIABLES"): @unchecked
+    assert(!after.collect().map(_.getString(0)).toSet
+      .exists(Set("min_v", "which")))
+  }
+
+  test("CREATE TYPE aliases expand (nested too) in CREATE schemas") {
+    import org.apache.spark.sql.types._
+    val (c1, _) = Translator.run(spark, Map.empty,
+      "CREATE TYPE ADDRESS AS STRUCT<street VARCHAR, zip INT>")
+    val (c2, _) = Translator.run(spark, c1,
+      "CREATE TYPE ADDRBOOK AS ARRAY<ADDRESS>")
+    val (_, Some(types)) = Translator.run(spark, c2, "SHOW TYPES"): @unchecked
+    assert(types.collect().map(_.getString(0)).toSet
+      .intersect(Set("ADDRESS", "ADDRBOOK")) == Set("ADDRESS", "ADDRBOOK"))
+    val (c3, _) = Translator.run(spark, c2,
+      "CREATE STREAM people (id BIGINT, home ADDRESS, prev ADDRBOOK)")
+    val sch = c3("people").df.schema
+    val addr = StructType(Seq(
+      StructField("street", StringType), StructField("zip", IntegerType)))
+    assert(sch("home").dataType == addr)
+    assert(sch("prev").dataType == ArrayType(addr))
+    // cyclic definitions surface as a clear error at use, not a hang
+    Translator.run(spark, c3, "CREATE TYPE LOOPA AS ARRAY<LOOPB>")
+    Translator.run(spark, c3, "CREATE TYPE LOOPB AS ARRAY<LOOPA>")
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, c3, "CREATE STREAM cyc (x LOOPA)") }
+    assert(e.getMessage.toLowerCase.contains("cyclic"))
+    // DROP TYPE: strict without IF EXISTS, idempotent with it
+    Seq("ADDRESS", "ADDRBOOK", "LOOPA", "LOOPB").foreach(t =>
+      Translator.run(spark, c3, s"DROP TYPE $t"))
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, c3, "DROP TYPE ADDRESS") }
+    Translator.run(spark, c3, "DROP TYPE IF EXISTS ADDRESS")
+    // with the alias gone the bare word falls back to the dialect's
+    // default scalar (VARCHAR) — same as any unknown type name
+    val (c4, _) = Translator.run(spark, c3, "CREATE STREAM bare (x ADDRESS)")
+    assert(c4("bare").df.schema("x").dataType == StringType)
+  }
 }

@@ -21,6 +21,42 @@ import org.apache.spark.sql.functions._
 object WarehouseQueries {
 
   def entries: Map[String, Q] = Map(
+    // column profiler (the warehouse DESCRIBE-STATISTICS primitive):
+    // per-column row/null/exact-distinct counts and native-order
+    // min/max, computed in ONE aggregate pass — count_distinct over
+    // many columns plans as Expand + one shuffle, not one scan per
+    // column (the oracle's UNION ALL shape would be 6 scans at 100 TB);
+    // the wide single-row result unpivots to rows driver-side via a
+    // struct-array explode, a pure projection.
+    "q_profile" -> Q(
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))) :+
+          count(lit(1)).as("__rows")
+        val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map(c => struct(
+          lit(c).as("col_name"),
+          col("__rows").as("n_rows"),
+          (col("__rows") - col(s"${c}__nn")).as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("min_val"),
+          col(s"${c}__mx").as("max_val")))
+        one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      },
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n")),
+
     // CUBE: all 4 aggregation levels over (mktsegment, orderpriority)
     "q_cube" -> Q(
       (s, d) => Tables.orders(s, d)

@@ -304,4 +304,29 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("quality-logit classifier is a pure projection (zero shuffles)") {
+    val p = plan("q_quality_logit")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("winnowing runs shuffle-free (array-native window-min, no sort)") {
+    val p = plan("q_winnowing")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("column profiler is ONE aggregate pass (single shuffle, no per-column scans)") {
+    val p = plan("q_profile")
+    // one scan of orders, not six; distinct counts plan via Expand
+    val scans = "FileScan parquet".r.findAllIn(p).length +
+      "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected one scan, got $scans\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
+  test("ANN rerank candidates come from a bucket equi-join, not a cartesian") {
+    val p = plan("q_ann_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }

@@ -282,6 +282,26 @@ object EventAnalytics {
           ("either", ThetaSketches.union(a, b).getEstimate.round)
         ).toDF("audience", "users_est")
       },
+      None),
+
+    // KLL quantile-sketch roll-up: per-priority deciles of order value
+    // from per-(partition, group) KB-sized sketches merged on the
+    // driver (see functions.KllSketches) — the mergeable alternative to
+    // a percentile sort at 100 TB, with a proven ~1.65% rank-error
+    // bound. Engine-specific estimates → rows-only driver check; the
+    // spec bounds every estimate's TRUE rank against the asked rank.
+    "q_kll_quantiles" -> Q(
+      (s, d) => {
+        import graft.functions.KllSketches
+        import s.implicits._
+        val sks = KllSketches.sketchesByGroup(
+          Tables.orders(s, d), "o_orderpriority", "o_totalprice")
+        val rows = for {
+          (g, sk) <- sks.toSeq.sortBy(_._1)
+          q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        } yield (g, q, math.round(sk.getQuantile(q) * 100) / 100.0)
+        rows.toDF("o_orderpriority", "q", "est")
+      },
       None)
   )
 }

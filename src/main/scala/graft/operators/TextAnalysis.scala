@@ -249,6 +249,25 @@ object TextAnalysis {
     words.withColumn("encoded", encoded)
   }
 
+  /** Fixed-weight logistic quality head over cheap per-doc features —
+    * the fasttext-style keep/drop classifier stand-in. Pure projection
+    * (no shuffle at any corpus size), so it runs unchanged on batch and
+    * streaming frames; parity is spec'd in StreamingSpec. */
+  def qualityLogit(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val nw = size(w).cast("double")
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nw
+    val stop = size(filter(w, x =>
+      x.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double") / nw
+    val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nw
+    val z = lit(-2.0) + lit(0.8) * log(nw) + lit(-0.5) * awl +
+      lit(6.0) * stop + lit(-4.0) * dup
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    docs.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), round(p, 4).as("quality_p"),
+        (p >= 0.5).as("keep"))
+  }
+
   def packSequences(docs: DataFrame, budget: Long, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -366,6 +385,60 @@ object TextAnalysis {
         |SELECT train_id, bench_id, count(*) AS n_shared
         |FROM train JOIN bench USING (gh)
         |GROUP BY 1, 2""".stripMargin),
+
+    // PSI distribution drift between corpus snapshots (population
+    // stability index, the standard drift score): doc-length deciles
+    // of the even-id half vs the odd-id half, per language, with
+    // Laplace smoothing so empty bins stay defined. The canonical
+    // "did this month's crawl shift under my feet" check before a
+    // training run. One groupBy + a broadcast totals join — the
+    // explicit bin grid makes absent bins identical on both engines.
+    "q_psi_drift" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.select(col("lang"),
+          least(floor(col("n_chars") / 100), lit(9)).cast("int").as("bin"),
+          (col("doc_id") % 2 === 0).as("in_a"))
+          .groupBy(col("lang"), col("bin")).agg(
+            sum(when(col("in_a"), 1).otherwise(0)).as("na"),
+            sum(when(!col("in_a"), 1).otherwise(0)).as("nb"))
+        val grid = docs.select(col("lang")).distinct()
+          .select(col("lang"), explode(expr("sequence(0, 9)")).as("bin"))
+        val full = grid.join(counts, Seq("lang", "bin"), "left")
+          .na.fill(0L, Seq("na", "nb"))
+        val tot = full.groupBy(col("lang")).agg(
+          sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+        val pa = (col("na") + 1) / (col("ta") + lit(10.0))
+        val pb = (col("nb") + 1) / (col("tb") + lit(10.0))
+        full.join(broadcast(tot), "lang")
+          .groupBy(col("lang"))
+          .agg(round(sum((pa - pb) * log(pa / pb)), 4).as("psi"))
+      },
+      """WITH b AS (
+        |  SELECT lang, least(CAST(floor(n_chars / 100) AS INT), 9) AS bin,
+        |    doc_id % 2 = 0 AS in_a
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, bin,
+        |    sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS nb
+        |  FROM b GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT lang, CAST(i AS INT) AS bin
+        |  FROM (SELECT DISTINCT lang FROM documents),
+        |    (SELECT unnest(range(10)) AS i)
+        |), f AS (
+        |  SELECT grid.lang, grid.bin,
+        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM grid LEFT JOIN c ON grid.lang = c.lang AND grid.bin = c.bin
+        |), t AS (
+        |  SELECT lang, sum(na) AS ta, sum(nb) AS tb FROM f GROUP BY 1
+        |)
+        |SELECT f.lang,
+        |  round(sum(((na + 1) / (ta + 10.0) - (nb + 1) / (tb + 10.0))
+        |    * ln(((na + 1) / (ta + 10.0)) / ((nb + 1) / (tb + 10.0)))), 4) AS psi
+        |FROM f JOIN t ON f.lang = t.lang
+        |GROUP BY f.lang""".stripMargin),
 
     "q_domain_mix" -> Q(
       (s, d) => domainMix(Tables.documents(s, d)),
@@ -706,21 +779,7 @@ object TextAnalysis {
     // zero shuffles at any corpus size; the sigmoid stays inside
     // whole-stage codegen.
     "q_quality_logit" -> Q(
-      (s, d) => {
-        val w = col("w")
-        val nw = size(w).cast("double")
-        val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nw
-        val stop = size(filter(w, x =>
-          x.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double") / nw
-        val dup = lit(1.0) - size(array_distinct(w)).cast("double") / nw
-        val z = lit(-2.0) + lit(0.8) * log(nw) + lit(-0.5) * awl +
-          lit(6.0) * stop + lit(-4.0) * dup
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        Tables.documents(s, d)
-          .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), round(p, 4).as("quality_p"),
-            (p >= 0.5).as("keep"))
-      },
+      (s, d) => qualityLogit(Tables.documents(s, d)),
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
         |    length(replace(text, ' ', '')) AS nospace

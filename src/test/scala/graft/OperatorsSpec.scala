@@ -148,6 +148,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("KLL quantile estimates land within the sketch's rank-error bound") {
+    val est = run("q_kll_quantiles").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    val byG = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    est.foreach { case ((g, q), v) =>
+      val xs = byG(g)
+      val rank = xs.count(_ <= v).toDouble / xs.length
+      // default-k KLL: ~1.65% rank error at 99% confidence; 3% slack
+      assert(math.abs(rank - q) <= 0.03, s"$g q=$q est=$v true rank=$rank")
+    }
+  }
+
   test("theta-sketch overlap estimates within 5% of exact set ops") {
     val est = run("q_theta_overlap").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

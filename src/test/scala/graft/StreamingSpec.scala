@@ -442,6 +442,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._2 == 2 && rows(2L)._2 == 2)
   }
 
+  test("quality-logit and BPE encoding score a stream exactly like batch") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      SDoc(1, "the quick brown fox jumps over the lazy dog and runs", "en", "s"),
+      SDoc(2, "spam spam spam spam spam spam", "en", "s"),
+      SDoc(3, "a cab abc abcab", "en", "s"))
+    val rules = Seq((1, "a", "b"), (2, "ab", "c"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityLogit(df)
+        .join(TextAnalysis.bpeEncode(
+          df.select(col("doc_id"), col("text").as("word")), rules)
+          .select(col("doc_id"), col("encoded")), Seq("doc_id"))
+    // batch reference on the same rows
+    import spark.implicits._
+    val batch = pipeline(docs.toDF()).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2), r.getString(3))))
+      .toMap
+    val mem = MemoryStream[SDoc](spark)
+    // stream side: both ops are pure projections, so they run on the
+    // stream unchanged — as two independent sinks over the same input
+    // (the batch `pipeline` join is only there to collate columns)
+    val scoredQ = TextAnalysis.qualityLogit(mem.toDF())
+      .writeStream.format("memory").queryName("logit_stream")
+      .outputMode(OutputMode.Append).start()
+    val encodedQ = TextAnalysis.bpeEncode(
+      mem.toDF().select(col("doc_id"), col("text").as("word")), rules)
+      .select(col("doc_id"), col("encoded"))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(docs: _*)
+    scoredQ.processAllAvailable(); encodedQ.processAllAvailable()
+    scoredQ.stop(); encodedQ.stop()
+    val s1 = spark.table("logit_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val s2 = spark.table("bpe_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { d =>
+      val (bp, bk, be) = batch(d.doc_id)
+      assert(s1(d.doc_id) == ((bp, bk)), s"logit parity ${d.doc_id}")
+      assert(s2(d.doc_id) == be, s"bpe parity ${d.doc_id}")
+    }
+  }
+
   test("streaming graph-ANN probes match the batch search on the prebuilt index") {
     import graft.operators.Similarity
     import graft.streaming.StreamingSimilarity

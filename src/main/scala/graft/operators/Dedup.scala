@@ -273,6 +273,34 @@ object Dedup {
     * projection; the only shuffle is the hash groupBy (map-side
     * partially aggregated), so cost is linear in corpus size.
     */
+  /** Content-defined chunking (rsync/LBFS): a chunk ends at every word
+    * whose trailing 4-word window hashes ≡ 0 (mod `modulus`) — expected
+    * chunk length = modulus words, and boundaries move WITH the
+    * content, so an insertion re-keys only the chunk it lands in
+    * (fixed-width chunking re-keys everything after the edit; the
+    * shift-robustness delta is spec'd). Pure per-row array algebra —
+    * zero shuffles at any corpus size; md5 hashes replay in DuckDB. */
+  def cdcChunks(docs: DataFrame, modulus: Int = 16): DataFrame = {
+    val bh = "cast(conv(substring(md5(concat_ws(' ', " +
+      s"slice(w, i - 3, 4))), 1, 8), 16, 10) as bigint) % $modulus = 0"
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), col("w"), expr(
+        s"filter(sequence(4, size(w)), i -> $bh)").as("b"))
+      .select(col("doc_id"), col("w"),
+        expr("concat(array(1), transform(b, x -> x + 1))").as("starts"),
+        expr("concat(b, array(size(w)))").as("ends"))
+      .select(col("doc_id"), col("w"), posexplode(expr(
+        "filter(zip_with(starts, ends, (s, e) -> struct(s, e)), p -> p.s <= p.e)"
+      )).as(Seq("ci", "p")))
+      .select(col("doc_id"), (col("ci") + 1).as("chunk_idx"),
+        col("p.s").as("start_word"),
+        (col("p.e") - col("p.s") + 1).cast("int").as("n_words"),
+        md5(expr("concat_ws(' ', slice(w, p.s, p.e - p.s + 1))"))
+          .as("chunk_hash"))
+  }
+
   def chunkDupes(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
     val w = split(col("text"), " ")
     val nChunks = greatest(ceil(size(w) / lit(chunkWords.toDouble)).cast("int"), lit(1))
@@ -305,6 +333,46 @@ object Dedup {
         |SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_doc
         |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin),
+
+    // content-defined chunking (the rsync/LBFS trick): a chunk ends at
+    // every word i where the hash of the trailing 4-word window ≡ 0
+    // (mod 16) — boundaries move WITH the content, so inserting a word
+    // shifts at most the chunk it lands in, while fixed-width chunking
+    // (q_dedup_chunks) re-keys every chunk after the edit. The dedup
+    // prep that survives edits. Pure projection — boundaries, spans and
+    // hashes are per-row array algebra, zero shuffles at any corpus
+    // size; md5 boundary/chunk hashes replay the exact same chunking in
+    // DuckDB (full oracle).
+    "q_cdc_chunks" -> Q(
+      (s, d) => cdcChunks(Tables.documents(s, d)),
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4
+        |), b AS (
+        |  SELECT doc_id, w,
+        |    [i FOR i IN range(4, len(w) + 1)
+        |     IF ('0x' || substr(md5(array_to_string(w[(i-3):i], ' ')), 1, 8))
+        |        ::BIGINT % 16 = 0] AS bounds
+        |  FROM t
+        |), se AS (
+        |  SELECT doc_id, w,
+        |    list_prepend(1, [CAST(x + 1 AS BIGINT) FOR x IN bounds]) AS starts,
+        |    list_append([CAST(x AS BIGINT) FOR x IN bounds],
+        |                CAST(len(w) AS BIGINT)) AS ends
+        |  FROM b
+        |), c AS (
+        |  SELECT doc_id, w, starts, ends,
+        |    unnest(range(1, len(starts) + 1)) AS j
+        |  FROM se
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) AS INT)
+        |    AS chunk_idx,
+        |  CAST(starts[j] AS INT) AS start_word,
+        |  CAST(ends[j] - starts[j] + 1 AS INT) AS n_words,
+        |  md5(array_to_string(w[starts[j]:ends[j]], ' ')) AS chunk_hash
+        |FROM c
+        |WHERE starts[j] <= ends[j]""".stripMargin),
 
     "q_dedup_minhash" -> Q(
       (s, d) => minhashPairs(Tables.documents(s, d)),

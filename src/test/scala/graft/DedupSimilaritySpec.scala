@@ -305,4 +305,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
     assert(row.getAs[Int]("width") >= 64)
   }
+
+  test("content-defined chunking re-keys only around an insertion") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // deterministic 400-word doc; its twin has one word inserted early
+    val words = (0 until 400).map(i => s"w$i")
+    val original = words.mkString(" ")
+    val edited = (words.take(5) ++ Seq("INSERTED") ++ words.drop(5)).mkString(" ")
+    val docs = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    def hashes(id: Long, df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") === id).select(col("chunk_hash"))
+        .collect().map(_.getString(0)).toSet
+    val cdc = Dedup.cdcChunks(docs)
+    val a = hashes(1, cdc); val b = hashes(2, cdc)
+    // all chunks after the insertion point re-align → high overlap
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap >= 0.7, s"cdc overlap $overlap")
+    // fixed-width chunking re-keys every chunk after the edit
+    def fixed(text: String) = text.split(" ").grouped(8)
+      .map(_.mkString(" ")).toSet
+    val fa = fixed(original); val fb = fixed(edited)
+    val fixedOverlap = fa.intersect(fb).size.toDouble / fa.size
+    assert(overlap > fixedOverlap + 0.3,
+      s"cdc $overlap should beat fixed $fixedOverlap decisively")
+  }
 }

@@ -225,4 +225,31 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L))) // near-identical pair found, opposite vector not
   }
+
+  test("cdc chunks tile every word exactly once; <4-word docs drop out") {
+    val long = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, long))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs).collect()
+    assert(out.forall(_.getLong(0) == 3L), "short docs must emit nothing")
+    val chunks = out.sortBy(_.getInt(1))
+    assert(chunks.head.getInt(2) == 1, "first chunk starts at word 1")
+    assert(chunks.map(_.getInt(3)).sum == 100, "chunks must tile all words")
+    chunks.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(y.getInt(2) == x.getInt(2) + x.getInt(3), "contiguous chunks")
+      case _ => ()
+    }
+  }
+
+  test("quality logit is a defined probability for degenerate docs") {
+    val out = TextAnalysis.qualityLogit(weird.select(col("doc_id"), col("text")))
+      .collect()
+    assert(out.length == weird.count())
+    out.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"row $r")
+      val p = r.getDouble(1)
+      assert(p >= 0.0 && p <= 1.0, s"p=$p out of range")
+    }
+  }
 }

@@ -194,6 +194,37 @@ class OperatorsSpec extends SparkSpec {
     assert(ThetaSketches.union(old, delta).getEstimate == full.getEstimate)
   }
 
+  test("KLL sketches maintain incrementally: old-merge-delta == full-scan quantiles") {
+    import graft.functions.KllSketches
+    val orders = Tables.orders(spark, sfDir)
+    val old = KllSketches.sketchesByGroup(
+      orders.filter(col("o_orderkey") % 2 === 0), "o_orderpriority", "o_totalprice")
+    val delta = KllSketches.sketchesByGroup(
+      orders.filter(col("o_orderkey") % 2 === 1), "o_orderpriority", "o_totalprice")
+    val full = KllSketches.sketchesByGroup(
+      orders, "o_orderpriority", "o_totalprice")
+    // merging yesterday's sketches with today's delta must give
+    // rank-equivalent quantiles to the full rescan: quantile stats of a
+    // growing corpus never need a rescan. KLL merge is randomized-
+    // compaction-equivalent, not bit-identical — assert the merged
+    // estimate's true rank stays within the same 3% bound.
+    val exact = orders.select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    full.keys.foreach { g =>
+      val merged = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance()
+      old.get(g).foreach(merged.merge)
+      delta.get(g).foreach(merged.merge)
+      assert(merged.getN == full(g).getN, s"$g: merged N != full N")
+      val xs = exact(g)
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9).foreach { q =>
+        val v = merged.getQuantile(q)
+        val rank = xs.count(_ <= v).toDouble / xs.length
+        assert(math.abs(rank - q) <= 0.03, s"$g q=$q merged est rank=$rank")
+      }
+    }
+  }
+
   test("count-min heavy hitters: never undercounts, overshoot <= 2*eps*N") {
     val rows = run("q_heavy_hitters").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -119,6 +119,19 @@ object Multimodal {
     decoded.select(col("media_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
 
+  /** Exact media dedup by content digest: keep the min-id copy of every
+    * distinct payload. The digest projects BEFORE the shuffle, so the
+    * grouping moves 16-byte hashes — never the media bytes themselves
+    * (at 100 TB the payload column must not cross an exchange); the
+    * keeper set re-joins the full rows as a broadcast semi join. */
+  def dedupByContent(media: DataFrame): DataFrame = {
+    val keep = media
+      .select(col("media_id"), md5(col("media")).as("content_md5"))
+      .groupBy(col("content_md5")).agg(min(col("media_id")).as("media_id"))
+    media.join(broadcast(keep.select(col("media_id"))), Seq("media_id"),
+      "left_semi")
+  }
+
   // ---- driver-verifiable entry (metadata path, SQL-expressible) ------
 
   def entries: Map[String, Q] = Map(
@@ -139,6 +152,16 @@ object Multimodal {
         |  CAST((ascii(substr(text, 1, 1)) % 8) * 32 + 64 AS INT) AS fake_width,
         |  CAST((ascii(substr(text, 2, 1)) % 8) * 32 + 64 AS INT) AS fake_height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // media dedup by content digest: only hashes shuffle, payloads stay
+    // put; the survivors' ids + sizes are SQL-replayable (full oracle)
+    "q_media_dedup" -> Q(
+      (s, d) => dedupByContent(asMedia(Tables.documents(s, d)))
+        .select(col("media_id"), col("n_bytes")),
+      """SELECT min(doc_id) AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |GROUP BY md5(text), octet_length(encode(text))""".stripMargin)
   )
 }

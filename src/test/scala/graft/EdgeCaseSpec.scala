@@ -242,6 +242,15 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("media content dedup keeps the min-id copy and drops its twin") {
+    import graft.operators.Multimodal
+    // docs 4 and 5 carry identical text → identical payload bytes
+    val kept = Multimodal.dedupByContent(Multimodal.asMedia(weird))
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4L) && !kept.contains(5L))
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L))
+  }
+
   test("quality logit is a defined probability for degenerate docs") {
     val out = TextAnalysis.qualityLogit(weird.select(col("doc_id"), col("text")))
       .collect()

@@ -195,6 +195,44 @@ object JoinQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure-scan
+    // aggregate — every predicate pushes to the parquet reader
+    // (min/max row-group skipping does the real work at 100 TB), one
+    // partial+final agg, zero joins. The plan-audit baseline for "a
+    // filter that never reaches Spark".
+    "q_tpch_q6" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+        .stripMargin),
+
+    // TPC-H Q14 shape (promotion effect): one broadcast dim join + a
+    // conditional/total revenue ratio in a single agg pass over the
+    // date-pruned fact slice.
+    "q_tpch_q14" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("promo_revenue")),
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'"""
+        .stripMargin),
+
     // bloom-prefiltered semi join: a selective order subset prunes the
     // lineitem scan through an inlined might_contain(xxhash64) predicate
     // BEFORE the exact semi join (Ops.bloomSemiJoin) — results are

@@ -305,6 +305,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch q6 pushes every predicate to the scan and joins nothing") {
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), p)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), pushed)
+  }
+
+  test("tpch q14 broadcasts the part dim over the date-pruned fact") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.find(_.contains("PushedFilters"))
+      .exists(_.contains("l_shipdate")), p)
+  }
+
   test("quality-logit classifier is a pure projection (zero shuffles)") {
     val p = plan("q_quality_logit")
     assert(!p.contains("Exchange"), p)

@@ -336,6 +336,34 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("RepartitionByExpression"), plan)
   }
 
+  test("streaming KLL quantiles over micro-batches match the full-scan sketch ranks") {
+    import spark.implicits._
+    // deterministic values in two groups, split across two batches
+    val all = (1 to 2000).map(i => (if (i % 2 == 0) "even" else "odd", i.toDouble * 3 % 997))
+    val (b1, b2) = all.splitAt(1000)
+    val mem = MemoryStream[(String, Double)](spark)
+    @volatile var last: Map[String, org.apache.datasketches.kll.KllDoublesSketch] = Map.empty
+    val q = graft.streaming.StreamingSketches.quantileSink(
+      mem.toDF().toDF("g", "v"), "g", "v") { (sks, _) => last = sks }
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // after both batches the accumulated sketch covers the full set:
+    // same N as the data, quantile estimates within the rank bound
+    val byG = all.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    byG.foreach { case (g, xs) =>
+      val sk = last(g)
+      assert(sk.getN == xs.length, s"$g: N ${sk.getN} != ${xs.length}")
+      Seq(0.1, 0.5, 0.9).foreach { p =>
+        val v = sk.getQuantile(p)
+        val rank = xs.count(_ <= v).toDouble / xs.length
+        assert(math.abs(rank - p) <= 0.03, s"$g p=$p est=$v rank=$rank")
+      }
+    }
+  }
+
   test("incremental term document-frequency folds new docs across micro-batches") {
     val mem = MemoryStream[SDoc](spark)
     val w = graft.streaming.StreamingText.incrementalTermDf(mem.toDF()).writeStream.format("memory")

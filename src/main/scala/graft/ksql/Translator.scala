@@ -496,15 +496,31 @@ object Translator {
     * arrive in offset order and ROWTIME (source event time, epoch
     * millis) is the offset proxy. The translator materializes ROWTIME
     * whenever the REWRITTEN statement mentions it, so the sugar works
-    * without the user naming ROWTIME anywhere. The explicit 2-arg form
-    * (value, ordering) maps straight to max_by/min_by. */
+    * without the user naming ROWTIME anywhere.
+    *
+    * 2-arg with an INTEGER LITERAL is ksqlDB's N-latest form:
+    * LATEST_BY_OFFSET(x, 3) returns the 3 latest values as an array in
+    * ascending offset order (EARLIEST_: the 3 earliest). Expansion is
+    * one collect_list of (offset, value) structs, sorted and sliced —
+    * a single aggregate buffer per group. A 2-arg call whose second
+    * argument is an expression stays the explicit (value, ordering)
+    * max_by/min_by extension. */
   private def expandLatest(sql: String): String = {
+    def nLatest(x: String, n: Int, latest: Boolean): String = {
+      val ts = s"transform(array_sort(collect_list(struct(ROWTIME AS o, $x AS v))), p -> p.v)"
+      if (latest) s"reverse(slice(reverse($ts), 1, $n))"
+      else s"slice($ts, 1, $n)"
+    }
     val s1 = rewriteCall(sql, "LATEST_BY_OFFSET") { args =>
       if (args.length == 1) s"max_by(${args.head}, ROWTIME)"
+      else if (args.length == 2 && args(1).matches("\\d+"))
+        nLatest(args.head, args(1).toInt, latest = true)
       else { arity("LATEST_BY_OFFSET", args, 2); s"max_by(${args.mkString(", ")})" }
     }
     rewriteCall(s1, "EARLIEST_BY_OFFSET") { args =>
       if (args.length == 1) s"min_by(${args.head}, ROWTIME)"
+      else if (args.length == 2 && args(1).matches("\\d+"))
+        nLatest(args.head, args(1).toInt, latest = false)
       else { arity("EARLIEST_BY_OFFSET", args, 2); s"min_by(${args.mkString(", ")})" }
     }
   }

@@ -826,6 +826,28 @@ class KsqlSpec extends SparkSpec {
     }
   }
 
+  test("LATEST_BY_OFFSET(x, N) returns the N latest values in offset order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(1000L), 10.0),
+      (1L, new java.sql.Timestamp(2000L), 20.0),
+      (1L, new java.sql.Timestamp(3000L), 30.0),
+      (1L, new java.sql.Timestamp(4000L), 40.0),
+      (2L, new java.sql.Timestamp(5000L), 50.0)
+    ).toDF("user_id", "ts", "value")
+    val catalog: Translator.Catalog = Map("ev" -> Translator.Source(rows, "ts"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT user_id, LATEST_BY_OFFSET(value, 2) AS last2,
+        |  EARLIEST_BY_OFFSET(value, 3) AS first3
+        |FROM ev GROUP BY user_id""".stripMargin): @unchecked
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((r.getSeq[Double](1).toList, r.getSeq[Double](2).toList))).toMap
+    // ksqlDB contract: N latest, ascending offset order within the slice
+    assert(got(1L) == ((List(30.0, 40.0), List(10.0, 20.0, 30.0))))
+    // fewer rows than N → the whole history, no padding
+    assert(got(2L) == ((List(50.0), List(50.0))))
+  }
+
   test("SET 'ksql.star.pseudocolumns' gives SELECT * the strict KSQL 5.x shape") {
     val catalog: Translator.Catalog = Map("events" -> Translator.Source(
       Tables.events(spark, sfDir), "ts", key = Some("user_id")))

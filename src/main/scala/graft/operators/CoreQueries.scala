@@ -448,7 +448,7 @@ object CoreQueries {
             t => length(t) > 0)).as("term"))
           .localCheckpoint(true)
         val skBytes = terms
-          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)")).head
+          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)")).head()
           .getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(skBytes))

@@ -122,7 +122,7 @@ object Ops {
     val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col(keyCol))),
       Literal(n), Literal(numBits)).toAggregateExpression())
-    val bfBytes = keys.agg(bfAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val bfBytes = keys.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
     val might = ColumnBridge.column(BloomFilterMightContain(
       Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(xxhash64(col(factKey)))))

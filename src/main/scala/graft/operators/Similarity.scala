@@ -120,7 +120,7 @@ object Similarity {
         .withColumn("d", l2Distance(col("v"), col("centroid")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
       x.withColumn("r", row_number().over(w)).filter(col("r") <= n)
-        .select(df.columns.map(col) :+ col("cell"): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("cell"): _*)
     }
     val corpusCells = assign(c0, 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("cv"))

@@ -121,7 +121,7 @@ object Sources {
     * schema (avro is self-describing — CREATE STREAM may omit columns). */
   def avroInferSchema(s: SparkSession, path: String): StructType = {
     import org.apache.spark.sql.types._
-    val one = binaryFiles(s, path, "*.avro").select("content").head
+    val one = binaryFiles(s, path, "*.avro").select("content").head()
       .getAs[Array[Byte]]("content")
     val ds = new org.apache.avro.file.DataFileStream(
       new java.io.ByteArrayInputStream(one),
@@ -278,7 +278,7 @@ object Sources {
                 keyCol: String): (DataFrame, String, Map[String, String]) = {
     val payload = df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
     (payload, "kafka", Map(
       "kafka.bootstrap.servers" -> bootstrap, "topic" -> topic))
   }

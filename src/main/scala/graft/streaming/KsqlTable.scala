@@ -15,8 +15,8 @@ object KsqlTable {
   def fromBatch(df: DataFrame, keyCol: String, offsetCol: String): DataFrame = {
     val others = df.columns.filterNot(c => c == keyCol)
     df.groupBy(col(keyCol))
-      .agg(max_by(struct(others.map(col): _*), col(offsetCol)).as("latest"))
-      .select(col(keyCol) +: others.map(c => col(s"latest.$c").as(c)): _*)
+      .agg(max_by(struct(others.toIndexedSeq.map(col): _*), col(offsetCol)).as("latest"))
+      .select(col(keyCol) +: others.toIndexedSeq.map(c => col(s"latest.$c").as(c)): _*)
   }
 
   /** TABLE over a stream: continuous latest-per-key in update mode.
@@ -118,7 +118,7 @@ object KsqlTable {
         val spark = batch.sparkSession
         val cols = batch.columns
         val latest = batch.groupBy(col(keyCol))
-          .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
+          .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), col(offsetCol)).as("r"))
           .select(col("r.*"))
         // Crash-safe two-phase write: merged state lands in a staging
         // dir FIRST, then swaps in via delete+rename, so the live
@@ -137,7 +137,7 @@ object KsqlTable {
           else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
         val merged = existing.unionByName(latest)
           .groupBy(col(keyCol))
-          .agg(max_by(struct(cols.map(col): _*), col(offsetCol)).as("r"))
+          .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), col(offsetCol)).as("r"))
           .select(col("r.*"))
         merged.write.mode("overwrite").parquet(staging.toString)
         if (fs.exists(hPath)) fs.delete(hPath, true)

@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // shuffle/broadcast/spill files on tmpfs: the default /tmp sits on a
+  // virtio disk here and the per-round bench measured MORE sys time than
+  // user time (8m vs 6.5m) — a syscall storm from temp-file traffic.
+  // On a real cluster this is the standard local-SSD/ramdisk scratch.
+  "-Dspark.local.dir=/dev/shm/spark-local",
+  // 32g default: Bench overlaps 8 shuffling queries in one JVM; with 8g
+  // the old-gen fills and concurrent GC storms inflate wall-clock 2-4x
+  // (measured 112-160 s vs 75 s at sf0.1 on a 32-core/128 GB box)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -31,6 +31,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // FAIR across the overlapped queries: under FIFO an iterative
+      // query's many small jobs queue behind another query's wide stage
+      // and its wall time multiplies by the overlap factor
+      .config("spark.scheduler.mode", "FAIR")
+      // AQE stays ON (measured: disabling it nearly doubles wall-clock —
+      // its post-shuffle coalescing of tiny sf0.1 partitions outweighs
+      // the per-stage re-optimize round-trip). Env knob kept for A/B.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one-time session setup outside the timed region: SQL extension
@@ -45,7 +54,14 @@ object Bench {
       name -> pool.submit(new Callable[Double] {
         def call(): Double = {
           val s0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+          // noop sink, not count(): count() lets Catalyst PRUNE the
+          // projections (a hash/score/projection query measured as a
+          // bare scan — discovered when a codegen bug surfaced only in
+          // Verify's writes, never in bench). noop fully evaluates
+          // every output column and discards rows — the standard Spark
+          // benchmarking sink.
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => return -1.0 }
           (System.nanoTime() - s0) / 1e9
         }
       })

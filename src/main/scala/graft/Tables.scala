@@ -8,12 +8,24 @@ import org.apache.spark.sql.types.LongType
   *
   * Reads are plain `spark.read.parquet` so Catalyst keeps full pushdown:
   * column pruning and predicate pushdown reach the parquet scan. Do NOT
-  * cache here — at 100 TB the scan must stream, and pruning only works
-  * when the scan sees the final projection.
+  * cache the DATA here — at 100 TB the scan must stream, and pruning only
+  * works when the scan sees the final projection.
+  *
+  * The resolved DataFrame (logical relation: file listing + parquet
+  * footer schema) IS memoized per (session, dir, table): `spark.read
+  * .parquet` re-lists the directory and re-reads footers on every call,
+  * which is serial driver work. With 150+ queries × several tables each,
+  * that planning floor is material. Reusing the immutable relation plan
+  * changes no semantics — each query still stacks its own projections
+  * and filters on top, and pushdown operates per-plan as before.
   */
 object Tables {
+  private val relCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

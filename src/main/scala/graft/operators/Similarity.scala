@@ -592,30 +592,40 @@ object Similarity {
     // map-side into rows×k, and no array compare is needed. The scale
     // path for ANN preprocessing: project once, index the 16-dim
     // vectors, 4× less memory and dot-product work.
+    // Round-6 determinism fix: the old explode→groupBy→sum form summed
+    // the 64 products in SHUFFLE order on the Spark side but in list
+    // order on the DuckDB side — float addition is not associative, and
+    // at 8000 output values a handful land exactly on a 4th-decimal
+    // rounding boundary (round-5 driver gate: rows matched, hash did
+    // not). Both engines now fold the ±x array SEQUENTIALLY in index
+    // order inside the row (the q_vec_normalize pattern): identical
+    // operations on identical values in identical order → bit-identical
+    // doubles before rounding. Scale posture unchanged: still a pure
+    // per-row projection over rows×k, no shuffle at all now (the old
+    // form shuffled rows×dims×k into the partial agg).
     "q_embed_project" -> Q(
       (s, d) => Tables.embeddings(s, d)
         .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"), col("x"),
-          explode(expr("sequence(0, 15)")).as("j"))
-        .withColumn("sgn", when(
-          conv(substring(md5(concat(col("j").cast("string"), lit("_"),
-            col("i").cast("string"))), 1, 2), 16, 10).cast("int") % 2 === 0,
-          lit(1.0)).otherwise(lit(-1.0)))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(round(sum(col("x") * col("sgn")) / 8, 4).as("p")),
-      """WITH c AS (
-        |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings,
-        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
-        |), e AS (
-        |  SELECT vec_id, i, x, CAST(j AS INT) AS j
-        |  FROM c, LATERAL (SELECT unnest(generate_series(0, 15)) AS j)
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("v"), explode(expr("sequence(0, 15)")).as("j"))
+        .select(col("vec_id"), col("j"),
+          expr("""round(aggregate(
+            zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+              CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_',
+                     CAST(i AS STRING))), 1, 2), 16, 10) AS INT) % 2 = 0
+                   THEN x ELSE -x END),
+            CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / 8, 4)""").as("p")),
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), ej AS (
+        |  SELECT vec_id, v, CAST(j AS INT) AS j
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 15)) AS j)
         |)
         |SELECT vec_id, j,
-        |  round(sum(x * (CASE WHEN ('0x' || substr(md5(j || '_' || i), 1, 2))
-        |    ::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) / 8, 4) AS p
-        |FROM e GROUP BY 1, 2""".stripMargin),
+        |  round(list_sum(list_transform(v, (x, i) ->
+        |    CASE WHEN ('0x' || substr(md5(j || '_' || (i - 1)), 1, 2))
+        |      ::BIGINT % 2 = 0 THEN x ELSE -x END)) / 8, 4) AS p
+        |FROM ej""".stripMargin),
 
     // IVF-PQ composite (approximate → rows-only; recall spec)
     "q_ann_ivfpq" -> Q(

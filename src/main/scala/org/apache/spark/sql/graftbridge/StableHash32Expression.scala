@@ -39,11 +39,18 @@ case class StableHash32(child: Expression)
         .stripMargin)
     nullSafeCodeGen(ctx, ev, in => {
       val d = ctx.freshName("digest")
+      // NOTE: generated continuation lines must never START with `|` —
+      // Spark's code-block formatting strips a leading pipe as if it
+      // were a stripMargin char, which silently split this expression
+      // into two statements and failed Janino ("... is not a type"),
+      // demoting every projection using stable_hash32 to interpreted
+      // eval (bench's count() pruned the projection, so only
+      // write-backed plans ever hit it). Operators go at end-of-line.
       s"""
          |$mdRef.reset();
          |byte[] $d = $mdRef.digest($in.getBytes());
-         |${ev.value} = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |  | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |${ev.value} = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |  (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
          |""".stripMargin
     })
   }

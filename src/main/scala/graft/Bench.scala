@@ -92,7 +92,8 @@ object Bench {
       "q_winnowing", "q_text_curation", "q_ksql_join", "q_ksql_ctas_window",
       "q_ksql_script", "q_scalar_math", "q_hll_rollup", "q_gopher_filter",
       "q_ann_graph", "q_dedup_keep", "q_ann_ivfpq", "q_lm_score",
-      "q_ann_rerank", "q_quality_logit", "q_profile", "q_kll_quantiles")
+      "q_ann_rerank", "q_quality_logit", "q_profile", "q_kll_quantiles",
+      "q_tpch_q7", "q_heavy_hitters")
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     println(

@@ -12,6 +12,7 @@ object SparkEntry {
   /** All operator registries, merged. Keys are unique per module. */
   private def all: Map[String, Q] =
     CoreQueries.entries ++ WindowQueries.entries ++ JoinQueries.entries ++
+      TpchQueries.entries ++
       Dedup.entries ++ Similarity.entries ++ TextAnalysis.entries ++
       Multimodal.entries ++ AnalyticsQueries.entries ++
       EventAnalytics.entries ++

@@ -433,34 +433,59 @@ object CoreQueries {
         |FROM events WHERE user_id % 10 = 3 AND value > 50
         |GROUP BY 1""".stripMargin),
 
-    // count-min-sketch heavy hitters: a FIXED-SIZE (KBs) mergeable
-    // summary of the full term stream — at 100 TB the sketch is what
-    // ships to the driver/dashboard, never the term counts. The exact
-    // top-30 here is the verification set (the spec asserts the CMS
-    // one-sided guarantee: est >= exact, overshoot <= eps·N);
-    // engine-specific sketch → rows-only driver check.
+    // count-min-sketch heavy hitters: a FIXED-SIZE (d×w counters, KBs)
+    // mergeable summary of the full term stream — at 100 TB the sketch
+    // is what ships to the driver/dashboard, never the term counts.
+    // Round 6 replaced Spark's opaque count_min_sketch (driver-side
+    // readFrom + estimateCount loop, engine-specific hashes → rows-only
+    // check) with the same sketch built from md5-STABLE row hashes:
+    // bucket_r(t) = stable_hash32(r || '_' || t) mod w, so the entire
+    // sketch — bucket totals AND estimates — replays bit-for-bit in
+    // DuckDB (full oracle now), and everything stays distributed: the
+    // one corpus shuffle builds the exact term histogram; bucket totals
+    // are a vocabulary-sized partial agg down to d×w rows; the top-30
+    // probe is an equi-join on (r, bucket). The CMS guarantee (min over
+    // d independent rows, est >= exact, overshoot <= 2·eps·N for
+    // eps = 2/w) is asserted in OperatorsSpec.
     "q_heavy_hitters" -> Q(
       (s, d) => {
-        // terms feed the sketch agg AND the exact verification top-30 —
-        // checkpoint so the split+explode runs once
-        val terms = Tables.documents(s, d).select(
+        val w = 2000
+        val exact = Tables.documents(s, d).select(
           explode(filter(split(lower(col("text")), "[^a-z]+"),
             t => length(t) > 0)).as("term"))
-          .localCheckpoint(true)
-        val skBytes = terms
-          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)")).head()
-          .getAs[Array[Byte]](0)
-        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(skBytes))
-        val top = terms.groupBy(col("term"))
-          .agg(count(lit(1)).as("exact"))
-          .orderBy(col("exact").desc, col("term")).limit(30)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1),
-            cms.estimateCount(r.getString(0))))
-        import s.implicits._
-        top.toSeq.toDF("term", "exact", "cms_est")
+          .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+          .localCheckpoint(true) // feeds bucket totals AND the top-30
+        val withBucket = exact
+          .select(col("term"), col("exact"), explode(expr("sequence(0, 2)")).as("r"))
+          .withColumn("bucket",
+            pmod(graft.functions.TextFunctions.stableHash32(
+              concat(col("r").cast("string"), lit("_"), col("term"))), lit(w)))
+        val btot = withBucket.groupBy(col("r"), col("bucket"))
+          .agg(sum(col("exact")).as("n"))
+        val top30 = withBucket
+          .join(exact.orderBy(col("exact").desc, col("term")).limit(30)
+            .select(col("term")), Seq("term"))
+        top30.join(btot, Seq("r", "bucket"))
+          .groupBy(col("term"), col("exact"))
+          .agg(min(col("n")).as("cms_est"))
       },
-      None)
+      """WITH t AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents) WHERE length(term) > 0
+        |), exact AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS exact FROM t GROUP BY 1
+        |), wb AS (
+        |  SELECT term, exact, CAST(r AS INT) AS r,
+        |    ('0x' || substr(md5(r || '_' || term), 1, 8))::BIGINT % 2000 AS bucket
+        |  FROM exact, LATERAL (SELECT unnest(generate_series(0, 2)) AS r)
+        |), btot AS (
+        |  SELECT r, bucket, sum(exact) AS n FROM wb GROUP BY 1, 2
+        |), top30 AS (
+        |  SELECT term FROM exact ORDER BY exact DESC, term LIMIT 30
+        |)
+        |SELECT wb.term, wb.exact, CAST(min(btot.n) AS BIGINT) AS cms_est
+        |FROM wb JOIN top30 USING (term) JOIN btot USING (r, bucket)
+        |GROUP BY 1, 2""".stripMargin)
   )
 }

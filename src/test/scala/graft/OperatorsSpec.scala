@@ -10,7 +10,7 @@ class OperatorsSpec extends SparkSpec {
   test("query registry has no duplicate keys across modules (merge would silently shadow)") {
     import graft.operators._
     val modules = Seq(CoreQueries.entries, WindowQueries.entries,
-      JoinQueries.entries, Dedup.entries, Similarity.entries,
+      JoinQueries.entries, TpchQueries.entries, Dedup.entries, Similarity.entries,
       TextAnalysis.entries, Multimodal.entries, AnalyticsQueries.entries,
       EventAnalytics.entries, WarehouseQueries.entries, Search.entries,
       graft.ksql.KsqlQueries.entries)

@@ -115,6 +115,57 @@ object TpchQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin),
 
+    // Q4 order-priority checking: orders with at least one
+    // large-quantity line, counted per priority. The canonical EXISTS
+    // (commit<receipt there, a quantity threshold here — the schema has
+    // no commit/receipt dates) plans as a LEFT SEMI join: lineitem
+    // reduces to its distinct qualifying orderkeys BEFORE the join, and
+    // the count is a 5-group agg — nothing wide ever shuffles.
+    "q_tpch_q4" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count")),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1""".stripMargin),
+
+    // Q12 shipping-mode priority classes: late-shipped lines (shipped
+    // more than 90 days after the order date — the schema has no
+    // shipmode/receipt, so lateness IS the class axis) split into
+    // critical vs non-critical priority counts in ONE conditional agg
+    // pass. Date arithmetic stays on the fact row (no dim needed);
+    // orders joins in only for the priority and the order date.
+    "q_tpch_q12" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT"
+            || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count")),
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin),
+
     // Q13 customer order-count distribution: LEFT join so zero-order
     // customers survive with c_count = 0, then a second (tiny) agg over
     // the per-customer counts. count(o_orderkey) ignores the NULLs the

@@ -14,6 +14,62 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingSketches {
 
+  /** A count-min sketch as a d×w counter matrix with the SAME
+    * md5-stable row hashes as the batch `q_heavy_hitters` query:
+    * bucket_r(t) = stable_hash32(r || '_' || t) mod w. CMS is
+    * additively mergeable, so per-micro-batch bucket totals fold into
+    * the accumulated matrix by plain addition — the streaming estimate
+    * after batch k equals the batch sketch over the union of batches
+    * 1..k (spec-asserted). Bounded state: d·w longs, stream-length-
+    * independent. */
+  final class CmsState(val d: Int, val w: Int) {
+    val counters: Array[Array[Long]] = Array.fill(d)(new Array[Long](w))
+    var n: Long = 0L
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private def bucket(r: Int, term: String): Int = {
+      md.reset()
+      val dig = md.digest(s"${r}_$term".getBytes("UTF-8"))
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      (h % w).toInt
+    }
+    /** One-sided estimate: min over the d rows, >= the true count. */
+    def estimate(term: String): Long =
+      (0 until d).map(r => counters(r)(bucket(r, term))).min
+  }
+
+  /** Maintain a count-min sketch of a term stream across micro-batches.
+    * Each batch aggregates DISTRIBUTED (r, bucket, cnt) partial totals
+    * (an Expand over d rows, one small shuffle to ≤ d·w groups); only
+    * the d×w summary reaches the driver accumulator. `onBatch` observes
+    * the accumulated sketch — heavy-hitter dashboards over unbounded
+    * streams with KB state. */
+  def countMinSink(stream: DataFrame, termCol: String, d: Int = 3, w: Int = 2000)
+                  (onBatch: (CmsState, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val acc = new CmsState(d, w)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val totals = batch
+          .select(col(termCol).as("term"),
+            explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+          .withColumn("bucket",
+            pmod(graft.functions.TextFunctions.stableHash32(
+              concat(col("r").cast("string"), lit("_"), col("term"))), lit(w)))
+          .groupBy(col("r"), col("bucket")).count()
+          .collect()
+        var batchN = 0L
+        totals.foreach { row =>
+          val r = row.getInt(0)
+          val c = row.getLong(2)
+          acc.counters(r)(row.getLong(1).toInt) += c
+          if (r == 0) batchN += c
+        }
+        acc.n += batchN
+        onBatch(acc, id)
+      }.start()
+  }
+
   /** Maintain per-group KLL quantile sketches across micro-batches.
     * `onBatch` observes the accumulated sketches after each batch —
     * quantile dashboards over an unbounded stream with bounded state.

@@ -583,4 +583,32 @@ class StreamingSpec extends SparkSpec {
     runToCompletion(w)
     assert(spark.table("ins").count() == 2)
   }
+
+  test("streaming count-min sketch equals the batch sketch after all batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the SAME term stream the batch q_heavy_hitters sketches, split
+    // into 3 micro-batches: CMS merge is plain counter addition, so the
+    // accumulated matrix must equal the batch bucket totals EXACTLY and
+    // the top-30 estimates must match the oracle-checked cms_est values
+    val terms = Tables.documents(spark, sfDir).select(
+      explode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) > 0)).as("term")).as[String].collect()
+    val batchTop = SparkEntry.queries("q_heavy_hitters")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[String](spark)
+    @volatile var last: graft.streaming.StreamingSketches.CmsState = null
+    val q = graft.streaming.StreamingSketches.countMinSink(
+      mem.toDF().toDF("term"), "term") { (st, _) => last = st }
+    terms.grouped(terms.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    assert(last.n == terms.length, s"stream N ${last.n} != ${terms.length}")
+    batchTop.foreach { case (t, exact, est) =>
+      assert(last.estimate(t) == est,
+        s"$t: streaming estimate ${last.estimate(t)} != batch sketch $est")
+      assert(last.estimate(t) >= exact, s"$t: CMS must never undercount")
+    }
+  }
 }

@@ -619,6 +619,47 @@ object TextAnalysis {
         |  count(*) AS cnt
         |FROM t GROUP BY 1, 2""".stripMargin),
 
+    // tokenizer-vocabulary coverage (OOV rate): fix the vocab at the
+    // top-1000 corpus terms (deterministic count-desc/term tiebreak —
+    // plans as TakeOrdered, a distributed top-K, never a global sort),
+    // then score every document's out-of-vocabulary token fraction.
+    // The pipeline primitive behind "how much of my corpus does this
+    // tokenizer/vocab actually cover": vocab is tiny → broadcast LEFT
+    // join marks in-vocab tokens; counts partial-aggregate per doc.
+    // Integer-ratio rounding is engine-exact (same two longs divide to
+    // the same double on both sides).
+    "q_oov_rate" -> Q(
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+        val tokens = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("tok"))
+        val vocab = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(1000)
+          .select(col("tok"), lit(1).as("iv"))
+        tokens.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+        |  ORDER BY cnt DESC, tok LIMIT 1000
+        |), scored AS (
+        |  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM t LEFT JOIN vocab v USING (tok)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+        |FROM scored GROUP BY 1""".stripMargin),
+
     // deterministic train/val/test assignment: hash-range split on the
     // stable md5 gate (90/5/5). Content-addressed and RNG-free — the
     // same doc lands in the same split on every engine, cluster size,

@@ -584,6 +584,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ins").count() == 2)
   }
 
+  test("sequence pattern detection matches the batch as-of formulation across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // user 1: view→click within bound (match, CROSS-batch); user 2:
+    // click with no view (no match); user 3: view→click beyond the
+    // bound (no match); user 4: two views then click (matches LATEST
+    // view); user 1 again: second click re-matches the same view
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val out = graft.streaming.StreamingPatterns.matchSequence(
+      mem.toDF(), "view", "click", java.time.Duration.ofMinutes(10))
+    val w = out.writeStream.format("memory").queryName("seq_out")
+      .outputMode(OutputMode.Update)
+    val q = w.start()
+    mem.addData(
+      Ev(1, t(0), 1, "view", 1),
+      Ev(2, t(1), 3, "view", 1),
+      Ev(3, t(2), 4, "view", 1))
+    q.processAllAvailable()
+    mem.addData(
+      Ev(4, t(5), 1, "click", 1),          // matches t(0) view
+      Ev(5, t(30), 3, "click", 1),         // 28 min after view: no match
+      Ev(6, t(6), 4, "view", 1),
+      Ev(7, t(8), 4, "click", 1),          // matches the LATER view t(6)
+      Ev(8, t(3), 2, "click", 1),          // no view at all
+      Ev(9, t(9), 1, "click", 1))          // re-matches t(0) view
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val got = spark.table("seq_out")
+      .select("user_id", "first_ts", "second_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ms = (m: Int) => t(m).getTime
+    assert(got == Set(
+      (1L, ms(0), ms(5)), (4L, ms(6), ms(8)), (1L, ms(0), ms(9))))
+  }
+
   test("streaming count-min sketch equals the batch sketch after all batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

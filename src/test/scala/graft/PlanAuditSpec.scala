@@ -344,4 +344,65 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_ann_rerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("tpch q4 plans the EXISTS as a semi join on pre-filtered keys") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    // the lineitem side carries only the key + pushed quantity filter
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)")
+      || p.contains("l_quantity"), p)
+  }
+
+  test("tpch q7 broadcasts all four dims; lineitem-orders is the only wide shuffle") {
+    val p = plan("q_tpch_q7")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges)\n$p")
+  }
+
+  test("tpch q8 computes market share in ONE aggregation pass") {
+    val p = plan("q_tpch_q8")
+    // conditional + total sums together: exactly one partial/final agg
+    // pair over the joined fact, never two scans of the join
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs <= 4, s"expected one partial/final agg pair (AQE may stage), got $aggs\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 8, s"each table scanned once, got $scans\n$p")
+  }
+
+  test("tpch q15 takes the max as a broadcast aggregate, not a re-scan or sort") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Sort global"), p)
+  }
+
+  test("tpch q17 joins the per-part threshold broadcast (correlated subquery as hash join)") {
+    val p = plan("q_tpch_q17")
+    val broadcasts = "Broadcast".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"part dim AND threshold agg should broadcast\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q22 anti-joins the order keys and broadcasts the scalar mean") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("oov rate broadcasts the vocab; tokens aggregate map-side per doc") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrdered"), s"vocab top-K should plan as TakeOrdered\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("heavy hitters: bucket totals partial-aggregate from the histogram (no second corpus scan)") {
+    val p = plan("q_heavy_hitters")
+    // the corpus explode feeds ONE histogram; bucket totals and the
+    // top-30 probe both derive from the checkpointed histogram
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"corpus must come from the checkpointed histogram, got $scans scans\n$p")
+  }
 }

@@ -494,14 +494,44 @@ object Similarity {
         |  CAST(list_sum(qv) AS BIGINT) AS checksum
         |FROM q""".stripMargin),
 
-    // approximate → rows-only driver check; recall vs brute force is
-    // asserted in SimilaritySpec.
+    // random-hyperplane LSH top-k with a FULL oracle since round 6: the
+    // hyperplane signs are md5-derived and the signature fold is
+    // sequential on both engines (the same replay recipe q_ann_rerank
+    // proved at nBits=6), so the 4-bit multi-probe bucket join AND the
+    // exact re-scores hash-match in DuckDB. Recall vs brute force is
+    // additionally asserted in SimilaritySpec.
     "q_ann_lsh" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), dim = 64)
       },
-      None),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum([
+        |      CASE WHEN list_sum([
+        |        v[i+1] * (CASE WHEN ('0x' || substr(md5(j || ':' || i), 1, 8))
+        |          ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |        FOR i IN range(64)]) > 0
+        |      THEN (1::BIGINT << j) ELSE 0 END
+        |      FOR j IN range(4)]) AS BIGINT) AS bucket
+        |  FROM e
+        |),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+        |p AS (
+        |  SELECT vec_id AS probe_id, v AS pv,
+        |    unnest(list_prepend(bucket,
+        |      [xor(bucket, 1::BIGINT << j) FOR j IN range(4)])) AS bucket
+        |  FROM sig WHERE vec_id % 100 = 0
+        |)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY list_cosine_similarity(pv, cv) DESC, neighbor_id)
+        |    AS INT) AS rank,
+        |  round(list_cosine_similarity(pv, cv), 4) AS cos_sim
+        |FROM p JOIN c USING (bucket)
+        |WHERE probe_id <> neighbor_id
+        |QUALIFY rank <= 3""".stripMargin),
 
     // two-stage retrieval with a FULL oracle — the production ANN
     // pattern (cheap candidate generation, exact re-rank) made exactly

@@ -47,16 +47,17 @@ object Sources {
   // ---- AVRO (KSQL's third value format) ------------------------------
   // No spark-avro connector jar ships in this image, but the CORE avro
   // library does — so the container-file read/write is implemented
-  // directly on the public org.apache.avro API. Reads distribute via
-  // the binaryFile datasource (Spark handles listing + file-granular
-  // task split), one DataFileStream per file; writes go through the
-  // Hadoop FileSystem API from each partition, so the same code path
-  // works against HDFS/S3 on a cluster. Granularity caveat vs a full
-  // FileFormat integration: a file is the split unit (no intra-file
-  // parallelism) and each file must fit in executor memory — the same
-  // contract as binaryFiles, acceptable for topic-dump-sized files.
-  // Supported field types: the KSQL value surface (boolean/int/long/
-  // float/double/string/bytes + timestamp-micros logical).
+  // directly on the public org.apache.avro API. Reads split INSIDE
+  // files on the container format's sync markers (round 6; the same
+  // byte-range semantics as Hadoop's AvroRecordReader: a task syncs to
+  // the first block boundary at-or-after its range start and reads
+  // blocks whose sync offset falls in [start, end)), streamed through
+  // FsInput — a multi-GB topic dump divides across the cluster and no
+  // file ever needs to fit in memory. Writes go through the Hadoop
+  // FileSystem API from each partition, so the same code path works
+  // against HDFS/S3 on a cluster. Supported field types: the KSQL
+  // value surface (boolean/int/long/float/double/string/bytes +
+  // timestamp-micros logical).
 
   private def avroFieldSchema(dt: org.apache.spark.sql.types.DataType)
   : org.apache.avro.Schema = {
@@ -118,54 +119,98 @@ object Sources {
   }
 
   /** Spark schema inferred from an avro container dir's embedded writer
-    * schema (avro is self-describing — CREATE STREAM may omit columns). */
+    * schema (avro is self-describing — CREATE STREAM may omit columns).
+    * Opens ONE file and reads only its header — never the data blocks. */
   def avroInferSchema(s: SparkSession, path: String): StructType = {
     import org.apache.spark.sql.types._
-    val one = binaryFiles(s, path, "*.avro").select("content").head()
-      .getAs[Array[Byte]]("content")
-    val ds = new org.apache.avro.file.DataFileStream(
-      new java.io.ByteArrayInputStream(one),
+    val conf = s.sparkContext.hadoopConfiguration
+    val (first, _) = avroFileList(s, path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no .avro files under $path"))
+    val in = new org.apache.avro.mapred.FsInput(
+      new org.apache.hadoop.fs.Path(first), conf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in,
       new org.apache.avro.generic.GenericDatumReader[
         org.apache.avro.generic.GenericRecord]())
-    try StructType(ds.getSchema.getFields.asScalaSeq.map { f =>
+    try StructType(reader.getSchema.getFields.asScalaSeq.map { f =>
       val (dt, nullable) = sparkTypeOf(f.schema())
       StructField(f.name(), dt, nullable)
     })
-    finally ds.close()
+    finally reader.close()
+  }
+
+  private def avroFileList(s: SparkSession, path: String): Seq[(String, Long)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val stats =
+      if (fs.isDirectory(p)) fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.avro"))
+      else fs.globStatus(p)
+    stats.toIndexedSeq.map(st => (st.getPath.toString, st.getLen)).sorted
+  }
+
+  /** Convert one generic record to a Row under `schema` (by-name field
+    * lookup, target-type driven conversion). */
+  private def recordToRow(rec: org.apache.avro.generic.GenericRecord,
+                          schema: StructType): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { f =>
+      val v = if (rec.getSchema.getField(f.name) == null) null else rec.get(f.name)
+      if (v == null) null else f.dataType match {
+        case StringType => v.toString
+        case TimestampType =>
+          val micros = v.asInstanceOf[java.lang.Long].longValue()
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+        case BinaryType =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer]
+          val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+        case _ => v
+      }
+    })
   }
 
   /** Read an avro container dir into the given schema (or pass
     * `avroInferSchema` output). Field lookup is BY NAME, values convert
-    * per the target Spark type. */
-  def avro(s: SparkSession, path: String, schema: StructType): DataFrame = {
-    import org.apache.spark.sql.types._
-    val rows = binaryFiles(s, path, "*.avro").select("content").rdd
-      .flatMap { fileRow =>
-        val bytes = fileRow.getAs[Array[Byte]]("content")
-        val ds = new org.apache.avro.file.DataFileStream(
-          new java.io.ByteArrayInputStream(bytes),
+    * per the target Spark type.
+    *
+    * Splits inside files: each task gets a byte range, seeks to the
+    * first sync marker at-or-after its start and reads exactly the
+    * blocks whose sync offset lies in [start, end) — the standard avro
+    * split contract, so every record is read exactly once no matter how
+    * ranges and block boundaries interleave. Records stream through
+    * FsInput; memory per task is one decompressed block. */
+  def avro(s: SparkSession, path: String, schema: StructType,
+           splitSize: Long = 32L * 1024 * 1024): DataFrame = {
+    require(splitSize > 0, "splitSize must be positive")
+    val files = avroFileList(s, path)
+    val splits = files.flatMap { case (file, len) =>
+      (0L until math.max(len, 1L) by splitSize)
+        .map(st => (file, st, math.min(st + splitSize, len)))
+    }
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val parallelism = math.min(math.max(splits.size, 1),
+      s.sparkContext.defaultParallelism * 4)
+    val rows = s.sparkContext
+      .parallelize(splits, parallelism)
+      .flatMap { case (file, start, end) =>
+        val in = new org.apache.avro.mapred.FsInput(
+          new org.apache.hadoop.fs.Path(file), hadoopConf.value)
+        val reader = org.apache.avro.file.DataFileReader.openReader(in,
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
-        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-        try while (ds.hasNext) {
-          val rec = ds.next()
-          out += org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { f =>
-            val v = rec.get(f.name)
-            if (v == null) null else f.dataType match {
-              case StringType => v.toString
-              case TimestampType =>
-                val micros = v.asInstanceOf[java.lang.Long].longValue()
-                val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-                ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-                ts
-              case BinaryType =>
-                val bb = v.asInstanceOf[java.nio.ByteBuffer]
-                val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
-              case _ => v
-            }
-          })
-        } finally ds.close()
-        out
+        reader.sync(start)
+        new Iterator[org.apache.spark.sql.Row] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = !closed && reader.hasNext && !reader.pastSync(end)
+            if (!h && !closed) { reader.close(); closed = true }
+            h
+          }
+          override def next(): org.apache.spark.sql.Row =
+            recordToRow(reader.next(), schema)
+        }
       }
     s.createDataFrame(rows, schema)
   }
@@ -173,8 +218,12 @@ object Sources {
   /** Write a frame as avro container files, one per partition, via the
     * Hadoop FS API (cluster-portable). Timestamps encode as
     * timestamp-micros; the writer schema embeds in every file. */
-  def avroSink(df: DataFrame, path: String): Unit =
-    writeAvroFiles(df, path, "part", truncate = true)
+  /** `syncInterval`: approximate bytes per avro block (the split
+    * granularity readers can parallelize at) — avro's default 64 KB
+    * unless overridden. */
+  def avroSink(df: DataFrame, path: String,
+               syncInterval: Int = 64000): Unit =
+    writeAvroFiles(df, path, "part", truncate = true, syncInterval)
 
   /** Append one micro-batch as avro files (streaming CSAS sink). File
     * names carry the batch id, so a replayed batch after a crash
@@ -184,7 +233,8 @@ object Sources {
     writeAvroFiles(df, path, s"part-b$batchId", truncate = false)
 
   private def writeAvroFiles(df: DataFrame, path: String,
-                             prefix: String, truncate: Boolean): Unit = {
+                             prefix: String, truncate: Boolean,
+                             syncInterval: Int = 64000): Unit = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val schema = df.schema
@@ -204,6 +254,7 @@ object Sources {
         val writer = new org.apache.avro.file.DataFileWriter(
           new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](aSchema))
+        writer.setSyncInterval(syncInterval)
         writer.create(aSchema, os)
         try it.foreach { row =>
           val rec = new org.apache.avro.generic.GenericData.Record(aSchema)

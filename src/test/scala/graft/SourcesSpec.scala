@@ -64,6 +64,32 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("avro intra-file splits read every record exactly once") {
+    // ONE file, many records, then a split size far below the file
+    // length: ranges cut through the middle of blocks, and the sync
+    // contract (read blocks whose sync offset is in [start, end)) must
+    // yield exactly-once coverage — no dropped first block, no
+    // double-read across adjacent ranges
+    val df = Tables.events(spark, sfDir).coalesce(1)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // ~1 KB blocks so the ~31 KB file carries many sync points
+    Sources.avroSink(df, s"$tmp/avro_split", syncInterval = 1024)
+    val files = new java.io.File(s"$tmp/avro_split").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    val len = files.head.length()
+    val splitSize = 4L * 1024
+    assert(len > 4 * splitSize, s"file too small ($len) to test splitting")
+    val back = Sources.avro(spark, s"$tmp/avro_split", df.schema, splitSize)
+    assert(back.rdd.getNumPartitions > 1, "expected multiple split tasks")
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // degenerate range (splitSize > file length) still reads everything
+    assert(Sources.avro(spark, s"$tmp/avro_split", df.schema,
+      splitSize = 1L << 30).count() == df.count())
+  }
+
   test("dialect: CREATE STREAM / CSAS with VALUE_FORMAT='AVRO'") {
     import graft.ksql.Translator
     val src = Tables.nation(spark, sfDir)

@@ -619,6 +619,41 @@ object TextAnalysis {
         |  count(*) AS cnt
         |FROM t GROUP BY 1, 2""".stripMargin),
 
+    // differentially-private count release (Laplace mechanism) with
+    // DETERMINISTIC noise: u ~ Uniform(0,1) derives from the md5 hash
+    // of the group key ((h + 0.5) / 2^32 — never exactly 0 or 0.5, so
+    // the inverse-CDF ln() stays finite), noise = -sign(u-.5)·ln(1-2|u-.5|)/ε.
+    // No RNG state to coordinate across engines, executors, or reruns —
+    // the release is reproducible AND replayable in DuckDB (full
+    // oracle). The privacy-preserving stats-publication primitive for
+    // corpus dashboards; one partial-aggregated count pass, noise is a
+    // per-group projection.
+    "q_dp_counts" -> Q(
+      (s, d) => {
+        val eps = 1.0
+        val h = conv(substring(md5(concat_ws("_", col("lang"), col("source"))),
+          1, 8), 16, 10).cast("long")
+        val u = (h.cast("double") + 0.5) / 4294967296.0
+        val c = u - 0.5
+        val noise = -signum(c) * log(lit(1.0) - lit(2.0) * abs(c)) / eps
+        Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("lang"), col("source"),
+            round(col("n") + noise, 3).as("noisy_n"))
+      },
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+        |), u AS (
+        |  SELECT lang, source, n,
+        |    (('0x' || substr(md5(lang || '_' || source), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0 - 0.5 AS c
+        |  FROM g
+        |)
+        |SELECT lang, source,
+        |  round(n + (-sign(c) * ln(1 - 2 * abs(c)) / 1.0), 3) AS noisy_n
+        |FROM u""".stripMargin),
+
     // tokenizer-vocabulary coverage (OOV rate): fix the vocab at the
     // top-1000 corpus terms (deterministic count-desc/term tiebreak —
     // plans as TakeOrdered, a distributed top-K, never a global sort),

@@ -221,6 +221,38 @@ object Sources {
   /** `syncInterval`: approximate bytes per avro block (the split
     * granularity readers can parallelize at) — avro's default 64 KB
     * unless overridden. */
+  /** Streaming avro source: new container files appearing under `path`
+    * become micro-batch rows (the file-monitoring analogue of a topic
+    * subscription — KSQL's AVRO streams). Built on the binaryFile
+    * stream source (Spark tracks seen files in the checkpoint), with
+    * the decode as a per-file flatMap. Streaming granularity is the
+    * FILE (a micro-batch's new files decode whole — topic-dump files
+    * are block-compressed and arrive complete); the batch `avro` reader
+    * remains the intra-file-split path for backfills. */
+  def avroStream(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    // binaryFile's fixed schema must be declared explicitly on a STREAM
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    s.readStream.format("binaryFile").option("pathGlobFilter", "*.avro")
+      .schema(binSchema)
+      .load(path)
+      .select("content")
+      .flatMap { (fileRow: org.apache.spark.sql.Row) =>
+        val ds = new org.apache.avro.file.DataFileStream(
+          new java.io.ByteArrayInputStream(fileRow.getAs[Array[Byte]](0)),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        try while (ds.hasNext) out += recordToRow(ds.next(), schema)
+        finally ds.close()
+        out
+      }(encoder)
+      .toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
   def avroSink(df: DataFrame, path: String,
                syncInterval: Int = 64000): Unit =
     writeAvroFiles(df, path, "part", truncate = true, syncInterval)

@@ -64,6 +64,25 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("avro streaming source picks up new container files per micro-batch") {
+    import spark.implicits._
+    val dir = s"$tmp/avro_stream"
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sources.avroSink(df1, dir) // first file
+    val stream = Sources.avroStream(spark, dir, df1.schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("avro_in")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("avro_in").count() == 2)
+    // a LATER file lands (append, no truncate) → next batch adds its rows
+    Sources.avroAppend(Seq((3L, "c")).toDF("id", "v"), dir, batchId = 7)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("avro_in").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("avro intra-file splits read every record exactly once") {
     // ONE file, many records, then a split size far below the file
     // length: ranges cut through the middle of blocks, and the sync

@@ -619,6 +619,40 @@ object TextAnalysis {
         |  count(*) AS cnt
         |FROM t GROUP BY 1, 2""".stripMargin),
 
+    // weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    // per-item key ln(u)/w with u md5-derived from doc_id — the top-k
+    // keys per group are a weight-proportional sample, computed as a
+    // per-group rank (WindowGroupLimit prunes map-side) with NO
+    // sequential pass and no RNG state: the same doc set is selected on
+    // any cluster size, any engine, any rerun. The mixing primitive for
+    // "sample 5 docs per language ∝ length" — full DuckDB oracle
+    // (rank depends only on key ORDER, ties impossible: md5 keys are
+    // distinct reals).
+    "q_weighted_sample" -> Q(
+      (s, d) => {
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 0.5) / 4294967296.0
+        val key = log(u) / col("n_chars") // maximize u^(1/w) ⇔ maximize ln(u)/w
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("k").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("lang"), col("doc_id"), col("n_chars"), key.as("k"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      },
+      """WITH k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0) / n_chars AS k
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY k DESC, doc_id) AS INT) AS rank,
+        |  doc_id, n_chars
+        |FROM k QUALIFY rank <= 5""".stripMargin),
+
     // differentially-private count release (Laplace mechanism) with
     // DETERMINISTIC noise: u ~ Uniform(0,1) derives from the md5 hash
     // of the group key ((h + 0.5) / 2^32 — never exactly 0 or 0.5, so

@@ -55,4 +55,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).count() == 0)
   }
+
+  test("plan shape survives a 10x scale-up (no broadcast/partial-agg degradation)") {
+    // the properties the 100 TB posture rests on must hold at BOTH test
+    // scales — a plan that silently switches a dim broadcast to a
+    // shuffle join, or drops map-side partial aggregation, between
+    // sf0.001 and sf0.01 would degrade the same way again at cluster SFs
+    def shape(name: String, sf: String): (Int, Boolean) = {
+      val p = SparkEntry.queries(name)(spark, s"/root/testdata/sf$sf")
+        .queryExecution.executedPlan.toString
+      ("BroadcastHashJoin".r.findAllIn(p).length,
+        "partial".r.findFirstIn(p).isDefined)
+    }
+    Seq("q_join_star", "q_tpch_q5", "q_tpch_q7").foreach { q =>
+      val (b1, pa1) = shape(q, "0.001")
+      val (b2, pa2) = shape(q, "0.01")
+      assert(b2 >= b1, s"$q: broadcast joins degraded $b1 -> $b2 at 10x")
+      assert(pa1 && pa2, s"$q: partial aggregation missing ($pa1, $pa2)")
+    }
+  }
 }

@@ -394,26 +394,43 @@ object Sinks {
     * subsequent scan pays less.
     */
   def zorderParquet(df: DataFrame, path: String, colA: String, colB: String,
-                    nFiles: Int): Unit = {
-    val bounds = df.agg(
-      min(col(colA)).cast("double").as("a_lo"), max(col(colA)).cast("double").as("a_hi"),
-      min(col(colB)).cast("double").as("b_lo"), max(col(colB)).cast("double").as("b_hi"))
-    def norm16(c: Column, lo: Column, hi: Column): Column =
+                    nFiles: Int): Unit =
+    zorderParquetN(df, path, Seq(colA, colB), nFiles)
+
+  /** N-key generalization: bit i of key j lands at bit n·i + j of the
+    * z-value. Bits per key shrink as keys grow (min(16, 62/n) — the
+    * composite must fit a long), which is the right trade: each added
+    * clustering key halves the per-key resolution but buys skipping on
+    * one more independent predicate column. */
+  def zorderParquetN(df: DataFrame, path: String, cols: Seq[String],
+                     nFiles: Int): Unit = {
+    require(cols.size >= 2, "z-order needs at least 2 keys")
+    val n = cols.size
+    val bits = math.min(16, 62 / n)
+    val maxVal = (1L << bits) - 1
+    val boundAggs = cols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c)).cast("double").as(s"__lo$j"),
+        max(col(c)).cast("double").as(s"__hi$j"))
+    }
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    def norm(c: Column, lo: Column, hi: Column): Column =
       when(hi === lo, lit(0L)).otherwise(
-        least(lit(65535L), floor((c.cast("double") - lo) / (hi - lo) * 65536))
-          .cast("long"))
-    val za = norm16(col(colA), col("a_lo"), col("a_hi"))
-    val zb = norm16(col(colB), col("b_lo"), col("b_hi"))
-    // interleave: bit i of a → bit 2i, bit i of b → bit 2i+1
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftrightunsigned(za, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftrightunsigned(zb, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+        least(lit(maxVal), floor((c.cast("double") - lo) / (hi - lo)
+          * (maxVal + 1))).cast("long"))
+    val normed = cols.zipWithIndex.map { case (c, j) =>
+      norm(col(c), col(s"__lo$j"), col(s"__hi$j"))
+    }
+    val z = (for {
+      i <- 0 until bits
+      (nc, j) <- normed.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(nc, i).bitwiseAND(lit(1L)), n * i + j))
+      .reduce(_ bitwiseOR _)
+    val boundCols = cols.indices.flatMap(j => Seq(s"__lo$j", s"__hi$j"))
     df.crossJoin(broadcast(bounds))
       .withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "a_lo", "a_hi", "b_lo", "b_hi")
+      .drop("__z" +: boundCols: _*)
       .write.mode("overwrite").parquet(path)
   }
 

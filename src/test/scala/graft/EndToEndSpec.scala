@@ -135,4 +135,48 @@ class EndToEndSpec extends SparkSpec {
       assert(n == expected, s"statement $i: $n != $expected")
     }
   }
+
+  test("AVRO topic lifecycle: files -> stream -> windowed agg -> AVRO CSAS -> batch read") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("avro_e2e").toString
+    val inDir = s"$tmp/topic_in"; val outDir = s"$tmp/topic_out"
+    // "topic": two avro container files of events
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val (half1, half2) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    graft.sources.Sources.avroAppend(half1, inDir, batchId = 0)
+    graft.sources.Sources.avroAppend(half2, inDir, batchId = 1)
+    // CREATE STREAM over the avro dir → tumbling hourly count per type
+    val schema = graft.sources.Sources.avroInferSchema(spark, inDir)
+    val stream = graft.streaming.KsqlStream(
+      graft.sources.Sources.avroStream(spark, inDir, schema), "ts", "1 hour")
+    val agg = stream.df
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"))
+    // CSAS back to an avro "topic"
+    val q = graft.streaming.KsqlStream(agg, "ws", "1 hour")
+      .createStreamAsAvro(outDir, s"$tmp/cp").start()
+    q.awaitTermination() // AvailableNow: drains the input then stops
+    // batch read of the output topic equals the batch computation over
+    // the WATERMARK-CLOSED windows: append mode emits a window only
+    // once the watermark (max event time - 1 hour) passes its end, so
+    // the tail windows correctly stay open at drain
+    val back = graft.sources.Sources.avro(spark, outDir,
+      graft.sources.Sources.avroInferSchema(spark, outDir))
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val hourMs = 3600000L
+    val expect = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"))
+      .filter(col("ws") + hourMs <= maxTs - hourMs)
+    assert(back.count() > 0)
+    assert(back.exceptAll(expect).count() == 0 && expect.exceptAll(back).count() == 0,
+      "streamed AVRO aggregation differs from the batch computation on closed windows")
+  }
 }

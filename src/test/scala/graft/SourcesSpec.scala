@@ -270,6 +270,39 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/zorder").count() == df.count())
   }
 
+  test("3-key z-order localizes every key per file") {
+    val df = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    Sinks.zorderParquetN(df, s"$tmp/zorder3",
+      Seq("event_id", "user_id", "value"), nFiles = 8)
+    val files = new java.io.File(s"$tmp/zorder3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4)
+    def range(c: String): (Double, Double) = {
+      val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val ranges = Seq("event_id", "user_id", "value").map(range)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("event_id").cast("double"), max("event_id").cast("double"),
+        min("user_id").cast("double"), max("user_id").cast("double"),
+        min("value").cast("double"), max("value").cast("double")).head
+      Seq(0, 1, 2).map { j =>
+        (r.getDouble(2 * j + 1) - r.getDouble(2 * j)) /
+          (ranges(j)._2 - ranges(j)._1)
+      }
+    }
+    // every dimension's AVERAGE per-file span must beat the ~1.0 of an
+    // unclustered layout; 3 keys at 20 bits each is coarser than the
+    // 2-key case, so the bound is looser
+    Seq(0, 1, 2).foreach { j =>
+      val avg = spans.map(_(j)).sum / spans.length
+      assert(avg < 0.8, f"key $j avg span $avg%.2f")
+    }
+    assert(spark.read.parquet(s"$tmp/zorder3").count() == df.count())
+  }
+
   test("partitioned parquet write lays out by partition column") {
     Sinks.partitionedParquet(Tables.nation(spark, sfDir), s"$tmp/part", Seq("n_regionkey"))
     val dirs = new java.io.File(s"$tmp/part").listFiles().map(_.getName)

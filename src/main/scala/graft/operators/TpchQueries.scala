@@ -243,6 +243,35 @@ object TpchQueries {
         |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin),
 
+    // Q19 discounted revenue: an OR of conjunctive (brand × quantity ×
+    // size) range predicates over the part⋈lineitem join — the
+    // disjunctive-pushdown stress test (canonical Q19 uses containers/
+    // shipmode this schema lacks; brand/size/quantity keep the shape).
+    // The part dim broadcasts; the disjunction can't prune the fact
+    // scan wholesale but each conjunct's quantity range rides the scan,
+    // and the join stays a single broadcast hash join — never a union
+    // of three scans.
+    "q_tpch_q19" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+            && col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue")),
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
     // Q22 global sales opportunity: well-funded customers (above the
     // positive-balance mean, rounded to cents so the threshold compare
     // is engine-stable) with no RECENT URGENT order, grouped by nation

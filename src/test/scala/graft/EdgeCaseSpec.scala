@@ -261,4 +261,44 @@ class EdgeCaseSpec extends SparkSpec {
       assert(p >= 0.0 && p <= 1.0, s"p=$p out of range")
     }
   }
+
+  test("CMS state: unseen terms get one-sided (>= 0) estimates, empty state gives 0") {
+    val st = new graft.streaming.StreamingSketches.CmsState(3, 2000)
+    assert(st.estimate("never-seen") == 0L) // empty sketch: all counters 0
+    st.counters.foreach(row => java.util.Arrays.fill(row, 5L))
+    st.n = 5L
+    // any term hashes into SOME bucket of each row — estimate is the
+    // min across rows, never negative, never below a true count of 0
+    assert(st.estimate("still-never-seen") == 5L)
+  }
+
+  test("dp counts: Laplace noise from a 32-bit uniform is bounded by ln(2^32)/eps") {
+    // u ∈ ((0.5)/2^32, 1 - 0.5/2^32] → |noise| <= ln(2^33) ≈ 22.9 at ε=1;
+    // every released count stays within that envelope of the true count
+    val noisy = SparkEntry.queries("q_dp_counts")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val truth = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(noisy.keySet == truth.keySet)
+    noisy.foreach { case (k, v) =>
+      assert(math.abs(v - truth(k)) <= 23.0, s"$k: |${v - truth(k)}| > 23")
+    }
+  }
+
+  test("weighted sample: ranks are 1..k per group and heavier docs win expectation") {
+    val rows = SparkEntry.queries("q_weighted_sample")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"$lang ranks")
+    }
+    // weight-proportional without replacement: the SAMPLED docs' mean
+    // length should not be below the corpus mean (statistical, but the
+    // hash is fixed so this is a deterministic regression check)
+    val sampledMean = rows.map(_._4.toDouble).sum / rows.length
+    val corpusMean = Tables.documents(spark, sfDir)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampledMean > corpusMean * 0.9,
+      f"sampled mean $sampledMean%.0f vs corpus $corpusMean%.0f")
+  }
 }

@@ -21,7 +21,45 @@ object EventAnalytics {
 
   private val SessionGapMs = 1800000L // 30 min
 
+  /** Per-ms decay constant for a 1-hour half-life; embedded VERBATIM in
+    * both engines' expressions so the weight math starts from identical
+    * doubles. */
+  private val decayLambda: Double = math.log(2) / 3600000.0
+
   def entries: Map[String, Q] = Map(
+    // time-decayed value sum (exponential decay, 1-hour half-life):
+    // each user's events weighted by exp(-λ·(t_last − t_j)) and summed
+    // at the user's LAST event time — the recency-weighted engagement
+    // score behind feature stores and trending rankers. Closed form is
+    // ORDER-FREE (a window max anchors t_last, then one map-side
+    // partial-aggregated sum — no sequential scan, no per-row state);
+    // the exp argument is bounded by the per-user time span, so no
+    // overflow normalization. The streaming recurrence
+    // s ← s·exp(-λΔt) + x in StreamingPatterns.decayedSum folds to the
+    // same value (parity spec'd).
+    "q_decayed_sum" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("value"))
+          .withColumn("t_last", max(col("tms")).over(w))
+          .groupBy(col("user_id"), col("t_last"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value") *
+              exp(lit(-decayLambda) * (col("t_last") - col("tms")))), 4)
+              .as("decayed"))
+      },
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(ts) AS tms, value FROM events
+         |), m AS (
+         |  SELECT user_id, tms, value,
+         |    max(tms) OVER (PARTITION BY user_id) AS t_last
+         |  FROM e
+         |)
+         |SELECT user_id, t_last, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(sum(value * exp(-(${java.lang.Double.toString(decayLambda)})
+         |    * (t_last - tms))), 4) AS decayed
+         |FROM m GROUP BY 1, 2""".stripMargin),
     // gaps-and-islands sessionization: a new session starts when the
     // per-user gap exceeds 30 min; session_seq = running count of
     // session starts. One window pass, no join.

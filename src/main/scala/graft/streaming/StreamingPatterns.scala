@@ -44,6 +44,50 @@ object StreamingPatterns {
     }
   }
 
+  private class DecayProcessor(lambda: Double, ttl: TTLConfig)
+    extends StatefulProcessor[Long, (Long, Long, Double), (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("decay",
+        Encoders.product[(Long, Double)], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (t, s) = if (st.exists()) st.get() else (Long.MinValue, 0.0)
+      rows.foreach { case (_, tms, x) =>
+        if (t == Long.MinValue) { t = tms; s = x }
+        else if (tms >= t) { s = s * math.exp(-lambda * (tms - t)) + x; t = tms }
+        // late event: fold at its own decay against the current anchor —
+        // the closed form is order-free, so this is exact, not an
+        // approximation
+        else s += x * math.exp(-lambda * (t - tms))
+      }
+      st.update((t, s))
+      Iterator.single((key, t, s))
+    }
+  }
+
+  /** Continuous time-decayed value sum per key (the streaming form of
+    * the batch `q_decayed_sum` closed formula): state is ONE
+    * (anchor_ts, sum) pair per key; each event either rescales the sum
+    * by exp(-λΔt) (new anchor) or folds in at its own decay (late
+    * arrival) — both EXACT under the order-free closed form. Emits the
+    * running (user_id, t_last, decayed) per key per micro-batch. */
+  def decayedSum(events: DataFrame, halfLife: java.time.Duration,
+                 stateTtl: java.time.Duration = null): DataFrame = {
+    import events.sparkSession.implicits._
+    val lambda = math.log(2) / halfLife.toMillis.toDouble
+    val ttl = Option(stateTtl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    events
+      .select(col("user_id").cast("long"), unix_millis(col("ts")).as("tms"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new DecayProcessor(lambda, ttl),
+        TimeMode.None(), OutputMode.Update(),
+        Encoders.product[(Long, Long, Double)])
+      .toDF("user_id", "t_last", "decayed")
+  }
+
   /** events: streaming frame with (user_id: long, event_type: string,
     * ts: timestamp). Returns (user_id, first_ts, second_ts) in epoch
     * millis, update mode. */

@@ -621,6 +621,48 @@ class StreamingSpec extends SparkSpec {
       (1L, ms(0), ms(5)), (4L, ms(6), ms(8)), (1L, ms(0), ms(9))))
   }
 
+  test("streaming decayed sum converges to the batch closed form") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // real events, split by time into two micro-batches (so anchors
+    // advance across batches), plus an out-of-order tail in batch 2
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val (b1all, b2main) = ev.splitAt(ev.length / 2)
+    // hold back a few EARLY events and deliver them in batch 2: they
+    // arrive LATE relative to the running anchors, so the exact
+    // late-fold branch is exercised
+    val (b1, held) = (b1all.dropRight(5), b1all.takeRight(5))
+    val b2 = b2main ++ held
+    val mem = MemoryStream[Ev](spark)
+    val out = graft.streaming.StreamingPatterns.decayedSum(
+      mem.toDF(), java.time.Duration.ofHours(1))
+    val q = out.writeStream.format("memory").queryName("decay_out")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // update-mode memory sink: last emit per user is the final state
+    val fin = spark.table("decay_out")
+      .groupBy("user_id").agg(max(struct(col("t_last"), col("decayed"))).as("s"))
+      .select(col("user_id"), col("s.t_last"), col("s.decayed")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = SparkEntry.queries("q_decayed_sum")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(fin.keySet == batch.keySet)
+    batch.foreach { case (u, (tLast, d)) =>
+      val (st, sd) = fin(u)
+      assert(st == tLast, s"user $u anchor $st != $tLast")
+      // batch value is rounded to 4 decimals; allow that plus float slack
+      assert(math.abs(sd - d) <= 1e-4 + math.abs(d) * 1e-9,
+        s"user $u streamed $sd vs batch $d")
+    }
+  }
+
   test("streaming count-min sketch equals the batch sketch after all batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -80,6 +80,8 @@ object StreamingPatterns {
     events
       .select(col("user_id").cast("long"), unix_millis(col("ts")).as("tms"),
         col("value").cast("double"))
+      .filter(col("user_id").isNotNull && col("tms").isNotNull
+        && col("value").isNotNull)
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new DecayProcessor(lambda, ttl),
@@ -99,6 +101,7 @@ object StreamingPatterns {
     events
       .select(col("user_id").cast("long"), col("event_type"),
         unix_millis(col("ts")).as("ts_ms"))
+      .filter(col("user_id").isNotNull && col("ts_ms").isNotNull)
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(

@@ -26,7 +26,9 @@ object StreamingSketches {
     val counters: Array[Array[Long]] = Array.fill(d)(new Array[Long](w))
     var n: Long = 0L
     private val md = java.security.MessageDigest.getInstance("MD5")
-    private def bucket(r: Int, term: String): Int = {
+    // synchronized: the shared digest would interleave if a dashboard
+    // thread probes estimates while foreachBatch folds the next batch
+    private def bucket(r: Int, term: String): Int = synchronized {
       md.reset()
       val dig = md.digest(s"${r}_$term".getBytes("UTF-8"))
       val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
@@ -51,6 +53,7 @@ object StreamingSketches {
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val totals = batch
+          .filter(col(termCol).isNotNull) // a null term is not a term
           .select(col(termCol).as("term"),
             explode(expr(s"sequence(0, ${d - 1})")).as("r"))
           .withColumn("bucket",

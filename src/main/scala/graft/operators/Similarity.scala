@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.stat.Summarizer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,18 +76,20 @@ object Similarity {
     * mean is the seed (no RNG state — reproducible on any cluster).
     * Each iteration: assign every vector to its nearest centroid
     * (broadcast the tiny centroid table against the corpus scan), then
-    * recompute centroids as the element-wise mean via posexplode →
-    * groupBy (cell, dim) — the shuffle is rows × dims, linear in corpus
-    * size, never a collect. Centroid count stays small by construction,
-    * so the broadcast side never grows with the corpus.
+    * recompute centroids as the element-wise mean via Summarizer.mean —
+    * a single partial-aggregable pass whose state is one dims-length
+    * buffer per cell, map-side combined, so the shuffle carries
+    * O(cells × dims) doubles regardless of corpus size (the former
+    * posexplode → groupBy(cell, dim) → re-assemble shape shuffled
+    * rows × dims and aggregated twice per round). Centroid count stays
+    * small by construction, so the broadcast side never grows with the
+    * corpus.
     */
   def kMeansCentroids(vecs: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
     val meanByCell = (assigned: DataFrame) => assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"), col("dm.m").as("centroid"))
+      .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
+      .select(col("cell"), vector_to_array(col("mv")).as("centroid"))
     val seeded = vecs.withColumn("cell",
       pmod(crc32(col("vec_id").cast("string")), lit(nCells)))
     // localCheckpoint each round: the centroid table is nCells rows but
@@ -166,11 +170,9 @@ object Similarity {
     */
   def pqCodebooks(subvecs: DataFrame, ksub: Int, iters: Int = 2): DataFrame = {
     val meanByCell = (assigned: DataFrame) => assigned
-      .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy(col("sub"), col("cell"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("sub"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("sub"), col("cell"), col("dm.m").as("codeword"))
+      .agg(Summarizer.mean(array_to_vector(col("sv"))).as("mv"))
+      .select(col("sub"), col("cell"), vector_to_array(col("mv")).as("codeword"))
     val seeded = subvecs.withColumn("cell",
       pmod(crc32(concat_ws("_", col("vec_id"), col("sub"))), lit(ksub)))
     var cb = meanByCell(seeded).localCheckpoint(true)

@@ -222,6 +222,35 @@ object KsqlQueries {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin)
+        |GROUP BY n_name""".stripMargin),
+
+    // ksqlDB invocable (lambda) functions — TRANSFORM/FILTER/REDUCE with
+    // `=>` arrows land on Spark's native transform/filter/reduce HOFs
+    // (codegen'd, no UDF); the 3-arg map TRANSFORM builds both lambdas
+    // over the ORIGINAL entries in one map_entries pass. Oracle replays
+    // the array HOFs with DuckDB list_* lambdas and the map transform in
+    // closed form.
+    "q_ksql_lambda" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(Tables.documents(s, d), "doc_id"))
+        val q =
+          """SELECT doc_id,
+            |  REDUCE(TRANSFORM(SPLIT(text, ' '), w => LENGTH(w)),
+            |         0, (acc, x) => acc + x) AS chars_sum,
+            |  ARRAY_LENGTH(FILTER(SPLIT(text, ' '),
+            |                      w => LENGTH(w) > 4)) AS long_words,
+            |  ELEMENT_AT(TRANSFORM(MAP('len' := LEN(text)),
+            |    (k, v) => UCASE(k), (k, v) => v + LENGTH(k)), 'LEN') AS len_k
+            |FROM docs WHERE LEN(text) > 50""".stripMargin
+        val (_, Some(df)) = Translator.run(s, cat, q): @unchecked
+        df
+      },
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS INT) AS chars_sum,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |                       w -> length(w) > 4)) AS INT) AS long_words,
+        |  CAST(length(text) + 3 AS INT) AS len_k
+        |FROM documents WHERE length(text) > 50""".stripMargin)
   )
 }

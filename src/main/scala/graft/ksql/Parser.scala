@@ -42,6 +42,14 @@ object Parser {
         out += Tok(sql.substring(start, i), isString = false)
       } else if ("<>!=".contains(c) && i + 1 < n && sql.charAt(i + 1) == '=') {
         out += Tok(sql.substring(i, i + 2), isString = false); i += 2
+      } else if (c == '=' && i + 1 < n && sql.charAt(i + 1) == '>') {
+        // ksqlDB lambda arrow: one token, so reconstruction keeps the
+        // `=>` glued for the rewriter's lambda pass
+        out += Tok("=>", isString = false); i += 2
+      } else if (c == ':' && i + 1 < n && sql.charAt(i + 1) == '=') {
+        // MAP('k' := v) assign: one token, so reconstruction keeps the
+        // `:=` glued for the constructor rewrite's entry split
+        out += Tok(":=", isString = false); i += 2
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '>') {
         // struct-deref arrow: one token, so reconstruction can glue it
         // back tight (s->f) for the rewriter's tight-form rule

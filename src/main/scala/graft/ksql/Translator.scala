@@ -412,6 +412,74 @@ object Translator {
     sb.toString
   }
 
+  /** ksqlDB lambda arrows: `x => e` / `(a, b) => e` → Spark's `->`
+    * (reference: ksqlDB's TRANSFORM/FILTER/REDUCE invokable functions,
+    * which Spark ships natively as transform/filter/reduce — after this
+    * pass the names need no rewrite at all). Runs AFTER structDeref, so
+    * `=>` lambdas — including the zero-space `x=>x` form that the deref
+    * operator would otherwise claim — never meet the deref rewrite.
+    * Quote-aware; a preceding `<` is excluded so Spark's null-safe
+    * `<=>` passing through the dialect survives verbatim. */
+  private def lambdaArrows(e: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var in = false
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (c == '\'') { in = !in; sb.append(c); i += 1 }
+      else if (!in && c == '=' && i + 1 < e.length && e.charAt(i + 1) == '>'
+          && (i == 0 || e.charAt(i - 1) != '<')) {
+        sb.append("->"); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Quote-aware whole-identifier substitution (lambda params are plain
+    * identifiers; occurrences inside string literals survive). */
+  private def substIdent(e: String, from: String, to: String): String = {
+    val re = raw"\b${java.util.regex.Pattern.quote(from)}\b".r
+    val sb = new StringBuilder
+    var last = 0; var in = false
+    for (m <- re.findAllMatchIn(e)) {
+      var i = last
+      while (i < m.start) { if (e.charAt(i) == '\'') in = !in; i += 1 }
+      sb.append(e.substring(last, m.start))
+      sb.append(if (in) m.matched else to)
+      last = m.end
+    }
+    sb.append(e.substring(last)); sb.toString
+  }
+
+  /** ksqlDB's map TRANSFORM(map, keyLambda, valueLambda): both lambdas
+    * see the ORIGINAL (k, v) entries, so a transform_keys∘transform_values
+    * chain would be wrong (the second pass would see rewritten pairs);
+    * instead one pass over map_entries builds the new (key, value)
+    * structs directly. The 2-arg array form passes through to Spark's
+    * native transform — `__xform` is a loop-breaking placeholder
+    * (rewriteCall rescans to a fixpoint, and the output still contains
+    * the function). */
+  private def expandLambdas(sql: String): String = {
+    val lam = raw"(?s)^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.*)$$".r
+    val out = rewriteCall(sql, "TRANSFORM") { args =>
+      if (args.length == 2) s"__xform(${args.mkString(", ")})"
+      else if (args.length == 3) {
+        def body(l: String, slot: String): String = l match {
+          case lam(k, v, b) =>
+            substIdent(substIdent(b, k, "__e.key"), v, "__e.value")
+          case _ => throw new IllegalArgumentException(
+            s"TRANSFORM(map, keyLambda, valueLambda): $slot must be a " +
+              s"2-argument lambda `(k, v) => expr`, got: $l")
+        }
+        s"map_from_entries(__xform(map_entries(${args.head}), " +
+          s"__e -> struct(${body(args(1), "keyLambda")}, " +
+          s"${body(args(2), "valueLambda")})))"
+      } else throw new IllegalArgumentException(
+        s"TRANSFORM expects (array, lambda) or (map, keyLambda, " +
+          s"valueLambda), got ${args.length} args")
+    }
+    out.replaceAll(raw"(?i)\b__xform\(", "transform(")
+  }
+
   /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and
     * MAP('k' := v, …) → map('k', v, …). ARRAY's brackets are matched
     * with a quote-aware balanced scan; MAP only rewrites when a
@@ -528,7 +596,8 @@ object Translator {
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
     val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
-      expandTopK(expandHistogram(expandMask(expandConstructors(structDeref(e))))))))))
+      expandTopK(expandHistogram(expandMask(expandConstructors(
+        expandLambdas(lambdaArrows(structDeref(e))))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

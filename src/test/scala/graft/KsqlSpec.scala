@@ -430,6 +430,41 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("MASK(name)").contains("regexp_replace"))
   }
 
+  test("ksqlDB lambda arrows land on Spark HOFs; map TRANSFORM sees original entries") {
+    // `=>` → `->`, names pass through to Spark's native transform/filter/reduce
+    val r = Translator.rewriteExpr("TRANSFORM(a, x => x + 1)")
+    assert(r.replaceAll("\\s", "") == "transform(a,x->x+1)")
+    // zero-space lambda survives (deref would claim `x->x`; `=>` must not)
+    assert(Translator.rewriteExpr("FILTER(a, x=>x>2)")
+      .replaceAll("\\s", "") == "FILTER(a,x->x>2)")
+    // null-safe equality is not a lambda arrow
+    assert(Translator.rewriteExpr("a <=> b") == "a <=> b")
+    // `=>` inside a string literal survives
+    assert(Translator.rewriteExpr("CONCAT(s, 'a => b')") contains "'a => b'")
+    // 3-arg map TRANSFORM: one map_entries pass, both lambdas over the
+    // ORIGINAL (k, v) — idempotent under a second rewrite
+    val m = Translator.rewriteExpr(
+      "TRANSFORM(m, (k, v) => UCASE(k), (k, v) => v + LENGTH(k))")
+    assert(m.replaceAll("\\s", "") ==
+      "map_from_entries(transform(map_entries(m)," +
+        "__e->struct(upper(__e.key),__e.value+LENGTH(__e.key))))")
+    assert(Translator.rewriteExpr(m) == m)
+    // execution: dialect result equals the Spark-native formulation
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 6).toDF("n")
+      .withColumn("arr", expr("array(n, n * 2, n * 3)"))
+    df.createOrReplaceTempView("lam_src")
+    val got = spark.sql("SELECT n, " +
+      Translator.rewriteExpr(
+        "REDUCE(FILTER(TRANSFORM(arr, x => x * 10), x => x > 20), " +
+          "CAST(0 AS BIGINT), (acc, x) => acc + x)") + " AS s FROM lam_src")
+    val want = df.select(col("n"), aggregate(
+      filter(transform(col("arr"), x => x * 10), x => x > 20),
+      lit(0L), (acc, x) => acc + x).as("s"))
+    assert(got.orderBy("n").collect().toSeq ==
+      want.orderBy("n").collect().toSeq)
+  }
+
   test("ROWTIME and ROWKEY pseudo-columns resolve; SELECT * stays the declared schema") {
     val (cat, _) = Translator.run(spark, Map.empty,
       s"""CREATE STREAM ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR,

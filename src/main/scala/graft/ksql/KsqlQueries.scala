@@ -251,6 +251,40 @@ object KsqlQueries {
         |  CAST(len(list_filter(string_split(text, ' '),
         |                       w -> length(w) > 4)) AS INT) AS long_words,
         |  CAST(length(text) + 3 AS INT) AS len_k
-        |FROM documents WHERE length(text) > 50""".stripMargin)
+        |FROM documents WHERE length(text) > 50""".stripMargin),
+
+    // ksqlDB array/map function family through the dialect: renames
+    // (ARRAY_JOIN/SPLIT_TO_MAP/...), the ARRAY_SORT direction expansion,
+    // and lambdas composing with them. String-typed outputs keep the
+    // oracle compare nested-type-free.
+    "q_ksql_arrayfns" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(Tables.documents(s, d), "doc_id"))
+        val q =
+          """SELECT doc_id,
+            |  ARRAY_JOIN(ARRAY_SORT(ARRAY_DISTINCT(
+            |    SPLIT(SUBSTRING(text, 1, 60), ' '))), '|') AS sorted_toks,
+            |  ARRAY_JOIN(ARRAY_SORT(
+            |    SPLIT(SUBSTRING(text, 1, 30), ' '), 'DESC'), ',') AS desc_toks,
+            |  ARRAY_MAX(TRANSFORM(SPLIT(text, ' '), w => LENGTH(w))) AS max_tok,
+            |  ARRAY_MIN(TRANSFORM(SPLIT(text, ' '), w => LENGTH(w))) AS min_tok,
+            |  ELEMENT_AT(SPLIT_TO_MAP(
+            |    CONCAT('lang=', lang, ';src=', source), ';', '='), 'src') AS src_m
+            |FROM docs WHERE doc_id < 500""".stripMargin
+        val (_, Some(df)) = Translator.run(s, cat, q): @unchecked
+        df
+      },
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(
+        |    string_split(substring(text, 1, 60), ' '))), '|') AS sorted_toks,
+        |  array_to_string(list_reverse_sort(
+        |    string_split(substring(text, 1, 30), ' ')), ',') AS desc_toks,
+        |  CAST(list_max(list_transform(string_split(text, ' '),
+        |    w -> length(w))) AS INT) AS max_tok,
+        |  CAST(list_min(list_transform(string_split(text, ' '),
+        |    w -> length(w))) AS INT) AS min_tok,
+        |  source AS src_m
+        |FROM documents WHERE doc_id < 500""".stripMargin)
   )
 }

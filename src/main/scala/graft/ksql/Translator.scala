@@ -167,7 +167,16 @@ object Translator {
     "INITCAP" -> "initcap", "LPAD" -> "lpad", "RPAD" -> "rpad",
     "INSTR" -> "instr", "ARRAY_LENGTH" -> "size",
     "REGEXP_EXTRACT" -> "regexp_extract", "POWER" -> "pow",
-    "ELT" -> "elt", "CONCAT_WS" -> "concat_ws")
+    "ELT" -> "elt", "CONCAT_WS" -> "concat_ws",
+    // ksqlDB array/map/JSON names whose Spark spelling differs (the
+    // same-name ones — ARRAY_DISTINCT, ARRAY_EXCEPT, ARRAY_INTERSECT,
+    // ARRAY_UNION, ARRAY_MAX/MIN, ARRAY_REMOVE, ARRAY_JOIN, MAP_KEYS,
+    // MAP_VALUES, REGEXP_EXTRACT_ALL, UUID — pass through to Spark's
+    // case-insensitive registry untouched)
+    "ARRAY_CONCAT" -> "concat", "SPLIT_TO_MAP" -> "str_to_map",
+    "JSON_KEYS" -> "json_object_keys", "TO_JSON_STRING" -> "to_json",
+    "JSON_ARRAY_LENGTH" -> "json_array_length",
+    "REGEXP_SPLIT_TO_ARRAY" -> "split")
 
   /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
     * balanced parens (quote-aware) so nested calls and arbitrary
@@ -480,6 +489,32 @@ object Translator {
     out.replaceAll(raw"(?i)\b__xform\(", "transform(")
   }
 
+  /** ksqlDB ARRAY_SORT(arr[, 'ASC'|'DESC']) and IS_JSON_STRING.
+    * ARRAY_SORT's optional direction has no Spark counterpart —
+    * DESC is reverse(array_sort(..)) (a total order reversed IS the
+    * descending sort); `__asort` breaks the rewriteCall fixpoint (the
+    * output's array_sort matches ARRAY_SORT case-insensitively).
+    * IS_JSON_STRING → try_parse_json IS NOT NULL: NULL and malformed
+    * both land false, matching ksqlDB. */
+  private def expandArrayJson(sql: String): String = {
+    val s1 = rewriteCall(sql, "ARRAY_SORT") { args =>
+      if (args.length == 1) s"__asort(${args.head})"
+      else if (args.length == 2) {
+        val dir = args(1).trim.toUpperCase
+        if (dir == "'DESC'") s"reverse(__asort(${args.head}))"
+        else if (dir == "'ASC'") s"__asort(${args.head})"
+        else throw new IllegalArgumentException(
+          s"ARRAY_SORT direction must be 'ASC' or 'DESC', got: ${args(1)}")
+      } else throw new IllegalArgumentException(
+        s"ARRAY_SORT expects (array[, direction]), got ${args.length} args")
+    }
+    val s2 = rewriteCall(s1, "IS_JSON_STRING") { args =>
+      arity("IS_JSON_STRING", args, 1)
+      s"(try_parse_json(${args.head}) IS NOT NULL)"
+    }
+    s2.replaceAll(raw"(?i)\b__asort\(", "array_sort(")
+  }
+
   /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and
     * MAP('k' := v, …) → map('k', v, …). ARRAY's brackets are matched
     * with a quote-aware balanced scan; MAP only rewrites when a
@@ -596,8 +631,8 @@ object Translator {
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
     val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
-      expandTopK(expandHistogram(expandMask(expandConstructors(
-        expandLambdas(lambdaArrows(structDeref(e))))))))))))
+      expandTopK(expandHistogram(expandMask(expandArrayJson(expandConstructors(
+        expandLambdas(lambdaArrows(structDeref(e)))))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

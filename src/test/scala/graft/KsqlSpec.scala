@@ -465,6 +465,29 @@ class KsqlSpec extends SparkSpec {
       want.orderBy("n").collect().toSeq)
   }
 
+  test("ksqlDB array/JSON family: ARRAY_SORT direction, IS_JSON_STRING, renames") {
+    assert(Translator.rewriteExpr("ARRAY_SORT(a)")
+      .replaceAll("\\s", "") == "array_sort(a)")
+    assert(Translator.rewriteExpr("ARRAY_SORT(a, 'DESC')")
+      .replaceAll("\\s", "") == "reverse(array_sort(a))")
+    assert(Translator.rewriteExpr("ARRAY_SORT(a, 'ASC')")
+      .replaceAll("\\s", "") == "array_sort(a)")
+    intercept[IllegalArgumentException] {
+      Translator.rewriteExpr("ARRAY_SORT(a, 'SIDEWAYS')")
+    }
+    assert(Translator.rewriteExpr("SPLIT_TO_MAP(s, ';', '=')")
+      .startsWith("str_to_map"))
+    assert(Translator.rewriteExpr("ARRAY_CONCAT(a, b)")
+      .replaceAll("\\s", "") == "concat(a,b)")
+    // execution: IS_JSON_STRING is false for NULL and malformed, true for valid
+    val r = spark.sql("SELECT " +
+      Translator.rewriteExpr("IS_JSON_STRING('{\"a\": 1}')") + " AS ok, " +
+      Translator.rewriteExpr("IS_JSON_STRING('nope{')") + " AS bad, " +
+      Translator.rewriteExpr("IS_JSON_STRING(CAST(NULL AS STRING))") + " AS nul")
+      .head()
+    assert(r.getAs[Boolean]("ok") && !r.getAs[Boolean]("bad") && !r.getAs[Boolean]("nul"))
+  }
+
   test("ROWTIME and ROWKEY pseudo-columns resolve; SELECT * stays the declared schema") {
     val (cat, _) = Translator.run(spark, Map.empty,
       s"""CREATE STREAM ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR,

@@ -636,17 +636,34 @@ object Similarity {
     // per-row projection over rows×k, no shuffle at all now (the old
     // form shuffled rows×dims×k into the partial agg).
     "q_embed_project" -> Q(
-      (s, d) => Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-        .select(col("vec_id"), col("v"), explode(expr("sequence(0, 15)")).as("j"))
-        .select(col("vec_id"), col("j"),
-          expr("""round(aggregate(
-            zip_with(v, sequence(0, size(v) - 1), (x, i) ->
-              CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_',
-                     CAST(i AS STRING))), 1, 2), 16, 10) AS INT) % 2 = 0
-                   THEN x ELSE -x END),
-            CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / 8, 4)""").as("p")),
+      (s, d) => {
+        // The ±1 sign matrix depends only on (projection j, dim i) — at
+        // any corpus size it is 16 × dims values, so it is computed ONCE
+        // driver-side with the exact md5 recipe the oracle replays, and
+        // enters the plan as a broadcast-free literal. The per-row work
+        // is then pure codegen arithmetic (the former in-plan form
+        // re-derived md5(j, i) inside the fold: rows × 16 × dims hash +
+        // string ops — ~8M md5s at sf0.1 for a 1024-entry matrix).
+        // x * ±1.0 is exactly ±x in IEEE754 and the zip_with/aggregate
+        // fold stays in index order, so results are bit-identical.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val signs: Seq[Seq[Double]] = Seq.tabulate(16, 64) { (j, i) =>
+          val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+            .take(1).map("%02x".format(_)).mkString
+          if (Integer.parseInt(hex, 16) % 2 == 0) 1.0 else -1.0
+        }
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("v"), explode(expr("sequence(0, 15)")).as("j"))
+          .select(col("vec_id"), col("j"),
+            round(aggregate(
+              zip_with(col("v"),
+                slice(element_at(typedLit(signs), col("j") + 1),
+                  lit(1), size(col("v"))),
+                (x, sgn) => x * sgn),
+              lit(0.0), (acc, t) => acc + t) / 8, 4).as("p"))
+      },
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |), ej AS (

@@ -368,9 +368,55 @@ object TextAnalysis {
         round(col("pct_raw"), 6).as("pct"))
   }
 
+  /** Per-document character-distribution Shannon entropy (gibberish /
+    * encoding-junk detector: natural language sits ~3.5–4.5 bits,
+    * base64 blobs and repeated-char padding fall far outside) plus
+    * type-token ratio (lexical diversity).
+    *
+    * Entropy uses the identity −Σ(n/N)·log2(n/N) = log2 N − Σ n·log2 n / N
+    * so the aggregation is a plain two-level hash agg: explode to
+    * (doc, char) rows — linear, and the map-side partial combine
+    * collapses each partition to ≤|alphabet| rows per doc before any
+    * shuffle — then one sum per doc. All-positive terms: no
+    * cancellation, so hash-agg ordering stays inside the oracle's
+    * float tolerance (the q_embed_project ±x lesson does not apply).
+    * TTR is a pure per-row projection and joins back on doc_id.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val ent = d
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("tot"), sum(col("n") * log2(col("n"))).as("nlogn"))
+      .select(col("doc_id"),
+        round(log2(col("tot")) - col("nlogn") / col("tot"), 4).as("char_entropy"))
+    val ttr = d.select(col("doc_id"),
+      round(size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " ")), 4).as("ttr"))
+    ent.join(ttr, Seq("doc_id"))
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    "q_text_entropy" -> Q(
+      (s, d) => charEntropy(Tables.documents(s, d)),
+      """WITH c AS (
+        |  SELECT doc_id, ch, count(*)::DOUBLE AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents) u
+        |  GROUP BY doc_id, ch
+        |), e AS (
+        |  SELECT doc_id,
+        |    round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) AS char_entropy
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT e.doc_id, e.char_entropy,
+        |  round(len(list_distinct(string_split(d.text, ' '))) * 1.0 /
+        |        len(string_split(d.text, ' ')), 4) AS ttr
+        |FROM e JOIN documents d ON e.doc_id = d.doc_id""".stripMargin),
+
     "q_contamination" -> Q(
       (s, d) => contamination(Tables.documents(s, d)),
       """WITH w AS (

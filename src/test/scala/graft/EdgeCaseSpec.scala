@@ -149,6 +149,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(f.filter(col("fp_md5").isNull).count() == 0)
   }
 
+  test("char entropy: analytic values on degenerate and uniform texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),            // one symbol → 0 bits
+      (2L, "abab"),            // two equiprobable → exactly 1 bit
+      (3L, "abcd"),            // four equiprobable → exactly 2 bits
+      (4L, "aa bb aa")         // ttr: {aa, bb} distinct of 3 tokens
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 == 0.0)
+    assert(r(2L)._1 == 1.0)
+    assert(r(3L)._1 == 2.0)
+    assert(math.abs(r(4L)._2 - 2.0 / 3) < 1e-3)   // ttr rounded to 4dp
+    assert(r(1L)._2 == 1.0)                       // one token, one type
+  }
+
   test("greedy sequence packing: packs respect the budget, no doc lost") {
     val docs = Tables.documents(spark, sfDir)
     val packed = TextAnalysis.packSequences(docs, budget = 200, buckets = 8)

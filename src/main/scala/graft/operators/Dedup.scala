@@ -65,6 +65,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Incremental (cross-corpus) near-dedup — the production shape: a
+    * NEW batch arrives and is deduplicated AGAINST the existing corpus,
+    * never re-pairing the corpus with itself. Both sides get minhash
+    * band signatures; candidates are (old, new) band-bucket collisions
+    * only, so candidate volume scales with the batch, not the corpus.
+    * At 100 TB the old side's (band, band_key, doc_id) index is a
+    * materialized table maintained as batches are admitted — the corpus
+    * text is never re-shingled — and the small new batch's bands and
+    * shingle arrays broadcast, so the corpus-sized frames never
+    * shuffle. Emits (new_id, old_id, jaccard) collisions ≥ threshold:
+    * the reject list with provenance.
+    */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 16,
+                       bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    def prep(df: DataFrame) = {
+      val sh = df.select(col("doc_id"), wordShingleHashes(col("text")).as("hs"))
+      val banded = sh.withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)))
+            .as("band_key"))
+      (sh.select(col("doc_id"), sort_array(col("hs")).as("shingles")), banded)
+    }
+    val (shOld, bandOld) = prep(oldDocs)
+    val (shNew, bandNew) = prep(newDocs)
+    val cand = bandOld.join(
+      broadcast(bandNew.select(col("band"), col("band_key"),
+        col("doc_id").as("new_id"))),
+      Seq("band", "band_key"))
+      .select(col("doc_id").as("old_id"), col("new_id")).distinct()
+    cand
+      .join(shOld.select(col("doc_id").as("old_id"), col("shingles").as("sh_o")),
+        "old_id")
+      .join(broadcast(shNew.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_n"))), "new_id")
+      .withColumn("jac", jaccardSorted(col("sh_o"), col("sh_n")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("old_id"), round(col("jac"), 4).as("jaccard"))
+  }
+
   /** SimHash 32-bit fingerprints (md5-stable → oracle-replayable). */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -403,6 +445,44 @@ object Dedup {
         |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
         |)
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.7""".stripMargin),
+
+    // incremental dedup: every 10th doc plays the "arriving batch",
+    // the rest the standing corpus — the oracle replays the band
+    // collisions cross-side only
+    "q_dedup_incremental" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        incrementalDedup(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(w) - 1, 2))]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), hh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |), sig AS (
+        |  SELECT doc_id, k,
+        |    min(((2*k + 1) * h + k * 12345 + 7) % 2147483647) AS m
+        |  FROM hh CROSS JOIN (SELECT unnest(range(16)) AS k) GROUP BY doc_id, k
+        |), bands AS (
+        |  SELECT doc_id, k // 4 AS band,
+        |    string_agg(m::VARCHAR, ',' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY doc_id, k // 4
+        |), cand AS (
+        |  SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+        |  FROM bands o JOIN bands n
+        |    ON o.band = n.band AND o.band_key = n.band_key
+        |   AND o.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+        |), j AS (
+        |  SELECT new_id, old_id,
+        |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac
+        |  FROM cand JOIN sh x ON x.doc_id = old_id JOIN sh y ON y.doc_id = new_id
+        |)
+        |SELECT new_id, old_id, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.7""".stripMargin),
 
     "q_dedup_simhash" -> Q(

@@ -33,6 +33,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(missed.size <= math.max(1, exact.size / 10), s"missed: $missed")
   }
 
+  test("incremental dedup equals the cross-split subset of self-join pairs") {
+    val oldSide = docs.filter(col("doc_id") % 10 =!= 0)
+    val newSide = docs.filter(col("doc_id") % 10 === 0)
+    val inc = Dedup.incrementalDedup(oldSide, newSide)
+      .select("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-join over the whole corpus, restricted to pairs that cross
+    // the split (unordered → normalize to (old, new))
+    val cross = Dedup.minhashPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (b, a) else (a, b) }.toSet
+    assert(inc == cross)
+    // no within-side pair can appear by construction
+    assert(inc.forall { case (o, n) => o % 10 != 0 && n % 10 == 0 })
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val fp = Dedup.simhashFingerprints(docs)
     // doc pairs that are exact-jaccard near-dups should collide closely

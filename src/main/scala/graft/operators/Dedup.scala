@@ -77,18 +77,32 @@ object Dedup {
     * shuffle. Emits (new_id, old_id, jaccard) collisions ≥ threshold:
     * the reject list with provenance.
     */
+  /** (doc_id, band, band_key) minhash band index of a corpus — the
+    * materialized table incremental dedup and the streaming corpus gate
+    * probe; maintained by appending each admitted batch's rows. */
+  def bandIndex(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    bandIndexFromHashes(
+      docs.select(col("doc_id"), wordShingleHashes(col("text")).as("hs")),
+      k, bands)
+
+  /** Band index from pre-computed shingle hashes (doc_id, hs) — lets
+    * callers that also need the hash arrays shingle each doc once. */
+  def bandIndexFromHashes(sh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    sh.select(col("doc_id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)))
+          .as("band_key"))
+  }
+
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 16,
                        bands: Int = 4, threshold: Double = 0.7): DataFrame = {
-    val rows = k / bands
     def prep(df: DataFrame) = {
       val sh = df.select(col("doc_id"), wordShingleHashes(col("text")).as("hs"))
-      val banded = sh.withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
-        .select(col("doc_id"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-        .select(col("doc_id"), col("band"),
-          concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)))
-            .as("band_key"))
-      (sh.select(col("doc_id"), sort_array(col("hs")).as("shingles")), banded)
+      (sh.select(col("doc_id"), sort_array(col("hs")).as("shingles")),
+        bandIndexFromHashes(sh, k, bands))
     }
     val (shOld, bandOld) = prep(oldDocs)
     val (shNew, bandNew) = prep(newDocs)

@@ -40,6 +40,34 @@ object StreamingDedup {
     }
   }
 
+  /** Stream-static incremental gate: arriving docs are checked against
+    * a STATIC corpus band index — the (doc_id, band, band_key) table
+    * `Dedup.bandIndex` materializes and each admitted batch appends to.
+    * A stream-static equi-join is completely stateless on the stream
+    * side (no state store; Spark re-plans the static side per
+    * micro-batch, broadcasting it when small). Emits (doc_id, old_id)
+    * band collisions — one row PER COLLIDING BAND, dedup-by-key being
+    * a stateful choice left to the caller (trivially `.dropDuplicates`
+    * with a watermark, or distinct inside foreachBatch). Downstream
+    * routes collisions to exact verification, same as the batch path.
+    */
+  def corpusGate(docs: DataFrame, bandIndex: DataFrame, k: Int = 16,
+                 bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val banded = docs
+      .withColumn("sig", minhashSignatureFromHashes(
+        wordShingleHashes(col("text")), k))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)))
+          .as("band_key"))
+    banded.join(
+      bandIndex.select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+      Seq("band", "band_key"))
+      .select(col("doc_id"), col("old_id"))
+  }
+
   /** docs: streaming frame with (doc_id: long, text: string). Returns a
     * streaming frame (doc_id, matched_doc) in update mode — matched_doc
     * is the earlier near-dup candidate, or -1 for first-seen buckets.

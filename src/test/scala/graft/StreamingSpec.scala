@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
 case class DocRow(doc_id: Long, lang: String, source: String)
+case class TextDoc(doc_id: Long, text: String)
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
@@ -161,6 +162,35 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamKeep == batchKeep)
     assert(streamKeep.nonEmpty && streamKeep.size < docs.size)
+  }
+
+  test("streaming corpus gate equals batch band collisions (stream-static, stateless)") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val docs = Tables.documents(spark, sfDir)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val idx = Dedup.bandIndex(oldDocs)
+    // batch expectation: the distinct (new, old) band collisions
+    val want = Dedup.bandIndex(newDocs)
+      .join(idx.select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+        Seq("band", "band_key"))
+      .select("doc_id", "old_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)   // the sf0.001 corpus does contain cross near-dups
+    val rows = newDocs.select("doc_id", "text").collect()
+      .map(r => TextDoc(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[TextDoc](spark)
+    val gated = StreamingDedup.corpusGate(mem.toDF(), idx)
+    val w = gated.writeStream.format("memory").queryName("corpusgate")
+      .outputMode(OutputMode.Append)
+    mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    val q = w.start(); q.processAllAvailable()
+    mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)   // no state carried between batches
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("corpusgate").select("doc_id", "old_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
   }
 
   test("stream-table join enriches records against a broadcast table") {

@@ -405,4 +405,34 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 0, s"corpus must come from the checkpointed histogram, got $scans scans\n$p")
   }
+
+  test("char entropy: char counts partial-aggregate map-side; no cartesian") {
+    val p = plan("q_text_entropy")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // explode -> (doc, ch) agg -> doc agg -> join ttr: the doc-level agg
+    // reuses the (doc_id, ch) partitioning's doc_id component never, so
+    // the ceiling is 2 agg exchanges + the join's two sides
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected <= 4 exchanges, got $exchanges\n$p")
+  }
+
+  test("embed projection is a pure per-row pipeline (zero exchanges)") {
+    val p = plan("q_embed_project")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("incremental dedup broadcasts the arriving batch; corpus never shuffles as pairs") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dialect lambda and array-fn queries are pure projections (zero exchanges)") {
+    for (q <- Seq("q_ksql_lambda", "q_ksql_arrayfns")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+    }
+  }
 }

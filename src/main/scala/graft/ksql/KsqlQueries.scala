@@ -285,6 +285,24 @@ object KsqlQueries {
         |  CAST(list_min(list_transform(string_split(text, ' '),
         |    w -> length(w))) AS INT) AS min_tok,
         |  source AS src_m
-        |FROM documents WHERE doc_id < 500""".stripMargin)
+        |FROM documents WHERE doc_id < 500""".stripMargin),
+
+    // ksqlDB's one table function: EXPLODE(array) in the select list —
+    // passes straight through to Spark's generator (case-insensitive
+    // registry), composing with the lambda pass upstream of it
+    "q_ksql_explode" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(Tables.documents(s, d), "doc_id"))
+        val q =
+          """SELECT doc_id,
+            |  EXPLODE(FILTER(SPLIT(text, ' '), w => LENGTH(w) > 7)) AS big_word
+            |FROM docs WHERE doc_id < 100""".stripMargin
+        val (_, Some(df)) = Translator.run(s, cat, q): @unchecked
+        df
+      },
+      """SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |  w -> length(w) > 7)) AS big_word
+        |FROM documents WHERE doc_id < 100""".stripMargin)
   )
 }

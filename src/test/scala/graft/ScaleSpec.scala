@@ -67,11 +67,16 @@ class ScaleSpec extends SparkSpec {
       ("BroadcastHashJoin".r.findAllIn(p).length,
         "partial".r.findFirstIn(p).isDefined)
     }
-    Seq("q_join_star", "q_tpch_q5", "q_tpch_q7").foreach { q =>
-      val (b1, pa1) = shape(q, "0.001")
-      val (b2, pa2) = shape(q, "0.01")
-      assert(b2 >= b1, s"$q: broadcast joins degraded $b1 -> $b2 at 10x")
-      assert(pa1 && pa2, s"$q: partial aggregation missing ($pa1, $pa2)")
-    }
+    // (query, needsPartialAgg): the dedup gate is join-shaped — its
+    // invariant is the batch broadcast, not map-side aggregation
+    Seq(("q_join_star", true), ("q_tpch_q5", true), ("q_tpch_q7", true),
+        ("q_dedup_incremental", false), ("q_text_entropy", true))
+      .foreach { case (q, needsPa) =>
+        val (b1, pa1) = shape(q, "0.001")
+        val (b2, pa2) = shape(q, "0.01")
+        assert(b2 >= b1, s"$q: broadcast joins degraded $b1 -> $b2 at 10x")
+        if (needsPa)
+          assert(pa1 && pa2, s"$q: partial aggregation missing ($pa1, $pa2)")
+      }
   }
 }

@@ -173,7 +173,10 @@ object Translator {
     // ARRAY_UNION, ARRAY_MAX/MIN, ARRAY_REMOVE, ARRAY_JOIN, MAP_KEYS,
     // MAP_VALUES, REGEXP_EXTRACT_ALL, UUID — pass through to Spark's
     // case-insensitive registry untouched)
-    "ARRAY_CONCAT" -> "concat", "SPLIT_TO_MAP" -> "str_to_map",
+    "SPLIT_TO_MAP" -> "str_to_map",
+    // TO_JSON_STRING maps to to_json, which accepts STRUCT/MAP/ARRAY
+    // (+VARIANT) — ksqlDB also serializes bare primitives; that form
+    // surfaces as a positioned analysis error, not silent wrong output
     "JSON_KEYS" -> "json_object_keys", "TO_JSON_STRING" -> "to_json",
     "JSON_ARRAY_LENGTH" -> "json_array_length",
     "REGEXP_SPLIT_TO_ARRAY" -> "split")
@@ -443,17 +446,22 @@ object Translator {
     sb.toString
   }
 
-  /** Quote-aware whole-identifier substitution (lambda params are plain
-    * identifiers; occurrences inside string literals survive). */
-  private def substIdent(e: String, from: String, to: String): String = {
-    val re = raw"\b${java.util.regex.Pattern.quote(from)}\b".r
+  /** Quote-aware whole-identifier substitution, ALL mappings applied in
+    * ONE pass (lambda params are plain identifiers; occurrences inside
+    * string literals survive). Single-pass matters: sequential passes
+    * would re-scan earlier replacements' output — a param named `key`
+    * or `value` would corrupt the `__e.key`/`__e.value` injected for
+    * the other param. */
+  private def substIdents(e: String, subs: Map[String, String]): String = {
+    val re = subs.keys.map(java.util.regex.Pattern.quote)
+      .mkString(raw"\b(", "|", raw")\b").r
     val sb = new StringBuilder
     var last = 0; var in = false
     for (m <- re.findAllMatchIn(e)) {
       var i = last
       while (i < m.start) { if (e.charAt(i) == '\'') in = !in; i += 1 }
       sb.append(e.substring(last, m.start))
-      sb.append(if (in) m.matched else to)
+      sb.append(if (in) m.matched else subs(m.matched))
       last = m.end
     }
     sb.append(e.substring(last)); sb.toString
@@ -474,7 +482,7 @@ object Translator {
       else if (args.length == 3) {
         def body(l: String, slot: String): String = l match {
           case lam(k, v, b) =>
-            substIdent(substIdent(b, k, "__e.key"), v, "__e.value")
+            substIdents(b, Map(k -> "__e.key", v -> "__e.value"))
           case _ => throw new IllegalArgumentException(
             s"TRANSFORM(map, keyLambda, valueLambda): $slot must be a " +
               s"2-argument lambda `(k, v) => expr`, got: $l")
@@ -489,11 +497,19 @@ object Translator {
     out.replaceAll(raw"(?i)\b__xform\(", "transform(")
   }
 
-  /** ksqlDB ARRAY_SORT(arr[, 'ASC'|'DESC']) and IS_JSON_STRING.
-    * ARRAY_SORT's optional direction has no Spark counterpart —
-    * DESC is reverse(array_sort(..)) (a total order reversed IS the
-    * descending sort); `__asort` breaks the rewriteCall fixpoint (the
-    * output's array_sort matches ARRAY_SORT case-insensitively).
+  /** ksqlDB ARRAY_SORT(arr[, 'ASC'|'DESC']), ARRAY_CONCAT and
+    * IS_JSON_STRING.
+    * ARRAY_SORT keeps ksqlDB's nulls-LAST convention in BOTH
+    * directions: ASC is Spark's array_sort (nulls last already); DESC
+    * is reverse(sort_array(.. asc)) — sort_array places nulls FIRST,
+    * so the reversal lands them last. A non-literal second argument is
+    * Spark's own comparator-lambda form and passes through untouched.
+    * `__asort` breaks the rewriteCall fixpoint (the output still
+    * matches ARRAY_SORT case-insensitively).
+    * ARRAY_CONCAT follows ksqlDB's null contract — one NULL side
+    * returns the other, both NULL returns NULL — which Spark's concat
+    * (NULL if ANY input is NULL) does not; args are duplicated into a
+    * CASE, the house pattern (MASK_RIGHT does the same).
     * IS_JSON_STRING → try_parse_json IS NOT NULL: NULL and malformed
     * both land false, matching ksqlDB. */
   private def expandArrayJson(sql: String): String = {
@@ -501,18 +517,23 @@ object Translator {
       if (args.length == 1) s"__asort(${args.head})"
       else if (args.length == 2) {
         val dir = args(1).trim.toUpperCase
-        if (dir == "'DESC'") s"reverse(__asort(${args.head}))"
+        if (dir == "'DESC'") s"reverse(sort_array(${args.head}))"
         else if (dir == "'ASC'") s"__asort(${args.head})"
-        else throw new IllegalArgumentException(
-          s"ARRAY_SORT direction must be 'ASC' or 'DESC', got: ${args(1)}")
+        else s"__asort(${args.mkString(", ")})"   // Spark comparator lambda
       } else throw new IllegalArgumentException(
-        s"ARRAY_SORT expects (array[, direction]), got ${args.length} args")
+        s"ARRAY_SORT expects (array[, direction|comparator]), got ${args.length} args")
     }
-    val s2 = rewriteCall(s1, "IS_JSON_STRING") { args =>
+    val s2 = rewriteCall(s1, "ARRAY_CONCAT") { args =>
+      arity("ARRAY_CONCAT", args, 2)
+      val (a, b) = (args(0), args(1))
+      s"(CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a) " +
+        s"ELSE concat($a, $b) END)"
+    }
+    val s3 = rewriteCall(s2, "IS_JSON_STRING") { args =>
       arity("IS_JSON_STRING", args, 1)
       s"(try_parse_json(${args.head}) IS NOT NULL)"
     }
-    s2.replaceAll(raw"(?i)\b__asort\(", "array_sort(")
+    s3.replaceAll(raw"(?i)\b__asort\(", "array_sort(")
   }
 
   /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and

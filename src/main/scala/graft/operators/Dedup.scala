@@ -65,18 +65,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** Incremental (cross-corpus) near-dedup — the production shape: a
-    * NEW batch arrives and is deduplicated AGAINST the existing corpus,
-    * never re-pairing the corpus with itself. Both sides get minhash
-    * band signatures; candidates are (old, new) band-bucket collisions
-    * only, so candidate volume scales with the batch, not the corpus.
-    * At 100 TB the old side's (band, band_key, doc_id) index is a
-    * materialized table maintained as batches are admitted — the corpus
-    * text is never re-shingled — and the small new batch's bands and
-    * shingle arrays broadcast, so the corpus-sized frames never
-    * shuffle. Emits (new_id, old_id, jaccard) collisions ≥ threshold:
-    * the reject list with provenance.
-    */
   /** (doc_id, band, band_key) minhash band index of a corpus — the
     * materialized table incremental dedup and the streaming corpus gate
     * probe; maintained by appending each admitted batch's rows. */
@@ -97,6 +85,18 @@ object Dedup {
           .as("band_key"))
   }
 
+  /** Incremental (cross-corpus) near-dedup — the production shape: a
+    * NEW batch arrives and is deduplicated AGAINST the existing corpus,
+    * never re-pairing the corpus with itself. Both sides get minhash
+    * band signatures; candidates are (old, new) band-bucket collisions
+    * only, so candidate volume scales with the batch, not the corpus.
+    * At 100 TB the old side's (band, band_key, doc_id) index is a
+    * materialized table maintained as batches are admitted — the corpus
+    * text is never re-shingled — and the small new batch's bands and
+    * shingle arrays broadcast, so the corpus-sized frames never
+    * shuffle. Emits (new_id, old_id, jaccard) collisions ≥ threshold:
+    * the reject list with provenance.
+    */
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 16,
                        bands: Int = 4, threshold: Double = 0.7): DataFrame = {
     def prep(df: DataFrame) = {

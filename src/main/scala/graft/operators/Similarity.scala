@@ -646,8 +646,9 @@ object Similarity {
         // string ops — ~8M md5s at sf0.1 for a 1024-entry matrix).
         // x * ±1.0 is exactly ±x in IEEE754 and the zip_with/aggregate
         // fold stays in index order, so results are bit-identical.
+        val dimBound = 256   // matrix rows; generous over the data's 64
         val md = java.security.MessageDigest.getInstance("MD5")
-        val signs: Seq[Seq[Double]] = Seq.tabulate(16, 64) { (j, i) =>
+        val signs: Seq[Seq[Double]] = Seq.tabulate(16, dimBound) { (j, i) =>
           val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
             .take(1).map("%02x".format(_)).mkString
           if (Integer.parseInt(hex, 16) % 2 == 0) 1.0 else -1.0
@@ -655,6 +656,12 @@ object Similarity {
         Tables.embeddings(s, d)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
+          // over-bound vectors fail LOUDLY: zip_with would null-pad past
+          // the sign matrix and silently null every projection instead
+          .withColumn("v", when(size(col("v")) <= dimBound, col("v"))
+            .otherwise(raise_error(concat(lit(
+              s"q_embed_project: embedding dim exceeds sign-matrix bound $dimBound: "),
+              size(col("v")).cast("string")))))
           .select(col("vec_id"), col("v"), explode(expr("sequence(0, 15)")).as("j"))
           .select(col("vec_id"), col("j"),
             round(aggregate(

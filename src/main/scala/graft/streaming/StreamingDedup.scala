@@ -53,15 +53,9 @@ object StreamingDedup {
     */
   def corpusGate(docs: DataFrame, bandIndex: DataFrame, k: Int = 16,
                  bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val banded = docs
-      .withColumn("sig", minhashSignatureFromHashes(
-        wordShingleHashes(col("text")), k))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)))
-          .as("band_key"))
+    // same banding recipe as the index builder BY CONSTRUCTION — a
+    // drifted copy here would silently miss every corpus collision
+    val banded = graft.operators.Dedup.bandIndex(docs, k, bands)
     banded.join(
       bandIndex.select(col("band"), col("band_key"), col("doc_id").as("old_id")),
       Seq("band", "band_key"))

@@ -449,6 +449,12 @@ class KsqlSpec extends SparkSpec {
       "map_from_entries(transform(map_entries(m)," +
         "__e->struct(upper(__e.key),__e.value+LENGTH(__e.key))))")
     assert(Translator.rewriteExpr(m) == m)
+    // params named `key`/`value` must not corrupt the injected refs
+    // (single-pass substitution; sequential passes would rewrite the
+    // `key` inside an earlier `__e.key`)
+    assert(Translator.rewriteExpr(
+      "TRANSFORM(m, (x, key) => x + key, (k, v) => v)")
+      .replaceAll("\\s", "").contains("struct(__e.key+__e.value,__e.value)"))
     // execution: dialect result equals the Spark-native formulation
     import org.apache.spark.sql.functions._
     val df = spark.range(1, 6).toDF("n")
@@ -469,16 +475,23 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("ARRAY_SORT(a)")
       .replaceAll("\\s", "") == "array_sort(a)")
     assert(Translator.rewriteExpr("ARRAY_SORT(a, 'DESC')")
-      .replaceAll("\\s", "") == "reverse(array_sort(a))")
+      .replaceAll("\\s", "") == "reverse(sort_array(a))")
     assert(Translator.rewriteExpr("ARRAY_SORT(a, 'ASC')")
       .replaceAll("\\s", "") == "array_sort(a)")
-    intercept[IllegalArgumentException] {
-      Translator.rewriteExpr("ARRAY_SORT(a, 'SIDEWAYS')")
-    }
+    // Spark's own comparator-lambda form passes through untouched
+    assert(Translator.rewriteExpr("array_sort(a, (l, r) -> 1)")
+      .replaceAll("\\s", "") == "array_sort(a,(l,r)->1)")
     assert(Translator.rewriteExpr("SPLIT_TO_MAP(s, ';', '=')")
       .startsWith("str_to_map"))
-    assert(Translator.rewriteExpr("ARRAY_CONCAT(a, b)")
-      .replaceAll("\\s", "") == "concat(a,b)")
+    // ksqlDB null contract: one NULL side returns the other; nulls sort
+    // LAST in both directions
+    val ac = spark.sql("SELECT " +
+      Translator.rewriteExpr("ARRAY_CONCAT(ARRAY[1, 2], CAST(NULL AS ARRAY<INT>))")
+      + " AS c, " +
+      Translator.rewriteExpr("ARRAY_SORT(ARRAY['b', CAST(NULL AS STRING), 'a'], 'DESC')")
+      + " AS d").head()
+    assert(ac.getSeq[Int](0) == Seq(1, 2))
+    assert(ac.getSeq[String](1) == Seq("b", "a", null))
     // execution: IS_JSON_STRING is false for NULL and malformed, true for valid
     val r = spark.sql("SELECT " +
       Translator.rewriteExpr("IS_JSON_STRING('{\"a\": 1}')") + " AS ok, " +

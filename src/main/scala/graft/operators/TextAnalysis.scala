@@ -397,9 +397,59 @@ object TextAnalysis {
     ent.join(ttr, Seq("doc_id"))
   }
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023): per-doc
+    * log-likelihood ratio between a TARGET-domain unigram LM and the
+    * full-corpus LM — the standard data-selection score for steering a
+    * pretraining mix toward a target distribution (positive ⇒ the doc
+    * looks more target-like than the corpus average). Add-1 smoothing
+    * over the corpus vocabulary.
+    *
+    * Scale: both count tables are vocabulary-sized, not corpus-sized,
+    * built with map-side partial aggregation; the token stream joins
+    * them on the word key as a plain shuffle join (NO broadcast
+    * assumption on the vocabulary — at 100 TB it does not fit), while
+    * the two one-row total frames broadcast.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("w"))
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy(col("w")).agg(count(lit(1)).as("tc"))
+    val src = tok.groupBy(col("w")).agg(count(lit(1)).as("sc"))
+    val tgtTot = tgt.agg(sum(col("tc")).as("t_total"))
+    val srcTot = src.agg(sum(col("sc")).as("s_total"), count(lit(1)).as("vocab"))
+    tok.join(src, Seq("w")).join(tgt, Seq("w"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(srcTot))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        log((col("tc") + 1).cast("double") / (col("t_total") + col("vocab")))
+          - log((col("sc") + 1).cast("double") / (col("s_total") + col("vocab")))),
+        4).as("dsir_w"),
+        count(lit(1)).as("n_toks"))
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    "q_dsir_weights" -> Q(
+      (s, d) => dsirWeights(Tables.documents(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), tgt AS (SELECT w, count(*) AS tc FROM tok WHERE lang = 'en' GROUP BY w),
+        |src AS (SELECT w, count(*) AS sc FROM tok GROUP BY w),
+        |tot AS (SELECT (SELECT sum(tc) FROM tgt) AS t_total,
+        |               (SELECT sum(sc) FROM src) AS s_total,
+        |               (SELECT count(*) FROM src) AS vocab)
+        |SELECT doc_id,
+        |  round(sum(ln((coalesce(tc, 0) + 1.0) / (t_total + vocab))
+        |          - ln((sc + 1.0) / (s_total + vocab))), 4) AS dsir_w,
+        |  CAST(count(*) AS BIGINT) AS n_toks
+        |FROM tok JOIN src USING (w) LEFT JOIN tgt USING (w) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin),
+
     "q_text_entropy" -> Q(
       (s, d) => charEntropy(Tables.documents(s, d)),
       """WITH c AS (

@@ -166,6 +166,18 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r(1L)._2 == 1.0)                       // one token, one type
   }
 
+  test("dsir weights separate target-domain docs from the rest") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = TextAnalysis.dsirWeights(docs, targetLang = "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val Seq(enAvg, restAvg) = Seq(col("lang") === "en", col("lang") =!= "en")
+      .map(p => w.filter(p).agg(avg(col("dsir_w"))).head().getDouble(0))
+    // the target slice must score higher under its own LM ratio, and the
+    // signs must separate (en-looking text is target-like, zh/de/... not)
+    assert(enAvg > restAvg, s"en=$enAvg rest=$restAvg")
+    assert(enAvg > 0 && restAvg < 0, s"en=$enAvg rest=$restAvg")
+  }
+
   test("greedy sequence packing: packs respect the budget, no doc lost") {
     val docs = Tables.documents(spark, sfDir)
     val packed = TextAnalysis.packSequences(docs, budget = 200, buckets = 8)

@@ -33,6 +33,39 @@ object WindowQueries {
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
 
+    // OHLC bars per (hour, type): open/close via min_by/max_by on a
+    // (ts, event_id) struct — the event_id tie-break makes same-ts
+    // opens deterministic on any partitioning — ONE hash aggregate
+    // (map-side partial), never a per-window sort
+    "q_window_ohlc" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("o"),
+          max(col("value")).as("h"), min(col("value")).as("l"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("c"),
+          count(lit(1)).as("n_trades"))
+        .select(unix_millis(col("window.start")).as("ws"), col("event_type"),
+          round(col("o"), 2).as("open"), round(col("h"), 2).as("high"),
+          round(col("l"), 2).as("low"), round(col("c"), 2).as("close"),
+          col("n_trades")),
+      """WITH e AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws, event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY (epoch_ms(ts) // 3600000), event_type
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (
+        |      PARTITION BY (epoch_ms(ts) // 3600000), event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events
+        |)
+        |SELECT ws, event_type,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high, round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+        |  count(*) AS n_trades
+        |FROM e GROUP BY ws, event_type""".stripMargin),
+
     // windowed LATEST_BY_OFFSET: the per-window TABLE materialization —
     // latest value per (user, hour window) by offset, ONE max_by hash
     // agg (map-side partial), no window sort of the events

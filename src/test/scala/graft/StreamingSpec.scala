@@ -44,6 +44,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[String]("event_type") == "view" && r.getAs[Long]("cnt") == 1))
   }
 
+  test("streaming OHLC: min_by/max_by window aggs match the batch bars") {
+    // base aligned to a 10-minute boundary: t() (epoch+minutes) is NOT,
+    // and unaligned times straddle two tumbling windows
+    def ta(m: Int) = new Timestamp(1700000400000L + m * 60000L)
+    val evs = Seq(
+      Ev(1, ta(0), 1, "click", 5.0), Ev(2, ta(2), 1, "click", 9.0),
+      Ev(3, ta(4), 1, "click", 1.0), Ev(4, ta(7), 1, "click", 7.0),
+      Ev(5, ta(1), 2, "view", 3.0), Ev(6, ta(8), 2, "view", 2.0),
+      Ev(7, ta(30), 1, "click", 4.0))   // advances watermark past [0,10)
+    val ohlc = Seq(
+      min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+      max(col("value")).as("high"), min(col("value")).as("low"),
+      max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+    val mem = MemoryStream[Ev](spark)
+    val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
+    val agg = s.tumblingAgg("10 minutes", Seq(col("event_type")), ohlc)
+    val w = agg.writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Append)
+    mem.addData(evs.toIndexedSeq: _*)
+    runToCompletion(w)
+    val got = spark.table("ohlc")
+      .select("event_type", "open", "high", "low", "close").collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("click") == ((5.0, 9.0, 1.0, 7.0)))
+    assert(got("view") == ((3.0, 3.0, 2.0, 2.0)))
+  }
+
   test("session window agg in streaming (append mode after watermark close)") {
     val mem = MemoryStream[Ev](spark)
     val s = KsqlStream(mem.toDF(), "ts", "5 minutes")

@@ -499,6 +499,58 @@ object Dedup {
         |SELECT new_id, old_id, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.7""".stripMargin),
 
+    // train/eval near-dup leakage audit: the q_split_assign md5 split
+    // (train = h<90) as the corpus, val+test as the probe batch —
+    // near-dups CROSSING the split inflate eval scores (the Lee et al.
+    // dedup motivation); exact-substring leakage is q_contamination's
+    // job, this catches the fuzzier rewrites 13-gram overlap misses
+    "q_split_leakage" -> Q(
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100
+        val docs = Tables.documents(s, d)
+        incrementalDedup(docs.filter(h < 90), docs.filter(h >= 90),
+          threshold = 0.5)
+          .select(col("new_id").as("eval_id"), col("old_id").as("train_id"),
+            col("jaccard"))
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(w) - 1, 2))]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), hh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |), sig AS (
+        |  SELECT doc_id, k,
+        |    min(((2*k + 1) * h + k * 12345 + 7) % 2147483647) AS m
+        |  FROM hh CROSS JOIN (SELECT unnest(range(16)) AS k) GROUP BY doc_id, k
+        |), bands AS (
+        |  SELECT doc_id, k // 4 AS band,
+        |    string_agg(m::VARCHAR, ',' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY doc_id, k // 4
+        |), sp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS h
+        |  FROM documents
+        |), cand AS (
+        |  SELECT DISTINCT o.doc_id AS train_id, n.doc_id AS eval_id
+        |  FROM bands o JOIN bands n
+        |    ON o.band = n.band AND o.band_key = n.band_key
+        |  JOIN sp so ON so.doc_id = o.doc_id
+        |  JOIN sp sn ON sn.doc_id = n.doc_id
+        |  WHERE so.h < 90 AND sn.h >= 90
+        |), j AS (
+        |  SELECT eval_id, train_id,
+        |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac
+        |  FROM cand JOIN sh x ON x.doc_id = train_id
+        |            JOIN sh y ON y.doc_id = eval_id
+        |)
+        |SELECT eval_id, train_id, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.5""".stripMargin),
+
     "q_dedup_simhash" -> Q(
       (s, d) => simhashFingerprints(Tables.documents(s, d)),
       """WITH w AS (

@@ -435,4 +435,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q:\n$p")
     }
   }
+
+  test("OHLC bars are one hash aggregate — no per-window sort, no window operator") {
+    val p = plan("q_window_ohlc")
+    assert("partial_min|partial_max".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window"), s"min_by/max_by must not plan a window sort\n$p")
+  }
+
+  test("dsir: count tables partial-aggregate; one-row totals broadcast") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"scalar totals should broadcast into the token stream\n$p")
+  }
+
+  test("split leakage keeps the incremental-dedup broadcast shape") {
+    val p = plan("q_split_leakage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

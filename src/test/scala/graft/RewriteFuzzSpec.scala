@@ -15,15 +15,19 @@ class RewriteFuzzSpec extends AnyFunSuite {
 
   private val ident = Gen.oneOf("x", "y", "col1", "event_type", "value")
   private val number = Gen.choose(0, 999).map(_.toString)
-  // literals that look like rewritable calls, plus '' escapes
+  // literals that look like rewritable calls, plus '' escapes, plus
+  // arrow/assign lookalikes that the lambda and constructor passes must
+  // never touch inside strings
   private val literal = Gen.oneOf(
     "'MASK(x)'", "'see UCASE(b'", "'a''b'", "'plain text'",
-    "'GEO_DISTANCE(1,2,3,4)'", "'field, elt'")
+    "'GEO_DISTANCE(1,2,3,4)'", "'field, elt'", "'a => b'", "'k := v'",
+    "'TRANSFORM(m)'")
   private val fnName = Gen.oneOf(
     "UCASE", "LCASE", "LEN", "TRIM", "IFNULL", "MASK", "MASK_LEFT",
     "MASK_KEEP_RIGHT", "FIELD", "ELT", "CONCAT_WS", "GEO_DISTANCE",
     "STRINGTOTIMESTAMP", "TIMESTAMPTOSTRING", "URL_EXTRACT_HOST",
-    "LATEST_BY_OFFSET", "TOPK", "HISTOGRAM", "ROUND", "ABS")
+    "LATEST_BY_OFFSET", "TOPK", "HISTOGRAM", "ROUND", "ABS",
+    "ARRAY_SORT", "IS_JSON_STRING", "ARRAY_CONCAT", "SPLIT_TO_MAP")
 
   private def exprGen(depth: Int): Gen[String] =
     if (depth <= 0) Gen.oneOf(ident, number, literal)
@@ -34,6 +38,15 @@ class RewriteFuzzSpec extends AnyFunSuite {
         n <- Gen.choose(1, 4)
         args <- Gen.listOfN(n, exprGen(depth - 1))
       } yield s"$name(${args.mkString(", ")})"),
+      // ksqlDB HOFs with lambda args (single- and two-param arrows)
+      1 -> (for {
+        hof <- Gen.oneOf("TRANSFORM", "FILTER")
+        arr <- exprGen(depth - 1); body <- exprGen(depth - 1)
+      } yield s"$hof($arr, w => $body)"),
+      1 -> (for {
+        arr <- exprGen(depth - 1); init <- Gen.oneOf(ident, number)
+        body <- exprGen(depth - 1)
+      } yield s"REDUCE($arr, $init, (acc, w) => $body)"),
       1 -> (for {
         a <- exprGen(depth - 1); b <- exprGen(depth - 1)
       } yield s"$a + $b"))

@@ -49,7 +49,14 @@ object Translator {
     "URL_EXTRACT_PORT" -> "URL_EXTRACT_PORT(url) - port or NULL",
     "URL_EXTRACT_PARAMETER" -> "URL_EXTRACT_PARAMETER(url, name) - query param value",
     "URL_ENCODE_PARAM" -> "URL_ENCODE_PARAM(s) - urlencode",
-    "URL_DECODE_PARAM" -> "URL_DECODE_PARAM(s) - urldecode")
+    "URL_DECODE_PARAM" -> "URL_DECODE_PARAM(s) - urldecode",
+    "TRANSFORM" -> "TRANSFORM(arr, x => e) / TRANSFORM(map, kLambda, vLambda)",
+    "FILTER" -> "FILTER(arr, x => pred) - keep matching elements",
+    "REDUCE" -> "REDUCE(arr, init, (acc, x) => e) - left fold",
+    "ARRAY_SORT" -> "ARRAY_SORT(arr[, 'ASC'|'DESC']) - sort, nulls last",
+    "ARRAY_CONCAT" -> "ARRAY_CONCAT(a, b) - concat; one NULL side returns the other",
+    "IS_JSON_STRING" -> "IS_JSON_STRING(s) - true when s parses as JSON",
+    "EXPLODE" -> "EXPLODE(arr) - table function: one row per element")
 
   // Session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES).
   // WeakHashMap so a stopped/dropped SparkSession doesn't stay pinned

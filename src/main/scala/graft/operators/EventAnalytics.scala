@@ -63,6 +63,29 @@ object EventAnalytics {
     // gaps-and-islands sessionization: a new session starts when the
     // per-user gap exceeds 30 min; session_seq = running count of
     // session starts. One window pass, no join.
+    // event-type transition matrix (first-order Markov counts): per-user
+    // event order is the (ts, event_id) total order, so lead() is
+    // deterministic on any partitioning; ONE window pass shuffled by
+    // user_id, then a plain partial→final count per (from, to) pair
+    "q_event_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      """SELECT from_type, to_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |)
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin),
+
     "q_sessionize" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

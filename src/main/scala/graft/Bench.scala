@@ -93,7 +93,8 @@ object Bench {
       "q_ksql_script", "q_scalar_math", "q_hll_rollup", "q_gopher_filter",
       "q_ann_graph", "q_dedup_keep", "q_ann_ivfpq", "q_lm_score",
       "q_ann_rerank", "q_quality_logit", "q_profile", "q_kll_quantiles",
-      "q_tpch_q7", "q_heavy_hitters")
+      "q_tpch_q7", "q_heavy_hitters",
+      "q_dedup_incremental", "q_text_entropy", "q_dsir_weights")
     val byName = results.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     println(

@@ -31,9 +31,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // FAIR across the overlapped queries: under FIFO an iterative
-      // query's many small jobs queue behind another query's wide stage
-      // and its wall time multiplies by the overlap factor
+      // NOTE: without named per-thread pools this is effectively FIFO
+      // (FAIR only applies across pools; the lone default pool is
+      // FIFO). Kept for the operator who wants FAIR: name pools via
+      // spark.scheduler.pool in their own harness. See the pool note
+      // in the Callable below for why Bench itself stays FIFO.
       .config("spark.scheduler.mode", "FAIR")
       // AQE stays ON (measured: disabling it nearly doubles wall-clock —
       // its post-shuffle coalescing of tiny sf0.1 partitions outweighs
@@ -53,6 +55,17 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       name -> pool.submit(new Callable[Double] {
         def call(): Double = {
+          // Deliberately NO per-query scheduler pool: FAIR mode only
+          // schedules fairly ACROSS named pools (all jobs land in the
+          // single default pool — itself FIFO — so mode=FAIR without
+          // pools is inert). One-pool-per-query was tried and not kept:
+          // measured 60.7/120.7 s vs 29.6/67.5 s without pools at sf0.1
+          // (this VM's host noise oscillates runs 2-4x, so no clean
+          // causal read — but fair-sharing slots across 8 active pools
+          // interleaves wide stages instead of letting each complete,
+          // which optimizes interactive latency, not the batch
+          // throughput this run measures, and the no-pool config is the
+          // one every green BENCH in the round history was taken under).
           val s0 = System.nanoTime()
           // noop sink, not count(): count() lets Catalyst PRUNE the
           // projections (a hash/score/projection query measured as a

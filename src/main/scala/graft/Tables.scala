@@ -20,12 +20,22 @@ import org.apache.spark.sql.types.LongType
   * and filters on top, and pushdown operates per-plan as before.
   */
 object Tables {
+  // WeakHashMap on the session (the house pattern — see Translator's
+  // session-scoped stores): a strong TrieMap keyed by SparkSession
+  // would pin every stopped session, its relation plans and file
+  // listings for the JVM lifetime. The inner map is concurrent; the
+  // outer lookup is synchronized (cheap — once per load call).
   private val relCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relCache.getOrElseUpdate((spark, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = relCache.synchronized {
+      relCache.computeIfAbsent(spark, _ =>
+        new scala.collection.concurrent.TrieMap[(String, String), DataFrame])
+    }
+    m.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

@@ -658,9 +658,14 @@ object Translator {
 
   /** Rewrite KSQL function names to Spark SQL equivalents. */
   def rewriteExpr(e: String): String = {
+    // expandConstructors BEFORE expandLambdas: rewriteCall's arg scan
+    // tracks parens and quotes but not square brackets, so a TRANSFORM
+    // over an ARRAY[1, 2] literal would mis-split at the bracketed
+    // commas — once constructors have become array(1, 2) the commas sit
+    // at depth 2 and split correctly
     val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
-      expandTopK(expandHistogram(expandMask(expandArrayJson(expandConstructors(
-        expandLambdas(lambdaArrows(structDeref(e)))))))))))))
+      expandTopK(expandHistogram(expandMask(expandArrayJson(expandLambdas(
+        expandConstructors(lambdaArrows(structDeref(e)))))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

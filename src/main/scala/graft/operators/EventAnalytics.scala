@@ -60,9 +60,6 @@ object EventAnalytics {
          |  round(sum(value * exp(-(${java.lang.Double.toString(decayLambda)})
          |    * (t_last - tms))), 4) AS decayed
          |FROM m GROUP BY 1, 2""".stripMargin),
-    // gaps-and-islands sessionization: a new session starts when the
-    // per-user gap exceeds 30 min; session_seq = running count of
-    // session starts. One window pass, no join.
     // event-type transition matrix (first-order Markov counts): per-user
     // event order is the (ts, event_id) total order, so lead() is
     // deterministic on any partitioning; ONE window pass shuffled by
@@ -86,6 +83,9 @@ object EventAnalytics {
         |WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin),
 
+    // gaps-and-islands sessionization: a new session starts when the
+    // per-user gap exceeds 30 min; session_seq = running count of
+    // session starts. One window pass, no join.
     "q_sessionize" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

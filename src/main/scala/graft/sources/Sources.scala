@@ -201,16 +201,24 @@ object Sources {
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
         reader.sync(start)
-        new Iterator[org.apache.spark.sql.Row] {
+        // close on task completion, not only on iterator exhaustion: a
+        // consumer that stops early (limit/take) or throws mid-decode
+        // never reaches the hasNext-false path and would leak the open
+        // input stream — the standard record-reader cleanup hook
+        val it = new Iterator[org.apache.spark.sql.Row] {
           private var closed = false
+          def closeOnce(): Unit = if (!closed) { reader.close(); closed = true }
           override def hasNext: Boolean = {
             val h = !closed && reader.hasNext && !reader.pastSync(end)
-            if (!h && !closed) { reader.close(); closed = true }
+            if (!h) closeOnce()
             h
           }
           override def next(): org.apache.spark.sql.Row =
             recordToRow(reader.next(), schema)
         }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.closeOnce()))
+        it
       }
     s.createDataFrame(rows, schema)
   }

@@ -25,16 +25,11 @@ object StreamingSketches {
   final class CmsState(val d: Int, val w: Int) {
     val counters: Array[Array[Long]] = Array.fill(d)(new Array[Long](w))
     var n: Long = 0L
-    private val md = java.security.MessageDigest.getInstance("MD5")
-    // synchronized: the shared digest would interleave if a dashboard
-    // thread probes estimates while foreachBatch folds the next batch
-    private def bucket(r: Int, term: String): Int = synchronized {
-      md.reset()
-      val dig = md.digest(s"${r}_$term".getBytes("UTF-8"))
-      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
-      (h % w).toInt
-    }
+    // the ONE hash recipe, shared with the Spark-side StableHash32 that
+    // built the distributed bucket totals — a drifted private copy here
+    // would probe arbitrary buckets (thread-safe: fresh digest per call)
+    private def bucket(r: Int, term: String): Int =
+      (graft.functions.TextFunctions.stableHash32Static(s"${r}_$term") % w).toInt
     /** One-sided estimate: min over the d rows, >= the true count. */
     def estimate(term: String): Long =
       (0 until d).map(r => counters(r)(bucket(r, term))).min

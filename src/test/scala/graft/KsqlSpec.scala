@@ -449,6 +449,11 @@ class KsqlSpec extends SparkSpec {
       "map_from_entries(transform(map_entries(m)," +
         "__e->struct(upper(__e.key),__e.value+LENGTH(__e.key))))")
     assert(Translator.rewriteExpr(m) == m)
+    // ARRAY[...] constructor literals inside HOF args: the bracketed
+    // commas must not be mis-split as argument separators (constructors
+    // rewrite before the lambda pass)
+    assert(Translator.rewriteExpr("TRANSFORM(ARRAY[1, 2, 3], x => x + 1)")
+      .replaceAll("\\s", "") == "transform(array(1,2,3),x->x+1)")
     // params named `key`/`value` must not corrupt the injected refs
     // (single-pass substitution; sequential passes would rewrite the
     // `key` inside an earlier `__e.key`)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: replicate the sf-dir `factor`× (id-shifted
+  * copies, dims kept 1× like a TPC-H scale-up keeps region/nation) into
+  * a scratch dir, then time a set of LINEAR-shaped queries at both
+  * scales and print one JSON line of (query → seconds@1x, seconds@Nx).
+  *
+  * This is measurement scaffolding, NOT test data — correctness always
+  * runs against the driver-generated parquet. Queries with pathological
+  * behavior under exact duplication (minhash banding turns 10 identical
+  * copies into ~45 pairs per doc — a 100% dup-rate corpus, quadratic in
+  * the copy count by construction, not a scaling property) are simply
+  * not in the default list; exact dedup IS (grouping collapses copies
+  * linearly).
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [scratchDir] [factor] [q...]
+  */
+object ScaleProbe {
+  private val DefaultQueries = Seq(
+    "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
+    "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_scaleprobe")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "32g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    val off = 1000000000L
+    def rep(name: String, idCols: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      (0 until factor).map { i =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * off)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    rep("lineitem", Seq("l_orderkey"))
+    rep("orders", Seq("o_orderkey"))
+    rep("documents", Seq("doc_id"))
+    rep("embeddings", Seq("vec_id"))
+    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def time(dir: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = queries.map { q =>
+      // per-query warm-up run: the first execution pays codegen and
+      // plan compilation — charging that to the 1x sample would bias
+      // every ratio downward
+      time(src, q)
+      val t1 = time(src, q); val tN = time(dst, q)
+      System.err.println(f"$q%-18s 1x ${t1}%6.2f s   ${factor}x ${tN}%6.2f s   ratio ${tN / t1}%5.2f")
+      s""""$q":{"t1":${f"$t1%.3f"},"tN":${f"$tN%.3f"},"ratio":${f"${tN / t1}%.2f"}}"""
+    }
+    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

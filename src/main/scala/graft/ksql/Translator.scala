@@ -56,6 +56,7 @@ object Translator {
     "ARRAY_SORT" -> "ARRAY_SORT(arr[, 'ASC'|'DESC']) - sort, nulls last",
     "ARRAY_CONCAT" -> "ARRAY_CONCAT(a, b) - concat; one NULL side returns the other",
     "IS_JSON_STRING" -> "IS_JSON_STRING(s) - true when s parses as JSON",
+    "ENCODE" -> "ENCODE(str, 'utf8'|'hex'|'base64'|'ascii', out) - re-encode",
     "EXPLODE" -> "EXPLODE(arr) - table function: one row per element")
 
   // Session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES).
@@ -540,7 +541,44 @@ object Translator {
       arity("IS_JSON_STRING", args, 1)
       s"(try_parse_json(${args.head}) IS NOT NULL)"
     }
-    s3.replaceAll(raw"(?i)\b__asort\(", "array_sort(")
+    // ksqlDB ENCODE(str, inEnc, outEnc): representation conversion
+    // between utf8 / hex / base64 / ascii. Encodings must be string
+    // LITERALS (they pick the Spark expression at rewrite time).
+    val s4 = rewriteCall(s3, "ENCODE") { args =>
+      // Spark's own 2-arg encode(str, charset) passes through — also
+      // what keeps a second rewrite pass identity (fuzz invariant)
+      if (args.length == 2) s"__encb(${args.mkString(", ")})"
+      else {
+      arity("ENCODE", args, 3)
+      def enc(a: String) = {
+        val t = a.trim
+        if (!(t.startsWith("'") && t.endsWith("'"))) throw new IllegalArgumentException(
+          s"ENCODE encodings must be string literals, got: $a")
+        t.substring(1, t.length - 1).toLowerCase
+      }
+      val x = args.head
+      // to bytes from the input representation… (`__encb` breaks the
+      // rewriteCall fixpoint: Spark's own encode() would re-match the
+      // case-insensitive ENCODE scan and fail the 3-arity check)
+      val bytes = enc(args(1)) match {
+        case "utf8" | "ascii" => s"__encb($x, 'UTF-8')"
+        case "hex"            => s"unhex($x)"
+        case "base64"         => s"unbase64($x)"
+        case other => throw new IllegalArgumentException(
+          s"ENCODE: unsupported input encoding '$other'")
+      }
+      // …then to the output representation
+      enc(args(2)) match {
+        case "utf8" | "ascii" => s"decode($bytes, 'UTF-8')"
+        case "hex"            => s"lower(hex($bytes))"
+        case "base64"         => s"base64($bytes)"
+        case other => throw new IllegalArgumentException(
+          s"ENCODE: unsupported output encoding '$other'")
+      }
+      }
+    }
+    s4.replaceAll(raw"(?i)\b__asort\(", "array_sort(")
+      .replaceAll(raw"(?i)\b__encb\(", "encode(")
   }
 
   /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and

@@ -497,6 +497,15 @@ class KsqlSpec extends SparkSpec {
       + " AS d").head()
     assert(ac.getSeq[Int](0) == Seq(1, 2))
     assert(ac.getSeq[String](1) == Seq("b", "a", null))
+    // ENCODE round-trips through hex and base64
+    val er = spark.sql("SELECT " +
+      Translator.rewriteExpr("ENCODE('hi', 'utf8', 'hex')") + " AS h, " +
+      Translator.rewriteExpr("ENCODE(ENCODE('spark', 'utf8', 'base64'), 'base64', 'utf8')")
+      + " AS rt").head()
+    assert(er.getString(0) == "6869" && er.getString(1) == "spark")
+    intercept[IllegalArgumentException] {
+      Translator.rewriteExpr("ENCODE(x, 'utf8', 'ebcdic')")
+    }
     // execution: IS_JSON_STRING is false for NULL and malformed, true for valid
     val r = spark.sql("SELECT " +
       Translator.rewriteExpr("IS_JSON_STRING('{\"a\": 1}')") + " AS ok, " +

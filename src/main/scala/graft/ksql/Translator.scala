@@ -896,11 +896,18 @@ object Translator {
         val keyTexts = s.groupBy
           .map(g => rewriteExpr(aliasMap.getOrElse(g.trim.toLowerCase, g))).toSet
         // WINDOWSTART/WINDOWEND in the select list are pseudo-columns of
-        // the window key — they surface post-agg, not as aggregates
-        val isWinPseudo = (e: String) =>
-          e.trim.equalsIgnoreCase("windowstart") || e.trim.equalsIgnoreCase("windowend")
+        // the window key — they surface post-agg, not as aggregates.
+        // KSQL 5.x also spells them as zero-arg calls WindowStart() /
+        // WindowEnd(); both forms normalize to the bare column name.
+        val winName = (e: String) => {
+          val t = e.replaceAll("\\s", "").toLowerCase
+          if (t == "windowstart" || t == "windowstart()") Some("windowstart")
+          else if (t == "windowend" || t == "windowend()") Some("windowend")
+          else None
+        }
+        val isWinPseudo = (e: String) => winName(e).isDefined
         val winAliases = s.columns.collect {
-          case (e, alias) if isWinPseudo(e) => (e.trim.toLowerCase, alias)
+          case (e, alias) if isWinPseudo(e) => (winName(e).get, alias)
         }
         val aggs = s.columns.filterNot { case (e, _) =>
           keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)

@@ -515,6 +515,22 @@ class KsqlSpec extends SparkSpec {
     assert(r.getAs[Boolean]("ok") && !r.getAs[Boolean]("bad") && !r.getAs[Boolean]("nul"))
   }
 
+  test("WindowStart()/WindowEnd() call forms equal the pseudo-column forms") {
+    val cat: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    def run(sel: String) = {
+      val (_, Some(df)) = Translator.run(spark, cat,
+        s"""SELECT $sel, event_type, COUNT(*) AS cnt
+           |FROM events WINDOW TUMBLING (SIZE 1 HOURS)
+           |GROUP BY event_type EMIT CHANGES""".stripMargin): @unchecked
+      df.select("ws", "event_type", "cnt").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val viaCall = run("WindowStart() AS ws")
+    val viaPseudo = run("WINDOWSTART AS ws")
+    assert(viaCall == viaPseudo && viaCall.nonEmpty)
+  }
+
   test("ROWTIME and ROWKEY pseudo-columns resolve; SELECT * stays the declared schema") {
     val (cat, _) = Translator.run(spark, Map.empty,
       s"""CREATE STREAM ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR,

@@ -315,6 +315,23 @@ object Sources {
       }
       Iterator.empty[Int]
     }.count(): Unit
+    // an all-empty frame still materializes its SCHEMA: one header-only
+    // container — the file analogue of an empty topic whose schema is
+    // registered. Without it a column-less CREATE STREAM (schema
+    // inferred from the writer schema) over the output of an empty
+    // CSAS fails with "no .avro files" instead of binding empty.
+    val wroteAny = fsRoot.listStatus(dir)
+      .exists(_.getPath.getName.endsWith(".avro"))
+    if (!wroteAny) {
+      val aSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val os = fsRoot.create(
+        new org.apache.hadoop.fs.Path(dir, s"$prefix-00000.avro"), true)
+      val writer = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](aSchema))
+      writer.create(aSchema, os)
+      writer.close()
+    }
   }
 
   // scala-friendly view of avro's java lists without a collection-compat

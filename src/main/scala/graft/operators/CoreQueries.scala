@@ -364,9 +364,13 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s1"),
           sum(col("l_quantity") * col("l_quantity")).as("s2"))
         .select(col("l_returnflag"), col("n"),
-          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2)
+          // var_samp semantics: a single-row group has NO sample
+          // variance — NULL, not an ANSI divide-by-zero abort
+          when(col("n") > 1,
+            round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2))
             .as("var_qty"),
-          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+          when(col("n") > 1,
+            round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4))
             .as("std_qty")),
       """WITH p AS (
         |  SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s1,
@@ -374,8 +378,10 @@ object CoreQueries {
         |  FROM lineitem GROUP BY 1
         |)
         |SELECT l_returnflag, n,
-        |  round((s2 - s1 * s1 / n) / (n - 1), 2) AS var_qty,
-        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS std_qty
+        |  CASE WHEN n > 1
+        |    THEN round((s2 - s1 * s1 / n) / (n - 1), 2) END AS var_qty,
+        |  CASE WHEN n > 1
+        |    THEN round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) END AS std_qty
         |FROM p""".stripMargin),
 
     // approx aggregates: semantics are engine-specific → rows-only driver

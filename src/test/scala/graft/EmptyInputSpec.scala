@@ -21,15 +21,37 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  test("every query executes on empty inputs without throwing") {
+  private lazy val oneRowDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    Tables.events(spark, sfDir).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def sweep(dir: String, label: String): Unit = {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      try fn(spark, emptyDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failures += s"$name: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(160) }
     }
     assert(failures.isEmpty,
-      s"${failures.size} queries throw on empty inputs:\n" + failures.mkString("\n"))
+      s"${failures.size} queries throw on $label inputs:\n" + failures.mkString("\n"))
+  }
+
+  test("every query executes on empty inputs without throwing") {
+    sweep(emptyDir, "empty")
+  }
+
+  // single-row tables: the other degenerate class — div-by-zero under
+  // ANSI, descending sequence(1, 0) index errors, one-vector k-means,
+  // one-word BPE, pairless components
+  test("every query executes on single-row inputs without throwing") {
+    sweep(oneRowDir, "single-row")
   }
 }

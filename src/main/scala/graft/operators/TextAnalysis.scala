@@ -55,8 +55,11 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       nChars.as("n_chars"), nWords.as("n_words"),
       round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4).as("avg_word_len"),
-      round(punct.cast("double") / nChars, 4).as("punct_ratio"),
-      round(digits.cast("double") / nChars, 4).as("digit_ratio"),
+      // nullif guard: empty text has n_chars = 0 — the ratio is NULL,
+      // matching DuckDB's x / 0 → NULL, never an ANSI abort (n_words
+      // needs no guard: split('', ' ') = [''] so it is always >= 1)
+      round(punct.cast("double") / nullif(nChars, lit(0)), 4).as("punct_ratio"),
+      round(digits.cast("double") / nullif(nChars, lit(0)), 4).as("digit_ratio"),
       round(stop.cast("double") / nWords, 4).as("stopword_ratio"))
       .withColumn("quality",
         qualityExpr(col("n_words"), col("punct_ratio"), col("stopword_ratio")))
@@ -97,7 +100,7 @@ object TextAnalysis {
     val nWords = size(words(t))
     val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
     val stop = markerScore(words(t), enMarkers)
-    val punctRatio = round(punct.cast("double") / length(t), 4)
+    val punctRatio = round(punct.cast("double") / nullif(length(t), lit(0)), 4)
     val stopRatio = round(stop.cast("double") / nWords, 4)
     val metrics = docs.select(col("doc_id"),
       nWords.as("n_words"),
@@ -354,7 +357,7 @@ object TextAnalysis {
     val nWords = size(words(t))
     val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
     val stop = markerScore(words(t), enMarkers)
-    val punctRatio = round(punct.cast("double") / length(t), 4)
+    val punctRatio = round(punct.cast("double") / nullif(length(t), lit(0)), 4)
     val stopRatio = round(stop.cast("double") / nWords, 4)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))

@@ -54,4 +54,45 @@ class EmptyInputSpec extends SparkSpec {
   test("every query executes on single-row inputs without throwing") {
     sweep(oneRowDir, "single-row")
   }
+
+  // adversarial CONTENT: nulls in optional fields, empty/whitespace/
+  // single-char text, zero vectors, identical rows — the data-quality
+  // hazards a 100 TB crawl actually contains
+  private lazy val adversarialDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(5)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    Tables.events(spark, sfDir).limit(5)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = docs.limit(2)
+    base.unionByName(base
+        .withColumn("text", lit("")).withColumn("doc_id", col("doc_id") + 100))
+      .unionByName(base
+        .withColumn("text", lit("x")).withColumn("doc_id", col("doc_id") + 200))
+      .unionByName(base
+        .withColumn("text", lit("   ")).withColumn("doc_id", col("doc_id") + 300))
+      .unionByName(base
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("doc_id", col("doc_id") + 400))
+      .unionByName(base
+        .withColumn("lang", lit(null).cast("string"))
+        .withColumn("doc_id", col("doc_id") + 500))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ebase = emb.limit(2)
+    ebase.unionByName(ebase
+        .withColumn("embedding",
+          expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+        .withColumn("vec_id", col("vec_id") + 100))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("every query executes on adversarial content without throwing") {
+    sweep(adversarialDir, "adversarial")
+  }
 }

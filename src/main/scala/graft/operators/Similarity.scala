@@ -86,11 +86,15 @@ object Similarity {
     * corpus.
     */
   def kMeansCentroids(vecs: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
+    // a NULL vector cannot be clustered (and array_to_vector throws on
+    // it) — drop here so every operator training through this path
+    // (IVF, IVFPQ, semantic dedup) tolerates corrupt rows
+    val vv = vecs.filter(col("v").isNotNull)
     val meanByCell = (assigned: DataFrame) => assigned
       .groupBy(col("cell"))
       .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
       .select(col("cell"), vector_to_array(col("mv")).as("centroid"))
-    val seeded = vecs.withColumn("cell",
+    val seeded = vv.withColumn("cell",
       pmod(crc32(col("vec_id").cast("string")), lit(nCells)))
     // localCheckpoint each round: the centroid table is nCells rows but
     // its lineage embeds a full corpus pass per iteration — downstream
@@ -98,7 +102,7 @@ object Similarity {
     // otherwise re-execute the whole chain once per reference
     var centroids = meanByCell(seeded).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val x = vecs.crossJoin(broadcast(centroids))
+      val x = vv.crossJoin(broadcast(centroids))
         .withColumn("d", l2Distance(col("v"), col("centroid")))
       // argmin via min-of-struct (compares d, then cell — deterministic):
       // a plain hash aggregate, no per-key sort like a window rank
@@ -657,8 +661,10 @@ object Similarity {
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           // over-bound vectors fail LOUDLY: zip_with would null-pad past
-          // the sign matrix and silently null every projection instead
-          .withColumn("v", when(size(col("v")) <= dimBound, col("v"))
+          // the sign matrix and silently null every projection instead.
+          // A NULL embedding passes through (p = NULL), matching the
+          // oracle's NULL propagation — only real over-bound data raises.
+          .withColumn("v", when(col("v").isNull || size(col("v")) <= dimBound, col("v"))
             .otherwise(raise_error(concat(lit(
               s"q_embed_project: embedding dim exceeds sign-matrix bound $dimBound: "),
               size(col("v")).cast("string")))))

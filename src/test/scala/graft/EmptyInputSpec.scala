@@ -88,6 +88,9 @@ class EmptyInputSpec extends SparkSpec {
         .withColumn("embedding",
           expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
         .withColumn("vec_id", col("vec_id") + 100))
+      .unionByName(ebase
+        .withColumn("embedding", lit(null).cast("array<float>"))
+        .withColumn("vec_id", col("vec_id") + 200))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }

@@ -8,7 +8,7 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     SparkEntry.queries("q_agg_core")(spark, d).count() // warm
     for (name <- args) {
       val t0 = System.nanoTime()

@@ -31,7 +31,6 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "32g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
@@ -44,6 +43,14 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
     rep("lineitem", Seq("l_orderkey"))
+    // events via the nanos-normalizing loader (a bare parquet read
+    // fails on TIMESTAMP(NANOS)); ids shifted like the other facts so
+    // per-user/window cardinalities stay realistic
+    (0 until factor).map { i =>
+      Seq("event_id", "user_id").foldLeft(Tables.events(spark, src))(
+        (d, c) => d.withColumn(c, col(c) + lit(i * off)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
     rep("orders", Seq("o_orderkey"))
     rep("documents", Seq("doc_id"))
     rep("embeddings", Seq("vec_id"))
@@ -63,8 +70,12 @@ object ScaleProbe {
       // every ratio downward
       time(src, q)
       val t1 = time(src, q); val tN = time(dst, q)
-      System.err.println(f"$q%-18s 1x ${t1}%6.2f s   ${factor}x ${tN}%6.2f s   ratio ${tN / t1}%5.2f")
-      s""""$q":{"t1":${f"$t1%.3f"},"tN":${f"$tN%.3f"},"ratio":${f"${tN / t1}%.2f"}}"""
+      // Locale.ROOT: f"%.3f" is default-locale-sensitive and a comma
+      // decimal separator corrupts the JSON line (same fix as Bench)
+      def fmt(v: Double, p: String) =
+        String.format(java.util.Locale.ROOT, p, Double.box(v))
+      System.err.println(s"$q 1x ${fmt(t1, "%6.2f")} s  ${factor}x ${fmt(tN, "%6.2f")} s  ratio ${fmt(tN / t1, "%5.2f")}")
+      s""""$q":{"t1":${fmt(t1, "%.3f")},"tN":${fmt(tN, "%.3f")},"ratio":${fmt(tN / t1, "%.2f")}}"""
     }
     println(s"""{"metric":"scaleprobe","factor":$factor,"queries":{${rows.mkString(",")}}}""")
     spark.stop()

@@ -561,7 +561,10 @@ object Translator {
       // rewriteCall fixpoint: Spark's own encode() would re-match the
       // case-insensitive ENCODE scan and fail the 3-arity check)
       val bytes = enc(args(1)) match {
-        case "utf8" | "ascii" => s"__encb($x, 'UTF-8')"
+        case "utf8"  => s"__encb($x, 'UTF-8')"
+        // US-ASCII like ksqlDB: non-ASCII chars become '?' replacement
+        // bytes instead of silently hex/base64-dumping UTF-8 bytes
+        case "ascii" => s"__encb($x, 'US-ASCII')"
         case "hex"            => s"unhex($x)"
         case "base64"         => s"unbase64($x)"
         case other => throw new IllegalArgumentException(
@@ -569,7 +572,8 @@ object Translator {
       }
       // …then to the output representation
       enc(args(2)) match {
-        case "utf8" | "ascii" => s"decode($bytes, 'UTF-8')"
+        case "utf8"  => s"decode($bytes, 'UTF-8')"
+        case "ascii" => s"decode($bytes, 'US-ASCII')"
         case "hex"            => s"lower(hex($bytes))"
         case "base64"         => s"base64($bytes)"
         case other => throw new IllegalArgumentException(

@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** NULL embeddings carry no geometry: they can't be indexed, probed
+    * or returned as neighbors — every similarity operator drops them at
+    * entry (kept rows would otherwise surface as NULL-similarity or,
+    * worse, fabricated-distance candidates after codeword tie-breaks). */
+  private def nonNullVecs(df: DataFrame): DataFrame =
+    df.filter(col("embedding").isNotNull)
+
   /** Exact top-k cosine neighbors for each probe row. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    val c = nonNullVecs(corpus).select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val p = probes.select(col("vec_id").as("probe_id"),
+    val p = nonNullVecs(probes).select(col("vec_id").as("probe_id"),
       col("embedding").cast("array<double>").as("pv"))
       .withColumn("pn", l2Norm(col("pv")))
     val w = Window.partitionBy(col("probe_id"))
@@ -48,7 +55,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, dim: Int, nBits: Int = 4,
               k: Int = 3): DataFrame = {
-    val sig = (df: DataFrame) => df
+    val sig = (df: DataFrame) => nonNullVecs(df)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", rhpSignature(col("v"), dim, nBits))
       .withColumn("nrm", l2Norm(col("v")))
@@ -120,7 +127,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, nCells: Int = 8,
               nProbe: Int = 2, k: Int = 3, iters: Int = 3): DataFrame = {
-    val c0 = corpus.select(col("vec_id"),
+    val c0 = nonNullVecs(corpus).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val centroids = kMeansCentroids(c0, nCells, iters)
     val assign = (df: DataFrame, n: Int) => {
@@ -134,7 +141,8 @@ object Similarity {
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val probeCells = assign(
-      probes.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), nProbe)
+      nonNullVecs(probes)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")), nProbe)
       .select(col("cell"), col("vec_id").as("probe_id"), col("v").as("pv"))
       .withColumn("pn", l2Norm(col("pv")))
     val w = Window.partitionBy(col("probe_id"))
@@ -162,8 +170,11 @@ object Similarity {
        |    (size($vcol) div $m) + if(s < size($vcol) % $m, 1, 0)))""".stripMargin
 
   private[graft] def pqSubvecs(vecs: DataFrame, m: Int): DataFrame =
-    vecs.select(col("vec_id"), posexplode(expr(subvecSql(m, "v")))
-      .as(Seq("sub", "sv")))
+    // NULL vectors yield m rows of NULL subvectors (slice over NULL),
+    // which would reach Summarizer in codebook training — drop here
+    vecs.filter(col("v").isNotNull)
+      .select(col("vec_id"), posexplode(expr(subvecSql(m, "v")))
+        .as(Seq("sub", "sv")))
 
   /** Per-subspace Lloyd codebooks for product quantization: ONE frame
     * keyed by (sub, cell) trains all m codebooks together — m separate
@@ -207,7 +218,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, probes: DataFrame, m: Int = 8,
              ksub: Int = 32, k: Int = 3, iters: Int = 1,
              trainMod: Int = 4): DataFrame = {
-    val c0 = corpus.select(col("vec_id"),
+    val c0 = nonNullVecs(corpus).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val csub = pqSubvecs(c0, m)
     // codebooks train on a deterministic 1/trainMod hash-sample — the
@@ -230,7 +241,8 @@ object Similarity {
         col("s.cell").as("code"))
     // ADC table: probe × subspace × codeword squared distances
     val ptab = pqSubvecs(
-      probes.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), m)
+      nonNullVecs(probes)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")), m)
       .join(broadcast(cb), "sub")
       .select(col("vec_id").as("probe_id"), col("sub"),
         col("cell").as("code"), l2Sq(col("sv"), col("codeword")).as("d2"))
@@ -266,7 +278,7 @@ object Similarity {
                 nProbe: Int = 2, m: Int = 8, ksub: Int = 32, k: Int = 3,
                 coarseIters: Int = 1, pqIters: Int = 1,
                 trainMod: Int = 4): DataFrame = {
-    val c0 = corpus.select(col("vec_id"),
+    val c0 = nonNullVecs(corpus).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val centroids = kMeansCentroids(c0, nCells, coarseIters)
     // nearest-n cells + residual vector per row. n=1 (the corpus side)
@@ -307,7 +319,8 @@ object Similarity {
         col("s.code").as("code"))
     // per-(probe, probed-cell) ADC tables over the probe's residual
     val ptab = assignN(
-      probes.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      nonNullVecs(probes)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       nProbe)
       .select(col("vec_id").as("probe_id"), col("cell"),
         posexplode(expr(subvecSql(m, "rv"))).as(Seq("sub", "sv")))
@@ -348,7 +361,7 @@ object Similarity {
     // 7 bits on the 5k-vector test corpus ≈ 300k scored pairs (vs 8M at
     // 4 bits) and the beam search recovers the recall the noisier graph
     // loses; at production n, pick bits ≈ log2(n / desired bucket size).
-    val sig = corpus
+    val sig = nonNullVecs(corpus)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", rhpSignature(col("v"), dim, nBits))
       .withColumn("nrm", l2Norm(col("v")))
@@ -397,7 +410,7 @@ object Similarity {
     * repeated workload and must not re-shuffle the corpus each call. */
   def buildGraphIndex(corpus: DataFrame, dim: Int,
                       degree: Int = 8): (DataFrame, DataFrame) = {
-    val vecs = corpus
+    val vecs = nonNullVecs(corpus)
       .select(col("vec_id").as("nid"),
         col("embedding").cast("array<double>").as("nv"))
       .withColumn("nn", l2Norm(col("nv")))

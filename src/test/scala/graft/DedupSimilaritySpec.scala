@@ -51,6 +51,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inc.forall { case (o, n) => o % 10 != 0 && n % 10 == 0 })
   }
 
+  test("ANN operators over an all-NULL-embedding corpus return empty, never throw") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    val nullCorpus = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 8L).map(i =>
+        org.apache.spark.sql.Row(i, null, 0))), schema)
+    val probes = emb.filter(col("vec_id") < 3)
+    assert(Similarity.bruteForceTopK(nullCorpus, probes).count() == 0)
+    assert(Similarity.lshTopK(nullCorpus, probes, dim = 64).count() == 0)
+    assert(Similarity.ivfTopK(nullCorpus, probes).count() == 0)
+    assert(Similarity.pqTopK(nullCorpus, probes).count() == 0)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val fp = Dedup.simhashFingerprints(docs)
     // doc pairs that are exact-jaccard near-dups should collide closely

@@ -221,6 +221,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming corpus gate over an EMPTY band index emits nothing, never throws") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val docs = Tables.documents(spark, sfDir)
+    val emptyIdx = Dedup.bandIndex(docs.filter(col("doc_id") < 0))  // 0 rows
+    val rows = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+      .collect().map(r => TextDoc(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[TextDoc](spark)
+    val gated = StreamingDedup.corpusGate(mem.toDF(), emptyIdx)
+    val w = gated.writeStream.format("memory").queryName("emptygate")
+      .outputMode(OutputMode.Append)
+    mem.addData(rows.toIndexedSeq: _*)
+    val q = w.start(); q.processAllAvailable(); q.stop()
+    assert(spark.table("emptygate").count() == 0)
+  }
+
   test("stream-table join enriches records against a broadcast table") {
     val mem = MemoryStream[Ev](spark)
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")

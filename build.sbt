@@ -34,7 +34,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // virtio disk here and the per-round bench measured MORE sys time than
   // user time (8m vs 6.5m) — a syscall storm from temp-file traffic.
   // On a real cluster this is the standard local-SSD/ramdisk scratch.
-  "-Dspark.local.dir=/dev/shm/spark-local",
+  // Overridable (SPARK_LOCAL_DIR), and only defaulted to /dev/shm when
+  // it actually exists with headroom — on hosts with a small or absent
+  // /dev/shm (container tmpfs is often far below the 50%-of-RAM
+  // default), forcing shuffle spill onto tmpfs trades disk spill for
+  // hard no-space failures, so fall back to the JVM default /tmp there.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_LOCAL_DIR", {
+    val shm = file("/dev/shm")
+    // 8 GiB usable floor: below that, sf0.1 shuffle traffic fills tmpfs
+    if (shm.isDirectory && shm.getUsableSpace > 8L * 1024 * 1024 * 1024)
+      "/dev/shm/spark-local"
+    else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  })}",
   // 32g default: Bench overlaps 8 shuffling queries in one JVM; with 8g
   // the old-gen fills and concurrent GC storms inflate wall-clock 2-4x
   // (measured 112-160 s vs 75 s at sf0.1 on a 32-core/128 GB box)

@@ -28,7 +28,13 @@ object SparkEntry {
     all.map { case (k, q) => k -> q.fn }
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's
-    * compare sorts columns by name before hashing). */
+    * compare sorts columns by name before hashing). Every oracle is routed
+    * through [[Rounding.rewriteSql]], which rewrites textual
+    * `round(expr, n)` into the engine-identical floor recipe that the
+    * Spark side uses via the shadowed [[Rounding.round]] — without this,
+    * Spark (decimal-repr HALF_UP) and DuckDB (binary-value) disagree on
+    * half-boundary doubles and any rounded oracle can flip red on a data
+    * refresh (the round-6 `q_embed_project` failure). */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    all.collect { case (k, Q(_, Some(sql))) => k -> Rounding.rewriteSql(sql) }
 }

@@ -11,30 +11,32 @@ import org.apache.spark.sql.types.LongType
   * cache the DATA here — at 100 TB the scan must stream, and pruning only
   * works when the scan sees the final projection.
   *
-  * The resolved DataFrame (logical relation: file listing + parquet
-  * footer schema) IS memoized per (session, dir, table): `spark.read
-  * .parquet` re-lists the directory and re-reads footers on every call,
-  * which is serial driver work. With 150+ queries × several tables each,
-  * that planning floor is material. Reusing the immutable relation plan
-  * changes no semantics — each query still stacks its own projections
-  * and filters on top, and pushdown operates per-plan as before.
+  * The parquet SCHEMA is memoized per (dir, table): without a
+  * user-supplied schema, `spark.read.parquet` opens files and reads
+  * footers to infer it on every call — serial driver work that, at 150+
+  * queries × several tables each, is a material planning floor. The
+  * cached value is a plain immutable `StructType` keyed by strings, so
+  * the cache references NO SparkSession (the round-6 form memoized the
+  * resolved DataFrame in a WeakHashMap keyed by session — but a
+  * DataFrame strongly references its session, so the weak key was
+  * always reachable through the value and stopped sessions were pinned
+  * for the JVM lifetime). The file LISTING is deliberately fresh on
+  * every call: a table dir rewritten mid-session is picked up, and
+  * listing one directory is cheap next to footer I/O.
   */
 object Tables {
-  // WeakHashMap on the session (the house pattern — see Translator's
-  // session-scoped stores): a strong TrieMap keyed by SparkSession
-  // would pin every stopped session, its relation plans and file
-  // listings for the JVM lifetime. The inner map is concurrent; the
-  // outer lookup is synchronized (cheap — once per load call).
-  private val relCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Drop memoized schemas — for callers that rewrite a table dir with a
+    * DIFFERENT schema mid-session (same-schema rewrites need nothing). */
+  def invalidate(): Unit = schemaCache.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val m = relCache.synchronized {
-      relCache.computeIfAbsent(spark, _ =>
-        new scala.collection.concurrent.TrieMap[(String, String), DataFrame])
-    }
-    m.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")

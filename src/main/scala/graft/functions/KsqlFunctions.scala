@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** KSQL's scalar function library re-expressed as Spark `Column` algebra.
   *

@@ -2,6 +2,7 @@ package graft.ksql
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Driver-verifiable queries that run REAL KSQL text through the
   * parser+translator (SURVEY.md §2.12) — proving a reference user's

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Analytic SQL surface beyond KSQL's own verbs — pivot, set ops,
   * anti-join, window functions, rollup. A reference user migrating to

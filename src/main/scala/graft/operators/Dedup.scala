@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Deduplication suite for training-data pipelines (SURVEY.md §2.8).
   *
@@ -96,25 +97,36 @@ object Dedup {
     * shingle arrays broadcast, so the corpus-sized frames never
     * shuffle. Emits (new_id, old_id, jaccard) collisions ≥ threshold:
     * the reject list with provenance.
+    *
+    * `broadcastNew` asserts the BATCH-SIZED-new-side contract: the new
+    * side's band index and shingle arrays ship to every executor, so it
+    * must be bounded by the arriving batch, NOT a fraction of the
+    * corpus. Pass false when the "new" side scales with the corpus
+    * (e.g. a 10% eval split in a leakage audit) — both joins then run
+    * as ordinary shuffle equi-joins on the same keys, linear either
+    * way, and AQE still downgrades to broadcast when the side turns out
+    * small at runtime.
     */
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 16,
-                       bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                       bands: Int = 4, threshold: Double = 0.7,
+                       broadcastNew: Boolean = true): DataFrame = {
     def prep(df: DataFrame) = {
       val sh = df.select(col("doc_id"), wordShingleHashes(col("text")).as("hs"))
       (sh.select(col("doc_id"), sort_array(col("hs")).as("shingles")),
         bandIndexFromHashes(sh, k, bands))
     }
+    def bcast(df: DataFrame) = if (broadcastNew) broadcast(df) else df
     val (shOld, bandOld) = prep(oldDocs)
     val (shNew, bandNew) = prep(newDocs)
     val cand = bandOld.join(
-      broadcast(bandNew.select(col("band"), col("band_key"),
+      bcast(bandNew.select(col("band"), col("band_key"),
         col("doc_id").as("new_id"))),
       Seq("band", "band_key"))
       .select(col("doc_id").as("old_id"), col("new_id")).distinct()
     cand
       .join(shOld.select(col("doc_id").as("old_id"), col("shingles").as("sh_o")),
         "old_id")
-      .join(broadcast(shNew.select(col("doc_id").as("new_id"),
+      .join(bcast(shNew.select(col("doc_id").as("new_id"),
         col("shingles").as("sh_n"))), "new_id")
       .withColumn("jac", jaccardSorted(col("sh_o"), col("sh_n")))
       .filter(col("jac") >= threshold)
@@ -509,8 +521,11 @@ object Dedup {
         val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100
         val docs = Tables.documents(s, d)
+        // broadcastNew = false: the eval side is ~10% of the CORPUS, not
+        // an arriving batch — broadcasting it would ship a corpus-scaled
+        // band index + shingle arrays to every executor at 100 TB
         incrementalDedup(docs.filter(h < 90), docs.filter(h >= 90),
-          threshold = 0.5)
+          threshold = 0.5, broadcastNew = false)
           .select(col("new_id").as("eval_id"), col("old_id").as("train_id"),
             col("jaccard"))
       },

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Event-stream analytics: sessionization, funnels, cohort retention,
   * SCD type-2 version intervals. These are the batch forms of the

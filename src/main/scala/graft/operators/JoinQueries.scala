@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** KSQL join surface (SURVEY.md §2.5) in batch-verifiable form.
   *
@@ -299,7 +300,7 @@ object JoinQueries {
       (s, d) => {
         val e = Tables.events(s, d)
         val o = Tables.orders(s, d)
-        Ops.asOfJoin(e, o, col("event_id"),
+        Ops.asOfJoin(e, o,
             col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"))
           .select(col("event_id"), col("user_id"),
             // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast

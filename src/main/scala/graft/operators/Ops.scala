@@ -75,22 +75,46 @@ object Ops {
 
   /** As-of join: for each left row, attach the latest right row with
     * rightTime <= leftTime on the same key (the time-series enrichment
-    * operator KSQL lacks; DuckDB/kdb call it ASOF JOIN).
+    * operator KSQL lacks; DuckDB/kdb call it ASOF JOIN). Inner
+    * semantics: left rows with no eligible right row are dropped.
     *
-    * Spark-first shape: equi-join on the key (shuffle bounded by key
-    * cardinality), range filter, then keep-latest per left row via a
-    * window rank — no custom physical operator needed. Right-side
-    * multiplicity per key is the cost driver; for huge right sides,
-    * pre-aggregate right to (key, time-bucket) first.
+    * Union-merge carry-forward shape (the round-6 equi-join + range
+    * filter + rank form materialized |left_per_key| x |right_per_key|
+    * intermediate rows — quadratic per key, a 100 TB scale-killer):
+    * tag and union both sides on (key, time), then ONE window per key
+    * ordered by (time, tag) carries the latest right payload forward
+    * with `last(ignoreNulls)` over a running ROWS frame. Right rows
+    * sort before left rows at equal time, so `rightTime == leftTime`
+    * is eligible, matching `<=`. Linear in |left|+|right|, one
+    * shuffle, no pair product. Among equal-(key,time) right rows the
+    * carried one is arbitrary (same nondeterminism the ranked form
+    * had) — project tie-deterministic columns downstream.
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
-               leftId: Column, leftKey: Column, rightKey: Column,
+               leftKey: Column, rightKey: Column,
                leftTime: Column, rightTime: Column): DataFrame = {
-    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime)
-    val w = Window.partitionBy(leftId).orderBy(rightTime.desc)
-    joined.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__rk")
+    import org.apache.spark.sql.types.StructType
+    val lNullable = StructType(left.schema.fields.map(_.copy(nullable = true)))
+    val rNullable = StructType(right.schema.fields.map(_.copy(nullable = true)))
+    val lSide = left.select(
+      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__tag"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rNullable).as("__r"))
+    // null-time right rows can never satisfy rightTime <= leftTime, but
+    // would sort first (nulls-first asc) and be carried into EVERY left
+    // row — filtered out up front.
+    val rSide = right.filter(rightTime.isNotNull).select(
+      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__tag"),
+      lit(null).cast(lNullable).as("__l"),
+      struct(right.columns.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1 && col("__last").isNotNull)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        right.columns.map(c => col(s"__last.$c").as(c)): _*)
   }
 
   /** Explicit range repartition + sort-within-partitions: the write-side

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Keyword-search relevance over the document corpus (SURVEY.md §2.10
   * extension): TF-IDF term weighting, BM25 ranked retrieval, and the

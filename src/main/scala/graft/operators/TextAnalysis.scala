@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Text analysis for training-data curation (SURVEY.md §2.10): language
   * ID, quality scoring, token counting, fingerprinting. All per-row
@@ -386,7 +387,13 @@ object TextAnalysis {
     * TTR is a pure per-row projection and joins back on doc_id.
     */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), col("text"))
+    // empty docs are excluded EXPLICITLY on both engines: Spark's
+    // split('', '') yields [""] (the doc would survive with entropy 0)
+    // while DuckDB's string_split('', '') yields [] (the unnest drops
+    // it) — without the shared filter the two engines disagree on any
+    // corpus containing an empty text.
+    val d = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
     val ent = d
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
@@ -455,10 +462,12 @@ object TextAnalysis {
 
     "q_text_entropy" -> Q(
       (s, d) => charEntropy(Tables.documents(s, d)),
-      """WITH c AS (
+      """WITH nz AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) > 0
+        |), c AS (
         |  SELECT doc_id, ch, count(*)::DOUBLE AS n
         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
-        |        FROM documents) u
+        |        FROM nz) u
         |  GROUP BY doc_id, ch
         |), e AS (
         |  SELECT doc_id,
@@ -468,7 +477,7 @@ object TextAnalysis {
         |SELECT e.doc_id, e.char_entropy,
         |  round(len(list_distinct(string_split(d.text, ' '))) * 1.0 /
         |        len(string_split(d.text, ' ')), 4) AS ttr
-        |FROM e JOIN documents d ON e.doc_id = d.doc_id""".stripMargin),
+        |FROM e JOIN nz d ON e.doc_id = d.doc_id""".stripMargin),
 
     "q_contamination" -> Q(
       (s, d) => contamination(Tables.documents(s, d)),

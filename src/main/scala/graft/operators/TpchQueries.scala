@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** TPC-H shapes, round 6: the remaining canonical query patterns the
   * test schema can express (no partsupp / shipmode / commit-receipt

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
 /** Warehouse-grade analytic surface, round 2 (SURVEY.md §2.1/§2.3
   * extensions): multi-dimensional aggregation (CUBE / GROUPING SETS),

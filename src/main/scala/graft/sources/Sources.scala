@@ -181,7 +181,41 @@ object Sources {
     * ranges and block boundaries interleave. Records stream through
     * FsInput; memory per task is one decompressed block. */
   def avro(s: SparkSession, path: String, schema: StructType,
-           splitSize: Long = 32L * 1024 * 1024): DataFrame = {
+           splitSize: Long = 32L * 1024 * 1024): DataFrame =
+    avroRead(s, path, schema, readerJson = None, splitSize)
+
+  /** Spark schema for an avro (reader) schema — the public half of the
+    * evolution API: declare the reader schema, derive the frame shape. */
+  def avroStructFor(schema: org.apache.avro.Schema): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(schema.getFields.asScalaSeq.map { f =>
+      val (dt, nullable) = sparkTypeOf(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  /** Read an avro container dir THROUGH a declared reader schema —
+    * Confluent-Schema-Registry-style evolution semantics, resolved by
+    * Avro's own schema-resolution rules per file:
+    *   - field added in the reader (with a default) → default injected
+    *     for files written before the field existed;
+    *   - field dropped from the reader → skipped on decode (never
+    *     materialized);
+    *   - type promotion (int→long→float→double, string↔bytes) →
+    *     decoded directly as the reader type.
+    * Each task builds `GenericDatumReader(writer=file header, reader=
+    * declared)`, exactly what a registry-backed KSQL consumer does with
+    * the latest registered schema — so a dir holding a MIX of writer
+    * versions reads back as one uniform frame. The reader schema
+    * travels to tasks as its JSON form (avro Schemas are not
+    * serializable). */
+  def avroEvolved(s: SparkSession, path: String, readerSchema: org.apache.avro.Schema,
+                  splitSize: Long = 32L * 1024 * 1024): DataFrame =
+    avroRead(s, path, avroStructFor(readerSchema),
+      readerJson = Some(readerSchema.toString), splitSize)
+
+  private def avroRead(s: SparkSession, path: String, schema: StructType,
+                       readerJson: Option[String], splitSize: Long): DataFrame = {
     require(splitSize > 0, "splitSize must be positive")
     val files = avroFileList(s, path)
     val splits = files.flatMap { case (file, len) =>
@@ -197,9 +231,17 @@ object Sources {
       .flatMap { case (file, start, end) =>
         val in = new org.apache.avro.mapred.FsInput(
           new org.apache.hadoop.fs.Path(file), hadoopConf.value)
-        val reader = org.apache.avro.file.DataFileReader.openReader(in,
-          new org.apache.avro.generic.GenericDatumReader[
-            org.apache.avro.generic.GenericRecord]())
+        // with a reader schema: expected = declared reader, actual =
+        // the file's writer schema (set by openReader from the header)
+        // → avro resolves defaults/drops/promotions per record
+        val datum = readerJson match {
+          case Some(j) => new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord](
+            null, new org.apache.avro.Schema.Parser().parse(j))
+          case None => new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]()
+        }
+        val reader = org.apache.avro.file.DataFileReader.openReader(in, datum)
         reader.sync(start)
         // close on task completion, not only on iterator exhaustion: a
         // consumer that stops early (limit/take) or throws mid-decode

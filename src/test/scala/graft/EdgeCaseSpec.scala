@@ -155,10 +155,16 @@ class EdgeCaseSpec extends SparkSpec {
       (1L, "aaaa"),            // one symbol → 0 bits
       (2L, "abab"),            // two equiprobable → exactly 1 bit
       (3L, "abcd"),            // four equiprobable → exactly 2 bits
-      (4L, "aa bb aa")         // ttr: {aa, bb} distinct of 3 tokens
+      (4L, "aa bb aa"),        // ttr: {aa, bb} distinct of 3 tokens
+      (5L, "")                 // empty text: excluded on BOTH engines
+                               // (Spark split(''," ") = [""], DuckDB
+                               // string_split = [] — the shared filter
+                               // keeps the oracles aligned)
     ).toDF("doc_id", "text")
     val r = TextAnalysis.charEntropy(docs).collect()
       .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(!r.contains(5L))
+    assert(r.size == 4)
     assert(r(1L)._1 == 0.0)
     assert(r(2L)._1 == 1.0)
     assert(r(3L)._1 == 2.0)

@@ -449,9 +449,60 @@ class PlanAuditSpec extends SparkSpec {
       s"scalar totals should broadcast into the token stream\n$p")
   }
 
-  test("split leakage keeps the incremental-dedup broadcast shape") {
+  test("split leakage runs corpus-vs-split as shuffle equi-joins (no forced broadcast)") {
+    // broadcastNew = false here: the eval split is ~10% of the CORPUS,
+    // so the band index must NOT be forced executor-resident — the
+    // plan's joins stay equi (hash/sort-merge; AQE may still downgrade
+    // to broadcast at runtime when the split turns out tiny)
     val p = plan("q_split_leakage")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("global guard: no query plans a cartesian product or an " +
+      "unpartitioned data-sized window") {
+    // Would have caught the round-6 q_asof_join shape (per-key pair
+    // blowup via inequality join) at introduction time. Two invariants
+    // over EVERY registered query plan:
+    //   1. no CartesianProduct anywhere (a non-broadcast nested-loop
+    //      join is planned as CartesianProduct; BroadcastNestedLoopJoin
+    //      is allowed — its build side is broadcast by definition and
+    //      every use here is a one-row/tiny aggregate);
+    //   2. no partition-less Window operator — a window with no
+    //      PARTITION BY funnels the whole input through one task.
+    // Allowlisted: q_pack_sequences' second window runs over the
+    // CONSTANT 64-row bucket-offsets frame (two-level prefix sum) —
+    // unpartitioned by design and corpus-size-independent.
+    val unpartitionedWindowOk = Set("q_pack_sequences")
+    // a Window operator line prints "Window [exprs], [partition],
+    // [sort]" with EMPTY lists omitted — so two bracket groups is
+    // ambiguous: (exprs, partition) for an orderBy-less window vs
+    // (exprs, sort) for a partition-less one. Disambiguate on the LAST
+    // group: a sort list carries ASC/DESC, a partition list never does.
+    def unpartitionedWindow(plan: String): Boolean =
+      plan.linesIterator.exists { l =>
+        val op = l.dropWhile(c => !c.isLetter)
+        if (!op.startsWith("Window ")) false
+        else "\\], \\[".r.findAllIn(op).length match {
+          case n if n >= 2 => false // [exprs], [partition], [sort]
+          case 1 => // partitioned-unordered vs unpartitioned-ordered
+            op.matches(".*\\], \\[[^\\[\\]]*(ASC|DESC)[^\\[\\]]*\\]\\s*$")
+          case _ => true // bare [exprs]: neither partition nor sort
+        }
+      }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            s"PLAN_ERROR ${e.getClass.getSimpleName}: ${e.getMessage}" }
+        Seq(
+          p.contains("CartesianProduct") -> "CartesianProduct in plan",
+          p.startsWith("PLAN_ERROR") -> p.take(300),
+          (!unpartitionedWindowOk(name) && unpartitionedWindow(p)) ->
+            "partition-less Window over data-sized input"
+        ).collect { case (true, msg) => s"$name: $msg" }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

@@ -53,6 +53,53 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.avro(spark, s"$tmp/avro", inferred).count() == 3)
   }
 
+  test("avro schema evolution: added-with-default, dropped, promoted fields " +
+      "resolve across mixed writer versions") {
+    import spark.implicits._
+    import org.apache.avro.{JsonProperties, Schema => ASchema}
+    val dir = s"$tmp/avro_evolve"
+    // writer v1: (id int, name string, score float, legacy string)
+    val v1 = Seq((1, "a", 1.5f, "old"), (2, "b", -0.25f, "older"))
+      .toDF("id", "name", "score", "legacy")
+    Sources.avroSink(v1, s"$dir")
+    // a SECOND writer version lands in the same dir (the mixed-version
+    // topic shape): v2 already has the added field, no legacy
+    val v2 = Seq((3, "c", 9.0f, "fresh"))
+      .toDF("id", "name", "score", "region")
+    Sources.avroAppend(v2, s"$dir", batchId = 1)
+    // reader (the "latest registered schema"): id promoted int→long,
+    // score promoted float→double, legacy dropped, region added with a
+    // default for pre-evolution files
+    val reader = {
+      val fields = java.util.Arrays.asList(
+        new ASchema.Field("id", ASchema.create(ASchema.Type.LONG), null,
+          null.asInstanceOf[Object]),
+        new ASchema.Field("name", ASchema.createUnion(
+          ASchema.create(ASchema.Type.NULL), ASchema.create(ASchema.Type.STRING)),
+          null, JsonProperties.NULL_VALUE),
+        new ASchema.Field("score", ASchema.create(ASchema.Type.DOUBLE), null,
+          null.asInstanceOf[Object]),
+        new ASchema.Field("region", ASchema.createUnion(
+          ASchema.create(ASchema.Type.STRING), ASchema.create(ASchema.Type.NULL)),
+          null, "unknown"))
+      val rec = ASchema.createRecord("graft_row", null, "graft", false)
+      rec.setFields(fields)
+      rec
+    }
+    val back = Sources.avroEvolved(spark, dir, reader)
+    import org.apache.spark.sql.types._
+    assert(back.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("id", LongType), ("name", StringType),
+      ("score", DoubleType), ("region", StringType)))
+    assert(!back.columns.contains("legacy"))
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(rows == Set(
+      (1L, "a", 1.5, "unknown"),   // v1 file: default injected, types promoted
+      (2L, "b", -0.25, "unknown"),
+      (3L, "c", 9.0, "fresh")))    // v2 file: real value wins over default
+  }
+
   test("avro survives multi-partition writes and a real table round-trip") {
     val df = Tables.events(spark, sfDir).repartition(4)
       .select(col("event_id"), col("ts"), col("user_id"),

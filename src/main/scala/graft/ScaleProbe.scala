@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe [srcDir] [scratchDir] [factor] [q...]
   */
 object ScaleProbe {
+  // The heavy-tail four (asof/graph/components/novelty) joined in round
+  // 7: the earlier 8-query probe was all linear shapes and missed the
+  // one super-linear join in the set (round-6 q_asof_join). Caveats for
+  // reading their ratios under EXACT duplication: q_dedup_components
+  // and q_ann_graph bucket/band on content, and 10 identical copies
+  // make every bucket 10x denser (pair volume ~100x) — that is the
+  // documented constant-hash-width behavior, the production knob is
+  // nBits/bands ≈ log2(n); q_novelty's unique-gram set goes EMPTY (all
+  // grams repeat across copies), so it times the degenerate all-dup
+  // corpus.
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
-    "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3")
+    "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
+    "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -298,8 +298,15 @@ object JoinQueries {
     // the oracle). Output keeps only tie-deterministic columns.
     "q_asof_join" -> Q(
       (s, d) => {
+        // project BEFORE the as-of join: its union-merge carries full
+        // rows of both sides as structs through the key shuffle, so
+        // unneeded columns (events.props is the widest in the table)
+        // would ride the whole pipeline — the generic operator cannot
+        // prune for you, the call site declares what it needs
         val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
         val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"))
         Ops.asOfJoin(e, o,
             col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"))
           .select(col("event_id"), col("user_id"),

@@ -410,7 +410,12 @@ object Similarity {
       .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= degree)
       .select(col("src"), col("dst"))
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // symmetrize WITHOUT a distinct: a pair kept in both directions
+    // appears twice after the union, but every consumer (beam search's
+    // per-round groupBy-max, streaming serve) dedupes candidates anyway
+    // — the distinct was a full extra shuffle to save scoring ≤2x of a
+    // degree-bounded edge list
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Greedy beam search over the k-NN graph (the HNSW search loop as

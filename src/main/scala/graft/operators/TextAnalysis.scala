@@ -616,22 +616,24 @@ object TextAnalysis {
 
     // n-gram novelty: the fraction of a doc's sliding 5-grams that are
     // unique corpus-wide — low novelty flags templated/boilerplate
-    // docs that per-doc quality scores miss. Same linear shape as the
-    // contamination check: gram hashes shuffle once for the corpus
-    // count, once for the per-doc roll-up; text never joins.
+    // docs that per-doc quality scores miss. NO gram-table self-join
+    // (the round-6 shape joined the 1.5M-row gram frame back onto its
+    // own frequency table): a gram with corpus count 1 occurs in
+    // EXACTLY one document, so min(doc_id) inside the frequency
+    // aggregate already names the doc its novelty credit belongs to —
+    // one groupBy(g) with map-side combine replaces the join, and the
+    // two doc-level roll-ups that remain are corpus-card tables.
     "q_novelty" -> Q(
       (s, d) => {
-        // grams feed BOTH the corpus-frequency table and the per-doc
-        // join — localCheckpoint so the explode+hash pass runs once, not
-        // once per consumer (the gram frame is (doc_id, hash) only,
-        // tiny relative to recomputing the split+hash over the text).
-        // w is projected BEFORE the lambda: higher-order functions are
-        // not codegen'd and re-evaluate their subtree per element, so a
-        // split(text) inside the lambda is O(words²) per doc. The gram
-        // key is xxhash64 over the word-array slice — an 8-byte long
-        // through the shuffle, not a 32-char digest string; the hash
-        // never reaches the output, so each engine only needs its own
-        // hash to be injective on the corpus grams.
+        // grams feed BOTH roll-ups — localCheckpoint so the explode+
+        // hash pass runs once, not once per consumer. w is projected
+        // BEFORE the lambda: higher-order functions are not codegen'd
+        // and re-evaluate their subtree per element, so a split(text)
+        // inside the lambda is O(words²) per doc. The gram key is
+        // xxhash64 over the word-array slice — an 8-byte long through
+        // the shuffle, not a 32-char digest string; the hash never
+        // reaches the output, so each engine only needs its own hash to
+        // be injective on the corpus grams.
         val grams = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 5)
@@ -639,12 +641,16 @@ object TextAnalysis {
             "transform(sequence(1, size(w) - 4), i -> xxhash64(slice(w, i, 5)))"
           )).as("g"))
           .localCheckpoint(true)
-        val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
-        grams.join(freq, "g")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            round(sum(when(col("n") === 1, 1).otherwise(0))
-              .cast("double") / count(lit(1)), 4).as("novelty"))
+        val totals = grams.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val uniq = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+          .filter(col("n") === 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+        totals.join(uniq, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            round(coalesce(col("n_uniq"), lit(0L)).cast("double")
+              / col("n_grams"), 4).as("novelty"))
       },
       """WITH g AS (
         |  SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS g

@@ -1003,12 +1003,23 @@ object Translator {
                 case "DELIMITED" => spark.read.schema(schema)
                   .option("header", "true").csv(path)
                 case "AVRO" =>
-                  // avro is self-describing: infer when the statement
-                  // declares no columns
-                  val sch = if (schema.isEmpty)
-                    graft.sources.Sources.avroInferSchema(spark, path)
-                  else schema
-                  graft.sources.Sources.avro(spark, path, sch)
+                  // WITH (SCHEMA_REGISTRY='dir', SUBJECT='s'): registry
+                  // consumer posture — decode every writer version in
+                  // the dir through the subject's LATEST registered
+                  // schema (defaults / drops / promotions), exactly a
+                  // Confluent-Registry-backed KSQL stream. Without a
+                  // registry, avro stays self-describing: infer when
+                  // the statement declares no columns.
+                  (props.get("SCHEMA_REGISTRY"), props.get("SUBJECT")) match {
+                    case (Some(reg), Some(subj)) =>
+                      graft.sources.SchemaRegistry(spark, reg)
+                        .read(spark, path, subj)
+                    case _ =>
+                      val sch = if (schema.isEmpty)
+                        graft.sources.Sources.avroInferSchema(spark, path)
+                      else schema
+                      graft.sources.Sources.avro(spark, path, sch)
+                  }
                 case _ =>
                   // TIMESTAMP(NANOS) comes back as a raw nanos long
                   // under the legacy conf — rebuild a real timestamp
@@ -1061,8 +1072,18 @@ object Translator {
             case "DELIMITED" => writer.option("header", "true").csv(path)
             case "AVRO" =>
               // avroSink manages the directory itself (FS-API writes);
-              // PARTITION BY layout is parquet/json/csv-only for now
-              graft.sources.Sources.avroSink(df, path)
+              // PARTITION BY layout is parquet/json/csv-only for now.
+              // WITH (SCHEMA_REGISTRY, SUBJECT): producer posture —
+              // register-on-write under BACKWARD compatibility; a
+              // rejected schema throws BEFORE any data lands.
+              (props.get("SCHEMA_REGISTRY"), props.get("SUBJECT")) match {
+                case (Some(reg), Some(subj)) =>
+                  graft.sources.SchemaRegistry(spark, reg)
+                    .write(sized, path, subj)
+                // sized (not df): WITH (PARTITIONS=n) sizes avro output
+                // files like every other format's writer above
+                case _ => graft.sources.Sources.avroSink(sized, path)
+              }
             case _ => writer.parquet(path)
           }
         }

@@ -1266,4 +1266,46 @@ class KsqlSpec extends SparkSpec {
     val (c4, _) = Translator.run(spark, c3, "CREATE STREAM bare (x ADDRESS)")
     assert(c4("bare").df.schema("x").dataType == StringType)
   }
+
+  test("AVRO + schema registry through the dialect: register-on-write, " +
+      "latest-schema reads across producer versions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ksql_sr").toString
+    val reg = s"$tmp/registry"
+    val data = s"$tmp/topic"
+    // producer v1: CSAS writes avro AND registers the subject
+    val cat1: Translator.Catalog = Map(
+      "nation" -> Translator.Source(Tables.nation(spark, sfDir), "n_nationkey"))
+    Translator.run(spark, cat1,
+      s"""CREATE STREAM natv1 WITH (PATH='$data', VALUE_FORMAT='AVRO',
+         |SCHEMA_REGISTRY='$reg', SUBJECT='nat-value') AS
+         |SELECT n_nationkey, n_name FROM nation""".stripMargin)
+    val registry = graft.sources.SchemaRegistry(spark, reg)
+    assert(registry.versions("nat-value") == Seq(1))
+    // producer v2 evolves the subject (adds a nullable column) and
+    // appends; the registry now serves v2 as latest
+    val v2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"),
+        // NULLABLE added column (when() without otherwise): a non-null
+        // literal would map to a defaultless avro field and correctly
+        // fail the BACKWARD check against v1
+        when(col("n_nationkey").isNotNull, lit("emea")).as("region_name"))
+    assert(registry.write(v2.limit(3), data + "_v2", "nat-value") == 2)
+    // consumer: registry-backed CREATE STREAM resolves the v1 files
+    // through the LATEST schema — added column comes back NULL-filled
+    val (c2, _) = Translator.run(spark, Map.empty,
+      s"""CREATE STREAM natback WITH (PATH='$data', VALUE_FORMAT='AVRO',
+         |SCHEMA_REGISTRY='$reg', SUBJECT='nat-value')""".stripMargin)
+    val back = c2("natback").df
+    assert(back.columns.toSeq == Seq("n_nationkey", "n_name", "region_name"))
+    assert(back.count() == Tables.nation(spark, sfDir).count())
+    assert(back.filter(col("region_name").isNotNull).count() == 0)
+    // incompatible producer (drops a field the old reader needs AND
+    // re-types the key) is rejected at REGISTER time — no data lands
+    val bad = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("string").as("n_nationkey"))
+    intercept[graft.sources.SchemaRegistry.IncompatibleSchemaException] {
+      registry.write(bad, data + "_bad", "nat-value")
+    }
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ksql.{Repl, RestServer, Translator}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The KSQL REST surface end-to-end over HTTP: DDL + CSAS on /ksql
+  * thread the catalog across requests, /query streams pull-query rows
+  * as JSON lines with the limit guard, errors come back as
+  * statement_error payloads.
+  */
+class RestServerSpec extends SparkSpec {
+
+  private lazy val server =
+    new RestServer(spark, Repl.preloadCatalog(spark, sfDir), maxRows = 10).start()
+  private lazy val http = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private def post(path: String, sql: String): (Int, String) = {
+    val body = JsonMethods.compact(JObject("ksql" -> JString(sql)))
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("healthcheck and info answer") {
+    val (hc, hb) = get("/healthcheck")
+    assert(hc == 200 && (JsonMethods.parse(hb) \ "isHealthy") == JBool(true))
+    val (ic, ib) = get("/info")
+    assert(ic == 200 &&
+      (JsonMethods.parse(ib) \ "KsqlServerInfo" \ "version") == JString("graft"))
+  }
+
+  test("/ksql executes DDL + CSAS and the catalog threads to later requests") {
+    val (c1, b1) = post("/ksql",
+      """CREATE STREAM big_orders AS
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 200000 EMIT CHANGES;""".stripMargin)
+    assert(c1 == 200, b1)
+    val JArray(entries) = JsonMethods.parse(b1): @unchecked
+    assert(entries.size == 1)
+    assert((entries.head \ "commandStatus" \ "status") == JString("SUCCESS"))
+    // the CSAS result is queryable in a SEPARATE request
+    val (c2, b2) = post("/query", "SELECT COUNT(*) AS n FROM big_orders;")
+    assert(c2 == 200, b2)
+    val lines = b2.linesIterator.toSeq
+    val expected = Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 200000).count()
+    assert((JsonMethods.parse(lines(1)) \ "row" \ "columns") ==
+      JArray(List(JInt(BigInt(expected)))))
+  }
+
+  test("/query returns header + rows and enforces the pull-query limit") {
+    val (code, body) = post("/query",
+      "SELECT o_orderkey FROM orders EMIT CHANGES;")
+    assert(code == 200, body)
+    val lines = body.linesIterator.toSeq
+    val header = JsonMethods.parse(lines.head) \ "header" \ "schema"
+    assert(header == JArray(List(JObject(
+      "name" -> JString("o_orderkey"), "type" -> JString("bigint")))))
+    // maxRows=10: 10 row lines + the limit notice
+    assert(lines.count(_.contains("\"row\"")) == 10)
+    assert((JsonMethods.parse(lines.last) \ "finalMessage") ==
+      JString("Limit Reached"))
+  }
+
+  test("SELECT on /ksql is redirected; bad statements come back as statement_error") {
+    val (c1, b1) = post("/ksql", "SELECT 1 FROM orders;")
+    assert(c1 == 200)
+    val JArray(es) = JsonMethods.parse(b1): @unchecked
+    assert((es.head \ "@type") == JString("statement_error"))
+    assert((es.head \ "message").values.toString.contains("/query"))
+    val (c2, b2) = post("/query", "SELECT nope FROM not_a_stream;")
+    assert(c2 == 400, b2)
+    assert((JsonMethods.parse(b2) \ "@type") == JString("statement_error"))
+  }
+}

@@ -395,13 +395,22 @@ object Dedup {
     * every downstream consumer reads that artifact. */
   private val componentMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long)]]
+  // per-key single-flight: TrieMap.getOrElseUpdate may evaluate the
+  // thunk in BOTH racers (bench overlaps the two consumer queries on
+  // one pool) — the lock makes the second caller wait and hit the memo
+  // instead of re-running label propagation. The lock object map holds
+  // no session references; the compute closure is discarded once done.
+  private val componentLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def fuzzyComponents(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame = {
-    val data = componentMemo.getOrElseUpdate(d, {
-      connectedComponents(fuzzyPairs(Tables.documents(s, d))).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-    })
+    val data = componentLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      componentMemo.getOrElseUpdate(d, {
+        connectedComponents(fuzzyPairs(Tables.documents(s, d))).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      })
+    }
     import s.implicits._
     data.toSeq.toDF("doc_id", "component")
   }

@@ -45,15 +45,24 @@ object Similarity {
     * version, never retrained per query. */
   private val coarseMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int), Array[(Long, Array[Double])]]
+  // per-key single-flight (same rationale as Dedup.componentLocks):
+  // without it, ivf and ivfpq racing getOrElseUpdate under the bench's
+  // query overlap BOTH run the Lloyd training and one result is thrown
+  // away — the memo's whole point inverted
+  private val coarseLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Object]()
 
   private def sharedCentroids(s: org.apache.spark.sql.SparkSession,
                               d: String, nCells: Int, iters: Int): DataFrame = {
-    val data = coarseMemo.getOrElseUpdate((d, nCells, iters), {
-      val c0 = nonNullVecs(Tables.embeddings(s, d)).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      kMeansCentroids(c0, nCells, iters).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    })
+    val key = (d, nCells, iters)
+    val data = coarseLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      coarseMemo.getOrElseUpdate(key, {
+        val c0 = nonNullVecs(Tables.embeddings(s, d)).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        kMeansCentroids(c0, nCells, iters).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      })
+    }
     import s.implicits._
     data.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
   }

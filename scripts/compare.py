@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate: read Verify's parquet
 dumps, run each oracle_sql.json query in DuckDB against the same sf-dir
-tables, sort columns by name + rows, and compare (exact for non-floats,
-1e-9 relative for floats). Usage: compare.py <sfDir> <verifyOutDir>"""
+tables, sort columns by name + rows, and compare — BIT-EXACT for every
+column (matching the driver's hash compare); a float column that passes
+only at 1e-9 tolerance is reported loudly as TOLERANT-ONLY, never as a
+silent OK. Usage: compare.py <sfDir> <verifyOutDir>"""
 import json, sys, glob, os
 import duckdb
 import pandas as pd
@@ -15,6 +17,7 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
+tolerant = []
 dirs = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
         if os.path.isdir(p)}
 names = sorted(dirs | set(oracle))
@@ -50,8 +53,21 @@ for name in names:
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 import numpy as np
-                if not np.allclose(av.astype(float), bv.astype(float),
-                                   rtol=1e-9, atol=1e-9, equal_nan=True):
+                # BIT-EXACT first: the driver's gate hashes values, so a
+                # tolerance here hides exactly the class of red the
+                # driver would report (round-6 q_embed_project passed
+                # locally at 1e-9 while the driver hash-mismatched).
+                # Every oracle routes rounding through the shared
+                # engine-identical recipe, so exact is the expectation;
+                # a tolerant-only pass is flagged LOUDLY as its own
+                # outcome, not silently folded into OK.
+                if np.array_equal(av.astype(float), bv.astype(float),
+                                  equal_nan=True):
+                    pass
+                elif np.allclose(av.astype(float), bv.astype(float),
+                                 rtol=1e-9, atol=1e-9, equal_nan=True):
+                    tolerant.append(f"{name}.{c}")
+                else:
                     ok = False; print(f"FAIL {name}: col {c} float mismatch")
                     print(pd.concat([av, bv], axis=1)[
                         ~np.isclose(av.astype(float), bv.astype(float),
@@ -65,6 +81,12 @@ for name in names:
             ok = False; print(f"FAIL {name}: col {c} compare error {e}")
     if ok: print(f"OK   {name}: {len(a)} rows")
     else: fail += 1
+if tolerant:
+    print(f"\nWARNING: {len(tolerant)} float column(s) passed only at 1e-9 "
+          f"tolerance — the DRIVER's hash compare would flag these as red:")
+    for t in tolerant: print(f"  TOLERANT-ONLY {t}")
 print(f"\n{'ALL GREEN' if fail==0 else str(fail)+' FAILURES'} "
-      f"({len(names)} queries)")
+      f"({len(names)} queries)"
+      + (f" [{len(tolerant)} tolerant-only float cols — fix before driver]"
+         if tolerant else " [all float columns bit-exact]"))
 sys.exit(1 if fail else 0)

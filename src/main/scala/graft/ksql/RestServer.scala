@@ -104,12 +104,40 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   private def queryEndpoint(body: String): (Int, String) = {
     val stmts = statementOf(body)
     require(stmts.size == 1, s"/query takes exactly one statement, got ${stmts.size}")
-    require(isPull(stmts.head), "/query serves SELECT (pull) statements")
+    require(isPull(stmts.head), "/query serves SELECT statements")
     val (_, res) = Translator.run(spark, catalog, stmts.head)
     val df = res.getOrElse(throw new IllegalArgumentException("statement returned no result"))
-    require(!df.isStreaming,
-      "push queries need a streaming sink; this endpoint serves pull queries")
-    (200, renderRows(df))
+    if (!df.isStreaming) (200, renderRows(df))
+    else (200, renderRows(drainPush(df)))
+  }
+
+  /** Push query (EMIT CHANGES over a STREAMING source): run the
+    * continuous plan through a memory sink, drain everything currently
+    * available, and answer with the accumulated rows — the
+    * LIMIT-bounded push-query shape (a KSQL push query with LIMIT n
+    * terminates once n rows emit; here the server's maxRows guard is
+    * the limit). Projections drain in append mode; aggregations —
+    * which append mode rejects without a watermark-closed window —
+    * fall back to complete mode, answering with the current state of
+    * every group, exactly what a table push query shows first. The
+    * memory sink holds at most the drained window on the driver and is
+    * dropped before the response leaves. */
+  private def drainPush(df: DataFrame): DataFrame = {
+    val name = "push_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def run(mode: String) = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try run("append")
+    catch { case _: org.apache.spark.sql.AnalysisException => run("complete") }
+    try {
+      // materialize before the temp view is dropped
+      val rows = spark.table(name)
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(
+          rows.limit(maxRows + 1).collect(): _*)), rows.schema)
+    } finally spark.catalog.dropTempView(name)
   }
 
   private def renderRows(df: DataFrame): String = {

@@ -79,6 +79,43 @@ class RestServerSpec extends SparkSpec {
       JString("Limit Reached"))
   }
 
+  test("push query: EMIT CHANGES over a streaming source drains available rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(
+      Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 5.0),
+      Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "buy", 9.0),
+      Ev(3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 8L, "click", 1.0))
+    val srv = new RestServer(spark,
+      Map("clicks" -> Translator.Source(mem.toDF(), "ts")), maxRows = 10).start()
+    try {
+      val body = JsonMethods.compact(JObject("ksql" -> JString(
+        "SELECT event_id, event_type FROM clicks EMIT CHANGES;")))
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val lines = resp.body().linesIterator.toSeq
+      assert(lines.count(_.contains("\"row\"")) == 3, resp.body())
+      // aggregation push (complete-mode fallback): current per-type state
+      val aggBody = JsonMethods.compact(JObject("ksql" -> JString(
+        "SELECT event_type, COUNT(*) AS n FROM clicks GROUP BY event_type EMIT CHANGES;")))
+      val aggReq = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(aggBody)).build()
+      val aggResp = http.send(aggReq, HttpResponse.BodyHandlers.ofString())
+      assert(aggResp.statusCode() == 200, aggResp.body())
+      val counts = aggResp.body().linesIterator
+        .filter(_.contains("\"row\"")).map { l =>
+          val JArray(cols) = (JsonMethods.parse(l) \ "row" \ "columns"): @unchecked
+          (cols.head.values.toString, cols(1).values)
+        }.toMap
+      assert(counts == Map("click" -> BigInt(2), "buy" -> BigInt(1)), aggResp.body())
+    } finally srv.stop()
+  }
+
   test("SELECT on /ksql is redirected; bad statements come back as statement_error") {
     val (c1, b1) = post("/ksql", "SELECT 1 FROM orders;")
     assert(c1 == 200)

@@ -21,14 +21,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   // The heavy-tail four (asof/graph/components/novelty) joined in round
   // 7: the earlier 8-query probe was all linear shapes and missed the
-  // one super-linear join in the set (round-6 q_asof_join). Caveats for
-  // reading their ratios under EXACT duplication: q_dedup_components
-  // and q_ann_graph bucket/band on content, and 10 identical copies
-  // make every bucket 10x denser (pair volume ~100x) — that is the
-  // documented constant-hash-width behavior, the production knob is
-  // nBits/bands ≈ log2(n); q_novelty's unique-gram set goes EMPTY (all
-  // grams repeat across copies), so it times the degenerate all-dup
-  // corpus.
+  // one super-linear join in the set (round-6 q_asof_join). Documents/
+  // embeddings replicate with per-copy content variation (see below) so
+  // content-bucketed ops measure organic growth, not the all-duplicate
+  // pathology.
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
     "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
@@ -63,13 +59,45 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
     rep("orders", Seq("o_orderkey"))
-    rep("documents", Seq("doc_id"))
-    rep("embeddings", Seq("vec_id"))
+    // documents/embeddings replicate with VARIED content, not exact
+    // copies: content-bucketed ops (minhash bands, gram tables, RHP
+    // buckets) see 10 identical copies as one bucket 10x denser — pair
+    // volume ~100x, the all-duplicate pathology, not organic growth.
+    // A deterministic per-copy vowel rotation rewrites most words (all
+    // shingles/grams distinct across copies); embeddings get a
+    // per-copy, per-dimension direction perturbation (pure scaling
+    // would preserve every sign-hash bucket). Copy 0 is bit-identical
+    // to the source, so 1x-vs-Nx compares the same base data.
+    locally {
+      // vowel rotation (period 5) x s/t swap (period 2) -> 10 distinct
+      // per-copy character maps; copy 0 is the identity
+      val from = "aeioust"
+      (0 until factor).map { i =>
+        val vow = "aeiou".drop(i % 5) + "aeiou".take(i % 5)
+        val st = if ((i / 5) % 2 == 0) "st" else "ts"
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(i * off))
+          .withColumn("text", translate(col("text"), from, vow + st))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      (0 until factor).map { i =>
+        spark.read.parquet(s"$src/embeddings.parquet")
+          .withColumn("vec_id", col("vec_id") + lit(i * off))
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> x + float(0.1 * $i * cos(j + vec_id)))"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     def time(dir: String, q: String): Double = {
+      // memoized shared artifacts (cluster labels, trained centroids)
+      // would make the warmed 1x sample a cache hit while the Nx run
+      // computes fresh — reset so every timed run pays the real cost
+      operators.Dedup.resetMemos()
+      operators.Similarity.resetMemos()
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -403,6 +403,10 @@ object Dedup {
   private val componentLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Measurement hook (ScaleProbe): drop memoized cluster labels so a
+    * timed run pays the real computation instead of a memo hit. */
+  private[graft] def resetMemos(): Unit = componentMemo.clear()
+
   private def fuzzyComponents(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame = {
     val data = componentLocks.computeIfAbsent(d, _ => new Object).synchronized {

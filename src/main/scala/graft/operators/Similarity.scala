@@ -52,6 +52,10 @@ object Similarity {
   private val coarseLocks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Object]()
 
+  /** Measurement hook (ScaleProbe): drop trained centroids so a timed
+    * run pays the real training instead of a memo hit. */
+  private[graft] def resetMemos(): Unit = coarseMemo.clear()
+
   private def sharedCentroids(s: org.apache.spark.sql.SparkSession,
                               d: String, nCells: Int, iters: Int): DataFrame = {
     val key = (d, nCells, iters)
@@ -393,18 +397,30 @@ object Similarity {
     * on bucket keys and the result is n×degree rows — never O(n²).
     */
   def knnGraph(corpus: DataFrame, dim: Int, degree: Int = 8,
-               nBits: Int = 7): DataFrame = {
+               nBits: Int = -1): DataFrame = {
     // nBits sizes the candidate set: pairs ≈ n·(n/2^bits)·(bits+1), so
     // more bits = sparser buckets = cheaper build but noisier edges.
-    // 7 bits on the 5k-vector test corpus ≈ 300k scored pairs (vs 8M at
-    // 4 bits) and the beam search recovers the recall the noisier graph
-    // loses; at production n, pick bits ≈ log2(n / desired bucket size).
-    val sig = nonNullVecs(corpus)
+    // Default (-1) SELF-SIZES to log2(n / 40): constant ~40-vector
+    // buckets keep per-node candidates — and so the whole build —
+    // LINEAR in n. The round-7 scaling probe measured the fixed-7-bit
+    // config at 64x wall for 10x organically-grown vectors (bucket
+    // density, and with it pair volume, grows with n at constant
+    // width); self-sizing is the documented production knob applied
+    // automatically. The extra count() is one columnar scan, noise
+    // next to the build it right-sizes. Beam search recovers the
+    // recall the sparser buckets lose (recall floor spec'd).
+    val vecs0 = nonNullVecs(corpus)
+    val bits = if (nBits > 0) nBits else {
+      val n = math.max(vecs0.count(), 1L)
+      math.max(4, math.min(62,
+        math.round(math.log(n / 40.0) / math.log(2)).toInt))
+    }
+    val sig = vecs0
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", rhpSignature(col("v"), dim, nBits))
+      .withColumn("bucket", rhpSignature(col("v"), dim, bits))
       .withColumn("nrm", l2Norm(col("v")))
     val a = sig.withColumn("bucket", explode(expr(
-      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), " +
+      s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), " +
         "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))")))
       .select(col("bucket"), col("vec_id").as("src"),
         col("v").as("sv"), col("nrm").as("sn"))

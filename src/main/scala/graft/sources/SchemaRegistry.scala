@@ -113,6 +113,16 @@ final class SchemaRegistry(root: String, conf: Configuration) {
     Sources.avroEvolved(s, path, schema)
   }
 
+  /** Streaming consumer: arriving container files — including ones
+    * written by OLDER producer versions — decode through the subject's
+    * latest registered schema. Resolved ONCE at stream definition, like
+    * a consumer that fetches the latest schema at startup. */
+  def readStream(s: SparkSession, path: String, subject: String): DataFrame = {
+    val (_, schema) = latest(subject).getOrElse(throw new IllegalArgumentException(
+      s"no schema registered for subject '$subject' under $root"))
+    Sources.avroStreamEvolved(s, path, schema)
+  }
+
   /** Register the frame's schema (producer posture: register-on-write,
     * rejected writes never touch the data path), then write. */
   def write(df: DataFrame, path: String, subject: String,

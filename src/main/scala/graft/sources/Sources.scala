@@ -279,7 +279,21 @@ object Sources {
     * FILE (a micro-batch's new files decode whole — topic-dump files
     * are block-compressed and arrive complete); the batch `avro` reader
     * remains the intra-file-split path for backfills. */
-  def avroStream(s: SparkSession, path: String, schema: StructType): DataFrame = {
+  def avroStream(s: SparkSession, path: String, schema: StructType): DataFrame =
+    avroStreamRead(s, path, schema, readerJson = None)
+
+  /** Streaming twin of [[avroEvolved]]: decode each arriving container
+    * file through the declared READER schema (avro resolution: defaults
+    * / drops / promotions) — the registry-consumer posture on a live
+    * topic dir, where files written by OLDER producer versions keep
+    * arriving after the schema evolves. */
+  def avroStreamEvolved(s: SparkSession, path: String,
+                        readerSchema: org.apache.avro.Schema): DataFrame =
+    avroStreamRead(s, path, avroStructFor(readerSchema),
+      readerJson = Some(readerSchema.toString))
+
+  private def avroStreamRead(s: SparkSession, path: String, schema: StructType,
+                             readerJson: Option[String]): DataFrame = {
     import org.apache.spark.sql.types._
     val encoder = org.apache.spark.sql.Encoders.row(schema)
     // binaryFile's fixed schema must be declared explicitly on a STREAM
@@ -291,10 +305,15 @@ object Sources {
       .load(path)
       .select("content")
       .flatMap { (fileRow: org.apache.spark.sql.Row) =>
+        val datum = readerJson match {
+          case Some(j) => new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord](
+            null, new org.apache.avro.Schema.Parser().parse(j))
+          case None => new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]()
+        }
         val ds = new org.apache.avro.file.DataFileStream(
-          new java.io.ByteArrayInputStream(fileRow.getAs[Array[Byte]](0)),
-          new org.apache.avro.generic.GenericDatumReader[
-            org.apache.avro.generic.GenericRecord]())
+          new java.io.ByteArrayInputStream(fileRow.getAs[Array[Byte]](0)), datum)
         val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
         try while (ds.hasNext) out += recordToRow(ds.next(), schema)
         finally ds.close()

@@ -83,6 +83,46 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(reg.register("s", v3d, SchemaRegistry.BackwardTransitive) == 3)
   }
 
+  test("registry readStream decodes old-version files arriving on a live dir") {
+    import spark.implicits._
+    val reg = SchemaRegistry(spark, s"$tmp/rs")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sr-stream").toString
+    // v1 producer schema registered and one v1 file written
+    val d1 = Seq((1L, "a")).toDF("id", "name")
+    reg.write(d1, dir, "live-value")
+    // subject evolves to v2 (adds nullable tag) BEFORE the stream starts
+    val v2 = {
+      import org.apache.avro.{JsonProperties, Schema => ASchema}
+      val base = Sources.avroSchemaFor(d1.schema)
+      val r = ASchema.createRecord("graft_row", null, "graft", false)
+      r.setFields(java.util.Arrays.asList(
+        new ASchema.Field("id", base.getFields.get(0).schema(), null,
+          null.asInstanceOf[Object]),
+        new ASchema.Field("name", base.getFields.get(1).schema(), null,
+          JsonProperties.NULL_VALUE),
+        new ASchema.Field("tag", ASchema.createUnion(
+          ASchema.create(ASchema.Type.NULL), ASchema.create(ASchema.Type.STRING)),
+          null, JsonProperties.NULL_VALUE)))
+      r
+    }
+    assert(reg.register("live-value", v2) == 2)
+    val stream = reg.readStream(spark, dir, "live-value")
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == Seq("id", "name", "tag"))
+    val q = stream.writeStream.format("memory").queryName("sr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a LATE v1-schema file lands after the stream started (the old
+      // producer still running) — must decode through v2 with the default
+      Sources.avroAppend(Seq((2L, "b")).toDF("id", "name"), dir, batchId = 9)
+      q.processAllAvailable()
+      val rows = spark.table("sr_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, "a", None), (2L, "b", None)))
+    } finally { q.stop(); spark.catalog.dropTempView("sr_stream") }
+  }
+
   test("registry read resolves mixed writer versions to the latest schema") {
     import spark.implicits._
     val reg = SchemaRegistry(spark, s"$tmp/r5")

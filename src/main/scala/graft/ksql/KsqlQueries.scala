@@ -150,6 +150,40 @@ object KsqlQueries {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"""
         .stripMargin),
 
+    // RIGHT OUTER through the dialect, hash-matched: every customer
+    // survives (order columns NULL for the order-less) — the preserved
+    // side is the translation detail a count-only spec can miss
+    "q_ksql_right_join" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog = Map(
+          "orders" -> Translator.Source(Tables.orders(s, d), "o_orderdate"),
+          "customer" -> Translator.Source(Tables.customer(s, d), "c_custkey"))
+        val (_, Some(df)) = Translator.run(s, cat,
+          """SELECT c_custkey, c_name, o_orderkey FROM orders o
+            |RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+            |WHERE c_acctbal > 9000""".stripMargin): @unchecked
+        df
+      },
+      """SELECT c_custkey, c_name, o_orderkey
+        |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c_acctbal > 9000""".stripMargin),
+
+    // GROUP BY on a SELECT alias (the KSQL idiom) through the dialect,
+    // hash-matched against DuckDB resolving the same alias
+    "q_ksql_group_alias" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("events" -> Translator.Source(Tables.events(s, d), "ts"))
+        val (_, Some(df)) = Translator.run(s, cat,
+          """SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band,
+            |  COUNT(*) AS cnt
+            |FROM events GROUP BY band""".stripMargin): @unchecked
+        df
+      },
+      """SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band,
+        |  count(*) AS cnt
+        |FROM events GROUP BY band""".stripMargin),
+
     // derived-table subquery: aggregation over an inline SELECT
     "q_ksql_subquery" -> Q(
       (s, d) => {

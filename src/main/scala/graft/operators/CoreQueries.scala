@@ -28,6 +28,46 @@ object CoreQueries {
       """SELECT event_id, user_id, round(value, 2) AS value
         |FROM events WHERE event_type = 'purchase' AND value > 50""".stripMargin),
 
+    // KSQL PARTITION BY (rekey = hash repartition on the key): the
+    // physical op must be CONTENT-NEUTRAL — every row survives the
+    // rekey byte-identical, which is exactly what the oracle (a plain
+    // projection of the same table) hash-checks
+    "q_partition_by" -> Q(
+      (s, d) => graft.operators.Ops.partitionBy(
+          Tables.events(s, d), col("user_id"))
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      """SELECT event_id, user_id, event_type FROM events""".stripMargin),
+
+    // arithmetic / comparison / boolean operator grid, hash-matched:
+    // double arithmetic evaluates left-associatively on both engines
+    // (bit-identical IEEE results), % on doubles is fmod on both,
+    // `div`/`//` is integer division, and the three-valued boolean
+    // algebra rides non-null TPC-H columns so both engines agree
+    // row-for-row
+    "q_arith_bool" -> Q(
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 2 + col("l_discount") - 1).as("a_affine"),
+        (col("l_quantity") % 7).as("a_fmod"),
+        expr("l_orderkey div 4").as("a_intdiv"),
+        (-col("l_quantity")).as("a_neg"),
+        (col("l_quantity") > 25 && col("l_discount") <= 0.05).as("b_and"),
+        (col("l_returnflag") === "R" || col("l_linestatus") =!= "O").as("b_or"),
+        (!(col("l_tax") >= col("l_discount"))).as("b_not"),
+        (col("l_shipdate") >= lit("1997-01-01").cast("timestamp")).as("b_cmp_ts"),
+        col("l_quantity").between(10, 20).as("b_between")),
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * 2 + l_discount - 1 AS a_affine,
+        |  l_quantity % 7 AS a_fmod,
+        |  l_orderkey // 4 AS a_intdiv,
+        |  -l_quantity AS a_neg,
+        |  l_quantity > 25 AND l_discount <= 0.05 AS b_and,
+        |  l_returnflag = 'R' OR l_linestatus <> 'O' AS b_or,
+        |  NOT (l_tax >= l_discount) AS b_not,
+        |  l_shipdate >= TIMESTAMP '1997-01-01' AS b_cmp_ts,
+        |  l_quantity BETWEEN 10 AND 20 AS b_between
+        |FROM lineitem""".stripMargin),
+
     "q_like_between_in" -> Q(
       (s, d) => Tables.customer(s, d)
         .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")

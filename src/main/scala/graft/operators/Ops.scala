@@ -96,14 +96,20 @@ object Ops {
     import org.apache.spark.sql.types.StructType
     val lNullable = StructType(left.schema.fields.map(_.copy(nullable = true)))
     val rNullable = StructType(right.schema.fields.map(_.copy(nullable = true)))
-    val lSide = left.select(
+    // NULL keys are filtered on BOTH sides: the equi-join semantics this
+    // operator replaces never match on NULL (null = null is not true),
+    // but Window.partitionBy groups NULL keys into ONE partition — a
+    // null-key right row would be carried into null-key left rows,
+    // fabricating matches. Null-key left rows are inner-dropped either
+    // way; dropping them up front keeps the fabrication impossible.
+    val lSide = left.filter(leftKey.isNotNull).select(
       leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__tag"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rNullable).as("__r"))
     // null-time right rows can never satisfy rightTime <= leftTime, but
     // would sort first (nulls-first asc) and be carried into EVERY left
     // row — filtered out up front.
-    val rSide = right.filter(rightTime.isNotNull).select(
+    val rSide = right.filter(rightKey.isNotNull && rightTime.isNotNull).select(
       rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__tag"),
       lit(null).cast(lNullable).as("__l"),
       struct(right.columns.map(col): _*).as("__r"))

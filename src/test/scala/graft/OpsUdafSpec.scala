@@ -31,6 +31,29 @@ class OpsUdafSpec extends SparkSpec {
     assert(joined.filter(col("kept") =!= col("mx")).count() == 0)
   }
 
+  test("asOfJoin: equi-join NULL semantics — null keys never match, " +
+      "null times are never carried, exact-time ties are eligible") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), 100L),          // matches r@100 (exact tie) not r@200
+      (2L, Option(10L), 250L),          // matches r@200
+      (3L, Option(10L), 50L),           // before first right row -> dropped
+      (4L, Option.empty[Long], 100L),   // null key -> dropped
+      (5L, Option(20L), 300L)           // key with only null-time right -> dropped
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option(10L), Option(100L), "a"),
+      (Option(10L), Option(200L), "b"),
+      (Option(20L), Option.empty[Long], "x"),  // null time: never eligible
+      (Option.empty[Long], Option(1L), "n")    // null key: never matchable
+    ).toDF("rk", "rt", "payload")
+    val out = Ops.asOfJoin(left, right,
+        col("k"), col("rk"), col("t"), col("rt"))
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("keepFirst dedups to one row per key") {
     val first = Ops.keepFirst(Tables.events(spark, sfDir),
       Seq(col("user_id")), col("event_id"))

@@ -221,11 +221,15 @@ object Dedup {
     */
   def semanticDedupPairs(emb: DataFrame, nClusters: Int = 8,
                          threshold: Double = 0.35, iters: Int = 2,
-                         nAssign: Int = 2): DataFrame = {
+                         nAssign: Int = 2,
+                         trained: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cents = Similarity.kMeansCentroids(e, nClusters, iters)
+    // hash-seeded Lloyd is deterministic per (corpus, nClusters, iters),
+    // so a memoized training (sharedCentroids) is bit-identical to
+    // training here — passing it is pure reuse, not an approximation
+    val cents = trained.getOrElse(Similarity.kMeansCentroids(e, nClusters, iters))
     // multi-assignment: each vector lands in its nAssign nearest cells,
     // so a borderline pair straddling a cluster boundary still shares a
     // cell — the same recall fix as IVF's nProbe, for nAssign× the
@@ -680,9 +684,12 @@ object Dedup {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin),
 
     // approximate (cluster-pruned) → rows-only; recall vs the exact
-    // all-pairs form asserted in DedupSimilaritySpec
+    // all-pairs form asserted in DedupSimilaritySpec. Reuses the
+    // (8-cell, 2-iter) trained quantizer shared with q_ann_ivf/ivfpq —
+    // deterministic Lloyd makes the memo bit-identical to training here
     "q_dedup_semantic" -> Q(
-      (s, d) => semanticDedupPairs(Tables.embeddings(s, d)),
+      (s, d) => semanticDedupPairs(Tables.embeddings(s, d),
+        trained = Some(Similarity.sharedCentroids(s, d, nCells = 8, iters = 2))),
       None),
 
     // the END of the dedup pipeline: the kept corpus. pairs →

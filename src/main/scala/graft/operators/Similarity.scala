@@ -56,8 +56,8 @@ object Similarity {
     * run pays the real training instead of a memo hit. */
   private[graft] def resetMemos(): Unit = coarseMemo.clear()
 
-  private def sharedCentroids(s: org.apache.spark.sql.SparkSession,
-                              d: String, nCells: Int, iters: Int): DataFrame = {
+  private[operators] def sharedCentroids(s: org.apache.spark.sql.SparkSession,
+                                         d: String, nCells: Int, iters: Int): DataFrame = {
     val key = (d, nCells, iters)
     val data = coarseLocks.computeIfAbsent(key, _ => new Object).synchronized {
       coarseMemo.getOrElseUpdate(key, {

@@ -168,6 +168,32 @@ object KsqlQueries {
         |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c_acctbal > 9000""".stripMargin),
 
+    // FULL OUTER through the dialect: BOTH sides NULL-pad (order-less
+    // customers AND customer-less orders survive) — the two-sided
+    // padding right-join alone can't witness. The filters keep both
+    // unmatched populations non-empty at every SF.
+    "q_ksql_full_join" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog = Map(
+          "orders" -> Translator.Source(Tables.orders(s, d), "o_orderdate"),
+          "customer" -> Translator.Source(Tables.customer(s, d), "c_custkey"))
+        // the join's sides are named streams (the KSQL model: derive,
+        // then join) — CSAS threads them through the catalog
+        val (c1, _) = Translator.run(s, cat,
+          "CREATE STREAM big_orders AS SELECT * FROM orders WHERE o_totalprice > 420000")
+        val (c2, _) = Translator.run(s, c1,
+          "CREATE STREAM rich_cust AS SELECT * FROM customer WHERE c_acctbal > 9000")
+        val (_, Some(df)) = Translator.run(s, c2,
+          """SELECT c_custkey, o_orderkey, o_totalprice FROM big_orders o
+            |FULL OUTER JOIN rich_cust c
+            |ON o.o_custkey = c.c_custkey""".stripMargin): @unchecked
+        df
+      },
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 420000) o
+        |FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin),
+
     // GROUP BY on a SELECT alias (the KSQL idiom) through the dialect,
     // hash-matched against DuckDB resolving the same alias
     "q_ksql_group_alias" -> Q(

@@ -83,6 +83,11 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     t.startsWith("SELECT") || t.startsWith("PRINT")
   }
 
+  private def isIntrospection(stmt: String): Boolean = {
+    val t = stmt.trim.toUpperCase
+    Seq("SHOW", "LIST", "DESCRIBE", "EXPLAIN").exists(t.startsWith)
+  }
+
   private def ksqlEndpoint(body: String): (Int, String) = {
     val results = statementOf(body).map { stmt =>
       if (isPull(stmt))
@@ -91,11 +96,22 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
           "message" -> JString(
             "SELECT and PRINT queries must be sent to the /query endpoint"))
       else {
-        val (cat2, _) = Translator.run(spark, catalog, stmt)
+        val (cat2, res) = Translator.run(spark, catalog, stmt)
         catalog = cat2
-        JObject("statementText" -> JString(stmt),
-          "commandStatus" -> JObject("status" -> JString("SUCCESS"),
-            "message" -> JString("Statement executed")))
+        // introspection statements (SHOW/LIST/DESCRIBE/EXPLAIN) answer
+        // WITH their listing, like the real server's entity-list
+        // responses — a bounded driver-side page, never a full frame
+        val rows: List[JField] = res match {
+          case Some(df) if !df.isStreaming && isIntrospection(stmt) =>
+            List("columnNames" -> JArray(
+              df.columns.toList.map(JString(_))),
+              "rows" -> JArray(df.limit(maxRows).collect().toList.map(r =>
+                JArray(r.toSeq.toList.map(jsonValue)))))
+          case _ => Nil
+        }
+        JObject(("statementText" -> JString(stmt): JField) ::
+          ("commandStatus" -> JObject("status" -> JString("SUCCESS"),
+            "message" -> JString("Statement executed")): JField) :: rows)
       }
     }
     (200, JsonMethods.compact(JArray(results.toList)))

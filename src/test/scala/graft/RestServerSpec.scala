@@ -79,6 +79,18 @@ class RestServerSpec extends SparkSpec {
       JString("Limit Reached"))
   }
 
+  test("SHOW on /ksql answers with its entity listing inline") {
+    val (code, body) = post("/ksql", "SHOW STREAMS;")
+    assert(code == 200, body)
+    val JArray(entries) = JsonMethods.parse(body): @unchecked
+    assert((entries.head \ "commandStatus" \ "status") == JString("SUCCESS"))
+    val JArray(cols) = (entries.head \ "columnNames"): @unchecked
+    assert(cols.nonEmpty, body)
+    val JArray(rows) = (entries.head \ "rows"): @unchecked
+    // the preloaded catalog has 10 sources; listing is non-empty
+    assert(rows.nonEmpty, body)
+  }
+
   test("push query: EMIT CHANGES over a streaming source drains available rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -82,11 +82,15 @@ for name in names:
     if ok: print(f"OK   {name}: {len(a)} rows")
     else: fail += 1
 if tolerant:
-    print(f"\nWARNING: {len(tolerant)} float column(s) passed only at 1e-9 "
-          f"tolerance — the DRIVER's hash compare would flag these as red:")
+    # TOLERANT-ONLY is FAIL-class: the driver's hash compare flags these
+    # as red, so the local gate must go red too — an automation consumer
+    # keyed off exit status must never see a would-be driver red as 0.
+    print(f"\nFAIL-CLASS: {len(tolerant)} float column(s) passed only at 1e-9 "
+          f"tolerance — the DRIVER's hash compare WILL flag these as red:")
     for t in tolerant: print(f"  TOLERANT-ONLY {t}")
-print(f"\n{'ALL GREEN' if fail==0 else str(fail)+' FAILURES'} "
+red = fail + len(tolerant)
+print(f"\n{'ALL GREEN' if red==0 else str(red)+' FAILURES'} "
       f"({len(names)} queries)"
       + (f" [{len(tolerant)} tolerant-only float cols — fix before driver]"
          if tolerant else " [all float columns bit-exact]"))
-sys.exit(1 if fail else 0)
+sys.exit(1 if red else 0)

@@ -40,7 +40,13 @@ object Rounding {
     * mirroring DuckDB's DOUBLE floor + division).
     */
   def round(c: Column, scale: Int): Column = {
-    val p = math.pow(10, scale) // exact double for |scale| <= 15
+    // The engine-identical envelope holds only for non-negative scales up
+    // to 1e15 (exact double powers of ten; Spark's BIGINT floor overflows
+    // past 2^63 regardless of scale, but 0..15 keeps the recipe itself
+    // exact). A negative scale would make math.pow(10, -n) inexact and
+    // silently break bit-parity — refuse it at the call site.
+    require(scale >= 0 && scale <= 15, s"round scale must be in 0..15, got $scale")
+    val p = math.pow(10, scale) // exact double for scale <= 15
     ieeeFloor(c.cast("double") * lit(p) + lit(0.5)) / lit(p)
   }
 

@@ -57,6 +57,18 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   def boundPort: Int = server.getAddress.getPort
 
   private def handle(ex: HttpExchange, f: String => (Int, String)): Unit = {
+    // JDK HttpServer contexts PREFIX-match ("/ksqlanything" would land
+    // here); the real server 404s any path that isn't the exact
+    // endpoint, so check the full request path against the context.
+    val reqPath = ex.getRequestURI.getPath
+    if (reqPath != ex.getHttpContext.getPath) {
+      val bytes = JsonMethods.compact(JObject(
+        "message" -> JString(s"HTTP 404 Not Found: $reqPath"))).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(404, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+      return
+    }
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val (code, resp) = try f(body) catch {
       case e: Throwable => (400, JsonMethods.compact(JObject(
@@ -88,14 +100,29 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     Seq("SHOW", "LIST", "DESCRIBE", "EXPLAIN").exists(t.startsWith)
   }
 
+  /** Statement batch, matching the real server's HTTP contract: a
+    * pull query (SELECT/PRINT) on /ksql is a 400 (ksqlDB rejects the
+    * whole request with its "use /query" guidance), and a failure mid
+    * multi-statement batch answers 400 with the per-statement results
+    * UP TO the failure point included — earlier statements have
+    * already mutated the shared catalog, and hiding that partial
+    * application from the client recreates the round-7 ADVICE gap. */
   private def ksqlEndpoint(body: String): (Int, String) = {
-    val results = statementOf(body).map { stmt =>
-      if (isPull(stmt))
-        JObject("@type" -> JString("statement_error"),
+    val done = scala.collection.mutable.ListBuffer.empty[JObject]
+    val stmts = statementOf(body).iterator
+    // plain while, not foreach+return: a non-local return is compiled to
+    // a ControlThrowable, which the inner catch-Throwable would swallow
+    while (stmts.hasNext) {
+      val stmt = stmts.next()
+      if (isPull(stmt)) {
+        val err = JObject("@type" -> JString("statement_error"),
           "statementText" -> JString(stmt),
           "message" -> JString(
-            "SELECT and PRINT queries must be sent to the /query endpoint"))
-      else {
+            "SELECT and PRINT queries must be sent to the /query endpoint"),
+          "entities" -> JArray(done.toList))
+        return (400, JsonMethods.compact(err))
+      }
+      try {
         val (cat2, res) = Translator.run(spark, catalog, stmt)
         catalog = cat2
         // introspection statements (SHOW/LIST/DESCRIBE/EXPLAIN) answer
@@ -109,12 +136,19 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
                 JArray(r.toSeq.toList.map(jsonValue)))))
           case _ => Nil
         }
-        JObject(("statementText" -> JString(stmt): JField) ::
+        done += JObject(("statementText" -> JString(stmt): JField) ::
           ("commandStatus" -> JObject("status" -> JString("SUCCESS"),
             "message" -> JString("Statement executed")): JField) :: rows)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val err = JObject("@type" -> JString("statement_error"),
+            "statementText" -> JString(stmt),
+            "message" -> JString(String.valueOf(e.getMessage)),
+            "entities" -> JArray(done.toList))
+          return (400, JsonMethods.compact(err))
       }
     }
-    (200, JsonMethods.compact(JArray(results.toList)))
+    (200, JsonMethods.compact(JArray(done.toList)))
   }
 
   private def queryEndpoint(body: String): (Int, String) = {

@@ -473,13 +473,19 @@ object CoreQueries {
         // contention (round-6: 8.0 → 16.3 s of mostly I/O). Bench's
         // untimed prepare pass triggers the write; Verify's single call
         // exercises write + read-back in one go as before.
-        val dir = CoreQueries.zorderDirs.getOrElseUpdate(d, {
-          val t = java.nio.file.Files.createTempDirectory("zorder_q").toString
-          graft.sources.Sinks.zorderParquet(
-            Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
-            s"$t/z", "user_id", "value", nFiles = 8)
-          t
-        })
+        // single-flight per sf-dir (same pattern as Dedup.componentLocks):
+        // a bare getOrElseUpdate lets two concurrent first callers both
+        // run the heavy layout write, with the loser's temp dir leaked
+        val dir = CoreQueries.zorderLocks
+          .computeIfAbsent(d, _ => new Object).synchronized {
+            CoreQueries.zorderDirs.getOrElseUpdate(d, {
+              val t = java.nio.file.Files.createTempDirectory("zorder_q").toString
+              graft.sources.Sinks.zorderParquet(
+                Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+                s"$t/z", "user_id", "value", nFiles = 8)
+              t
+            })
+          }
         s.read.parquet(s"$dir/z")
           .filter(col("user_id") % 10 === 3 && col("value") > 50)
           .groupBy((col("user_id") % 100).as("user_bucket"))
@@ -550,4 +556,6 @@ object CoreQueries {
     * once, scan many — see the query's comment). */
   private[operators] val zorderDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private[operators] val zorderLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

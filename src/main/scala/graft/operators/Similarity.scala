@@ -395,6 +395,14 @@ object Similarity {
     * symmetrized (HNSW's bidirectional links) so search can walk "up"
     * to a hub as well as down. At 100 TB: candidates are an equi-join
     * on bucket keys and the result is n×degree rows — never O(n²).
+    *
+    * CONTRACT — the edge list MAY CONTAIN DUPLICATE ROWS: a pair kept
+    * in both directions appears twice after the un-distinct'd
+    * symmetrizing union (the distinct was a full extra shuffle to save
+    * scoring ≤2x of a degree-bounded list). Consumers that count edges
+    * or degrees must `dropDuplicates("src","dst")` first; the in-repo
+    * beam search dedupes via its per-round groupBy-max and is
+    * unaffected.
     */
   def knnGraph(corpus: DataFrame, dim: Int, degree: Int = 8,
                nBits: Int = -1): DataFrame = {

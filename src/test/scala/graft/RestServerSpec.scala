@@ -128,14 +128,38 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("SELECT on /ksql is redirected; bad statements come back as statement_error") {
+  test("SELECT on /ksql is a 400 statement_error; bad /query statements too") {
+    // real ksqlDB rejects pull queries on /ksql with HTTP 400 and its
+    // "use /query" guidance — not a 200 with an inline error entry
     val (c1, b1) = post("/ksql", "SELECT 1 FROM orders;")
-    assert(c1 == 200)
-    val JArray(es) = JsonMethods.parse(b1): @unchecked
-    assert((es.head \ "@type") == JString("statement_error"))
-    assert((es.head \ "message").values.toString.contains("/query"))
+    assert(c1 == 400, b1)
+    val err = JsonMethods.parse(b1)
+    assert((err \ "@type") == JString("statement_error"))
+    assert((err \ "message").values.toString.contains("/query"))
     val (c2, b2) = post("/query", "SELECT nope FROM not_a_stream;")
     assert(c2 == 400, b2)
     assert((JsonMethods.parse(b2) \ "@type") == JString("statement_error"))
+  }
+
+  test("mid-batch failure answers 400 with results up to the failure point") {
+    // the first statement mutates the catalog before the second fails;
+    // the error payload must expose that partial application
+    val (code, body) = post("/ksql",
+      """CREATE STREAM batch_ok AS SELECT o_orderkey FROM orders;
+        |CREATE STREAM batch_bad AS SELECT nope FROM not_a_stream;""".stripMargin)
+    assert(code == 400, body)
+    val err = JsonMethods.parse(body)
+    assert((err \ "@type") == JString("statement_error"))
+    val JArray(done) = (err \ "entities"): @unchecked
+    assert(done.size == 1, body)
+    assert((done.head \ "statementText").values.toString.contains("batch_ok"))
+    // the catalog kept the first statement — visible to the next request
+    val (c3, b3) = post("/query", "SELECT COUNT(*) AS n FROM batch_ok;")
+    assert(c3 == 200, b3)
+  }
+
+  test("paths prefix-matching a context 404 instead of hitting its handler") {
+    val (code, _) = post("/ksqlanything", "SHOW STREAMS;")
+    assert(code == 404)
   }
 }

@@ -1,17 +1,26 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.{Callable, Executors, TimeUnit}
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  * SPARK_GRAFT_SF_DIR and prints one JSON line per bench run.
   *
   * Queries run through a fixed thread pool (SPARK_GRAFT_PARALLEL,
-  * default 4): a single small-SF query can't saturate local[32], and a
+  * default 8): a single small-SF query can't saturate local[32], and a
   * real deployment always overlaps planning/codegen of one query with
   * execution of others — sequential timing would measure the per-query
-  * session floor 87 times instead of the engine's throughput. The
+  * session floor 180 times instead of the engine's throughput. The
   * headline "value" is the wall-clock of the whole run; per-query
   * numbers are individual wall times under that mild concurrency.
+  *
+  * The full suite runs TWICE back-to-back (round-7 verdict ask): the
+  * driver host's noise oscillates identical runs 2-4×, and a single
+  * number can't distinguish a plan regression from a noisy window —
+  * two same-process runs bound the variance in the artifact itself.
+  * Both runs execute identical work over the same prebuilt artifacts
+  * (the prepare pass below runs before either), so their delta is
+  * JIT + host noise, not cache asymmetry.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,7 +31,7 @@ object Bench {
     // than the same build at local[32])
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    // default 8: at 124 queries the ~0.35 s/query planning+scheduling
+    // default 8: at 180 queries the ~0.35 s/query planning+scheduling
     // floor dominates, and 8-way overlap beats 4-way by ~20% wall-clock
     // (measured 3x each at sf0.1; heavier overlap was tried in round 3
     // and regressed — iterative queries contend for the same cores)
@@ -50,66 +59,83 @@ object Bench {
     GraftExtensions.register(spark)
     SparkEntry.queries.get("q_agg_core")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    // prepare pass, SEPARATELY timed: q_zorder_scan's first call writes
-    // its z-clustered layout (write-once per sf-dir, see CoreQueries).
-    // Running it here keeps tmpfs write throughput out of the per-query
-    // timings — the timed invocation below measures the clustered scan,
-    // which is the operator under test. The write cost is still
-    // reported, as its own phase, not silently dropped.
-    val phases: Seq[(String, Double)] = Seq("q_zorder_scan").flatMap { n =>
-      SparkEntry.queries.get(n).map { fn =>
+    // prepare pass, each build SEPARATELY timed: write-once index/
+    // layout/materialization artifacts (z-order layout, dedup cluster
+    // map, PQ codebooks, graph-ANN edge list, CSAS materialization).
+    // Running them here keeps one-time build cost out of the per-query
+    // timings — the timed queries measure the SERVING path, which is
+    // the operator under test — while the build cost is still
+    // reported, as its own phase, never silently dropped.
+    val phases: Seq[(String, Double)] =
+      SparkEntry.prepares.toSeq.sortBy(_._1).map { case (n, prep) =>
         val p0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try prep(spark, sfDir)
         catch { case _: Throwable => () }
         s"prepare_$n" -> (System.nanoTime() - p0) / 1e9
       }
+
+    def runSuite(): (Double, Seq[(String, Double)]) = {
+      val pool = Executors.newFixedThreadPool(parallel)
+      val t0 = System.nanoTime()
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        name -> pool.submit(new Callable[Double] {
+          def call(): Double = {
+            // Deliberately NO per-query scheduler pool: FAIR mode only
+            // schedules fairly ACROSS named pools (all jobs land in the
+            // single default pool — itself FIFO — so mode=FAIR without
+            // pools is inert). One-pool-per-query was tried and not kept:
+            // measured 60.7/120.7 s vs 29.6/67.5 s without pools at sf0.1
+            // (this VM's host noise oscillates runs 2-4x, so no clean
+            // causal read — but fair-sharing slots across 8 active pools
+            // interleaves wide stages instead of letting each complete,
+            // which optimizes interactive latency, not the batch
+            // throughput this run measures, and the no-pool config is the
+            // one every green BENCH in the round history was taken under).
+            val s0 = System.nanoTime()
+            // noop sink, not count(): count() lets Catalyst PRUNE the
+            // projections (a hash/score/projection query measured as a
+            // bare scan — discovered when a codegen bug surfaced only in
+            // Verify's writes, never in bench). noop fully evaluates
+            // every output column and discards rows — the standard Spark
+            // benchmarking sink.
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => return -1.0 }
+            (System.nanoTime() - s0) / 1e9
+          }
+        })
+      }
+      val results = futures.map { case (name, f) => name -> f.get() }
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.MINUTES)
+      ((System.nanoTime() - t0) / 1e9, results)
     }
-    val pool = Executors.newFixedThreadPool(parallel)
-    val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> pool.submit(new Callable[Double] {
-        def call(): Double = {
-          // Deliberately NO per-query scheduler pool: FAIR mode only
-          // schedules fairly ACROSS named pools (all jobs land in the
-          // single default pool — itself FIFO — so mode=FAIR without
-          // pools is inert). One-pool-per-query was tried and not kept:
-          // measured 60.7/120.7 s vs 29.6/67.5 s without pools at sf0.1
-          // (this VM's host noise oscillates runs 2-4x, so no clean
-          // causal read — but fair-sharing slots across 8 active pools
-          // interleaves wide stages instead of letting each complete,
-          // which optimizes interactive latency, not the batch
-          // throughput this run measures, and the no-pool config is the
-          // one every green BENCH in the round history was taken under).
-          val s0 = System.nanoTime()
-          // noop sink, not count(): count() lets Catalyst PRUNE the
-          // projections (a hash/score/projection query measured as a
-          // bare scan — discovered when a codegen bug surfaced only in
-          // Verify's writes, never in bench). noop fully evaluates
-          // every output column and discards rows — the standard Spark
-          // benchmarking sink.
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => return -1.0 }
-          (System.nanoTime() - s0) / 1e9
-        }
-      })
-    }
-    val results = futures.map { case (name, f) => name -> f.get() }
-    pool.shutdown()
-    pool.awaitTermination(1, TimeUnit.MINUTES)
-    val total = (System.nanoTime() - t0) / 1e9
+
+    val (total1, results1) = runSuite()
+    val (total2, results2) = runSuite()
+
+    // streaming throughput/latency probe (sf-independent row volume —
+    // engine per-batch overhead + stateful operator cost; see
+    // StreamBench). Runs after the batch suites so it never contends.
+    val streaming = StreamBench.run(spark)
+
     // explicit Locale.ROOT: f"$v%.3f" is default-locale-sensitive, and a
     // comma decimal separator would corrupt the driver-parsed JSON line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmtMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val streamJson = streaming.map(r =>
+      "\"" + r.name + "\":{\"rows_per_sec\":" + fmt(r.rowsPerSec) +
+        ",\"avg_batch_ms\":" + fmt(r.avgBatchMs) + "}").mkString("{", ",", "}")
     // Full per-query detail goes to stderr (humans / logs). The stdout
-    // JSON line must stay SHORT: the driver scans only a bounded tail of
-    // stdout for it, and a ~4 KB line with all ~110 queries starts
+    // JSON lines must stay SHORT: the driver scans only a bounded tail of
+    // stdout for them, and a ~4 KB line with all ~180 queries starts
     // outside that window (rounds 1-3 were never parsed). Headline =
     // one representative per operator family + every query ≥ p90 cost.
     System.err.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtMap(results)},"phases":${fmtMap(phases)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","run":1,"value":$total1,"unit":"sec","queries":${fmtMap(results1)},"phases":${fmtMap(phases)},"sf":"$sfDir"}""")
+    System.err.println(
+      s"""{"metric":"total","run":2,"value":$total2,"unit":"sec","queries":${fmtMap(results2)},"sf":"$sfDir"}""")
     val headlineNames = Vector(
       "q_agg_core", "q_tpch_q3", "q_tpch_q5", "q_join_star", "q_asof_join",
       "q_range_join", "q_window_tumbling", "q_window_session", "q_sessionize",
@@ -121,11 +147,20 @@ object Bench {
       "q_ann_graph", "q_dedup_keep", "q_ann_ivfpq", "q_lm_score",
       "q_ann_rerank", "q_quality_logit", "q_profile", "q_kll_quantiles",
       "q_tpch_q7", "q_heavy_hitters",
-      "q_dedup_incremental", "q_text_entropy", "q_dsir_weights")
-    val byName = results.toMap
-    val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
+      "q_dedup_incremental", "q_text_entropy", "q_dsir_weights",
+      "q_ksql_csas_scalar")
+    def headline(results: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val byName = results.toMap
+      headlineNames.flatMap(n => byName.get(n).map(n -> _))
+    }
+    // two runs of identical work, printed as two lines (round-7 verdict
+    // ask): the driver's parser takes the LAST line; run 2 — the warmed,
+    // steady-state run — is the canonical number, and run 1 plus the
+    // both_runs field on the final line put the variance on record.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmtMap(headline)},"phases":${fmtMap(phases)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","run":1,"value":$total1,"unit":"sec","n_queries":${results1.size},"queries":${fmtMap(headline(results1))},"phases":${fmtMap(phases)},"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","run":2,"value":$total2,"unit":"sec","n_queries":${results2.size},"both_runs":[${fmt(total1)},${fmt(total2)}],"queries":${fmtMap(headline(results2))},"phases":${fmtMap(phases)},"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
 
+  /** Write-once index/layout/materialization builds, keyed by the query
+    * that consumes them: Bench runs each as its own separately-timed
+    * phase (`prepare_<name>`), so timed queries measure the serving
+    * path while the build cost stays visible in the bench JSON. Verify
+    * needs no special handling — the first query call builds lazily. */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    CoreQueries.prepares ++ Similarity.prepares ++ Dedup.prepares ++
+      graft.ksql.KsqlQueries.prepares
+
   /** DuckDB-equivalent SQL per query (same column names — the driver's
     * compare sorts columns by name before hashing). Every oracle is routed
     * through [[Rounding.rewriteSql]], which rewrites textual

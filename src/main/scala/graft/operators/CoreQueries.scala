@@ -473,20 +473,7 @@ object CoreQueries {
         // contention (round-6: 8.0 → 16.3 s of mostly I/O). Bench's
         // untimed prepare pass triggers the write; Verify's single call
         // exercises write + read-back in one go as before.
-        // single-flight per sf-dir (same pattern as Dedup.componentLocks):
-        // a bare getOrElseUpdate lets two concurrent first callers both
-        // run the heavy layout write, with the loser's temp dir leaked
-        val dir = CoreQueries.zorderLocks
-          .computeIfAbsent(d, _ => new Object).synchronized {
-            CoreQueries.zorderDirs.getOrElseUpdate(d, {
-              val t = java.nio.file.Files.createTempDirectory("zorder_q").toString
-              graft.sources.Sinks.zorderParquet(
-                Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
-                s"$t/z", "user_id", "value", nFiles = 8)
-              t
-            })
-          }
-        s.read.parquet(s"$dir/z")
+        s.read.parquet(s"${CoreQueries.zorderDir(s, d)}/z")
           .filter(col("user_id") % 10 === 3 && col("value") > 50)
           .groupBy((col("user_id") % 100).as("user_bucket"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
@@ -553,9 +540,30 @@ object CoreQueries {
   )
 
   /** sf-dir → temp dir holding the q_zorder_scan clustered layout (write
-    * once, scan many — see the query's comment). */
+    * once, scan many — see the query's comment). Single-flight per
+    * sf-dir (same pattern as Dedup.componentLocks): a bare
+    * getOrElseUpdate lets two concurrent first callers both run the
+    * heavy layout write, with the loser's temp dir leaked. */
   private[operators] val zorderDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[operators] val zorderLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def zorderDir(s: org.apache.spark.sql.SparkSession,
+                               d: String): String =
+    zorderLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      zorderDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("zorder_q").toString
+        graft.sources.Sinks.zorderParquet(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          s"$t/z", "user_id", "value", nFiles = 8)
+        t
+      })
+    }
+
+  /** Bench prepare hook: write the z-clustered layout as its own
+    * separately-timed phase (the operator under test is the clustered
+    * SCAN, not tmpfs write throughput). */
+  def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
+    Map("q_zorder_scan" -> ((s, d) => { zorderDir(s, d); () }))
 }

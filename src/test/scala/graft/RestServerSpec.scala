@@ -161,6 +161,102 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("push sink is BOUNDED: buffered rows never exceed the ring, oldest evict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    // maxRows=10 → ring capacity 40; feed 100 rows before any drain
+    val srv = new RestServer(spark,
+      Map("flood" -> Translator.Source(mem.toDF(), "ts")), maxRows = 10).start()
+    val stmt = "SELECT event_id, event_type FROM flood EMIT CHANGES;"
+    try {
+      // one addData per row: each is its own source block, so the
+      // batch's partition order — and therefore the ring's arrival
+      // order — is the insertion order (a single 100-row addData may
+      // split across partitions in an engine-chosen order)
+      (1 to 100).foreach(i => mem.addData(
+        Ev(i.toLong, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+          1L, "click", 1.0)))
+      def drain(): Seq[Long] = {
+        val body = JsonMethods.compact(JObject("ksql" -> JString(stmt)))
+        val req = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+        resp.body().linesIterator.filter(_.contains("\"row\"")).map { l =>
+          val JArray(cols) = (JsonMethods.parse(l) \ "row" \ "columns"): @unchecked
+          BigInt(cols.head.values.toString).toLong
+        }.toSeq
+      }
+      // 100 arrivals through a 40-slot ring: the 60 oldest evicted, the
+      // drain serves the OLDEST SURVIVING page (61..70), and driver
+      // state stays O(ring), not O(stream)
+      assert(drain() == (61L to 70L))
+      assert(srv.pushDroppedRows(stmt).contains(60L))
+      assert(srv.pushBufferedRows(stmt).exists(n => n <= 40))
+      // next page continues where the last drain evicted to
+      assert(drain() == (71L to 80L))
+    } finally srv.stop()
+  }
+
+  test("/query-stream: one chunked connection serves two increments live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val srv = new RestServer(spark,
+      Map("wire" -> Translator.Source(mem.toDF(), "ts")), maxRows = 10).start()
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/query-stream").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setDoOutput(true)
+      conn.setRequestMethod("POST")
+      val body = JsonMethods.compact(JObject(
+        "sql" -> JString("SELECT event_id, event_type FROM wire EMIT CHANGES;"),
+        "maxRows" -> JInt(3)))
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      // header arrives before any data exists — the connection is live
+      val header = reader.readLine()
+      assert(header != null && header.contains("\"header\""), header)
+      def rowId(line: String): Long = {
+        val JArray(cols) = (JsonMethods.parse(line) \ "row" \ "columns"): @unchecked
+        BigInt(cols.head.values.toString).toLong
+      }
+      // increment 1: two rows, read from the SAME open response
+      mem.addData(
+        Ev(1L, java.sql.Timestamp.valueOf("2024-04-01 00:00:00"), 1L, "click", 1.0),
+        Ev(2L, java.sql.Timestamp.valueOf("2024-04-01 00:00:01"), 1L, "view", 2.0))
+      assert(Seq(rowId(reader.readLine()), rowId(reader.readLine())).sorted
+        == Seq(1L, 2L))
+      // increment 2, same connection — then the maxRows cap closes it
+      mem.addData(
+        Ev(3L, java.sql.Timestamp.valueOf("2024-04-01 00:00:02"), 1L, "buy", 3.0))
+      assert(rowId(reader.readLine()) == 3L)
+      assert(reader.readLine().contains("Limit Reached"))
+      assert(reader.readLine() == null) // response genuinely ended
+      reader.close()
+    } finally srv.stop()
+  }
+
+  test("/query-stream rejects aggregations and serves pull queries to completion") {
+    // aggregation push: append mode is impossible → 400 with guidance
+    val aggBody = JsonMethods.compact(JObject("sql" -> JString(
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus EMIT CHANGES;")))
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}/query-stream"))
+      .POST(HttpRequest.BodyPublishers.ofString(aggBody)).build()
+    // orders in the preload catalog is a BATCH frame, so this is a pull
+    // query — served fully and closed (the unified-endpoint behavior)
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    assert(resp.body().linesIterator.count(_.contains("\"row\"")) >= 1)
+  }
+
   test("SELECT on /ksql is a 400 statement_error; bad /query statements too") {
     // real ksqlDB rejects pull queries on /ksql with HTTP 400 and its
     // "use /query" guidance — not a 200 with an inline error entry

@@ -48,17 +48,25 @@ object VectorFunctions {
     * Signs are packed into bitmasks and evaluated by the native
     * RhpSignature codegen loop (an expression-tree formulation needs
     * nBits*dim terms — slow to plan, codegen-hostile at high dims).
+    *
+    * `offset` shifts the hyperplane index range to [offset, offset+nBits):
+    * callers needing several INDEPENDENT signatures over one vector
+    * (multi-band near-dup LSH) draw each band from a disjoint slice of
+    * the same md5 hyperplane family instead of re-using (and thereby
+    * correlating) planes 0..nBits. offset=0 is byte-identical to the
+    * pre-offset behavior, so every existing bucket/oracle is unchanged.
     */
-  def rhpSignature(v: Column, dim: Int, nBits: Int): Column = {
+  def rhpSignature(v: Column, dim: Int, nBits: Int, offset: Int = 0): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, RhpSignature}
     // 1L << j wraps mod 64: hyperplane 64 would silently collide with
     // hyperplane 0, corrupting every bucket
     require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
     require(dim >= 1, s"dim must be positive, got $dim")
+    require(offset >= 0, s"offset must be non-negative, got $offset")
     val masks: Seq[Seq[Long]] = (0 until nBits).map { j =>
       val words = new Array[Long]((dim + 63) / 64)
       (0 until dim).foreach { i =>
-        if (TextFunctions.stableHash32Static(s"$j:$i") % 2 == 0)
+        if (TextFunctions.stableHash32Static(s"${offset + j}:$i") % 2 == 0)
           words(i / 64) |= (1L << (i % 64))
       }
       words.toSeq

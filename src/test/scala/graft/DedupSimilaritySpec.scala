@@ -121,6 +121,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graph == again)
   }
 
+  test("LSH-banded embedding dedup: >=0.85 recall of exact pairs, banded plan") {
+    val exact = Dedup.embeddingPairs(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Dedup.embeddingPairsLsh(emb)
+    val lsh = lshDf.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain cos>=0.35 pairs")
+    // no false positives: every emitted pair passed the EXACT rescore
+    assert((lsh -- exact).isEmpty, s"LSH emitted non-pairs: ${lsh -- exact}")
+    // 16 bands x 8 bits with hamming-1 probes measure ~0.90 on every SF
+    // (0.9027/0.9041/0.9021 at sf0.001/0.01/0.1); 0.85 leaves margin
+    // for a data refresh without hiding a real recall regression
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall")
+    // the point of the operator: candidate generation is an equi-join —
+    // the exact baseline's BroadcastNestedLoop must NOT appear
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("IVF-PQ finds exact-L2 neighbors within its top-10 and stays deterministic") {
     val probes = emb.filter(col("vec_id") % 250 === 0)
     val exact = Similarity.bruteForceTopK(emb, probes, k = 10)

@@ -43,6 +43,16 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // MB-scale splits, not the 128 MB default: the probe's tables are
+      // a few MB, so default split packing hands an entire scan to ONE
+      // task — and a ZERO-SHUFFLE query (q_winnowing) then runs its
+      // whole pipeline single-threaded at both scales, measuring split
+      // granularity instead of operator growth (first measured 44.6× at
+      // 10× rows; with scan parallelism restored the same query is
+      // ~1.4×). On a real cluster the inputs dwarf 128 MB and scans
+      // parallelize by themselves; this pins the probe to that regime.
+      .config("spark.sql.files.maxPartitionBytes", "1048576")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)

@@ -232,36 +232,77 @@ object Dedup {
     */
   def embeddingPairsLsh(emb: DataFrame, threshold: Double = 0.35,
                         dim: Int = 64, bands: Int = 16,
-                        bitsPerBand: Int = 8): DataFrame = {
+                        bitsPerBand: Int = 8,
+                        index: Option[DataFrame] = None): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    // one 8-bit key per band, drawn from hyperplanes [b·8, b·8+8) —
-    // posexplode turns the per-row key array into (band, bkey) rows
-    val keys = array((0 until bands).map(b =>
-      rhpSignature(col("v"), dim, bitsPerBand, offset = b * bitsPerBand)): _*)
-    val banded = e.withColumn("keys", keys)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(col("keys")).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    // The band index carries ONLY (vec_id, band, bkey): vectors never
+    // enter the candidate shuffle or the pair-dedup exchange (the
+    // minhashPairs discipline — with them attached, the 16-band ×
+    // 9-probe explosion shuffles every 64-dim array dozens of times and
+    // the whole operator ran 14× slower than the exact baseline at
+    // sf0.1). When `index` is supplied (the memoized parquet artifact —
+    // the production posture: the band index of a 10⁹-row corpus is a
+    // TABLE, built once, served many times), the signature lineage is
+    // read, not recomputed — without it, a self-join duplicates the
+    // 16-signature computation on both sides of the plan.
+    val banded = index.getOrElse(lshBandIndex(emb, dim, bands, bitsPerBand))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
     // multi-probe side: the key itself plus each 1-bit flip, so a pair
     // one hyperplane apart in a band still collides (xor is symmetric —
     // probing one side covers both directions)
     val b = banded.withColumn("bkey", explode(expr(
       s"array_union(array(bkey), transform(sequence(0, ${bitsPerBand - 1}), " +
         "j -> bkey ^ shiftleft(CAST(1 AS BIGINT), j)))")))
-      .select(col("band"), col("bkey"),
-        col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("band", "bkey"))
+      .select(col("band"), col("bkey"), col("vec_id").as("vec_b"))
+    // dedup BEFORE the rescore: a near-dup pair collides in many of its
+    // 16 bands, and scoring per collision would multiply the dot work
+    val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
-      // dedup BEFORE the rescore: a near-dup pair collides in many of
-      // its 16 bands, and scoring it once per collision would multiply
-      // the dot-product work by the collision count
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** The (vec_id, band, bkey) band-index projection: one `bitsPerBand`-
+    * bit key per band, each drawn from its own disjoint md5 hyperplane
+    * slice [b·bits, (b+1)·bits) via the rhpSignature offset. */
+  private[graft] def lshBandIndex(emb: DataFrame, dim: Int = 64,
+                                  bands: Int = 16,
+                                  bitsPerBand: Int = 8): DataFrame = {
+    val keys = array((0 until bands).map(b =>
+      rhpSignature(col("embedding").cast("array<double>"), dim, bitsPerBand,
+        offset = b * bitsPerBand)): _*)
+    emb.select(col("vec_id"), posexplode(keys).as(Seq("band", "bkey")))
+  }
+
+  /** sf-dir → memoized parquet band-index artifact (write-once,
+    * single-flight, separately timed as a Bench prepare phase — the
+    * same posture as the dedup cluster map above). */
+  private val lshIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val lshIndexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def lshBandIndexTable(s: org.apache.spark.sql.SparkSession,
+                                       d: String): DataFrame = {
+    val dir = lshIndexLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      lshIndexDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("lsh_bands").toString
+        lshBandIndex(Tables.embeddings(s, d))
+          .write.mode("overwrite").parquet(s"$t/bands")
+        t
+      })
+    }
+    s.read.parquet(s"$dir/bands")
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al., 2023): k-means
@@ -464,7 +505,10 @@ object Dedup {
 
   /** Measurement hook (ScaleProbe): drop the artifact paths so a timed
     * run pays the real computation instead of re-reading the table. */
-  private[graft] def resetMemos(): Unit = componentDirs.clear()
+  private[graft] def resetMemos(): Unit = {
+    componentDirs.clear()
+    lshIndexDirs.clear()
+  }
 
   /** Bench prepare hook: emit the cluster-map artifact as its own
     * separately-timed phase — the dedup PASS — so q_dedup_components
@@ -472,7 +516,9 @@ object Dedup {
     * two consumer workloads honestly instead of whichever-runs-first
     * paying the whole build. */
   def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
-    Map("q_dedup_components" -> ((s, d) => { fuzzyComponents(s, d); () }))
+    Map(
+      "q_dedup_components" -> ((s, d) => { fuzzyComponents(s, d); () }),
+      "q_dedup_embed_lsh" -> ((s, d) => { lshBandIndexTable(s, d); () }))
 
   private def fuzzyComponents(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame = {
@@ -755,7 +801,8 @@ object Dedup {
     // ~0.90 recall vs the exact baseline (floor in DedupSimilaritySpec);
     // the plan is pure equi-join, no BroadcastNestedLoop.
     "q_dedup_embed_lsh" -> Q(
-      (s, d) => embeddingPairsLsh(Tables.embeddings(s, d)),
+      (s, d) => embeddingPairsLsh(Tables.embeddings(s, d),
+        index = Some(lshBandIndexTable(s, d))),
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bands AS (
         |  SELECT vec_id, v, b,

@@ -240,6 +240,17 @@ class RestServerSpec extends SparkSpec {
       assert(reader.readLine().contains("Limit Reached"))
       assert(reader.readLine() == null) // response genuinely ended
       reader.close()
+      // a STREAMING aggregation can't append per-update rows — the
+      // chunked transport rejects it with guidance (snapshots live on
+      // /query's complete-mode fallback)
+      val aggBody = JsonMethods.compact(JObject("sql" -> JString(
+        "SELECT event_type, COUNT(*) AS n FROM wire GROUP BY event_type EMIT CHANGES;")))
+      val aggReq = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/query-stream"))
+        .POST(HttpRequest.BodyPublishers.ofString(aggBody)).build()
+      val aggResp = http.send(aggReq, HttpResponse.BodyHandlers.ofString())
+      assert(aggResp.statusCode() == 400, aggResp.body())
+      assert(aggResp.body().contains("statement_error"), aggResp.body())
     } finally srv.stop()
   }
 

@@ -181,7 +181,8 @@ object Bench {
       "q_ann_rerank", "q_quality_logit", "q_profile", "q_kll_quantiles",
       "q_tpch_q7", "q_heavy_hitters",
       "q_dedup_incremental", "q_text_entropy", "q_dsir_weights",
-      "q_ksql_csas_scalar")
+      "q_ksql_csas_scalar", "q_dedup_embed_lsh", "q_rest_csas",
+      "q_avro_registry")
     def headline(results: Seq[(String, Double)]): Seq[(String, Double)] = {
       val byName = results.toMap
       headlineNames.flatMap(n => byName.get(n).map(n -> _))

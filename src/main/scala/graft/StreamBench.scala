@@ -137,7 +137,7 @@ object StreamBench {
       (name, plan, mode, batches, batchRows)
     } :+ (("tumbling_agg_4x", ops.head._2, ops.head._3,
       math.max(batches / 2, 2), batchRows * 4))
-    sized.map { case (name, plan, mode, nb, br) =>
+    val single = sized.map { case (name, plan, mode, nb, br) =>
       try drive(spark, name, nb, br, rows, plan, mode)
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -145,6 +145,64 @@ object StreamBench {
           Result(name, -1.0, -1.0, -1.0)
       }
     }
+    val join = try driveJoin(spark, batches, batchRows)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[streambench] interval_join failed: $e")
+        Result("interval_join", -1.0, -1.0, -1.0)
+    }
+    single :+ join
+  }
+
+  /** Stream-stream interval join (WITHIN) — the one stateful-operator
+    * class the single-stream probes can't reach: BOTH sides buffer rows
+    * in the state store until the watermark proves no more matches can
+    * arrive. Left = the full event stream; right = one row per user
+    * burst (the per-1000-row leader, an upsert-ish profile stream), so
+    * each left row matches exactly its burst's leader and output volume
+    * equals input volume — the probe measures state-store insert/scan/
+    * expiry, not an exploding join product. Throughput is left-side
+    * rows over the driven wall-clock.
+    */
+  private def driveJoin(spark: SparkSession, batches: Int,
+                        batchRows: Int): Result = {
+    import spark.implicits._
+    val left = MemoryStream[StreamRow](spark)
+    val right = MemoryStream[StreamRow](spark)
+    val l = left.toDF().withWatermark("ts", "2 minutes")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.toDF().withWatermark("ts", "2 minutes")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    val joined = l.join(r, expr(
+      """l_user = r_user AND
+        |r_ts BETWEEN l_ts - INTERVAL 1 MINUTE AND l_ts + INTERVAL 1 MINUTE"""
+        .stripMargin))
+    val q = joined.writeStream.format("noop").outputMode("append").start()
+    try {
+      left.addData(rows(-1, batchRows))
+      right.addData(rows(-1, batchRows).filter(_.event_id % 1000 == 0))
+      q.processAllAvailable()
+      val s0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        left.addData(rows(b, batchRows))
+        right.addData(rows(b, batchRows).filter(_.event_id % 1000 == 0))
+        q.processAllAvailable()
+        b += 1
+      }
+      val wall = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .takeRight(batches)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      val avgMs = if (prog.nonEmpty) prog.sum / prog.size else -1.0
+      val p95 = if (prog.nonEmpty) {
+        val sorted = prog.sorted
+        sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1))
+      } else -1.0
+      Result("interval_join", batches.toLong * batchRows / wall, avgMs, p95)
+    } finally q.stop()
   }
 
   /** Standalone entry for iterating on the probe itself. */

@@ -425,6 +425,30 @@ object KsqlQueries {
         |SELECT lang, count(*) AS cnt, max(n_chars2) AS max_chars
         |FROM big_docs GROUP BY lang""".stripMargin),
 
+    // correlated SCALAR subquery in the SELECT list through the dialect
+    // (round-9: the translator's last documented subquery edge) — the
+    // projection routes through Spark's SQL parser over the catalog
+    // views, and Catalyst decorrelates to a left outer aggregate join.
+    // Order-less customers surface max_spend NULL, which the oracle
+    // reproduces — the outer-join semantics a rows-only check would
+    // miss.
+    "q_ksql_scalar_subquery" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog = Map(
+          "orders" -> Translator.Source(Tables.orders(s, d), "o_orderdate"),
+          "customer" -> Translator.Source(Tables.customer(s, d), "c_custkey"))
+        val (_, Some(df)) = Translator.run(s, cat,
+          """SELECT c_custkey, c_name,
+            |  (SELECT MAX(o_totalprice) FROM orders o
+            |   WHERE o.o_custkey = c.c_custkey) AS max_spend
+            |FROM customer c WHERE c_acctbal > 9000""".stripMargin): @unchecked
+        df
+      },
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_spend
+        |FROM customer c WHERE c_acctbal > 9000""".stripMargin),
+
     // subquery predicate: correlated NOT EXISTS through the dialect
     "q_ksql_exists" -> Q(
       (s, d) => {

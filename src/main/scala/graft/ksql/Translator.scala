@@ -940,6 +940,30 @@ object Translator {
           case (df0, (name, Some(alias))) => df0.withColumnRenamed(name, alias)
           case (df0, _) => df0
         }
+      } else if (s.columns.exists { case (e, _) =>
+        raw"(?i)\(\s*select\b".r.findFirstIn(rewriteExpr(e)).isDefined
+      }) {
+        // scalar subquery in the SELECT list (correlated or not): a
+        // Column expr can't hold one — route the projection through
+        // Spark's SQL parser exactly like the WHERE-subquery path
+        // above, over the catalog views plus the generated outer view
+        // re-aliased to the statement's own FROM name so correlation
+        // predicates (o.o_custkey = c.c_custkey) resolve. Catalyst
+        // plans the correlated scalar as a left outer aggregate join —
+        // the same rewrite q_subquery_scalar hand-writes.
+        val colTexts = s.columns.map {
+          case ("*", _) => "*"
+          case (e, alias) =>
+            rewriteExpr(e) + alias.fold("")(a => s" AS $a")
+        }
+        viewLock.synchronized {
+          catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
+          val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(vn)
+          try spark.sql(s"SELECT ${colTexts.mkString(", ")} " +
+            s"FROM $vn AS ${s.fromAlias.getOrElse(s.from)}")
+          finally spark.catalog.dropTempView(vn)
+        }
       } else {
         val cols = s.columns.map {
           case ("*", _) => col("*")

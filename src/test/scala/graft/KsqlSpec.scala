@@ -1091,6 +1091,43 @@ class KsqlSpec extends SparkSpec {
     assert(df.count() == direct.count())
   }
 
+  test("SELECT-list scalar subquery reads the BASE table, not the filtered outer frame") {
+    // same isolation contract as the WHERE-subquery test above, for the
+    // round-9 SELECT-list path: the outer WHERE filters to a subset,
+    // but the subquery's COUNT must see the FULL base table — a
+    // projection registered under the table's own name would make n_all
+    // silently equal the filtered count
+    val catalog: Translator.Catalog = Map(
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"))
+    val (_, Some(df)) = Translator.run(spark, catalog,
+      """SELECT o_orderkey, (SELECT COUNT(*) FROM orders) AS n_all
+        |FROM orders o WHERE o_totalprice > 200000""".stripMargin): @unchecked
+    val base = Tables.orders(spark, sfDir)
+    val full = base.count()
+    val filtered = base.filter(col("o_totalprice") > 200000).count()
+    assert(filtered > 0 && filtered < full)
+    assert(df.count() == filtered)
+    val nAll = df.select("n_all").distinct().collect().map(_.getLong(0)).toSeq
+    assert(nAll == Seq(full), s"subquery saw $nAll, base has $full")
+    // correlated form: per-customer max through the dialect equals the
+    // hand-built left-outer aggregate join
+    val cat2: Translator.Catalog = catalog +
+      ("customer" -> Translator.Source(Tables.customer(spark, sfDir), "c_custkey"))
+    val (_, Some(corr)) = Translator.run(spark, cat2,
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_spend
+        |FROM customer c""".stripMargin): @unchecked
+    val expected = Tables.customer(spark, sfDir).select("c_custkey")
+      .join(Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey")).agg(max("o_totalprice").as("max_spend")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select("c_custkey", "max_spend")
+    def rows(df0: org.apache.spark.sql.DataFrame) =
+      df0.collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows(corr) == rows(expected))
+  }
+
   test("MASK variants accept nested calls and expression counts") {
     val r = Translator.rewriteExpr("MASK_LEFT(UCASE(name), 3)")
     assert(r.contains("upper(name)") && r.contains("regexp_replace")

@@ -425,6 +425,53 @@ object KsqlQueries {
         |SELECT lang, count(*) AS cnt, max(n_chars2) AS max_chars
         |FROM big_docs GROUP BY lang""".stripMargin),
 
+    // ORDER BY + LIMIT pull-query tail through the dialect, hash-matched
+    // (round 9 — upgrades the spec-only §2.12 line): the tiebreak on
+    // o_orderkey makes the top-N total, so the row SET is deterministic
+    // and the driver's sorted-hash compare is exact. Catalyst plans the
+    // pair as TakeOrderedAndProject (per-partition top-k + k-row merge,
+    // never a global sort) — the plan shape PlanAuditSpec asserts.
+    "q_ksql_orderby_limit" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d),
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            |WHERE o_orderstatus = 'O'
+            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin): @unchecked
+        df
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin),
+
+    // INSERT INTO … VALUES through the gate (round 9 — upgrades the
+    // spec-only line): a typed literal row lands in the stream (unlisted
+    // columns → typed NULLs) and the aggregate over the merged stream
+    // must hash-match DuckDB unioning the same literal onto the original
+    // parquet — proving the injected row carries exact types/values, and
+    // that NULL grouping keys behave identically on both engines.
+    "q_ksql_insert_values" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(Tables.documents(s, d), "doc_id"))
+        val (c1, _) = Translator.run(s, cat,
+          """INSERT INTO docs (doc_id, lang, source, n_chars)
+            |VALUES (999999999, 'xx', 'manual', 42)""".stripMargin)
+        val (_, Some(df)) = Translator.run(s, c1,
+          """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+            |  COUNT(text) AS with_text
+            |FROM docs GROUP BY lang""".stripMargin): @unchecked
+        df
+      },
+      """WITH merged AS (
+        |  SELECT lang, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT 'xx' AS lang, 42 AS n_chars, NULL AS text
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(text) AS BIGINT) AS with_text
+        |FROM merged GROUP BY lang""".stripMargin),
+
     // correlated SCALAR subquery in the SELECT list through the dialect
     // (round-9: the translator's last documented subquery edge) — the
     // projection routes through Spark's SQL parser over the catalog

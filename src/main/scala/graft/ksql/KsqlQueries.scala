@@ -141,13 +141,36 @@ object KsqlQueries {
       })
     }
 
+  /** sf-dir → temp root for q_ksql_csas_partitioned's hive-partitioned
+    * CSAS materialization (write-once, single-flight). */
+  private val csasPartDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val csasPartLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[ksql] def csasPartitionedDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    csasPartLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      csasPartDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("csas_part").toString
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(Tables.documents(s, d), "doc_id"))
+        Translator.run(s, cat,
+          s"""CREATE STREAM by_lang WITH (PATH='$t/by_lang') AS
+             |SELECT doc_id, lang, n_chars FROM docs
+             |WHERE n_chars > 100 PARTITION BY lang""".stripMargin)
+        t
+      })
+    }
+
   /** Bench prepare hooks: write-phase artifacts, each separately timed. */
   def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     Map(
       "q_ksql_csas_scalar" -> ((s, d) => { csasMaterializedDir(s, d); () }),
       "q_avro_evolution" -> ((s, d) => { avroEvolutionDir(s, d); () }),
       "q_rest_csas" -> ((s, d) => { restCsasDir(s, d); () }),
-      "q_avro_registry" -> ((s, d) => { avroRegistryDir(s, d); () }))
+      "q_avro_registry" -> ((s, d) => { avroRegistryDir(s, d); () }),
+      "q_ksql_csas_partitioned" -> ((s, d) => { csasPartitionedDir(s, d); () }))
 
   val ctasWindowed: String =
     """CREATE TABLE hourly_by_type AS
@@ -424,6 +447,48 @@ object KsqlQueries {
         |)
         |SELECT lang, count(*) AS cnt, max(n_chars2) AS max_chars
         |FROM big_docs GROUP BY lang""".stripMargin),
+
+    // the millis-preserving time family through the gate (round 9):
+    // UNIX_TIMESTAMP(ts) → epoch millis, FROM_UNIXTIME(millis) →
+    // timestamp, and their round-trip composed with calendar extraction
+    // — sessions pin UTC on both engines, so every value is exact
+    // integer arithmetic, no rounding surface.
+    "q_ksql_timefns" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d),
+          """SELECT event_id, UNIX_TIMESTAMP(ts) AS ms,
+            |  UNIX_TIMESTAMP(FROM_UNIXTIME(UNIX_TIMESTAMP(ts))) AS ms2,
+            |  TIMESTAMPTOSTRING(UNIX_TIMESTAMP(ts),
+            |                    'yyyy-MM-dd HH:mm') AS formatted
+            |FROM events WHERE value > 90""".stripMargin): @unchecked
+        df
+      },
+      """SELECT event_id, epoch_ms(ts) AS ms, epoch_ms(ts) AS ms2,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS formatted
+        |FROM events WHERE value > 90""".stripMargin),
+
+    // CSAS WITH (PATH) + PARTITION BY through the gate (round 9): the
+    // materialization lands as a hive-partitioned layout on the key —
+    // KSQL's re-keyed output topic, as files — and a column-less
+    // re-bind reads it back; the aggregate must hash-match DuckDB over
+    // the ORIGINAL table, proving the partitioned write/read round-trip
+    // moved every row into its partition without loss (the partition
+    // column itself survives as data, not just directory names).
+    "q_ksql_csas_partitioned" -> Q(
+      (s, d) => {
+        val t = csasPartitionedDir(s, d)
+        val (c2, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM back WITH (PATH='$t/by_lang')")
+        val (_, Some(df)) = Translator.run(s, c2,
+          """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+            |  MIN(doc_id) AS first_doc
+            |FROM back GROUP BY lang""".stripMargin): @unchecked
+        df
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS first_doc
+        |FROM documents WHERE n_chars > 100 GROUP BY lang""".stripMargin),
 
     // ORDER BY + LIMIT pull-query tail through the dialect, hash-matched
     // (round 9 — upgrades the spec-only §2.12 line): the tiebreak on

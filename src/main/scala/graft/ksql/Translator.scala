@@ -1096,7 +1096,14 @@ object Translator {
           val sized = props.get("PARTITIONS")
             .map(n => df.repartition(n.toInt)).getOrElse(df)
           val writer0 = sized.write.mode("overwrite")
-          val writer = sel.partitionBy.fold(writer0)(k => writer0.partitionBy(k))
+          // a zero-row frame + partitionBy writes NO part files (there
+          // is nothing to bucket into directories), leaving a dir whose
+          // schema can't be inferred on re-bind — write empty frames
+          // FLAT so one schema-carrying file exists (the parquet
+          // analogue of the empty-CSAS avro header-only container; the
+          // partition column stays present as a data column either way)
+          val writer = sel.partitionBy.filter(_ => !sized.isEmpty)
+            .fold(writer0)(k => writer0.partitionBy(k))
           props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase match {
             case "JSON" => writer.json(path)
             case "DELIMITED" => writer.option("header", "true").csv(path)

@@ -29,11 +29,15 @@ object ScaleProbe {
   // pq): the r7 driver bench regressed exactly the queries nobody had
   // scale-probed, and "contention, not plans" needs the exponent on
   // record, not asserted
+  // round 10 added q_dedup_embed_lsh_scaled: the sized-bits LSH dedup
+  // exists to prove the linear candidate-volume regime, so its 10×
+  // exponent is the operator's whole claim — measured here, recorded in
+  // SURVEY §6 next to the pinned 26.6× fixed-bits number
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
     "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
     "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph",
-    "q_profile", "q_winnowing", "q_ann_pq")
+    "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_embed_lsh_scaled")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -43,6 +47,9 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // UTC like Bench/Verify: NTZ→TIMESTAMP casts are session-tz
+      // dependent; a non-UTC host would probe a shifted workload
+      .config("spark.sql.session.timeZone", "UTC")
       // MB-scale splits, not the 128 MB default: the probe's tables are
       // a few MB, so default split packing hands an entire scan to ONE
       // task — and a ZERO-SHUFFLE query (q_winnowing) then runs its

@@ -24,7 +24,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamBench {
 
   final case class Result(name: String, rowsPerSec: Double, avgBatchMs: Double,
-                          p95BatchMs: Double)
+                          p95BatchMs: Double, stateRows: Long = -1L,
+                          stateBytes: Long = -1L)
+
+  /** State-store footprint from the engine's own progress metrics
+    * (round-9 verdict ask: adjudicating a stateful op's throughput needs
+    * the state volume it carried on record, not guessed). Reported from
+    * the LAST data-carrying batch — steady-state rows held across all
+    * stateful operators in the plan, and the store's reported memory.
+    */
+  private def stateFootprint(q: StreamingQuery): (Long, Long) = {
+    val last = q.recentProgress.toSeq.filter(_.numInputRows > 0).lastOption
+    last.map { p =>
+      val ops = p.stateOperators
+      (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+    }.getOrElse((-1L, -1L))
+  }
 
   private val t0 = 1700000000000L
 
@@ -69,7 +84,8 @@ object StreamBench {
         val sorted = prog.sorted
         sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1))
       } else -1.0
-      Result(name, batches.toLong * batchRows / wall, avgMs, p95)
+      val (sRows, sBytes) = stateFootprint(q)
+      Result(name, batches.toLong * batchRows / wall, avgMs, p95, sRows, sBytes)
     } finally q.stop()
   }
 
@@ -161,8 +177,13 @@ object StreamBench {
     * burst (the per-1000-row leader, an upsert-ish profile stream), so
     * each left row matches exactly its burst's leader and output volume
     * equals input volume — the probe measures state-store insert/scan/
-    * expiry, not an exploding join product. Throughput is left-side
-    * rows over the driven wall-clock.
+    * expiry, not an exploding join product. The bound is ±59 s, NOT a
+    * round ±1 minute: same-burst-index leaders in ADJACENT batches carry
+    * the same user exactly 60 s apart, and an inclusive ±60 s bound
+    * matches them too — tripling output volume and turning the probe
+    * into a 3× join-product measurement (round-9 ADVICE; within a batch
+    * no two bursts share a user, so 59 s keeps exactly the burst's own
+    * leader). Throughput is left-side rows over the driven wall-clock.
     */
   private def driveJoin(spark: SparkSession, batches: Int,
                         batchRows: Int): Result = {
@@ -177,7 +198,7 @@ object StreamBench {
         col("event_type").as("r_type"))
     val joined = l.join(r, expr(
       """l_user = r_user AND
-        |r_ts BETWEEN l_ts - INTERVAL 1 MINUTE AND l_ts + INTERVAL 1 MINUTE"""
+        |r_ts BETWEEN l_ts - INTERVAL 59 SECONDS AND l_ts + INTERVAL 59 SECONDS"""
         .stripMargin))
     val q = joined.writeStream.format("noop").outputMode("append").start()
     try {
@@ -201,7 +222,9 @@ object StreamBench {
         val sorted = prog.sorted
         sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1))
       } else -1.0
-      Result("interval_join", batches.toLong * batchRows / wall, avgMs, p95)
+      val (sRows, sBytes) = stateFootprint(q)
+      Result("interval_join", batches.toLong * batchRows / wall, avgMs, p95,
+        sRows, sBytes)
     } finally q.stop()
   }
 
@@ -209,10 +232,12 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark).foreach(r => println(
-      f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch  p95 ${r.p95BatchMs}%8.1f ms"))
+      f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch  p95 ${r.p95BatchMs}%8.1f ms  state ${r.stateRows}%9d rows ${r.stateBytes}%12d B"))
     spark.stop()
   }
 }

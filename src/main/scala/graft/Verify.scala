@@ -23,7 +23,13 @@ object Verify {
     // writes would pay the per-query planning floor back-to-back
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_PARALLEL", "8").toInt)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // local iteration hook only (the driver sets no env): comma list of
+    // query names to dump, e.g. SPARK_GRAFT_ONLY=q_dedup_embed_lsh_scaled
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (n, _) => f(n) })
+    val futures = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

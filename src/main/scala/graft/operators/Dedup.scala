@@ -293,16 +293,36 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[graft] def lshBandIndexTable(s: org.apache.spark.sql.SparkSession,
-                                       d: String): DataFrame = {
-    val dir = lshIndexLocks.computeIfAbsent(d, _ => new Object).synchronized {
-      lshIndexDirs.getOrElseUpdate(d, {
+                                       d: String,
+                                       bitsPerBand: Int = 8): DataFrame = {
+    val key = s"$d#$bitsPerBand"
+    val dir = lshIndexLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      lshIndexDirs.getOrElseUpdate(key, {
         val t = java.nio.file.Files.createTempDirectory("lsh_bands").toString
-        lshBandIndex(Tables.embeddings(s, d))
+        lshBandIndex(Tables.embeddings(s, d), bitsPerBand = bitsPerBand)
           .write.mode("overwrite").parquet(s"$t/bands")
         t
       })
     }
     s.read.parquet(s"$dir/bands")
+  }
+
+  /** Corpus-sized bits/band: 2^bits buckets per band targeting
+    * ~`targetBucket` rows per bucket, so candidate volume stays LINEAR
+    * as the corpus grows (the round-9 verdict's fixed-bits caveat:
+    * constant 2^8 buckets make candidate volume quadratic with a 1/256
+    * constant — ScaleProbe measured 26.6× wall at 10× rows; sizing
+    * bits ∝ log2(n) pins expected bucket size, and with hamming-1
+    * multi-probe the per-band match probability for a true near-dup
+    * pair decays far slower than bucket collision volume). Clamped to
+    * [4, 16]: below 4 bits the probe set stops discriminating, above 16
+    * the md5 slice bookkeeping outgrows any corpus this repo can hold.
+    * The formula replays in DuckDB (`ceil(log2(n / 40.0))`), so a gated
+    * query sized by it still has a full candidate-generation oracle. */
+  def sizedBits(n: Long, targetBucket: Int = 40): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) /
+      math.log(2.0)).toInt
+    math.max(4, math.min(16, raw))
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al., 2023): k-means
@@ -518,7 +538,11 @@ object Dedup {
   def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     Map(
       "q_dedup_components" -> ((s, d) => { fuzzyComponents(s, d); () }),
-      "q_dedup_embed_lsh" -> ((s, d) => { lshBandIndexTable(s, d); () }))
+      "q_dedup_embed_lsh" -> ((s, d) => { lshBandIndexTable(s, d); () }),
+      "q_dedup_embed_lsh_scaled" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        lshBandIndexTable(s, d, sizedBits(emb.count())); ()
+      }))
 
   private def fuzzyComponents(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame = {
@@ -832,6 +856,61 @@ object Dedup {
         |JOIN e ea ON ea.vec_id = vec_a
         |JOIN e eb ON eb.vec_id = vec_b
         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35""".stripMargin),
+
+    // the LINEAR-regime form of q_dedup_embed_lsh (round-9 verdict ask):
+    // bits/band sized to the corpus — ceil(log2(n/40)), clamped [4,16] —
+    // so expected bucket size stays ~constant and candidate volume grows
+    // linearly instead of the 8-bit entry's fixed-256-bucket quadratic
+    // constant (ScaleProbe: 26.6× at 10× rows pinned; this one's
+    // exponent is recorded next to it in SURVEY §6). Threshold 0.5, the
+    // selective-production regime — NOT 0.7, because the synthetic
+    // corpus's max pair cosine is 0.513 (measured, sf0.01) and a gate
+    // that hash-matches the empty set gates nothing. The sizing formula
+    // replays in SQL (CTE `p`), so DuckDB rebuilds the same per-corpus
+    // bit width, the same md5 hyperplane slices (offset b·bits), the
+    // same hamming-1 probes, and the same exact rescore: the candidate
+    // GENERATION of the sized index hash-matches, at every SF.
+    "q_dedup_embed_lsh_scaled" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val bits = sizedBits(emb.count())
+        embeddingPairsLsh(emb, threshold = 0.5, bitsPerBand = bits,
+          index = Some(lshBandIndexTable(s, d, bits)))
+      },
+      """WITH p AS (
+        |  SELECT greatest(4, least(16,
+        |    CAST(ceil(log2(count(*) / 40.0)) AS INT))) AS bits
+        |  FROM embeddings
+        |),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, b, bits,
+        |    CAST(list_sum([
+        |      CASE WHEN list_sum([
+        |        v[i+1] * (CASE WHEN ('0x' || substr(md5((b * bits + j) || ':' || i), 1, 8))
+        |          ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |        FOR i IN range(64)]) > 0
+        |      THEN (1::BIGINT << j) ELSE 0 END
+        |      FOR j IN range(bits)]) AS BIGINT) AS bkey
+        |  FROM e, range(16) t(b), p
+        |),
+        |probes AS (
+        |  SELECT vec_id, b,
+        |    unnest(list_prepend(bkey,
+        |      [xor(bkey, 1::BIGINT << j) FOR j IN range(bits)])) AS bkey
+        |  FROM bands
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, pr.vec_id AS vec_b
+        |  FROM bands a JOIN probes pr USING (b, bkey)
+        |  WHERE a.vec_id < pr.vec_id
+        |)
+        |SELECT vec_a, vec_b,
+        |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+        |FROM cand
+        |JOIN e ea ON ea.vec_id = vec_a
+        |JOIN e eb ON eb.vec_id = vec_b
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.5""".stripMargin),
 
     // approximate (cluster-pruned) → rows-only; recall vs the exact
     // all-pairs form asserted in DedupSimilaritySpec. Reuses the

@@ -143,6 +143,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sized-bits LSH dedup: linear-regime banding stays sound, equi-join plan") {
+    // the q_dedup_embed_lsh_scaled configuration: bits = ceil(log2(n/40))
+    // clamped [4,16] — pinned values so a formula drift is loud
+    assert(Dedup.sizedBits(500) == 4)
+    assert(Dedup.sizedBits(5000) == 7)
+    assert(Dedup.sizedBits(50000) == 11)
+    assert(Dedup.sizedBits(1) == 4)             // clamp floor
+    assert(Dedup.sizedBits(100000000L) == 16)   // clamp ceiling
+    val n = emb.count()
+    val bits = Dedup.sizedBits(n)
+    val sized = Dedup.embeddingPairsLsh(emb, threshold = 0.5,
+      bitsPerBand = bits)
+    val got = sized.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingPairs(emb, threshold = 0.5)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction (exact rescore); the synthetic corpus
+    // has at most a handful of cos>=0.5 pairs, so assert soundness, not
+    // a recall ratio over a near-empty denominator
+    assert((got -- exact).isEmpty, s"sized LSH emitted non-pairs: ${got -- exact}")
+    // candidate generation stays an equi-join at every bit width
+    val plan = sized.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("IVF-PQ finds exact-L2 neighbors within its top-10 and stays deterministic") {
     val probes = emb.filter(col("vec_id") % 250 === 0)
     val exact = Similarity.bruteForceTopK(emb, probes, k = 10)

@@ -1,0 +1,108 @@
+package graft.ksql
+
+import java.nio.ByteBuffer
+import java.nio.channels.{FileChannel, OverlappingFileLockException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardOpenOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** File-backed append-only statement log — the embedded analogue of the
+  * KSQL server cluster's command topic. The reference deployment runs a
+  * ksql-server CLUSTER: every server replays the shared command topic,
+  * so DDL issued to one node binds on all, and a restarted node rebuilds
+  * its catalog by replaying from the beginning. This class gives the
+  * same semantic over a shared file: one JSON-wrapped statement per
+  * line, every mutation appended under an exclusive lock, and every
+  * reader applying entries in file order.
+  *
+  * Total ordering is real, not best-effort: `transact` holds the lock
+  * across replay-of-new-entries AND the caller's own statement
+  * execution AND the append, so two servers (processes or threads)
+  * interleave whole statements, never halves — the file plays the role
+  * Kafka's single-partition command topic plays for the reference.
+  * Cross-process exclusion is the OS file lock; same-JVM exclusion (two
+  * embedded servers in one test JVM — the spec's shape) is a per-path
+  * monitor, because the JDK throws [[OverlappingFileLockException]]
+  * rather than queueing overlapping locks from one JVM.
+  *
+  * Entries are JSON objects (`{"stmt": "..."}`), so multi-line
+  * statements survive the line framing. A torn tail line (a writer
+  * crashed mid-append) is left unconsumed — offsets only ever advance
+  * past complete, newline-terminated entries.
+  */
+final class CommandLog(val path: Path) {
+  Option(path.toAbsolutePath.getParent).foreach(Files.createDirectories(_))
+  try Files.createFile(path)
+  catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
+  /** Replay entries beyond byte offset `applied` through `replay` (in
+    * file order), then run `body`; if it returns a statement, append it
+    * before the lock releases. Returns the new applied offset. The lock
+    * spans all three steps — see the class doc for why. */
+  def transact(applied: Long, replay: String => Unit)
+              (body: () => Option[String]): Long = {
+    CommandLog.jvmLock(path).synchronized {
+      val ch = FileChannel.open(path,
+        StandardOpenOption.READ, StandardOpenOption.WRITE)
+      try {
+        // file lock for OTHER processes; same-JVM callers are already
+        // serialized by the per-path monitor above
+        val flock = try ch.lock()
+        catch { case _: OverlappingFileLockException => null }
+        try {
+          var off = applied
+          val size = ch.size()
+          var torn = false
+          if (size > off) {
+            val buf = ByteBuffer.allocate((size - off).toInt)
+            var read = 0
+            while (read >= 0 && buf.hasRemaining)
+              read = ch.read(buf, off + buf.position())
+            val text = new String(buf.array(), 0, buf.position(), UTF_8)
+            val lastNl = text.lastIndexOf('\n')
+            torn = !text.endsWith("\n")
+            if (lastNl >= 0) {
+              val complete = text.substring(0, lastNl + 1)
+              complete.split("\n").iterator.filter(_.nonEmpty)
+                .foreach(l => CommandLog.decode(l).foreach(replay))
+              off += complete.getBytes(UTF_8).length
+            }
+          }
+          body() match {
+            case Some(stmt) =>
+              // a torn tail (writer crashed mid-append) gets newline-
+              // terminated first so our entry never merges with it; the
+              // garbage line fails decode on replay and is skipped
+              val line = ((if (torn) "\n" else "") +
+                CommandLog.encode(stmt) + "\n").getBytes(UTF_8)
+              val wbuf = ByteBuffer.wrap(line)
+              var pos = ch.size()
+              while (wbuf.hasRemaining) pos += ch.write(wbuf, pos)
+              ch.force(false)
+              // our own entry is applied by construction (we just ran it)
+              ch.size()
+            case None => off
+          }
+        } finally if (flock != null) flock.release()
+      } finally ch.close()
+    }
+  }
+}
+
+object CommandLog {
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmLock(path: Path): Object =
+    jvmLocks.computeIfAbsent(path.toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  private[ksql] def encode(stmt: String): String =
+    JsonMethods.compact(JObject("stmt" -> JString(stmt)))
+
+  private[ksql] def decode(line: String): Option[String] =
+    try JsonMethods.parse(line) \ "stmt" match {
+      case JString(s) => Some(s)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -44,12 +44,70 @@ import org.json4s.jackson.JsonMethods
   * hardened network listener.
   */
 final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
-                       port: Int = 0, maxRows: Int = 1000) {
+                       port: Int = 0, maxRows: Int = 1000,
+                       commandLog: Option[java.nio.file.Path] = None,
+                       auth: Option[(String, String)] = None) {
 
   @volatile private var catalog: Translator.Catalog = catalog0
   @volatile private var stopping = false
   /** Serializes translate/catalog-mutation across handler threads. */
   private val stmtLock = new Object
+
+  /** Command-topic semantics (the reference charm's actual deployment
+    * model: a ksql-server CLUSTER where every node replays one shared
+    * command topic, so DDL issued anywhere binds everywhere). When
+    * `commandLog` is set, every catalog-mutating statement this server
+    * executes is appended to the shared file log, every request first
+    * replays entries other servers appended, and `start()` replays the
+    * whole log — a restarted server converges to the cluster catalog
+    * before serving. All guarded by stmtLock (offset is plain state). */
+  private val cmdLog = commandLog.map(new CommandLog(_))
+  private var appliedOffset = 0L
+
+  /** Replay one log entry from another server / a previous run. A
+    * replay failure (e.g. its source parquet was since removed) skips
+    * the entry loudly — refusing to serve at all would turn one bad
+    * historical statement into a cluster-wide outage. */
+  private def replayStmt(stmt: String): Unit =
+    try {
+      val (cat2, _) = Translator.run(spark, catalog, stmt)
+      catalog = cat2
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[rest] command-log replay skipped: " +
+          s"${stmt.take(120)}: ${e.getMessage}")
+    }
+
+  /** Apply any log entries beyond our offset. Callers hold stmtLock. */
+  private def syncFromLog(): Unit = cmdLog.foreach { l =>
+    appliedOffset = l.transact(appliedOffset, replayStmt)(() => None)
+  }
+
+  /** Execute one statement with command-topic total ordering when a
+    * log is configured: replay-new, run, append-if-catalog-changed, all
+    * under the log's exclusive lock (two servers interleave whole
+    * statements, never halves). Callers hold stmtLock. */
+  private def runStatement(stmt: String): Option[DataFrame] = cmdLog match {
+    case None =>
+      val (cat2, res) = Translator.run(spark, catalog, stmt)
+      catalog = cat2
+      res
+    case Some(l) =>
+      var res: Option[DataFrame] = None
+      appliedOffset = l.transact(appliedOffset, replayStmt) { () =>
+        val (cat2, r) = Translator.run(spark, catalog, stmt)
+        // Map equality with reference-equal Sources: true exactly when a
+        // name was bound, rebound, or dropped — the command-topic class.
+        // Pull SELECTs, SHOW/DESCRIBE, INSERT VALUES stay unlogged (data
+        // and introspection, not cluster DDL — the real command topic
+        // draws the same line).
+        val changed = cat2 != catalog
+        catalog = cat2
+        res = r
+        if (changed) Some(stmt) else None
+      }
+      res
+  }
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -68,7 +126,14 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   server.createContext("/healthcheck", (ex: HttpExchange) => handle(ex, _ =>
     (200, JsonMethods.compact(JObject("isHealthy" -> JBool(true))))))
 
-  def start(): RestServer = { server.start(); this }
+  def start(): RestServer = {
+    // converge to the cluster catalog BEFORE serving: a server joining
+    // (or rejoining) replays the whole shared log, the same way a ksql
+    // server drains the command topic before opening its listener
+    stmtLock.synchronized(syncFromLog())
+    server.start()
+    this
+  }
   def stop(): Unit = {
     stopping = true
     server.stop(0)
@@ -86,7 +151,29 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   }
   def boundPort: Int = server.getAddress.getPort
 
+  /** Opt-in basic auth, the real server's listener security contract:
+    * when credentials are configured every endpoint (data and metadata
+    * alike) answers 401 + WWW-Authenticate to a missing or wrong
+    * Authorization header. Comparison is exact-header: the expected
+    * value is computed once per check from the configured pair. */
+  private def authorized(ex: HttpExchange): Boolean = auth.forall {
+    case (user, pass) =>
+      val expect = "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$user:$pass".getBytes(UTF_8))
+      Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expect)
+  }
+
+  private def deny401(ex: HttpExchange): Unit = {
+    val bytes = JsonMethods.compact(JObject(
+      "message" -> JString("HTTP 401 Unauthorized"))).getBytes(UTF_8)
+    ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"ksql\"")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(401, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
   private def handle(ex: HttpExchange, f: String => (Int, String)): Unit = {
+    if (!authorized(ex)) { deny401(ex); return }
     // JDK HttpServer contexts PREFIX-match ("/ksqlanything" would land
     // here); the real server 404s any path that isn't the exact
     // endpoint, so check the full request path against the context.
@@ -156,8 +243,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         return (400, JsonMethods.compact(err))
       }
       try {
-        val (cat2, res) = Translator.run(spark, catalog, stmt)
-        catalog = cat2
+        val res = runStatement(stmt)
         // introspection statements (SHOW/LIST/DESCRIBE/EXPLAIN) answer
         // WITH their listing, like the real server's entity-list
         // responses — a bounded driver-side page, never a full frame
@@ -188,7 +274,10 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     val stmts = statementOf(body)
     require(stmts.size == 1, s"/query takes exactly one statement, got ${stmts.size}")
     require(isPull(stmts.head), "/query serves SELECT statements")
-    val (_, res) = Translator.run(spark, catalog, stmts.head)
+    // runStatement (not bare Translator.run): syncs the command log
+    // first, so DDL another server appended is queryable HERE — the
+    // cluster convergence the charm deploys servers for
+    val res = runStatement(stmts.head)
     val df = res.getOrElse(throw new IllegalArgumentException("statement returned no result"))
     if (!df.isStreaming) (200, renderRows(df))
     else (200, renderRows(drainPush(stmts.head, df)))
@@ -219,6 +308,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     * changelog transport needs per-update emission, and the embedded
     * complete-mode fallback is /query's snapshot contract. */
   private def queryStreamEndpoint(ex: HttpExchange): Unit = {
+    if (!authorized(ex)) { deny401(ex); return }
     val reqPath = ex.getRequestURI.getPath
     if (reqPath != ex.getHttpContext.getPath) {
       val bytes = JsonMethods.compact(JObject(
@@ -247,7 +337,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       require(stmts.size == 1,
         s"/query-stream takes exactly one statement, got ${stmts.size}")
       require(isPull(stmts.head), "/query-stream serves SELECT statements")
-      val (_, res) = stmtLock.synchronized(Translator.run(spark, catalog, stmts.head))
+      val res = stmtLock.synchronized(runStatement(stmts.head))
       val df = res.getOrElse(
         throw new IllegalArgumentException("statement returned no result"))
       Right((df, cap))
@@ -304,10 +394,25 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
           JObject("name" -> JString(fd.name),
             "type" -> JString(fd.dataType.simpleString))))))) + "\n").getBytes(UTF_8))
       out.flush()
+      var idleRounds = 0
       while (served < cap && !stopping && q.isActive) {
         val got = ring.drain(math.min(cap - served, maxRows.toLong).toInt)
-        if (got.isEmpty) ring.awaitData(200)
-        else {
+        if (got.isEmpty) {
+          ring.awaitData(200)
+          idleRounds += 1
+          // liveness probe on an idle stream (round-9 ADVICE): a client
+          // that disconnects while no rows arrive never triggers a
+          // write, so the handler thread and its per-connection query
+          // would spin until server stop. Every ~5 s of silence, write
+          // a blank keep-alive line — a dead socket surfaces as the
+          // IOException below and tears the subscription down. Blank
+          // lines are JSON-lines noise every framing client skips.
+          if (idleRounds >= 25) {
+            out.write('\n'); out.flush()
+            idleRounds = 0
+          }
+        } else {
+          idleRounds = 0
           got.foreach { r =>
             out.write((JsonMethods.compact(JObject("row" -> JObject(
               "columns" -> JArray(r.toSeq.toList.map(jsonValue))))) + "\n")
@@ -396,10 +501,16 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     * endpoints use, so callers may pass the raw POSTed text. */
   private def pushKey(stmt: String): String =
     Translator.splitStatements(stmt).headOption.getOrElse(stmt)
+  // stmtLock around the map lookups: handler threads mutate pushQueries
+  // under the lock, and these accessors run on the caller's thread — an
+  // unlocked read of the non-thread-safe mutable Map is a data race
+  // (round-9 ADVICE). The ring accessors themselves are synchronized.
   private[graft] def pushBufferedRows(stmt: String): Option[Int] =
-    pushQueries.get(pushKey(stmt)).flatMap(_.ring).map(_.size)
+    stmtLock.synchronized(pushQueries.get(pushKey(stmt)))
+      .flatMap(_.ring).map(_.size)
   private[graft] def pushDroppedRows(stmt: String): Option[Long] =
-    pushQueries.get(pushKey(stmt)).flatMap(_.ring).map(_.dropped)
+    stmtLock.synchronized(pushQueries.get(pushKey(stmt)))
+      .flatMap(_.ring).map(_.dropped)
 
   /** Start a continuous query for `df`: append-mode into a fresh ring
     * when the plan allows it, complete-mode memory sink otherwise. */

@@ -1095,33 +1095,49 @@ object Translator {
           // → n output files/splits
           val sized = props.get("PARTITIONS")
             .map(n => df.repartition(n.toInt)).getOrElse(df)
-          val writer0 = sized.write.mode("overwrite")
-          // a zero-row frame + partitionBy writes NO part files (there
-          // is nothing to bucket into directories), leaving a dir whose
-          // schema can't be inferred on re-bind — write empty frames
-          // FLAT so one schema-carrying file exists (the parquet
-          // analogue of the empty-CSAS avro header-only container; the
-          // partition column stays present as a data column either way)
-          val writer = sel.partitionBy.filter(_ => !sized.isEmpty)
-            .fold(writer0)(k => writer0.partitionBy(k))
-          props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase match {
-            case "JSON" => writer.json(path)
-            case "DELIMITED" => writer.option("header", "true").csv(path)
-            case "AVRO" =>
-              // avroSink manages the directory itself (FS-API writes);
-              // PARTITION BY layout is parquet/json/csv-only for now.
-              // WITH (SCHEMA_REGISTRY, SUBJECT): producer posture —
-              // register-on-write under BACKWARD compatibility; a
-              // rejected schema throws BEFORE any data lands.
-              (props.get("SCHEMA_REGISTRY"), props.get("SUBJECT")) match {
-                case (Some(reg), Some(subj)) =>
-                  graft.sources.SchemaRegistry(spark, reg)
-                    .write(sized, path, subj)
-                // sized (not df): WITH (PARTITIONS=n) sizes avro output
-                // files like every other format's writer above
-                case _ => graft.sources.Sources.avroSink(sized, path)
+          val fmt = props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase
+          if (fmt == "AVRO") {
+            // avroSink manages the directory itself (FS-API writes);
+            // PARTITION BY layout is parquet/json/csv-only for now.
+            // WITH (SCHEMA_REGISTRY, SUBJECT): producer posture —
+            // register-on-write under BACKWARD compatibility; a
+            // rejected schema throws BEFORE any data lands.
+            (props.get("SCHEMA_REGISTRY"), props.get("SUBJECT")) match {
+              case (Some(reg), Some(subj)) =>
+                graft.sources.SchemaRegistry(spark, reg)
+                  .write(sized, path, subj)
+              // sized (not df): WITH (PARTITIONS=n) sizes avro output
+              // files like every other format's writer above
+              case _ => graft.sources.Sources.avroSink(sized, path)
+            }
+          } else {
+            def emit(
+                w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+            : Unit =
+              fmt match {
+                case "JSON" => w.json(path)
+                case "DELIMITED" => w.option("header", "true").csv(path)
+                case _ => w.parquet(path)
               }
-            case _ => writer.parquet(path)
+            emit(sel.partitionBy.fold(sized.write.mode("overwrite"))(k =>
+              sized.write.mode("overwrite").partitionBy(k)))
+            // a zero-row frame + partitionBy writes NO part files (there
+            // is nothing to bucket into directories), leaving a dir whose
+            // schema can't be inferred on re-bind — rewrite empty output
+            // FLAT so one schema-carrying file exists (the parquet
+            // analogue of the empty-CSAS avro header-only container; the
+            // partition column stays present as a data column either
+            // way). Detected AFTER the write by a local directory
+            // listing: the former pre-write isEmpty probe was an extra
+            // Spark action re-evaluating the frame on EVERY partitioned
+            // write (round-9 ADVICE); a listing costs nothing and only
+            // the rare genuinely-empty case pays a second write.
+            sel.partitionBy.foreach { _ =>
+              val dir = new java.io.File(path.stripPrefix("file:"))
+              val hasData = Option(dir.listFiles()).toSeq.flatten.exists(f =>
+                f.getName.contains("=") || f.getName.startsWith("part-"))
+              if (!hasData) emit(sized.limit(0).write.mode("overwrite"))
+            }
           }
         }
         (catalog + (name.toLowerCase -> Source(df, tc)), Some(df))

@@ -302,4 +302,128 @@ class RestServerSpec extends SparkSpec {
     val (code, _) = post("/ksqlanything", "SHOW STREAMS;")
     assert(code == 404)
   }
+
+  private def postTo(port: Int, path: String, sql: String,
+                     authHeader: Option[String] = None): (Int, String) = {
+    val body = JsonMethods.compact(JObject("ksql" -> JString(sql)))
+    val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    authHeader.foreach(h => b.header("Authorization", h))
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("command log: DDL on server A binds on B, late joiners and restarts converge") {
+    // the charm's actual deployment semantic: a ksql-server CLUSTER
+    // where every node replays one shared command topic. Here the topic
+    // is a file log; A appends its DDL, B replays before serving any
+    // request, a server started LATER converges in start(), and a
+    // restart (fresh server, same log) replays idempotently.
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog", ".jsonl")
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    val srvA = mk()
+    val srvB = mk()
+    try {
+      val (c1, b1) = postTo(srvA.boundPort, "/ksql",
+        """CREATE STREAM repl_big AS
+          |SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 200000;""".stripMargin)
+      assert(c1 == 200, b1)
+      val expected = Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 200000)
+        .count()
+      // B never saw the POST — it learns the stream from the log
+      val (c2, b2) = postTo(srvB.boundPort, "/query",
+        "SELECT COUNT(*) AS n FROM repl_big;")
+      assert(c2 == 200, b2)
+      assert((JsonMethods.parse(b2.linesIterator.toSeq(1)) \ "row" \ "columns")
+        == JArray(List(JInt(BigInt(expected)))), b2)
+      // a server started AFTER the DDL converges during start()
+      val srvC = mk()
+      try {
+        val (c3, b3) = postTo(srvC.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM repl_big;")
+        assert(c3 == 200, b3)
+      } finally srvC.stop()
+      // restart: stop A, bring up a replacement over the same log — the
+      // replay is idempotent (same CREATE applied again on a fresh
+      // catalog) and DDL posted to the replacement reaches B too
+      srvA.stop()
+      val srvA2 = mk()
+      try {
+        val (c4, b4) = postTo(srvA2.boundPort, "/ksql",
+          "CREATE STREAM repl_cheap AS SELECT o_orderkey FROM orders WHERE o_totalprice < 1000;")
+        assert(c4 == 200, b4)
+        val (c5, b5) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM repl_cheap;")
+        assert(c5 == 200, b5)
+      } finally srvA2.stop()
+      // the log holds exactly the two catalog-mutating statements —
+      // pull queries and SHOWs never land on the command topic
+      val entries = java.nio.file.Files.readAllLines(log)
+      assert(entries.size == 2, entries)
+      assert(entries.get(0).contains("repl_big") &&
+        entries.get(1).contains("repl_cheap"), entries)
+    } finally {
+      srvB.stop()
+      try srvA.stop() catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
+  test("basic auth: configured credentials gate every endpoint with 401") {
+    val srv = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, auth = Some(("alice", "secret"))).start()
+    try {
+      val good = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:secret".getBytes("UTF-8"))
+      val bad = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:wrong".getBytes("UTF-8"))
+      // every endpoint: absent header → 401 + WWW-Authenticate
+      for (path <- Seq("/ksql", "/query", "/query-stream")) {
+        val (code, body) = postTo(srv.boundPort, path, "SHOW STREAMS;")
+        assert(code == 401, s"$path: $body")
+      }
+      val noAuthGet = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/healthcheck"))
+        .GET().build()
+      val hcResp = http.send(noAuthGet, HttpResponse.BodyHandlers.ofString())
+      assert(hcResp.statusCode() == 401)
+      assert(hcResp.headers().firstValue("WWW-Authenticate").isPresent)
+      // wrong password → 401; right credentials → served
+      assert(postTo(srv.boundPort, "/ksql", "SHOW STREAMS;",
+        Some(bad))._1 == 401)
+      val (okCode, okBody) = postTo(srv.boundPort, "/ksql", "SHOW STREAMS;",
+        Some(good))
+      assert(okCode == 200, okBody)
+      val (qCode, qBody) = postTo(srv.boundPort, "/query",
+        "SELECT COUNT(*) AS n FROM orders;", Some(good))
+      assert(qCode == 200, qBody)
+    } finally srv.stop()
+  }
+
+  test("command log round-trips multi-line statements and skips torn tails") {
+    import graft.ksql.CommandLog
+    val p = java.nio.file.Files.createTempFile("graft_cmdlog_unit", ".jsonl")
+    try {
+      val l = new CommandLog(p)
+      val stmt = "CREATE STREAM x AS\nSELECT 'a;b' AS s\nFROM orders;"
+      var off = l.transact(0L, _ => fail("nothing to replay"))(() => Some(stmt))
+      // a fresh reader replays the exact statement text
+      var seen = List.empty[String]
+      off = l.transact(0L, s => seen ::= s)(() => None)
+      assert(seen == List(stmt))
+      // torn tail (writer crashed mid-append): unconsumed, never merged
+      java.nio.file.Files.writeString(p, "{\"stmt\": \"GARBA",
+        java.nio.file.StandardOpenOption.APPEND)
+      var seen2 = List.empty[String]
+      val off2 = l.transact(0L, s => seen2 ::= s)(() => Some("DROP STREAM x;"))
+      var seen3 = List.empty[String]
+      l.transact(0L, s => seen3 ::= s)(() => None)
+      assert(seen2 == List(stmt))
+      assert(seen3.reverse == List(stmt, "DROP STREAM x;"), seen3)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
 }

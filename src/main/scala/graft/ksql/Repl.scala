@@ -97,6 +97,9 @@ object Repl {
       .appName("graft-ksql-repl").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // UTC like every other entry point: NTZ→TIMESTAMP casts are
+      // session-timezone-dependent
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val catalog =

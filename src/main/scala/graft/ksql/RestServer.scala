@@ -46,7 +46,8 @@ import org.json4s.jackson.JsonMethods
 final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
                        port: Int = 0, maxRows: Int = 1000,
                        commandLog: Option[java.nio.file.Path] = None,
-                       auth: Option[(String, String)] = None) {
+                       auth: Option[(String, String)] = None,
+                       ssl: Option[javax.net.ssl.SSLContext] = None) {
 
   @volatile private var catalog: Translator.Catalog = catalog0
   @volatile private var stopping = false
@@ -109,8 +110,18 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       res
   }
 
-  private val server =
-    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // TLS listener config, the real server's ssl.* surface: when an
+  // SSLContext is supplied the same endpoints serve over HTTPS (JDK
+  // HttpsServer is an HttpServer subtype — one code path either way)
+  private val server = ssl match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress("127.0.0.1", port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None =>
+      HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  }
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-rest"); t.setDaemon(true); t
   }))
@@ -588,10 +599,20 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
 
 object RestServer {
   /** Standalone entry: serve the sf-dir tables (REPL's preload) on the
-    * given port. Usage: runMain graft.ksql.RestServer [sfDir] [port] */
+    * given port. Usage: runMain graft.ksql.RestServer [sfDir] [port]
+    * [commandLogPath]. Env GRAFT_REST_AUTH=user:pass enables basic
+    * auth. Two processes given the same commandLogPath form a
+    * replicated pair (shared command topic). */
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).map(_.toInt).getOrElse(8088)
+    val cmdLog = args.lift(2).map(java.nio.file.Paths.get(_))
+    val auth = sys.env.get("GRAFT_REST_AUTH").flatMap { s =>
+      s.split(":", 2) match {
+        case Array(u, p) => Some((u, p))
+        case _ => None
+      }
+    }
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-ksql-rest")
       .config("spark.sql.shuffle.partitions", 4)
@@ -599,7 +620,8 @@ object RestServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.GraftExtensions.register(spark)
-    val srv = new RestServer(spark, Repl.preloadCatalog(spark, sfDir), port).start()
+    val srv = new RestServer(spark, Repl.preloadCatalog(spark, sfDir), port,
+      commandLog = cmdLog, auth = auth).start()
     System.err.println(s"ksql REST surface on 127.0.0.1:${srv.boundPort}")
     Thread.currentThread().join()
   }

@@ -404,6 +404,71 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("TLS listener: the same endpoints serve over HTTPS, with auth composing") {
+    // self-signed keypair via the JDK's own keytool — no external dep;
+    // the spec builds the server-side SSLContext from it and a
+    // trust-all client context (the embedded-test analogue of a client
+    // configured with the server's self-signed cert)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ks = dir.resolve("server.jks")
+    val proc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=ip:127.0.0.1",
+      "-keystore", ks.toString,
+      "-storepass", "changeit", "-keypass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(proc.waitFor() == 0,
+      new String(proc.getInputStream.readAllBytes(), "UTF-8"))
+    val store = java.security.KeyStore.getInstance("JKS")
+    val in = java.nio.file.Files.newInputStream(ks)
+    try store.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val srv = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, auth = Some(("alice", "secret")),
+      ssl = Some(serverCtx)).start()
+    try {
+      val trustAll = javax.net.ssl.SSLContext.getInstance("TLS")
+      trustAll.init(null, Array[javax.net.ssl.TrustManager](
+        new javax.net.ssl.X509TrustManager {
+          def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        }), new java.security.SecureRandom())
+      val client = HttpClient.newBuilder().sslContext(trustAll).build()
+      val good = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:secret".getBytes("UTF-8"))
+      def query(authHdr: Option[String]): (Int, String) = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"https://127.0.0.1:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(
+            JObject("ksql" -> JString("SELECT COUNT(*) AS n FROM orders;")))))
+        authHdr.foreach(h => b.header("Authorization", h))
+        val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val (okCode, okBody) = query(Some(good))
+      assert(okCode == 200, okBody)
+      assert(okBody.contains("\"row\""), okBody)
+      // auth composes with TLS: encrypted but unauthenticated → 401
+      assert(query(None)._1 == 401)
+      // plaintext HTTP against the TLS listener is refused at the
+      // transport (handshake failure), never served
+      intercept[java.io.IOException] {
+        http.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}/healthcheck"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      }
+    } finally {
+      srv.stop()
+      java.nio.file.Files.deleteIfExists(ks)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("command log round-trips multi-line statements and skips torn tails") {
     import graft.ksql.CommandLog
     val p = java.nio.file.Files.createTempFile("graft_cmdlog_unit", ".jsonl")

@@ -366,6 +366,20 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b") // a pair can share both of its cells
   }
 
+  /** Corpus-sized cluster count for SemDeDup: hold the expected
+    * CLUSTER size ≈ `targetCluster` rows, so within-cluster pair volume
+    * is O(n·targetCluster·nAssign) — linear — instead of O(n²/k) at a
+    * fixed k (the round-10 sf1 run measured fixed k=8 at 40.6× wall for
+    * 10× rows; the same lesson as [[sizedBits]] and knnGraph's
+    * self-sized buckets, on the clustering knob). Floor 8 keeps the
+    * driver-gated SFs (n ≤ 2000 → k = 8) bit-identical to the historic
+    * entry and lets the IVF-shared centroid memo serve both consumers
+    * there; the ceiling bounds Lloyd's broadcast table. */
+  def sizedClusters(n: Long, targetCluster: Int = 250): Int = {
+    val raw = math.ceil(math.max(n, 1).toDouble / targetCluster).toInt
+    math.max(8, math.min(4096, raw))
+  }
+
   /** Edit-distance fuzzy near-dup pairs (entity-resolution style):
     * block by (lang, length bucket), compare levenshtein on a fixed
     * text prefix inside each block. Blocking bounds candidate pairs to
@@ -913,12 +927,20 @@ object Dedup {
         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.5""".stripMargin),
 
     // approximate (cluster-pruned) → rows-only; recall vs the exact
-    // all-pairs form asserted in DedupSimilaritySpec. Reuses the
-    // (8-cell, 2-iter) trained quantizer shared with q_ann_ivf/ivfpq —
-    // deterministic Lloyd makes the memo bit-identical to training here
+    // all-pairs form asserted in DedupSimilaritySpec. k is corpus-sized
+    // (sizedClusters: expected cluster ≈ 250 rows → linear pair volume;
+    // round 10 — fixed k=8 measured 40.6× wall at 10× rows in the sf1
+    // suite). At the driver-gated SFs n ≤ 2000 → k = 8, so the entry
+    // reuses the (8-cell, 2-iter) quantizer shared with q_ann_ivf/ivfpq
+    // bit-identically — deterministic Lloyd makes the memo equal to
+    // training here; at larger n the memo trains (and caches) sized k.
     "q_dedup_semantic" -> Q(
-      (s, d) => semanticDedupPairs(Tables.embeddings(s, d),
-        trained = Some(Similarity.sharedCentroids(s, d, nCells = 8, iters = 2))),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = sizedClusters(emb.count())
+        semanticDedupPairs(emb, nClusters = k,
+          trained = Some(Similarity.sharedCentroids(s, d, nCells = k, iters = 2)))
+      },
       None),
 
     // the END of the dedup pipeline: the kept corpus. pairs →

@@ -151,6 +151,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.sizedBits(50000) == 11)
     assert(Dedup.sizedBits(1) == 4)             // clamp floor
     assert(Dedup.sizedBits(100000000L) == 16)   // clamp ceiling
+    // SemDeDup's k follows the same sizing discipline — pinned values
+    // so a formula drift is loud (floor keeps driver SFs at k=8, the
+    // IVF-shared quantizer)
+    assert(Dedup.sizedClusters(500) == 8)
+    assert(Dedup.sizedClusters(2000) == 8)
+    assert(Dedup.sizedClusters(20000) == 80)
+    assert(Dedup.sizedClusters(10000000L) == 4096)
     val n = emb.count()
     val bits = Dedup.sizedBits(n)
     val sized = Dedup.embeddingPairsLsh(emb, threshold = 0.5,

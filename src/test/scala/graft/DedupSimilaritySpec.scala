@@ -206,6 +206,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.groupBy("probe_id").count().filter(col("count") > 3).count() == 0)
   }
 
+  test("prefix-filtered Jaccard join equals the all-pairs baseline exactly") {
+    // the AllPairs/PPJoin completeness theorem, checked end-to-end:
+    // pruned candidates + exact verify must reproduce the all-pairs
+    // result bit-for-bit (pairs AND scores) — at the gate's threshold
+    // and at a looser one where prefixes are longer
+    for (t <- Seq(0.7, 0.5)) {
+      val exact = Dedup.jaccardPairs(docs, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == exact,
+        s"t=$t missed=${(exact -- pref).take(5)} extra=${(pref -- exact).take(5)}")
+      assert(exact.nonEmpty || t > 0.5, s"t=$t: expected some pairs")
+    }
+    // candidate generation is equi-join only — no all-pairs shape
+    val plan = Dedup.jaccardPairsPrefix(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("connected components resolve transitive chains to the min label") {
     import spark.implicits._
     val pairs = Seq((1L, 5L), (5L, 9L), (9L, 12L), (2L, 3L), (20L, 7L))

@@ -373,6 +373,46 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("command log: concurrent DDL on two servers serializes and converges") {
+    // the property total ordering exists for: statements racing into
+    // BOTH servers interleave whole-statement, every server ends with
+    // every binding, and the log holds each statement exactly once
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_conc", ".jsonl")
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    val srvA = mk()
+    val srvB = mk()
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val futures = (0 until 6).map { i =>
+        val port = (if (i % 2 == 0) srvA else srvB).boundPort
+        pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+          def call(): (Int, String) = postTo(port, "/ksql",
+            s"CREATE STREAM conc_$i AS SELECT o_orderkey FROM orders WHERE o_orderkey % 6 = $i;")
+        })
+      }
+      val results = futures.map(_.get())
+      pool.shutdown()
+      assert(results.forall(_._1 == 200), results.map(_._1))
+      // every stream is queryable on BOTH servers (the one that ran it
+      // and the one that must learn it from the log)
+      for (i <- 0 until 6; srv <- Seq(srvA, srvB)) {
+        val (c, b) = postTo(srv.boundPort, "/query",
+          s"SELECT COUNT(*) AS n FROM conc_$i;")
+        assert(c == 200, s"conc_$i on ${srv.boundPort}: $b")
+      }
+      // exactly one log entry per statement, no torn/duplicated lines
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(log).asScala.toSeq
+      assert(lines.size == 6, lines)
+      assert((0 until 6).forall(i =>
+        lines.count(_.contains(s"conc_$i")) == 1), lines)
+    } finally {
+      srvA.stop(); srvB.stop()
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
   test("basic auth: configured credentials gate every endpoint with 401") {
     val srv = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
       maxRows = 10, auth = Some(("alice", "secret"))).start()

@@ -444,6 +444,38 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/query-stream writes keep-alive blanks while idle (dead-client detection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val srv = new RestServer(spark,
+      Map("quiet" -> Translator.Source(mem.toDF(), "ts")), maxRows = 10).start()
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/query-stream").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setDoOutput(true); conn.setRequestMethod("POST")
+      conn.setReadTimeout(20000)
+      conn.getOutputStream.write(JsonMethods.compact(JObject(
+        "sql" -> JString("SELECT event_id FROM quiet EMIT CHANGES;")))
+        .getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      assert(reader.readLine().contains("\"header\""))
+      // NO data ever arrives — the ~5 s idle probe must still write a
+      // blank line, which is what lets a dead socket surface as an
+      // IOException and tear the per-connection query down
+      val t0 = System.nanoTime()
+      val line = reader.readLine()
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(line != null && line.isEmpty, s"got '$line'")
+      assert(waited >= 3.0 && waited < 15.0, s"keep-alive after $waited s")
+      reader.close()
+    } finally srv.stop()
+  }
+
   test("TLS listener: the same endpoints serve over HTTPS, with auth composing") {
     // self-signed keypair via the JDK's own keytool — no external dep;
     // the spec builds the server-side SSLContext from it and a

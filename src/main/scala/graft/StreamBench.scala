@@ -167,7 +167,29 @@ object StreamBench {
         System.err.println(s"[streambench] interval_join failed: $e")
         Result("interval_join", -1.0, -1.0, -1.0)
     }
-    single :+ join
+    // state-backend A/B (round 10): the default HDFS-backed store keeps
+    // every version on-heap — fine for a probe, but the 100 TB posture
+    // is RocksDB (bounded heap, state spills to local disk). Re-run the
+    // state-heaviest probe (interval_join holds ~200k rows / 70 MB)
+    // under RocksDB so the backend's price is ON RECORD, not assumed.
+    // providerClass is read at query start, so setting it around this
+    // one probe scopes it (probes run sequentially on this session).
+    val rocksJoin = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try driveJoin(spark, batches, batchRows).copy(name = "interval_join_rocksdb")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[streambench] interval_join_rocksdb failed: $e")
+          Result("interval_join_rocksdb", -1.0, -1.0, -1.0)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    single :+ join :+ rocksJoin
   }
 
   /** Stream-stream interval join (WITHIN) — the one stateful-operator

@@ -541,6 +541,29 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("command log round-trips adversarial statement content") {
+    import graft.ksql.CommandLog
+    val p = java.nio.file.Files.createTempFile("graft_cmdlog_fuzz", ".jsonl")
+    try {
+      val l = new CommandLog(p)
+      // quotes, backslashes, newlines, tabs, unicode, JSON-looking
+      // bodies, control chars — everything the JSON line framing must
+      // survive byte-exact, in order
+      val stmts = Seq(
+        "CREATE STREAM a AS SELECT 'it''s \"quoted\"' FROM t;",
+        "line1\nline2\r\nline3\tend",
+        """{"stmt": "fake nested"}""",
+        "unicode: préfixe – 日本語 ",
+        "back\\slash \\n literal",
+        "x" * 5000)
+      var off = 0L
+      stmts.foreach(s => off = l.transact(off, _ => ())(() => Some(s)))
+      val seen = scala.collection.mutable.ListBuffer.empty[String]
+      l.transact(0L, s => seen += s)(() => None)
+      assert(seen.toSeq == stmts)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("command log round-trips multi-line statements and skips torn tails") {
     import graft.ksql.CommandLog
     val p = java.nio.file.Files.createTempFile("graft_cmdlog_unit", ".jsonl")

@@ -311,17 +311,41 @@ object Dedup {
     val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
     // multi-probe side: the key itself plus each 1-bit flip, so a pair
     // one hyperplane apart in a band still collides (xor is symmetric —
-    // probing one side covers both directions)
-    val b = banded.withColumn("bkey", explode(expr(
+    // probing one side covers both directions).
+    // repartition BEFORE the explode: the whole candidate+rescore
+    // pipeline downstream is ONE fused codegen stage over broadcast
+    // joins, so its parallelism is exactly the scan parallelism of THIS
+    // side — and the memoized band-index parquet is a few MB, one
+    // split, which ran the entire 70M-candidate stage single-threaded
+    // (measured 48-53 s at a 20k corpus; 32-way it's seconds). The
+    // exchange moves only the pre-explode ids (rows × 20 B — trivial);
+    // on a real cluster a TB-scale index parallelizes by itself and the
+    // exchange is equally harmless. Same lesson as ScaleProbe's
+    // maxPartitionBytes pin (SURVEY §6, round 9): fused zero-shuffle
+    // pipelines inherit the scan's split count and nothing else.
+    val b = banded.repartition(col("vec_id")).withColumn("bkey", explode(expr(
       s"array_union(array(bkey), transform(sequence(0, ${bitsPerBand - 1}), " +
         "j -> bkey ^ shiftleft(CAST(1 AS BIGINT), j)))")))
       .select(col("band"), col("bkey"), col("vec_id").as("vec_b"))
-    // dedup BEFORE the rescore: a near-dup pair collides in many of its
-    // 16 bands, and scoring per collision would multiply the dot work
+    // Score per collision, dedup AFTER the threshold filter — the
+    // round-10 reversal of "dedup before rescore", from measurement:
+    // at 20k corpus / 9 bits the candidate stream is 70.6M raw rows →
+    // 57.4M unique, and the pre-rescore dropDuplicates EXCHANGE took
+    // 83 s while the entire fused rescore (two broadcast hash joins +
+    // codegen dot over all candidates) took 2 s. The exchange
+    // serializes/ships every candidate row (~1M rows/s); the fused
+    // rescore streams them through registers (~30M rows/s) — so paying
+    // the dot once per COLLISION (raw/unique ≈ 1.2× in the sized-bits
+    // regime) and deduplicating only the pairs that PASS the threshold
+    // (thousands, not tens of millions) removes the dominant exchange
+    // entirely. Duplicate collisions produce bit-identical rows (the
+    // dot is deterministic), so results are unchanged. In the
+    // all-duplicate worst case collision multiplicity rises toward
+    // bands·(1+bits) — but the exchange the old shape paid grew by the
+    // SAME factor, and at >10× per-row cost.
     val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("vec_a"))
@@ -330,6 +354,7 @@ object Dedup {
       .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** The (vec_id, band, bkey) band-index projection: one `bitsPerBand`-

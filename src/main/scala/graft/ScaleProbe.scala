@@ -29,21 +29,23 @@ object ScaleProbe {
   // pq): the r7 driver bench regressed exactly the queries nobody had
   // scale-probed, and "contention, not plans" needs the exponent on
   // record, not asserted
-  // round 10 added q_dedup_embed_lsh_scaled: the sized-bits LSH dedup
-  // exists to prove the linear candidate-volume regime, so its 10×
-  // exponent is the operator's whole claim — measured here, recorded in
-  // SURVEY §6 next to the pinned 26.6× fixed-bits number
   // q_dedup_jaccard joined in round 10 with the prefix-filtered plan:
   // the old all-pairs form was excluded (replicated corpora are the
   // all-duplicate pathology for it); the vowel-rotated copies rewrite
   // word SETS, so jaccard's near-dup structure replicates ~linearly
-  // and the prefix join's exponent is finally measurable (2.0× at 10×)
+  // and the prefix join's exponent is finally measurable (1.7× at 10×).
+  // The EMBEDDING near-dup entries are NOT in the list, same reason as
+  // minhash: the per-copy direction perturbation preserves cosine, so
+  // replication makes every base vector a 10-copy near-dup family —
+  // band buckets merge across copies (measured max bucket 2,285 vs
+  // mean 39 at 10×) and candidate volume measures the all-duplicate
+  // pathology, not organic growth. Their controlled exponents are
+  // measured on independently-random corpora instead (SURVEY §6).
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
     "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
     "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph",
-    "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_embed_lsh_scaled",
-    "q_dedup_jaccard")
+    "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_jaccard")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -327,25 +327,21 @@ object Dedup {
       s"array_union(array(bkey), transform(sequence(0, ${bitsPerBand - 1}), " +
         "j -> bkey ^ shiftleft(CAST(1 AS BIGINT), j)))")))
       .select(col("band"), col("bkey"), col("vec_id").as("vec_b"))
-    // Score per collision, dedup AFTER the threshold filter — the
-    // round-10 reversal of "dedup before rescore", from measurement:
-    // at 20k corpus / 9 bits the candidate stream is 70.6M raw rows →
-    // 57.4M unique, and the pre-rescore dropDuplicates EXCHANGE took
-    // 83 s while the entire fused rescore (two broadcast hash joins +
-    // codegen dot over all candidates) took 2 s. The exchange
-    // serializes/ships every candidate row (~1M rows/s); the fused
-    // rescore streams them through registers (~30M rows/s) — so paying
-    // the dot once per COLLISION (raw/unique ≈ 1.2× in the sized-bits
-    // regime) and deduplicating only the pairs that PASS the threshold
-    // (thousands, not tens of millions) removes the dominant exchange
-    // entirely. Duplicate collisions produce bit-identical rows (the
-    // dot is deterministic), so results are unchanged. In the
-    // all-duplicate worst case collision multiplicity rises toward
-    // bands·(1+bits) — but the exchange the old shape paid grew by the
-    // SAME factor, and at >10× per-row cost.
+    // dedup BEFORE the rescore — the worst-case-robust order, kept
+    // after a round-10 A/B measured the alternative both ways. Scoring
+    // per collision and deduplicating only passing pairs is ~1.7×
+    // faster on a mild-skew corpus (raw/unique collisions ≈ 1.2:
+    // 8.4 s vs ~14 s at 20k random vectors) — but on a skewed,
+    // near-dup-heavy corpus (replicated probe data: raw 296M vs unique
+    // 77.6M, max bucket 2,285 vs mean 39) it pays the full raw volume
+    // through the vector rescore and measured ~3× SLOWER (97.6 s vs
+    // ~33 s). Real dedup corpora ARE skewed — that is why they are
+    // being deduplicated — so the ids-only dedup exchange (16 B/row)
+    // before any vector work is the shape that never collapses.
     val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("vec_a"))
@@ -354,7 +350,6 @@ object Dedup {
       .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
-      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** The (vec_id, band, bkey) band-index projection: one `bitsPerBand`-

@@ -1,13 +1,18 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
 
-/** TPC-H shapes, round 6: the remaining canonical query patterns the
-  * test schema can express (no partsupp / shipmode / commit-receipt
-  * dates in the driver's TPC-H-ish tables, so Q2/Q4/Q9/Q11/Q12/Q16/
-  * Q19/Q20/Q21 have no faithful form here). Each is full-oracle.
+/** TPC-H shapes: every canonical query pattern the test schema can
+  * express. The driver's TPC-H-ish tables lack partsupp / shipmode /
+  * commit-receipt dates, so Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q21 appear as
+  * ADAPTED shapes (round 10 for Q2/Q9/Q11/Q16/Q20/Q21): the join
+  * topology, subquery structure, and aggregation discipline of the
+  * canonical query preserved over the columns that exist — unit price
+  * from lineitem stands in for ps_supplycost, ship-vs-order-date
+  * lateness for commit-vs-receipt. Each is full-oracle.
   *
   * Scale notes per query are inline; the common posture: every dim
   * (region/nation/customer/supplier/part at TPC-H's ratios) is
@@ -21,6 +26,241 @@ object TpchQueries {
     sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
 
   def entries: Map[String, Q] = Map(
+    // Q2 minimum-cost supplier: for each part in the segment, the
+    // supplier(s) achieving the minimum observed unit price (lineitem's
+    // extendedprice/quantity stands in for ps_supplycost — the schema
+    // has no partsupp). Canonical Q2 is THE correlated-min subquery;
+    // here it plans as: selective part dim broadcast-pruned into the
+    // fact scan, ONE (part, supp) aggregation shuffle, then a
+    // per-part window min — the argmin-join-back without a second
+    // shuffle-join against a derived aggregate. min() over IEEE
+    // divisions is order-independent, so the double equality replays
+    // bit-exact in DuckDB.
+    "q_tpch_q2" -> Q(
+      (s, d) => {
+        val seg = Tables.part(s, d)
+          .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_name"))
+        val up = Tables.lineitem(s, d)
+          .join(broadcast(seg), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        up.withColumn("min_price",
+            min(col("unit_price")).over(Window.partitionBy(col("p_partkey"))))
+          .filter(col("unit_price") === col("min_price"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"),
+            round(col("min_price"), 4).as("min_unit_price"))
+      },
+      """WITH up AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 15 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3),
+        |mn AS (SELECT p_partkey AS m_partkey, min(unit_price) AS min_price
+        |       FROM up GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  round(min_price, 4) AS min_unit_price
+        |FROM up
+        |JOIN mn ON p_partkey = m_partkey AND unit_price = min_price
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin),
+
+    // Q9 product-type profit: profit per supplier-nation per order
+    // year over a part-name segment. ps_supplycost becomes a retail-
+    // price-proportional cost (0.6 · p_retailprice · quantity) — the
+    // profit expression keeps the canonical two-term form so the
+    // aggregation still exercises a fused product-difference sum. The
+    // name LIKE prunes part BEFORE broadcast; lineitem⋈orders is the
+    // one shuffled pair; supplier/nation broadcast.
+    "q_tpch_q9" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit")),
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin),
+
+    // Q11 important part values: parts whose shipped value through one
+    // nation's suppliers exceeds a fraction of that nation's total
+    // (sum(value · fraction) stands in for the partsupp stock-value
+    // HAVING). The per-part frame is computed ONCE (localCheckpoint —
+    // referenced as rows and as the global sum), the threshold is a
+    // broadcast scalar — canonical Q11's correlated global subquery
+    // with no re-scan. Threshold rounded to cents so the strict
+    // comparison is engine-stable (the q_tpch_q22 discipline).
+    "q_tpch_q11" -> Q(
+      (s, d) => {
+        val supp9 = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_9")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val v = Tables.lineitem(s, d)
+          .join(broadcast(supp9), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+          .localCheckpoint(true) // referenced twice: rows + global sum
+        val th = v.agg(round(sum(col("value")) * lit(0.001), 2).as("threshold"))
+        v.join(broadcast(th)).filter(col("value") > col("threshold"))
+          .select(col("l_partkey").as("p_partkey"),
+            round(col("value"), 2).as("part_value"))
+      },
+      """WITH v AS (
+        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_9'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, round(value, 2) AS part_value
+        |FROM v WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM v)""".stripMargin),
+
+    // Q16 supplier diversity per part attribute: distinct suppliers
+    // able to ship each (brand, type, size) cell, excluding one brand
+    // and "complaint" suppliers (negative balance stands in for the
+    // comment scan). The exclusion is a broadcast ANTI join against a
+    // handful of keys; the count-distinct shuffles (cell, suppkey)
+    // pairs — the canonical partsupp grouping on the columns that
+    // exist.
+    "q_tpch_q16" -> Q(
+      (s, d) => {
+        val seg = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1"
+            && col("p_size").isin(1, 10, 20, 30, 40, 50))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        val negSupp = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.lineitem(s, d)
+          .join(broadcast(seg), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(negSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 10, 20, 30, 40, 50)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    // Q20 excess-shipment suppliers: EUROPE suppliers who shipped an
+    // above-threshold quantity of some red part in 1996 (availqty's
+    // half-threshold becomes half the mean shipped (supp, part)
+    // quantity — aggregate-derived, not a constant). The chain is the
+    // canonical nested-semi-join discipline: part-name filter prunes
+    // the fact scan via broadcast, ONE (supp, part) aggregation, a
+    // broadcast scalar threshold, and the qualifying supplier keys
+    // broadcast-SEMI into the supplier dim. Quantities are integer-
+    // valued doubles, so sums and the mean are exact on both engines.
+    "q_tpch_q20" -> Q(
+      (s, d) => {
+        val sq = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .localCheckpoint(true) // referenced twice: rows + mean
+        val th = sq.agg((avg(col("qty")) * lit(0.5)).as("th"))
+        val qual = sq.join(broadcast(th)).filter(col("qty") > col("th"))
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      """WITH sq AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND EXISTS (SELECT 1 FROM sq WHERE l_suppkey = s_suppkey
+        |              AND qty > (SELECT 0.5 * avg(qty) FROM sq))""".stripMargin),
+
+    // Q21 suppliers who kept orders waiting: ASIA suppliers whose line
+    // on a finished multi-supplier order was LATE (shipped >60 days
+    // after the order date — the schema's stand-in for commit vs
+    // receipt) while every OTHER supplier's line on that order was on
+    // time. The canonical fact-self-join EXISTS/NOT-EXISTS pair plans
+    // as one late-lines frame (computed once, localCheckpoint) probed
+    // twice: a LEFT SEMI against all (order, supp) lines with a
+    // supp-inequality residual, then a LEFT ANTI against the late
+    // frame itself — both equi-joins on orderkey, never a cross
+    // product. The ASIA dim filter shrinks the left side BEFORE the
+    // self-joins (broadcast), exactly where a 1000-executor plan wants
+    // it.
+    "q_tpch_q21" -> Q(
+      (s, d) => {
+        val late = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .localCheckpoint(true) // probed twice: outer rows + NOT EXISTS frame
+        val asiaSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        val others = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = late
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late
+          .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+          .join(others,
+            col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+            "left_semi")
+          .join(lateOthers,
+            col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+            "left_anti")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1""".stripMargin),
+
     // Q7 volume shipping: revenue flowing between two trade blocs, by
     // supplier-nation × customer-nation × ship year. Canonical Q7
     // filters one nation PAIR; this schema's suppliers are too sparse

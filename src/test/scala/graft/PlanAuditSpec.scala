@@ -398,6 +398,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("tpch q2 argmin: part segment broadcast-prunes the scan; ONE window after the agg") {
+    val p = plan("q_tpch_q2")
+    // the part-segment filter must reach the fact scan as a broadcast
+    // join (not a post-agg filter), and the per-part min is a single
+    // partitioned Window over the (part, supp) aggregate — never a
+    // second shuffle-join against a derived min frame
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"(part,supp) agg + per-part window only, got $exchanges\n$p")
+  }
+
+  test("tpch q9 broadcasts part/supplier/nation; lineitem-orders is the only wide shuffle") {
+    val p = plan("q_tpch_q9")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges)\n$p")
+  }
+
+  test("tpch q11 broadcasts the global-sum threshold over the checkpointed part frame") {
+    val p = plan("q_tpch_q11")
+    // the per-part frame is localCheckpointed (referenced as rows AND as
+    // the global sum) — no second lineitem scan; the threshold is a
+    // broadcast scalar
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"rows must come from the checkpointed frame, got $scans scans\n$p")
+  }
+
+  test("tpch q16 anti-joins the excluded suppliers as a broadcast") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q20 semi-joins the qualifying keys broadcast into the supplier dim") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q21 plans the EXISTS/NOT EXISTS pair as equi semi/anti joins") {
+    val p = plan("q_tpch_q21")
+    // both self-probes are equi-joins on orderkey with the supplier
+    // inequality as a residual condition — never a cross product
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("oov rate broadcasts the vocab; tokens aggregate map-side per doc") {
     val p = plan("q_oov_rate")
     assert(p.contains("BroadcastHashJoin"), p)

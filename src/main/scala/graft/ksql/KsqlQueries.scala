@@ -775,6 +775,46 @@ object KsqlQueries {
         |  source AS src_m
         |FROM documents WHERE doc_id < 500""".stripMargin),
 
+    // Round 10: the ksqlDB JSON function family (VARIANT-backed
+    // JSON_CONCAT/JSON_RECORDS/JSON_ITEMS/JSON_ARRAY_CONTAINS) plus
+    // date arithmetic (TIMESTAMPADD/DATEADD with ksqlDB TimeUnit
+    // identifiers), SLICE's inclusive-end convention, GENERATE_SERIES,
+    // and MAP_UNION/AS_MAP — all through the dialect, outputs kept
+    // string/scalar so the oracle compare is nested-type-free.
+    "q_ksql_jsonfns" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("ev" -> Translator.Source(Tables.events(s, d), "ts"))
+        val q =
+          """SELECT event_id,
+            |  JSON_CONCAT(props, '{"t": 1}') AS merged,
+            |  ELEMENT_AT(JSON_RECORDS(props), 'k') AS k_str,
+            |  ARRAY_JOIN(JSON_ITEMS(CONCAT('[', CAST(user_id AS STRING), ',',
+            |    CAST(event_id AS STRING), ']')), '|') AS items,
+            |  JSON_ARRAY_CONTAINS('[1,2]', event_id) AS has_id,
+            |  FORMAT_TIMESTAMP(TIMESTAMPADD(HOURS, 2, ts),
+            |    'yyyy-MM-dd HH:mm:ss') AS ts2,
+            |  FORMAT_DATE(DATEADD(DAYS, 10, CAST(ts AS DATE)), 'yyyy-MM-dd') AS d10,
+            |  ARRAY_JOIN(TRANSFORM(SLICE(GENERATE_SERIES(1, 6), 2, 4),
+            |    x => CAST(x AS STRING)), ',') AS sl,
+            |  ELEMENT_AT(MAP_UNION(AS_MAP(ARRAY['u'], ARRAY[user_id]),
+            |    AS_MAP(ARRAY['e'], ARRAY[event_id])), 'e') AS mu
+            |FROM ev WHERE event_id < 300""".stripMargin
+        val (_, Some(df)) = Translator.run(s, cat, q): @unchecked
+        df
+      },
+      """SELECT event_id,
+        |  '{"k":' || json_extract_string(props, '$.k') || ',"t":1}' AS merged,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) AS items,
+        |  event_id IN (1, 2) AS has_id,
+        |  strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS ts2,
+        |  strftime(CAST(ts AS DATE) + INTERVAL 10 DAY, '%Y-%m-%d') AS d10,
+        |  array_to_string([CAST(x AS VARCHAR) FOR x IN generate_series(2, 4)],
+        |    ',') AS sl,
+        |  event_id AS mu
+        |FROM events WHERE event_id < 300""".stripMargin),
+
     // ksqlDB's one table function: EXPLODE(array) in the select list —
     // passes straight through to Spark's generator (case-insensitive
     // registry), composing with the lambda pass upstream of it

@@ -57,7 +57,24 @@ object Translator {
     "ARRAY_CONCAT" -> "ARRAY_CONCAT(a, b) - concat; one NULL side returns the other",
     "IS_JSON_STRING" -> "IS_JSON_STRING(s) - true when s parses as JSON",
     "ENCODE" -> "ENCODE(str, 'utf8'|'hex'|'base64'|'ascii', out) - re-encode",
-    "EXPLODE" -> "EXPLODE(arr) - table function: one row per element")
+    "EXPLODE" -> "EXPLODE(arr) - table function: one row per element",
+    "JSON_CONCAT" -> "JSON_CONCAT(a, b, ...) - merge JSON objects, later keys win",
+    "JSON_RECORDS" -> "JSON_RECORDS(s) - top-level keys -> stringified values map",
+    "JSON_ITEMS" -> "JSON_ITEMS(s) - JSON array -> array of element JSON strings",
+    "JSON_ARRAY_CONTAINS" -> "JSON_ARRAY_CONTAINS(s, v) - membership in a JSON array string",
+    "DATEADD" -> "DATEADD(unit, n, date) - add n units to a date",
+    "DATESUB" -> "DATESUB(unit, n, date) - subtract n units from a date",
+    "TIMESTAMPADD" -> "TIMESTAMPADD(unit, n, ts) - add n units to a timestamp",
+    "TIMESTAMPSUB" -> "TIMESTAMPSUB(unit, n, ts) - subtract n units",
+    "SLICE" -> "SLICE(arr, from, to) - 1-based inclusive subarray",
+    "PARSE_TIMESTAMP" -> "PARSE_TIMESTAMP(s, fmt[, tz]) - parse to TIMESTAMP",
+    "FORMAT_TIMESTAMP" -> "FORMAT_TIMESTAMP(ts, fmt[, tz]) - render an instant",
+    "PARSE_DATE" -> "PARSE_DATE(s, fmt) - parse to DATE",
+    "FORMAT_DATE" -> "FORMAT_DATE(d, fmt) - render a date",
+    "GENERATE_SERIES" -> "GENERATE_SERIES(start, end[, step]) - integer array",
+    "MAP_UNION" -> "MAP_UNION(m1, m2) - merge maps, later keys win",
+    "AS_MAP" -> "AS_MAP(keys, vals) - zip two arrays into a map",
+    "FROM_DAYS" -> "FROM_DAYS(n) - days since epoch to DATE")
 
   // Session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES).
   // WeakHashMap so a stopped/dropped SparkSession doesn't stay pinned
@@ -187,7 +204,13 @@ object Translator {
     // surfaces as a positioned analysis error, not silent wrong output
     "JSON_KEYS" -> "json_object_keys", "TO_JSON_STRING" -> "to_json",
     "JSON_ARRAY_LENGTH" -> "json_array_length",
-    "REGEXP_SPLIT_TO_ARRAY" -> "split")
+    "REGEXP_SPLIT_TO_ARRAY" -> "split",
+    // round 10: remaining ksqlDB scalar names with direct Spark
+    // spellings (GREATEST/LEAST/NULLIF/CBRT/COT/EXP/LN/SIGN/trig and
+    // UNIX_DATE already pass through by name)
+    "GENERATE_SERIES" -> "sequence", "MAP_UNION" -> "map_concat",
+    "AS_MAP" -> "map_from_arrays", "FROM_DAYS" -> "date_from_unix_date",
+    "PARSE_DATE" -> "to_date", "FORMAT_DATE" -> "date_format")
 
   /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
     * balanced parens (quote-aware) so nested calls and arbitrary
@@ -281,12 +304,17 @@ object Translator {
     rewriteCall(sql, "HISTOGRAM") { args =>
       arity("HISTOGRAM", args, 1)
       val x = args.head
+      // the run-length bump replaces the LAST accumulator entry via an
+      // indexed transform, NOT concat(slice(acc, 1, size-1), …): the
+      // emitted text must never contain `slice(` — ksqlDB's SLICE has
+      // inclusive-end semantics and its rewrite would re-interpret
+      // Spark's length-based slice on a second pass (fuzz idempotency)
       s"""map_from_entries(aggregate(
          |  sort_array(collect_list(cast($x as string))),
          |  cast(array() as array<struct<k: string, v: bigint>>),
          |  (acc, e) -> if(size(acc) > 0 and element_at(acc, -1).k = e,
-         |    concat(slice(acc, 1, size(acc) - 1),
-         |      array(named_struct('k', e, 'v', element_at(acc, -1).v + 1))),
+         |    transform(acc, (x, i) -> if(i = size(acc) - 1,
+         |      named_struct('k', e, 'v', element_at(acc, -1).v + 1), x)),
          |    concat(acc, array(named_struct('k', e, 'v', cast(1 as bigint)))))))"""
         .stripMargin.replaceAll("\n", " ")
     }
@@ -381,15 +409,19 @@ object Translator {
     }
   }
 
-  /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted-slice aggregates. */
+  /** TOPK(x, k) / TOPKDISTINCT(x, k) → sorted first-k aggregates.
+    * First-k is an indexed filter, not Spark's `slice(…, 1, k)`: no
+    * expansion may emit the token `slice(` — ksqlDB's SLICE rewrite
+    * (inclusive-end convention) would re-interpret it on a second
+    * pass and break the fuzz idempotency invariant. */
   private def expandTopK(sql: String): String = {
     val topk = rewriteCall(sql, "TOPKDISTINCT") { args =>
       arity("TOPKDISTINCT", args, 2)
-      s"slice(sort_array(collect_set(${args(0)}), false), 1, ${args(1)})"
+      s"filter(sort_array(collect_set(${args(0)}), false), (x, i) -> i < ${args(1)})"
     }
     rewriteCall(topk, "TOPK") { args =>
       arity("TOPK", args, 2)
-      s"slice(sort_array(collect_list(${args(0)}), false), 1, ${args(1)})"
+      s"filter(sort_array(collect_list(${args(0)}), false), (x, i) -> i < ${args(1)})"
     }
   }
 
@@ -585,6 +617,117 @@ object Translator {
       .replaceAll(raw"(?i)\b__encb\(", "encode(")
   }
 
+  /** Round 10: the remaining ksqlDB JSON + date-arithmetic scalars.
+    *
+    * The JSON family rides Spark 4's VARIANT type: `from_json(s,
+    * 'map<string,variant>')` keeps each top-level value's full nested
+    * structure, and `to_json(variant)` re-serializes it — so
+    * JSON_CONCAT merges objects losslessly (later keys win, ksqlDB
+    * semantics via map_concat's last-wins) and JSON_RECORDS /
+    * JSON_ITEMS stringify values without flattening them to strings.
+    * JSON_ARRAY_CONTAINS compares serialized forms: the needle is
+    * rendered through `to_json(array(v))` with the brackets stripped,
+    * which yields exactly the serialization `to_json(variant)` gives
+    * the array elements (numbers bare, strings quoted).
+    *
+    * Date arithmetic: ksqlDB's DATEADD/DATESUB/TIMESTAMPADD/
+    * TIMESTAMPSUB take a TimeUnit IDENTIFIER (DAYS, HOURS, …); Spark's
+    * timestampadd wants the singular form. `__tsadd` breaks the
+    * rewriteCall fixpoint — Spark's own `timestampadd(` would re-match
+    * the case-insensitive TIMESTAMPADD scan on a second pass (the
+    * RewriteFuzzSpec idempotency invariant). SLICE is harder: ksqlDB
+    * SLICE(arr, from, to) is inclusive-end 1-based while Spark's
+    * slice(arr, start, length) takes a length — the same name with
+    * different semantics, so NO rewrite may ever emit the token
+    * `slice(` (a placeholder can't help: the final text would still
+    * re-trigger the scan). SLICE therefore expands to an indexed
+    * filter, and every other expansion that used to take array
+    * prefixes via slice (TOPK, n-LATEST_BY_OFFSET, HISTOGRAM) does
+    * too. */
+  private def expandJsonDatetime(sql: String): String = {
+    def vmap(a: String) = s"from_json($a, 'map<string,variant>')"
+    val s1 = rewriteCall(sql, "JSON_CONCAT") { args =>
+      if (args.length < 2) throw new IllegalArgumentException(
+        s"JSON_CONCAT expects at least 2 JSON strings, got ${args.length}")
+      s"to_json(map_concat(${args.map(vmap).mkString(", ")}))"
+    }
+    val s2 = rewriteCall(s1, "JSON_RECORDS") { args =>
+      arity("JSON_RECORDS", args, 1)
+      s"map_from_entries(transform(map_entries(${vmap(args.head)}), " +
+        "e -> struct(e.key, to_json(e.value))))"
+    }
+    val s3 = rewriteCall(s2, "JSON_ITEMS") { args =>
+      arity("JSON_ITEMS", args, 1)
+      s"transform(from_json(${args.head}, 'array<variant>'), x -> to_json(x))"
+    }
+    val s4 = rewriteCall(s3, "JSON_ARRAY_CONTAINS") { args =>
+      arity("JSON_ARRAY_CONTAINS", args, 2)
+      val (arr, v) = (args(0), args(1))
+      val needle = s"to_json(array($v))"
+      s"array_contains(transform(from_json($arr, 'array<variant>'), " +
+        s"x -> to_json(x)), substring($needle, 2, length($needle) - 2))"
+    }
+    // ksqlDB TimeUnit identifier → Spark's singular unit keyword
+    def unit(a: String): String = {
+      val u = a.trim.toUpperCase.stripSuffix("'").stripPrefix("'")
+      Map("MILLISECONDS" -> "MILLISECOND", "SECONDS" -> "SECOND",
+        "MINUTES" -> "MINUTE", "HOURS" -> "HOUR", "DAYS" -> "DAY",
+        "WEEKS" -> "WEEK", "MONTHS" -> "MONTH", "YEARS" -> "YEAR")
+        .getOrElse(u, u)
+    }
+    def addCall(args: Seq[String], neg: Boolean, toDate: Boolean): String = {
+      val n = if (neg) s"-(${args(1)})" else args(1)
+      val ts = if (toDate) s"CAST((${args(2)}) AS TIMESTAMP)" else args(2)
+      val call = s"__tsadd(${unit(args.head)}, $n, $ts)"
+      if (toDate) s"CAST($call AS DATE)" else call
+    }
+    val s5 = rewriteCall(s4, "TIMESTAMPADD") { args =>
+      arity("TIMESTAMPADD", args, 3); addCall(args, neg = false, toDate = false) }
+    val s6 = rewriteCall(s5, "TIMESTAMPSUB") { args =>
+      arity("TIMESTAMPSUB", args, 3); addCall(args, neg = true, toDate = false) }
+    val s7 = rewriteCall(s6, "DATEADD") { args =>
+      arity("DATEADD", args, 3); addCall(args, neg = false, toDate = true) }
+    val s8 = rewriteCall(s7, "DATESUB") { args =>
+      arity("DATESUB", args, 3); addCall(args, neg = true, toDate = true) }
+    // SLICE emits an indexed filter, NOT Spark's slice(start, length):
+    // the two share a case-insensitive name with different third-arg
+    // semantics, so a slice( in rewritten text would re-trigger this
+    // scan on the next pass (fuzz idempotency). The filter form is a
+    // fixpoint — and also where ksqlDB's inclusive-end contract lives.
+    val s9 = rewriteCall(s8, "SLICE") { args =>
+      arity("SLICE", args, 3)
+      val (a, f, t) = (args(0), args(1), args(2))
+      s"filter($a, (x, i) -> i + 1 BETWEEN ($f) AND ($t))"
+    }
+    // PARSE_TIMESTAMP / FORMAT_TIMESTAMP with the optional ksqlDB
+    // timezone argument: parse interprets the wall-clock string in tz,
+    // format renders the instant in tz. The tz forms follow the
+    // STRINGTOTIMESTAMP discipline — NTZ + convert_timezone + epoch
+    // arithmetic — so the result is independent of
+    // spark.sql.session.timeZone (a to_utc_/from_utc_timestamp pair
+    // is only correct when the session zone is UTC). The no-tz forms
+    // are plain renames: KSQL without a tz uses the server default
+    // zone, and the session zone is our server zone.
+    val ntzEpoch = "timestamp_ntz'1970-01-01 00:00:00'"
+    val s10 = rewriteCall(s9, "PARSE_TIMESTAMP") { args =>
+      if (args.length == 2) s"to_timestamp(${args(0)}, ${args(1)})"
+      else { arity("PARSE_TIMESTAMP", args, 3)
+        s"timestamp_millis(timestampdiff(MILLISECOND, $ntzEpoch, " +
+          s"convert_timezone(${args(2)}, 'UTC', " +
+          s"to_timestamp_ntz(${args(0)}, ${args(1)}))))" }
+    }
+    val s11 = rewriteCall(s10, "FORMAT_TIMESTAMP") { args =>
+      if (args.length == 2) s"date_format(${args(0)}, ${args(1)})"
+      else { arity("FORMAT_TIMESTAMP", args, 3)
+        // instant → UTC wall (NTZ, via epoch millis — a TIMESTAMP→NTZ
+        // cast would consult the session zone) → tz wall → format
+        s"date_format(convert_timezone('UTC', ${args(2)}, " +
+          s"__tsadd(MILLISECOND, unix_millis(${args(0)}), $ntzEpoch)), " +
+          s"${args(1)})" }
+    }
+    s11.replaceAll(raw"(?i)\b__tsadd\(", "timestampadd(")
+  }
+
   /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and
     * MAP('k' := v, …) → map('k', v, …). ARRAY's brackets are matched
     * with a quote-aware balanced scan; MAP only rewrites when a
@@ -680,9 +823,13 @@ object Translator {
     * max_by/min_by extension. */
   private def expandLatest(sql: String): String = {
     def nLatest(x: String, n: Int, latest: Boolean): String = {
+      // first/last-n as indexed filters — `slice(` must never appear in
+      // emitted text (the ksqlDB SLICE rewrite would re-match it; see
+      // expandTopK). The latest form keeps ascending offset order by
+      // filtering the tail in place instead of reverse/take/reverse.
       val ts = s"transform(array_sort(collect_list(struct(ROWTIME AS o, $x AS v))), p -> p.v)"
-      if (latest) s"reverse(slice(reverse($ts), 1, $n))"
-      else s"slice($ts, 1, $n)"
+      if (latest) s"filter($ts, (x, i) -> i >= size($ts) - $n)"
+      else s"filter($ts, (x, i) -> i < $n)"
     }
     val s1 = rewriteCall(sql, "LATEST_BY_OFFSET") { args =>
       if (args.length == 1) s"max_by(${args.head}, ROWTIME)"
@@ -706,8 +853,8 @@ object Translator {
     // commas — once constructors have become array(1, 2) the commas sit
     // at depth 2 and split correctly
     val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
-      expandTopK(expandHistogram(expandMask(expandArrayJson(expandLambdas(
-        expandConstructors(lambdaArrows(structDeref(e)))))))))))))
+      expandTopK(expandHistogram(expandMask(expandJsonDatetime(expandArrayJson(
+        expandLambdas(expandConstructors(lambdaArrows(structDeref(e))))))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

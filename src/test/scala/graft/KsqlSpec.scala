@@ -676,6 +676,16 @@ class KsqlSpec extends SparkSpec {
       Translator.rewriteExpr(
         "TIMESTAMPTOSTRING(1717236000000, 'yyyy-MM-dd HH:mm', 'Europe/Paris')") + " AS s"
     ).mkString(", ")
+    // PARSE_TIMESTAMP/FORMAT_TIMESTAMP tz forms ride the same NTZ +
+    // convert_timezone discipline: the instant and its tz rendering
+    // must not move with the session zone either
+    val sqlText2 = "SELECT " + Seq(
+      Translator.rewriteExpr("UNIX_TIMESTAMP(PARSE_TIMESTAMP(" +
+        "'2024-06-01 12:00', 'yyyy-MM-dd HH:mm', 'Europe/Paris'))") + " AS pms",
+      Translator.rewriteExpr("FORMAT_TIMESTAMP(PARSE_TIMESTAMP(" +
+        "'2024-06-01 12:00', 'yyyy-MM-dd HH:mm', 'Europe/Paris'), " +
+        "'yyyy-MM-dd HH:mm', 'Europe/Paris')") + " AS rt"
+    ).mkString(", ")
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       for (zone <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
@@ -683,8 +693,52 @@ class KsqlSpec extends SparkSpec {
         val row = spark.sql(sqlText).head
         assert(row.getAs[Long]("ms") == 1717236000000L, s"session zone $zone")
         assert(row.getAs[String]("s") == "2024-06-01 12:00", s"session zone $zone")
+        val row2 = spark.sql(sqlText2).head
+        assert(row2.getAs[Long]("pms") == 1717236000000L, s"session zone $zone")
+        assert(row2.getAs[String]("rt") == "2024-06-01 12:00", s"session zone $zone")
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("JSON function family rides VARIANT; date arithmetic maps ksqlDB TimeUnits") {
+    val row = spark.sql("SELECT " + Seq(
+      Translator.rewriteExpr(
+        """JSON_CONCAT('{"a":1,"b":{"x":2}}', '{"c":[1,2]}')""") + " AS merged",
+      Translator.rewriteExpr(
+        """ELEMENT_AT(JSON_RECORDS('{"a":1,"b":{"x":2}}'), 'b')""") + " AS rec",
+      Translator.rewriteExpr(
+        """ARRAY_JOIN(JSON_ITEMS('[1, {"a":2}, "s"]'), '|')""") + " AS items",
+      Translator.rewriteExpr("""JSON_ARRAY_CONTAINS('[1,2,"s"]', 's')""") + " AS hasS",
+      Translator.rewriteExpr("""JSON_ARRAY_CONTAINS('[1,2]', 3)""") + " AS has3",
+      Translator.rewriteExpr("FORMAT_TIMESTAMP(TIMESTAMPSUB(MINUTES, 30, " +
+        "TIMESTAMP '2024-01-01 01:00:00'), 'HH:mm')") + " AS t1",
+      Translator.rewriteExpr("FORMAT_DATE(DATESUB(DAYS, 1, DATE '2024-01-01'), " +
+        "'yyyy-MM-dd')") + " AS d1",
+      // parse interprets the wall clock in tz; format renders in tz —
+      // both independent of the (UTC-pinned) session zone
+      Translator.rewriteExpr("FORMAT_TIMESTAMP(PARSE_TIMESTAMP(" +
+        "'2024-06-01 12:00', 'yyyy-MM-dd HH:mm', 'Europe/Paris'), " +
+        "'yyyy-MM-dd HH:mm')") + " AS pts",
+      Translator.rewriteExpr("FORMAT_TIMESTAMP(PARSE_TIMESTAMP(" +
+        "'2024-06-01 10:00', 'yyyy-MM-dd HH:mm'), " +
+        "'yyyy-MM-dd HH:mm', 'Europe/Paris')") + " AS fts",
+      Translator.rewriteExpr("FORMAT_DATE(FROM_DAYS(UNIX_DATE(" +
+        "PARSE_DATE('2024-03-01', 'yyyy-MM-dd'))), 'yyyy-MM-dd')") + " AS rt",
+      Translator.rewriteExpr("ARRAY_JOIN(TRANSFORM(SLICE(GENERATE_SERIES(3, 9)," +
+        " 2, 4), x => CAST(x AS STRING)), ',')") + " AS sl"
+    ).mkString(", ")).head
+    assert(row.getAs[String]("merged") == """{"a":1,"b":{"x":2},"c":[1,2]}""")
+    assert(row.getAs[String]("rec") == """{"x":2}""")
+    assert(row.getAs[String]("items") == """1|{"a":2}|"s"""")
+    assert(row.getAs[Boolean]("hasS"))
+    assert(!row.getAs[Boolean]("has3"))
+    assert(row.getAs[String]("t1") == "00:30")
+    assert(row.getAs[String]("d1") == "2023-12-31")
+    assert(row.getAs[String]("pts") == "2024-06-01 10:00")
+    assert(row.getAs[String]("fts") == "2024-06-01 12:00")
+    assert(row.getAs[String]("rt") == "2024-03-01")
+    // ksqlDB SLICE is 1-based INCLUSIVE-end: elements 2..4 of [3..9]
+    assert(row.getAs[String]("sl") == "4,5,6")
   }
 
   test("SHOW TOPICS lists the catalog; WITH(PARTITIONS=n) sizes the frame") {

@@ -16,7 +16,7 @@ object SparkEntry {
       Dedup.entries ++ Similarity.entries ++ TextAnalysis.entries ++
       Multimodal.entries ++ AnalyticsQueries.entries ++
       EventAnalytics.entries ++
-      WarehouseQueries.entries ++ Search.entries ++
+      WarehouseQueries.entries ++ Search.entries ++ Regression.entries ++
       graft.ksql.KsqlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

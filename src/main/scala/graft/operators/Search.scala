@@ -83,6 +83,75 @@ object Search {
     dfq.join(sample, "term")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (round 10): for each
+    * probe document, fuse a LEXICAL ranking (query-by-example BM25 over
+    * the probe's own distinct terms) with a DENSE ranking (cosine over
+    * the embedding table) by RRF score Σ 1/(60 + rank) — the standard
+    * two-tower + keyword ensemble every retrieval pipeline ships.
+    *
+    * Scale architecture: the lexical side pre-filters corpus tokens to
+    * the probe vocabulary BEFORE the tf aggregation (the bm25TopN
+    * discipline) and additionally drops terms with df ≥ 10% of the
+    * corpus — the stopword guard that keeps the (probe-term × posting)
+    * join linear in the posting lists actually worth ranking, exactly
+    * an inverted index probe. The dense side here is the exact brute
+    * baseline on the fixed probe set (linear in corpus per probe);
+    * at scale the candidate generator swaps for the LSH bucket join
+    * (`q_ann_lsh`) without touching the fusion. Both rank lists are
+    * top-k per probe (WindowGroupLimit prunes map-side), the fusion is
+    * a tiny (probes × 2k) full outer equi-join, and scores round
+    * BEFORE ranking so the order replays bit-exact in the oracle. */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, k: Int = 20,
+                kRrf: Int = 60, topN: Int = 10): DataFrame = {
+    val probeFilter = col("doc_id") % 100 === 0
+    // --- lexical: query-by-example BM25, probe terms as the query bag
+    val tok = tokens(docs)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val ptok = tokens(docs.filter(probeFilter))
+      .select(col("doc_id").as("p_id"), col("term")).distinct()
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))
+    val lexScores = tf
+      .join(dfq, "term")
+      .crossJoin(broadcast(nDocs))
+      // stopword guard: a term in ≥10% of documents joins every one of
+      // them per probe — integer-exact threshold, replayed in the oracle
+      .filter(col("df") * 10 < col("n_docs"))
+      .join(ptok, "term")
+      .filter(col("doc_id") =!= col("p_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .groupBy(col("p_id"), col("doc_id"))
+      .agg(round(sum(idf * col("tf") * 2.2 / norm), 4).as("lex"))
+    val wLex = Window.partitionBy(col("p_id"))
+      .orderBy(col("lex").desc, col("doc_id").asc)
+    val lexRank = lexScores.withColumn("lrank", row_number().over(wLex))
+      .filter(col("lrank") <= k).select(col("p_id"), col("doc_id"), col("lrank"))
+    // --- dense: exact cosine top-k on the same probe ids
+    val dense = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % 100 === 0), k = k)
+      .select(col("probe_id").as("p_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("drank"))
+    // --- fuse: RRF over the union of both candidate lists
+    val fused = lexRank.join(dense, Seq("p_id", "doc_id"), "full_outer")
+      .select(col("p_id"), col("doc_id"),
+        round(
+          when(col("lrank").isNotNull, lit(1.0) / (lit(kRrf) + col("lrank")))
+            .otherwise(0.0) +
+          when(col("drank").isNotNull, lit(1.0) / (lit(kRrf) + col("drank")))
+            .otherwise(0.0), 6).as("rrf"))
+    val wF = Window.partitionBy(col("p_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= topN)
+      .select(col("p_id").as("probe_id"), col("doc_id"),
+        col("rrf"), col("rank"))
+  }
+
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
@@ -123,6 +192,53 @@ object Search {
         |CROSS JOIN avgdl CROSS JOIN n
         |GROUP BY tf.doc_id
         |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin),
+
+    "q_rrf_fusion" -> Q(
+      (s, d) => rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents
+        |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |avgdl AS (SELECT avg(dl::DOUBLE) AS avgdl FROM dl),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ptok AS (SELECT DISTINCT doc_id AS p_id, term FROM tok
+        |         WHERE doc_id % 100 = 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lex AS (
+        |  SELECT p_id, tf.doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+        |      AS lex
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |  JOIN ptok USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN avgdl
+        |  WHERE df * 10 < n_docs AND tf.doc_id <> p_id
+        |  GROUP BY 1, 2
+        |), lrank AS (
+        |  SELECT p_id, doc_id, CAST(row_number() OVER (PARTITION BY p_id
+        |    ORDER BY lex DESC, doc_id) AS INT) AS lrank
+        |  FROM lex QUALIFY lrank <= 20
+        |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |drank AS (
+        |  SELECT p.vec_id AS p_id, c.vec_id AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id)
+        |      AS INT) AS drank
+        |  FROM p JOIN e c ON p.vec_id <> c.vec_id
+        |  QUALIFY drank <= 20
+        |), fused AS (
+        |  SELECT coalesce(l.p_id, d.p_id) AS probe_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60 + lrank), 0)
+        |        + coalesce(1.0 / (60 + drank), 0), 6) AS rrf
+        |  FROM lrank l FULL OUTER JOIN drank d
+        |    ON l.p_id = d.p_id AND l.doc_id = d.doc_id
+        |)
+        |SELECT probe_id, doc_id, rrf,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |FROM fused QUALIFY rank <= 10""".stripMargin),
 
     "q_inverted_index" -> Q(
       (s, d) => invertedIndex(Tables.documents(s, d)),

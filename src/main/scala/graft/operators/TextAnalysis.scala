@@ -347,6 +347,34 @@ object TextAnalysis {
           .as("upweight"))
   }
 
+  /** Temperature-scaled mixture sampling (round 10): keep-rate per
+    * (lang, source) group is (n_min/n_g)^(1 − 1/T) — the standard
+    * multilingual-corpus temperature reweighting (T=1 keeps the natural
+    * distribution, T→∞ approaches uniform; T=2 is the inverse-sqrt
+    * sampler `mixSample` gates). The exponent is restricted to
+    * T = 2^k so x^(1 − 2^-k) composes from IEEE sqrt and multiply ONLY
+    * (e_k = sqrt(x · e_{k−1}), e_0 = 1) — pow/exp/ln are libm calls
+    * whose last-ulp behavior differs across engines, and the keep
+    * decision compares a hash against floor(rate·10⁴), so a one-ulp
+    * rate difference could flip a document. Same md5 gate as mixSample:
+    * reproducible on any cluster, no RNG state. */
+  def temperatureSample(docs: DataFrame, log2T: Int): DataFrame = {
+    require(log2T >= 1 && log2T <= 6, s"T must be 2^k, k in 1..6, got k=$log2T")
+    val g = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_g"))
+    val m = g.agg(min(col("n_g")).as("min_n"))
+    val r = col("min_n").cast("double") / col("n_g")
+    // x^(1 - 2^-k) by k sqrt-and-multiply steps
+    val rate = (1 to log2T).foldLeft(lit(1.0): org.apache.spark.sql.Column) {
+      case (acc, _) => sqrt(r * acc)
+    }
+    val rates = g.crossJoin(broadcast(m))
+      .select(col("lang"), col("source"),
+        floor(rate * 10000).cast("long").as("cut"))
+    graft.streaming.StreamingText.mixGate(docs, rates)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Per-language quality band filter: keep docs between the p5 and p95
     * quality percentiles of their language. percent_rank partitions by
     * lang, so the sort parallelizes across languages (a global band
@@ -587,6 +615,27 @@ object TextAnalysis {
         |r AS (
         |  SELECT lang, source,
         |    CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_g) * 10000) AS BIGINT)
+        |      AS cut
+        |  FROM g CROSS JOIN m
+        |)
+        |SELECT doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang, source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  % 10000 < cut""".stripMargin),
+
+    // temperature-scaled mixture sampler at T=4 (exponent 3/4 composed
+    // from sqrt·multiply only — see temperatureSample for why pow is
+    // banned): flatter than mixSample's T=2, same md5 gate, full
+    // oracle replaying the sqrt(r·sqrt(r)) rate and the hash decision
+    "q_mix_temperature" -> Q(
+      (s, d) => temperatureSample(Tables.documents(s, d), log2T = 2),
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n_g FROM documents GROUP BY 1, 2
+        |), m AS (SELECT min(n_g) AS min_n FROM g),
+        |r AS (
+        |  SELECT lang, source,
+        |    CAST(floor(sqrt((CAST(min_n AS DOUBLE) / n_g) *
+        |      sqrt((CAST(min_n AS DOUBLE) / n_g) * 1.0)) * 10000) AS BIGINT)
         |      AS cut
         |  FROM g CROSS JOIN m
         |)

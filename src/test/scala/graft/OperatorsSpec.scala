@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.{Regression, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Batch-operator sanity specs (the deep equivalence check is the
@@ -13,7 +13,7 @@ class OperatorsSpec extends SparkSpec {
       JoinQueries.entries, TpchQueries.entries, Dedup.entries, Similarity.entries,
       TextAnalysis.entries, Multimodal.entries, AnalyticsQueries.entries,
       EventAnalytics.entries, WarehouseQueries.entries, Search.entries,
-      graft.ksql.KsqlQueries.entries)
+      Regression.entries, graft.ksql.KsqlQueries.entries)
     val all = modules.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: ${dups.mkString(", ")}")
@@ -241,5 +241,65 @@ class OperatorsSpec extends SparkSpec {
     val again = run("q_heavy_hitters").collect()
       .map(r => (r.getString(0), r.getLong(2)))
     assert(again.toSeq.sorted == rows.map(r => (r._1, r._3)).toSeq.sorted)
+  }
+
+  test("linear-regression head: solution zeroes the gradient, R² is meaningful") {
+    val docs = Tables.documents(spark, sfDir)
+    val (w, r2) = Regression.fit(docs)
+    // the driver-side solve is only correct if X'X·w − X'y ≈ 0 — check
+    // the normal equations directly from an independently recomputed
+    // stats row (relative tolerance: entries are O(1e10))
+    val r = Regression.suffStats(docs).head()
+    def g(c: String) = r.getAs[Double](c)
+    val n = r.getAs[Long]("n").toDouble
+    val xtx = Array(
+      Array(n, g("s1"), g("s2"), g("s3")),
+      Array(g("s1"), g("s11"), g("s12"), g("s13")),
+      Array(g("s2"), g("s12"), g("s22"), g("s23")),
+      Array(g("s3"), g("s13"), g("s23"), g("s33")))
+    val xty = Array(g("sy"), g("s1y"), g("s2y"), g("s3y"))
+    for (i <- 0 until 4) {
+      val lhs = (0 until 4).map(j => xtx(i)(j) * w(j)).sum
+      assert(math.abs(lhs - xty(i)) <= 1e-6 * math.max(1.0, math.abs(xty(i))),
+        s"gradient component $i: $lhs vs ${xty(i)}")
+    }
+    // distinct-word count is genuinely predictable from length features
+    assert(r2 > 0.5 && r2 <= 1.0, s"R² = $r2")
+    // scoring is a full-corpus zero-shuffle projection; residuals of a
+    // least-squares fit with an intercept sum to ~0
+    val scored = run("q_linreg_score")
+    assert(scored.count() == docs.count())
+    val meanRes = scored.agg(avg(col("residual"))).head.getDouble(0)
+    assert(math.abs(meanRes) < 0.01, s"mean residual $meanRes")
+  }
+
+  test("temperature sampling flattens monotonically: T=4 cuts large groups harder than T=2") {
+    val docs = Tables.documents(spark, sfDir)
+    val t2 = TextAnalysis.temperatureSample(docs, log2T = 1)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("k2"))
+    val t4 = TextAnalysis.temperatureSample(docs, log2T = 2)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("k4"))
+    val g = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_g"))
+    val minN = g.agg(min(col("n_g"))).head.getLong(0)
+    val joined = g.join(t2, Seq("lang", "source"), "left")
+      .join(t4, Seq("lang", "source"), "left").collect()
+    joined.foreach { row =>
+      val nG = row.getAs[Long]("n_g")
+      val k2 = Option(row.getAs[Any]("k2")).fold(0L)(_.asInstanceOf[Long])
+      val k4 = Option(row.getAs[Any]("k4")).fold(0L)(_.asInstanceOf[Long])
+      // a higher temperature is closer to uniform: keep-rate
+      // (min/n)^(3/4) ≤ (min/n)^(1/2) for min/n ≤ 1, and the md5 gate
+      // compares against the SAME hash — so T=4 admits a SUBSET of
+      // T=2's documents in every group (T→∞ → equal counts per group)
+      assert(k4 <= k2, s"group $row: T=4 kept $k4 > T=2's $k2")
+      // the rarest group keeps ~everything at any T (rate = 1)
+      if (nG == minN) assert(k4 == nG, s"rarest group truncated: $k4 of $nG")
+    }
+    // determinism: the md5 gate admits the same documents on a re-run
+    val rerun = TextAnalysis.temperatureSample(docs, log2T = 2)
+      .agg(sum(col("doc_id"))).head.getLong(0)
+    val first = TextAnalysis.temperatureSample(docs, log2T = 2)
+      .agg(sum(col("doc_id"))).head.getLong(0)
+    assert(rerun == first)
   }
 }

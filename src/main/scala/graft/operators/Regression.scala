@@ -68,18 +68,36 @@ object Regression {
     val r = suffStats(docs).head()
     val n = r.getAs[Long]("n").toDouble
     def g(c: String) = r.getAs[Double](c)
+    if (n == 0) return (new Array[Double](4), 0.0)
     val a = Array(
       Array(n, g("s1"), g("s2"), g("s3")),
       Array(g("s1"), g("s11"), g("s12"), g("s13")),
       Array(g("s2"), g("s12"), g("s22"), g("s23")),
       Array(g("s3"), g("s13"), g("s23"), g("s33")))
     val b = Array(g("sy"), g("s1y"), g("s2y"), g("s3y"))
-    val w = solve(a.map(_.clone()), b.clone())
+    // Degenerate inputs (one row, constant features) make the full 4×4
+    // singular. Fall back deterministically: drop trailing features
+    // (x3, then x2, then x1) until the reduced system solves —
+    // intercept-only (the target mean, pivot = n ≥ 1) always does.
+    // Dropped features keep weight 0, so scoring stays a total
+    // function on any input; non-degenerate corpora solve at 4×4 on
+    // the first try and are bit-identical to the direct solve.
+    val w = new Array[Double](4)
+    var dim = 4
+    var solved = false
+    while (!solved && dim >= 1) {
+      try {
+        val sub = solve(Array.tabulate(dim, dim)(a(_)(_)), Array.tabulate(dim)(b(_)))
+        var i = 0
+        while (i < dim) { w(i) = sub(i); i += 1 }
+        solved = true
+      } catch { case _: IllegalArgumentException => dim -= 1 }
+    }
     // R² from the same stats: SSE = Σy² − w·X'y, SST = Σy² − (Σy)²/n
     val xty = Array(g("sy"), g("s1y"), g("s2y"), g("s3y"))
     val sse = g("syy") - w.indices.map(i => w(i) * xty(i)).sum
     val sst = g("syy") - g("sy") * g("sy") / n
-    (w, 1.0 - sse / sst)
+    (w, if (sst > 0) 1.0 - sse / sst else 0.0)
   }
 
   private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {

@@ -126,6 +126,66 @@ object TextAnalysis {
         "@[a-zA-Z0-9_]+", "<HANDLE>").as("redacted"))
   }
 
+  /** Span-level dedup removal (Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better" — the removal half; q_span_dedup is
+    * the detection half): every repeated 20-word span keeps its
+    * corpus-wide first occurrence (min (doc_id, start) — deterministic
+    * on any partitioning), all other occurrences become removal
+    * intervals, overlapping/adjacent intervals merge per doc (the
+    * shifted windows of one duplicated region collapse to one island),
+    * and the doc is rewritten without the removed words.
+    *
+    * Scale shape: the gram stream carries (doc_id, start, xxhash64) —
+    * 8-byte keys, text never shuffles. First-occurrence election is a
+    * groupBy(hash).agg(min(struct)) — partially aggregated map-side, so
+    * a boilerplate span with millions of copies combines before the
+    * exchange (a row_number window would put every copy in one task).
+    * Interval merge is a per-doc window (bounded by doc length); the
+    * rewrite joins intervals back by doc_id and filters the pre-split
+    * word array with one HOF pass. */
+  def spanStrip(docs: DataFrame, spanWords: Int = 20): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val grams = base
+      .filter(size(col("w")) >= spanWords)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - ${spanWords - 1}),
+           |  i -> xxhash64(slice(w, i, $spanWords)))""".stripMargin))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("s"), col("h"))
+      // two consumers (election + verdict join) — one explode+hash pass
+      .localCheckpoint(true)
+    val firsts = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val removals = grams.join(firsts, "h")
+      .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
+      .select(col("doc_id"), col("s"),
+        (col("s") + spanWords - 1).cast("int").as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = removals
+      .withColumn("ni",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("ni"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    base.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("text")).otherwise(array_join(expr(
+          """transform(
+            |  filter(transform(w, (wd, i) -> struct(wd AS wd, i + 1 AS p)),
+            |         x -> NOT exists(iv, r -> x.p >= r.s AND x.p <= r.e)),
+            |  x -> x.wd)""".stripMargin), " ")).as("clean_text"),
+        coalesce(expr("aggregate(iv, 0, (acc, r) -> acc + r.e - r.s + 1)"),
+          lit(0)).cast("int").as("n_removed"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a per-stratum
     * rate using a stable hash of the id — reproducible across runs,
     * engines and cluster sizes (no RNG state), the standard way to cut
@@ -753,6 +813,68 @@ object TextAnalysis {
         |)
         |SELECT doc_id, span_start, span_hash, n_copies
         |FROM g JOIN r USING (span_hash)""".stripMargin),
+
+    // span-level dedup REMOVAL (closes the q_span_dedup loop): every
+    // repeated 20-word span keeps its corpus-wide FIRST occurrence
+    // (min (doc_id, start) — deterministic on any cluster) and every
+    // other occurrence is marked, marks are merged into per-doc word
+    // intervals (overlapping/adjacent spans of a duplicated region
+    // collapse to one island), and the doc is rewritten without the
+    // removed words. First-occurrence election is groupBy+min(struct)
+    // — partial-aggregated map-side, so a boilerplate span with 10^8
+    // copies combines before the shuffle instead of landing on one
+    // window partition; only the 8-byte gram hash shuffles, text never
+    // does. Interval merge is a per-doc window (bounded by doc length);
+    // the rewrite is one HOF filter over the pre-split word array.
+    "q_span_strip" -> Q(
+      (s, d) => spanStrip(Tables.documents(s, d)),
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS s, CAST(i + 19 AS INT) AS e,
+        |    md5(array_to_string(w[i:i+19], ' ')) AS h
+        |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 19)) AS i)
+        |  WHERE len(w) >= 20
+        |), occ AS (
+        |  SELECT doc_id, s, e,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        |  FROM g
+        |), rem AS (SELECT doc_id, s, e FROM occ WHERE rn > 1
+        |), isl AS (
+        |  SELECT doc_id, s, e, CASE WHEN
+        |      max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM rem
+        |), merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM (SELECT doc_id, s, e,
+        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM isl)
+        |  GROUP BY doc_id, island
+        |), kept AS (
+        |  SELECT b.doc_id, p, b.w[p] AS wd
+        |  FROM base b, LATERAL (SELECT unnest(generate_series(1, len(b.w))) AS p)
+        |  WHERE b.doc_id IN (SELECT doc_id FROM merged)
+        |    AND NOT EXISTS (SELECT 1 FROM merged m
+        |      WHERE m.doc_id = b.doc_id AND p BETWEEN m.s AND m.e)
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |), removed AS (
+        |  SELECT doc_id, CAST(sum(e - s + 1) AS INT) AS n_removed
+        |  FROM merged GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CASE WHEN nr.doc_id IS NULL THEN b.text
+        |       ELSE COALESCE(r.clean_text, '') END AS clean_text,
+        |  COALESCE(nr.n_removed, 0) AS n_removed
+        |FROM base b
+        |LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+        |LEFT JOIN removed nr ON b.doc_id = nr.doc_id""".stripMargin),
 
     // hashing-trick featurization: tokens hash into D buckets, count
     // per (doc, bucket) — the model-free sparse doc vector (classifier

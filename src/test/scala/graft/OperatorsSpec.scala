@@ -302,4 +302,23 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum(col("doc_id"))).head.getLong(0)
     assert(rerun == first)
   }
+
+  test("span strip keeps the corpus-first occurrence, merges overlapping " +
+      "spans, and rewrites exactly the removed words") {
+    import spark.implicits._
+    val a = (1 to 25).map(i => s"a$i").mkString(" ") // 25-word shared region
+    val b = (1 to 20).map(i => s"b$i").mkString(" ") // exactly one span
+    val docs = Seq(
+      (0L, s"u1 u2 u3 $a v1 v2"), // first occurrence (lowest doc_id) — kept
+      (1L, s"x1 x2 $a y1"),       // 6 shifted repeated spans → ONE merged island
+      (2L, "short doc"),          // under 20 words — untouched
+      (3L, s"$b z $b")            // internal repetition: second copy removed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanStrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(0L) == ((s"u1 u2 u3 $a v1 v2", 0)))
+    assert(out(1L) == (("x1 x2 y1", 25)))
+    assert(out(2L) == (("short doc", 0)))
+    assert(out(3L) == ((s"$b z", 20)))
+  }
 }

@@ -71,3 +71,12 @@ case object ShowVariables extends Statement                 // SHOW VARIABLES
 case class CreateType(name: String, typeSql: String) extends Statement // CREATE TYPE t AS ...
 case class DropType(name: String, ifExists: Boolean) extends Statement // DROP TYPE t
 case object ShowTypes extends Statement                     // SHOW TYPES
+// Connector management (ksqlDB's CREATE SOURCE/SINK CONNECTOR — proxied
+// to Kafka Connect by the real server; served by graft's embedded
+// file-connector runtime, see Connectors.scala)
+case class CreateConnector(isSource: Boolean, name: String,
+    props: Map[String, String],
+    ifNotExists: Boolean = false) extends Statement
+case object ShowConnectors extends Statement                // SHOW CONNECTORS
+case class DescribeConnector(name: String) extends Statement
+case class DropConnector(name: String, ifExists: Boolean) extends Statement

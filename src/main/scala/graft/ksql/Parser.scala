@@ -122,6 +122,29 @@ object Parser {
           p.expect("AS")
           if (p.done) p.fail("CREATE TYPE expects a type after AS")
           CreateType(name, rejoinToEnd(p))
+        } else if (p.peekUp == "SOURCE" || p.peekUp == "SINK") {
+          // CREATE SOURCE|SINK CONNECTOR [IF NOT EXISTS] name WITH (...)
+          // — ksqlDB's connector DDL (proxied to Kafka Connect by the
+          // real server; graft runs an embedded file-connector runtime).
+          // Connector property keys are quoted strings ('input.path');
+          // normalize to upper-case like every other WITH map.
+          val isSource = p.accept("SOURCE") || { p.expect("SINK"); false }
+          p.expect("CONNECTOR")
+          val ifNotExists =
+            if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS"); true }
+            else false
+          val name = p.next().text
+          p.expect("WITH")
+          p.expect("(")
+          val props = Map.newBuilder[String, String]
+          while (!p.accept(")")) {
+            if (p.done) p.fail("expected ) closing connector properties")
+            val k = p.next().text.toUpperCase
+            p.expect("=")
+            props += (k -> p.next().text)
+            p.accept(",")
+          }
+          CreateConnector(isSource, name, props.result(), ifNotExists)
         } else {
         val orReplace = if (p.accept("OR")) { p.expect("REPLACE"); true } else false
         val isTable = if (p.accept("TABLE")) true
@@ -189,6 +212,7 @@ object Parser {
       } else if (p.accept("SHOW") || p.accept("LIST")) {
         // LIST is KSQL's synonym for SHOW
         if (p.accept("TABLES")) ShowSources(tables = true)
+        else if (p.accept("CONNECTORS")) ShowConnectors
         else if (p.accept("QUERIES")) ShowQueries
         else if (p.accept("PROPERTIES")) ShowProperties
         else if (p.accept("FUNCTIONS")) ShowFunctions
@@ -227,6 +251,7 @@ object Parser {
         RunScript(t.text)
       } else if (p.accept("DESCRIBE")) {
         if (p.accept("FUNCTION")) DescribeFunction(p.next().text)
+        else if (p.accept("CONNECTOR")) DescribeConnector(p.next().text)
         else {
           val ext = p.accept("EXTENDED")
           Describe(p.next().text, ext)
@@ -245,6 +270,9 @@ object Parser {
         if (p.accept("TYPE")) {
           val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
           DropType(p.next().text, ifExists)
+        } else if (p.accept("CONNECTOR")) {
+          val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+          DropConnector(p.next().text, ifExists)
         } else {
         if (!p.accept("STREAM")) p.expect("TABLE")
         val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false

@@ -1380,6 +1380,20 @@ object Translator {
         val rows = spark.streams.active.toSeq.map(q =>
           (q.id.toString, Option(q.name).getOrElse(""), q.isActive))
         (catalog, Some(rows.toDF("query_id", "name", "is_active")))
+      case CreateConnector(isSource, name, props, ifNotExists) =>
+        Connectors.create(spark, isSource, name, props, ifNotExists)
+        (catalog, None)
+      case ShowConnectors =>
+        import spark.implicits._
+        (catalog,
+          Some(Connectors.list(spark).toDF("connector", "type", "state")))
+      case DescribeConnector(name) =>
+        import spark.implicits._
+        (catalog,
+          Some(Connectors.describe(spark, name).toDF("property", "value")))
+      case DropConnector(name, ifExists) =>
+        Connectors.drop(spark, name, ifExists)
+        (catalog, None)
       case SetProp(k, v) =>
         // session-scoped property map (KSQL CLI SET). Keys that name
         // Spark confs apply directly — the practical bridge for e.g.
@@ -1500,6 +1514,19 @@ object Translator {
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
+
+  /** Parse a KSQL column list ("a INT, b VARCHAR, s STRUCT<x INT>")
+    * into a Spark schema — the connector runtime's 'schema' property
+    * uses the same type names as CREATE STREAM columns. */
+  private[ksql] def parseSchema(spark: SparkSession,
+      cols: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(topLevelSplit(cols).map { f =>
+      val i = f.indexOf(' ')
+      if (i < 0) throw new IllegalArgumentException(
+        s"schema entry needs 'name TYPE', got '$f'")
+      org.apache.spark.sql.types.StructField(f.substring(0, i),
+        sparkType(resolveType(spark, f.substring(i + 1))))
+    })
 
   private def sparkType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._

@@ -1399,4 +1399,71 @@ class KsqlSpec extends SparkSpec {
       registry.write(bad, data + "_bad", "nat-value")
     }
   }
+
+  test("connector DDL: a SOURCE connector ingests files continuously, a " +
+      "SINK connector exports the topic, DROP stops the stream") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_conn").toString
+    val in = s"$root/in"; val topic = s"$root/topic"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    Files.write(Paths.get(s"$in/a.json"),
+      "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}".getBytes)
+    val catalog = Map.empty[String, Translator.Source]
+    Translator.run(spark, catalog,
+      s"""CREATE SOURCE CONNECTOR ingest WITH (
+         |  'input.path' = '$in', 'topic' = '$topic',
+         |  'format' = 'JSON', 'schema' = 'id BIGINT, v VARCHAR')""".stripMargin)
+    val q = spark.streams.active.find(_.name == "connector_ingest").get
+    q.processAllAvailable()
+    assert(spark.read.parquet(topic).count() == 2)
+    // continuous: a file landing AFTER creation flows through too
+    Files.write(Paths.get(s"$in/b.json"), "{\"id\":3,\"v\":\"z\"}".getBytes)
+    q.processAllAvailable()
+    assert(spark.read.parquet(topic).count() == 3)
+    // second create of the same name: IF NOT EXISTS no-ops, bare throws
+    Translator.run(spark, catalog,
+      s"""CREATE SOURCE CONNECTOR IF NOT EXISTS ingest WITH (
+         |  'input.path' = '$in', 'topic' = '$topic')""".stripMargin)
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog,
+        s"""CREATE SOURCE CONNECTOR ingest WITH (
+           |  'input.path' = '$in', 'topic' = '$topic')""".stripMargin)
+    }
+    // introspection: SHOW CONNECTORS lists it RUNNING, DESCRIBE carries
+    // the props and the engine's own progress numbers
+    val (_, Some(listed)) =
+      Translator.run(spark, catalog, "SHOW CONNECTORS"): @unchecked
+    val row = listed.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    assert(row.contains(("ingest", "SOURCE", "RUNNING")))
+    val (_, Some(desc)) =
+      Translator.run(spark, catalog, "DESCRIBE CONNECTOR ingest"): @unchecked
+    val props = desc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("type") == "SOURCE" && props("state") == "RUNNING")
+    assert(props("input.path") == in && props("topic") == topic)
+    // SINK side: the engine topic exports continuously as DELIMITED
+    Translator.run(spark, catalog,
+      s"""CREATE SINK CONNECTOR export WITH (
+         |  'topic' = '$topic', 'output.path' = '$out',
+         |  'format' = 'DELIMITED')""".stripMargin)
+    val q2 = spark.streams.active.find(_.name == "connector_export").get
+    q2.processAllAvailable()
+    assert(spark.read.option("header", "true").csv(out).count() == 3)
+    // the ingested topic binds like any PATH source and serves a pull query
+    val (cat2, _) = Translator.run(spark, catalog,
+      s"""CREATE STREAM ingested (id BIGINT, v VARCHAR)
+         |  WITH (PATH = '$topic', VALUE_FORMAT = 'PARQUET')""".stripMargin)
+    val (_, Some(rows)) = Translator.run(spark, cat2,
+      "SELECT id, v FROM ingested WHERE id >= 2"): @unchecked
+    assert(rows.count() == 2)
+    // DROP stops the stream and forgets the name; IF EXISTS tolerates
+    Translator.run(spark, catalog, "DROP CONNECTOR ingest")
+    assert(!spark.streams.active.exists(_.name == "connector_ingest"))
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog, "DROP CONNECTOR ingest")
+    }
+    Translator.run(spark, catalog, "DROP CONNECTOR IF EXISTS ingest")
+    Translator.run(spark, catalog, "DROP CONNECTOR export")
+    assert(!spark.streams.active.exists(_.name.startsWith("connector_")))
+  }
 }

@@ -303,6 +303,45 @@ class OperatorsSpec extends SparkSpec {
     assert(rerun == first)
   }
 
+  test("PCA: orthonormal components, descending eigenvalues, projection " +
+      "variance per component equals its eigenvalue") {
+    import graft.operators.Pca
+    val emb = Tables.embeddings(spark, sfDir)
+    val Some((mean, comps, eig)) = Pca.fit(emb): @unchecked
+    assert(mean.length == 64 && comps.length == Pca.TopK && eig.length == 64)
+    // eigenvalues descending, non-negative (covariance is PSD)
+    eig.toSeq.sliding(2).foreach(w => assert(w(0) >= w(1) - 1e-10))
+    assert(eig.last >= -1e-10)
+    // components orthonormal
+    for (i <- comps.indices; j <- comps.indices) {
+      val d = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-8, s"c($i).c($j) = $d")
+    }
+    // projections: variance along component j IS eigenvalue j (the
+    // defining property of PCA — checked through the distributed
+    // projection path, not the driver math)
+    val n = emb.filter(col("embedding").isNotNull).count().toDouble
+    val varByJ = Pca.project(emb).groupBy(col("j"))
+      .agg((sum(col("p") * col("p")) / n).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until Pca.TopK)
+      assert(math.abs(varByJ(j) - eig(j)) < 1e-4 * math.max(1.0, eig(j)),
+        s"component $j: projected variance ${varByJ(j)} vs eigenvalue ${eig(j)}")
+    // trace identity: Σ eigenvalues = total variance of the corpus
+    val v = col("embedding").cast("array<double>")
+    val totVar = emb.filter(col("embedding").isNotNull)
+      .select(explode(v).as("x")).agg(
+        (sum(col("x") * col("x")) / (64 * n)
+          ).as("ex2")).head.getDouble(0) * 64 -
+      mean.map(m => m * m).sum
+    assert(math.abs(eig.sum - totVar) < 1e-6 * math.max(1.0, totVar),
+      s"trace ${eig.sum} vs total variance $totVar")
+    // determinism: a refit lands on identical components
+    val Some((_, comps2, _)) = Pca.fit(emb): @unchecked
+    assert(comps.flatMap(_.toSeq).sameElements(comps2.flatMap(_.toSeq)))
+  }
+
   test("span strip keeps the corpus-first occurrence, merges overlapping " +
       "spans, and rewrites exactly the removed words") {
     import spark.implicits._

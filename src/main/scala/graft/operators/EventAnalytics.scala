@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
@@ -21,6 +22,34 @@ import graft.Rounding.round // engine-identical rounding — shadows functions.r
 object EventAnalytics {
 
   private val SessionGapMs = 1800000L // 30 min
+
+  /** MATCH_RECOGNIZE-style variable-length pattern `view click* purchase`
+    * over each user's (ts, event_id)-ordered stream — see the
+    * q_event_pattern entry for the segment-leader construction. */
+  def sequencePattern(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nc", sum(when(col("event_type") =!= "click", 1L)
+        .otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // leaders renames every carried column: e and leaders share a
+    // lineage, and Spark's self-join ambiguity check rejects a bare
+    // user_id on both sides
+    val leaders = e.filter(col("event_type") =!= "click")
+      .select(col("user_id").as("luser"), col("nc").as("lnc"),
+        col("event_type").as("lead_type"),
+        col("event_id").as("start_event_id"),
+        unix_millis(col("ts")).as("start_ms"), col("rn").as("lead_rn"))
+    e.filter(col("event_type") === "purchase")
+      .join(leaders,
+        col("luser") === col("user_id") && col("lnc") === col("nc") - 1)
+      .filter(col("lead_type") === "view")
+      .select(col("user_id"), col("start_event_id"),
+        col("event_id").as("end_event_id"),
+        (col("rn") - col("lead_rn") - 1).cast("int").as("n_clicks"),
+        (unix_millis(col("ts")) - col("start_ms")).as("span_ms"))
+  }
 
   /** Per-ms decay constant for a 1-hour half-life; embedded VERBATIM in
     * both engines' expressions so the weight math starts from identical
@@ -143,6 +172,38 @@ object EventAnalytics {
         |  CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
         |    AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
         |FROM m""".stripMargin),
+
+    // variable-length sequence pattern (MATCH_RECOGNIZE-style
+    // `view click* purchase`, adjacent events per user): the
+    // segment-leader trick makes the unbounded B* matchable with ONE
+    // window pass + one equi-join — nc = running count of non-click
+    // events, so a purchase's nearest preceding non-click event is the
+    // leader at nc − 1, and everything between them is click BY
+    // CONSTRUCTION; the match test collapses to leader.type = 'view'.
+    // No per-row regex state machine, no self-join explosion: the join
+    // is keyed (user_id, nc) — shuffle equi-join, linear at any scale.
+    // Overlaps are impossible for this pattern (a match's interior is
+    // all clicks), so AFTER MATCH SKIP PAST LAST ROW is free.
+    "q_event_pattern" -> Q(
+      (s, d) => sequencePattern(Tables.events(s, d)),
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER w AS rn,
+        |    sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS nc
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), l AS (
+        |  SELECT user_id, nc, event_type AS lead_type,
+        |    event_id AS start_event_id, epoch_ms(ts) AS start_ms, rn AS lead_rn
+        |  FROM e WHERE event_type <> 'click'
+        |)
+        |SELECT e.user_id, l.start_event_id, e.event_id AS end_event_id,
+        |  CAST(e.rn - l.lead_rn - 1 AS INT) AS n_clicks,
+        |  CAST(epoch_ms(e.ts) - l.start_ms AS BIGINT) AS span_ms
+        |FROM e JOIN l ON l.user_id = e.user_id AND l.nc = e.nc - 1
+        |WHERE e.event_type = 'purchase' AND l.lead_type = 'view'""".stripMargin),
 
     // cohort retention: cohort = first active UTC day per user; count
     // distinct users per (cohort_day, day_offset). Day numbers are

@@ -342,6 +342,34 @@ class OperatorsSpec extends SparkSpec {
     assert(comps.flatMap(_.toSeq).sameElements(comps2.flatMap(_.toSeq)))
   }
 
+  test("sequence pattern matches view click* purchase with exact click " +
+      "counts, rejects broken interiors") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val events = Seq(
+      // user 1: view c c purchase → match, 2 clicks
+      (1L, t(1), 10L, "view"), (2L, t(2), 10L, "click"),
+      (3L, t(3), 10L, "click"), (4L, t(4), 10L, "purchase"),
+      // user 2: view purchase → match, 0 clicks (B* admits empty)
+      (5L, t(1), 20L, "view"), (6L, t(2), 20L, "purchase"),
+      // user 3: view error purchase → interior broken, no match
+      (7L, t(1), 30L, "view"), (8L, t(2), 30L, "error"),
+      (9L, t(3), 30L, "purchase"),
+      // user 4: signup click purchase → wrong leader, no match
+      (10L, t(1), 40L, "signup"), (11L, t(2), 40L, "click"),
+      (12L, t(3), 40L, "purchase"),
+      // user 5: purchase with nothing before it → no leader, no match
+      (13L, t(1), 50L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.EventAnalytics.sequencePattern(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (10L, 1L, 4L, 2, 3000L),
+      (20L, 5L, 6L, 0, 1000L)))
+  }
+
   test("span strip keeps the corpus-first occurrence, merges overlapping " +
       "spans, and rewrites exactly the removed words") {
     import spark.implicits._

@@ -136,7 +136,11 @@ object Bench {
     // historical number proves an overlapped spike was contention/host
     // noise; a solo time matching the spike proves a plan regression.
     val soloNames = Vector("q_gopher_filter", "q_dedup_embed",
-      "q_dedup_embed_lsh", "q_profile")
+      "q_dedup_embed_lsh", "q_profile",
+      // round-10 additions with measured run-to-run GC/noise spread
+      // (ScaleProbe: pca 1.0x-25x on identical runs) — solo numbers
+      // make the artifact self-adjudicating for them too
+      "q_pca_cov", "q_pca_project", "q_span_strip")
     val solo: Seq[(String, Double)] = soloNames.flatMap(n =>
       SparkEntry.queries.get(n).map { fn =>
         val s0 = System.nanoTime()

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{ColumnBridge, DotProduct, SquaredL2Distance}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DotProduct, SquaredL2Distance, UpperTriProducts}
 
 /** Public handles for the native codegen vector expressions.
   *
@@ -20,4 +20,9 @@ object VectorExpressions {
   def l2sq(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredL2Distance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** d(d+1)/2 upper-triangle self-products per row — the covariance
+    * pass summand (see UpperTriProducts for the codegen rationale). */
+  def upperTriProducts(v: Column, dim: Int): Column =
+    ColumnBridge.column(UpperTriProducts(ColumnBridge.expression(v), dim))
 }

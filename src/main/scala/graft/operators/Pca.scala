@@ -36,11 +36,13 @@ object Pca {
   private val upperPairs: Seq[(Int, Int)] =
     for (i <- 1 to Dim; j <- i to Dim) yield (i, j)
 
-  /** Per-row upper-triangle products, 2080 doubles in pair order. */
-  private val upperTriSql: String =
-    s"""flatten(transform(sequence(1, $Dim), i ->
-       |  transform(sequence(i, $Dim), j ->
-       |    element_at(v, i) * element_at(v, j))))""".stripMargin
+  /** Per-row upper-triangle products, 2080 doubles in pair order —
+    * native codegen (UpperTriProducts): the HOF formulation
+    * (nested transform + element_at) paid ~2080 interpreted lambda
+    * dispatches per row and made the covariance pass ~8 s at 10× sf0.1
+    * where this loop makes it scan-bound. */
+  private def upperTri(v: org.apache.spark.sql.Column) =
+    graft.functions.expressions.VectorExpressions.upperTriProducts(v, Dim)
 
   /** The statistics frame: one row (n, Σxᵢ vector, Σxᵢxⱼ vector), or
     * ZERO rows on an all-null/empty corpus. Summarizer throws on empty
@@ -57,7 +59,7 @@ object Pca {
         lit(1L).as("real"))
       .unionByName(zero)
       .select(array_to_vector(col("v")).as("mv"),
-        array_to_vector(expr(upperTriSql)).as("pv"), col("real"))
+        array_to_vector(upperTri(col("v"))).as("pv"), col("real"))
       .agg(sum(col("real")).as("n"), Summarizer.sum(col("mv")).as("s"),
         Summarizer.sum(col("pv")).as("p"))
       .where(col("n") > 0)
@@ -167,21 +169,22 @@ object Pca {
       case None =>
         emb.select(col("vec_id"), lit(0).as("j"), lit(0.0).as("p")).limit(0)
       case Some((mean, comps, _)) =>
-        val meanLit = typedLit(mean.toSeq)
         val compLit = typedLit(comps.map(_.toSeq).toSeq)
+        // mean·cⱼ is a per-component CONSTANT — folded once driver-side
+        // (same left-to-right order as the row fold, so centering stays
+        // bit-identical to subtracting the mean per row); the row dot is
+        // the native codegen vec_dot, not an interpreted zip_with fold
+        val meanDots = typedLit(comps.map(c =>
+          c.zip(mean).map { case (a, b) => a * b }.sum).toSeq)
         emb.filter(col("embedding").isNotNull)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           .select(col("vec_id"), col("v"),
             explode(expr(s"sequence(0, ${k - 1})")).as("j"))
           .select(col("vec_id"), col("j"),
-            round(aggregate(
-              zip_with(col("v"), element_at(compLit, col("j") + 1),
-                (x, c) => x * c), lit(0.0), (acc, t) => acc + t)
-              - aggregate(
-                zip_with(meanLit, element_at(compLit, col("j") + 1),
-                  (m, c) => m * c), lit(0.0), (acc, t) => acc + t),
-              6).as("p"))
+            round(graft.functions.VectorFunctions.dot(col("v"),
+              element_at(compLit, col("j") + 1))
+              - element_at(meanDots, col("j") + 1), 6).as("p"))
     }
 
   // ---- driver-verifiable entries ------------------------------------

@@ -78,3 +78,69 @@ case class SquaredL2Distance(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
   override def prettyName: String = "vec_l2sq"
 }
+
+/** Upper-triangle outer products of a vector with itself: d(d+1)/2
+  * doubles in row-major (i ≤ j) order — the per-row summand of a
+  * one-pass covariance aggregation (graft.operators.Pca).
+  *
+  * The HOF formulation (nested transform + element_at) walks ~d²/2
+  * interpreted lambda calls per row outside whole-stage codegen — at
+  * d = 64 that is 2080 boxed dispatches per row and dominated the
+  * covariance pass ~40× over this tight loop. Dimension is checked
+  * against the declared `dim` and fails fast: a short vector would
+  * otherwise produce a plausible-looking but misaligned product array.
+  */
+case class UpperTriProducts(child: Expression, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private val outLen = dim * (dim + 1) / 2
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: expected dim $dim, got ${v.numElements()}")
+    val out = new Array[Double](outLen)
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      val xi = v.getDouble(i)
+      var j = i
+      while (j < dim) { out(k) = xi * v.getDouble(j); k += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val xi = ctx.freshName("xi")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: expected dim $dim, got " + $a.numElements());
+         |}
+         |double[] $out = new double[$outLen];
+         |int $k = 0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  for (int $j = $i; $j < $dim; $j++) {
+         |    $out[$k++] = $xi * $a.getDouble($j);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "vec_upper_products"
+}

@@ -17,7 +17,7 @@ object SparkEntry {
       Multimodal.entries ++ AnalyticsQueries.entries ++
       EventAnalytics.entries ++
       WarehouseQueries.entries ++ Search.entries ++ Regression.entries ++
-      Pca.entries ++
+      Pca.entries ++ Graph.entries ++
       graft.ksql.KsqlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

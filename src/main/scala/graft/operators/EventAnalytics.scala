@@ -141,6 +141,54 @@ object EventAnalytics {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |FROM g""".stripMargin),
 
+    // last-touch attribution: each purchase credits the most recent
+    // preceding view/click by the same user within a 7-day lookback —
+    // the conversion-credit model every marketing warehouse runs. ONE
+    // window pass per user ((ts, event_id) total order): the carrier is
+    // last_value(... IGNORE NULLS) over rows-preceding, where the
+    // touch's type and time are two aligned IGNORE-NULLS columns (both
+    // null on exactly the same rows, so they come from the same touch
+    // row without a struct). Credited revenue then rolls up per channel
+    // in a plain partial→final aggregate. Integer epoch-millis keep the
+    // lookback comparison exact in both engines.
+    "q_attribution" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isin("view", "click")
+        Tables.events(s, d)
+          .withColumn("touch_type",
+            last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+          .withColumn("touch_ms",
+            last(when(isTouch, unix_millis(col("ts"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value"),
+            when(col("touch_ms") >= unix_millis(col("ts")) - lit(7L * 86400000L),
+              col("touch_type")).otherwise(lit("direct")).as("channel"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("value")), 4).as("credited_value"))
+      },
+      """WITH t AS (
+        |  SELECT event_id, event_type, value, epoch_ms(ts) AS ms,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |        THEN epoch_ms(ts) END IGNORE NULLS)
+        |      OVER w AS touch_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT CASE WHEN touch_ms >= ms - 604800000 THEN touch_type
+        |            ELSE 'direct' END AS channel,
+        |  count(*) AS n_purchases,
+        |  round(sum(value), 4) AS credited_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin),
+
     // ordered funnel view→click→purchase: stage times collapse to one
     // min-aggregate per user (partial→final, no window), then one
     // global conditional count. Integer epoch-millis comparisons keep

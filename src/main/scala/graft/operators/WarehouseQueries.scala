@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
@@ -379,6 +380,185 @@ object WarehouseQueries {
         |  CAST(len(regexp_extract_all(c_name, '0', 0)) AS INT) AS zeros,
         |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
         |  regexp_matches(c_name, '00$') AS ends_00
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin),
+
+    // RFM customer scoring (recency / frequency / monetary quintiles) —
+    // the classic CRM segmentation. ONE aggregation over orders to the
+    // per-customer triple, then quintile CUTOFFS from one exact-
+    // percentile aggregate (a one-row frame) broadcast back into a pure
+    // scoring projection. Deliberately NOT ntile: a global ntile is a
+    // partition-less window — the whole customer table through one
+    // task — while cutoff scoring is two linear passes + a broadcast,
+    // the 100 TB shape (and the global plan guard enforces exactly
+    // this). Boundary safety: metrics are integer-valued (days, counts)
+    // or cent-rounded, and cutoffs are rounded to 1e-6 via the
+    // engine-identical recipe, so a sub-ulp percentile difference
+    // between engines cannot flip a v > cutoff comparison against
+    // values spaced >= 0.01 apart. Recency anchors to the corpus max
+    // order date (one-row aggregate), not wall-clock — reproducible.
+    "q_rfm" -> Q(
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+        val per = orders.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            round(sum(col("o_totalprice")), 2).as("monetary"))
+          .crossJoin(broadcast(anchor))
+          .select(col("o_custkey"),
+            datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+            col("frequency"), col("monetary"))
+        val cutCols = Seq("recency_days", "frequency", "monetary").flatMap { m =>
+          Seq(20, 40, 60, 80).map(q =>
+            round(expr(s"percentile($m, 0.$q)"), 6).as(s"${m.take(1)}$q"))
+        }
+        val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+        def ascScore(v: Column, p: String) =
+          lit(1) + Seq(20, 40, 60, 80).map(q =>
+            when(v > col(s"$p$q"), 1).otherwise(0)).reduce(_ + _)
+        per.crossJoin(broadcast(cuts))
+          .select(col("o_custkey"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            // low recency = best: ascending quintile directly; high
+            // frequency/monetary = best: invert the ascending quintile
+            ascScore(col("recency_days"), "r").as("r_score"),
+            (lit(6) - ascScore(col("frequency"), "f")).as("f_score"),
+            (lit(6) - ascScore(col("monetary"), "m")).as("m_score"))
+          .withColumn("segment",
+            when(col("r_score") <= 2 && col("f_score") <= 2, "champion")
+              .when(col("f_score") <= 2, "loyal")
+              .when(col("r_score") <= 2, "recent")
+              .otherwise("hibernating"))
+      },
+      """WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate), (SELECT anchor FROM anchor)) AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey
+        |), cuts AS (
+        |  SELECT
+        |    round(quantile_cont(recency_days, 0.20), 6) AS r20,
+        |    round(quantile_cont(recency_days, 0.40), 6) AS r40,
+        |    round(quantile_cont(recency_days, 0.60), 6) AS r60,
+        |    round(quantile_cont(recency_days, 0.80), 6) AS r80,
+        |    round(quantile_cont(frequency, 0.20), 6) AS f20,
+        |    round(quantile_cont(frequency, 0.40), 6) AS f40,
+        |    round(quantile_cont(frequency, 0.60), 6) AS f60,
+        |    round(quantile_cont(frequency, 0.80), 6) AS f80,
+        |    round(quantile_cont(monetary, 0.20), 6) AS m20,
+        |    round(quantile_cont(monetary, 0.40), 6) AS m40,
+        |    round(quantile_cont(monetary, 0.60), 6) AS m60,
+        |    round(quantile_cont(monetary, 0.80), 6) AS m80
+        |  FROM per
+        |), scored AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    1 + CASE WHEN recency_days > r20 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_days > r40 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_days > r60 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_days > r80 THEN 1 ELSE 0 END AS r_score,
+        |    6 - (1 + CASE WHEN frequency > f20 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f40 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f60 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f80 THEN 1 ELSE 0 END) AS f_score,
+        |    6 - (1 + CASE WHEN monetary > m20 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m40 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m60 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m80 THEN 1 ELSE 0 END) AS m_score
+        |  FROM per, cuts
+        |)
+        |SELECT *,
+        |  CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+        |       WHEN f_score <= 2 THEN 'loyal'
+        |       WHEN r_score <= 2 THEN 'recent'
+        |       ELSE 'hibernating' END AS segment
+        |FROM scored""".stripMargin),
+
+    // market-basket co-occurrence (support + lift): which parts sell
+    // together. The pair join is a self-join of the per-order DISTINCT
+    // item set on l_orderkey with a < guard — bounded by items-per-order
+    // (~4–7 here, never corpus size), so candidate volume is
+    // Σ k_i·(k_i−1)/2 ≈ linear in orders at any scale. Item marginals
+    // are one aggregate broadcast into the lift expression. n >= 3
+    // bounds the reported tail without changing the heavy pairs.
+    "q_basket_pairs" -> Q(
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = items.select(col("l_orderkey")).distinct().count().toDouble
+        val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+        val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            "l_orderkey")
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 3)
+        pairs
+          .join(broadcast(marg.withColumnRenamed("l_partkey", "part_a")
+            .withColumnRenamed("n_part", "n_a")), "part_a")
+          .join(broadcast(marg.withColumnRenamed("l_partkey", "part_b")
+            .withColumnRenamed("n_part", "n_b")), "part_b")
+          .select(col("part_a"), col("part_b"), col("n_pair"),
+            round(col("n_pair") / lit(nOrders), 6).as("support"),
+            round((col("n_pair") * lit(nOrders)) / (col("n_a") * col("n_b")), 4)
+              .as("lift"))
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), no AS (
+        |  SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items
+        |), marg AS (
+        |  SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+        |), pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_pair
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT part_a, part_b, n_pair,
+        |  round(n_pair / no.n_orders, 6) AS support,
+        |  round((n_pair * no.n_orders) / (ma.n_part * mb.n_part), 4) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.l_partkey = part_a
+        |JOIN marg mb ON mb.l_partkey = part_b, no""".stripMargin),
+
+    // winsorized robust statistics: per-group p05/p95 clamp before the
+    // moment aggregates — the outlier-robust mean/stddev a feature
+    // pipeline computes before normalization. The percentile pass
+    // aggregates to group cardinality (tiny) and broadcasts back over
+    // the fact; the clamp is a pure projection, so the whole op is two
+    // linear passes with one broadcast join — no window over the fact.
+    "q_winsorize" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bounds = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        li.join(broadcast(bounds), "l_returnflag")
+          .select(col("l_returnflag"),
+            greatest(least(col("l_extendedprice"), col("hi")), col("lo"))
+              .as("w"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("w")), 4).as("wmean"),
+            round(min(col("w")), 2).as("wmin"),
+            round(max(col("w")), 2).as("wmax"))
+      },
+      """WITH bounds AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  round(avg(greatest(least(l_extendedprice, hi), lo)), 4) AS wmean,
+        |  round(min(greatest(least(l_extendedprice, hi), lo)), 2) AS wmin,
+        |  round(max(greatest(least(l_extendedprice, hi), lo)), 2) AS wmax
+        |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY l.l_returnflag""".stripMargin)
   )
 }

@@ -13,7 +13,8 @@ class OperatorsSpec extends SparkSpec {
       JoinQueries.entries, TpchQueries.entries, Dedup.entries, Similarity.entries,
       TextAnalysis.entries, Multimodal.entries, AnalyticsQueries.entries,
       EventAnalytics.entries, WarehouseQueries.entries, Search.entries,
-      Regression.entries, graft.ksql.KsqlQueries.entries)
+      Regression.entries, Pca.entries, Graph.entries,
+      graft.ksql.KsqlQueries.entries)
     val all = modules.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: ${dups.mkString(", ")}")

@@ -59,6 +59,8 @@ case class DropSource(name: String, ifExists: Boolean) extends Statement
 case class ExplainStmt(select: SelectStmt) extends Statement
 case object ShowQueries extends Statement                   // SHOW QUERIES
 case class Terminate(id: String) extends Statement          // TERMINATE <id>|ALL
+case class Pause(id: String) extends Statement              // PAUSE <id>|ALL
+case class Resume(id: String) extends Statement             // RESUME <id>|ALL
 case class RunScript(path: String) extends Statement        // RUN SCRIPT '<path>'
 case class SetProp(key: String, value: String) extends Statement  // SET 'k'='v'
 case class UnsetProp(key: String) extends Statement         // UNSET 'k'

@@ -244,6 +244,17 @@ object Parser {
         while (!p.done) sb.append(p.next().text)
         if (sb.isEmpty) p.fail("TERMINATE expects a query id, name, or ALL")
         Terminate(sb.toString)
+      } else if (p.accept("PAUSE")) {
+        // same UUID rejoin as TERMINATE
+        val sb = new StringBuilder
+        while (!p.done) sb.append(p.next().text)
+        if (sb.isEmpty) p.fail("PAUSE expects a query id, name, or ALL")
+        Pause(sb.toString)
+      } else if (p.accept("RESUME")) {
+        val sb = new StringBuilder
+        while (!p.done) sb.append(p.next().text)
+        if (sb.isEmpty) p.fail("RESUME expects a query id, name, or ALL")
+        Resume(sb.toString)
       } else if (p.accept("RUN")) {
         p.expect("SCRIPT")
         val t = p.next()

@@ -1377,9 +1377,15 @@ object Translator {
         (catalog, Some(Seq(plan).toDF("plan")))
       case ShowQueries =>
         import spark.implicits._
-        val rows = spark.streams.active.toSeq.map(q =>
-          (q.id.toString, Option(q.name).getOrElse(""), q.isActive))
-        (catalog, Some(rows.toDF("query_id", "name", "is_active")))
+        // state column (ksqlDB model): RUNNING for live queries, PAUSED
+        // for registry entries suspended by PAUSE — those are no longer
+        // in spark.streams.active but remain listed and resumable
+        val active = spark.streams.active.toSeq.map(q =>
+          (q.id.toString, Option(q.name).getOrElse(""), q.isActive, "RUNNING"))
+        val paused = QueryControl.pausedNames(spark).toSeq.sorted
+          .map(n => ("", n, false, "PAUSED"))
+        (catalog,
+          Some((active ++ paused).toDF("query_id", "name", "is_active", "state")))
       case CreateConnector(isSource, name, props, ifNotExists) =>
         Connectors.create(spark, isSource, name, props, ifNotExists)
         (catalog, None)
@@ -1437,8 +1443,20 @@ object Translator {
             q.id.toString == id || Option(q.name).contains(id))
         if (targets.isEmpty && !id.equalsIgnoreCase("ALL"))
           throw new IllegalArgumentException(s"no active query $id")
-        targets.foreach(_.stop())
+        targets.foreach { q =>
+          q.stop()
+          // a terminated query must not linger as PAUSE/RESUME-able
+          Option(q.name).foreach(QueryControl.forget(spark, _))
+        }
         (catalog, None)
+      case Pause(id) =>
+        import spark.implicits._
+        val names = QueryControl.pause(spark, id)
+        (catalog, Some(names.map(n => (n, "PAUSED")).toDF("name", "state")))
+      case Resume(id) =>
+        import spark.implicits._
+        val names = QueryControl.resume(spark, id)
+        (catalog, Some(names.map(n => (n, "RUNNING")).toDF("name", "state")))
       case RunScript(path) =>
         val script = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),

@@ -1247,6 +1247,78 @@ class KsqlSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("PAUSE suspends a registered query; RESUME continues from the checkpoint") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_pause_in").toString
+    val out = Files.createTempDirectory("graft_pause_out").toString
+    val ckpt = Files.createTempDirectory("graft_pause_ckpt").toString
+    def writeBatch(id: Int): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$in/b$id.csv"), s"$id\n")
+    def sinkIds(): Set[Long] = {
+      val files = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      if (!files.exists(_.getName.startsWith("part-"))) Set.empty
+      else spark.read.schema("id LONG").parquet(out)
+        .collect().map(_.getLong(0)).toSet
+    }
+    writeBatch(1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // the restart thunk re-issues the SAME sink + checkpoint — RESUME's
+    // continue-from-committed-offset contract is Spark's checkpoint
+    // recovery, exactly how a ksql server resumes a paused query
+    def start() = spark.readStream.schema(schema).csv(in)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .queryName("pausable").outputMode("append").start()
+    var q = graft.ksql.QueryControl.startRegistered(spark, "pausable")(start())
+    try {
+      q.processAllAvailable()
+      assert(sinkIds() == Set(1L))
+
+      val (_, Some(pausedDf)) =
+        Translator.run(spark, Map.empty, "PAUSE pausable"): @unchecked
+      assert(pausedDf.collect().map(r =>
+        (r.getString(0), r.getString(1))).toSeq == Seq(("pausable", "PAUSED")))
+      assert(!q.isActive)
+      // SHOW QUERIES keeps listing it, state PAUSED
+      val (_, Some(listed)) = Translator.run(spark, Map.empty, "SHOW QUERIES"): @unchecked
+      assert(listed.collect().exists(r =>
+        r.getAs[String]("name") == "pausable" &&
+          r.getAs[String]("state") == "PAUSED"))
+      // input arriving while paused is NOT processed
+      writeBatch(2)
+      Thread.sleep(300)
+      assert(sinkIds() == Set(1L))
+
+      val (_, Some(resumedDf)) =
+        Translator.run(spark, Map.empty, "RESUME pausable"): @unchecked
+      assert(resumedDf.collect().map(_.getString(1)).toSeq == Seq("RUNNING"))
+      q = spark.streams.active.find(x => Option(x.name).contains("pausable")).get
+      q.processAllAvailable()
+      // the paused-era batch is picked up exactly once from the
+      // checkpointed offset — no loss, no duplication
+      assert(sinkIds() == Set(1L, 2L))
+
+      // refusals: pausing an unregistered query, resuming a running one
+      val e1 = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "PAUSE not_registered")
+      }
+      assert(e1.getMessage.contains("no registered query"))
+      val e2 = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "RESUME pausable")
+      }
+      assert(e2.getMessage.contains("no paused query"))
+      // TERMINATE drops it from the resumable registry too
+      Translator.run(spark, Map.empty, "TERMINATE pausable")
+      val e3 = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "RESUME pausable")
+      }
+      assert(e3.getMessage.contains("no paused query"))
+    } finally spark.streams.active
+      .filter(x => Option(x.name).contains("pausable")).foreach(_.stop())
+  }
+
   test("RUN SCRIPT executes a statement file, threading the catalog") {
     val f = java.nio.file.Files.createTempFile("graft_script", ".ksql")
     java.nio.file.Files.write(f,

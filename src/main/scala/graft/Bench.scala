@@ -140,7 +140,10 @@ object Bench {
       // round-10 additions with measured run-to-run GC/noise spread
       // (ScaleProbe: pca 1.0x-25x on identical runs) — solo numbers
       // make the artifact self-adjudicating for them too
-      "q_pca_cov", "q_pca_project", "q_span_strip")
+      "q_pca_cov", "q_pca_project", "q_span_strip",
+      // iterative/multi-action graph ops (7 driver actions each — the
+      // heavy tail by construction, and overlap-sensitive)
+      "q_pagerank", "q_triangles")
     val solo: Seq[(String, Double)] = soloNames.flatMap(n =>
       SparkEntry.queries.get(n).map { fn =>
         val s0 = System.nanoTime()

@@ -48,17 +48,37 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = Iters, d: Double = Damping): DataFrame = {
     val spark = edges.sparkSession
-    // distinct once, outside the loop: every iteration reuses the same
-    // deduplicated edge set (one shuffle paid once, not k times)
+    // distinct once, outside the loop, CACHED and HASH-PARTITIONED ON
+    // dst: every iteration reuses the same deduplicated edge frame, and
+    // because the per-iteration plan is broadcast(ranks) ⋈ e (preserves
+    // e's partitioning) → groupBy(dst), the contribution aggregation
+    // runs map-side with NO per-iteration exchange — the k-pass loop
+    // pays ONE edge shuffle total, at cache fill. (At cluster scale
+    // where the frontier outgrows broadcast, the same cached layout
+    // serves a shuffled join that co-locates on dst for the agg.)
     val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("dst")).cache()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
     // |V| is a metadata-scale scalar (node count, not row count of the
     // fact) — one distributed count up front, embedded as a literal so
     // both engines start every iteration from the identical double
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // Each iteration MATERIALIZES its frontier with an eager
+    // localCheckpoint, truncating lineage outright. This is
+    // load-bearing, not an optimization: the update reads `ranks`
+    // twice (contributions + dangling mass), so a fully lazy unroll
+    // doubles the plan per level — 2^k evaluations of iteration 1 by
+    // the top (measured 25 s for k=5 at sf0.1). persist()+count() was
+    // tried and does NOT fix it: under AQE the nested cached plans
+    // kept re-executing their fill plans (80 s — worse); checkpointing
+    // cuts the plan instead of hoping cache substitution matches. The
+    // frontier is |V| narrow rows — trivial to store at any scale. On
+    // a multi-executor cluster use reliable checkpoint() (or persist
+    // with replication) so a lost executor doesn't kill the lineage-
+    // less frontier; the plan shape per pass is identical.
     for (_ <- 1 to iters) {
       // contributions: ranks ⋈ out-edges on src (both sides shuffle on
       // the key), partial-aggregated sum per destination
@@ -76,19 +96,28 @@ object Graph {
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("sum_in"), lit(0.0)) + col("dangling") / lit(n)))
             .as("rank"))
+        .localCheckpoint(true)
     }
     ranks
   }
 
   /** Customer→supplier purchase edges: who bought from whom, from the
-    * orders⋈lineitem fact. Node ids are prefixed so the two key spaces
-    * cannot collide. */
+    * orders⋈lineitem fact. Node ids are LONGS — customers on the even
+    * axis (2k), suppliers odd (2k+1) — so the two key spaces cannot
+    * collide and every per-iteration shuffle hashes 8-byte keys
+    * instead of strings (the human-readable 'c…'/'s…' form is restored
+    * only in the final projection). */
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+
+  /** Long node id → the display form the oracle also emits. */
+  private def displayId(id: org.apache.spark.sql.Column) =
+    when(id % 2 === 0, concat(lit("c"), (id / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
 
   /** The same 5-iteration unrolled update as chained CTEs, so DuckDB
     * replays the identical computation. `n` and the damping constants
@@ -97,8 +126,7 @@ object Graph {
   private def pageRankOracle(iters: Int, d: Double): String = {
     val base =
       """WITH edges AS (
-        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |), nodes AS (
         |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
@@ -126,7 +154,77 @@ object Graph {
          |)""".stripMargin
     }.mkString
     base + its +
-      s"\nSELECT id, round(rank * 1e6, 6) AS rank_ppm FROM r$iters"
+      s"""
+         |SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(CAST(id / 2 AS BIGINT) AS VARCHAR)
+         |            ELSE 's' || CAST(CAST((id - 1) / 2 AS BIGINT) AS VARCHAR) END AS id,
+         |  round(rank * 1e6, 6) AS rank_ppm FROM r$iters""".stripMargin
+  }
+
+  /** Co-purchase edges: part pairs bought together in >= 2 distinct
+    * orders ("frequently bought together"), canonical a<b. The
+    * candidate pair volume is bounded by items-per-order
+    * (Σ kᵢ(kᵢ−1)/2, linear in orders at any scale) and the min-support
+    * threshold keeps the GRAPH sparse — the supplier co-fulfillment
+    * graph was tried first and is ~91% of the complete graph at sf0.1
+    * (1000 suppliers across 150k orders co-occur almost everywhere), a
+    * degenerate input for any triangle algorithm; support pruning is
+    * how production co-purchase graphs stay subquadratic too. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select(col("a"), col("b"))
+  }
+
+  /** Triangle census with degree orientation (the MapReduce-era trick:
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one, so out-degrees are bounded by ~√|E| on any
+    * graph and the wedge join never explodes on hubs — THE property
+    * that makes distributed triangle counting survive skewed degree
+    * distributions at 100 TB). Each triangle then has exactly one
+    * pivot vertex with two out-edges, and the closing edge carries
+    * exactly one orientation, so the wedge⋈closing-edge equi-join
+    * counts every triangle once with no ordering guard. Reports the
+    * global census: triangles, wedges (Σ d(d−1)/2 over undirected
+    * degrees), and the clustering coefficient 3·Δ/wedges.
+    */
+  def triangleCensus(edgesRaw: DataFrame): DataFrame = {
+    // cache the edge set: it is tiny (support-pruned) but EXPENSIVE to
+    // derive (the per-order pair join), and the census reads it twice
+    // (triangle count + wedge count) — without the cache the pair join
+    // runs once per consumer
+    val edges = edgesRaw.cache()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // rank = deg·2^32 + id: one sortable long encodes the (degree, id)
+    // total order (ids are table keys, far below 2^32)
+    val rank = deg.select(col("u"),
+      (col("deg") * lit(4294967296L) + col("u")).as("rank"))
+    val oriented = und
+      .join(rank.withColumnRenamed("u", "src_u").withColumnRenamed("rank", "ru"),
+        col("u") === col("src_u"))
+      .join(rank.withColumnRenamed("u", "src_v").withColumnRenamed("rank", "rv"),
+        col("v") === col("src_v"))
+      .filter(col("ru") < col("rv"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val wedges = oriented.select(col("src").as("pivot"), col("dst").as("x"))
+      .join(oriented.select(col("src").as("pivot"), col("dst").as("y")), "pivot")
+      .filter(col("x") =!= col("y"))
+    val closed = wedges.join(oriented,
+      col("x") === col("src") && col("y") === col("dst"))
+    val nTri = closed.count().toDouble
+    val nWedge = deg.agg(coalesce(sum(col("deg") * (col("deg") - 1) / lit(2)),
+      lit(0.0))).head.getDouble(0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nTri.toLong, nWedge.toLong,
+      math.floor(3.0 * nTri / nWedge * 1e6 + 0.5) / 1e6))
+      .toDF("n_triangles", "n_wedges", "clustering_coeff")
   }
 
   def entries: Map[String, Q] = Map(
@@ -142,7 +240,44 @@ object Graph {
     // not just the plumbing.
     "q_pagerank" -> Q(
       (s, d) => pageRank(purchaseEdges(s, d))
-        .select(col("id"), round(col("rank") * lit(1e6), 6).as("rank_ppm")),
-      pageRankOracle(Iters, Damping))
+        .select(displayId(col("id")).as("id"),
+          round(col("rank") * lit(1e6), 6).as("rank_ppm")),
+      pageRankOracle(Iters, Damping)),
+
+    // triangle census over the min-support co-purchase graph: degree
+    // orientation bounds wedge-join work on hubs (see triangleCensus);
+    // the oracle replays the identical support filter + orientation +
+    // wedge + closing join, so the gate checks the counting
+    // construction itself.
+    "q_triangles" -> Q(
+      (s, d) => triangleCensus(coPurchaseEdges(s, d)),
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT u, count(*) AS deg FROM und GROUP BY u
+        |), rk AS (
+        |  SELECT u, deg * 4294967296 + u AS rk FROM deg
+        |), o AS (
+        |  SELECT und.u AS src, und.v AS dst FROM und
+        |  JOIN rk ru ON und.u = ru.u
+        |  JOIN rk rv ON und.v = rv.u
+        |  WHERE ru.rk < rv.rk
+        |), tri AS (
+        |  SELECT count(*) AS n FROM o e1
+        |  JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+        |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        |), w AS (
+        |  SELECT coalesce(sum(deg * (deg - 1) / 2), 0.0) AS nw FROM deg
+        |)
+        |SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+        |  CAST(w.nw AS BIGINT) AS n_wedges,
+        |  round(3.0 * tri.n / w.nw, 6) AS clustering_coeff
+        |FROM tri, w""".stripMargin)
   )
 }

@@ -389,4 +389,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == (("short doc", 0)))
     assert(out(3L) == ((s"$b z", 20)))
   }
+
+  test("pagerank conserves probability mass and ranks the hub supplier highest") {
+    val r = run("q_pagerank").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // total mass stays 1.0 (in ppm: 1e6) — the dangling-mass term is
+    // load-bearing on this bipartite graph (suppliers are all sinks);
+    // without redistribution ~d of the mass drains per pass
+    val total = r.values.sum
+    assert(math.abs(total - 1e6) < 1.0, s"mass drained: $total ppm")
+    // every supplier out-ranks the uniform share (they receive all
+    // customer mass), customers sit below it
+    val n = r.size.toDouble
+    val uniform = 1e6 / n
+    val (supp, cust) = r.partition(_._1.startsWith("s"))
+    assert(supp.values.min > uniform, "suppliers must be above uniform")
+    assert(cust.values.max < uniform, "customers must be below uniform")
+  }
+
+  test("triangle census matches a hand-built graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a pendant edge (4,5): 4 triangles,
+    // wedges = 3 nodes of deg 3 (3 wedges each) + deg-4 node (6) + leaf 0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val row = graft.operators.Graph.triangleCensus(edges).head
+    assert(row.getLong(0) == 4, s"triangles: ${row.getLong(0)}")
+    assert(row.getLong(1) == 15, s"wedges: ${row.getLong(1)}")
+    assert(math.abs(row.getDouble(2) - 3.0 * 4 / 15) < 1e-6)
+  }
 }

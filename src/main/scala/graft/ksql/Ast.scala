@@ -51,7 +51,10 @@ case class CreateAsSelect(
 case class InsertInto(target: String, select: SelectStmt) extends Statement
 case class InsertValues(target: String, columns: Seq[String],
                         values: Seq[String]) extends Statement // literal row
-case class PrintRows(source: String, limit: Int) extends Statement // PRINT name
+case class PrintRows(source: String, limit: Int,
+    interval: Int = 1,                 // INTERVAL n: every nth record
+    fromBeginning: Boolean = false     // accepted for KSQL syntax parity
+) extends Statement // PRINT name [FROM BEGINNING] [INTERVAL n] [LIMIT n]
 case class Query(select: SelectStmt) extends Statement
 case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABLES
 case class Describe(name: String, extended: Boolean = false) extends Statement

@@ -205,10 +205,15 @@ object Parser {
           InsertValues(target, cols.result(), vals.result())
         } else InsertInto(target, parseSelect(p))
       } else if (p.accept("PRINT")) {
-        // PRINT 'name' | PRINT name [LIMIT n] — peek at a source's rows
+        // PRINT 'name'|name [FROM BEGINNING] [INTERVAL n] [LIMIT n] —
+        // peek at a source's rows (full KSQL 5.x option surface)
         val name = p.next().text
+        val fromBeginning =
+          if (p.accept("FROM")) { p.expect("BEGINNING"); true } else false
+        val interval = if (p.accept("INTERVAL")) limitOperand(p) else 1
+        if (interval < 1) p.fail("INTERVAL must be >= 1")
         val limit = if (p.accept("LIMIT")) limitOperand(p) else 10
-        PrintRows(name, limit)
+        PrintRows(name, limit, interval, fromBeginning)
       } else if (p.accept("SHOW") || p.accept("LIST")) {
         // LIST is KSQL's synonym for SHOW
         if (p.accept("TABLES")) ShowSources(tables = true)

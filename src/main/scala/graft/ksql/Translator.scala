@@ -1324,13 +1324,34 @@ object Translator {
         val row = spark.sql(s"SELECT ${projected.mkString(", ")}")
         val merged = tgt.copy(df = tgt.df.unionByName(row))
         (catalog + (target.toLowerCase -> merged), Some(merged.df))
-      case PrintRows(name, limit) =>
+      case PrintRows(name, limit, interval, _) =>
+        // FROM BEGINNING is accepted for syntax parity and is the only
+        // behavior a file-backed source has (there is no "latest"
+        // offset to tail without a running consumer).
         val src = catalog.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"unknown source $name"))
         if (src.df.isStreaming) throw new IllegalArgumentException(
           s"PRINT on streaming source $name needs a running sink — " +
             "use SELECT ... EMIT CHANGES with a writer instead")
-        (catalog, Some(src.df.limit(limit)))
+        val sampled = if (interval <= 1) src.df else {
+          // INTERVAL n: every nth record in the source's time order —
+          // a debug peek over a bounded prefix, NOT a distributed
+          // operator (the row_number window reads limit·n rows, never
+          // the corpus; reproducible-at-scale sampling is
+          // q_sample_stratified's hash-based op)
+          import org.apache.spark.sql.expressions.Window
+          val ordCol = if (src.df.columns.contains(src.timeColumn))
+            col(src.timeColumn) else col(src.df.columns.head)
+          // ordered take (TakeOrderedAndProject): the prefix is the
+          // limit·n EARLIEST records, deterministically, not an
+          // arbitrary split's first rows
+          val prefix = src.df.orderBy(ordCol).limit(limit * interval)
+          prefix
+            .withColumn("__rn", row_number().over(Window.orderBy(ordCol)))
+            .filter((col("__rn") - 1) % interval === 0)
+            .drop("__rn")
+        }
+        (catalog, Some(sampled.limit(limit)))
       case Query(sel) => (catalog, Some(select(spark, catalog, sel)))
       case ShowSources(_) =>
         import spark.implicits._

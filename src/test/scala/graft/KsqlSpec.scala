@@ -290,6 +290,23 @@ class KsqlSpec extends SparkSpec {
     val (_, Some(page)) = Translator.run(spark, cat2,
       "PRINT events LIMIT 5"): @unchecked
     assert(page.count() == 5)
+    // full KSQL option surface: FROM BEGINNING accepted; INTERVAL n
+    // samples every nth record of the time-ordered prefix
+    // sample over the ORIGINAL catalog (the inserted row has ts NULL,
+    // which would sort first in the time-ordered prefix)
+    val (_, Some(sampled)) = Translator.run(spark, catalog,
+      "PRINT events FROM BEGINNING INTERVAL 3 LIMIT 4"): @unchecked
+    val got = sampled.collect()
+    // every 3rd of the 12 EARLIEST records: 4 rows, all within the
+    // 12th-smallest timestamp (tie-tolerant bound)
+    assert(got.length == 4)
+    val cutoff = Tables.events(spark, sfDir).orderBy(col("ts")).limit(12)
+      .collect().map(_.getAs[java.sql.Timestamp]("ts")).max
+    assert(got.forall(!_.getAs[java.sql.Timestamp]("ts").after(cutoff)))
+    val bad = intercept[IllegalArgumentException] {
+      Translator.run(spark, cat2, "PRINT events INTERVAL 0")
+    }
+    assert(bad.getMessage.contains("INTERVAL must be >= 1"))
     val e = intercept[IllegalArgumentException] {
       Translator.run(spark, cat2,
         "INSERT INTO events (event_id) VALUES (1, 2)")

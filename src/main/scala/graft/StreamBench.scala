@@ -143,7 +143,14 @@ object StreamBench {
         .withWatermark("ts", "2 minutes")
         .groupBy(session_window(col("ts"), "45 seconds"), col("user_id"))
         .agg(count(lit(1)).as("cnt")),
-        "append"))
+        "append"),
+      // the legacy custom-state API: flatMapGroupsWithState running
+      // count+sum per key (997 keys, one small state row each). Its
+      // Spark-4 successor probe (tws_latest) runs below under RocksDB —
+      // the pair is a per-batch-overhead A/B of the two state APIs.
+      ("fmgws_running", df => graft.streaming.KsqlTable
+        .runningAggregate(df, "user_id", "value"),
+        "update"))
     // second batch-size point (round-8 verdict ask): the default point
     // sits near the micro-batch floor, where per-trigger overhead
     // dominates; 4× the rows per batch shows how much of the measured
@@ -174,22 +181,40 @@ object StreamBench {
     // under RocksDB so the backend's price is ON RECORD, not assumed.
     // providerClass is read at query start, so setting it around this
     // one probe scopes it (probes run sequentially on this session).
-    val rocksJoin = {
+    val underRocks = {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try driveJoin(spark, batches, batchRows).copy(name = "interval_join_rocksdb")
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[streambench] interval_join_rocksdb failed: $e")
-          Result("interval_join_rocksdb", -1.0, -1.0, -1.0)
-      } finally prev match {
+      val rocksJoin =
+        try driveJoin(spark, batches, batchRows).copy(name = "interval_join_rocksdb")
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streambench] interval_join_rocksdb failed: $e")
+            Result("interval_join_rocksdb", -1.0, -1.0, -1.0)
+        }
+      // transformWithState REQUIRES a multi-column-family store —
+      // RocksDB only (HDFSBacked throws UNSUPPORTED_FEATURE), so the
+      // Spark-4 state-API probe lives in this scoped block. Compare
+      // against fmgws_running above for the API A/B (same keyspace,
+      // same one-row-per-key state).
+      val tws =
+        try drive(spark, "tws_latest_rocksdb", batches, batchRows, rows,
+          df => graft.streaming.KsqlTable
+            .latestWithState(df, "user_id", "event_id", "value"),
+          "update")
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streambench] tws_latest_rocksdb failed: $e")
+            Result("tws_latest_rocksdb", -1.0, -1.0, -1.0)
+        }
+      prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+      Seq(rocksJoin, tws)
     }
-    single :+ join :+ rocksJoin
+    single ++ (join +: underRocks)
   }
 
   /** Stream-stream interval join (WITHIN) — the one stateful-operator

@@ -51,6 +51,23 @@ object QueryControl {
     q
   }
 
+  /** ksqlDB's CREATE OR REPLACE query-upgrade semantic: stop the
+    * running instance of `name` (if any), swap in the NEW definition's
+    * start thunk, and start it against the same sink + checkpoint —
+    * committed offsets carry over, so rows processed under the old
+    * definition are not reprocessed and new input flows through the
+    * new logic. Spark permits filter/projection changes across a
+    * checkpoint restart (the upgrade classes ksqlDB allows without a
+    * new query id); stateful-shape changes fail at start() exactly as
+    * they should. */
+  def replaceRegistered(spark: SparkSession, name: String)
+      (start: => StreamingQuery): StreamingQuery = {
+    activeByName(spark, name).foreach { q => q.stop(); q.awaitTermination() }
+    val q = start
+    regFor(spark).put(name, Entry(() => start, paused = false))
+    q
+  }
+
   /** PAUSE <name|ALL>: stop the running query, keep it resumable.
     * Returns the names paused. Unregistered names are refused —
     * stopping a query we cannot restart would be TERMINATE in

@@ -1336,6 +1336,58 @@ class KsqlSpec extends SparkSpec {
       .filter(x => Option(x.name).contains("pausable")).foreach(_.stop())
   }
 
+  test("CREATE OR REPLACE upgrade: swap a running query's logic, offsets carry over") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_upg_in").toString
+    val out = Files.createTempDirectory("graft_upg_out").toString
+    val ckpt = Files.createTempDirectory("graft_upg_ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def write(name: String, ids: Seq[Long]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$in/$name.csv"),
+        ids.mkString("", "\n", "\n"))
+    def sinkIds(): Set[Long] = {
+      val files = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      if (!files.exists(_.getName.startsWith("part-"))) Set.empty
+      else spark.read.schema("id LONG").parquet(out)
+        .collect().map(_.getLong(0)).toSet
+    }
+    def start(filter: org.apache.spark.sql.Column) =
+      spark.readStream.schema(schema).csv(in).filter(filter)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .queryName("upgradable").outputMode("append").start()
+    import org.apache.spark.sql.functions.{col => c}
+    write("b1", Seq(1L, 2L, 3L, 4L))
+    val v1 = graft.ksql.QueryControl.startRegistered(spark, "upgradable")(
+      start(c("id") > 0)) // v1: pass everything
+    try {
+      v1.processAllAvailable()
+      assert(sinkIds() == Set(1L, 2L, 3L, 4L))
+      // upgrade in place: evens only. The v1 batch is NOT reprocessed
+      // (3 stays in the sink — committed offsets carry over); the new
+      // batch flows through the NEW filter.
+      val v2 = graft.ksql.QueryControl.replaceRegistered(spark, "upgradable")(
+        start(c("id") % 2 === 0))
+      assert(!v1.isActive)
+      write("b2", Seq(5L, 6L, 7L, 8L))
+      v2.processAllAvailable()
+      assert(sinkIds() == Set(1L, 2L, 3L, 4L, 6L, 8L))
+      // the upgraded query stays PAUSE/RESUME-able under its name with
+      // the NEW definition
+      Translator.run(spark, Map.empty, "PAUSE upgradable")
+      assert(!v2.isActive)
+      write("b3", Seq(9L, 10L))
+      Translator.run(spark, Map.empty, "RESUME upgradable")
+      val v3 = spark.streams.active
+        .find(x => Option(x.name).contains("upgradable")).get
+      v3.processAllAvailable()
+      assert(sinkIds() == Set(1L, 2L, 3L, 4L, 6L, 8L, 10L))
+    } finally spark.streams.active
+      .filter(x => Option(x.name).contains("upgradable")).foreach(_.stop())
+  }
+
   test("RUN SCRIPT executes a statement file, threading the catalog") {
     val f = java.nio.file.Files.createTempFile("graft_script", ".ksql")
     java.nio.file.Files.write(f,

@@ -430,6 +430,102 @@ object EventAnalytics {
         |FROM events e JOIN st ON e.event_type = st.event_type"""
         .stripMargin),
 
+    // chi-square independence test (event_type × value band): the
+    // contingency table is ONE partial→final count aggregate; margins
+    // and the statistic fold in a SECOND tiny aggregate over the
+    // |types|×|bands| cell table — no window, no broadcast-back, the
+    // whole test is two linear passes. The workhorse drift/association
+    // test next to q_psi_drift's distribution comparison.
+    "q_chi_square" -> Q(
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(col("event_type"),
+            when(col("value") < 25, "lo")
+              .when(col("value") < 75, "mid").otherwise("hi").as("band"))
+          .groupBy(col("event_type"), col("band"))
+          .agg(count(lit(1)).as("obs"))
+        val wT = Window.partitionBy(col("event_type"))
+        val wB = Window.partitionBy(col("band"))
+        // margins via two bounded windows over the CELL table (cells =
+        // |types|·|bands| rows, corpus-size-independent)
+        cells
+          .withColumn("row_tot", sum(col("obs")).over(wT))
+          .withColumn("col_tot", sum(col("obs")).over(wB))
+          .crossJoin(broadcast(cells.agg(sum(col("obs")).as("n"))))
+          .withColumn("exp", col("row_tot") * col("col_tot") / col("n"))
+          .agg(
+            round(sum((col("obs") - col("exp")) * (col("obs") - col("exp"))
+              / col("exp")), 6).as("chi2"),
+            ((countDistinct(col("event_type")) - 1) *
+              (countDistinct(col("band")) - 1)).as("dof"),
+            max(col("n")).cast("long").as("n"))
+      },
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 25 THEN 'lo'
+        |         WHEN value < 75 THEN 'mid' ELSE 'hi' END AS band,
+        |    count(*) AS obs
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *,
+        |    sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+        |    sum(obs) OVER (PARTITION BY band) AS col_tot,
+        |    (SELECT sum(obs) FROM cells) AS n
+        |  FROM cells
+        |)
+        |SELECT
+        |  round(sum((obs - row_tot * col_tot / n)
+        |    * (obs - row_tot * col_tot / n) / (row_tot * col_tot / n)), 6)
+        |    AS chi2,
+        |  (count(DISTINCT event_type) - 1) * (count(DISTINCT band) - 1) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM m""".stripMargin),
+
+    // two-sample Kolmogorov-Smirnov statistic (click vs view value
+    // distributions): per-VALUE conditional counts collapse the corpus
+    // to the value grid (one partial→final aggregate), then the ECDF
+    // difference is a running sum over that BOUNDED grid — the same
+    // constant-frame window class as q_pack_sequences' bucket totals
+    // (allowlisted in the global plan guard; at 100 TB continuous
+    // values get quantile-bucketed to a fixed grid first, exactly like
+    // q_psi_drift's deciles, so the frame stays corpus-independent).
+    "q_ks_test" -> Q(
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("value"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per
+          .withColumn("ca", sum(col("a")).over(w))
+          .withColumn("cb", sum(col("b")).over(w))
+          .crossJoin(broadcast(per.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))))
+          .agg(round(max(abs(col("ca") / col("na") - col("cb") / col("nb"))), 6)
+            .as("ks_d"),
+            max(col("na")).cast("long").as("n_click"),
+            max(col("nb")).cast("long").as("n_view"))
+      },
+      """WITH per AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value
+        |), c AS (
+        |  SELECT value,
+        |    sum(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb,
+        |    (SELECT sum(a) FROM per) AS na,
+        |    (SELECT sum(b) FROM per) AS nb
+        |  FROM per
+        |)
+        |SELECT round(max(abs(ca / na - cb / nb)), 6) AS ks_d,
+        |  CAST(max(na) AS BIGINT) AS n_click,
+        |  CAST(max(nb) AS BIGINT) AS n_view
+        |FROM c""".stripMargin),
+
     // theta-sketch audience overlap: |purchasers|, |clickers|, and the
     // intersection/difference/union estimates — all from two KB-sized
     // per-partition-built sketches (see functions.ThetaSketches). HLL

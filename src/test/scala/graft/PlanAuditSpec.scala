@@ -535,8 +535,11 @@ class PlanAuditSpec extends SparkSpec {
     //      PARTITION BY funnels the whole input through one task.
     // Allowlisted: q_pack_sequences' second window runs over the
     // CONSTANT 64-row bucket-offsets frame (two-level prefix sum) —
-    // unpartitioned by design and corpus-size-independent.
-    val unpartitionedWindowOk = Set("q_pack_sequences")
+    // unpartitioned by design and corpus-size-independent; q_ks_test's
+    // ECDF running sum runs over the per-VALUE aggregate (the bounded
+    // value grid — continuous data gets quantile-bucketed first at
+    // scale, like q_psi_drift), same constant-frame class.
+    val unpartitionedWindowOk = Set("q_pack_sequences", "q_ks_test")
     // a Window operator line prints "Window [exprs], [partition],
     // [sort]" with EMPTY lists omitted — so two bracket groups is
     // ambiguous: (exprs, partition) for an orderBy-less window vs

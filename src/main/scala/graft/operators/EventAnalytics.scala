@@ -430,6 +430,53 @@ object EventAnalytics {
         |FROM events e JOIN st ON e.event_type = st.event_type"""
         .stripMargin),
 
+    // top session paths (round 10): the clickstream "what do users do"
+    // query — sessionize (same 30-min-gap construction as
+    // q_sessionize), collapse each session to its first-5 event-type
+    // path, count path frequencies. ONE user-key window pass feeds ONE
+    // (user, session) aggregate; the path is built inside the
+    // aggregate (sort_array of (ts, event_id, type) structs → slice →
+    // concat) so no second ordering pass exists, and the final count
+    // is a plain partial→final over path strings.
+    "q_event_paths" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("new_sess",
+            when(col("ms") - lag(col("ms"), 1).over(w) > SessionGapMs
+              || lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_seq",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(concat_ws(">", slice(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, 5)).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .filter(col("n_sessions") >= 5)
+      },
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |           OR lag(epoch_ms(ts)) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g
+        |), paths AS (
+        |  SELECT user_id, session_seq,
+        |    array_to_string(
+        |      (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+        |  FROM se GROUP BY user_id, session_seq
+        |)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path HAVING count(*) >= 5""".stripMargin),
+
     // chi-square independence test (event_type × value band): the
     // contingency table is ONE partial→final count aggregate; margins
     // and the statistic fold in a SECOND tiny aggregate over the

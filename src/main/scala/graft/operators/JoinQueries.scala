@@ -338,6 +338,66 @@ object JoinQueries {
         |FROM events s JOIN events p
         |  ON s.user_id = p.user_id
         | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
-        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""".stripMargin)
+        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""".stripMargin),
+
+    // spatial grid join (round 10): suppliers within 100 km of each
+    // customer — the geo analogue of q_range_join's bin alignment.
+    // Coordinates are key-derived (deterministic, like q_geo_distance);
+    // each customer probes its 3×3 neighborhood of 1° grid cells
+    // (1° ≈ 111 km ≥ R, so the cover is exact), candidates come from a
+    // cell EQUI-join (broadcast: the supplier side is dim-sized; at
+    // fact×fact scale the same cell key shuffles both sides), and the
+    // exact haversine runs only on candidates. Never a cross join —
+    // the plan the guard enforces everywhere.
+    "q_geo_join" -> Q(
+      (s, d) => {
+        import graft.functions.KsqlFunctions.geoDistance
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          ((col("c_custkey") % 100) / 2.0 - 20.0).as("c_lat"),
+          ((col("c_custkey") % 160) / 2.0 - 40.0).as("c_lon"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+          ((col("s_suppkey") * 13 % 100) / 2.0 - 20.0).as("s_lat"),
+          ((col("s_suppkey") * 29 % 160) / 2.0 - 40.0).as("s_lon"))
+          .withColumn("cell_lat", floor(col("s_lat")))
+          .withColumn("cell_lon", floor(col("s_lon")))
+        val probes = cust
+          .withColumn("dlat", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("dlon", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("cell_lat", floor(col("c_lat")) + col("dlat"))
+          .withColumn("cell_lon", floor(col("c_lon")) + col("dlon"))
+        probes.join(broadcast(supp), Seq("cell_lat", "cell_lon"))
+          .withColumn("km", geoDistance(col("c_lat"), col("c_lon"),
+            col("s_lat"), col("s_lon"), "KM"))
+          .filter(col("km") <= 100.0)
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_nearby"),
+            round(min(col("km")), 3).as("nearest_km"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 100) / 2.0 - 20.0 AS c_lat,
+        |    (c_custkey % 160) / 2.0 - 40.0 AS c_lon
+        |  FROM customer
+        |), supp AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 13 % 100) / 2.0 - 20.0 AS s_lat,
+        |    (s_suppkey * 29 % 160) / 2.0 - 40.0 AS s_lon
+        |  FROM supplier
+        |), probes AS (
+        |  SELECT c.*, floor(c_lat) + d1.x AS cell_lat,
+        |    floor(c_lon) + d2.x AS cell_lon
+        |  FROM cust c, (VALUES (-1), (0), (1)) d1(x), (VALUES (-1), (0), (1)) d2(x)
+        |), cand AS (
+        |  SELECT c_custkey,
+        |    2 * 6371 * asin(sqrt(least(
+        |      pow(sin(radians(s_lat - c_lat) / 2), 2)
+        |      + cos(radians(c_lat)) * cos(radians(s_lat))
+        |        * pow(sin(radians(s_lon - c_lon) / 2), 2), 1.0))) AS km
+        |  FROM probes p JOIN supp s
+        |    ON p.cell_lat = floor(s.s_lat) AND p.cell_lon = floor(s.s_lon)
+        |)
+        |SELECT c_custkey, count(*) AS n_nearby, round(min(km), 3) AS nearest_km
+        |FROM cand WHERE km <= 100.0
+        |GROUP BY c_custkey""".stripMargin)
   )
 }

@@ -407,6 +407,43 @@ class OperatorsSpec extends SparkSpec {
     assert(cust.values.max < uniform, "customers must be below uniform")
   }
 
+  test("triangle census matches brute force on random graphs; pagerank conserves mass") {
+    import spark.implicits._
+    // deterministic pseudo-random edge sets (no RNG dependency): for
+    // each seed, nodes 1..8 with edges picked by a hash condition —
+    // covers empty, sparse, and near-complete graphs
+    for (seed <- 1 to 8) {
+      val es = for {
+        a <- 1L to 8L; b <- (a + 1) to 8L
+        if ((a * 31 + b * 17 + seed * 101) % 3) == 0
+      } yield (a, b)
+      val eset = es.toSet
+      val nodes = eset.flatMap(e => Set(e._1, e._2))
+      def conn(x: Long, y: Long) =
+        eset.contains((x min y, x max y))
+      // brute force over node triples
+      val triples = nodes.toSeq.sorted.combinations(3).count {
+        case Seq(x, y, z) => conn(x, y) && conn(x, z) && conn(y, z)
+        case _ => false
+      }
+      val wedges = nodes.toSeq.map { v =>
+        val dv = eset.count(e => e._1 == v || e._2 == v).toLong
+        dv * (dv - 1) / 2
+      }.sum
+      if (es.nonEmpty) {
+        val row = graft.operators.Graph.triangleCensus(es.toDF("a", "b")).head
+        assert(row.getLong(0) == triples, s"seed=$seed triangles")
+        assert(row.getLong(1) == wedges, s"seed=$seed wedges")
+        // pagerank over the same graph (directed a→b): mass sums to 1
+        val pr = graft.operators.Graph.pageRank(
+          es.toDF("src", "dst").selectExpr("CAST(src AS STRING) src",
+            "CAST(dst AS STRING) dst"))
+          .agg(org.apache.spark.sql.functions.sum("rank")).head.getDouble(0)
+        assert(math.abs(pr - 1.0) < 1e-9, s"seed=$seed mass=$pr")
+      }
+    }
+  }
+
   test("triangle census matches a hand-built graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a pendant edge (4,5): 4 triangles,

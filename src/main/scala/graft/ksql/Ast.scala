@@ -64,6 +64,12 @@ case object ShowQueries extends Statement                   // SHOW QUERIES
 case class Terminate(id: String) extends Statement          // TERMINATE <id>|ALL
 case class Pause(id: String) extends Statement              // PAUSE <id>|ALL
 case class Resume(id: String) extends Statement             // RESUME <id>|ALL
+case class AssertExists(                                    // ASSERT [NOT EXISTS] ...
+    kind: String,             // TOPIC | STREAM | TABLE | SCHEMA
+    name: String,             // source name, or registry SUBJECT for SCHEMA
+    registry: Option[String], // SCHEMA: REGISTRY 'dir' (else session property)
+    notExists: Boolean,
+    timeoutMs: Long) extends Statement
 case class RunScript(path: String) extends Statement        // RUN SCRIPT '<path>'
 case class SetProp(key: String, value: String) extends Statement  // SET 'k'='v'
 case class UnsetProp(key: String) extends Statement         // UNSET 'k'

@@ -249,6 +249,28 @@ object Parser {
         while (!p.done) sb.append(p.next().text)
         if (sb.isEmpty) p.fail("TERMINATE expects a query id, name, or ALL")
         Terminate(sb.toString)
+      } else if (p.accept("ASSERT")) {
+        // ksqlDB testing surface:
+        //   ASSERT [NOT EXISTS] TOPIC|STREAM|TABLE name [TIMEOUT n SECONDS]
+        //   ASSERT [NOT EXISTS] SCHEMA SUBJECT 'x' [REGISTRY 'dir']
+        //                                          [TIMEOUT n SECONDS]
+        val notExists =
+          if (p.accept("NOT")) { p.expect("EXISTS"); true } else false
+        val kindTok = p.next().up
+        if (!Set("TOPIC", "STREAM", "TABLE", "SCHEMA").contains(kindTok))
+          p.fail(s"ASSERT expects TOPIC, STREAM, TABLE or SCHEMA, got $kindTok")
+        val (name, registry) = if (kindTok == "SCHEMA") {
+          p.expect("SUBJECT")
+          val subj = p.next().text
+          val reg = if (p.accept("REGISTRY")) Some(p.next().text) else None
+          (subj, reg)
+        } else (p.next().text, None)
+        val timeoutMs = if (p.accept("TIMEOUT")) {
+          val n = limitOperand(p).toLong
+          p.expect("SECONDS")
+          n * 1000L
+        } else 0L
+        AssertExists(kindTok, name, registry, notExists, timeoutMs)
       } else if (p.accept("PAUSE")) {
         // same UUID rejoin as TERMINATE
         val sb = new StringBuilder

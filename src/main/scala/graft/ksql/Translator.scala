@@ -1470,6 +1470,37 @@ object Translator {
           Option(q.name).foreach(QueryControl.forget(spark, _))
         }
         (catalog, None)
+      case AssertExists(kind, name, registry, notExists, timeoutMs) =>
+        import spark.implicits._
+        // the condition is re-checked every 50 ms until it holds or the
+        // timeout lapses (ksqlDB's contract: materialization is async
+        // in a real cluster; with graft's synchronous translator the
+        // poll usually resolves on the first probe, but the timeout
+        // semantics are preserved for REST/multi-server use)
+        def exists(): Boolean = kind match {
+          case "SCHEMA" =>
+            val reg = registry
+              .orElse(propsFor(spark).get("ksql.schema.registry"))
+              .getOrElse(throw new IllegalArgumentException(
+                "ASSERT SCHEMA needs REGISTRY 'dir' or SET " +
+                  "'ksql.schema.registry'='dir'"))
+            try graft.sources.SchemaRegistry(spark, reg).versions(name).nonEmpty
+            catch { case scala.util.control.NonFatal(_) => false }
+          case _ => catalog.contains(name.toLowerCase)
+        }
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        var ok = exists() == !notExists
+        while (!ok && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          ok = exists() == !notExists
+        }
+        if (!ok) throw new IllegalArgumentException(
+          s"Assertion failed: $kind $name " +
+            (if (notExists) "still exists" else "does not exist") +
+            (if (timeoutMs > 0) s" after ${timeoutMs / 1000} s" else ""))
+        (catalog, Some(Seq((kind, name,
+          if (notExists) "ABSENT" else "EXISTS"))
+          .toDF("kind", "name", "state")))
       case Pause(id) =>
         import spark.implicits._
         val names = QueryControl.pause(spark, id)

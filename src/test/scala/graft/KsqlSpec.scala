@@ -1388,6 +1388,47 @@ class KsqlSpec extends SparkSpec {
       .filter(x => Option(x.name).contains("upgradable")).foreach(_.stop())
   }
 
+  test("ASSERT TOPIC/STREAM/SCHEMA verify existence with timeout semantics") {
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val (_, Some(ok)) = Translator.run(spark, catalog,
+      "ASSERT TOPIC events"): @unchecked
+    assert(ok.head.getString(2) == "EXISTS")
+    val (_, Some(ok2)) = Translator.run(spark, catalog,
+      "ASSERT NOT EXISTS STREAM nope"): @unchecked
+    assert(ok2.head.getString(2) == "ABSENT")
+    // failure waits out the timeout, then names the condition
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog, "ASSERT TABLE nope TIMEOUT 1 SECONDS")
+    }
+    assert((System.nanoTime() - t0) / 1e9 >= 0.9)
+    assert(e.getMessage.contains("Assertion failed") &&
+      e.getMessage.contains("does not exist"))
+    val e2 = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog, "ASSERT NOT EXISTS TOPIC events")
+    }
+    assert(e2.getMessage.contains("still exists"))
+    // SCHEMA against a real registry dir: register then assert, both
+    // inline REGISTRY and the session property form
+    val reg = java.nio.file.Files.createTempDirectory("graft_assert_reg").toString
+    val schema = org.apache.avro.SchemaBuilder.record("r").fields()
+      .requiredLong("id").endRecord()
+    graft.sources.SchemaRegistry(spark, reg).register("t-value", schema)
+    val (_, Some(s1)) = Translator.run(spark, catalog,
+      s"ASSERT SCHEMA SUBJECT 't-value' REGISTRY '$reg'"): @unchecked
+    assert(s1.head.getString(2) == "EXISTS")
+    Translator.run(spark, catalog, s"SET 'ksql.schema.registry' = '$reg'")
+    val (_, Some(s2)) = Translator.run(spark, catalog,
+      "ASSERT SCHEMA SUBJECT 't-value'"): @unchecked
+    assert(s2.head.getString(2) == "EXISTS")
+    val e3 = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog, "ASSERT SCHEMA SUBJECT 'missing'")
+    }
+    assert(e3.getMessage.contains("Assertion failed"))
+    Translator.run(spark, catalog, "UNSET 'ksql.schema.registry'")
+  }
+
   test("RUN SCRIPT executes a statement file, threading the catalog") {
     val f = java.nio.file.Files.createTempFile("graft_script", ".ksql")
     java.nio.file.Files.write(f,

@@ -103,6 +103,60 @@ final class SchemaRegistry(root: String, conf: Configuration) {
     next
   }
 
+  /** Confluent-style GLOBAL schema ids (the 4-byte id every
+    * wire-format record embeds). Assigned on first request per
+    * (subject, version), persisted as `_ids/<id>` files whose content
+    * is "subject version" — create-without-overwrite makes concurrent
+    * assignment race-safe (the loser re-reads and retries). All
+    * metadata-sized driver work, like the rest of the registry. */
+  private def idsDir = new Path(rootPath, "_ids")
+
+  /** id → (subject, version) for every assigned global id. */
+  def allIds(): Map[Int, (String, Int)] = {
+    if (!fs.exists(idsDir)) return Map.empty
+    fs.listStatus(idsDir).toSeq.flatMap { st =>
+      val id = scala.util.Try(st.getPath.getName.toInt).toOption
+      id.map { i =>
+        val in = fs.open(st.getPath)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val Array(subj, ver) = content.trim.split(' ')
+        i -> (subj, ver.toInt)
+      }
+    }.toMap
+  }
+
+  def idFor(subject: String, version: Int): Option[Int] =
+    allIds().collectFirst { case (id, (s, v)) if s == subject && v == version => id }
+
+  /** The global id for (subject, version), assigning the next free id
+    * if none exists yet. */
+  def ensureId(subject: String, version: Int): Int = {
+    require(versions(subject).contains(version),
+      s"no version $version registered under $subject")
+    var attempt = 0
+    while (attempt < 100) {
+      idFor(subject, version) match {
+        case Some(id) => return id
+        case None =>
+          val next = allIds().keys.maxOption.getOrElse(0) + 1
+          try {
+            val out = fs.create(new Path(idsDir, next.toString), false)
+            try out.write(s"$subject $version".getBytes("UTF-8"))
+            finally out.close()
+            return next
+          } catch { case _: java.io.IOException => attempt += 1 } // lost the race
+      }
+    }
+    throw new IllegalStateException("could not assign a global schema id")
+  }
+
+  def schemaById(id: Int): (String, Int, Schema) = {
+    val (subj, ver) = allIds().getOrElse(id,
+      throw new IllegalArgumentException(s"unknown global schema id $id"))
+    (subj, ver, schemaAt(subj, ver))
+  }
+
   /** Read an avro container dir through the subject's LATEST registered
     * schema — the standard registry-consumer posture: every historical
     * writer version in the dir resolves (defaults / drops / promotions)

@@ -94,7 +94,7 @@ object Sources {
     rec
   }
 
-  private def sparkTypeOf(s: org.apache.avro.Schema)
+  private[sources] def sparkTypeOf(s: org.apache.avro.Schema)
   : (org.apache.spark.sql.types.DataType, Boolean) = {
     import org.apache.avro.{LogicalTypes, Schema => ASchema}
     import org.apache.spark.sql.types._
@@ -148,9 +148,33 @@ object Sources {
     stats.toIndexedSeq.map(st => (st.getPath.toString, st.getLen)).sorted
   }
 
+  /** Convert one Row to a generic record under the given avro schema
+    * (Spark Timestamp → timestamp-micros long, Binary → ByteBuffer).
+    * Shared by the container writer and the wire-format encoder. */
+  private[sources] def rowToRecord(row: org.apache.spark.sql.Row,
+                                   schema: StructType,
+                                   aSchema: org.apache.avro.Schema)
+  : org.apache.avro.generic.GenericRecord = {
+    import org.apache.spark.sql.types._
+    val rec = new org.apache.avro.generic.GenericData.Record(aSchema)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (row.isNullAt(i)) null else f.dataType match {
+        case TimestampType =>
+          val ts = row.getAs[java.sql.Timestamp](i)
+          java.lang.Long.valueOf(
+            Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+              ts.getNanos / 1000L)
+        case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+        case _ => row.get(i).asInstanceOf[AnyRef]
+      }
+      rec.put(f.name, v)
+    }
+    rec
+  }
+
   /** Convert one generic record to a Row under `schema` (by-name field
     * lookup, target-type driven conversion). */
-  private def recordToRow(rec: org.apache.avro.generic.GenericRecord,
+  private[sources] def recordToRow(rec: org.apache.avro.generic.GenericRecord,
                           schema: StructType): org.apache.spark.sql.Row = {
     import org.apache.spark.sql.types._
     org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { f =>
@@ -357,22 +381,8 @@ object Sources {
             org.apache.avro.generic.GenericRecord](aSchema))
         writer.setSyncInterval(syncInterval)
         writer.create(aSchema, os)
-        try it.foreach { row =>
-          val rec = new org.apache.avro.generic.GenericData.Record(aSchema)
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            val v = if (row.isNullAt(i)) null else f.dataType match {
-              case TimestampType =>
-                val ts = row.getAs[java.sql.Timestamp](i)
-                java.lang.Long.valueOf(
-                  Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
-                    ts.getNanos / 1000L)
-              case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-              case _ => row.get(i).asInstanceOf[AnyRef]
-            }
-            rec.put(f.name, v)
-          }
-          writer.append(rec)
-        } finally writer.close()
+        try it.foreach(row => writer.append(rowToRecord(row, schema, aSchema)))
+        finally writer.close()
       }
       Iterator.empty[Int]
     }.count(): Unit

@@ -150,4 +150,55 @@ class SchemaRegistrySpec extends SparkSpec {
       (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
     assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some("eu"))))
   }
+
+  test("global ids are stable, race-safe files, and resolvable back to schemas") {
+    val reg = SchemaRegistry(spark, s"$tmp/ids")
+    reg.register("a-value", record(f("id", ASchema.Type.LONG)))
+    reg.register("b-value", record(f("x", ASchema.Type.STRING)))
+    val id1 = reg.ensureId("a-value", 1)
+    val id2 = reg.ensureId("b-value", 1)
+    assert(id1 != id2)
+    assert(reg.ensureId("a-value", 1) == id1) // stable on re-request
+    val (subj, ver, sch) = reg.schemaById(id2)
+    assert(subj == "b-value" && ver == 1 && sch.getField("x") != null)
+    intercept[IllegalArgumentException](reg.schemaById(9999))
+    intercept[IllegalArgumentException](reg.ensureId("a-value", 99))
+  }
+
+  test("wire format round-trips, decodes mixed writer versions, rejects corrupt bytes") {
+    import graft.sources.WireFormat
+    import spark.implicits._
+    val root = s"$tmp/wire"
+    // v1 producer: (id, name)
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val w1 = WireFormat.encode(d1, root, "t-value")
+    val bytes1 = w1.collect().map(_.getAs[Array[Byte]](0))
+    // exact Confluent layout: magic 0, big-endian global id
+    assert(bytes1.forall(_(0) == 0))
+    val reg = SchemaRegistry(spark, root)
+    val wantId = reg.ensureId("t-value", 1)
+    assert(bytes1.forall(b =>
+      java.nio.ByteBuffer.wrap(b, 1, 4).getInt == wantId))
+    // v2 producer adds a defaulted column (BACKWARD-compatible)
+    val d2 = Seq((3L, "c", "eu")).toDF("id", "name", "region")
+    val w2 = WireFormat.encode(d2, root, "t-value")
+    // consumer: decode the MIXED stream through the latest schema —
+    // v1 records surface the defaulted region
+    val mixed = w1.union(w2)
+    val back = WireFormat.decode(spark, mixed, root, "t-value")
+    assert(back.columns.toSeq == Seq("id", "name", "region"))
+    // v1 records surface the null-defaulted region (avroSchemaFor maps
+    // a nullable Spark column to a null-defaulted union)
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some("eu"))))
+    // corrupt records fail loudly, never decode as garbage
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("value")
+    val e = intercept[org.apache.spark.SparkException] {
+      WireFormat.decode(spark, bad, root, "t-value").collect()
+    }
+    assert(e.getMessage.contains("wire-format")
+      || Option(e.getCause).exists(_.getMessage.contains("wire-format")))
+  }
 }

@@ -1173,6 +1173,20 @@ object Translator {
                 case "JSON" => spark.read.schema(schema).json(path)
                 case "DELIMITED" => spark.read.schema(schema)
                   .option("header", "true").csv(path)
+                case "WIRE" =>
+                  // Confluent wire format: the PATH is a "topic dump" —
+                  // a parquet of binary `value` records, each magic 0 +
+                  // global schema id + avro body. Registry + subject
+                  // are REQUIRED (the wire format is meaningless
+                  // without id resolution); every record decodes
+                  // through the subject's latest schema.
+                  (props.get("SCHEMA_REGISTRY"), props.get("SUBJECT")) match {
+                    case (Some(reg), Some(subj)) =>
+                      graft.sources.WireFormat.decode(spark,
+                        spark.read.parquet(path), reg, subj)
+                    case _ => throw new IllegalArgumentException(
+                      "VALUE_FORMAT='WIRE' needs WITH (SCHEMA_REGISTRY=…, SUBJECT=…)")
+                  }
                 case "AVRO" =>
                   // WITH (SCHEMA_REGISTRY='dir', SUBJECT='s'): registry
                   // consumer posture — decode every writer version in
@@ -1243,7 +1257,17 @@ object Translator {
           val sized = props.get("PARTITIONS")
             .map(n => df.repartition(n.toInt)).getOrElse(df)
           val fmt = props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase
-          if (fmt == "AVRO") {
+          if (fmt == "WIRE") {
+            // wire-format producer: register (compatibility-checked),
+            // stamp the global id, land a binary-value "topic dump"
+            (props.get("SCHEMA_REGISTRY"), props.get("SUBJECT")) match {
+              case (Some(reg), Some(subj)) =>
+                graft.sources.WireFormat.encode(sized, reg, subj)
+                  .write.mode("overwrite").parquet(path)
+              case _ => throw new IllegalArgumentException(
+                "VALUE_FORMAT='WIRE' needs WITH (SCHEMA_REGISTRY=…, SUBJECT=…)")
+            }
+          } else if (fmt == "AVRO") {
             // avroSink manages the directory itself (FS-API writes);
             // PARTITION BY layout is parquet/json/csv-only for now.
             // WITH (SCHEMA_REGISTRY, SUBJECT): producer posture —

@@ -1388,6 +1388,41 @@ class KsqlSpec extends SparkSpec {
       .filter(x => Option(x.name).contains("upgradable")).foreach(_.stop())
   }
 
+  test("VALUE_FORMAT='WIRE' round-trips a topic dump through the dialect") {
+    import java.nio.file.Files
+    val reg = Files.createTempDirectory("graft_wire_reg").toString
+    val dump = Files.createTempDirectory("graft_wire_dump").toString + "/t"
+    val catalog: Translator.Catalog =
+      Map("orders" -> Translator.Source(Tables.orders(spark, sfDir), "o_orderdate"))
+    val (c1, _) = Translator.run(spark, catalog,
+      s"""CREATE STREAM big WITH (PATH='$dump', VALUE_FORMAT='WIRE',
+         |  SCHEMA_REGISTRY='$reg', SUBJECT='big-value')
+         |AS SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > 400000""".stripMargin)
+    // the dump is REAL wire format: binary column, magic 0 + id
+    val raw = spark.read.parquet(dump).collect()
+    assert(raw.nonEmpty && raw.forall(_.getAs[Array[Byte]]("value")(0) == 0))
+    // consumer: bind a fresh stream off the dump via the registry
+    val (_, _) = (0, 0)
+    val (c2, _) = Translator.run(spark, c1,
+      s"""CREATE STREAM back (o_orderkey BIGINT, o_totalprice DOUBLE)
+         |WITH (PATH='$dump', VALUE_FORMAT='WIRE',
+         |  SCHEMA_REGISTRY='$reg', SUBJECT='big-value',
+         |  TIMESTAMP='o_orderkey')""".stripMargin)
+    val got = c2("back").df.collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice"))).toSet
+    val want = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).toSet
+    assert(got == want && got.nonEmpty)
+    // missing registry props fail loudly on both sides
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, catalog,
+        s"CREATE STREAM x (a BIGINT) WITH (PATH='$dump', VALUE_FORMAT='WIRE')")
+    }
+    assert(e.getMessage.contains("SCHEMA_REGISTRY"))
+  }
+
   test("ASSERT TOPIC/STREAM/SCHEMA verify existence with timeout semantics") {
     val catalog: Translator.Catalog =
       Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))

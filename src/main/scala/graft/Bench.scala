@@ -116,7 +116,27 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, results)
     }
 
+    // Host-contention instrumentation (round-10 ADVICE: identical builds
+    // benched 24.4→59.8 s across driver runs with zero code change — the
+    // record needs to carry its own adjudication). Two signals per run:
+    //   - load1: the 1-min system load average. Sampled BEFORE the first
+    //     suite it is external load (this process hasn't generated any
+    //     yet); sampled after a run it is mostly self-load decaying.
+    //   - cpu_sec / util: this JVM's process-CPU delta across the run and
+    //     its share of wall×cores. Equal work ⇒ roughly equal cpu_sec; a
+    //     wall-time spike WITHOUT a cpu_sec spike and with low util means
+    //     the host stole cycles (noise), while a matching cpu_sec rise
+    //     means the plan really did more work (regression).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec: Double = osBean.getProcessCpuTime / 1e9
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val load1Start = osBean.getSystemLoadAverage
+
+    val cpu0 = cpuSec
     val (total1, results1) = runSuite(SparkEntry.queries.keys.toSeq)
+    val cpu1 = cpuSec
+    val load1AfterRun1 = osBean.getSystemLoadAverage
     // run 2 submits LONGEST-FIRST by run 1's own measurements (LPT
     // scheduling): under a fixed-width pool, a heavy query submitted
     // late runs alone after everything else drains and the wall becomes
@@ -127,6 +147,8 @@ object Bench {
     // would actually use is the point of the second run.
     val order2 = results1.sortBy(-_._2).map(_._1)
     val (total2, results2) = runSuite(order2)
+    val cpu2 = cpuSec
+    val load1AfterRun2 = osBean.getSystemLoadAverage
 
     // solo pass (round-8 verdict ask): the suite runs 8-way overlapped,
     // so a query's wall time includes whatever contended with it — the
@@ -181,8 +203,19 @@ object Bench {
     // of stdout for them, and a ~4 KB line with all ~180 queries starts
     // outside that window (rounds 1-3 were never parsed). Headline =
     // one representative per operator family + every query ≥ p90 cost.
+    def util(cpu: Double, wall: Double): Double =
+      if (wall <= 0) 0.0 else cpu / (wall * nCores)
+    val hostJson =
+      s"""{"cores":$nCores,"load1_start":${fmt(load1Start)},""" +
+        s""""load1_after_run1":${fmt(load1AfterRun1)},""" +
+        s""""load1_after_run2":${fmt(load1AfterRun2)},""" +
+        s""""run1_cpu_sec":${fmt(cpu1 - cpu0)},""" +
+        s""""run1_util":${fmt(util(cpu1 - cpu0, total1))},""" +
+        s""""run2_cpu_sec":${fmt(cpu2 - cpu1)},""" +
+        s""""run2_util":${fmt(util(cpu2 - cpu1, total2))}}"""
     val detail =
       s"""{"sf":"$sfDir",
+         |"host":$hostJson,
          |"run1":{"total":${fmt(total1)},"queries":${fmtMap(results1)}},
          |"run2":{"total":${fmt(total2)},"queries":${fmtMap(results2)}},
          |"phases":${fmtMap(phases)},
@@ -202,11 +235,14 @@ object Bench {
     // ~3.5 KB line with per-query maps started outside that window
     // (BENCH_r09 parsed:null). Every per-query/phase/solo/streaming
     // number lives in BENCH_DETAIL.json (committed) and on stderr.
+    // cpu_sec/util on the stdout lines (still ~220 chars, far inside the
+    // tail window): the driver-side record adjudicates its own noise —
+    // near-equal cpu_sec across runs with diverging walls = host theft.
     val prepTotal = phases.map(_._2).sum
     println(
-      s"""{"metric":"total","run":1,"value":${fmt(total1)},"unit":"sec","n_queries":${results1.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","run":1,"value":${fmt(total1)},"unit":"sec","n_queries":${results1.size},"cpu_sec":${fmt(cpu1 - cpu0)},"util":${fmt(util(cpu1 - cpu0, total1))},"sf":"$sfDir"}""")
     println(
-      s"""{"metric":"total","run":2,"value":${fmt(total2)},"unit":"sec","n_queries":${results2.size},"both_runs":[${fmt(total1)},${fmt(total2)}],"prepare_sec":${fmt(prepTotal)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","run":2,"value":${fmt(total2)},"unit":"sec","n_queries":${results2.size},"both_runs":[${fmt(total1)},${fmt(total2)}],"prepare_sec":${fmt(prepTotal)},"cpu_sec":${fmt(cpu2 - cpu1)},"util":${fmt(util(cpu2 - cpu1, total2))},"load1":${fmt(load1Start)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

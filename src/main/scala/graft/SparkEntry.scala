@@ -17,6 +17,7 @@ object SparkEntry {
       Multimodal.entries ++ AnalyticsQueries.entries ++
       EventAnalytics.entries ++
       WarehouseQueries.entries ++ Search.entries ++ Regression.entries ++
+      DataQuality.entries ++
       Pca.entries ++ Graph.entries ++
       graft.ksql.KsqlQueries.entries
 
@@ -35,6 +36,7 @@ object SparkEntry {
     * needs no special handling — the first query call builds lazily. */
   def prepares: Map[String, (SparkSession, String) => Unit] =
     CoreQueries.prepares ++ Similarity.prepares ++ Dedup.prepares ++
+      JoinQueries.prepares ++
       graft.ksql.KsqlQueries.prepares
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round (see Rounding)
+
+/** Deequ-style declarative data-quality validation (the
+  * "unit tests for data" layer every 100 TB ingest pipeline runs before
+  * a drop of data reaches training): completeness, uniqueness,
+  * accepted-value and range conformance, referential integrity, and
+  * distribution summaries, emitted as one tall (check_name, metric)
+  * frame a scheduler can threshold on.
+  *
+  * Scale posture — the whole suite is THREE scans, not one per check:
+  *   - every per-column metric over a table folds into ONE partial
+  *     aggregate (a single HashAggregate pass producing a 1-row frame:
+  *     counts, conformance counters, means, extrema all together — at
+  *     100 TB the scan dominates, so checks must share it);
+  *   - exact uniqueness is its own pass (a distinct count cannot share
+  *     the partial-agg buffer without an Expand cascade — the q_profile
+  *     round-8 lesson);
+  *   - referential integrity is a LEFT SEMI join on the FK (no row
+  *     widening, map-side pruning under AQE; the 1-row result frames
+  *     are then cross-joined — three single-row inputs — and unpivoted
+  *     via stack() into the tall report).
+  */
+object DataQuality {
+
+  def entries: Map[String, Q] = Map(
+    // The validation suite over lineitem/orders: 10 checks, 3 scans.
+    "q_dq_checks" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        // scan 1: every lineitem metric in one partial-agg pass.
+        // Fractions are exact-int count ratios (bit-stable across
+        // partition orderings — a float avg over CASE values would sum
+        // in nondeterministic order); means of integer-valued doubles
+        // are exact sums < 2^53, rounded only as a compare guard.
+        val liAgg = li.agg(
+          count(lit(1)).cast("double").as("dq_rows_lineitem"),
+          (count(col("l_shipdate")) / count(lit(1)))
+            .as("dq_completeness_shipdate"),
+          (count(when(col("l_returnflag").isin("A", "N", "R"), 1)) /
+            count(lit(1))).as("dq_accepted_returnflag"),
+          (count(when(col("l_discount").between(0.0, 0.1), 1)) /
+            count(lit(1))).as("dq_range_discount"),
+          (count(when(col("l_quantity") > 0, 1)) / count(lit(1)))
+            .as("dq_positive_quantity"),
+          round(avg(col("l_quantity")), 6).as("dq_mean_quantity"),
+          round(max(col("l_extendedprice")), 6).as("dq_max_extendedprice"))
+        // scan 2: orders key uniqueness + FK-column completeness
+        val ordAgg = ord.agg(
+          (countDistinct(col("o_orderkey")) / count(lit(1)))
+            .as("dq_unique_orderkey"),
+          (count(col("o_custkey")) / count(lit(1)))
+            .as("dq_completeness_custkey"))
+        // scan 3: referential integrity lineitem.l_orderkey ⊆ orders —
+        // LEFT SEMI keeps only matching FK rows (never widens), so the
+        // metric is matched/total. The total reuses scan 1's count via
+        // the cross join below rather than a fourth scan.
+        val matched = li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .agg(count(lit(1)).cast("double").as("dq_fk_matched"))
+        val row = liAgg.crossJoin(ordAgg).crossJoin(matched)
+          .withColumn("dq_fk_containment_orderkey",
+            col("dq_fk_matched") / col("dq_rows_lineitem"))
+          .drop("dq_fk_matched")
+        val checks = row.columns
+        row.selectExpr(
+          s"stack(${checks.length}, " +
+            checks.map(c => s"'$c', `$c`").mkString(", ") +
+            ") as (check_name, metric)")
+      },
+      """WITH li AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS dq_rows_lineitem,
+        |    count(l_shipdate) / count(*) AS dq_completeness_shipdate,
+        |    count(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 END)
+        |      / count(*) AS dq_accepted_returnflag,
+        |    count(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 END)
+        |      / count(*) AS dq_range_discount,
+        |    count(CASE WHEN l_quantity > 0 THEN 1 END) / count(*)
+        |      AS dq_positive_quantity,
+        |    round(avg(l_quantity), 6) AS dq_mean_quantity,
+        |    round(max(l_extendedprice), 6) AS dq_max_extendedprice
+        |  FROM lineitem
+        |), ord AS (
+        |  SELECT count(DISTINCT o_orderkey) / count(*) AS dq_unique_orderkey,
+        |    count(o_custkey) / count(*) AS dq_completeness_custkey
+        |  FROM orders
+        |), fk AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS dq_fk_matched FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |), onerow AS (
+        |  SELECT li.*, ord.*, fk.dq_fk_matched / li.dq_rows_lineitem
+        |    AS dq_fk_containment_orderkey
+        |  FROM li, ord, fk
+        |)
+        |SELECT u.check_name, u.metric FROM onerow,
+        |  LATERAL (VALUES
+        |    ('dq_rows_lineitem', dq_rows_lineitem),
+        |    ('dq_completeness_shipdate', dq_completeness_shipdate),
+        |    ('dq_accepted_returnflag', dq_accepted_returnflag),
+        |    ('dq_range_discount', dq_range_discount),
+        |    ('dq_positive_quantity', dq_positive_quantity),
+        |    ('dq_mean_quantity', dq_mean_quantity),
+        |    ('dq_max_extendedprice', dq_max_extendedprice),
+        |    ('dq_unique_orderkey', dq_unique_orderkey),
+        |    ('dq_completeness_custkey', dq_completeness_custkey),
+        |    ('dq_fk_containment_orderkey', dq_fk_containment_orderkey)
+        |  ) AS u(check_name, metric)""".stripMargin)
+  )
+}

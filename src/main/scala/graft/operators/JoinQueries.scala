@@ -398,6 +398,76 @@ object JoinQueries {
         |)
         |SELECT c_custkey, count(*) AS n_nearby, round(min(km), 3) AS nearest_km
         |FROM cand WHERE km <= 100.0
-        |GROUP BY c_custkey""".stripMargin)
+        |GROUP BY c_custkey""".stripMargin),
+
+    // Bucketed co-located join + aggregation — the write-once/join-free
+    // layout lever for a 100 TB fact table: orders and customer are both
+    // bucketed (and per-bucket sorted, one file per bucket) on custkey at
+    // write time, so the join needs NO exchange on either side and the
+    // per-custkey aggregation reuses the same distribution — the whole
+    // plan has ZERO ShuffleExchange nodes (asserted in PlanAuditSpec).
+    // hint("merge") pins sort-merge: at test SF Spark would broadcast
+    // customer and the gate would silently measure the wrong (and at
+    // 100 TB impossible — customer is fact-sized there) strategy.
+    "q_bucketed_join" -> Q(
+      (s, d) => {
+        JoinQueries.bucketedPrepare(s, d)
+        val (oTbl, cTbl) = JoinQueries.bucketedNames(d)
+        s.table(oTbl).hint("merge")
+          .join(s.table(cTbl), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+      },
+      """SELECT o_custkey, c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin)
   )
+
+  /** Bench's separately-timed prepare phase for the bucketed layout. */
+  def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
+    Map("q_bucketed_join" -> ((s, d) => bucketedPrepare(s, d)))
+
+  /** Deterministic per-sf-dir table names (the session catalog is scoped
+    * to the JVM, so names only need to be stable and collision-free). */
+  private[operators] def bucketedNames(d: String): (String, String) = {
+    val h = Integer.toHexString(d.hashCode)
+    (s"b_orders_$h", s"b_customer_$h")
+  }
+
+  private val bucketLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Write-once bucketed layout: both tables bucketed on custkey with the
+    * SAME bucket count, repartitioned to one file per bucket so the
+    * sorted-bucket metadata also elides the merge-join sorts. External
+    * location under /tmp (the catalog entry is session-scoped; the data
+    * dir is reused if the same JVM re-prepares). Idempotent + thread-safe:
+    * bench's 8-way pool may race two queries into the first call.
+    */
+  private[operators] def bucketedPrepare(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    bucketLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val (oTbl, cTbl) = bucketedNames(d)
+      if (!s.catalog.tableExists(oTbl) || !s.catalog.tableExists(cTbl)) {
+        val n = 16
+        val base = java.nio.file.Files
+          .createTempDirectory("bucketed_join").toString
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(n, col("o_custkey"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$base/orders")
+          .bucketBy(n, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(oTbl)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .repartition(n, col("c_custkey"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$base/customer")
+          .bucketBy(n, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(cTbl)
+      }
+    }
 }

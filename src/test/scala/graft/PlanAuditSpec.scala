@@ -35,6 +35,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many shuffles ($exchanges)\n$p")
   }
 
+  test("bucketed co-located join + per-key agg runs with ZERO shuffles") {
+    // Both sides bucketed on custkey at write time (one file per bucket,
+    // per-bucket sorted), so the merge join AND the per-custkey aggregate
+    // reuse the write-time distribution: a plan with any Exchange here
+    // means the layout lever is broken and a 100 TB fact join re-shuffles.
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join plan must have no shuffle exchange\n$p")
+  }
+
+  test("dq-checks suite shares scans: three aggregates, no row widening") {
+    val p = plan("q_dq_checks")
+    // the FK-containment branch must be a semi join, never an outer/inner
+    // join that widens rows before counting
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count") || "HashAggregate.*partial".r.findFirstIn(p).isDefined, p)
+  }
+
   test("aggregation is map-side partial before the shuffle") {
     val p = plan("q_agg_core")
     assert(p.contains("partial_sum") || p.contains("partial_count")

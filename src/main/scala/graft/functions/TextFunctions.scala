@@ -47,6 +47,15 @@ object TextFunctions {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   }
 
+  /** Jaro-Winkler similarity (DuckDB-identical semantics) — native
+    * codegen scorer for blocked record-linkage joins; see
+    * graftbridge.JaroWinkler. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, JaroWinkler}
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Driver-side twin of [[stableHash32]] for baking constants into plans. */
   def stableHash32Static(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -37,23 +37,28 @@ object DataQuality {
         // partition orderings — a float avg over CASE values would sum
         // in nondeterministic order); means of integer-valued doubles
         // are exact sums < 2^53, rounded only as a compare guard.
+        // nullif guards: ANSI mode errors on x/0, and the validation
+        // suite must stay TOTAL on a 0-row table (the empty-input gate)
+        // — a null metric, not a crash, is the right answer there.
+        val nLi = nullif(count(lit(1)), lit(0L))
         val liAgg = li.agg(
           count(lit(1)).cast("double").as("dq_rows_lineitem"),
-          (count(col("l_shipdate")) / count(lit(1)))
+          (count(col("l_shipdate")) / nLi)
             .as("dq_completeness_shipdate"),
           (count(when(col("l_returnflag").isin("A", "N", "R"), 1)) /
-            count(lit(1))).as("dq_accepted_returnflag"),
+            nLi).as("dq_accepted_returnflag"),
           (count(when(col("l_discount").between(0.0, 0.1), 1)) /
-            count(lit(1))).as("dq_range_discount"),
-          (count(when(col("l_quantity") > 0, 1)) / count(lit(1)))
+            nLi).as("dq_range_discount"),
+          (count(when(col("l_quantity") > 0, 1)) / nLi)
             .as("dq_positive_quantity"),
           round(avg(col("l_quantity")), 6).as("dq_mean_quantity"),
           round(max(col("l_extendedprice")), 6).as("dq_max_extendedprice"))
         // scan 2: orders key uniqueness + FK-column completeness
+        val nOrd = nullif(count(lit(1)), lit(0L))
         val ordAgg = ord.agg(
-          (countDistinct(col("o_orderkey")) / count(lit(1)))
+          (countDistinct(col("o_orderkey")) / nOrd)
             .as("dq_unique_orderkey"),
-          (count(col("o_custkey")) / count(lit(1)))
+          (count(col("o_custkey")) / nOrd)
             .as("dq_completeness_custkey"))
         // scan 3: referential integrity lineitem.l_orderkey ⊆ orders —
         // LEFT SEMI keeps only matching FK rows (never widens), so the
@@ -65,7 +70,7 @@ object DataQuality {
           .agg(count(lit(1)).cast("double").as("dq_fk_matched"))
         val row = liAgg.crossJoin(ordAgg).crossJoin(matched)
           .withColumn("dq_fk_containment_orderkey",
-            col("dq_fk_matched") / col("dq_rows_lineitem"))
+            col("dq_fk_matched") / nullif(col("dq_rows_lineitem"), lit(0.0)))
           .drop("dq_fk_matched")
         val checks = row.columns
         row.selectExpr(

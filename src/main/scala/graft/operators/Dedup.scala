@@ -489,6 +489,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Jaro-Winkler record-linkage pairs: fuzzyPairs' blocking (lang,
+    * length bucket, first token — linear candidate volume), scored by
+    * the native codegen'd similarity on a fixed prefix. Threshold 0.85
+    * is the conventional record-linkage match cut. */
+  def jaroWinklerPairs(docs: DataFrame, prefixLen: Int = 60,
+                       minSim: Double = 0.85): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      expr("n_chars DIV 100").as("len_bucket"),
+      split(col("text"), " ").getItem(0).as("tok0"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    val a = d.select(col("lang"), col("len_bucket"), col("tok0"),
+      col("doc_id").as("id_a"), col("pre").as("pre_a"))
+    val b = d.select(col("lang"), col("len_bucket"), col("tok0"),
+      col("doc_id").as("id_b"), col("pre").as("pre_b"))
+    a.join(b, Seq("lang", "len_bucket", "tok0"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", graft.functions.TextFunctions
+        .jaroWinkler(col("pre_a"), col("pre_b")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("jw"))
+  }
+
   /** Connected components over a near-dup pair graph: assigns every doc
     * in the graph its cluster id (the minimum doc_id reachable), the
     * step that turns pairwise near-dup hits into keep-one-per-cluster
@@ -882,6 +904,26 @@ object Dedup {
         |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
         |  AND a.tok0 = c.tok0 AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.pre, c.pre) <= 30""".stripMargin),
+
+    // Record-linkage scoring with the native Jaro-Winkler expression
+    // (graftbridge.JaroWinkler — codegen'd, DuckDB-identical semantics):
+    // same linear-bounded blocking as q_dedup_fuzzy, but scored with the
+    // prefix-boosted similarity record linkage actually uses for names/
+    // titles — levenshtein penalizes a late typo the same as an early
+    // one, Jaro-Winkler weighs agreeing prefixes, which is the signal
+    // for entity keys. Full oracle: DuckDB ships the same function.
+    "q_jaro_winkler" -> Q(
+      (s, d) => jaroWinklerPairs(Tables.documents(s, d)),
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    string_split(text, ' ')[1] AS tok0, substr(text, 1, 60) AS pre
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  round(jaro_winkler_similarity(a.pre, c.pre), 6) AS jw
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
+        |  AND a.tok0 = c.tok0 AND a.doc_id < c.doc_id
+        |WHERE jaro_winkler_similarity(a.pre, c.pre) >= 0.85""".stripMargin),
 
     "q_dedup_components" -> Q(
       (s, d) => fuzzyComponents(s, d),

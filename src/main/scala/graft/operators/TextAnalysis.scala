@@ -186,6 +186,44 @@ object TextAnalysis {
           lit(0)).cast("int").as("n_removed"))
   }
 
+  /** CCNet/C4-style boilerplate removal by DOCUMENT FREQUENCY: split
+    * each doc into consecutive `segWords`-word segments, count how many
+    * DISTINCT docs each segment occurs in, and delete every occurrence
+    * of any segment reaching `minDf` docs (headers, footers, nav bars,
+    * license blurbs — text shared across documents is boilerplate, not
+    * content). Differs from spanStrip (keep-first, pairwise-repeat
+    * driven) in both trigger (cross-doc df threshold) and action
+    * (remove ALL copies): the two are the complementary halves real
+    * curation pipelines run.
+    *
+    * Scale shape: segments reduce to xxhash64 keys before any shuffle —
+    * the df count and the boilerplate anti-join both move 8-byte
+    * hashes, never segment text (text re-joins only per-doc for the
+    * rewrite); the df aggregate partial-combines map-side, so a
+    * million-copy footer costs one row per task, and reassembly is one
+    * per-doc groupBy with an in-group sort bounded by doc length. */
+  def boilerplateStrip(docs: DataFrame, segWords: Int = 8,
+                       minDf: Int = 2): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("seg_id", expr(s"pos DIV $segWords"))
+      .groupBy(col("doc_id"), col("seg_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("seg"))
+      .withColumn("h", xxhash64(col("seg")))
+    val boiler = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+    segs.join(boiler, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+            x => x.getField("seg")), " ").as("cleaned"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a per-stratum
     * rate using a stable hash of the id — reproducible across runs,
     * engines and cluster sizes (no RNG state), the standard way to cut
@@ -530,6 +568,27 @@ object TextAnalysis {
   // ---- driver-verifiable entries ------------------------------------
 
   def entries: Map[String, Q] = Map(
+    // df-threshold boilerplate removal (see boilerplateStrip). The
+    // oracle replays segmentation, the distinct-doc df count, and the
+    // rewritten text verbatim — the whole operator hash-checks.
+    "q_line_dedup" -> Q(
+      (s, d) => boilerplateStrip(Tables.documents(s, d)),
+      """WITH t2 AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), seg AS (
+        |  SELECT doc_id, (ord - 1) // 8 AS seg_id,
+        |    string_agg(tok, ' ' ORDER BY ord) AS seg
+        |  FROM t2 GROUP BY 1, 2
+        |), bp AS (
+        |  SELECT seg FROM seg GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_id) AS cleaned
+        |FROM seg WHERE seg NOT IN (SELECT seg FROM bp)
+        |GROUP BY doc_id""".stripMargin),
+
     "q_dsir_weights" -> Q(
       (s, d) => dsirWeights(Tables.documents(s, d)),
       """WITH tok AS (

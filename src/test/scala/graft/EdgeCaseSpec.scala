@@ -336,4 +336,57 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sampledMean > corpusMean * 0.9,
       f"sampled mean $sampledMean%.0f vs corpus $corpusMean%.0f")
   }
+
+  test("boilerplate strip removes cross-doc segments, keeps unique content, drops empty docs") {
+    // 4-word segments; 'the same footer here' is shared by docs 1+2 →
+    // removed from BOTH; doc 3 is nothing but the footer → drops out;
+    // doc 4 shares nothing → untouched.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the same footer here"),
+      (2L, "epsilon zeta eta theta the same footer here"),
+      (3L, "the same footer here"),
+      (4L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(docs, segWords = 4, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("cleaned"))).toMap
+    assert(out == Map(
+      1L -> (1L, "alpha beta gamma delta"),
+      2L -> (1L, "epsilon zeta eta theta"),
+      4L -> (1L, "iota kappa lambda mu")))
+  }
+
+  test("jaro_winkler matches the published reference values + DuckDB conventions") {
+    import org.apache.spark.sql.graftbridge.JaroWinklerImpl.{similarity => jw}
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // the canonical textbook pairs
+    assert(close(jw(u("MARTHA"), u("MARHTA")), 0.9611111111111111))
+    assert(close(jw(u("DWAYNE"), u("DUANE")), 0.8400000000000001))
+    assert(close(jw(u("DIXON"), u("DICKSONX")), 0.8133333333333332))
+    // DuckDB conventions (each probed against jaro_winkler_similarity):
+    // empty side → 0, even both-empty; identical → 1
+    assert(jw(u(""), u("")) == 0.0)
+    assert(jw(u("a"), u("")) == 0.0)
+    assert(jw(u("abc"), u("abc")) == 1.0)
+    // boost only above jaro 0.7: common 2-prefix but jaro 0.5 stays 0.5
+    assert(close(jw(u("ABCDEFGH"), u("ABXXXXXX")), 0.5))
+    // prefix cap 4: 6 common chars boost like 4
+    assert(close(jw(u("PREFIX123"), u("PREFIXXYZ")), 0.8666666666666666))
+    // no matches within the window → 0
+    assert(jw(u("ab"), u("ba")) == 0.0)
+    // ODD half-transposition count floors (the long-string divergence
+    // that a naive halves/2.0 gets wrong — caught against DuckDB)
+    assert(close(jw(
+      u("merge key part vector data order window spark row table cust"),
+      u("merge fast part customer spark slow big stream order stream ")),
+      0.861360544217687))
+    // null in, null out through the Column path; codegen == interpreted
+    val df = Seq(("martha", "marhta"), (null, "x"), ("x", null))
+      .toDF("a", "b")
+      .select(TextFunctions.jaroWinkler(col("a"), col("b")).as("s"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, GetJsonObject, Length, Lower, Upper}
-import org.apache.spark.sql.graftbridge.{DotProduct, JaccardSorted, MinHashSignature, NfcNormalize, SquaredL2Distance, StableHash32, WordShingleHashes}
+import org.apache.spark.sql.graftbridge.{DotProduct, JaccardSorted, JaroWinkler, MinHashSignature, NfcNormalize, SquaredL2Distance, StableHash32, WordShingleHashes}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so pure-SQL users (spark.sql, JDBC,
@@ -44,6 +44,9 @@ object GraftExtensions {
     ("stable_hash32", info("stable_hash32",
       "stable_hash32(s) - first 4 md5 bytes as unsigned 32-bit long"),
       (args: Seq[Expression]) => StableHash32(args(0))),
+    ("jaro_winkler", info("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-identical semantics)"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),
     ("nfc_normalize", info("nfc_normalize",
       "nfc_normalize(s) - Unicode NFC canonical composition (DuckDB-compatible name)"),
       (args: Seq[Expression]) => NfcNormalize(args(0))),

@@ -41,11 +41,20 @@ object ScaleProbe {
   // mean 39 at 10×) and candidate volume measures the all-duplicate
   // pathology, not organic growth. Their controlled exponents are
   // measured on independently-random corpora instead (SURVEY §6).
+  // round 11 adds the new family: q_dq_checks/q_dq_anomaly (shared-scan
+  // aggregates + semi join — linear by shape, on record), q_bucketed_join
+  // (the zero-shuffle layout join; its prepare re-buckets the scratch
+  // copy), q_jaro_winkler (blocked pairs — the vowel-rotated copies
+  // rewrite first tokens, so blocks stay per-copy-sized) and
+  // q_line_dedup (segment df counts — rotated copies keep segments
+  // distinct across copies, so df structure grows organically).
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
     "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
     "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph",
-    "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_jaccard")
+    "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_jaccard",
+    "q_dq_checks", "q_dq_anomaly", "q_bucketed_join", "q_jaro_winkler",
+    "q_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -210,6 +210,25 @@ object KsqlQueries {
         |  CAST(length(text) AS INT) AS n
         |FROM documents WHERE length(text) > 100""".stripMargin),
 
+    // the native Jaro-Winkler scorer reached from KSQL text (the
+    // record-linkage scalar; registered via GraftExtensions so the
+    // dialect's Spark-SQL passthrough resolves it like any built-in)
+    "q_ksql_jaro" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("docs" -> Translator.Source(graft.Tables.documents(s, d), "doc_id"))
+        val (_, Some(df)) = Translator.run(s, cat,
+          """SELECT doc_id,
+            |  JARO_WINKLER(SUBSTRING(text, 1, 40),
+            |    'merge key part vector data order window') AS sim
+            |FROM docs WHERE LEN(text) >= 40""".stripMargin): @unchecked
+        df.select(col("doc_id"), graft.Rounding.round(col("sim"), 6).as("sim"))
+      },
+      """SELECT doc_id,
+        |  round(jaro_winkler_similarity(substr(text, 1, 40),
+        |    'merge key part vector data order window'), 6) AS sim
+        |FROM documents WHERE length(text) >= 40""".stripMargin),
+
     "q_ksql_ctas_window" -> Q(
       (s, d) => {
         val (_, Some(df)) = Translator.run(s, catalogFor(s, d), ctasWindowed): @unchecked

@@ -114,6 +114,50 @@ object DataQuality {
         |    ('dq_unique_orderkey', dq_unique_orderkey),
         |    ('dq_completeness_custkey', dq_completeness_custkey),
         |    ('dq_fk_containment_orderkey', dq_fk_containment_orderkey)
-        |  ) AS u(check_name, metric)""".stripMargin)
+        |  ) AS u(check_name, metric)""".stripMargin),
+
+    // Volume-anomaly detection (Deequ's anomaly checks / freshness
+    // monitors): daily ingest row counts vs a trailing 7-day window —
+    // a day whose count sits >3σ from the trailing mean flags. The
+    // daily-count aggregate reduces the fact table to one row per day
+    // BEFORE the window (partial agg map-side), so the window sort is
+    // over days, never rows — the 100 TB shape for any "alert when
+    // today looks wrong" monitor.
+    "q_dq_anomaly" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val trailing = Window.orderBy(col("day")).rowsBetween(-7, -1)
+        // the flag compares the ROUNDED stats: raw window stddevs land a
+        // last-ulp apart across engines (Welford vs two-pass), and a
+        // 3σ boundary day (|Δ| exactly 3σ) would flip the boolean — the
+        // engine-identical rounded values make the comparison stable.
+        daily
+          .withColumn("mean7", round(avg(col("cnt")).over(trailing), 6))
+          .withColumn("sd7", round(stddev_samp(col("cnt")).over(trailing), 6))
+          .select(col("day"), col("cnt"), col("mean7"), col("sd7"),
+            (col("sd7").isNotNull && col("sd7") > 0 &&
+              abs(col("cnt") - col("mean7")) > col("sd7") * 3)
+              .as("is_anomaly"))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT day, cnt,
+        |    avg(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mean7,
+        |    stddev_samp(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd7
+        |  FROM daily
+        |), r AS (
+        |  SELECT day, cnt, round(mean7, 6) AS mean7, round(sd7, 6) AS sd7
+        |  FROM w
+        |)
+        |SELECT day, cnt, mean7, sd7,
+        |  (sd7 IS NOT NULL AND sd7 > 0 AND abs(cnt - mean7) > sd7 * 3)
+        |    AS is_anomaly
+        |FROM r""".stripMargin)
   )
 }

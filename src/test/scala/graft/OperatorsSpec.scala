@@ -13,7 +13,7 @@ class OperatorsSpec extends SparkSpec {
       JoinQueries.entries, TpchQueries.entries, Dedup.entries, Similarity.entries,
       TextAnalysis.entries, Multimodal.entries, AnalyticsQueries.entries,
       EventAnalytics.entries, WarehouseQueries.entries, Search.entries,
-      Regression.entries, Pca.entries, Graph.entries,
+      Regression.entries, Pca.entries, Graph.entries, DataQuality.entries,
       graft.ksql.KsqlQueries.entries)
     val all = modules.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys

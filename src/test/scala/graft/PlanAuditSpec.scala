@@ -558,7 +558,11 @@ class PlanAuditSpec extends SparkSpec {
     // ECDF running sum runs over the per-VALUE aggregate (the bounded
     // value grid — continuous data gets quantile-bucketed first at
     // scale, like q_psi_drift), same constant-frame class.
-    val unpartitionedWindowOk = Set("q_pack_sequences", "q_ks_test")
+    // q_dq_anomaly's trailing-7-day window runs over the per-DAY
+    // aggregate (one row per calendar day — bounded by the time span,
+    // not the fact-table size), same pre-aggregated class.
+    val unpartitionedWindowOk =
+      Set("q_pack_sequences", "q_ks_test", "q_dq_anomaly")
     // a Window operator line prints "Window [exprs], [partition],
     // [sort]" with EMPTY lists omitted — so two bracket groups is
     // ambiguous: (exprs, partition) for an orderBy-less window vs

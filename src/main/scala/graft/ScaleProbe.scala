@@ -48,13 +48,20 @@ object ScaleProbe {
   // rewrite first tokens, so blocks stay per-copy-sized) and
   // q_line_dedup (segment df counts — rotated copies keep segments
   // distinct across copies, so df structure grows organically).
+  // The incremental-maintenance family probes q_incr_agg (state+delta
+  // merge: both sides grow linearly, the merge is one key shuffle) and
+  // q_incr_delete (retraction: the repair branch must stay pruned to
+  // touched groups as the corpus grows); their prepares rebuild the
+  // state artifacts against the scratch copy. q_dq_quarantine/q_dq_drift
+  // are scan-shaped (zero-shuffle projection / one shared-scan agg).
   private val DefaultQueries = Seq(
     "q_agg_core", "q_join_star", "q_text_entropy", "q_dsir_weights",
     "q_dedup_exact", "q_ann_brute", "q_heavy_hitters", "q_tpch_q3",
     "q_asof_join", "q_novelty", "q_dedup_components", "q_ann_graph",
     "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_jaccard",
     "q_dq_checks", "q_dq_anomaly", "q_bucketed_join", "q_jaro_winkler",
-    "q_line_dedup")
+    "q_line_dedup",
+    "q_incr_agg", "q_incr_delete", "q_dq_quarantine", "q_dq_drift")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -17,7 +17,7 @@ object SparkEntry {
       Multimodal.entries ++ AnalyticsQueries.entries ++
       EventAnalytics.entries ++
       WarehouseQueries.entries ++ Search.entries ++ Regression.entries ++
-      DataQuality.entries ++
+      DataQuality.entries ++ Incremental.entries ++
       Pca.entries ++ Graph.entries ++
       graft.ksql.KsqlQueries.entries
 
@@ -36,7 +36,7 @@ object SparkEntry {
     * needs no special handling — the first query call builds lazily. */
   def prepares: Map[String, (SparkSession, String) => Unit] =
     CoreQueries.prepares ++ Similarity.prepares ++ Dedup.prepares ++
-      JoinQueries.prepares ++
+      JoinQueries.prepares ++ Incremental.prepares ++
       graft.ksql.KsqlQueries.prepares
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's

@@ -158,6 +158,143 @@ object DataQuality {
         |SELECT day, cnt, mean7, sd7,
         |  (sd7 IS NOT NULL AND sd7 > 0 AND abs(cnt - mean7) > sd7 * 3)
         |    AS is_anomaly
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin),
+
+    // Row-level quarantine (the badRecordsPath pattern): every row is
+    // evaluated against the rule set in ONE projection pass — violating
+    // rows land in the quarantine output with the list of failed rules
+    // (concat_ws skips NULLs on both engines, so the reason list needs
+    // no array machinery). At 100 TB this is a scan-speed filter: no
+    // shuffle, no join — the valid branch streams on to training while
+    // this branch is what an operator inspects.
+    "q_dq_quarantine" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          concat_ws(",",
+            when(col("l_quantity") > 45, lit("quantity_gt_45")),
+            when(col("l_discount") > 0.08, lit("discount_gt_8pct")),
+            when(col("l_tax") > 0.06, lit("tax_gt_6pct")),
+            when(col("l_extendedprice") < 1500.0, lit("price_lt_1500")))
+            .as("failed_rules"))
+          .filter(col("failed_rules") =!= "")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(',',
+        |    CASE WHEN l_quantity > 45 THEN 'quantity_gt_45' END,
+        |    CASE WHEN l_discount > 0.08 THEN 'discount_gt_8pct' END,
+        |    CASE WHEN l_tax > 0.06 THEN 'tax_gt_6pct' END,
+        |    CASE WHEN l_extendedprice < 1500.0 THEN 'price_lt_1500' END)
+        |    AS failed_rules
+        |FROM lineitem
+        |WHERE l_quantity > 45 OR l_discount > 0.08 OR l_tax > 0.06
+        |  OR l_extendedprice < 1500.0""".stripMargin),
+
+    // Distribution drift between two time slices (the "did yesterday's
+    // ingest change shape" monitor) in ONE scan: both slices' metrics
+    // are conditional partial aggregates of the same pass — never one
+    // scan per slice. Money means go through exact BIGINT cents (two
+    // float sums over differently-ordered partitions would differ in
+    // the last ulp between engines); fractions are exact-int ratios.
+    "q_dq_drift" -> Q(
+      (s, d) => {
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        val isBase = col("o_orderdate") < cutoff
+        val cents =
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        def frac(slice: org.apache.spark.sql.Column,
+                 cond: org.apache.spark.sql.Column) =
+          count(when(slice && cond, 1)) /
+            nullif(count(when(slice, 1)), lit(0L))
+        val row = Tables.orders(s, d).agg(
+          count(when(isBase, 1)).cast("double").as("base_rows"),
+          count(when(!isBase, 1)).cast("double").as("cur_rows"),
+          (sum(when(isBase, cents)) / lit(100.0) /
+            nullif(count(when(isBase, 1)), lit(0L))).as("base_mean_price"),
+          (sum(when(!isBase, cents)) / lit(100.0) /
+            nullif(count(when(!isBase, 1)), lit(0L))).as("cur_mean_price"),
+          frac(isBase, col("o_orderstatus") === "F").as("base_frac_f"),
+          frac(!isBase, col("o_orderstatus") === "F").as("cur_frac_f"),
+          frac(isBase, col("o_orderpriority") === "1-URGENT")
+            .as("base_frac_urgent"),
+          frac(!isBase, col("o_orderpriority") === "1-URGENT")
+            .as("cur_frac_urgent"))
+        val metrics = Seq("rows", "mean_price", "frac_f", "frac_urgent")
+        row.selectExpr(
+          s"stack(${metrics.length}, " + metrics.map(m =>
+            s"'$m', `base_$m`, `cur_$m`, `cur_$m` - `base_$m`")
+            .mkString(", ") +
+            ") as (metric, base_value, cur_value, drift)")
+      },
+      """WITH one AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (o_orderdate <  TIMESTAMP '1998-01-01')
+        |      AS DOUBLE) AS base_rows,
+        |    CAST(count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01')
+        |      AS DOUBLE) AS cur_rows,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |        FILTER (o_orderdate < TIMESTAMP '1998-01-01') AS BIGINT)
+        |      / 100.0
+        |      / count(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01')
+        |      AS base_mean_price,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |        FILTER (o_orderdate >= TIMESTAMP '1998-01-01') AS BIGINT)
+        |      / 100.0
+        |      / count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01')
+        |      AS cur_mean_price,
+        |    count(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01'
+        |        AND o_orderstatus = 'F') * 1.0
+        |      / count(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01')
+        |      AS base_frac_f,
+        |    count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01'
+        |        AND o_orderstatus = 'F') * 1.0
+        |      / count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01')
+        |      AS cur_frac_f,
+        |    count(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01'
+        |        AND o_orderpriority = '1-URGENT') * 1.0
+        |      / count(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01')
+        |      AS base_frac_urgent,
+        |    count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01'
+        |        AND o_orderpriority = '1-URGENT') * 1.0
+        |      / count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01')
+        |      AS cur_frac_urgent
+        |  FROM orders
+        |)
+        |SELECT u.metric, u.base_value, u.cur_value,
+        |  u.cur_value - u.base_value AS drift
+        |FROM one, LATERAL (VALUES
+        |  ('rows', base_rows, cur_rows),
+        |  ('mean_price', base_mean_price, cur_mean_price),
+        |  ('frac_f', base_frac_f, cur_frac_f),
+        |  ('frac_urgent', base_frac_urgent, cur_frac_urgent)
+        |) AS u(metric, base_value, cur_value)""".stripMargin),
+
+    // Per-source freshness (the "is any feed stale" monitor): one scan
+    // reduces events to a row per event_type (max ts); the corpus-wide
+    // high-water mark comes from a window over that TINY grouped frame
+    // (|event types| rows — the pre-aggregated unpartitioned-window
+    // class, never the fact table), so no second scan and no self-join.
+    // Lag compares in exact millis; the stale flag thresholds at 20 min.
+    "q_dq_freshness" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(max(unix_millis(col("ts"))).as("max_ms"))
+          .withColumn("lag_ms", max(col("max_ms")).over(w) - col("max_ms"))
+          .select(col("event_type"), col("max_ms"), col("lag_ms"),
+            (col("lag_ms") > 20L * 60000L).as("is_stale"))
+      },
+      """WITH g AS (
+        |  SELECT event_type, max(epoch_ms(ts)) AS max_ms
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, max_ms,
+        |  (SELECT max(max_ms) FROM g) - max_ms AS lag_ms,
+        |  ((SELECT max(max_ms) FROM g) - max_ms > 20 * 60000)
+        |    AS is_stale
+        |FROM g""".stripMargin)
   )
 }

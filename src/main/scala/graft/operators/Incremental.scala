@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Rounding.round // engine-identical rounding — shadows functions.round
+
+/** Incremental view maintenance — the KSQL TABLE semantic (a persistent
+  * query's output is an incrementally-maintained materialization, never a
+  * recompute) expressed as batch ops over an explicit state artifact.
+  *
+  * This is THE 100 TB pattern the whole reference exists for: a KSQL
+  * `CREATE TABLE AS SELECT … GROUP BY` never rescans its topic — it folds
+  * each new record into per-key state. At batch scale the same algebra
+  * applies: a nightly pipeline that maintains `V = agg(base)` must answer
+  * `agg(base ∪ Δ)` touching only `|state| + |Δ|` rows, not `|base|`.
+  * Each query below demonstrates one class of that algebra, and each
+  * oracle is the FULL recompute — so the gate proves the incremental
+  * answer is indistinguishable from the rescan:
+  *
+  *   - `q_incr_agg` — distributive/algebraic aggregates (count, sum, max,
+  *     avg) via mergeable partial state. State stores EXACT integer
+  *     cents (a double partial re-summed in a different order drifts in
+  *     the last ulp; an incremental state must be lossless, so money
+  *     lives as BIGINT cents and converts to decimal only at the edge).
+  *   - `q_incr_join` — delta-join maintenance of a materialized join
+  *     view: `V' = V ∪ (ΔA ⋈ B)` (dim side broadcast; at 100 TB only the
+  *     delta shuffles — the materialized view is append-only).
+  *   - `q_incr_topk` — bounded-state maintenance: per-group top-k is
+  *     mergeable (`topk(S ∪ Δ) = topk(topk(S) ∪ topk(Δ))`), so the state
+  *     holds k rows per group, never the group's history.
+  *   - `q_incr_delete` — retraction, the hard case: counts and sums
+  *     subtract, but MAX is not retractable — a group whose stored argmax
+  *     row was deleted recomputes from surviving base rows, restricted by
+  *     a broadcast semi-join to exactly the touched groups (with state
+  *     partitioned by key, that scan prunes to the touched partitions;
+  *     untouched groups never rescan).
+  *
+  * The state artifacts are write-once per sf-dir (Bench times them as
+  * separate `prepare_*` phases; Verify builds them lazily on first call),
+  * mirroring the bucketed-join layout pattern.
+  */
+object Incremental {
+
+  /** Orders at-or-after this instant are "the delta" — the increment an
+    * incremental pipeline run processes. Everything before is "base",
+    * folded into the materialized state by the prepare step. */
+  private val Cutoff = "2001-01-01"
+
+  /** Exact integer cents: floor(x*100 + 0.5) — the same primitive-IEEE
+    * half-up recipe as [[graft.Rounding]], kept as BIGINT so partial
+    * states merge exactly (long addition is associative; double is not). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * lit(100.0) + lit(0.5)).cast("long")
+  private def centsSql(e: String) =
+    s"CAST(floor(($e) * 100.0 + 0.5) AS BIGINT)"
+
+  def entries: Map[String, Q] = Map(
+    // ───────────────────────────────────────────────────────────────────
+    // Mergeable-partial-state aggregate maintenance: the per-custkey
+    // order rollup answered from (state ⊎ partial(Δ)) — the orders scan
+    // in this plan carries a pushed o_orderdate >= cutoff filter
+    // (PlanAuditSpec), so base rows are never read back.
+    "q_incr_agg" -> Q(
+      (s, d) => {
+        Incremental.aggStatePrepare(s, d)
+        val state = s.read.parquet(Incremental.aggStateDir(d))
+        val delta = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("o_totalprice"))).as("sum_cents"),
+            max(cents(col("o_totalprice"))).as("max_cents"))
+        state.unionByName(delta)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("cnt")).as("n_orders"),
+            sum(col("sum_cents")).as("sc"),
+            max(col("max_cents")).as("mc"))
+          .select(col("o_custkey"), col("n_orders"),
+            (col("sc") / lit(100.0)).as("sum_price"),
+            (col("mc") / lit(100.0)).as("max_price"),
+            round(col("sc") / lit(100.0) / col("n_orders"), 4)
+              .as("avg_price"))
+      },
+      s"""WITH c AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sc,
+        |    max(${centsSql("o_totalprice")}) AS mc
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o_custkey, n_orders, sc / 100.0 AS sum_price,
+        |  mc / 100.0 AS max_price,
+        |  round(sc / 100.0 / n_orders, 4) AS avg_price
+        |FROM c""".stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
+    // Delta-join view maintenance: V' = V ∪ (Δorders ⋈ customer). The
+    // materialized view is an append-only union branch; only the delta
+    // (date-pushed scan) joins, with the dim side broadcast.
+    "q_incr_join" -> Q(
+      (s, d) => {
+        Incremental.joinViewPrepare(s, d)
+        val view = s.read.parquet(Incremental.joinViewDir(d))
+        val deltaJoined = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("c_mktsegment"), col("o_totalprice"))
+        view.unionByName(deltaJoined)
+      },
+      """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
+    // Bounded-state top-k maintenance: the state holds ONLY k rows per
+    // group (top-k is mergeable), so maintaining a 100 TB leaderboard
+    // costs k·|groups| state rows. Delta rows pre-rank group-locally
+    // before the merge re-rank — the second window sorts ≤ 2k rows per
+    // group, never the history. Ordering is total ((price DESC, orderkey)
+    // tie-break), so the row set is deterministic across engines.
+    "q_incr_topk" -> Q(
+      (s, d) => {
+        Incremental.topkStatePrepare(s, d)
+        val k = 3
+        val state = s.read.parquet(Incremental.topkStateDir(d))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val delta = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+          .select((col("o_custkey") % 10).as("shard"),
+            col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .drop("rk")
+        state.unionByName(delta)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select(col("shard"), col("rk"), col("o_orderkey"),
+            col("o_totalprice"))
+      },
+      """WITH ranked AS (
+        |  SELECT o_custkey % 10 AS shard, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey % 10
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders
+        |)
+        |SELECT shard, rk, o_orderkey, o_totalprice
+        |FROM ranked WHERE rk <= 3""".stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
+    // Retraction with non-retractable-aggregate repair: a deterministic
+    // delete set (l_orderkey ≡ 0 mod 97) retracts from the per-supplier
+    // state — counts/sums subtract exactly (BIGINT cents), and ONLY the
+    // groups whose stored argmax row was deleted (delete-partial max ==
+    // state max) recompute MAX from surviving rows, pruned to those
+    // groups by a broadcast left-semi join. Groups retracted to zero
+    // rows leave the view. The oracle is the full recompute over the
+    // surviving rows — the gate proves subtract+repair ≡ rescan.
+    "q_incr_delete" -> Q(
+      (s, d) => {
+        Incremental.deleteStatePrepare(s, d)
+        val li = Tables.lineitem(s, d)
+        val state = s.read.parquet(Incremental.deleteStateDir(d))
+        val dels = li.filter(col("l_orderkey") % 97 === 0)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("d_cnt"),
+            sum(cents(col("l_extendedprice"))).as("d_sum"),
+            max(cents(col("l_extendedprice"))).as("d_max"))
+        val merged = state
+          .join(dels, Seq("l_suppkey"), "left")
+          .withColumn("n_items", col("cnt") - coalesce(col("d_cnt"), lit(0L)))
+          .withColumn("sc", col("sum_cents") - coalesce(col("d_sum"), lit(0L)))
+        val touched = merged
+          .filter(col("d_max") === col("max_cents"))
+          .select(col("l_suppkey"))
+        val recomputed = li.filter(col("l_orderkey") % 97 =!= 0)
+          .join(broadcast(touched), Seq("l_suppkey"), "left_semi")
+          .groupBy(col("l_suppkey"))
+          .agg(max(cents(col("l_extendedprice"))).as("r_max"))
+        merged.filter(col("n_items") > 0)
+          .join(recomputed, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_items"),
+            (col("sc") / lit(100.0)).as("sum_price"),
+            (coalesce(col("r_max"), col("max_cents")) / lit(100.0))
+              .as("max_price"))
+      },
+      s"""SELECT l_suppkey, count(*) AS n_items,
+        |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) / 100.0
+        |    AS sum_price,
+        |  max(${centsSql("l_extendedprice")}) / 100.0 AS max_price
+        |FROM lineitem WHERE l_orderkey % 97 <> 0
+        |GROUP BY 1""".stripMargin)
+  )
+
+  /** Bench's separately-timed prepare phases for the state artifacts. */
+  def prepares: Map[String, (SparkSession, String) => Unit] = Map(
+    "q_incr_agg" -> ((s, d) => aggStatePrepare(s, d)),
+    "q_incr_join" -> ((s, d) => joinViewPrepare(s, d)),
+    "q_incr_topk" -> ((s, d) => topkStatePrepare(s, d)),
+    "q_incr_delete" -> ((s, d) => deleteStatePrepare(s, d)))
+
+  // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
+  //     bench's 8-way pool may race two queries into the first call) ────
+  private val stateDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def materialize(key: String)(build: String => Unit): String =
+    stateDirs.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(key.replaceAll("[^A-Za-z0-9]", "_")).toString
+      build(dir); dir
+    })
+
+  private def baseOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(Cutoff).cast("timestamp"))
+
+  private[graft] def aggStateDir(d: String): String =
+    stateDirs.get(s"incr_agg_$d")
+  private[graft] def aggStatePrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_agg_$d") { dir =>
+      baseOrders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          max(cents(col("o_totalprice"))).as("max_cents"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private[operators] def joinViewDir(d: String): String =
+    stateDirs.get(s"incr_join_$d")
+  private[operators] def joinViewPrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_join_$d") { dir =>
+      baseOrders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private[operators] def topkStateDir(d: String): String =
+    stateDirs.get(s"incr_topk_$d")
+  private[operators] def topkStatePrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_topk_$d") { dir =>
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      baseOrders(s, d)
+        .select((col("o_custkey") % 10).as("shard"),
+          col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .drop("rk")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private[operators] def deleteStateDir(d: String): String =
+    stateDirs.get(s"incr_del_$d")
+  private[operators] def deleteStatePrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_del_$d") { dir =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("sum_cents"),
+          max(cents(col("l_extendedprice"))).as("max_cents"))
+        .write.mode("overwrite").parquet(dir)
+    }
+}

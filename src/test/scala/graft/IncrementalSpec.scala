@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Incremental
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance: every query's defining property is
+  * incremental ≡ full-recompute. The sf-dir tests check exactly that
+  * equivalence inside Spark (the driver gate re-checks it against
+  * DuckDB); the synthetic delete test hand-builds the three retraction
+  * regimes (max-repair, plain subtract, group-vanishes) that the sf data
+  * only hits probabilistically.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.sorted.sameElements(b.columns.sorted))
+    val cols = a.columns.sorted.map(col).toSeq
+    assert(a.select(cols: _*).exceptAll(b.select(cols: _*)).count() == 0)
+    assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).count() == 0)
+  }
+
+  test("incr_agg: state+delta merge equals the full recompute") {
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val full = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents).as("sc"), max(cents).as("mc"))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("sc") / lit(100.0)).as("sum_price"),
+        (col("mc") / lit(100.0)).as("max_price"),
+        Rounding.round(col("sc") / lit(100.0) / col("n_orders"), 4)
+          .as("avg_price"))
+    assertSameRows(run("q_incr_agg"), full)
+    // the delta is a real increment: base state alone does NOT cover it
+    val state = spark.read.parquet(
+      { Incremental.aggStatePrepare(spark, sfDir)
+        Incremental.aggStateDir(sfDir) })
+    assert(state.agg(sum("cnt")).head.getLong(0) <
+      Tables.orders(spark, sfDir).count())
+  }
+
+  test("incr_join: view ∪ delta-join equals the full join") {
+    val full = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_mktsegment"), col("o_totalprice"))
+    assertSameRows(run("q_incr_join"), full)
+  }
+
+  test("incr_topk: merged bounded state equals the full window top-3") {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 10).as("shard"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("shard"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+    val got = run("q_incr_topk")
+    assertSameRows(got, full)
+    // bounded state: exactly k rows per shard in both state and output
+    assert(got.groupBy("shard").count().filter(col("count") > 3).count() == 0)
+  }
+
+  test("incr_delete: subtract+repair equals recompute on the sf data") {
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+    val full = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 97 =!= 0)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents).as("sc"), max(cents).as("mc"))
+      .select(col("l_suppkey"), col("n_items"),
+        (col("sc") / lit(100.0)).as("sum_price"),
+        (col("mc") / lit(100.0)).as("max_price"))
+    assertSameRows(run("q_incr_delete"), full)
+  }
+
+  test("incr_delete: max-repair, plain subtract, and group-vanish regimes") {
+    // synthetic sf-dir with only the table the operator reads
+    val dir = java.nio.file.Files.createTempDirectory("incr_synth").toString
+    Seq(
+      // supplier 1: the deleted row (orderkey 97) IS the argmax → repair
+      (1L, 97L, 500.00), (1L, 10L, 300.00), (1L, 11L, 100.00),
+      // supplier 2: deleted row is NOT the max → subtract only
+      (2L, 97L, 50.00), (2L, 12L, 400.00), (2L, 13L, 200.00),
+      // supplier 3: every row deleted → group leaves the view
+      (3L, 194L, 700.00), (3L, 291L, 600.00)
+    ).toDF("l_suppkey", "l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_incr_delete")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((2L, 400.00, 300.00))) // max repaired 500 → 300
+    assert(out(2L) == ((2L, 600.00, 400.00))) // max untouched
+  }
+}

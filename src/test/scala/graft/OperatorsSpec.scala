@@ -14,7 +14,7 @@ class OperatorsSpec extends SparkSpec {
       TextAnalysis.entries, Multimodal.entries, AnalyticsQueries.entries,
       EventAnalytics.entries, WarehouseQueries.entries, Search.entries,
       Regression.entries, Pca.entries, Graph.entries, DataQuality.entries,
-      graft.ksql.KsqlQueries.entries)
+      Incremental.entries, graft.ksql.KsqlQueries.entries)
     val all = modules.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: ${dups.mkString(", ")}")

@@ -46,6 +46,29 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed join plan must have no shuffle exchange\n$p")
   }
 
+  test("incr_agg: the delta scan is date-pushed, base is never rescanned") {
+    // Incremental maintenance means the orders table appears ONCE in the
+    // plan (the delta branch), and that scan carries the pushed cutoff
+    // predicate — a second orders scan or an unfiltered one means the
+    // "incremental" query quietly recomputed the base.
+    val p = plan("q_incr_agg")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta scan must push the cutoff filter\n$p")
+  }
+
+  test("incr_delete: repair recompute is a pruned broadcast semi-join") {
+    // The MAX-repair branch may only rescan the TOUCHED groups: the base
+    // scan feeds a LeftSemi against the (broadcast, tiny) touched-key
+    // set. No semi join → the repair path degenerated to a full-group
+    // recompute and the retraction is incremental in name only.
+    val p = plan("q_incr_delete")
+    assert(p.contains("LeftSemi"), s"expected a semi-join prune\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"touched-key set must broadcast\n$p")
+  }
+
   test("dq-checks suite shares scans: three aggregates, no row widening") {
     val p = plan("q_dq_checks")
     // the FK-containment branch must be a semi join, never an outer/inner
@@ -561,8 +584,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_dq_anomaly's trailing-7-day window runs over the per-DAY
     // aggregate (one row per calendar day — bounded by the time span,
     // not the fact-table size), same pre-aggregated class.
+    // q_dq_freshness's high-water-mark window runs over the per-
+    // event-type aggregate (|event types| rows), same class.
     val unpartitionedWindowOk =
-      Set("q_pack_sequences", "q_ks_test", "q_dq_anomaly")
+      Set("q_pack_sequences", "q_ks_test", "q_dq_anomaly", "q_dq_freshness")
     // a Window operator line prints "Window [exprs], [partition],
     // [sort]" with EMPTY lists omitted — so two bracket groups is
     // ambiguous: (exprs, partition) for an orderBy-less window vs

@@ -100,4 +100,55 @@ class IncrementalSpec extends SparkSpec {
     assert(out(1L) == ((2L, 400.00, 300.00))) // max repaired 500 → 300
     assert(out(2L) == ((2L, 600.00, 400.00))) // max untouched
   }
+
+  test("streaming handoff: batch state seeds transformWithState; " +
+    "seed + streamed delta equals the full recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    // transformWithState needs column families → RocksDB store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    // the batch family's state artifact, in the processor's seed shape
+    Incremental.aggStatePrepare(spark, sfDir)
+    val seed = spark.read.parquet(Incremental.aggStateDir(sfDir))
+      .select(col("o_custkey").as("key"), col("cnt"),
+        col("sum_cents"), col("max_cents"))
+    // the same delta the batch query processes, as live input rows
+    val deltaRows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("key"), cents.as("cents"))
+      .as[(Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long)](spark)
+    val out = StreamingIncremental.seededAggregate(
+      mem.toDF().toDF("key", "cents"), seed)
+    val q = out.writeStream.format("memory").queryName("incr_seeded")
+      .outputMode("update").start()
+    // batch 1: half the delta; batch 2: the rest + a NEVER-SEEDED key —
+    // state must carry across batches and absent seeds start from zero
+    val (d1, d2) = deltaRows.splitAt(deltaRows.length / 2)
+    mem.addData(d1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(d2.toIndexedSeq :+ ((999999L, 1234L))); q.processAllAvailable()
+    q.stop()
+    // update mode emits one row per key per batch — keep the LAST
+    val got = spark.table("incr_seeded")
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("cnt"), col("sum_cents"), col("max_cents")),
+        col("cnt")).as("r"))
+      .select(col("key"), col("r.cnt"), col("r.sum_cents"), col("r.max_cents"))
+    val expect = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("key"), cents.as("c"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c")).as("sum_cents"),
+        max(col("c")).as("max_cents"))
+      .filter(col("key").isin(deltaRows.map(_._1).distinct.toIndexedSeq: _*))
+    assertSameRows(got.filter(col("key") =!= 999999L), expect)
+    // the unseeded key aggregated from empty state
+    val fresh = got.filter(col("key") === 999999L).collect()
+    assert(fresh.length == 1 &&
+      fresh.head.getLong(1) == 1L && fresh.head.getLong(2) == 1234L)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -60,6 +60,7 @@ case class ShowSources(tables: Boolean) extends Statement   // SHOW STREAMS|TABL
 case class Describe(name: String, extended: Boolean = false) extends Statement
 case class DropSource(name: String, ifExists: Boolean) extends Statement
 case class ExplainStmt(select: SelectStmt) extends Statement
+case class ExplainQuery(id: String) extends Statement  // EXPLAIN <queryId>
 case object ShowQueries extends Statement                   // SHOW QUERIES
 case class Terminate(id: String) extends Statement          // TERMINATE <id>|ALL
 case class Pause(id: String) extends Statement              // PAUSE <id>|ALL

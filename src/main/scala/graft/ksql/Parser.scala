@@ -317,7 +317,17 @@ object Parser {
         DropSource(p.next().text, ifExists)
         }
       } else if (p.accept("EXPLAIN")) {
-        ExplainStmt(parseSelect(p))
+        // two public forms: EXPLAIN <select> (plan of a statement) and
+        // EXPLAIN <queryId|name> (status + plan of a RUNNING persistent
+        // query). Anything that doesn't open a SELECT is a query id —
+        // UUID ids rejoin at '-' like TERMINATE's.
+        if (p.done) p.fail("EXPLAIN needs a SELECT or a query id")
+        if (p.peek.text.equalsIgnoreCase("SELECT")) ExplainStmt(parseSelect(p))
+        else {
+          val sb = new StringBuilder(p.next().text)
+          while (!p.done) sb.append(p.next().text) // 22d2a852-9f11-… parts
+          ExplainQuery(sb.toString)
+        }
       } else Query(parseSelect(p))
     // a statement must consume its whole input — trailing tokens mean a
     // clause was silently dropped (the worst failure mode for a dialect)

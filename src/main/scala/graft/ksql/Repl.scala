@@ -42,6 +42,14 @@ object Repl {
            catalog0: Translator.Catalog, maxRows: Int = 20): Translator.Catalog = {
     var catalog = catalog0
     val buf = new StringBuilder
+    // SPOOL 'file' (ksql CLI surface): result/error lines mirror to the
+    // file until SPOOL OFF; bare SPOOL reports status. CLI-level like
+    // EXIT — never reaches the translator.
+    var spool: Option[PrintWriter] = None
+    var spoolPath = ""
+    def emit(s: String): Unit = { out.println(s); spool.foreach(_.println(s)) }
+    def closeSpool(): Unit = { spool.foreach(_.close()); spool = None }
+    val SpoolRe = "(?is)^SPOOL\\s+(?:(OFF)|'([^']*)')$".r
     out.print(Prompt); out.flush()
     var line = in.readLine()
     while (line != null) {
@@ -49,6 +57,7 @@ object Repl {
       if (buf.toString.trim.isEmpty && (t.equalsIgnoreCase("exit") || t.equalsIgnoreCase("quit")
         || t.equalsIgnoreCase("exit;") || t.equalsIgnoreCase("quit;"))) {
         out.println("bye"); out.flush()
+        closeSpool()
         return catalog
       }
       buf.append(line).append('\n')
@@ -68,27 +77,45 @@ object Repl {
       if (lastSemi >= 0) {
         buf.clear(); buf.append(text.substring(lastSemi + 1))
         Translator.splitStatements(text.substring(0, lastSemi)).foreach { stmt =>
-          try {
-            val (cat2, res) = Translator.run(spark, catalog, stmt)
-            catalog = cat2
-            res match {
-              case Some(df) if df.isStreaming =>
-                out.println(s"[streaming query: ${df.schema.map(_.name).mkString(", ")}]")
-              case Some(df) =>
-                val rows = df.limit(maxRows + 1).collect()
-                out.println(df.schema.map(_.name).mkString(" | "))
-                rows.take(maxRows).foreach(r => out.println(r.mkString(" | ")))
-                if (rows.length > maxRows) out.println(s"... (showing first $maxRows)")
-              case None => out.println("ok")
-            }
-          } catch {
-            case e: Exception => out.println(s"error: ${e.getMessage}")
+          stmt.trim match {
+            case SpoolRe(off, _) if off != null =>
+              closeSpool(); out.println(s"spool off ($spoolPath)")
+            case SpoolRe(_, path) =>
+              closeSpool()
+              try {
+                spool = Some(new PrintWriter(
+                  new java.io.FileWriter(path, /* append = */ true)))
+                spoolPath = path
+                out.println(s"spooling to $path")
+              } catch {
+                case e: Exception => out.println(s"error: ${e.getMessage}")
+              }
+            case s if s.equalsIgnoreCase("SPOOL") =>
+              out.println(spool.fold("spool is off")(_ => s"spooling to $spoolPath"))
+            case _ =>
+              try {
+                val (cat2, res) = Translator.run(spark, catalog, stmt)
+                catalog = cat2
+                res match {
+                  case Some(df) if df.isStreaming =>
+                    emit(s"[streaming query: ${df.schema.map(_.name).mkString(", ")}]")
+                  case Some(df) =>
+                    val rows = df.limit(maxRows + 1).collect()
+                    emit(df.schema.map(_.name).mkString(" | "))
+                    rows.take(maxRows).foreach(r => emit(r.mkString(" | ")))
+                    if (rows.length > maxRows) emit(s"... (showing first $maxRows)")
+                  case None => emit("ok")
+                }
+              } catch {
+                case e: Exception => emit(s"error: ${e.getMessage}")
+              }
           }
         }
       }
       out.print(Prompt); out.flush()
       line = in.readLine()
     }
+    closeSpool()
     catalog
   }
 

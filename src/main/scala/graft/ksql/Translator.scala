@@ -1420,6 +1420,48 @@ object Translator {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         (catalog, Some(Seq(plan).toDF("plan")))
+      case ExplainQuery(id) =>
+        import spark.implicits._
+        // ksqlDB's running-query form: EXPLAIN <queryId> answers status +
+        // runtime metrics + the live physical plan of one persistent
+        // query (matched by UUID or name, like TERMINATE). PAUSED
+        // registry entries explain as their state (no live plan — the
+        // checkpoint holds it); unknown ids are a statement error.
+        spark.streams.active.toSeq.find(q =>
+          q.id.toString == id || Option(q.name).contains(id)) match {
+          case Some(q) =>
+            val prog = Option(q.lastProgress)
+            // the public StreamingQuery API only PRINTS its plan;
+            // capture stdout (serialized with statement execution —
+            // RestServer runs statements under one lock). Before the
+            // first batch Spark reports no-physical-plan prose; that
+            // text is the honest answer there.
+            val plan = {
+              val buf = new java.io.ByteArrayOutputStream()
+              val ps = new java.io.PrintStream(buf, true, "UTF-8")
+              // the wrapper prints via Scala's Predef.println → Console.out
+              scala.Console.withOut(ps) { q.explain() }
+              buf.toString("UTF-8").trim
+            }
+            val rows = Seq(
+              "query_id" -> q.id.toString,
+              "run_id" -> q.runId.toString,
+              "name" -> Option(q.name).getOrElse(""),
+              "state" -> "RUNNING",
+              "status" -> q.status.message,
+              "batch_id" -> prog.map(_.batchId.toString).getOrElse(""),
+              "input_rows_per_sec" ->
+                prog.map(p => f"${p.inputRowsPerSecond}%.1f").getOrElse(""),
+              "state_rows" -> prog.flatMap(_.stateOperators.headOption)
+                .map(_.numRowsTotal.toString).getOrElse(""),
+              "plan" -> plan)
+            (catalog, Some(rows.toDF("property", "value")))
+          case None if QueryControl.pausedNames(spark).contains(id) =>
+            (catalog, Some(Seq("name" -> id, "state" -> "PAUSED")
+              .toDF("property", "value")))
+          case None => throw new IllegalArgumentException(
+            s"no running or paused query $id")
+        }
       case ShowQueries =>
         import spark.implicits._
         // state column (ksqlDB model): RUNNING for live queries, PAUSED

@@ -1245,6 +1245,68 @@ class KsqlSpec extends SparkSpec {
     assert(printed.contains("bye"), printed)
   }
 
+  test("REPL SPOOL mirrors result lines to the file until SPOOL OFF") {
+    import java.io.{BufferedReader, PrintWriter, StringReader, StringWriter}
+    val catalog: Translator.Catalog =
+      Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts"))
+    val f = java.nio.file.Files.createTempFile("graft_spool", ".log").toString
+    val script =
+      s"""SPOOL '$f';
+        |SELECT COUNT(*) AS n FROM events;
+        |SPOOL OFF;
+        |SELECT COUNT(*) AS unspooled FROM events;
+        |EXIT
+        |""".stripMargin
+    val sw = new StringWriter
+    Repl.loop(spark, new BufferedReader(new StringReader(script)),
+      new PrintWriter(sw), catalog)
+    val printed = sw.toString
+    val spooled = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    val n = Tables.events(spark, sfDir).count()
+    // screen shows everything; the file holds only the spooled window
+    assert(printed.contains(s"spooling to $f"), printed)
+    assert(printed.contains("unspooled"), printed)
+    assert(spooled.contains("n") && spooled.contains(n.toString), spooled)
+    assert(!spooled.contains("unspooled"), spooled)
+  }
+
+  test("EXPLAIN <queryId> answers status + live plan; unknown id errors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = mem.toDF().writeStream.format("memory")
+      .queryName("explain_me").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, new java.sql.Timestamp(1700000000000L), 1, "click", 1.0))
+      q.processAllAvailable()
+      // by name
+      val (_, Some(byName)) =
+        Translator.run(spark, Map.empty, "EXPLAIN explain_me"): @unchecked
+      val props = byName.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props("name") == "explain_me")
+      assert(props("state") == "RUNNING")
+      assert(props("query_id") == q.id.toString)
+      assert(props("batch_id").nonEmpty)
+      assert(props("plan").nonEmpty, props)
+      // by UUID (lexer splits at '-'; parser rejoins like TERMINATE)
+      val (_, Some(byId)) =
+        Translator.run(spark, Map.empty, s"EXPLAIN ${q.id}"): @unchecked
+      assert(byId.collect().exists(r =>
+        r.getString(0) == "name" && r.getString(1) == "explain_me"))
+      // EXPLAIN <select> still answers a plan frame
+      val (_, Some(sel)) = Translator.run(spark,
+        Map("events" -> Translator.Source(Tables.events(spark, sfDir), "ts")),
+        "EXPLAIN SELECT COUNT(*) FROM events"): @unchecked
+      assert(sel.columns.sameElements(Array("plan")))
+      val e = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "EXPLAIN no_such_query")
+      }
+      assert(e.getMessage.contains("no running or paused query"))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("SHOW QUERIES lists active continuous queries; TERMINATE stops by name") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

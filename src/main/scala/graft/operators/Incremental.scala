@@ -48,6 +48,10 @@ object Incremental {
     * folded into the materialized state by the prepare step. */
   private val Cutoff = "2001-01-01"
 
+  /** The events table's delta cutoff (its timeline is 2024-01, disjoint
+    * from the orders calendar). */
+  private val EventCutoff = "2024-01-25"
+
   /** Exact integer cents: floor(x*100 + 0.5) — the same primitive-IEEE
     * half-up recipe as [[graft.Rounding]], kept as BIGINT so partial
     * states merge exactly (long addition is associative; double is not). */
@@ -148,6 +152,29 @@ object Incremental {
         |FROM ranked WHERE rk <= 3""".stripMargin),
 
     // ───────────────────────────────────────────────────────────────────
+    // Incremental EXACT distinct counting: the state is the distinct
+    // (group, key) pair set — the information-theoretic minimum for an
+    // exact answer (anything smaller is a sketch; the mergeable-HLL
+    // roll-up in §2.3 is that trade). Maintenance is one pair-key
+    // shuffle over state ∪ distinct(Δ), with the delta pre-deduplicated
+    // map-side by the partial aggregate — new pairs extend the state,
+    // re-seen pairs collapse into it, and the count never replays base
+    // events.
+    "q_incr_distinct" -> Q(
+      (s, d) => {
+        Incremental.distinctStatePrepare(s, d)
+        val state = s.read.parquet(Incremental.distinctStateDir(d))
+        val delta = Tables.events(s, d)
+          .filter(col("ts") >= lit(EventCutoff).cast("timestamp"))
+          .select(col("event_type"), col("user_id")).distinct()
+        state.unionByName(delta).distinct()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
     // Retraction with non-retractable-aggregate repair: a deterministic
     // delete set (l_orderkey ≡ 0 mod 97) retracts from the per-supplier
     // state — counts/sums subtract exactly (BIGINT cents), and ONLY the
@@ -197,7 +224,8 @@ object Incremental {
     "q_incr_agg" -> ((s, d) => aggStatePrepare(s, d)),
     "q_incr_join" -> ((s, d) => joinViewPrepare(s, d)),
     "q_incr_topk" -> ((s, d) => topkStatePrepare(s, d)),
-    "q_incr_delete" -> ((s, d) => deleteStatePrepare(s, d)))
+    "q_incr_delete" -> ((s, d) => deleteStatePrepare(s, d)),
+    "q_incr_distinct" -> ((s, d) => distinctStatePrepare(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -249,6 +277,16 @@ object Incremental {
           col("o_orderkey"), col("o_totalprice"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .drop("rk")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private[graft] def distinctStateDir(d: String): String =
+    stateDirs.get(s"incr_dist_$d")
+  private[graft] def distinctStatePrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_dist_$d") { dir =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit(EventCutoff).cast("timestamp"))
+        .select(col("event_type"), col("user_id")).distinct()
         .write.mode("overwrite").parquet(dir)
     }
 

@@ -159,6 +159,106 @@ object WarehouseQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
     // bivariate statistics: correlation, covariance, spread
+    // Full k-column correlation MATRIX in ONE scan: all k(k+3)/2 moment
+    // sums (per-column sum/sum-of-squares + per-pair cross products) are
+    // partial aggregates of a single pass — never a scan per pair. Every
+    // input maps to an EXACT integer grid (quantity is integral; money/
+    // rates to ×100 cents) and moments accumulate in DECIMAL, so the
+    // sums are order-independent (a double moment re-summed across
+    // partition orderings drifts in the last ulp and a corr boundary
+    // digit flips between engines); correlation is affine-invariant, so
+    // the grid rescale changes nothing. The corr fold happens in double
+    // AFTER the exact sums — identical IEEE ops on identical inputs on
+    // both engines. At 100 TB this is the feature-store correlation
+    // screen: one fact scan, a 1-row moment frame, k² driver-side work.
+    "q_corr_matrix" -> Q(
+      (s, d) => {
+        val grid = Seq(
+          "qty" -> col("l_quantity").cast("long"),
+          "price" -> floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long"),
+          "disc" -> floor(col("l_discount") * lit(100.0) + lit(0.5))
+            .cast("long"),
+          "tax" -> floor(col("l_tax") * lit(100.0) + lit(0.5)).cast("long"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
+        val base = Tables.lineitem(s, d)
+          .select(grid.map { case (n, c) => c.as(n) }: _*)
+        val names = grid.map(_._1)
+        val pairs = for {
+          i <- names.indices; j <- names.indices if i < j
+        } yield (names(i), names(j))
+        val m = base.agg(
+          count(lit(1)).as("n"),
+          (names.flatMap(c => Seq(
+            sum(dec(col(c))).as(s"s_$c"),
+            sum(dec(col(c)) * dec(col(c))).as(s"ss_$c"))) ++
+            pairs.map { case (a, b) =>
+              sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b") }): _*)
+        def corrCol(a: String, b: String) = {
+          val nd = col("n").cast("double")
+          def d(c: String) = col(c).cast("double")
+          val cov = nd * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+          val vx = nd * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+          val vy = nd * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+          // a constant column has no correlation (and a 1-row table has
+          // no variance): NULL, not an ANSI divide-by-zero abort
+          when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6))
+        }
+        val r = m.select(pairs.map { case (a, b) =>
+          corrCol(a, b).as(s"c_${a}_$b") }: _*)
+        r.selectExpr(
+          s"stack(${pairs.length}, " + pairs.map { case (a, b) =>
+            s"'$a', '$b', `c_${a}_$b`" }.mkString(", ") +
+            ") as (col_a, col_b, corr)")
+      },
+      """WITH g AS (
+        |  SELECT CAST(l_quantity AS HUGEINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS price,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS disc,
+        |    CAST(floor(l_tax * 100.0 + 0.5) AS HUGEINT) AS tax
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    sum(qty) AS s_qty, sum(qty*qty) AS ss_qty,
+        |    sum(price) AS s_price, sum(price*price) AS ss_price,
+        |    sum(disc) AS s_disc, sum(disc*disc) AS ss_disc,
+        |    sum(tax) AS s_tax, sum(tax*tax) AS ss_tax,
+        |    sum(qty*price) AS sp_qty_price, sum(qty*disc) AS sp_qty_disc,
+        |    sum(qty*tax) AS sp_qty_tax, sum(price*disc) AS sp_price_disc,
+        |    sum(price*tax) AS sp_price_tax, sum(disc*tax) AS sp_disc_tax
+        |  FROM g
+        |), v AS (
+        |  SELECT CAST(n AS DOUBLE) AS nd,
+        |    CAST(s_qty AS DOUBLE) AS d_qty, CAST(s_price AS DOUBLE) AS d_price,
+        |    CAST(s_disc AS DOUBLE) AS d_disc, CAST(s_tax AS DOUBLE) AS d_tax,
+        |    CAST(n AS DOUBLE) * CAST(ss_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE) AS v_qty,
+        |    CAST(n AS DOUBLE) * CAST(ss_price AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE) AS v_price,
+        |    CAST(n AS DOUBLE) * CAST(ss_disc AS DOUBLE) - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE) AS v_disc,
+        |    CAST(n AS DOUBLE) * CAST(ss_tax AS DOUBLE) - CAST(s_tax AS DOUBLE) * CAST(s_tax AS DOUBLE) AS v_tax,
+        |    CAST(sp_qty_price AS DOUBLE) AS p_qty_price,
+        |    CAST(sp_qty_disc AS DOUBLE) AS p_qty_disc,
+        |    CAST(sp_qty_tax AS DOUBLE) AS p_qty_tax,
+        |    CAST(sp_price_disc AS DOUBLE) AS p_price_disc,
+        |    CAST(sp_price_tax AS DOUBLE) AS p_price_tax,
+        |    CAST(sp_disc_tax AS DOUBLE) AS p_disc_tax
+        |  FROM m
+        |), r AS (
+        |  SELECT
+        |    CASE WHEN v_qty > 0 AND v_price > 0 THEN round((nd * p_qty_price - d_qty * d_price) / sqrt(v_qty * v_price), 6) END AS c_qty_price,
+        |    CASE WHEN v_qty > 0 AND v_disc > 0 THEN round((nd * p_qty_disc - d_qty * d_disc) / sqrt(v_qty * v_disc), 6) END AS c_qty_disc,
+        |    CASE WHEN v_qty > 0 AND v_tax > 0 THEN round((nd * p_qty_tax - d_qty * d_tax) / sqrt(v_qty * v_tax), 6) END AS c_qty_tax,
+        |    CASE WHEN v_price > 0 AND v_disc > 0 THEN round((nd * p_price_disc - d_price * d_disc) / sqrt(v_price * v_disc), 6) END AS c_price_disc,
+        |    CASE WHEN v_price > 0 AND v_tax > 0 THEN round((nd * p_price_tax - d_price * d_tax) / sqrt(v_price * v_tax), 6) END AS c_price_tax,
+        |    CASE WHEN v_disc > 0 AND v_tax > 0 THEN round((nd * p_disc_tax - d_disc * d_tax) / sqrt(v_disc * v_tax), 6) END AS c_disc_tax
+        |  FROM v
+        |)
+        |SELECT u.col_a, u.col_b, u.corr FROM r,
+        |  LATERAL (VALUES
+        |    ('qty', 'price', c_qty_price), ('qty', 'disc', c_qty_disc),
+        |    ('qty', 'tax', c_qty_tax), ('price', 'disc', c_price_disc),
+        |    ('price', 'tax', c_price_tax), ('disc', 'tax', c_disc_tax)
+        |  ) AS u(col_a, col_b, corr)""".stripMargin),
+
     "q_corr_stats" -> Q(
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

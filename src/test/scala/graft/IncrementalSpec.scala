@@ -68,6 +68,20 @@ class IncrementalSpec extends SparkSpec {
     assert(got.groupBy("shard").count().filter(col("count") > 3).count() == 0)
   }
 
+  test("incr_distinct: pair-set state merge equals full count(DISTINCT)") {
+    val full = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    assertSameRows(run("q_incr_distinct"), full)
+    // the state is the deduplicated pair set, not an event log
+    Incremental.distinctStatePrepare(spark, sfDir)
+    val state = spark.read.parquet(Incremental.distinctStateDir(sfDir))
+    assert(state.count() == state.distinct().count())
+    assert(state.count() <
+      Tables.events(spark, sfDir)
+        .filter(col("ts") < lit("2024-01-25").cast("timestamp")).count())
+  }
+
   test("incr_delete: subtract+repair equals recompute on the sf data") {
     val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
     val full = Tables.lineitem(spark, sfDir)

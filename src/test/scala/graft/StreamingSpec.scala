@@ -295,6 +295,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("sum")).toSeq == Seq(1.0, 3.0))
   }
 
+  test("observe() DQ checks report exact per-batch counters through the listener") {
+    import graft.streaming.StreamingQuality
+    val listener = new StreamingQuality.DqListener("dq_obs")
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val out = StreamingQuality.observed(mem.toDF())
+      val q = out.writeStream.format("memory").queryName("dq_obs")
+        .outputMode(OutputMode.Append).start()
+      // batch 1: 3 clean rows + one range violation + one bad type
+      mem.addData(
+        Ev(1, t(0), 1, "click", 10.0), Ev(2, t(1), 2, "view", 20.0),
+        Ev(3, t(2), 3, "purchase", 30.0), Ev(4, t(3), 4, "click", 150.0),
+        Ev(5, t(4), 5, "bogus", 40.0))
+      q.processAllAvailable()
+      // batch 2: clean
+      mem.addData(Ev(6, t(5), 6, "view", 50.0), Ev(7, t(6), 7, "click", 60.0))
+      q.processAllAvailable()
+      // listener delivery is async: poll briefly for both batches
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def dataBatches = listener.collected.filter(_.metrics("rows") > 0)
+      while (dataBatches.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      val Seq(b1, b2) = dataBatches.take(2)
+      assert(b1.metrics("rows") == 5 && b1.metrics("value_nonnull") == 5)
+      assert(b1.metrics("value_in_range") == 4, b1) // 150.0 out of range
+      assert(b1.metrics("accepted_type") == 4, b1)  // 'bogus' rejected
+      assert(b2.metrics("rows") == 2 && b2.metrics("value_in_range") == 2
+        && b2.metrics("accepted_type") == 2, b2)
+      assert(b1.batchId < b2.batchId)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("transformWithState latest-per-key across micro-batches (RocksDB store)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

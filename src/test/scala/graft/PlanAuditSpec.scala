@@ -69,6 +69,31 @@ class PlanAuditSpec extends SparkSpec {
       s"touched-key set must broadcast\n$p")
   }
 
+  test("corr matrix: ONE fact scan, all moments in one agg pair, no Expand") {
+    // k(k+3)/2 moment sums must be partial aggregates of a single pass —
+    // a per-pair or per-column scan would read the fact table 6-10x.
+    val p = plan("q_corr_matrix")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans\n$p")
+    assert(!p.contains("Expand"), p)
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs <= 2, s"expected one partial/final agg pair, got $aggs\n$p")
+  }
+
+  test("dq drift: both slices' metrics come from ONE conditional-agg scan") {
+    val p = plan("q_dq_drift")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 orders scan, got $scans\n$p")
+  }
+
+  test("incr_distinct: the delta scan pushes the event-time cutoff") {
+    val p = plan("q_incr_distinct")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"delta scan must push the ts cutoff\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected state + delta scans only, got $scans\n$p")
+  }
+
   test("dq-checks suite shares scans: three aggregates, no row widening") {
     val p = plan("q_dq_checks")
     // the FK-containment branch must be a semi join, never an outer/inner

@@ -269,6 +269,42 @@ object DataQuality {
         |  ('frac_urgent', base_frac_urgent, cur_frac_urgent)
         |) AS u(metric, base_value, cur_value)""".stripMargin),
 
+    // Bisectable reconciliation checksum (the "did the copy preserve
+    // every row" migration/replication check): each row serializes to a
+    // canonical string → 56-bit md5 hash; rows bucket by hash and each
+    // bucket folds to bit_xor(h) + count. XOR is commutative/associative
+    // and overflow-free, so the checksum is partition- and
+    // order-independent — two systems compare 256 (bucket, n, xor) rows
+    // instead of 100 TB, and a mismatch names the bucket to bisect into
+    // (re-run on the bucket's rows with more buckets). One scan, one
+    // partial-agg pass; money joins the serialization as exact cents
+    // (a double's string form differs between engines).
+    "q_dq_checksum" -> Q(
+      (s, d) => {
+        val rowStr = concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        Tables.orders(s, d)
+          .select(conv(substring(md5(rowStr), 1, 14), 16, 10)
+            .cast("long").as("h"))
+          .groupBy(pmod(col("h"), lit(256L)).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("checksum"))
+      },
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+        |    || o_orderpriority || '|'
+        |    || CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) || '|'
+        |    || strftime(o_orderdate, '%Y-%m-%d')), 1, 14))::BIGINT AS h
+        |  FROM orders
+        |)
+        |SELECT h % 256 AS bucket, count(*) AS n_rows,
+        |  bit_xor(h) AS checksum
+        |FROM h GROUP BY 1""".stripMargin),
+
     // Per-source freshness (the "is any feed stale" monitor): one scan
     // reduces events to a row per event_type (max ts); the corpus-wide
     // high-water mark comes from a window over that TINY grouped frame

@@ -7,11 +7,17 @@ package graft.ksql
   * translator only rewrites function names / operators and passes the
   * rest through Catalyst's own parser — one less parser to get wrong.
   */
-sealed trait WindowSpec { def graceMs: Option[Long] }
-case class Tumbling(sizeMs: Long, graceMs: Option[Long] = None) extends WindowSpec
+sealed trait WindowSpec {
+  def graceMs: Option[Long]
+  def retentionMs: Option[Long]
+}
+case class Tumbling(sizeMs: Long, graceMs: Option[Long] = None,
+                    retentionMs: Option[Long] = None) extends WindowSpec
 case class Hopping(sizeMs: Long, advanceMs: Long,
-                   graceMs: Option[Long] = None) extends WindowSpec
-case class Session(gapMs: Long, graceMs: Option[Long] = None) extends WindowSpec
+                   graceMs: Option[Long] = None,
+                   retentionMs: Option[Long] = None) extends WindowSpec
+case class Session(gapMs: Long, graceMs: Option[Long] = None,
+                   retentionMs: Option[Long] = None) extends WindowSpec
 
 case class JoinClause(
     joinType: String,            // INNER | LEFT

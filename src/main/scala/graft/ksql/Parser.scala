@@ -471,35 +471,36 @@ object Parser {
     // optional trailing options inside the window parens, in any order:
     // ", GRACE PERIOD d" — KSQL's bound on how late out-of-order rows
     // may arrive (the watermark delay in Spark terms) — and
-    // ", RETENTION d" — how long the windowed STATE STORE keeps closed
-    // windows queryable. Retention is accepted and intentionally
-    // dropped: our materializations are files, retained until
-    // compaction/TTL policies delete them, so there is no state store
-    // to bound.
-    def grace(): Option[Long] = {
+    // ", RETENTION d" — how long the windowed state keeps closed
+    // windows queryable. Retention carries through to the translator:
+    // batch (pull) reads of a windowed table drop windows older than
+    // retention behind the source's event-time high-water mark — the
+    // ksqlDB "old windows are no longer queryable" contract.
+    def grace(): (Option[Long], Option[Long]) = {
       var g: Option[Long] = None
+      var r: Option[Long] = None
       while (p.accept(",")) {
-        if (p.accept("RETENTION")) parseDuration(p): Unit
+        if (p.accept("RETENTION")) r = Some(parseDuration(p))
         else { p.expect("GRACE"); p.expect("PERIOD"); g = Some(parseDuration(p)) }
       }
-      g
+      (g, r)
     }
     val window = if (p.accept("WINDOW")) Some {
       if (p.accept("TUMBLING")) {
         p.expect("("); p.expect("SIZE"); val d = parseDuration(p)
-        val g = grace(); p.expect(")")
-        Tumbling(d, g)
+        val (g, r) = grace(); p.expect(")")
+        Tumbling(d, g, r)
       } else if (p.accept("HOPPING")) {
         p.expect("("); p.expect("SIZE"); val d = parseDuration(p)
         p.expect(","); p.expect("ADVANCE"); p.expect("BY")
         val a = parseDuration(p)
-        val g = grace(); p.expect(")")
-        Hopping(d, a, g)
+        val (g, r) = grace(); p.expect(")")
+        Hopping(d, a, g, r)
       } else {
         p.expect("SESSION")
         p.expect("("); val d = parseDuration(p)
-        val g = grace(); p.expect(")")
-        Session(d, g)
+        val (g, r) = grace(); p.expect(")")
+        Session(d, g, r)
       }
     } else None
     val groupBy = if (p.accept("GROUP")) {

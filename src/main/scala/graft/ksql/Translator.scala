@@ -888,9 +888,9 @@ object Translator {
     else org.apache.spark.sql.streaming.OutputMode.Update()
 
   private def windowStruct(w: WindowSpec, timeCol: Column): Column = w match {
-    case Tumbling(ms, _) => window(timeCol, s"$ms milliseconds")
-    case Hopping(ms, adv, _) => window(timeCol, s"$ms milliseconds", s"$adv milliseconds")
-    case Session(gap, _) => session_window(timeCol, s"$gap milliseconds")
+    case Tumbling(ms, _, _) => window(timeCol, s"$ms milliseconds")
+    case Hopping(ms, adv, _, _) => window(timeCol, s"$ms milliseconds", s"$adv milliseconds")
+    case Session(gap, _, _) => session_window(timeCol, s"$gap milliseconds")
   }
 
   /** The event-time column of a statement's source chain: the named
@@ -1070,17 +1070,38 @@ object Translator {
         val out =
           if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
           else grouped.count()
+        // RETENTION (ksqlDB windowed-state semantics): on a batch (pull)
+        // read, windows whose END sits more than retention behind the
+        // source's event-time high-water mark are no longer queryable.
+        // The high-water mark is a 1-row broadcast aggregate of the same
+        // pre-agg frame (one extra tiny agg, no second source scan
+        // semantic — Catalyst reuses the scan under AQE). Streaming
+        // frames pass through: state expiry there is the watermark's job
+        // (GRACE PERIOD), and Spark owns the store TTL.
+        val retained = s.window.flatMap(_.retentionMs) match {
+          case Some(ret) if !out.isStreaming =>
+            val endCol = s.window.get match {
+              case _: Session => col("session_window.end")
+              case _ => col("window.end")
+            }
+            val hw = df.agg(
+              max(unix_millis(col(src.timeColumn))).as("__graft_hw"))
+            out.crossJoin(broadcast(hw))
+              .filter(unix_millis(endCol) >= col("__graft_hw") - ret)
+              .drop("__graft_hw")
+          case _ => out
+        }
         // expose KSQL WINDOWSTART/WINDOWEND pseudo-columns as epoch millis
         val withWin = s.window match {
-          case Some(_: Session) => out
+          case Some(_: Session) => retained
             .withColumn("windowstart", unix_millis(col("session_window.start")))
             .withColumn("windowend", unix_millis(col("session_window.end")))
             .drop("session_window")
-          case Some(_) => out
+          case Some(_) => retained
             .withColumn("windowstart", unix_millis(col("window.start")))
             .withColumn("windowend", unix_millis(col("window.end")))
             .drop("window")
-          case None => out
+          case None => retained
         }
         // apply user aliases for the pseudo-columns
         winAliases.foldLeft(withWin) {

@@ -134,13 +134,46 @@ class KsqlSpec extends SparkSpec {
       """SELECT s.a FROM s1 s JOIN s2 p WITHIN (10 MINUTES, 20 MINUTES)
         |ON s.k = p.k""".stripMargin).asInstanceOf[Query]
     assert(j.select.joins.head.withinMs.contains((600000L, 1200000L)))
-    // RETENTION is accepted in any order with GRACE and dropped (file
-    // materializations have no state store to bound)
+    // RETENTION parses in any order with GRACE and carries through
     val r = Parser.parse(
       """SELECT COUNT(*) FROM events
         |WINDOW TUMBLING (SIZE 1 HOURS, RETENTION 2 DAYS, GRACE PERIOD 5 MINUTES)
         |GROUP BY event_type""".stripMargin).asInstanceOf[Query]
-    assert(r.select.window.contains(Tumbling(3600000L, Some(300000L))))
+    assert(r.select.window.contains(
+      Tumbling(3600000L, Some(300000L), Some(172800000L))))
+  }
+
+  test("RETENTION drops windows behind the event-time high-water mark") {
+    import spark.implicits._
+    val base = 1700000000000L // window-aligned epoch anchor
+    def ev(id: Long, hoursAgoEnd: Double, v: Double) =
+      Ev(id, new java.sql.Timestamp(base + (hoursAgoEnd * 3600000L).toLong),
+        1L, "click", v)
+    // rows in three 1-hour windows: [0,1) old, [5,6) mid, [9,10) newest
+    val evs = Seq(ev(1, 0.5, 1.0), ev(2, 0.7, 2.0),
+      ev(3, 5.5, 3.0), ev(4, 9.5, 4.0)).toDF()
+    val catalog: Translator.Catalog =
+      Map("ev" -> Translator.Source(evs, "ts"))
+    def windows(sql: String): Set[Long] = {
+      val (_, Some(df)) = Translator.run(spark, catalog, sql): @unchecked
+      df.collect().map(r => r.getAs[Long]("ws")).toSet
+    }
+    // tumbling windows align to epoch hours, not to `base`
+    def wstart(hours: Double): Long =
+      ((base + (hours * 3600000L).toLong) / 3600000L) * 3600000L
+    // high-water mark = 9.5h; RETENTION 5 HOURS keeps windows whose END
+    // >= hw - 5h → the 5.5h and 9.5h windows stay, the 0.x h one is gone
+    val kept = windows(
+      """SELECT WINDOWSTART AS ws, COUNT(*) AS n FROM ev
+        |WINDOW TUMBLING (SIZE 1 HOURS, RETENTION 5 HOURS)
+        |GROUP BY event_type""".stripMargin)
+    assert(kept == Set(wstart(5.5), wstart(9.5)), kept)
+    // no RETENTION → every window queryable
+    val all = windows(
+      """SELECT WINDOWSTART AS ws, COUNT(*) AS n FROM ev
+        |WINDOW TUMBLING (SIZE 1 HOURS)
+        |GROUP BY event_type""".stripMargin)
+    assert(all == Set(wstart(0.5), wstart(5.5), wstart(9.5)), all)
   }
 
   test("GRACE PERIOD becomes the watermark delay of the translated stream") {

@@ -239,6 +239,30 @@ object KsqlQueries {
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin),
 
+    // WINDOW RETENTION through the dialect (round 11): the windowed
+    // table answers a pull read with ONLY the windows whose end sits
+    // within retention of the source's event-time high-water mark —
+    // older windows are "no longer queryable" (ksqlDB's state-store
+    // retention contract). The oracle replays the identical rule:
+    // window end >= max(epoch_ms(ts)) - 120 h.
+    "q_ksql_retention" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d),
+          """SELECT event_type, WINDOWSTART AS ws, COUNT(*) AS cnt
+            |FROM events
+            |WINDOW TUMBLING (SIZE 1 HOURS, RETENTION 120 HOURS)
+            |GROUP BY event_type""".stripMargin): @unchecked
+        df.select(col("event_type"), col("ws"), col("cnt"))
+      },
+      """WITH w AS (
+        |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS ws,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, ws, cnt FROM w
+        |WHERE ws + 3600000 >=
+        |  (SELECT max(epoch_ms(ts)) FROM events) - 432000000""".stripMargin),
+
     // CSAS with the FULL materialization contract: the prepare phase
     // (csasMaterializedDir, write-once per sf-dir, separately timed in
     // Bench) runs the PATH-bound CSAS — translate + scalar pipeline +

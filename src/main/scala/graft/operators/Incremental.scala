@@ -152,6 +152,51 @@ object Incremental {
         |FROM ranked WHERE rk <= 3""".stripMargin),
 
     // ───────────────────────────────────────────────────────────────────
+    // Incremental SCD TYPE-2 maintenance — the warehouse dimension-load
+    // pattern: the versioned state never rewrites history, a delta only
+    // (a) CLOSES each touched key's current version (valid_to = the
+    // key's first delta timestamp, via a broadcast join of the tiny
+    // per-key first-delta frame) and (b) APPENDS the delta's own version
+    // chain (one window pass over the DELTA only — the state is never
+    // window-sorted again). Time-cutoff deltas make this exact: every
+    // delta row for a key orders after all its base rows, so
+    // close+append ≡ the full rebuild (the oracle, identical to
+    // q_scd2's).
+    "q_incr_scd2" -> Q(
+      (s, d) => {
+        Incremental.scd2StatePrepare(s, d)
+        val state = s.read.parquet(Incremental.scd2StateDir(d))
+        val delta = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+        val wD = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val deltaV = delta.select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp"))
+            .as("valid_from_ms"),
+          unix_millis(lead(col("o_orderdate"), 1).over(wD).cast("timestamp"))
+            .as("valid_to_ms"),
+          lead(col("o_orderdate"), 1).over(wD).isNull.as("is_current"))
+        val firstDelta = delta.groupBy(col("o_custkey"))
+          .agg(min(unix_millis(col("o_orderdate").cast("timestamp")))
+            .as("fd_ms"))
+        val patched = state
+          .join(broadcast(firstDelta), Seq("o_custkey"), "left")
+          .select(col("o_custkey"), col("o_orderkey"), col("valid_from_ms"),
+            when(col("is_current") && col("fd_ms").isNotNull, col("fd_ms"))
+              .otherwise(col("valid_to_ms")).as("valid_to_ms"),
+            (col("is_current") && col("fd_ms").isNull).as("is_current"))
+        patched.unionByName(deltaV)
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) AS valid_from_ms,
+        |  epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+        .stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
     // Incremental EXACT distinct counting: the state is the distinct
     // (group, key) pair set — the information-theoretic minimum for an
     // exact answer (anything smaller is a sketch; the mergeable-HLL
@@ -225,7 +270,8 @@ object Incremental {
     "q_incr_join" -> ((s, d) => joinViewPrepare(s, d)),
     "q_incr_topk" -> ((s, d) => topkStatePrepare(s, d)),
     "q_incr_delete" -> ((s, d) => deleteStatePrepare(s, d)),
-    "q_incr_distinct" -> ((s, d) => distinctStatePrepare(s, d)))
+    "q_incr_distinct" -> ((s, d) => distinctStatePrepare(s, d)),
+    "q_incr_scd2" -> ((s, d) => scd2StatePrepare(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -277,6 +323,21 @@ object Incremental {
           col("o_orderkey"), col("o_totalprice"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .drop("rk")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private[graft] def scd2StateDir(d: String): String =
+    stateDirs.get(s"incr_scd2_$d")
+  private[graft] def scd2StatePrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_scd2_$d") { dir =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      baseOrders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("valid_from_ms"),
+        unix_millis(lead(col("o_orderdate"), 1).over(w).cast("timestamp"))
+          .as("valid_to_ms"),
+        lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
         .write.mode("overwrite").parquet(dir)
     }
 

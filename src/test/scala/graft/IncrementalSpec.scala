@@ -82,6 +82,26 @@ class IncrementalSpec extends SparkSpec {
         .filter(col("ts") < lit("2024-01-25").cast("timestamp")).count())
   }
 
+  test("incr_scd2: close+append equals the full rebuild; history untouched") {
+    val got = run("q_incr_scd2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = Tables.orders(spark, sfDir).select(
+      col("o_custkey"), col("o_orderkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("valid_from_ms"),
+      unix_millis(lead(col("o_orderdate"), 1).over(w).cast("timestamp"))
+        .as("valid_to_ms"),
+      lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+    assertSameRows(got, full)
+    // structural: exactly one current version per key, and every closed
+    // version's interval nests before its successor's start
+    assert(got.filter(col("is_current")).groupBy("o_custkey").count()
+      .filter(col("count") =!= 1).count() == 0)
+    assert(got.filter(!col("is_current") && col("valid_to_ms").isNull)
+      .count() == 0)
+  }
+
   test("incr_delete: subtract+repair equals recompute on the sf data") {
     val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
     val full = Tables.lineitem(spark, sfDir)

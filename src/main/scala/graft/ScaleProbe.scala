@@ -61,7 +61,8 @@ object ScaleProbe {
     "q_profile", "q_winnowing", "q_ann_pq", "q_dedup_jaccard",
     "q_dq_checks", "q_dq_anomaly", "q_bucketed_join", "q_jaro_winkler",
     "q_line_dedup",
-    "q_incr_agg", "q_incr_delete", "q_dq_quarantine", "q_dq_drift")
+    "q_incr_agg", "q_incr_delete", "q_dq_quarantine", "q_dq_drift",
+    "q_incr_scd2", "q_corr_matrix", "q_dq_checksum")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -136,6 +136,57 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         "ksqlServiceId" -> JString("graft-spark")))))))
   server.createContext("/healthcheck", (ex: HttpExchange) => handle(ex, _ =>
     (200, JsonMethods.compact(JObject("isHealthy" -> JBool(true))))))
+  server.createContext("/metrics", (ex: HttpExchange) => metricsEndpoint(ex))
+
+  // Request/error counters for the scrape surface. Counted in handle()
+  // for the two statement-carrying endpoints only — liveness probes and
+  // scrapes would otherwise dominate the counter.
+  private val statementRequests = new java.util.concurrent.atomic.AtomicLong
+  private val statementErrors = new java.util.concurrent.atomic.AtomicLong
+
+  /** GET /metrics — Prometheus text exposition of the engine state the
+    * real server publishes over JMX (the deployment charm wires exactly
+    * this into its monitoring relation). Gauges read live engine state
+    * (StreamingQueryManager + this server's own registries); per-query
+    * series carry the engine's OWN progress numbers. Reads only — no
+    * statement lock, so a scrape can never queue behind a long DDL. */
+  private def metricsEndpoint(ex: HttpExchange): Unit = {
+    if (!authorized(ex)) { deny401(ex); return }
+    if (ex.getRequestURI.getPath != "/metrics") {
+      ex.sendResponseHeaders(404, -1); ex.close(); return
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sb = new StringBuilder
+    def gauge(name: String, v: Long): Unit =
+      sb.append(s"# TYPE $name gauge\n$name $v\n")
+    sb.append("# TYPE ksql_statements_total counter\n")
+      .append(s"ksql_statements_total ${statementRequests.get}\n")
+    sb.append("# TYPE ksql_statement_errors_total counter\n")
+      .append(s"ksql_statement_errors_total ${statementErrors.get}\n")
+    gauge("ksql_catalog_sources", catalog.size.toLong)
+    gauge("ksql_active_queries", spark.streams.active.length.toLong)
+    gauge("ksql_push_queries", pushQueries.size.toLong)
+    gauge("ksql_stream_connections", streamQueries.size.toLong)
+    sb.append("# TYPE ksql_query_batch_id gauge\n")
+    sb.append("# TYPE ksql_query_input_rows_per_sec gauge\n")
+    sb.append("# TYPE ksql_query_state_rows gauge\n")
+    spark.streams.active.foreach { q =>
+      val label = s"""{query="${esc(Option(q.name).getOrElse(q.id.toString))}"}"""
+      Option(q.lastProgress).foreach { p =>
+        sb.append(s"ksql_query_batch_id$label ${p.batchId}\n")
+        val rps = p.inputRowsPerSecond
+        if (!rps.isNaN)
+          sb.append(s"ksql_query_input_rows_per_sec$label $rps\n")
+        p.stateOperators.headOption.foreach(so =>
+          sb.append(s"ksql_query_state_rows$label ${so.numRowsTotal}\n"))
+      }
+    }
+    val bytes = sb.toString.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
 
   def start(): RestServer = {
     // converge to the cluster catalog BEFORE serving: a server joining
@@ -198,6 +249,9 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       return
     }
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val counted = ex.getHttpContext.getPath == "/ksql" ||
+      ex.getHttpContext.getPath == "/query"
+    if (counted) statementRequests.incrementAndGet()
     // one statement at a time across ALL pooled handler threads — the
     // catalog-consistency contract the old single-dispatch-thread
     // design gave for free
@@ -206,6 +260,10 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         "@type" -> JString("statement_error"),
         "message" -> JString(String.valueOf(e.getMessage)))))
     }
+    // count by response code, not by throw: endpoint-internal statement
+    // errors (bare SELECT on /ksql, mid-batch failures) answer 400
+    // without raising
+    if (counted && code >= 400) statementErrors.incrementAndGet()
     val bytes = resp.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)

@@ -46,6 +46,24 @@ class RestServerSpec extends SparkSpec {
       (JsonMethods.parse(ib) \ "KsqlServerInfo" \ "version") == JString("graft"))
   }
 
+  test("/metrics exposes Prometheus-format engine gauges and statement counters") {
+    val (c0, b0) = get("/metrics")
+    assert(c0 == 200, b0)
+    assert(b0.contains("# TYPE ksql_statements_total counter"), b0)
+    assert(b0.contains("ksql_catalog_sources 10"), b0) // the preloaded sf tables
+    assert(b0.contains("ksql_active_queries"), b0)
+    def counter(body: String, name: String): Long =
+      body.linesIterator.find(l => l.startsWith(name + " "))
+        .map(_.split(' ')(1).toLong).getOrElse(-1L)
+    val s0 = counter(b0, "ksql_statements_total")
+    val e0 = counter(b0, "ksql_statement_errors_total")
+    post("/ksql", "SHOW STREAMS;")                 // counted, succeeds
+    post("/ksql", "SELECT * FROM no_such_table;")  // counted, errors
+    val (_, b1) = get("/metrics")                  // scrapes are NOT counted
+    assert(counter(b1, "ksql_statements_total") == s0 + 2, b1)
+    assert(counter(b1, "ksql_statement_errors_total") == e0 + 1, b1)
+  }
+
   test("/ksql executes DDL + CSAS and the catalog threads to later requests") {
     val (c1, b1) = post("/ksql",
       """CREATE STREAM big_orders AS

@@ -1256,7 +1256,44 @@ object Translator {
                 ts, key = keyCol)
           }
         }
-        (catalog + (name.toLowerCase -> bound), None)
+        // ksqlDB's PROCESSING LOG (ksql.logging.processing.* — the
+        // deployment charm's error-routing contract): with
+        // SET 'ksql.logging.processing.enabled'='true', records a JSON
+        // source cannot deserialize surface as rows of the queryable
+        // `ksql_processing_log` stream instead of disappearing as
+        // all-null rows. Detection is a second pass over the SAME files
+        // as text — a line is a failure when it is non-blank and
+        // `from_json` cannot parse it — so the data path stays the
+        // plain schema'd read (no corrupt-column cache workaround, no
+        // per-row penalty when logging is off). Multiple logged sources
+        // union into one log, like the real server's single log topic.
+        val procLog: Option[(String, Source)] =
+          if (propsFor(spark).get("ksql.logging.processing.enabled")
+              .contains("true"))
+            props.get("PATH").filter(_ =>
+              props.getOrElse("VALUE_FORMAT", "PARQUET")
+                .toUpperCase == "JSON").map { path =>
+              // from_json under PERMISSIVE yields an all-null struct for
+              // a malformed line (never NULL) — the corrupt-record
+              // column inside the probe schema is the reliable signal
+              val probe = from_json(col("value"),
+                schema.add("_corrupt", org.apache.spark.sql.types.StringType),
+                java.util.Map.of("columnNameOfCorruptRecord", "_corrupt"))
+              val failed = spark.read.text(path)
+                .filter(length(trim(col("value"))) > 0 &&
+                  probe.getField("_corrupt").isNotNull)
+                .select(
+                  lit(s"processing.${name.toLowerCase}.source").as("logger"),
+                  lit("ERROR").as("level"),
+                  lit("DESERIALIZATION_FAILURE").as("message"),
+                  col("value").as("record"),
+                  current_timestamp().as("log_time"))
+              val merged = catalog.get("ksql_processing_log")
+                .map(_.df.unionByName(failed)).getOrElse(failed)
+              "ksql_processing_log" -> Source(merged, "log_time")
+            }
+          else None
+        (catalog + (name.toLowerCase -> bound) ++ procLog, None)
       case CreateAsSelect(_, name, sel, props, ifNotExists) =>
         // IF NOT EXISTS: an existing binding wins; the SELECT does not run
         if (ifNotExists && catalog.contains(name.toLowerCase))

@@ -1340,6 +1340,47 @@ class KsqlSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("processing log captures JSON deserialization failures as a queryable stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_proclog").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.json"),
+      ("""{"id": 1, "name": "ok"}""" + "\n" +
+        """{"id": 2 "name": "missing comma"}""" + "\n" +
+        """{"id": 3, "name": "fine"}""" + "\n" +
+        "not json at all\n" +
+        """{"id": 4, "name": "good"}""" + "\n").getBytes("UTF-8"))
+    val create = s"CREATE STREAM j (id BIGINT, name VARCHAR) " +
+      s"WITH (PATH='$dir', VALUE_FORMAT='JSON')"
+    // disabled (default): no log stream appears
+    val (catOff, _) = Translator.run(spark, Map.empty, create)
+    assert(!catOff.contains("ksql_processing_log"))
+    // enabled: failures land in the queryable log, data rows unaffected
+    val (cat1, _) = Translator.run(spark, Map.empty,
+      "SET 'ksql.logging.processing.enabled'='true'")
+    try {
+      val (cat2, _) = Translator.run(spark, cat1, create)
+      assert(cat2.contains("ksql_processing_log"))
+      val (_, Some(data)) =
+        Translator.run(spark, cat2, "SELECT COUNT(*) AS n FROM j"): @unchecked
+      assert(data.head.getLong(0) == 5) // schema'd read keeps every line
+      val (_, Some(log)) = Translator.run(spark, cat2,
+        "SELECT message, record FROM ksql_processing_log"): @unchecked
+      val rows = log.collect()
+      assert(rows.length == 2, rows.mkString("|"))
+      assert(rows.forall(_.getString(0) == "DESERIALIZATION_FAILURE"))
+      val records = rows.map(_.getString(1)).toSet
+      assert(records.contains("not json at all"), records)
+      assert(records.exists(_.contains("missing comma")), records)
+      // a second logged source unions into the SAME log stream
+      val (cat3, _) = Translator.run(spark, cat2,
+        s"CREATE STREAM j2 (id BIGINT, name VARCHAR) " +
+          s"WITH (PATH='$dir', VALUE_FORMAT='JSON')")
+      val (_, Some(log2)) = Translator.run(spark, cat3,
+        "SELECT COUNT(*) AS n FROM ksql_processing_log"): @unchecked
+      assert(log2.head.getLong(0) == 4)
+    } finally
+      Translator.run(spark, cat1, "UNSET 'ksql.logging.processing.enabled'")
+  }
+
   test("SHOW QUERIES lists active continuous queries; TERMINATE stops by name") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

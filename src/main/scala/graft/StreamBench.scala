@@ -208,11 +208,33 @@ object StreamBench {
             System.err.println(s"[streambench] tws_latest_rocksdb failed: $e")
             Result("tws_latest_rocksdb", -1.0, -1.0, -1.0)
         }
+      // seeded-aggregate handoff (round 11): the batch-IVM state shape
+      // boots the processor via StatefulProcessorWithInitialState — the
+      // probe measures the steady-state fold with every key PRE-SEEDED
+      // (the bootstrap-from-batch-state path; seed cost lands in the
+      // untimed warm-up batch alongside store init). Same keyspace as
+      // the latest/running probes for comparability.
+      val seeded =
+        try {
+          import spark.implicits._
+          val seed = (0 until 997).map(k =>
+            (k.toLong, 100L, 50000L, 999L))
+            .toDF("key", "cnt", "sum_cents", "max_cents")
+          drive(spark, "seeded_agg_rocksdb", batches, batchRows, rows,
+            df => graft.streaming.StreamingIncremental.seededAggregate(
+              df.select(col("user_id").as("key"),
+                col("event_id").as("cents")), seed),
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streambench] seeded_agg_rocksdb failed: $e")
+            Result("seeded_agg_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      Seq(rocksJoin, tws)
+      Seq(rocksJoin, tws, seeded)
     }
     single ++ (join +: underRocks)
   }

@@ -331,6 +331,119 @@ object DataQuality {
         |  (SELECT max(max_ms) FROM g) - max_ms AS lag_ms,
         |  ((SELECT max(max_ms) FROM g) - max_ms > 20 * 60000)
         |    AS is_stale
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    // CUSUM change-point detection per event_type (Page 1954 — the
+    // classic "when did this feed's level shift" monitor; the 7-day
+    // rolling z-score above catches spikes, CUSUM catches sustained
+    // drifts a per-day threshold never trips on). Formulation keeps
+    // every accumulation exact-int for cross-engine stability:
+    // S_d = cumsum(cnt) − idx·mean, where cumsum and idx are integers
+    // and only ONE pre-rounded double (the per-type daily mean) enters
+    // the float arithmetic — a float running sum of residuals would
+    // accumulate order-dependent ulps. The change point is the argmax
+    // of |S| (min-day tie-break). One fact scan; the daily frame is
+    // |types|×|days| rows, so the windows run on a pre-aggregated
+    // micro-frame — at 100 TB the scan is the cost and everything
+    // after is metadata-scale.
+    "q_dq_cusum" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = daily.groupBy(col("event_type"))
+          .agg(round(sum(col("cnt")) * lit(1.0) / count(lit(1)), 6)
+            .as("mean_daily"))
+        val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val scored = daily.join(broadcast(stats), "event_type")
+          .withColumn("cum", sum(col("cnt")).over(byDay))
+          .withColumn("idx", row_number().over(byDay))
+          .withColumn("abs_s",
+            round(abs(col("cum") - col("idx") * col("mean_daily")), 6))
+        val pick = Window.partitionBy(col("event_type"))
+          .orderBy(col("abs_s").desc, col("day"))
+        scored.withColumn("rk", row_number().over(pick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            col("abs_s").as("cusum_max"), col("mean_daily"))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, round(sum(cnt) * 1.0 / count(*), 6) AS mean_daily
+        |  FROM daily GROUP BY 1
+        |), w AS (
+        |  SELECT d.event_type, d.day, s.mean_daily,
+        |    sum(d.cnt) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cum,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS idx
+        |  FROM daily d JOIN stats s USING (event_type)
+        |), c AS (
+        |  SELECT event_type, day, mean_daily,
+        |    round(abs(cum - idx * mean_daily), 6) AS abs_s
+        |  FROM w
+        |), r AS (
+        |  SELECT event_type, day, mean_daily, abs_s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs_s DESC, day) AS rk
+        |  FROM c
+        |)
+        |SELECT event_type, day AS cp_day, abs_s AS cusum_max, mean_daily
+        |FROM r WHERE rk = 1""".stripMargin),
+
+    // Benford first-digit conformance over invoice amounts (the
+    // standard forensic-accounting / synthetic-data smell test: natural
+    // multi-scale amounts follow P(d) = log10(1 + 1/d); flat generators
+    // — like this synthetic corpus, loudly — do not). The digit is
+    // extracted from the EXACT cents integer's decimal string, never
+    // via log10 (a float log at a power-of-ten boundary flips the
+    // digit on one engine and not the other); expected probabilities
+    // are embedded as identical 10-digit literals in both engines.
+    // One scan → 9-row digit histogram; everything downstream is
+    // constant-size.
+    "q_dq_benford" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")
+        val obs = Tables.lineitem(s, d)
+          .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val benford = Seq(
+          1 -> 0.3010299957, 2 -> 0.1760912591, 3 -> 0.1249387366,
+          4 -> 0.0969100130, 5 -> 0.0791812460, 6 -> 0.0669467896,
+          7 -> 0.0579919470, 8 -> 0.0511525224, 9 -> 0.0457574906)
+          .toDF("digit", "benford_p")
+        val tot = obs.agg(sum(col("n")).as("tot"))
+        benford.join(obs, Seq("digit"), "left").crossJoin(broadcast(tot))
+          .select(col("digit"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            round(coalesce(col("n"), lit(0L)) / col("tot"), 6).as("obs_frac"),
+            col("benford_p"),
+            round(abs(coalesce(col("n"), lit(0L)) / col("tot")
+              - col("benford_p")), 6).as("abs_dev"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem
+        |), obs AS (
+        |  SELECT digit, count(*) AS n FROM d GROUP BY 1
+        |), tot AS (SELECT sum(n) AS tot FROM obs),
+        | bp AS (
+        |  SELECT * FROM (VALUES (1, 0.3010299957), (2, 0.1760912591),
+        |    (3, 0.1249387366), (4, 0.0969100130), (5, 0.0791812460),
+        |    (6, 0.0669467896), (7, 0.0579919470), (8, 0.0511525224),
+        |    (9, 0.0457574906)) AS t(digit, p)
+        |)
+        |SELECT bp.digit, coalesce(obs.n, 0) AS n,
+        |  round(coalesce(obs.n, 0) / tot.tot, 6) AS obs_frac,
+        |  CAST(bp.p AS DOUBLE) AS benford_p,
+        |  round(abs(coalesce(obs.n, 0) / tot.tot - bp.p), 6) AS abs_dev
+        |FROM bp LEFT JOIN obs ON obs.digit = bp.digit, tot""".stripMargin)
   )
 }

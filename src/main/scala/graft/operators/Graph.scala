@@ -234,6 +234,64 @@ object Graph {
       .toDF("n_triangles", "n_wedges", "clustering_coeff")
   }
 
+  /** Bounded-hop BFS: shortest hop distance from a seed node to every
+    * node reachable within `maxHops`, over an undirected edge set
+    * (columns a, b).
+    *
+    * The distributed shape is textbook frontier BFS — the one every
+    * Pregel-style system demonstrates second after PageRank: per level,
+    * ONE equi-join (frontier ⋈ edges on the node key) discovers
+    * neighbors, ONE left-anti join against the visited set keeps the
+    * work linear (each node enters a frontier at most once — the
+    * visited set is what makes distributed BFS O(|E|) total instead of
+    * O(|E|·hops)), and an early exit stops dead levels. Frontier and
+    * visited frames are localCheckpointed per level for the same
+    * reason as [[pageRank]]: the next level reads both, and a lazy
+    * unroll re-derives every prior level at every depth. At cluster
+    * scale the identical plan runs with reliable checkpoint() and the
+    * visited set hash-partitioned on id so the anti-join is co-located
+    * with the neighbor aggregation.
+    *
+    * The seed is the minimum node id in the edge set — one
+    * metadata-scale scalar aggregate (like |V| in pageRank), embedded
+    * so both engines start from the identical root.
+    */
+  def bfsHops(edgesRaw: DataFrame, maxHops: Int = 4): DataFrame = {
+    val spark = edgesRaw.sparkSession
+    import spark.implicits._
+    val edges = edgesRaw.cache()
+    // undirected adjacency, hash-partitioned on the expansion key so
+    // every level's frontier join reuses one edge layout
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u")).cache()
+    val seedRow = und.agg(min(col("u"))).head
+    if (seedRow.isNullAt(0)) // no edges at all → empty result, not an NPE
+      return spark.emptyDataFrame
+        .select(lit(0L).as("part_id"), lit(0).as("hops")).limit(0)
+    val seed = seedRow.getLong(0)
+    var visited = Seq((seed, 0)).toDF("id", "hops")
+    var frontier = visited
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier
+        .join(und, frontier("id") === und("u"))
+        .select(col("v").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      h += 1
+    }
+    visited.select(col("id").cast("long").as("part_id"),
+      col("hops").cast("int").as("hops"))
+  }
+
   def entries: Map[String, Q] = Map(
     // PageRank over the customer→supplier purchase graph: 5 power
     // iterations, damping 0.85, dangling mass redistributed (suppliers
@@ -285,6 +343,36 @@ object Graph {
         |SELECT CAST(tri.n AS BIGINT) AS n_triangles,
         |  CAST(w.nw AS BIGINT) AS n_wedges,
         |  round(3.0 * tri.n / w.nw, 6) AS clustering_coeff
-        |FROM tri, w""".stripMargin)
+        |FROM tri, w""".stripMargin),
+
+    // bounded-hop BFS over the same support-pruned co-purchase graph,
+    // seeded at the minimum node id: shortest hop distance to every
+    // part reachable within 4 hops. The oracle is a RECURSIVE CTE —
+    // DuckDB's set-semantics UNION walks every path of length ≤ 4 and
+    // min(hops) collapses to the BFS distance, so the gate proves the
+    // frontier/anti-join iteration against an independent declarative
+    // formulation of reachability (a different algorithm entirely),
+    // not a replay of the same loop.
+    "q_bfs_hops" -> Q(
+      (s, d) => bfsHops(coPurchaseEdges(s, d)),
+      """WITH RECURSIVE
+        | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | e0 AS (
+        |   SELECT x.l_partkey AS a, y.l_partkey AS b
+        |   FROM li x JOIN li y
+        |     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |   GROUP BY 1, 2 HAVING count(*) >= 2
+        | ),
+        | und AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        | seed AS (SELECT min(u) AS s FROM und),
+        | walk(id, hops) AS (
+        |   SELECT s, 0 FROM seed
+        |   UNION
+        |   SELECT und.v, walk.hops + 1 FROM walk
+        |   JOIN und ON walk.id = und.u WHERE walk.hops < 4
+        | )
+        |SELECT CAST(id AS BIGINT) AS part_id,
+        |  CAST(min(hops) AS INTEGER) AS hops
+        |FROM walk GROUP BY id""".stripMargin)
   )
 }

@@ -455,4 +455,41 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(1) == 15, s"wedges: ${row.getLong(1)}")
     assert(math.abs(row.getDouble(2) - 3.0 * 4 / 15) < 1e-6)
   }
+
+  test("bfs hops matches brute-force shortest paths on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val es = for {
+        a <- 1L to 10L; b <- (a + 1) to 10L
+        if ((a * 13 + b * 29 + seed * 97) % 4) == 0
+      } yield (a, b)
+      if (es.nonEmpty) {
+        // reference BFS from the min endpoint, driver-side
+        val adj = (es ++ es.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val seed0 = adj.keys.min
+        var dist = Map(seed0 -> 0)
+        var frontier = Set(seed0)
+        for (h <- 1 to 4) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+          dist ++= next.map(_ -> h)
+          frontier = next
+        }
+        val got = graft.operators.Graph.bfsHops(es.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == dist, s"seed=$seed: $got vs $dist")
+      }
+    }
+  }
+
+  test("bfs hops: empty edge set yields an empty frame, disconnected nodes excluded") {
+    import spark.implicits._
+    assert(graft.operators.Graph.bfsHops(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    // two components: BFS from min node never reaches {7,8}
+    val got = graft.operators.Graph.bfsHops(
+      Seq((1L, 2L), (7L, 8L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1), got.toString)
+  }
 }

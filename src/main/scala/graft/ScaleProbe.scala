@@ -62,7 +62,14 @@ object ScaleProbe {
     "q_dq_checks", "q_dq_anomaly", "q_bucketed_join", "q_jaro_winkler",
     "q_line_dedup",
     "q_incr_agg", "q_incr_delete", "q_dq_quarantine", "q_dq_drift",
-    "q_incr_scd2", "q_corr_matrix", "q_dq_checksum")
+    "q_incr_scd2", "q_corr_matrix", "q_dq_checksum",
+    // round-11 late additions: q_bfs_hops's cost is the co-purchase
+    // derivation join (the frontier walk itself stays seed-component-
+    // sized on id-shifted copies — the graph becomes `factor` disjoint
+    // copies, so the probe measures the linear derivation scan, which
+    // is the 100 TB cost); q_dq_cusum/q_dq_benford are one-scan
+    // aggregates over micro-frames — linear by shape, on record.
+    "q_bfs_hops", "q_dq_cusum", "q_dq_benford")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -69,7 +69,10 @@ object ScaleProbe {
     // copies, so the probe measures the linear derivation scan, which
     // is the 100 TB cost); q_dq_cusum/q_dq_benford are one-scan
     // aggregates over micro-frames — linear by shape, on record.
-    "q_bfs_hops", "q_dq_cusum", "q_dq_benford")
+    // q_incr_window: state+delta windowed merge — both sides grow
+    // linearly, the merge shuffles |windows|·|types| partials, never
+    // events.
+    "q_bfs_hops", "q_dq_cusum", "q_dq_benford", "q_incr_window")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

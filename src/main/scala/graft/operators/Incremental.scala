@@ -52,6 +52,13 @@ object Incremental {
     * from the orders calendar). */
   private val EventCutoff = "2024-01-25"
 
+  /** Windowed-view cutoff, deliberately MID-window (noon of a daily
+    * window): the Jan-25 window holds base rows AND delta rows, so the
+    * maintenance step must genuinely merge partials inside one window —
+    * a cutoff on the window boundary would make base and delta windows
+    * disjoint and the "merge" a mere append. */
+  private val WindowCutoff = "2024-01-25 12:00:00"
+
   /** Exact integer cents: floor(x*100 + 0.5) — the same primitive-IEEE
     * half-up recipe as [[graft.Rounding]], kept as BIGINT so partial
     * states merge exactly (long addition is associative; double is not). */
@@ -220,6 +227,40 @@ object Incremental {
         |FROM events GROUP BY 1""".stripMargin),
 
     // ───────────────────────────────────────────────────────────────────
+    // Windowed-aggregate view maintenance — the KSQL
+    // `CREATE TABLE … WINDOW TUMBLING` semantic: state is one partial
+    // (cnt, sum_cents) row per (window, event_type); a delta touches only
+    // the windows its own timestamps fall in, and the cutoff-straddling
+    // Jan-25 window merges a base partial with a delta partial —
+    // exactness rests on BIGINT-cents partials (a double partial
+    // re-summed across the split drifts in the last ulp). At 100 TB the
+    // maintained view is |windows|·|types| rows; the topic's history is
+    // never re-windowed.
+    "q_incr_window" -> Q(
+      (s, d) => {
+        Incremental.windowStatePrepare(s, d)
+        val state = s.read.parquet(Incremental.windowStateDir(d))
+        val delta = Tables.events(s, d)
+          .filter(col("ts") >= lit(WindowCutoff).cast("timestamp"))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("value"))).as("sum_cents"))
+          .select(unix_millis(col("window.start")).as("ws"),
+            col("event_type"), col("cnt"), col("sum_cents"))
+        state.unionByName(delta)
+          .groupBy(col("ws"), col("event_type"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sum_cents")).as("sc"))
+          .select(col("ws"), (col("ws") + lit(86400000L)).as("we"),
+            col("event_type"), col("cnt"),
+            (col("sc") / lit(100.0)).as("sum_value"))
+      },
+      s"""SELECT (epoch_ms(ts) // 86400000) * 86400000 AS ws,
+        |  (epoch_ms(ts) // 86400000) * 86400000 + 86400000 AS we,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(${centsSql("value")}) AS BIGINT) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
     // Retraction with non-retractable-aggregate repair: a deterministic
     // delete set (l_orderkey ≡ 0 mod 97) retracts from the per-supplier
     // state — counts/sums subtract exactly (BIGINT cents), and ONLY the
@@ -271,7 +312,8 @@ object Incremental {
     "q_incr_topk" -> ((s, d) => topkStatePrepare(s, d)),
     "q_incr_delete" -> ((s, d) => deleteStatePrepare(s, d)),
     "q_incr_distinct" -> ((s, d) => distinctStatePrepare(s, d)),
-    "q_incr_scd2" -> ((s, d) => scd2StatePrepare(s, d)))
+    "q_incr_scd2" -> ((s, d) => scd2StatePrepare(s, d)),
+    "q_incr_window" -> ((s, d) => windowStatePrepare(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -348,6 +390,20 @@ object Incremental {
       Tables.events(s, d)
         .filter(col("ts") < lit(EventCutoff).cast("timestamp"))
         .select(col("event_type"), col("user_id")).distinct()
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private[graft] def windowStateDir(d: String): String =
+    stateDirs.get(s"incr_win_$d")
+  private[graft] def windowStatePrepare(s: SparkSession, d: String): Unit =
+    materialize(s"incr_win_$d") { dir =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit(WindowCutoff).cast("timestamp"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("event_type"), col("cnt"), col("sum_cents"))
         .write.mode("overwrite").parquet(dir)
     }
 

@@ -102,6 +102,36 @@ class IncrementalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incr_window: per-window partial merge equals the full tumbling " +
+    "recompute, and the mid-window cutoff day really straddles") {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val full = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sc"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        (unix_millis(col("window.start")) + lit(86400000L)).as("we"),
+        col("event_type"), col("cnt"),
+        (col("sc") / lit(100.0)).as("sum_value"))
+    assertSameRows(run("q_incr_window"), full)
+    // the defining regime: at least one (ws, event_type) window holds
+    // BOTH a base partial and a delta partial — without the straddle the
+    // "merge" is a disjoint append and the exactness claim is untested
+    Incremental.windowStatePrepare(spark, sfDir)
+    val state = spark.read.parquet(Incremental.windowStateDir(sfDir))
+    val cut = lit("2024-01-25 12:00:00").cast("timestamp")
+    val deltaWins = Tables.events(spark, sfDir)
+      .filter(col("ts") >= cut)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("d_cnt"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        col("event_type"), col("d_cnt"))
+    val straddling = state.join(deltaWins, Seq("ws", "event_type"))
+    assert(straddling.count() > 0, "no window straddles the cutoff")
+    // and the state is the compact view, not the event log
+    assert(state.count() <
+      Tables.events(spark, sfDir).filter(col("ts") < cut).count())
+  }
+
   test("incr_delete: subtract+repair equals recompute on the sf data") {
     val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
     val full = Tables.lineitem(spark, sfDir)

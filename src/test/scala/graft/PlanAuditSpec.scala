@@ -94,6 +94,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 2, s"expected state + delta scans only, got $scans\n$p")
   }
 
+  test("incr_window: delta scan pushes the mid-window ts cutoff; " +
+    "state + delta scans only") {
+    // The maintained windowed view must never re-window history: the
+    // plan reads the tiny state artifact plus ONE events scan whose
+    // pushed predicate starts at the cutoff instant.
+    val p = plan("q_incr_window")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"delta scan must push the ts cutoff\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected state + delta scans only, got $scans\n$p")
+  }
+
   test("dq-checks suite shares scans: three aggregates, no row widening") {
     val p = plan("q_dq_checks")
     // the FK-containment branch must be a semi join, never an outer/inner

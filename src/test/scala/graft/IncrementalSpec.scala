@@ -132,6 +132,48 @@ class IncrementalSpec extends SparkSpec {
       Tables.events(spark, sfDir).filter(col("ts") < cut).count())
   }
 
+  test("incr_window: cutoff-instant, base-only, delta-only, and " +
+    "straddling-window regimes") {
+    // synthetic sf-dir hand-building the four regimes the sf data only
+    // hits probabilistically; values chosen so a float partial sum
+    // across the split would drift (0.30 + 0.07 in double is
+    // 0.37000000000000005; the BIGINT-cents path yields exactly 0.37)
+    val dir = java.nio.file.Files.createTempDirectory("incr_win_synth")
+      .toString
+    Seq(
+      // base-only window (Jan 10): both rows before the cutoff day
+      (1L, "2024-01-10 03:00:00", 1L, "a", 0.10),
+      (2L, "2024-01-10 20:00:00", 1L, "a", 0.20),
+      // straddling window (Jan 25), base half
+      (3L, "2024-01-25 08:00:00", 1L, "a", 0.10),
+      (4L, "2024-01-25 11:59:59", 2L, "b", 0.30),
+      // the cutoff INSTANT itself: >= semantics → this is a DELTA row,
+      // landing in the same straddling window
+      (5L, "2024-01-25 12:00:00", 1L, "a", 0.30),
+      // straddling window, delta half
+      (6L, "2024-01-25 18:00:00", 2L, "b", 0.07),
+      // delta-only window (Jan 28)
+      (7L, "2024-01-28 01:00:00", 3L, "a", 0.70)
+    ).toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_incr_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    def ws(day: String): Long = java.time.LocalDate.parse(day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    assert(out.size == 4)
+    assert(out((ws("2024-01-10"), "a")) == ((2L, 0.30)))
+    assert(out((ws("2024-01-25"), "a")) == ((2L, 0.40))) // base + instant
+    assert(out((ws("2024-01-25"), "b")) == ((2L, 0.37))) // drift-prone pair
+    assert(out((ws("2024-01-28"), "a")) == ((1L, 0.70)))
+    // the state holds exactly the four base rows' partials — the
+    // cutoff-instant event must be on the delta side
+    val state = spark.read.parquet(Incremental.windowStateDir(dir))
+    assert(state.agg(sum("cnt")).head.getLong(0) == 4L)
+  }
+
   test("incr_delete: subtract+repair equals recompute on the sf data") {
     val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
     val full = Tables.lineitem(spark, sfDir)

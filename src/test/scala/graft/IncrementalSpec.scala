@@ -174,6 +174,148 @@ class IncrementalSpec extends SparkSpec {
     assert(state.agg(sum("cnt")).head.getLong(0) == 4L)
   }
 
+  test("incr_hopping: pane-partial merge equals the full hopping " +
+    "recompute; the state is pane partials, not the event log") {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val full = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sc"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        (unix_millis(col("window.start")) + lit(3600000L)).as("we"),
+        col("event_type"), col("cnt"),
+        (col("sc") / lit(100.0)).as("sum_value"))
+    assertSameRows(run("q_incr_hopping"), full)
+    // the maintained view is pane partials, not the event log
+    Incremental.hoppingStatePrepare(spark, sfDir)
+    val state = spark.read.parquet(Incremental.hoppingStateDir(sfDir))
+    assert(state.count() < 2 * Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-25 12:00:00").cast("timestamp"))
+      .count())
+  }
+
+  test("incr_hopping: straddling-pane, base-only, delta-only regimes " +
+    "and the 2x pane fan-out") {
+    // the cutoff (12:00) is a pane START for [12:00,13:00) but MID-window
+    // for [11:30,12:30): that pane must merge a base partial with a delta
+    // partial. Hand-built because only ONE pane can straddle and the
+    // sf0.001 sample leaves its delta half empty.
+    val dir = java.nio.file.Files.createTempDirectory("incr_hop_synth")
+      .toString
+    Seq(
+      // base-only panes: 10:40 lands in [10:00,11:00) and [10:30,11:30)
+      (1L, "2024-01-25 10:40:00", 1L, "a", 0.10),
+      // straddling pane [11:30,12:30): base half (also feeds [11:00,12:00))
+      (2L, "2024-01-25 11:45:00", 1L, "a", 0.30),
+      // straddling pane, delta half (also feeds [12:00,13:00))
+      (3L, "2024-01-25 12:10:00", 2L, "a", 0.07),
+      // delta-only panes: [14:00,15:00) and [14:30,15:30)
+      (4L, "2024-01-25 14:40:00", 3L, "a", 0.70)
+    ).toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def ms(t: String): Long = java.time.LocalDateTime.parse(t)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val out = SparkEntry.queries("q_incr_hopping")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 4 events × 2 panes = 8 pane memberships over 7 distinct panes
+    assert(out.size == 7, s"got $out")
+    assert(out(ms("2024-01-25T10:00:00")) == ((1L, 0.10)))
+    assert(out(ms("2024-01-25T10:30:00")) == ((1L, 0.10)))
+    assert(out(ms("2024-01-25T11:00:00")) == ((1L, 0.30)))
+    // THE straddling pane: base 0.30 + delta 0.07 = 0.37 exactly (the
+    // drift-prone pair — a double partial across the split yields
+    // 0.37000000000000005)
+    assert(out(ms("2024-01-25T11:30:00")) == ((2L, 0.37)))
+    assert(out(ms("2024-01-25T12:00:00")) == ((1L, 0.07)))
+    assert(out(ms("2024-01-25T14:00:00")) == ((1L, 0.70)))
+    assert(out(ms("2024-01-25T14:30:00")) == ((1L, 0.70)))
+    // state holds the base panes only: events 1,2 × 2 panes = 4 partials
+    val state = spark.read.parquet(Incremental.hoppingStateDir(dir))
+    assert(state.agg(sum("cnt")).head.getLong(0) == 4L)
+  }
+
+  test("incr_session: interval-level merge equals the full sessionize, " +
+    "and the late delta really merges existing sessions") {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val full = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sc"))
+      .select(unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("user_id"), col("cnt"),
+        (col("sc") / lit(100.0)).as("sum_value"))
+    assertSameRows(run("q_incr_session"), full)
+    // the merge-two-sessions regime must occur in the sf data: the output
+    // has FEWER sessions than state ∪ delta-sessions (some got merged)
+    Incremental.sessionStatePrepare(spark, sfDir)
+    val state = spark.read.parquet(Incremental.sessionStateDir(sfDir))
+    val deltaSessions = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 13 === 0)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .count()
+    assert(run("q_incr_session").count() <
+      state.count() + deltaSessions.count(),
+      "no session merge occurred — the delta is not exercising repair")
+  }
+
+  test("incr_session: extend-one, merge-two, and new-session regimes") {
+    // synthetic events table hand-building the three repair regimes;
+    // gap = 6h = 21_600_000 ms. Delta rows are event_id % 13 == 0.
+    val dir = java.nio.file.Files.createTempDirectory("incr_sess_synth")
+      .toString
+    Seq(
+      // user 1 — EXTEND: base session [01:00, 02:00]; late event at
+      // 05:00 is within 6h of 02:00 → session grows to [01:00, 05:00]
+      (1L, "2024-01-05 01:00:00", 1L, "a", 0.10),
+      (2L, "2024-01-05 02:00:00", 1L, "a", 0.20),
+      (13L, "2024-01-05 05:00:00", 1L, "a", 0.30),
+      // user 2 — MERGE-TWO: base sessions [01:00,01:30] and
+      // [10:00,10:30] (gap 8.5h ≥ 6h → separate); late event at 05:00
+      // is < 6h after 01:30 AND < 6h before 10:00 → ONE session
+      (3L, "2024-01-05 01:00:00", 2L, "b", 0.10),
+      (4L, "2024-01-05 01:30:00", 2L, "b", 0.30),
+      (5L, "2024-01-05 10:00:00", 2L, "b", 0.07),
+      (6L, "2024-01-05 10:30:00", 2L, "b", 0.20),
+      (26L, "2024-01-05 05:00:00", 2L, "b", 0.50),
+      // user 3 — NEW SESSION: base [01:00]; late event at 20:00 is
+      // ≥ 6h after → its own session. Also covers the untouched-state
+      // path for user 4 (no delta rows at all)
+      (7L, "2024-01-05 01:00:00", 3L, "a", 0.40),
+      (39L, "2024-01-05 20:00:00", 3L, "a", 0.60),
+      (8L, "2024-01-05 03:00:00", 4L, "c", 0.90)
+    ).toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def ms(t: String): Long = java.time.LocalDateTime.parse(t)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val gap = 21600000L
+    val out = SparkEntry.queries("q_incr_session")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 5, s"expected 5 sessions, got $out")
+    // user 1: one extended session, 3 events, 0.60 total
+    assert(out((1L, ms("2024-01-05T01:00:00"))) ==
+      ((ms("2024-01-05T05:00:00") + gap, 3L, 0.60)))
+    // user 2: the bridge event fused both base sessions → 5 events;
+    // 0.10+0.30+0.07+0.20+0.50 = 1.17 (drift-prone as doubles)
+    assert(out((2L, ms("2024-01-05T01:00:00"))) ==
+      ((ms("2024-01-05T10:30:00") + gap, 5L, 1.17)))
+    // user 3: base session untouched + a NEW delta-only session
+    assert(out((3L, ms("2024-01-05T01:00:00"))) ==
+      ((ms("2024-01-05T01:00:00") + gap, 1L, 0.40)))
+    assert(out((3L, ms("2024-01-05T20:00:00"))) ==
+      ((ms("2024-01-05T20:00:00") + gap, 1L, 0.60)))
+    // user 4: untouched state passes through unchanged
+    assert(out((4L, ms("2024-01-05T03:00:00"))) ==
+      ((ms("2024-01-05T03:00:00") + gap, 1L, 0.90)))
+    // state really holds only base sessions: 5 (u1×1, u2×2, u3×1, u4×1)
+    val state = spark.read.parquet(Incremental.sessionStateDir(dir))
+    assert(state.count() == 5)
+  }
+
   test("incr_delete: subtract+repair equals recompute on the sf data") {
     val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
     val full = Tables.lineitem(spark, sfDir)

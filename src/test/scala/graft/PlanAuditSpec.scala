@@ -106,6 +106,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 2, s"expected state + delta scans only, got $scans\n$p")
   }
 
+  test("incr_hopping: delta scan pushes the mid-window ts cutoff; " +
+    "state + delta scans only") {
+    val p = plan("q_incr_hopping")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"delta scan must push the ts cutoff\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected state + delta scans only, got $scans\n$p")
+  }
+
+  test("incr_session: neighbor repair is pruned to touched users by " +
+    "broadcast semi/anti joins; the window sort never sees untouched state") {
+    val p = plan("q_incr_session")
+    // the touched-user set broadcasts both ways: semi (repair input) and
+    // anti (pass-through) — with state partitioned by user, these prune
+    // the repair to the touched partitions at any scale
+    assert(p.contains("LeftSemi"), s"missing touched-user semi join\n$p")
+    assert(p.contains("LeftAnti"), s"missing untouched anti join\n$p")
+    // the raw event HISTORY is never re-sessionized: every events scan in
+    // the plan carries the delta predicate (event_id % 13 = 0), so each is
+    // O(|Δ|); the compact session state is read once per routing branch
+    val scanLines = p.linesIterator.filter(_.contains("FileScan parquet"))
+      .toSeq
+    val eventScans = scanLines.filter(_.contains("events.parquet"))
+    assert(eventScans.nonEmpty &&
+      eventScans.forall(_.contains("% 13)")),
+      s"an events scan lacks the delta predicate\n$p")
+    val stateScans = scanLines.size - eventScans.size
+    assert(stateScans == 2,
+      s"expected the 2 state routing-branch scans, got $stateScans\n$p")
+    // the two identical touched-user broadcast builds dedupe at runtime
+    // via exchange reuse (canonical-plan equality under AQE)
+    assert("BroadcastExchange".r.findAllIn(p).length == 2, p)
+    // the interval merge's window sort sits ABOVE the semi join (post-
+    // prune), not over the full state union
+    val win = p.indexOf("Window")
+    val semi = p.indexOf("LeftSemi")
+    assert(win >= 0 && semi > win,
+      s"window sort must consume the pruned branch\n$p")
+  }
+
   test("dq-checks suite shares scans: three aggregates, no row widening") {
     val p = plan("q_dq_checks")
     // the FK-containment branch must be a semi join, never an outer/inner

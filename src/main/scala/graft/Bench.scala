@@ -133,8 +133,15 @@ object Bench {
     val nCores = Runtime.getRuntime.availableProcessors()
     val load1Start = osBean.getSystemLoadAverage
 
+    // local iteration hook (the driver sets no env): comma list of
+    // query names to EXCLUDE — used for the §6 with/without quote of
+    // the two deliberate exact-baseline entries at sf1, so the suite
+    // wall can be read with and without the documented quadratic floor
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val suite = SparkEntry.queries.keys.toSeq.filterNot(skip)
     val cpu0 = cpuSec
-    val (total1, results1) = runSuite(SparkEntry.queries.keys.toSeq)
+    val (total1, results1) = runSuite(suite)
     val cpu1 = cpuSec
     val load1AfterRun1 = osBean.getSystemLoadAverage
     // run 2 submits LONGEST-FIRST by run 1's own measurements (LPT

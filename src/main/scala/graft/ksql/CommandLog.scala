@@ -36,6 +36,65 @@ final class CommandLog(val path: Path) {
   try Files.createFile(path)
   catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
+  /** Sidecar snapshot: a compacted statement list equivalent (for
+    * late-joiner catalog purposes) to the log prefix up to byte offset
+    * `upto`. Late-joiner start cost is then bounded by CATALOG size —
+    * snapshot statements + the post-`upto` tail — instead of growing
+    * with the full DDL history (the real command topic has the same
+    * problem; ksqlDB leaves it uncompacted, we don't). Format: one JSON
+    * line `{"upto": N}` then one `{"stmt": …}` line per statement, same
+    * framing as the log. Written atomically (temp + move) under the
+    * log's own lock, so a crashed compaction leaves the previous
+    * snapshot intact and the torn-tail rules of the MAIN log are
+    * untouched. */
+  private def snapshotPath: Path =
+    path.resolveSibling(path.getFileName.toString + ".snapshot")
+
+  /** Atomically replace the snapshot. `upto` MUST be a complete-entry
+    * boundary the caller has fully applied (an `applied` offset). */
+  def writeSnapshot(upto: Long, stmts: Seq[String]): Unit =
+    CommandLog.jvmLock(path).synchronized {
+      val ch = FileChannel.open(path,
+        StandardOpenOption.READ, StandardOpenOption.WRITE)
+      try {
+        val flock = try ch.lock()
+        catch { case _: OverlappingFileLockException => null }
+        try {
+          val body = (JsonMethods.compact(
+            JObject("upto" -> JLong(upto))) + "\n" +
+            stmts.map(CommandLog.encode(_) + "\n").mkString).getBytes(UTF_8)
+          val tmp = path.resolveSibling(
+            path.getFileName.toString + ".snapshot.tmp")
+          Files.write(tmp, body)
+          Files.move(tmp, snapshotPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally if (flock != null) flock.release()
+      } finally ch.close()
+    }
+
+  /** The latest snapshot, if one exists and parses: (upto, statements).
+    * A malformed snapshot is ignored (the full log is always the source
+    * of truth — a reader falls back to offset-zero replay). */
+  def readSnapshot(): Option[(Long, Seq[String])] =
+    CommandLog.jvmLock(path).synchronized {
+      val sp = snapshotPath
+      if (!Files.exists(sp)) None
+      else try {
+        val lines = new String(Files.readAllBytes(sp), UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty).toSeq
+        lines.headOption.flatMap { h =>
+          JsonMethods.parse(h) \ "upto" match {
+            case JInt(n) => Some((n.toLong,
+              lines.tail.flatMap(CommandLog.decode(_))))
+            case JLong(n) => Some((n,
+              lines.tail.flatMap(CommandLog.decode(_))))
+            case _ => None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Replay entries beyond byte offset `applied` through `replay` (in
     * file order), then run `body`; if it returns a statement, append it
     * before the lock releases. Returns the new applied offset. The lock

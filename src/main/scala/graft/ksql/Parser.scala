@@ -8,8 +8,10 @@ package graft.ksql
 object Parser {
 
   // ---- lexer ---------------------------------------------------------
-  final case class Tok(text: String, isString: Boolean) {
+  final case class Tok(text: String, isString: Boolean, start: Int = -1) {
     def up: String = text.toUpperCase
+    /** Source offset just past this token (start < 0 → unknown). */
+    def end: Int = if (start < 0) -1 else start + text.length
   }
 
   def tokenize(sql: String): Vector[Tok] = {
@@ -21,6 +23,7 @@ object Parser {
       if (c.isWhitespace) i += 1
       else if (c == '\'') {
         // '' inside a literal is an escaped quote — one token, one quote
+        val strStart = i
         val sb = new StringBuilder
         i += 1
         var closed = false
@@ -31,31 +34,31 @@ object Parser {
             else { closed = true; i += 1 }
           } else { sb.append(ch); i += 1 }
         }
-        out += Tok(sb.toString, isString = true)
+        out += Tok(sb.toString, isString = true, start = strStart)
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
-        out += Tok(sql.substring(start, i), isString = false)
+        out += Tok(sql.substring(start, i), isString = false, start = start)
       } else if (c.isDigit) {
         val start = i
         while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
-        out += Tok(sql.substring(start, i), isString = false)
+        out += Tok(sql.substring(start, i), isString = false, start = start)
       } else if ("<>!=".contains(c) && i + 1 < n && sql.charAt(i + 1) == '=') {
-        out += Tok(sql.substring(i, i + 2), isString = false); i += 2
+        out += Tok(sql.substring(i, i + 2), isString = false, start = i); i += 2
       } else if (c == '=' && i + 1 < n && sql.charAt(i + 1) == '>') {
         // ksqlDB lambda arrow: one token, so reconstruction keeps the
         // `=>` glued for the rewriter's lambda pass
-        out += Tok("=>", isString = false); i += 2
+        out += Tok("=>", isString = false, start = i); i += 2
       } else if (c == ':' && i + 1 < n && sql.charAt(i + 1) == '=') {
         // MAP('k' := v) assign: one token, so reconstruction keeps the
         // `:=` glued for the constructor rewrite's entry split
-        out += Tok(":=", isString = false); i += 2
+        out += Tok(":=", isString = false, start = i); i += 2
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '>') {
         // struct-deref arrow: one token, so reconstruction can glue it
         // back tight (s->f) for the rewriter's tight-form rule
-        out += Tok("->", isString = false); i += 2
+        out += Tok("->", isString = false, start = i); i += 2
       } else {
-        out += Tok(c.toString, isString = false); i += 1
+        out += Tok(c.toString, isString = false, start = i); i += 1
       }
     }
     out.result()
@@ -324,8 +327,20 @@ object Parser {
         if (p.done) p.fail("EXPLAIN needs a SELECT or a query id")
         if (p.peek.text.equalsIgnoreCase("SELECT")) ExplainStmt(parseSelect(p))
         else {
-          val sb = new StringBuilder(p.next().text)
-          while (!p.done) sb.append(p.next().text) // 22d2a852-9f11-… parts
+          // a UUID lexes into many tokens (hex groups split at '-' AND
+          // at digit→letter boundaries: 520cd204 → '520','cd204'), so
+          // rejoin — but ONLY source-ADJACENT tokens. Whitespace-
+          // separated remainders ('EXPLAIN foo bar', a typo'd 'EXPLAIN
+          // SELEC …') must be a parse error, not a silently fused id
+          // that bypasses the trailing-token guard.
+          var last = p.next()
+          val sb = new StringBuilder(last.text)
+          while (!p.done && p.peek.start == last.end) {
+            last = p.next(); sb.append(last.text)
+          }
+          if (!p.done)
+            p.fail(s"unexpected token '${p.peek.text}' after EXPLAIN id " +
+              s"'$sb' (EXPLAIN takes a SELECT or ONE query id)")
           ExplainQuery(sb.toString)
         }
       } else Query(parseSelect(p))

@@ -65,19 +65,54 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   private val cmdLog = commandLog.map(new CommandLog(_))
   private var appliedOffset = 0L
 
+  /** Per-name LAST-binding statement, in binding order — the compaction
+    * input. Maintained on every applied catalog change (own statements
+    * AND replayed ones): a rebound name keeps only its latest statement,
+    * a dropped name vanishes along with its history, so the map is
+    * bounded by catalog size whatever the DDL history length. Guarded by
+    * stmtLock like the offset. */
+  private var bindingSeq = 0L
+  private var bindings = Map.empty[String, (Long, String)]
+  /** Spec hook: statements actually replayed (snapshot + log) since
+    * construction — the late-joiner cost the compaction bounds. */
+  private[graft] val replayedStatements =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def recordBindings(before: Translator.Catalog,
+      after: Translator.Catalog, stmt: String): Unit =
+    if (after != before) {
+      bindingSeq += 1
+      // Sources are reference-identical when untouched, so this finds
+      // exactly the names this statement bound or rebound
+      after.foreach { case (n, src) =>
+        if (!before.get(n).contains(src)) bindings += n -> (bindingSeq, stmt)
+      }
+      (before.keySet -- after.keySet).foreach(bindings -= _)
+    }
+
+  /** Replay one statement; Left(error) on failure (caller decides
+    * loud-skip vs fixpoint-retry). */
+  private def replayEither(stmt: String): Either[String, Unit] =
+    try {
+      val before = catalog
+      val (cat2, _) = Translator.run(spark, catalog, stmt)
+      catalog = cat2
+      recordBindings(before, cat2, stmt)
+      replayedStatements.incrementAndGet()
+      Right(())
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(String.valueOf(e.getMessage))
+    }
+
   /** Replay one log entry from another server / a previous run. A
     * replay failure (e.g. its source parquet was since removed) skips
     * the entry loudly — refusing to serve at all would turn one bad
     * historical statement into a cluster-wide outage. */
   private def replayStmt(stmt: String): Unit =
-    try {
-      val (cat2, _) = Translator.run(spark, catalog, stmt)
-      catalog = cat2
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[rest] command-log replay skipped: " +
-          s"${stmt.take(120)}: ${e.getMessage}")
-    }
+    replayEither(stmt).left.foreach(msg =>
+      System.err.println(s"[rest] command-log replay skipped: " +
+        s"${stmt.take(120)}: $msg"))
 
   /** Apply any log entries beyond our offset. Callers hold stmtLock. */
   private def syncFromLog(): Unit = cmdLog.foreach { l =>
@@ -103,11 +138,32 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         // and introspection, not cluster DDL — the real command topic
         // draws the same line).
         val changed = cat2 != catalog
+        recordBindings(catalog, cat2, stmt)
         catalog = cat2
         res = r
         if (changed) Some(stmt) else None
       }
       res
+  }
+
+  /** Compact the shared command log into its sidecar snapshot: the
+    * per-name last-binding statements (in binding order) + the current
+    * applied offset. A server that start()s after this replays
+    * |catalog| statements + the post-snapshot tail instead of the whole
+    * DDL history; restart idempotence and the main log's torn-tail
+    * handling are untouched (the log file itself is never rewritten).
+    * Replay of a snapshot is fixpoint-ordered (failed statements retry
+    * after the rest bind), so dependency order among live names
+    * resolves itself; under create-or-replace interleaving a dependent
+    * CSAS rebinds against the final upstream version — the one
+    * deliberate divergence from literal-history replay, and the catalog
+    * a fresh execution of the surviving DDL would produce. */
+  def compactCommandLog(): Unit = stmtLock.synchronized {
+    cmdLog.foreach { l =>
+      syncFromLog() // apply everything first: upto must cover bindings
+      l.writeSnapshot(appliedOffset,
+        bindings.toSeq.sortBy(_._2._1).map(_._2._2))
+    }
   }
 
   // TLS listener config, the real server's ssl.* surface: when an
@@ -155,7 +211,10 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     if (ex.getRequestURI.getPath != "/metrics") {
       ex.sendResponseHeaders(404, -1); ex.close(); return
     }
+    // Prometheus exposition label escaping: backslash, quote, AND
+    // newline (a raw \n inside a label corrupts the line protocol)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
     val sb = new StringBuilder
     def gauge(name: String, v: Long): Unit =
       sb.append(s"# TYPE $name gauge\n$name $v\n")
@@ -167,6 +226,31 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     gauge("ksql_active_queries", spark.streams.active.length.toLong)
     gauge("ksql_push_queries", pushQueries.size.toLong)
     gauge("ksql_stream_connections", streamQueries.size.toLong)
+    // ─── push-transport backpressure (the bounded-ring tradeoff made
+    // observable: occupancy says how far behind the consumer is, the
+    // drop counter says what the ring already sacrificed, served says
+    // what actually went down the wire). Registries are concurrent maps
+    // — the scrape iterates them lock-free, same contract as above.
+    sb.append("# TYPE ksql_push_ring_rows gauge\n")
+    sb.append("# TYPE ksql_push_ring_capacity gauge\n")
+    sb.append("# TYPE ksql_push_ring_dropped_total counter\n")
+    pushQueries.forEach { (stmt, st) =>
+      st.ring.foreach { r =>
+        val label = s"""{statement="${esc(stmt.take(120))}"}"""
+        sb.append(s"ksql_push_ring_rows$label ${r.size}\n")
+        sb.append(s"ksql_push_ring_capacity$label ${r.capacity}\n")
+        sb.append(s"ksql_push_ring_dropped_total$label ${r.dropped}\n")
+      }
+    }
+    sb.append("# TYPE ksql_stream_ring_rows gauge\n")
+    sb.append("# TYPE ksql_stream_ring_dropped_total counter\n")
+    sb.append("# TYPE ksql_stream_served_rows_total counter\n")
+    streamConns.forEach { (id, c) =>
+      val label = s"""{conn="$id"}"""
+      sb.append(s"ksql_stream_ring_rows$label ${c.ring.size}\n")
+      sb.append(s"ksql_stream_ring_dropped_total$label ${c.ring.dropped}\n")
+      sb.append(s"ksql_stream_served_rows_total$label ${c.served.get}\n")
+    }
     sb.append("# TYPE ksql_query_batch_id gauge\n")
     sb.append("# TYPE ksql_query_input_rows_per_sec gauge\n")
     sb.append("# TYPE ksql_query_state_rows gauge\n")
@@ -189,10 +273,27 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   }
 
   def start(): RestServer = {
-    // converge to the cluster catalog BEFORE serving: a server joining
-    // (or rejoining) replays the whole shared log, the same way a ksql
-    // server drains the command topic before opening its listener
-    stmtLock.synchronized(syncFromLog())
+    // converge to the cluster catalog BEFORE serving: a joining server
+    // bootstraps from the compacted snapshot when one exists (catalog-
+    // sized fixpoint replay, advancing the offset past the compacted
+    // prefix), then replays only the log tail — without a snapshot it
+    // replays the whole shared log, the way a ksql server drains the
+    // command topic before opening its listener
+    stmtLock.synchronized {
+      cmdLog.flatMap(_.readSnapshot()).foreach { case (upto, stmts) =>
+        var pending = stmts
+        var progress = true
+        while (pending.nonEmpty && progress) {
+          val failed = pending.filter(s => replayEither(s).isLeft)
+          progress = failed.size < pending.size
+          pending = failed
+        }
+        pending.foreach(s => System.err.println(
+          s"[rest] snapshot replay skipped: ${s.take(120)}"))
+        appliedOffset = upto
+      }
+      syncFromLog()
+    }
     server.start()
     this
   }
@@ -200,7 +301,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     stopping = true
     server.stop(0)
     // terminate continuous push queries and release their sinks
-    pushQueries.values.foreach { st =>
+    pushQueries.values.forEach { st =>
       try st.query.stop() catch { case _: Throwable => () }
       st.sink.foreach(v =>
         try spark.catalog.dropTempView(v) catch { case _: Throwable => () })
@@ -432,6 +533,16 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     }
   }
 
+  /** Per-connection /query-stream state, registered for the /metrics
+    * backpressure gauges: the ring (occupancy + drop counter live on it)
+    * and a served-row counter the handler loop bumps. Keyed by a
+    * monotone connection id; entries leave with the connection. */
+  private final case class StreamConn(ring: RingBuffer,
+      served: java.util.concurrent.atomic.AtomicLong)
+  private val streamConnSeq = new java.util.concurrent.atomic.AtomicLong
+  private val streamConns =
+    new java.util.concurrent.ConcurrentHashMap[Long, StreamConn]()
+
   private def serveChunked(ex: HttpExchange, df: DataFrame, cap: Long): Unit = {
     val ring = new RingBuffer(4 * maxRows, df.schema)
     val q = try {
@@ -453,6 +564,9 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         return
     }
     streamQueries.add(q)
+    val connId = streamConnSeq.incrementAndGet()
+    val conn = StreamConn(ring, new java.util.concurrent.atomic.AtomicLong)
+    streamConns.put(connId, conn)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
     val out = ex.getResponseBody
@@ -489,6 +603,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
           }
           out.flush() // one chunk per drained increment
           served += got.length
+          conn.served.set(served)
         }
       }
       if (served >= cap)
@@ -499,6 +614,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     } finally {
       try q.stop() catch { case _: Throwable => () }
       streamQueries.remove(q)
+      streamConns.remove(connId)
       try ex.close() catch { case _: Throwable => () }
     }
   }
@@ -561,8 +677,11 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   private final case class PushState(
       query: org.apache.spark.sql.streaming.StreamingQuery,
       mode: String, ring: Option[RingBuffer], sink: Option[String])
+  // ConcurrentHashMap so the /metrics scrape can iterate WITHOUT taking
+  // stmtLock (a scrape must never queue behind a long DDL); handler
+  // threads still mutate under stmtLock for statement-level atomicity
   private val pushQueries =
-    scala.collection.mutable.Map.empty[String, PushState]
+    new java.util.concurrent.ConcurrentHashMap[String, PushState]()
 
   /** Spec hooks: observable buffer size / loss for a registered push
     * statement (None when the statement isn't append-mode-registered).
@@ -575,10 +694,10 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   // unlocked read of the non-thread-safe mutable Map is a data race
   // (round-9 ADVICE). The ring accessors themselves are synchronized.
   private[graft] def pushBufferedRows(stmt: String): Option[Int] =
-    stmtLock.synchronized(pushQueries.get(pushKey(stmt)))
+    Option(pushQueries.get(pushKey(stmt)))
       .flatMap(_.ring).map(_.size)
   private[graft] def pushDroppedRows(stmt: String): Option[Long] =
-    stmtLock.synchronized(pushQueries.get(pushKey(stmt)))
+    Option(pushQueries.get(pushKey(stmt)))
       .flatMap(_.ring).map(_.dropped)
 
   /** Start a continuous query for `df`: append-mode into a fresh ring
@@ -601,7 +720,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   }
 
   private def drainPush(stmt: String, df: DataFrame): DataFrame = {
-    val st = pushQueries.getOrElseUpdate(stmt, startPush(df))
+    val st = pushQueries.computeIfAbsent(stmt, _ => startPush(df))
     st.query.processAllAvailable()
     (st.ring, st.sink) match {
       case (Some(ring), _) =>

@@ -308,40 +308,7 @@ object Dedup {
     // read, not recomputed — without it, a self-join duplicates the
     // 16-signature computation on both sides of the plan.
     val banded = index.getOrElse(lshBandIndex(emb, dim, bands, bitsPerBand))
-    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
-    // multi-probe side: the key itself plus each 1-bit flip, so a pair
-    // one hyperplane apart in a band still collides (xor is symmetric —
-    // probing one side covers both directions).
-    // repartition BEFORE the explode: the whole candidate+rescore
-    // pipeline downstream is ONE fused codegen stage over broadcast
-    // joins, so its parallelism is exactly the scan parallelism of THIS
-    // side — and the memoized band-index parquet is a few MB, one
-    // split, which ran the entire 70M-candidate stage single-threaded
-    // (measured 48-53 s at a 20k corpus; 32-way it's seconds). The
-    // exchange moves only the pre-explode ids (rows × 20 B — trivial);
-    // on a real cluster a TB-scale index parallelizes by itself and the
-    // exchange is equally harmless. Same lesson as ScaleProbe's
-    // maxPartitionBytes pin (SURVEY §6, round 9): fused zero-shuffle
-    // pipelines inherit the scan's split count and nothing else.
-    val b = banded.repartition(col("vec_id")).withColumn("bkey", explode(expr(
-      s"array_union(array(bkey), transform(sequence(0, ${bitsPerBand - 1}), " +
-        "j -> bkey ^ shiftleft(CAST(1 AS BIGINT), j)))")))
-      .select(col("band"), col("bkey"), col("vec_id").as("vec_b"))
-    // dedup BEFORE the rescore — the worst-case-robust order, kept
-    // after a round-10 A/B measured the alternative both ways. Scoring
-    // per collision and deduplicating only passing pairs is ~1.7×
-    // faster on a mild-skew corpus (raw/unique collisions ≈ 1.2:
-    // 8.4 s vs ~14 s at 20k random vectors) — but on a skewed,
-    // near-dup-heavy corpus (replicated probe data: raw 296M vs unique
-    // 77.6M, max bucket 2,285 vs mean 39) it pays the full raw volume
-    // through the vector rescore and measured ~3× SLOWER (97.6 s vs
-    // ~33 s). Real dedup corpora ARE skewed — that is why they are
-    // being deduplicated — so the ids-only dedup exchange (16 B/row)
-    // before any vector work is the shape that never collapses.
-    val cand = a.join(b, Seq("band", "bkey"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+    val cand = lshCandidatePairs(banded, bitsPerBand)
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("vec_a"))
@@ -350,6 +317,48 @@ object Dedup {
       .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Deduped (vec_a < vec_b) candidate id pairs from a (vec_id, band,
+    * bkey) band index — the stage the rescore consumes, exposed so the
+    * scale probe can count candidate volume with the exact serving
+    * plan. Multi-probe side: the key itself plus each 1-bit flip, so a
+    * pair one hyperplane apart in a band still collides (xor is
+    * symmetric — probing one side covers both directions).
+    *
+    * repartition BEFORE the explode: the whole candidate+rescore
+    * pipeline downstream is ONE fused codegen stage over broadcast
+    * joins, so its parallelism is exactly the scan parallelism of THIS
+    * side — and the memoized band-index parquet is a few MB, one
+    * split, which ran the entire 70M-candidate stage single-threaded
+    * (measured 48-53 s at a 20k corpus; 32-way it's seconds). The
+    * exchange moves only the pre-explode ids (rows × 20 B — trivial);
+    * on a real cluster a TB-scale index parallelizes by itself and the
+    * exchange is equally harmless. Same lesson as ScaleProbe's
+    * maxPartitionBytes pin (SURVEY §6, round 9): fused zero-shuffle
+    * pipelines inherit the scan's split count and nothing else.
+    *
+    * dedup BEFORE the rescore — the worst-case-robust order, kept
+    * after a round-10 A/B measured the alternative both ways. Scoring
+    * per collision and deduplicating only passing pairs is ~1.7×
+    * faster on a mild-skew corpus (raw/unique collisions ≈ 1.2:
+    * 8.4 s vs ~14 s at 20k random vectors) — but on a skewed,
+    * near-dup-heavy corpus (replicated probe data: raw 296M vs unique
+    * 77.6M, max bucket 2,285 vs mean 39) it pays the full raw volume
+    * through the vector rescore and measured ~3× SLOWER (97.6 s vs
+    * ~33 s). Real dedup corpora ARE skewed — that is why they are
+    * being deduplicated — so the ids-only dedup exchange (16 B/row)
+    * before any vector work is the shape that never collapses. */
+  def lshCandidatePairs(banded: DataFrame, bitsPerBand: Int): DataFrame = {
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
+    val b = banded.repartition(col("vec_id")).withColumn("bkey", explode(expr(
+      s"array_union(array(bkey), transform(sequence(0, ${bitsPerBand - 1}), " +
+        "j -> bkey ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+      .select(col("band"), col("bkey"), col("vec_id").as("vec_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** The (vec_id, band, bkey) band-index projection: one `bitsPerBand`-

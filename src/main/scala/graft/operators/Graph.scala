@@ -98,6 +98,11 @@ object Graph {
             .as("rank"))
         .localCheckpoint(true)
     }
+    // the final frontier is checkpointed (lineage-free), so the loop's
+    // cached inputs can be dropped NOW — a long-lived JVM (bench, REPL)
+    // calling into this module repeatedly must not accumulate dead
+    // cached blocks until the context cleaner happens to run
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks
   }
 
@@ -227,6 +232,9 @@ object Graph {
     val nTri = closed.count().toDouble
     val nWedge = deg.agg(coalesce(sum(col("deg") * (col("deg") - 1) / lit(2)),
       lit(0.0))).head.getDouble(0)
+    // both consumers have run — release the cached edge set (see
+    // pageRank: repeated callers in one JVM must not leak blocks)
+    edges.unpersist()
     val spark = edges.sparkSession
     import spark.implicits._
     Seq((nTri.toLong, nWedge.toLong,
@@ -266,9 +274,11 @@ object Graph {
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u")).cache()
     val seedRow = und.agg(min(col("u"))).head
-    if (seedRow.isNullAt(0)) // no edges at all → empty result, not an NPE
+    if (seedRow.isNullAt(0)) { // no edges at all → empty result, not an NPE
+      und.unpersist(); edges.unpersist()
       return spark.emptyDataFrame
         .select(lit(0L).as("part_id"), lit(0).as("hops")).limit(0)
+    }
     val seed = seedRow.getLong(0)
     var visited = Seq((seed, 0)).toDF("id", "hops")
     var frontier = visited
@@ -288,6 +298,9 @@ object Graph {
       }
       h += 1
     }
+    // visited is checkpointed — the cached adjacency can go (see
+    // pageRank on why eager release matters in a long-lived JVM)
+    und.unpersist(); edges.unpersist()
     visited.select(col("id").cast("long").as("part_id"),
       col("hops").cast("int").as("hops"))
   }

@@ -53,11 +53,16 @@ object StreamingIncremental {
     * batch state frame with columns (key, cnt, sum_cents, max_cents).
     * `delta` is a streaming frame with (key: long, cents: long). Emits
     * the updated (key, cnt, sum_cents, max_cents) per key per
-    * micro-batch, update mode. */
+    * micro-batch, update mode. A non-null `stateTtl` ages idle keys out
+    * of the store; Spark only honors TTL under processing-time
+    * semantics, so supplying one switches the processor's time mode
+    * (timers are unused either way — the fold itself is identical). */
   def seededAggregate(delta: DataFrame, initState: DataFrame,
                       stateTtl: java.time.Duration = null): DataFrame = {
     import delta.sparkSession.implicits._
     val ttl = Option(stateTtl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val timeMode =
+      if (stateTtl == null) TimeMode.None() else TimeMode.ProcessingTime()
     val seed: Dataset[Keyed] = initState
       .select(col("key").cast("long"), col("cnt").cast("long"),
         col("sum_cents").cast("long"), col("max_cents").cast("long"))
@@ -68,7 +73,7 @@ object StreamingIncremental {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new SeededAggProcessor(ttl),
-        TimeMode.None(), OutputMode.Update(),
+        timeMode, OutputMode.Update(),
         seed.groupByKey(_._1),
         Encoders.product[Keyed], Encoders.product[Keyed])
       .toDF("key", "cnt", "sum_cents", "max_cents")

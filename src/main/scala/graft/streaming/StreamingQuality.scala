@@ -70,12 +70,18 @@ object StreamingQuality {
       val p = e.progress
       if (p.name == queryName) {
         Option(p.observedMetrics.get(observationName)).foreach { row =>
-          val m = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-            f -> (row.get(i) match {
-              case l: java.lang.Long => l.longValue()
-              case i2: java.lang.Integer => i2.longValue()
-              case other => String.valueOf(other).toLong
-            })
+          // integral metrics only — a non-integral check column (an
+          // avg(), say) must not throw inside the listener callback and
+          // silently drop the whole batch's metrics to the bus log, so
+          // anything that isn't a whole number is skipped, not coerced
+          val m = row.schema.fieldNames.zipWithIndex.flatMap { case (f, i) =>
+            row.get(i) match {
+              case l: java.lang.Long => Some(f -> l.longValue())
+              case i2: java.lang.Integer => Some(f -> i2.longValue())
+              case s: java.lang.Short => Some(f -> s.longValue())
+              case b: java.lang.Byte => Some(f -> b.longValue())
+              case _ => None
+            }
           }.toMap
           buf.add(BatchMetrics(p.batchId, m))
         }

@@ -399,4 +399,44 @@ class IncrementalSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming handoff: a state TTL switches to processing-time mode " +
+    "and the seeded fold still accumulates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seed = Seq((7L, 2L, 100L, 60L)).toDF(
+        "key", "cnt", "sum_cents", "max_cents")
+      val mem = MemoryStream[(Long, Long)](spark)
+      // a TTL far beyond the test's wall time: the point is that the
+      // TTL path RUNS (TimeMode.ProcessingTime + TTLConfig — with
+      // TimeMode.None Spark rejects the config at query start), not
+      // that state visibly expires
+      val out = StreamingIncremental.seededAggregate(
+        mem.toDF().toDF("key", "cents"), seed,
+        stateTtl = java.time.Duration.ofHours(1))
+      val q = out.writeStream.format("memory").queryName("incr_ttl")
+        .outputMode("update").start()
+      // processing-time mode runs batches continuously (TTL expiry may
+      // fire without input), so processAllAvailable never latches —
+      // poll the sink for each expected fold result instead
+      def awaitCnt(cnt: Long): Unit = {
+        val deadline = System.nanoTime() + 120_000_000_000L
+        while (spark.table("incr_ttl").filter(col("cnt") === cnt).isEmpty
+            && System.nanoTime() < deadline) Thread.sleep(100)
+      }
+      mem.addData(Seq((7L, 40L))); awaitCnt(3L)
+      mem.addData(Seq((7L, 70L))); awaitCnt(4L)
+      q.stop()
+      val last = spark.table("incr_ttl")
+        .orderBy(col("cnt").desc).head()
+      // seed (2, 100, 60) + 40 + 70 = (4, 210, 70), carried across
+      // batches through the TTL-configured store
+      assert(last.getLong(0) == 7L && last.getLong(1) == 4L &&
+        last.getLong(2) == 210L && last.getLong(3) == 70L)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -1337,6 +1337,17 @@ class KsqlSpec extends SparkSpec {
         Translator.run(spark, Map.empty, "EXPLAIN no_such_query")
       }
       assert(e.getMessage.contains("no running or paused query"))
+      // multi-token remainder that is NOT a '-'-joined UUID must be a
+      // parse error — not a silently fused id, not a typo'd statement
+      // surfacing as "no running query SELEC…"
+      val multi = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "EXPLAIN foo bar")
+      }
+      assert(multi.getMessage.contains("after EXPLAIN id"), multi.getMessage)
+      val typo = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map.empty, "EXPLAIN SELEC 1 FROM events")
+      }
+      assert(typo.getMessage.contains("after EXPLAIN id"), typo.getMessage)
     } finally if (q.isActive) q.stop()
   }
 

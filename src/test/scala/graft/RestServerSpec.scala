@@ -218,6 +218,83 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/metrics exposes push-ring and stream-connection backpressure " +
+    "gauges that move under a slow consumer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val srv = new RestServer(spark,
+      Map("bp" -> Translator.Source(mem.toDF(), "ts")), maxRows = 10).start()
+    val stmt = "SELECT event_id, event_type FROM bp EMIT CHANGES;"
+    try {
+      def scrape(): String = {
+        val req = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}/metrics"))
+          .GET().build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+        resp.body()
+      }
+      def metric(body: String, name: String): Option[Long] =
+        body.linesIterator
+          .find(l => l.startsWith(name + "{") || l.startsWith(name + " "))
+          .map(_.split(' ').last.toLong)
+      // slow push consumer: 100 arrivals, ONE drain of 10 — the scrape
+      // must show the ring's occupancy (30), capacity (40) and the 60
+      // evicted rows, labeled by statement
+      (1 to 100).foreach(i => mem.addData(
+        Ev(i.toLong, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+          1L, "click", 1.0)))
+      val body = JsonMethods.compact(JObject("ksql" -> JString(stmt)))
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      assert(http.send(req, HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+      val m1 = scrape()
+      assert(m1.contains("# TYPE ksql_push_ring_rows gauge"), m1)
+      assert(metric(m1, "ksql_push_ring_rows").contains(30L), m1)
+      assert(metric(m1, "ksql_push_ring_capacity").contains(40L), m1)
+      assert(metric(m1, "ksql_push_ring_dropped_total").contains(60L), m1)
+      assert(m1.contains("""statement="SELECT event_id"""), m1)
+      // live /query-stream subscription: per-connection served counter
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/query-stream").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setDoOutput(true); conn.setRequestMethod("POST")
+      conn.getOutputStream.write(JsonMethods.compact(JObject(
+        "sql" -> JString(stmt))).getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      assert(reader.readLine().contains("\"header\""))
+      mem.addData(
+        Ev(101L, java.sql.Timestamp.valueOf("2024-03-01 00:01:00"),
+          1L, "view", 1.0),
+        Ev(102L, java.sql.Timestamp.valueOf("2024-03-01 00:01:01"),
+          1L, "view", 1.0))
+      assert(reader.readLine().contains("\"row\""))
+      assert(reader.readLine().contains("\"row\""))
+      // the handler bumps served just AFTER the flush the client read —
+      // poll the scrape briefly instead of racing it
+      val d2 = System.nanoTime() + 10_000_000_000L
+      var m2 = scrape()
+      while (!metric(m2, "ksql_stream_served_rows_total").contains(2L) &&
+          System.nanoTime() < d2) { Thread.sleep(50); m2 = scrape() }
+      assert(metric(m2, "ksql_stream_served_rows_total").contains(2L), m2)
+      assert(metric(m2, "ksql_stream_ring_rows").isDefined, m2)
+      assert(metric(m2, "ksql_stream_ring_dropped_total").contains(0L), m2)
+      reader.close(); conn.disconnect()
+      // the subscription's gauges leave with the connection
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var m3 = scrape()
+      while (metric(m3, "ksql_stream_served_rows_total").isDefined &&
+          System.nanoTime() < deadline) { Thread.sleep(100); m3 = scrape() }
+      assert(metric(m3, "ksql_stream_served_rows_total").isEmpty, m3)
+    } finally srv.stop()
+  }
+
   test("/query-stream: one chunked connection serves two increments live") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -428,6 +505,86 @@ class RestServerSpec extends SparkSpec {
     } finally {
       srvA.stop(); srvB.stop()
       java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
+  test("command log: snapshot compaction bounds a late joiner's replay " +
+    "by catalog size, not DDL history") {
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_snap", ".jsonl")
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    val srvA = mk()
+    try {
+      // a 7-statement DDL history whose live catalog is TWO sources:
+      // drops remove their whole chain, a rebind keeps only the last
+      // binding — the compaction invariant
+      val history = Seq(
+        "CREATE STREAM snap_a AS SELECT o_orderkey FROM orders WHERE o_totalprice > 100000;",
+        "CREATE STREAM snap_b AS SELECT o_orderkey FROM orders;",
+        "CREATE STREAM snap_c AS SELECT o_custkey FROM orders;",
+        "DROP STREAM snap_b;",
+        "CREATE OR REPLACE STREAM snap_a AS SELECT o_orderkey FROM orders WHERE o_totalprice > 200000;",
+        "CREATE STREAM snap_d AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000;",
+        "DROP STREAM snap_c;")
+      history.foreach { s =>
+        val (c, b) = postTo(srvA.boundPort, "/ksql", s)
+        assert(c == 200, s"$s → $b")
+      }
+      srvA.compactCommandLog()
+      // post-compaction tail: a late joiner replays snapshot + THIS only
+      val (ct, bt) = postTo(srvA.boundPort, "/ksql",
+        "CREATE STREAM snap_tail AS SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0;")
+      assert(ct == 200, bt)
+      // the snapshot sidecar holds the header + the 2 live statements
+      val snap = java.nio.file.Files.readAllLines(
+        log.resolveSibling(log.getFileName.toString + ".snapshot"))
+      assert(snap.size == 3, snap)
+      assert(snap.get(0).contains("upto"), snap)
+      // statements appear in LAST-binding order: snap_a's rebind
+      // (statement 5) precedes snap_d (statement 6)
+      assert(snap.get(1).contains("snap_a") &&
+        snap.get(1).contains("200000"), snap)
+      assert(snap.get(2).contains("snap_d"), snap)
+      // late joiner: replays 2 snapshot statements + 1 tail entry — not
+      // the 8-statement history
+      val srvB = mk()
+      try {
+        assert(srvB.replayedStatements.get() == 3,
+          s"late joiner replayed ${srvB.replayedStatements.get()}")
+        // converged catalog: the rebound filter, the tail stream, and
+        // the dropped names' absence
+        val expected = Tables.orders(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("o_totalprice") > 200000)
+          .count()
+        val (c2, b2) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM snap_a;")
+        assert(c2 == 200, b2)
+        assert((JsonMethods.parse(b2.linesIterator.toSeq(1)) \ "row" \ "columns")
+          == JArray(List(JInt(BigInt(expected)))), b2)
+        val (c3, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM snap_tail;")
+        assert(c3 == 200)
+        val (c4, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM snap_b;")
+        assert(c4 == 400, "dropped stream must stay dropped")
+      } finally srvB.stop()
+      // restart idempotence: a SECOND late joiner over the same
+      // snapshot+tail converges identically
+      val srvB2 = mk()
+      try {
+        assert(srvB2.replayedStatements.get() == 3)
+        val (c5, _) = postTo(srvB2.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM snap_d;")
+        assert(c5 == 200)
+      } finally srvB2.stop()
+      // the main log is never rewritten — full history still there
+      // (torn-tail rules untouched)
+      assert(java.nio.file.Files.readAllLines(log).size == 8)
+    } finally {
+      srvA.stop()
+      java.nio.file.Files.deleteIfExists(log)
+      java.nio.file.Files.deleteIfExists(
+        log.resolveSibling(log.getFileName.toString + ".snapshot"))
     }
   }
 

@@ -88,6 +88,63 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("cnt") == 2)) // merged session
   }
 
+  test("streaming hopping/session window aggs match the batch IVM " +
+    "views key-for-key (q_incr_hopping / q_incr_session parity)") {
+    // the §2.15 claim in streaming form: the incrementally-maintained
+    // batch views and a continuous query over the SAME events produce
+    // identical windowed aggregates. All sf events stream through in
+    // one batch (watermark can't drop anything), then a far-future
+    // sentinel advances the watermark so append-mode session windows
+    // close and emit.
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev].collect()
+    val sentinelTs = new Timestamp(
+      evs.map(_.ts.getTime).max + 30L * 86400000L)
+    def pairCheck(name: String, got: org.apache.spark.sql.DataFrame,
+                  want: org.apache.spark.sql.DataFrame): Unit = {
+      val cols = want.columns.sorted.map(col).toSeq
+      assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0
+        && want.select(cols: _*).exceptAll(got.select(cols: _*)).count() == 0,
+        s"$name diverged from the batch view")
+    }
+    // ── session (6h gap, per user) vs q_incr_session
+    val memS = MemoryStream[Ev](spark)
+    val aggS = memS.toDF().withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"))
+      .select(unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("user_id"), col("cnt"),
+        (col("sum_cents") / lit(100.0)).as("sum_value"))
+    val qS = aggS.writeStream.format("memory").queryName("ivm_sess_par")
+      .outputMode(OutputMode.Append).start()
+    memS.addData(evs.toIndexedSeq: _*)
+    memS.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+    qS.processAllAvailable(); qS.stop()
+    pairCheck("session",
+      spark.table("ivm_sess_par").filter(col("user_id") =!= -1L),
+      SparkEntry.queries("q_incr_session")(spark, sfDir))
+    // ── hopping (1h size / 30m advance, per type) vs q_incr_hopping
+    val memH = MemoryStream[Ev](spark)
+    val aggH = memH.toDF().withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        (unix_millis(col("window.start")) + lit(3600000L)).as("we"),
+        col("event_type"), col("cnt"),
+        (col("sum_cents") / lit(100.0)).as("sum_value"))
+    val qH = aggH.writeStream.format("memory").queryName("ivm_hop_par")
+      .outputMode(OutputMode.Append).start()
+    memH.addData(evs.toIndexedSeq: _*)
+    memH.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+    qH.processAllAvailable(); qH.stop()
+    pairCheck("hopping",
+      spark.table("ivm_hop_par").filter(col("event_type") =!= "sentinel"),
+      SparkEntry.queries("q_incr_hopping")(spark, sfDir))
+  }
+
   test("hopping window agg in streaming emits size/slide replicas") {
     val mem = MemoryStream[Ev](spark)
     val s = KsqlStream(mem.toDF(), "ts", "5 minutes")
@@ -326,6 +383,35 @@ class StreamingSpec extends SparkSpec {
       assert(b2.metrics("rows") == 2 && b2.metrics("value_in_range") == 2
         && b2.metrics("accepted_type") == 2, b2)
       assert(b1.batchId < b2.batchId)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("observe() listener skips non-integral metrics instead of " +
+    "dropping the batch") {
+    import graft.streaming.StreamingQuality
+    val listener = new StreamingQuality.DqListener("dq_mixed")
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[Ev](spark)
+      // a rule set mixing integral counters with an avg() — the double
+      // metric must not throw inside the listener callback and silently
+      // lose the batch's integral counters to the bus log
+      val out = StreamingQuality.observed(mem.toDF(), Seq(
+        count(lit(1)).as("rows"),
+        avg(col("value")).as("value_avg")))
+      val q = out.writeStream.format("memory").queryName("dq_mixed")
+        .outputMode(OutputMode.Append).start()
+      mem.addData(Ev(1, t(0), 1, "click", 10.0), Ev(2, t(1), 2, "view", 15.0))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def dataBatches = listener.collected
+        .filter(_.metrics.get("rows").exists(_ > 0))
+      while (dataBatches.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      val b = dataBatches.head
+      assert(b.metrics("rows") == 2)
+      assert(!b.metrics.contains("value_avg"), b) // skipped, not coerced
     } finally spark.streams.removeListener(listener)
   }
 

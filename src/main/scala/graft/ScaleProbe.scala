@@ -72,7 +72,14 @@ object ScaleProbe {
     // q_incr_window: state+delta windowed merge — both sides grow
     // linearly, the merge shuffles |windows|·|types| partials, never
     // events.
-    "q_bfs_hops", "q_dq_cusum", "q_dq_benford", "q_incr_window")
+    // round 12: the remaining window-IVM shapes. q_incr_hopping is the
+    // tumbling merge with a 2× delta fan-out (linear by shape);
+    // q_incr_session's repair pass must stay pruned to touched users —
+    // its cost is |touched sessions| + |Δ|, and on id-shifted copies
+    // the touched-user fraction is scale-invariant, so the probe
+    // catches any accidental full-state window sort.
+    "q_bfs_hops", "q_dq_cusum", "q_dq_benford", "q_incr_window",
+    "q_incr_hopping", "q_incr_session")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -254,11 +254,37 @@ object StreamBench {
             System.err.println(s"[streambench] seeded_agg_rocksdb failed: $e")
             Result("seeded_agg_rocksdb", -1.0, -1.0, -1.0)
         }
+      // seeded-SESSIONIZE handoff (round 12): the batch session-IVM
+      // interval records boot a ListState of sessions per user, and the
+      // stream repairs them with the interval-level gaps-and-islands
+      // merge (the q_incr_session algebra, continuous). Every key
+      // carries one pre-seeded historical session, so the probe
+      // measures the repair fold against non-empty list state — the
+      // realistic boot-from-yesterday's-view shape. 45 s gap like the
+      // session_window probes.
+      val seededSess =
+        try {
+          import spark.implicits._
+          val sessSeed = (0 until 997).map(k =>
+            (k.toLong, 1000L * k, 1000L * k + 500L, 10L, 12345L))
+            .toDF("user", "first_ms", "last_ms", "cnt", "sum_cents")
+          drive(spark, "seeded_session_rocksdb", batches, batchRows, rows,
+            df => graft.streaming.StreamingIncremental.seededSessionize(
+              df.select(col("user_id").as("user"),
+                unix_millis(col("ts")).as("ts_ms"),
+                col("event_id").as("cents")), sessSeed, 45000L),
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] seeded_session_rocksdb failed: $e")
+            Result("seeded_session_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      Seq(rocksJoin, tws, seeded)
+      Seq(rocksJoin, tws, seeded, seededSess)
     }
     single ++ (join +: underRocks)
   }

@@ -47,7 +47,8 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
                        port: Int = 0, maxRows: Int = 1000,
                        commandLog: Option[java.nio.file.Path] = None,
                        auth: Option[(String, String)] = None,
-                       ssl: Option[javax.net.ssl.SSLContext] = None) {
+                       ssl: Option[javax.net.ssl.SSLContext] = None,
+                       autoCompact: Option[Int] = None) {
 
   @volatile private var catalog: Translator.Catalog = catalog0
   @volatile private var stopping = false
@@ -76,6 +77,21 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   /** Spec hook: statements actually replayed (snapshot + log) since
     * construction — the late-joiner cost the compaction bounds. */
   private[graft] val replayedStatements =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Post-snapshot tail length as THIS server observes it: log entries
+    * replayed (other servers' appends + the start() tail) plus our own
+    * appended DDL; reset whenever we compact. Drives the opt-in
+    * `autoCompact` policy: after each appended statement, compact when
+    * the tail exceeds k·max(1, |catalog bindings|) — so the late-joiner
+    * replay bound (snapshot + tail ≤ (k+1)·|catalog|) holds without
+    * anyone calling compactCommandLog() by hand. Another server
+    * compacting concurrently only makes our trigger fire on an
+    * already-short tail — the rewrite is idempotent, never destructive
+    * (the main log is append-only either way). Guarded by stmtLock. */
+  private var tailStatements = 0L
+  /** Spec hook: auto-compactions this server performed. */
+  private[graft] val autoCompactions =
     new java.util.concurrent.atomic.AtomicLong
 
   private def recordBindings(before: Translator.Catalog,
@@ -109,10 +125,12 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     * replay failure (e.g. its source parquet was since removed) skips
     * the entry loudly — refusing to serve at all would turn one bad
     * historical statement into a cluster-wide outage. */
-  private def replayStmt(stmt: String): Unit =
+  private def replayStmt(stmt: String): Unit = {
+    tailStatements += 1 // a log entry beyond the snapshot, pass or fail
     replayEither(stmt).left.foreach(msg =>
       System.err.println(s"[rest] command-log replay skipped: " +
         s"${stmt.take(120)}: $msg"))
+  }
 
   /** Apply any log entries beyond our offset. Callers hold stmtLock. */
   private def syncFromLog(): Unit = cmdLog.foreach { l =>
@@ -130,6 +148,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       res
     case Some(l) =>
       var res: Option[DataFrame] = None
+      var appended = false
       appliedOffset = l.transact(appliedOffset, replayStmt) { () =>
         val (cat2, r) = Translator.run(spark, catalog, stmt)
         // Map equality with reference-equal Sources: true exactly when a
@@ -141,7 +160,16 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         recordBindings(catalog, cat2, stmt)
         catalog = cat2
         res = r
-        if (changed) Some(stmt) else None
+        if (changed) { appended = true; Some(stmt) } else None
+      }
+      if (appended) {
+        tailStatements += 1
+        autoCompact.foreach { k =>
+          if (tailStatements > k.toLong * math.max(1, bindings.size)) {
+            compactCommandLog()
+            autoCompactions.incrementAndGet()
+          }
+        }
       }
       res
   }
@@ -163,6 +191,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       syncFromLog() // apply everything first: upto must cover bindings
       l.writeSnapshot(appliedOffset,
         bindings.toSeq.sortBy(_._2._1).map(_._2._2))
+      tailStatements = 0 // the tail starts fresh behind our snapshot
     }
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Batch-to-stream state handoff: a streaming aggregation SEEDED from
   * the batch-built incremental state (Spark 4's
@@ -47,6 +47,104 @@ object StreamingIncremental {
       st.update((n, s, m))
       Iterator.single((key, n, s, m))
     }
+  }
+
+  /** One session interval: (first_ms, last_ms, cnt, sum_cents). */
+  private type Sess = (Long, Long, Long, Long)
+  /** Seed/output row: (user, first_ms, last_ms, cnt, sum_cents). */
+  private type SessRow = (Long, Long, Long, Long, Long)
+  /** Output row: (user, ver, first_ms, last_ms, cnt, sum_cents). */
+  private type SessOut = (Long, Long, Long, Long, Long, Long)
+
+  /** The session shape of the handoff: the batch session-IVM state
+    * artifact (one interval record per materialized session — the
+    * `graft.operators.Incremental.sessionStatePrepare` shape) seeds a
+    * `ListState` of intervals per user, and live events repair it with
+    * the SAME interval-level gaps-and-islands merge the batch
+    * maintenance runs: the batch's merge-two-sessions regime (a late
+    * event bridging the gap between two materialized sessions) happens
+    * HERE when a streamed event lands between two seeded intervals.
+    * Per-key work is |key's events in the batch| log-sorted plus the
+    * key's session list — never another key's state — so the repair
+    * cost scales with the touched keys only, the identical posture to
+    * the batch query's broadcast-semi-join pruning.
+    */
+  private class SeededSessionProcessor(gapMs: Long)
+    extends StatefulProcessorWithInitialState[Long, (Long, Long, Long),
+      SessOut, SessRow] {
+    @transient private var st: ListState[Sess] = _
+    @transient private var ver: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getListState[Sess]("sessions",
+        Encoders.product[Sess], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    // one call per seed row — a user's N materialized sessions arrive
+    // as N rows and accumulate in the list
+    override def handleInitialState(key: Long, initial: SessRow,
+        tv: TimerValues): Unit =
+      st.appendValue((initial._2, initial._3, initial._4, initial._5))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        tv: TimerValues): Iterator[SessOut] = {
+      // 1) sessionize the batch's new events alone (sorted fold)
+      val evs = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[Sess]
+      evs.foreach { case (ts, cents) =>
+        if (fresh.nonEmpty && ts - fresh.last._2 < gapMs) {
+          val (f, _, n, s) = fresh.last
+          fresh(fresh.length - 1) = (f, ts, n + 1, s + cents)
+        } else fresh += ((ts, ts, 1L, cents))
+      }
+      // 2) interval-level gaps-and-islands merge with the stored
+      //    sessions — equivalent to re-sessionizing the raw events
+      //    (every event-level gap < g is witnessed by interval
+      //    adjacency), the batch maintenance's exact algebra
+      val all = ((if (st.exists()) st.get().toArray else Array.empty[Sess])
+        ++ fresh).sortBy(s => (s._1, s._2))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[Sess]
+      all.foreach { case s @ (f, l, n, c) =>
+        if (merged.nonEmpty && f - merged.last._2 < gapMs) {
+          val (pf, pl, pn, pc) = merged.last
+          merged(merged.length - 1) = (pf, math.max(pl, l), pn + n, pc + c)
+        } else merged += s
+      }
+      st.put(merged.toArray)
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v)
+      // emit the key's FULL current session set, version-stamped so a
+      // reader keeps only the newest emission per key (sessions can
+      // merge — a per-session emission could not retract the subsumed)
+      merged.iterator.map { case (f, l, n, c) => (key, v, f, l, n, c) }
+    }
+  }
+
+  /** Continuous sessionization seeded from the batch session state:
+    * `initState` has (user, first_ms, last_ms, cnt, sum_cents) — one
+    * row per materialized session; `delta` streams (user: long,
+    * ts_ms: long, cents: long). Emits the user's full repaired session
+    * set per micro-batch, stamped with a per-user version `ver` —
+    * filter to each user's max ver for the current view. Seed + Δ ≡
+    * re-sessionizing base ∪ Δ (the spec's oracle). */
+  def seededSessionize(delta: DataFrame, initState: DataFrame,
+                       gapMs: Long): DataFrame = {
+    import delta.sparkSession.implicits._
+    val seed: Dataset[SessRow] = initState
+      .select(col("user").cast("long"), col("first_ms").cast("long"),
+        col("last_ms").cast("long"), col("cnt").cast("long"),
+        col("sum_cents").cast("long"))
+      .as[SessRow]
+    delta
+      .select(col("user").cast("long"), col("ts_ms").cast("long"),
+        col("cents").cast("long"))
+      .filter(col("user").isNotNull && col("ts_ms").isNotNull)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededSessionProcessor(gapMs),
+        TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(_._1),
+        Encoders.product[SessOut], Encoders.product[SessRow])
+      .toDF("user", "ver", "first_ms", "last_ms", "cnt", "sum_cents")
   }
 
   /** Continuous per-key (count, sum, max) over `cents`, seeded from a

@@ -439,4 +439,107 @@ class IncrementalSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("seeded sessionize: extend / merge-two / new-user regimes on " +
+    "hand-built seed intervals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val g = 1000L // 1 s gap keeps the arithmetic legible
+      // user 1: two seeded sessions with a ≥gap hole between them
+      // user 2: one seeded session (will be extended on the right)
+      val seed = Seq(
+        (1L, 0L, 100L, 2L, 50L), (1L, 2000L, 2100L, 3L, 70L),
+        (2L, 0L, 500L, 1L, 10L)
+      ).toDF("user", "first_ms", "last_ms", "cnt", "sum_cents")
+      val mem = MemoryStream[(Long, Long, Long)](spark)
+      val out = StreamingIncremental.seededSessionize(
+        mem.toDF().toDF("user", "ts_ms", "cents"), seed, g)
+      val q = out.writeStream.format("memory").queryName("sess_seeded")
+        .outputMode("update").start()
+      // batch 1: the MERGE event — lands at 1050, within gap of session
+      // 1's end (100 → gap to 1050 is 950 < 1000) AND of session 2's
+      // start (2000 − 1050 = 950 < 1000): the two seeded sessions and
+      // the event fuse into ONE [0, 2100] session
+      mem.addData(Seq((1L, 1050L, 5L))); q.processAllAvailable()
+      // batch 2: extend user 2 rightward; a never-seeded user 9 starts
+      // fresh; state must carry across batches
+      mem.addData(Seq((2L, 1400L, 7L), (9L, 42L, 3L)))
+      q.processAllAvailable(); q.stop()
+      val fin = spark.table("sess_seeded")
+        .withColumn("mx", max(col("ver"))
+          .over(Window.partitionBy(col("user"))))
+        .filter(col("ver") === col("mx"))
+        .select(col("user"), col("first_ms"), col("last_ms"),
+          col("cnt"), col("sum_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(fin == Set(
+        (1L, 0L, 2100L, 6L, 125L),  // merged: 2+3 events + the bridge
+        (2L, 0L, 1400L, 2L, 17L),   // extended right
+        (9L, 42L, 42L, 1L, 3L)))    // fresh key from empty state
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("seeded sessionize: batch session state + streamed delta equals " +
+    "re-sessionizing all events (sf data)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 21600000L // 6 h, the q_incr_session window
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      Incremental.sessionStatePrepare(spark, sfDir)
+      val seed = spark.read.parquet(Incremental.sessionStateDir(sfDir))
+        .select(col("user_id").as("user"), col("first_ms"),
+          col("last_ms"), col("cnt"), col("sum_cents"))
+      // the same late-arrival delta the batch query repairs with
+      val deltaRows = Tables.events(spark, sfDir)
+        .filter(col("event_id") % 13 === 0)
+        .select(col("user_id"), unix_millis(col("ts")), cents)
+        .as[(Long, Long, Long)].collect()
+      val mem = MemoryStream[(Long, Long, Long)](spark)
+      val out = StreamingIncremental.seededSessionize(
+        mem.toDF().toDF("user", "ts_ms", "cents"), seed, gapMs)
+      val q = out.writeStream.format("memory").queryName("sess_sf")
+        .outputMode("update").start()
+      // two batches: repairs must compose across micro-batches
+      val (d1, d2) = deltaRows.splitAt(deltaRows.length / 2)
+      mem.addData(d1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(d2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sess_sf")
+        .withColumn("mx", max(col("ver"))
+          .over(Window.partitionBy(col("user"))))
+        .filter(col("ver") === col("mx"))
+        .select(col("user"), col("first_ms"), col("last_ms"),
+          col("cnt"), col("sum_cents"))
+      // oracle: full re-sessionize of base ∪ Δ, restricted to streamed
+      // (= touched) users — untouched users never enter handleInputRows
+      val touched = deltaRows.map(_._1).distinct.toIndexedSeq
+      val expect = Tables.events(spark, sfDir)
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(min(unix_millis(col("ts"))).as("first_ms"),
+          max(unix_millis(col("ts"))).as("last_ms"),
+          count(lit(1)).as("cnt"), sum(cents).as("sum_cents"))
+        .select(col("user_id").as("user"), col("first_ms"),
+          col("last_ms"), col("cnt"), col("sum_cents"))
+        .filter(col("user").isin(touched: _*))
+      assertSameRows(got, expect)
+      // the regime matters: at least one streamed event must have
+      // BRIDGED two seeded sessions (final count < seed + delta-alone)
+      val seedCnt = seed.filter(col("user").isin(touched: _*)).count()
+      val deltaAlone = Tables.events(spark, sfDir)
+        .filter(col("event_id") % 13 === 0)
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .count().count()
+      assert(got.count() < seedCnt + deltaAlone,
+        "no interval merge occurred — the delta never bridged sessions")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -588,6 +588,63 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("command log: auto-compaction fires when the tail outgrows " +
+    "k·|catalog| and keeps the late-joiner bound without manual calls") {
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_auto", ".jsonl")
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log), autoCompact = Some(2)).start()
+    val srvA = mk()
+    try {
+      // tail/threshold trace (k=2, threshold = 2·max(1,|bindings|)):
+      //   create ac_a → tail 1, |cat| 1, thr 2 — no
+      //   create ac_b → tail 2, |cat| 2, thr 4 — no
+      //   drop   ac_b → tail 3, |cat| 1, thr 2 — 3 > 2 → COMPACT
+      Seq(
+        "CREATE STREAM ac_a AS SELECT o_orderkey FROM orders;",
+        "CREATE STREAM ac_b AS SELECT o_custkey FROM orders;",
+        "DROP STREAM ac_b;"
+      ).foreach { s =>
+        val (c, b) = postTo(srvA.boundPort, "/ksql", s)
+        assert(c == 200, s"$s → $b")
+      }
+      assert(srvA.autoCompactions.get() == 1,
+        s"expected one auto-compaction, got ${srvA.autoCompactions.get()}")
+      // snapshot = header + the single live statement
+      val snap = java.nio.file.Files.readAllLines(
+        log.resolveSibling(log.getFileName.toString + ".snapshot"))
+      assert(snap.size == 2 && snap.get(1).contains("ac_a"), snap)
+      // one more DDL: tail 1, |cat| 2, thr 4 — below threshold, no
+      // second compaction yet
+      val (ct, bt) = postTo(srvA.boundPort, "/ksql",
+        "CREATE STREAM ac_c AS SELECT o_totalprice FROM orders;")
+      assert(ct == 200, bt)
+      assert(srvA.autoCompactions.get() == 1)
+      // late joiner replays snapshot(1) + tail(1), not the 4-statement
+      // history — the bound the policy exists to hold
+      val srvB = mk()
+      try {
+        assert(srvB.replayedStatements.get() == 2,
+          s"late joiner replayed ${srvB.replayedStatements.get()}")
+        val (c2, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM ac_a;")
+        assert(c2 == 200)
+        val (c3, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM ac_c;")
+        assert(c3 == 200)
+        val (c4, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM ac_b;")
+        assert(c4 == 400, "dropped stream must stay dropped")
+      } finally srvB.stop()
+      // the main log keeps the whole history — compaction never rewrites
+      assert(java.nio.file.Files.readAllLines(log).size == 4)
+    } finally {
+      srvA.stop()
+      java.nio.file.Files.deleteIfExists(log)
+      java.nio.file.Files.deleteIfExists(
+        log.resolveSibling(log.getFileName.toString + ".snapshot"))
+    }
+  }
+
   test("basic auth: configured credentials gate every endpoint with 401") {
     val srv = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
       maxRows = 10, auth = Some(("alice", "secret"))).start()

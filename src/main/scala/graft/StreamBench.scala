@@ -280,11 +280,42 @@ object StreamBench {
               s"[streambench] seeded_session_rocksdb failed: $e")
             Result("seeded_session_rocksdb", -1.0, -1.0, -1.0)
         }
+      // seeded WINDOWED handoff (round 12, closing the family): the
+      // hopping-pane IVM state boots the composite-key (pane, group)
+      // processor — same fold as seeded_agg but each event fans out to
+      // size/advance panes first, so the probe also carries the
+      // replication cost on record. Pane grid matches the probe
+      // timescale (2 m panes advancing 30 s → 4× fan-out).
+      val seededPane =
+        try {
+          import spark.implicits._
+          // seed one pane per (30 s grid slot × type) over the probe's
+          // first two minutes — the panes batch 0 lands in
+          val sizeMs = 120000L; val advMs = 30000L
+          val paneSeed = (for {
+            slot <- 0 until 8; t <- Seq("click", "view", "buy")
+          } yield ((t0 / advMs) * advMs + slot * advMs - 90000L, t,
+            1000L, 50000L))
+            .toDF("ws", "grp", "cnt", "sum_cents")
+          drive(spark, "seeded_hopping_rocksdb", batches, batchRows, rows,
+            df => graft.streaming.StreamingIncremental
+              .seededWindowedAggregate(
+                df.select(unix_millis(col("ts")).as("ts_ms"),
+                  col("event_type").as("grp"),
+                  col("event_id").as("cents")),
+                paneSeed, sizeMs, advMs),
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] seeded_hopping_rocksdb failed: $e")
+            Result("seeded_hopping_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      Seq(rocksJoin, tws, seeded, seededSess)
+      Seq(rocksJoin, tws, seeded, seededSess, seededPane)
     }
     single ++ (join +: underRocks)
   }

@@ -147,6 +147,92 @@ object StreamingIncremental {
       .toDF("user", "ver", "first_ms", "last_ms", "cnt", "sum_cents")
   }
 
+  /** Pane state: (cnt, sum_cents). */
+  private type PaneState = (Long, Long)
+  /** Pane key: (window_start_ms, group). */
+  private type PaneKey = (Long, String)
+  /** Seed/output row: (ws, grp, cnt, sum_cents). */
+  private type PaneRow = (Long, String, Long, Long)
+
+  /** The windowed (tumbling/hopping) shape of the handoff: identical
+    * fold to [[SeededAggProcessor]] but keyed by the COMPOSITE
+    * (pane start, group) — the session case needed new algebra
+    * (interval repair), the windowed case is pure key plumbing: a pane
+    * is just an aggregate key derived from the timestamp, so the
+    * flat mergeable-partial fold applies unchanged. One ValueState row
+    * per live pane; at 100 TB the store holds |panes in retention| ×
+    * |groups| rows, never events.
+    */
+  private class SeededPaneProcessor
+    extends StatefulProcessorWithInitialState[PaneKey, PaneRow, PaneRow,
+      PaneRow] {
+    @transient private var st: ValueState[PaneState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PaneState]("pane",
+        Encoders.product[PaneState], TTLConfig.NONE)
+    override def handleInitialState(key: PaneKey, initial: PaneRow,
+        tv: TimerValues): Unit =
+      st.update((initial._3, initial._4))
+    override def handleInputRows(key: PaneKey, rows: Iterator[PaneRow],
+        tv: TimerValues): Iterator[PaneRow] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => n += 1; s += r._4 }
+      st.update((n, s))
+      Iterator.single((key._1, key._2, n, s))
+    }
+  }
+
+  /** Continuous windowed (count, sum_cents) per (pane, group), seeded
+    * from the batch window-IVM state (the
+    * `graft.operators.Incremental.hoppingStatePrepare` /
+    * `windowStatePrepare` artifact shape: one (ws, grp, cnt, sum_cents)
+    * partial per pane). `delta` streams (ts_ms: long, grp: string,
+    * cents: long); each event fans out to its size/advance panes
+    * (1 for tumbling, where `advanceMs == sizeMs`) BEFORE the keyed
+    * fold — the same pane replication the batch maintenance and
+    * KSQL/Flink hopping windows do, so the replication factor
+    * multiplies the delta only, never the seeded history. Emits the
+    * updated (ws, we, grp, cnt, sum_cents) per touched pane per
+    * micro-batch, update mode — `cnt` is monotone per pane, so a
+    * reader keeps each key's max-cnt emission for the current view.
+    * Seed + Δ ≡ re-windowing base ∪ Δ (the spec's oracle, same
+    * discipline as the batch family). */
+  def seededWindowedAggregate(delta: DataFrame, initState: DataFrame,
+                              sizeMs: Long,
+                              advanceMs: Long): DataFrame = {
+    require(sizeMs > 0 && advanceMs > 0 && sizeMs % advanceMs == 0,
+      s"size ($sizeMs ms) must be a positive multiple of advance " +
+        s"($advanceMs ms) — the KSQL hopping contract")
+    import delta.sparkSession.implicits._
+    val panes = (sizeMs / advanceMs).toInt
+    val seed: Dataset[PaneRow] = initState
+      .select(col("ws").cast("long"), col("grp").cast("string"),
+        col("cnt").cast("long"), col("sum_cents").cast("long"))
+      .as[PaneRow]
+    delta
+      .select(col("ts_ms").cast("long"), col("grp").cast("string"),
+        col("cents").cast("long"))
+      .filter(col("ts_ms").isNotNull && col("grp").isNotNull)
+      // pane fan-out on the advance grid, newest pane first: ws =
+      // floor(ts/adv)·adv − i·adv for i < size/adv — integer division
+      // on epoch millis, the exact grid the batch ops and the DuckDB
+      // oracles use
+      .withColumn("ws", explode(expr(
+        s"transform(sequence(0, ${panes - 1}), " +
+          s"i -> (ts_ms div $advanceMs) * $advanceMs - i * $advanceMs)")))
+      .select(col("ws").cast("long"), col("grp"), lit(1L).as("one"),
+        col("cents"))
+      .as[PaneRow]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new SeededPaneProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(r => (r._1, r._2)),
+        Encoders.product[PaneRow], Encoders.product[PaneRow])
+      .toDF("ws", "grp", "cnt", "sum_cents")
+      .select(col("ws"), (col("ws") + lit(sizeMs)).as("we"), col("grp"),
+        col("cnt"), col("sum_cents"))
+  }
+
   /** Continuous per-key (count, sum, max) over `cents`, seeded from a
     * batch state frame with columns (key, cnt, sum_cents, max_cents).
     * `delta` is a streaming frame with (key: long, cents: long). Emits

@@ -542,4 +542,148 @@ class IncrementalSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("seeded windowed aggregate: straddle / fresh-pane / hopping " +
+    "fan-out regimes on hand-built seed panes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // size 1000 ms, advance 500 ms → each event lands in 2 panes
+      val seed = Seq(
+        (0L, "a", 3L, 30L),    // pane [0,1000) — will be straddled
+        (500L, "a", 2L, 20L),  // pane [500,1500) — also catches ts=900
+        (5000L, "b", 1L, 5L)   // untouched pane: never re-emitted
+      ).toDF("ws", "grp", "cnt", "sum_cents")
+      val mem = MemoryStream[(Long, String, Long)](spark)
+      val out = StreamingIncremental.seededWindowedAggregate(
+        mem.toDF().toDF("ts_ms", "grp", "cents"), seed, 1000L, 500L)
+      val q = out.writeStream.format("memory").queryName("pane_seeded")
+        .outputMode("update").start()
+      // batch 1: ts=900 fans out to panes 500 and 0 of "a" — BOTH
+      // seeded partials merge with the delta (the straddle regime)
+      mem.addData(Seq((900L, "a", 7L))); q.processAllAvailable()
+      // batch 2: a never-seeded (pane, group) starts from zero, and a
+      // second "a" event proves state carries across batches
+      mem.addData(Seq((2200L, "c", 4L), (950L, "a", 9L)))
+      q.processAllAvailable(); q.stop()
+      val fin = spark.table("pane_seeded")
+        .groupBy(col("ws"), col("grp"))
+        .agg(max_by(struct(col("we"), col("cnt"), col("sum_cents")),
+          col("cnt")).as("r"))
+        .select(col("ws"), col("r.we"), col("grp"), col("r.cnt"),
+          col("r.sum_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(fin == Set(
+        (0L, 1000L, "a", 5L, 46L),    // seed 3/30 + both events
+        (500L, 1500L, "a", 4L, 36L),  // seed 2/20 + both events
+        (2000L, 3000L, "c", 1L, 4L),  // fresh pane from empty state
+        (1500L, 2500L, "c", 1L, 4L))) // its hopping twin
+      // the untouched seeded pane was never emitted — the stream only
+      // repairs panes its own events land in
+      assert(!spark.table("pane_seeded").collect()
+        .exists(r => r.getString(2) == "b"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("seeded windowed aggregate: batch hopping state + streamed delta " +
+    "equals the full re-window (sf data), and advance==size is tumbling") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      Incremental.hoppingStatePrepare(spark, sfDir)
+      val seed = spark.read.parquet(Incremental.hoppingStateDir(sfDir))
+        .select(col("ws"), col("event_type").as("grp"), col("cnt"),
+          col("sum_cents"))
+      // the same mid-window delta the batch query merges — plus ONE
+      // injected probe event at 12:15 aimed at the seeded [11:30, 12:30)
+      // pane: at sf0.001 no natural post-cutoff event lands within 30 min
+      // of noon, so the straddle (seed partial + delta in one pane) is
+      // forced deterministically instead of hoped for
+      val straddleWs = spark.sql(
+        "SELECT unix_millis(TIMESTAMP'2024-01-25 11:30:00')").as[Long].head()
+      val seedGrp = seed.filter(col("ws") === straddleWs)
+        .select(col("grp")).as[String].head() // non-empty: prepare covers it
+      val probe = (straddleWs + 2700000L, seedGrp, 12300L)
+      val deltaRows = Tables.events(spark, sfDir)
+        .filter(col("ts") >= lit("2024-01-25 12:00:00").cast("timestamp"))
+        .select(unix_millis(col("ts")), col("event_type"), cents)
+        .as[(Long, String, Long)].collect() :+ probe
+      val mem = MemoryStream[(Long, String, Long)](spark)
+      val out = StreamingIncremental.seededWindowedAggregate(
+        mem.toDF().toDF("ts_ms", "grp", "cents"), seed,
+        3600000L, 1800000L) // the q_incr_hopping 1h/30m panes
+      val q = out.writeStream.format("memory").queryName("pane_sf")
+        .outputMode("update").start()
+      val (d1, d2) = deltaRows.splitAt(deltaRows.length / 2)
+      mem.addData(d1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(d2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      // cnt is monotone per pane: keep each key's max-cnt emission
+      val got = spark.table("pane_sf")
+        .groupBy(col("ws"), col("grp"))
+        .agg(max_by(struct(col("cnt"), col("sum_cents")), col("cnt"))
+          .as("r"))
+        .select(col("ws"), col("grp"), col("r.cnt"), col("r.sum_cents"))
+      // oracle: the full re-window of ALL events, restricted to panes
+      // the delta touched (untouched panes never enter the processor)
+      val touched = deltaRows.flatMap { case (ts, g, _) =>
+        Seq(((ts / 1800000L) * 1800000L, g),
+          ((ts / 1800000L) * 1800000L - 1800000L, g))
+      }.distinct.toSet
+      // re-window base ∪ Δ (incl. the probe) from the SAME millis-
+      // truncated timestamps the stream consumed, so both sides share
+      // one grid even for sub-millisecond event times
+      val expect = Tables.events(spark, sfDir)
+        .select(unix_millis(col("ts")).as("ts_ms"),
+          col("event_type").as("grp"), cents.as("cents"))
+        .unionByName(Seq(probe).toDF("ts_ms", "grp", "cents"))
+        .groupBy(window(timestamp_millis(col("ts_ms")),
+          "1 hour", "30 minutes"), col("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("grp"), col("cnt"), col("sum_cents"))
+        .filter(udf((ws: Long, g: String) => touched.contains((ws, g)))
+          .apply(col("ws"), col("grp")))
+      assertSameRows(got, expect)
+      // the straddle regime really ran: at least one emitted pane's cnt
+      // exceeds its own delta contribution (a seeded partial merged in)
+      val deltaOnly = deltaRows.flatMap { case (ts, g, c) =>
+        Seq((((ts / 1800000L) * 1800000L, g), 1L),
+          (((ts / 1800000L) * 1800000L - 1800000L, g), 1L))
+      }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      val gotMap = got.collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      assert(gotMap.exists { case (k, n) =>
+        deltaOnly.get(k).exists(_ < n) },
+        "no pane merged a seeded partial — the cutoff missed mid-window")
+
+      // tumbling is the advance==size degenerate case: one pane per
+      // event, same fold — checked on a hand-size base
+      val tSeed = Seq((0L, "x", 2L, 10L)).toDF(
+        "ws", "grp", "cnt", "sum_cents")
+      val tMem = MemoryStream[(Long, String, Long)](spark)
+      val tOut = StreamingIncremental.seededWindowedAggregate(
+        tMem.toDF().toDF("ts_ms", "grp", "cents"), tSeed, 1000L, 1000L)
+      val tq = tOut.writeStream.format("memory").queryName("pane_tumb")
+        .outputMode("update").start()
+      tMem.addData(Seq((400L, "x", 6L), (1100L, "x", 8L)))
+      tq.processAllAvailable(); tq.stop()
+      val tFin = spark.table("pane_tumb")
+        .select(col("ws"), col("we"), col("grp"), col("cnt"),
+          col("sum_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(tFin == Set(
+        (0L, 1000L, "x", 3L, 16L),     // exactly ONE pane: no fan-out
+        (1000L, 2000L, "x", 1L, 8L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

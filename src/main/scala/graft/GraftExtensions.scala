@@ -17,10 +17,14 @@ import org.apache.spark.sql.graftbridge.{DotProduct, JaccardSorted, JaroWinkler,
   * minhash_sig(hashes, k).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // materialized-view rewrite (§2.15): config-built sessions serve
+    // registered rollups from state + delta without the runtime install
+    ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -421,7 +421,54 @@ object Incremental {
         |    AS sum_price,
         |  max(${centsSql("l_extendedprice")}) / 100.0 AS max_price
         |FROM lineitem WHERE l_orderkey % 97 <> 0
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+
+    // ───────────────────────────────────────────────────────────────────
+    // Automatic materialized-view rewrite (graft.plans.MaterializedViews):
+    // the query below is the PLAIN full-history rollup — no state read, no
+    // cutoff, nothing the other §2.15 queries write by hand. The injected
+    // optimizer rule recognizes it against the registered view and serves
+    // merge(state ∪ partial(Δ)) instead: the orders scan in the executed
+    // plan carries the pushed o_orderdate >= cutoff filter and the state
+    // parquet appears as a second leaf (MaterializedViewSpec audits both).
+    // The oracle is the full recompute, so the gate proves the substituted
+    // plan is indistinguishable from the rescan it replaced.
+    "q_mv_rewrite" -> Q(
+      (s, d) => {
+        Incremental.mvPrepare(s, d)
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+            max(cents(col("o_totalprice"))).as("max_price_cents"))
+      },
+      s"""SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+        |    AS sum_price_cents,
+        |  max(${centsSql("o_totalprice")}) AS max_price_cents
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // The pull-query shape: a group-key predicate BELOW the aggregate.
+    // The rewrite applies it to BOTH serving branches under their
+    // aggregates, so it reaches the state AND delta parquet scans as a
+    // PushedFilters entry (LessThanOrEqual is parquet-pushable) — at
+    // scale a keyed lookup touches |matching state rows| + |matching
+    // delta|, never the full view. The output list is also a strict
+    // subset of the registered aggregates (no MAX), exercising
+    // subset/reorder mapping.
+    "q_mv_pull" -> Q(
+      (s, d) => {
+        Incremental.mvPrepare(s, d)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") <= 300)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      },
+      s"""SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM orders WHERE o_custkey <= 300 GROUP BY 1""".stripMargin)
   )
 
   /** Bench's separately-timed prepare phases for the state artifacts. */
@@ -434,7 +481,9 @@ object Incremental {
     "q_incr_scd2" -> ((s, d) => scd2StatePrepare(s, d)),
     "q_incr_window" -> ((s, d) => windowStatePrepare(s, d)),
     "q_incr_hopping" -> ((s, d) => hoppingStatePrepare(s, d)),
-    "q_incr_session" -> ((s, d) => sessionStatePrepare(s, d)))
+    "q_incr_session" -> ((s, d) => sessionStatePrepare(s, d)),
+    "q_mv_rewrite" -> ((s, d) => mvPrepare(s, d)),
+    "q_mv_pull" -> ((s, d) => mvPrepare(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -557,6 +606,47 @@ object Incremental {
           col("cnt"), col("sum_cents"))
         .write.mode("overwrite").parquet(dir)
     }
+
+  /** The registered MV definition: the orders rollup by custkey, with
+    * COUNT/SUM/MAX partials in BIGINT cents. Written once — the
+    * registration, the state build, and the user queries above must
+    * agree on the exact expression trees for the semantic match. */
+  private def mvAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_orders"),
+    sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+    max(cents(col("o_totalprice"))).as("max_price_cents"))
+
+  private[graft] def mvStateDir(d: String): String =
+    stateDirs.get(s"mv_orders_$d")
+
+  /** Build the MV state artifact (pre-cutoff partials), register the view
+    * with [[graft.plans.MaterializedViews]], and install the rewrite rule
+    * into the session. The cutoff literal is cast to o_orderdate's OWN
+    * type: the serving plan is substituted after the main optimizer
+    * batches, so nobody unwraps a column-side cast for us — a mistyped
+    * literal would silently cost the parquet pushdown at 100 TB. The
+    * state filter is the literal complement of the delta predicate
+    * (o_orderdate is non-null), so coverage is exact by construction.
+    * Idempotent; safe under Verify's parallel dumps. */
+  private[graft] def mvPrepare(s: SparkSession, d: String): Unit = {
+    val dateType =
+      Tables.orders(s, d).schema("o_orderdate").dataType.catalogString
+    val cutoffLit = lit(Cutoff).cast(dateType)
+    materialize(s"mv_orders_$d") { dir =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoffLit)
+        .groupBy(col("o_custkey"))
+        .agg(mvAggs.head, mvAggs.tail: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"orders_rollup_$d",
+      base = sp => Tables.orders(sp, d),
+      stateDir = mvStateDir(d),
+      deltaPred = col("o_orderdate") >= cutoffLit,
+      groupCols = Seq("o_custkey"),
+      aggCols = mvAggs)
+    graft.plans.MaterializedViews.install(s)
+  }
 
   private[operators] def deleteStateDir(d: String): String =
     stateDirs.get(s"incr_del_$d")

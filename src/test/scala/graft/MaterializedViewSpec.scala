@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+import graft.plans.MaterializedViews
+
+/** The automatic materialized-view rewrite (graft.plans): a user's plain
+  * groupBy over the base table is served from merge(state ∪ partial(Δ))
+  * — asserted on the EXECUTED plan (state leaf present, exactly one
+  * date-pushed base scan) and on values against the direct plan computed
+  * with the rule disabled. Non-matching shapes must pass through
+  * untouched: the rewrite's failure mode is a wrong answer served
+  * silently, so the bail-out paths are as load-bearing as the rewrite.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  private val cents =
+    floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+
+  private def userRollup: DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents).as("sum_price_cents"),
+        max(cents).as("max_price_cents"))
+
+  /** Collect under a given rule-enabled setting; the flag is read at
+    * optimization time, so each frame must be built AND collected inside
+    * its own setting window. */
+  private def collected(enabled: Boolean)(mk: => DataFrame)
+      : (Set[org.apache.spark.sql.Row], String) = {
+    spark.conf.set("spark.graft.mv.enabled", enabled.toString)
+    try {
+      val df = mk
+      val plan = df.queryExecution.executedPlan.toString
+      (df.collect().toSet, plan)
+    } finally spark.conf.unset("spark.graft.mv.enabled")
+  }
+
+  test("mv rewrite: plain rollup is served from state + one date-pushed " +
+    "delta scan, values identical to the direct plan") {
+    Incremental.mvPrepare(spark, sfDir)
+    val (got, plan) = collected(enabled = true)(userRollup)
+    assert(plan.contains(Incremental.mvStateDir(sfDir)),
+      s"serving plan must scan the state artifact\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta scan must push the cutoff filter\n$plan")
+    val (want, directPlan) = collected(enabled = false)(userRollup)
+    assert(!directPlan.contains(Incremental.mvStateDir(sfDir)),
+      "kill switch must leave the plan untouched")
+    assert(got == want)
+  }
+
+  test("mv rewrite: pull shape pushes the group-key predicate into BOTH " +
+    "branch scans, subset/reorder/re-alias outputs still map") {
+    Incremental.mvPrepare(spark, sfDir)
+    // reordered + re-aliased + subset of the registered aggregates
+    def pull: DataFrame = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 300)
+      .groupBy(col("o_custkey"))
+      .agg(max(cents).as("top_cents"), count(lit(1)).as("cnt"))
+    // the default 100-char metadata truncation can cut PushedFilters
+    // mid-list — widen it so the assertion sees the whole thing
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val (got, plan) = try collected(enabled = true)(pull)
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(plan.contains(Incremental.mvStateDir(sfDir)), plan)
+    // the predicate lands in PushedFilters on the state scan AND the
+    // delta scan — two pushed LessThanOrEqual entries (matched on a
+    // prefix: the plan printer truncates long PushedFilters lists)
+    val pushed = "LessThanOrEqual\\(o_custk".r.findAllIn(plan).length
+    assert(pushed >= 2,
+      s"pull predicate must reach both branch scans, got $pushed\n$plan")
+    val (want, _) = collected(enabled = false)(pull)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("mv rewrite bails out: unregistered aggregate, non-group filter, " +
+    "different keys, distinct — all pass through unrewritten") {
+    Incremental.mvPrepare(spark, sfDir)
+    val state = Incremental.mvStateDir(sfDir)
+    def planOf(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val orders = Tables.orders(spark, sfDir)
+    // raw-double sum was never registered (only the cents recipe)
+    assert(!planOf(orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("s"))).contains(state))
+    // filter on a NON-group column cannot be served from per-key state
+    assert(!planOf(orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))).contains(state))
+    // different grouping keys
+    assert(!planOf(orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))).contains(state))
+    // DISTINCT aggregates are not mergeable partials
+    assert(!planOf(orders.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("n"))).contains(state))
+    // global (no-key) aggregate has a different group signature
+    assert(!planOf(orders.agg(count(lit(1)).as("n"))).contains(state))
+  }
+
+  test("mv rewrite: the gated queries' own frames equal their full " +
+    "recomputes (the driver-oracle contract, asserted locally)") {
+    val got = Incremental.entries("q_mv_rewrite").fn(spark, sfDir)
+      .collect().toSet
+    // the recompute must dodge the rewrite, or this compares the serving
+    // plan with itself
+    val (want, _) = collected(enabled = false)(userRollup)
+    assert(got == want)
+    val gotPull = Incremental.entries("q_mv_pull").fn(spark, sfDir)
+      .collect().toSet
+    val (wantPull, _) = collected(enabled = false)(
+      Tables.orders(spark, sfDir)
+        .filter(col("o_custkey") <= 300)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents).as("sum_price_cents")))
+    assert(gotPull == wantPull)
+  }
+
+  test("mv registration guards: group-only delta predicate and decimal " +
+    "sums are rejected") {
+    intercept[IllegalArgumentException] {
+      MaterializedViews.register(spark, "bad_delta_pred",
+        base = sp => Tables.orders(sp, sfDir),
+        stateDir = "/tmp/never-written",
+        deltaPred = col("o_custkey") > 100, // group-only: would recurse
+        groupCols = Seq("o_custkey"),
+        aggCols = Seq(count(lit(1)).as("n")))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedViews.register(spark, "bad_decimal",
+        base = sp => Tables.orders(sp, sfDir),
+        stateDir = "/tmp/never-written",
+        deltaPred = col("o_orderdate") >= lit("2001-01-01").cast("timestamp"),
+        groupCols = Seq("o_custkey"),
+        aggCols = Seq(sum(col("o_totalprice").cast("decimal(18,2)")).as("s")))
+    }
+    assert(!MaterializedViews.registered.contains("bad_delta_pred"))
+    assert(!MaterializedViews.registered.contains("bad_decimal"))
+  }
+}

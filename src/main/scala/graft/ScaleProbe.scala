@@ -79,7 +79,14 @@ object ScaleProbe {
     // the touched-user fraction is scale-invariant, so the probe
     // catches any accidental full-state window sort.
     "q_bfs_hops", "q_dq_cusum", "q_dq_benford", "q_incr_window",
-    "q_incr_hopping", "q_incr_session")
+    "q_incr_hopping", "q_incr_session",
+    // q_mv_rewrite: the serving plan the MV rule substitutes —
+    // |state| rows + the date-pushed delta scan; both grow linearly on
+    // id-shifted copies and the merge is one key shuffle, so the probe
+    // catches any regression to a full-history rescan. q_mv_pull adds
+    // the group-key predicate pushed into both branch scans — its wall
+    // should track the MATCHING fraction, not the corpus.
+    "q_mv_rewrite", "q_mv_pull")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

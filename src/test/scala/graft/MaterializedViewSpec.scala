@@ -124,6 +124,35 @@ class MaterializedViewSpec extends SparkSpec {
     assert(gotPull == wantPull)
   }
 
+  test("mv rewrite composes: HAVING above the aggregate, and the " +
+    "pure-SQL path over the same parquet both get served") {
+    Incremental.mvPrepare(spark, sfDir)
+    // HAVING sits ABOVE the aggregate: transformUp replaces the
+    // aggregate underneath and the post-filter applies to the served
+    // rows — no special-casing needed, asserted so it stays true
+    def having: DataFrame = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 10)
+    val (got, plan) = collected(enabled = true)(having)
+    assert(plan.contains(Incremental.mvStateDir(sfDir)), plan)
+    val (want, _) = collected(enabled = false)(having)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the rule matches the LOGICAL shape, not the API that built it: a
+    // pure-SQL SELECT over the same parquet path (different aliases,
+    // count(1) spelling, explicit CAST) is served from the same state
+    def sqlQ: DataFrame = spark.sql(
+      s"""SELECT o_custkey, count(1) AS n,
+         |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sc
+         |FROM parquet.`$sfDir/orders.parquet`
+         |GROUP BY o_custkey""".stripMargin)
+    val (gotSql, planSql) = collected(enabled = true)(sqlQ)
+    assert(planSql.contains(Incremental.mvStateDir(sfDir)), planSql)
+    val (wantSql, _) = collected(enabled = false)(sqlQ)
+    assert(gotSql == wantSql)
+  }
+
   test("mv registration guards: group-only delta predicate and decimal " +
     "sums are rejected") {
     intercept[IllegalArgumentException] {

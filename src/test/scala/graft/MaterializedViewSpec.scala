@@ -153,6 +153,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(gotSql == wantSql)
   }
 
+  test("a KSQL-dialect GROUP BY over orders is served from the MV state " +
+    "(the pull-query-against-a-materialized-table story, end to end)") {
+    import graft.ksql.Translator
+    Incremental.mvPrepare(spark, sfDir)
+    val catalog: Translator.Catalog = Map(
+      "orders" -> Translator.Source(Tables.orders(spark, sfDir),
+        "o_orderdate"))
+    def ksqlDf: DataFrame = {
+      val (_, Some(df)) = Translator.run(spark, catalog,
+        "SELECT o_custkey, COUNT(*) AS n_orders FROM orders " +
+          "GROUP BY o_custkey;"): @unchecked
+      df
+    }
+    val (got, plan) = collected(enabled = true)(ksqlDf)
+    assert(plan.contains(Incremental.mvStateDir(sfDir)),
+      s"the translated aggregate must be served from state\n$plan")
+    val (want, _) = collected(enabled = false)(ksqlDf)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("mv registration guards: group-only delta predicate and decimal " +
     "sums are rejected") {
     intercept[IllegalArgumentException] {

@@ -468,7 +468,29 @@ object Incremental {
       s"""SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
         |    AS sum_price_cents
-        |FROM orders WHERE o_custkey <= 300 GROUP BY 1""".stripMargin)
+        |FROM orders WHERE o_custkey <= 300 GROUP BY 1""".stripMargin),
+
+    // AVG by reconstruction: avg is not a mergeable partial (the ratio
+    // of two sums), so the rule serves the user's avg(cents) as
+    // sum_partials / count_partials above the merge — bit-exact on both
+    // engines because the sums are exact BIGINTs and the division is a
+    // single double op (the oracle spells the same sum/count division;
+    // the unserved plan is identical too, since double-accumulating
+    // integers below 2^53 is exact).
+    "q_mv_avg" -> Q(
+      (s, d) => {
+        Incremental.mvPrepare(s, d)
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(avg(cents(col("o_totalprice"))).as("avg_price_cents"),
+            count(lit(1)).as("n_orders"))
+      },
+      s"""SELECT o_custkey,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE)
+        |    / CAST(count(${centsSql("o_totalprice")}) AS DOUBLE)
+        |    AS avg_price_cents,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin)
   )
 
   /** Bench's separately-timed prepare phases for the state artifacts. */
@@ -483,7 +505,8 @@ object Incremental {
     "q_incr_hopping" -> ((s, d) => hoppingStatePrepare(s, d)),
     "q_incr_session" -> ((s, d) => sessionStatePrepare(s, d)),
     "q_mv_rewrite" -> ((s, d) => mvPrepare(s, d)),
-    "q_mv_pull" -> ((s, d) => mvPrepare(s, d)))
+    "q_mv_pull" -> ((s, d) => mvPrepare(s, d)),
+    "q_mv_avg" -> ((s, d) => mvPrepare(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -614,7 +637,12 @@ object Incremental {
   private def mvAggs: Seq[org.apache.spark.sql.Column] = Seq(
     count(lit(1)).as("n_orders"),
     sum(cents(col("o_totalprice"))).as("sum_price_cents"),
-    max(cents(col("o_totalprice"))).as("max_price_cents"))
+    max(cents(col("o_totalprice"))).as("max_price_cents"),
+    // the non-null count of the cents expression itself: together with
+    // sum_price_cents it lets the rule serve a user's avg(cents) as
+    // sum/count with exact null semantics (count(1) could not — it
+    // counts rows, avg ignores nulls)
+    count(cents(col("o_totalprice"))).as("n_priced"))
 
   private[graft] def mvStateDir(d: String): String =
     stateDirs.get(s"mv_orders_$d")

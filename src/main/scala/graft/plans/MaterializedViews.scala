@@ -6,14 +6,14 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, max, min, sum}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DecimalType, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, StructType}
 
 /** Automatic materialized-view rewrite — the optimizer-level half of the
   * incremental-view-maintenance story (§2.15): the IVM family maintains
@@ -44,12 +44,15 @@ import org.apache.spark.sql.types.{DataType, DecimalType, StructType}
   *
   * Supported aggregate kinds: COUNT / SUM / MIN / MAX, the distributive
   * set whose partials merge losslessly (COUNT and SUM merge by SUM,
-  * MIN/MAX by themselves). DECIMAL sums are rejected at registration
-  * (Spark widens the precision on every re-aggregation, so the merged
-  * type would drift from the direct plan's; the repo-wide BIGINT-cents
-  * discipline is the lossless spelling). AVG is served when the user
-  * asks for its SUM/COUNT constituents — a deliberate omission kept
-  * simple.
+  * MIN/MAX by themselves), plus AVG by reconstruction — avg(e) is not
+  * mergeable as a ratio, so a user's `avg(e)` is served as
+  * `sum(e)/count(e)` over the merged partials whenever the view
+  * registers BOTH constituents (exact null semantics: count(e) counts
+  * non-nulls, and an all-null group's null sum propagates through the
+  * division). DECIMAL sums are rejected at registration (Spark widens
+  * the precision on every re-aggregation, so the merged type would
+  * drift from the direct plan's; the repo-wide BIGINT-cents discipline
+  * is the lossless spelling).
   *
   * The registry holds only session-independent data (paths, column
   * names, Column recipes, a `SparkSession => DataFrame` base factory);
@@ -302,30 +305,60 @@ object MaterializedViews {
     val condOk = condOpt.forall(_.collect { case a: AttributeReference => a }
       .forall(a => norm(inline(a)).exists(v.groupKeys.contains)))
     if (!condOk) return None
-    // every output must be a group key or a registered aggregate
-    val mapped: Seq[(NamedExpression, String)] =
+    // every output must be a group key, a registered aggregate, or an
+    // AVG whose sum/count constituents are both registered (avg(e) ≡
+    // sum(e)/count(e) — partials merge, the ratio does not, so it is
+    // reconstructed above the merge; double-typed only, since the
+    // reconstruction divides doubles)
+    val mapped: Seq[(NamedExpression, Out)] =
       agg.aggregateExpressions.flatMap { ne =>
         val inner = ne match { case Alias(c, _) => c; case e => e }
-        norm(inline(inner)).flatMap(k =>
-          v.groupKeyToName.get(k).orElse(v.aggKeyToName.get(k))).map(ne -> _)
+        inner match {
+          case AggregateExpression(a: Average, _, false, None, _)
+              if ne.dataType == DoubleType =>
+            val ch = inline(a.child)
+            for {
+              sk <- norm(Sum(ch).toAggregateExpression())
+              ck <- norm(Count(Seq(ch)).toAggregateExpression())
+              sn <- v.aggKeyToName.get(sk)
+              cn <- v.aggKeyToName.get(ck)
+            } yield ne -> (OutAvg(sn, cn): Out)
+          case _ =>
+            norm(inline(inner)).flatMap(k =>
+              v.groupKeyToName.get(k).orElse(v.aggKeyToName.get(k)))
+              .map(n => ne -> (OutCol(n): Out))
+        }
       }
     if (mapped.size != agg.aggregateExpressions.size) return None
     // merged output types must equal the direct plan's
-    if (!mapped.forall { case (ne, name) =>
-        v.outTypes.get(name).contains(ne.dataType) }) return None
+    if (!mapped.forall {
+        case (ne, OutCol(name)) => v.outTypes.get(name).contains(ne.dataType)
+        case (_, _: OutAvg) => true // Divide(double, double) by construction
+      }) return None
 
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map { spark =>
         val rep = servingPlan(spark, v, condOpt.map(inline))
         val byName = rep.output
           .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
-        val projList = mapped.map { case (ne, name) =>
-          Alias(byName(name.toLowerCase(Locale.ROOT)), ne.name)(
-            exprId = ne.exprId)
+        def attr(n: String) = byName(n.toLowerCase(Locale.ROOT))
+        val projList = mapped.map {
+          case (ne, OutCol(name)) =>
+            Alias(attr(name), ne.name)(exprId = ne.exprId)
+          case (ne, OutAvg(sn, cn)) =>
+            // null iff the merged sum is null (all inputs null ⇒ count 0
+            // ⇒ Average is null too); a group in the view always has
+            // count(e) ≥ 0 and the null sum propagates through Divide
+            Alias(Divide(Cast(attr(sn), DoubleType),
+              Cast(attr(cn), DoubleType)), ne.name)(exprId = ne.exprId)
         }
         Project(projList, rep)
       }
   }
+
+  private sealed trait Out
+  private final case class OutCol(name: String) extends Out
+  private final case class OutAvg(sumName: String, cntName: String) extends Out
 }
 
 /** The optimizer rule: substitute matching aggregates with their

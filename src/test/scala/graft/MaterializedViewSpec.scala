@@ -153,6 +153,24 @@ class MaterializedViewSpec extends SparkSpec {
     assert(gotSql == wantSql)
   }
 
+  test("mv rewrite serves avg(e) as sum/count over the merged partials " +
+    "when both constituents are registered, bails when not") {
+    Incremental.mvPrepare(spark, sfDir)
+    def avgQ: DataFrame = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(avg(cents).as("a"), count(lit(1)).as("n"))
+    val (got, plan) = collected(enabled = true)(avgQ)
+    assert(plan.contains(Incremental.mvStateDir(sfDir)), plan)
+    val (want, _) = collected(enabled = false)(avgQ)
+    assert(got == want)
+    // avg over an UNREGISTERED expression has no sum/count constituents
+    val unserved = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(avg(col("o_totalprice")).as("a"))
+    assert(!unserved.queryExecution.executedPlan.toString
+      .contains(Incremental.mvStateDir(sfDir)))
+  }
+
   test("a KSQL-dialect GROUP BY over orders is served from the MV state " +
     "(the pull-query-against-a-materialized-table story, end to end)") {
     import graft.ksql.Translator

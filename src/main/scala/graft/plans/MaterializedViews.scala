@@ -6,14 +6,14 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, max, min, sum}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, StructType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, StructType, TimestampNTZType, TimestampType}
 
 /** Automatic materialized-view rewrite — the optimizer-level half of the
   * incremental-view-maintenance story (§2.15): the IVM family maintains
@@ -28,31 +28,37 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, StructType
   *
   * Matching is SEMANTIC, not syntactic: the user's aggregate is unwrapped
   * down to the V1 file relation (inlining intermediate deterministic
-  * Projects, crossing at most one Filter), and its grouping/aggregate
+  * Projects, ANDing crossed Filters), and its grouping/aggregate
   * expressions are compared against the registered definition by a
   * normalized rendering (attribute names lowercased, no-op casts
   * stripped — the optimizer removes `CAST(x AS <x's own type>)` on the
-  * user side while the analyzed definition keeps it). The user's output
-  * list may be any subset/reordering/re-aliasing of {group keys} ∪
-  * {registered aggregates}; a crossed Filter must constrain GROUP columns
-  * only (the pull-query shape) and is then applied to BOTH serving
-  * branches BELOW their aggregates, so it reaches the parquet scans as a
-  * pushed predicate regardless of where in the optimizer pipeline the
-  * rule runs. Anything that doesn't match — distinct/filtered aggregates,
-  * unregistered expressions, filters on non-group columns, grouping
-  * sets — is left untouched (the query stays correct, just unserved).
+  * user side while the analyzed definition keeps it). Group keys may be
+  * EXPRESSIONS — `window(ts, '1 day')` registers like any other key, so
+  * the classic time-series rollup is servable; the analyzer's implicit
+  * `isnotnull(ts)` filter under a windowed aggregate is handled by
+  * conjunct-set matching (the definition's own analysis-inserted
+  * conjuncts must all appear in the user plan; anything extra must
+  * constrain plain group columns and becomes the pull predicate, applied
+  * to BOTH serving branches BELOW their aggregates so it reaches the
+  * parquet scans). User outputs may be arbitrary DERIVED expressions over
+  * the registered surface — every maximal registered subtree (a group
+  * key, a whole aggregate) becomes a merged-view attribute, `avg(e)`
+  * becomes `sum(e)/count(e)` when both constituents are registered, and
+  * the result must consume every base reference and contain no leftover
+  * aggregate, or the rewrite refuses. Anything that doesn't match —
+  * distinct/filtered aggregates, unregistered expressions, filters on
+  * non-group columns, grouping sets — is left untouched (the query stays
+  * correct, just unserved).
   *
   * Supported aggregate kinds: COUNT / SUM / MIN / MAX, the distributive
   * set whose partials merge losslessly (COUNT and SUM merge by SUM,
-  * MIN/MAX by themselves), plus AVG by reconstruction — avg(e) is not
-  * mergeable as a ratio, so a user's `avg(e)` is served as
-  * `sum(e)/count(e)` over the merged partials whenever the view
-  * registers BOTH constituents (exact null semantics: count(e) counts
-  * non-nulls, and an all-null group's null sum propagates through the
-  * division). DECIMAL sums are rejected at registration (Spark widens
-  * the precision on every re-aggregation, so the merged type would
-  * drift from the direct plan's; the repo-wide BIGINT-cents discipline
-  * is the lossless spelling).
+  * MIN/MAX by themselves), plus AVG by reconstruction (exact null
+  * semantics: count(e) counts non-nulls, and an all-null group's null
+  * merged sum propagates through the division). DECIMAL sums are
+  * rejected at registration (Spark widens the precision on every
+  * re-aggregation, so the merged type would drift from the direct
+  * plan's; the repo-wide BIGINT-cents discipline is the lossless
+  * spelling).
   *
   * The registry holds only session-independent data (paths, column
   * names, Column recipes, a `SparkSession => DataFrame` base factory);
@@ -60,9 +66,10 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, StructType
   * no LogicalPlan — and therefore no SparkSession — is ever cached here
   * (the round-6 weak-map lesson), and a self-union of the same view gets
   * fresh attribute ids on each substitution. Registration requires the
-  * delta predicate to reference at least one NON-group column: the
-  * serving plan's own delta branch is `Aggregate(Filter(deltaPred,
-  * base))`, which would otherwise match the view it serves and recurse.
+  * delta predicate to carry a conjunct that is neither a definition
+  * conjunct nor a plain-group-column constraint: the serving plan's own
+  * delta branch is `Aggregate(Filter(defCond ∧ deltaPred, base))`, which
+  * would otherwise match the view it serves and recurse.
   */
 object MaterializedViews {
 
@@ -72,21 +79,24 @@ object MaterializedViews {
       basePaths: Set[String],
       base: SparkSession => DataFrame,
       stateDir: String,
-      neededCols: Seq[String],
       deltaPred: Column,
-      groupCols: Seq[String],
-      groupKeys: Set[String],
+      groupCols: Seq[Column],
+      groupNames: Seq[String],
       groupKeyToName: Map[String, String],
+      plainGroupNames: Set[String],
+      defCondKeys: Set[String],
       aggCols: Seq[Column],
       aggKeyToName: Map[String, String],
-      mergeAgg: Seq[(String, String)],
-      outTypes: Map[String, DataType])
+      mergeAgg: Seq[(String, String)]) {
+    def groupKeys: Set[String] = groupKeyToName.keySet
+  }
 
   private val views = TrieMap.empty[String, MvView]
   private val schemaCache = TrieMap.empty[String, StructType]
 
   def isEmpty: Boolean = views.isEmpty
   def registered: Set[String] = views.keySet.toSet
+  private[graft] def view(name: String): Option[MvView] = views.get(name)
 
   /** Drop all registrations (specs; a prod catalog would scope by name). */
   def clear(): Unit = { views.clear(); schemaCache.clear() }
@@ -97,26 +107,53 @@ object MaterializedViews {
     * the analyzed definition keeps them). None when the tree has no SQL
     * rendering — such expressions simply never match.
     */
-  private def norm(e: Expression): Option[String] =
+  /** Casts that map every non-null input to a non-null output, so
+    * `IsNotNull(Cast(x))` ⇔ `IsNotNull(x)` — the timestamp-family
+    * reinterpretations the analyzer inserts around time columns. A
+    * LEGACY string→number cast can null out a NON-null input, so the
+    * general cast must NOT be stripped inside IsNotNull. */
+  private def castNeverNulls(c: Cast): Boolean =
+    (c.child.dataType, c.dataType) match {
+      case (TimestampNTZType, TimestampType) => true
+      case (TimestampType, TimestampNTZType) => true
+      case (DateType, TimestampType) => true
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+
+  private[graft] def norm(e: Expression): Option[String] =
     try {
-      // two passes: the no-op-cast guard needs dataType, which only
-      // resolves on the original tree — strip casts BEFORE attribute
-      // names replace the (resolved) references
-      val noCasts = e.transformUp {
+      // two passes: the guards below need dataType/eval, which only
+      // resolve on the original tree — normalize BEFORE attribute
+      // names replace the (resolved) references. The rewrites mirror
+      // what the optimizer does to the user side while the analyzed
+      // definition keeps the sugar: no-op casts stripped, foldable
+      // subtrees folded (`CAST(0 AS BIGINT)` vs `0L`), IsNotNull looking
+      // through never-nulling timestamp casts (InferFiltersFromConstraints
+      // derives `isnotnull(ts)` from `isnotnull(cast(ts))`).
+      val canon = e.transformUp {
         case c: Cast if c.child.dataType == c.dataType => c.child
+        case IsNotNull(c: Cast) if castNeverNulls(c) => IsNotNull(c.child)
+        case x if x.foldable && !x.isInstanceOf[Literal] =>
+          Literal.create(x.eval(), x.dataType)
       }
-      Some(noCasts.transformUp {
+      Some(canon.transformUp {
         case a: AttributeReference =>
           UnresolvedAttribute.quoted(a.name.toLowerCase(Locale.ROOT))
       }.sql)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  private[graft] def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
   /** Strip SubqueryAlias/deterministic Projects (inlining alias
-    * definitions) and at most ONE Filter down to a V1 file relation.
+    * definitions), ANDing crossed Filters, down to a V1 file relation.
     * Returns (scan root paths, an inliner re-expressing any expression
     * over the relation's own attributes, the inlined filter condition).
     */
-  private def unwrap(p: LogicalPlan)
+  private[graft] def unwrap(p: LogicalPlan)
       : Option[(Set[String], Expression => Expression, Option[Expression])] =
     p match {
       case lr: LogicalRelation =>
@@ -143,88 +180,110 @@ object MaterializedViews {
           (ps, g, cond)
         }
       case fl: Filter if fl.condition.deterministic =>
-        unwrap(fl.child).flatMap { case (ps, f, prev) =>
-          if (prev.nonEmpty) None else Some((ps, f, Some(f(fl.condition))))
+        unwrap(fl.child).map { case (ps, f, prev) =>
+          val c = f(fl.condition)
+          (ps, f, Some(prev.map(And(_, c)).getOrElse(c)))
         }
       case _ => None
     }
 
   /** Register `name` as: `base.groupBy(groupCols).agg(aggCols)`, with the
     * pre-computed partials for `base WHERE NOT deltaPred` already at
-    * `stateDir` (same column names: group cols + agg aliases). The
-    * caller owns the coverage contract: state ⊎ (base WHERE deltaPred)
-    * must equal the full base — exactly the §2.15 prepare discipline.
-    * Idempotent per name.
+    * `stateDir` (same column names: group output names + agg aliases).
+    * The caller owns the coverage contract: state ⊎ (base WHERE
+    * deltaPred) must equal the full base — exactly the §2.15 prepare
+    * discipline. Group keys may be expressions (e.g. `window(ts, '1
+    * day')`); any filter the ANALYZER inserts for them (isnotnull under
+    * a time window) is recorded as the definition condition and required
+    * of matching user plans. Idempotent per name.
     */
   def register(spark: SparkSession, name: String,
                base: SparkSession => DataFrame, stateDir: String,
-               deltaPred: Column, groupCols: Seq[String],
+               deltaPred: Column, groupCols: Seq[Column],
                aggCols: Seq[Column]): Unit = {
     if (views.contains(name)) return
-    val defDF = base(spark).groupBy(groupCols.map(col): _*)
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"mv $name: $msg")
+    val defDF = base(spark).groupBy(groupCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
     val aPlan = defDF.queryExecution.analyzed match {
       case a: Aggregate => a
-      case other => throw new IllegalArgumentException(
-        s"mv $name: definition did not analyze to an Aggregate: ${other.nodeName}")
+      case other =>
+        fail(s"definition did not analyze to an Aggregate: ${other.nodeName}")
     }
     val (paths, inline, defCond) = unwrap(aPlan.child).getOrElse(
-      throw new IllegalArgumentException(
-        s"mv $name: base must unwrap to a single V1 file relation"))
-    require(defCond.isEmpty, s"mv $name: base must be unfiltered")
+      fail("base must unwrap to a single V1 file relation"))
+    val defCondKeys = defCond.map(conjuncts).getOrElse(Nil).map(c =>
+      norm(c).getOrElse(fail(s"definition filter $c has no normalized form")))
+      .toSet
 
-    val groupAttrs = aPlan.groupingExpressions.map {
-      case a: AttributeReference => a
-      case other => throw new IllegalArgumentException(
-        s"mv $name: group keys must be plain columns, got $other")
+    // group outputs: every non-aggregate output column names a group key
+    val groupOut = aPlan.aggregateExpressions.filter {
+      case Alias(_: AggregateExpression, _) => false
+      case _ => true
     }
-    val groupKeyToName = groupAttrs.map { a =>
-      val k = norm(inline(a)).getOrElse(throw new IllegalArgumentException(
-        s"mv $name: group key ${a.name} has no normalized form"))
-      k -> a.name
+    val groupKeyToName = groupOut.map { ne =>
+      val inner = ne match { case Alias(c, _) => c; case e => e }
+      val k = norm(inline(inner)).getOrElse(
+        fail(s"group key ${ne.name} has no normalized form"))
+      k -> ne.name
     }.toMap
+    val gKeysDef = aPlan.groupingExpressions.flatMap(e => norm(inline(e)))
+    if (gKeysDef.size != aPlan.groupingExpressions.size ||
+      gKeysDef.toSet != groupKeyToName.keySet)
+      fail("every grouping expression must appear as an output column")
+    val plainGroupNames = groupKeyToName.collect {
+      case (k, n) if k == UnresolvedAttribute
+        .quoted(n.toLowerCase(Locale.ROOT)).sql => n.toLowerCase(Locale.ROOT)
+    }.toSet
 
     val aggAliases = aPlan.aggregateExpressions.collect {
       case al @ Alias(ae: AggregateExpression, _) => (al, ae)
     }
     val mergeAgg = aggAliases.map { case (al, ae) =>
-      require(!ae.isDistinct && ae.filter.isEmpty,
-        s"mv $name: ${al.name} — DISTINCT/FILTER aggregates are not mergeable partials")
-      require(!al.dataType.isInstanceOf[DecimalType],
-        s"mv $name: ${al.name} — DECIMAL sums widen on re-aggregation; store BIGINT cents")
+      if (ae.isDistinct || ae.filter.nonEmpty)
+        fail(s"${al.name} — DISTINCT/FILTER aggregates are not mergeable partials")
+      if (al.dataType.isInstanceOf[DecimalType])
+        fail(s"${al.name} — DECIMAL sums widen on re-aggregation; store BIGINT cents")
       val kind = ae.aggregateFunction match {
         case _: Count => "sum"
         case _: Sum => "sum"
         case _: Min => "min"
         case _: Max => "max"
-        case other => throw new IllegalArgumentException(
-          s"mv $name: ${al.name} — unsupported aggregate ${other.prettyName}")
+        case other =>
+          fail(s"${al.name} — unsupported aggregate ${other.prettyName}")
       }
       al.name -> kind
     }
     val aggKeyToName = aggAliases.map { case (al, ae) =>
-      val k = norm(inline(ae)).getOrElse(throw new IllegalArgumentException(
-        s"mv $name: aggregate ${al.name} has no normalized form"))
+      val k = norm(inline(ae)).getOrElse(
+        fail(s"aggregate ${al.name} has no normalized form"))
       k -> al.name
     }.toMap
 
-    val predRefs = base(spark).filter(deltaPred).queryExecution.analyzed match {
-      case f: Filter => f.condition.references.map(_.name).toSeq
-      case _ => Seq.empty[String]
+    // recursion guard: the serving plan's own delta branch carries
+    // defCond ∧ deltaPred — at least one deltaPred conjunct must be
+    // neither a definition conjunct nor a plain-group constraint, or
+    // that branch would match the view it serves
+    val predConjs = base(spark).filter(deltaPred).queryExecution.analyzed match {
+      case f: Filter => conjuncts(f.condition)
+      case _ => Seq.empty[Expression]
     }
-    require(predRefs.exists(r => !groupCols.exists(_.equalsIgnoreCase(r))),
-      s"mv $name: delta predicate must reference a non-group column — a " +
-        "group-only delta would make the serving plan's own delta branch " +
-        "match the view it serves")
+    val guardOk = predConjs.exists { c =>
+      val k = norm(c)
+      val nonDef = k.forall(!defCondKeys.contains(_))
+      val nonGroup = c.references.exists(a =>
+        !plainGroupNames.contains(a.name.toLowerCase(Locale.ROOT)))
+      nonDef && nonGroup
+    }
+    if (!guardOk)
+      fail("delta predicate must carry a conjunct on a non-group column — " +
+        "a group-only delta would make the serving plan's own delta " +
+        "branch match the view it serves")
 
-    val neededCols = (groupCols ++
-      aPlan.aggregateExpressions.flatMap(_.references.map(_.name)) ++
-      predRefs).distinct
-    val outTypes = defDF.schema.fields.map(f => f.name -> f.dataType).toMap
-
-    views.putIfAbsent(name, MvView(name, paths, base, stateDir, neededCols,
-      deltaPred, groupCols, groupKeyToName.keySet, groupKeyToName, aggCols,
-      aggKeyToName, mergeAgg, outTypes))
+    views.putIfAbsent(name, MvView(name, paths, base, stateDir, deltaPred,
+      groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
+      defCondKeys, aggCols, aggKeyToName, mergeAgg))
     ()
   }
 
@@ -239,15 +298,15 @@ object MaterializedViews {
   }
 
   /** The serving plan, rebuilt fresh per rewrite: merge(state ∪
-    * partial(Δ)), with a group-column pull predicate (when present)
-    * applied to BOTH branches below their aggregates so it reaches the
-    * parquet scans, and the delta branch explicitly projected to the
-    * needed columns (this rule may run after the optimizer's column
-    * pruning, so nobody prunes the substituted subtree for us).
+    * partial(Δ)), with the pull predicate (when present) applied to BOTH
+    * branches below their aggregates so it reaches the parquet scans.
+    * The definition condition needs no re-application — rebuilding the
+    * definition's delta aggregate re-inserts it at analysis, and the
+    * state artifact was built under it.
     */
   private def servingPlan(spark: SparkSession, v: MvView,
-                          condOpt: Option[Expression]): LogicalPlan = {
-    val condCol = condOpt.map { c =>
+                          extraCond: Option[Expression]): LogicalPlan = {
+    val condCol = extraCond.map { c =>
       ColumnBridge.column(c.transformUp {
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
@@ -255,10 +314,9 @@ object MaterializedViews {
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
     var state = spark.read.schema(stateSchema).parquet(v.stateDir)
-    var delta = v.base(spark).select(v.neededCols.map(col): _*)
-      .filter(v.deltaPred)
+    var delta = v.base(spark).filter(v.deltaPred)
     condCol.foreach { c => state = state.filter(c); delta = delta.filter(c) }
-    val deltaPart = delta.groupBy(v.groupCols.map(col): _*)
+    val deltaPart = delta.groupBy(v.groupCols: _*)
       .agg(v.aggCols.head, v.aggCols.tail: _*)
     val mergeCols = v.mergeAgg.map {
       case (a, "min") => min(col(a)).as(a)
@@ -266,7 +324,7 @@ object MaterializedViews {
       case (a, _) => sum(col(a)).as(a)
     }
     val analyzed = state.unionByName(deltaPart)
-      .groupBy(v.groupCols.map(col): _*)
+      .groupBy(v.groupNames.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
       .queryExecution.analyzed
     // The substitution happens mid-/post-optimization, so the fresh
@@ -277,8 +335,8 @@ object MaterializedViews {
     // codegen method-split's subexpression signature (interpreted
     // fallback). Run the session optimizer over the serving plan itself:
     // re-entry is safe because every aggregate inside it bails out of the
-    // rewrite (the delta branch filters on a non-group column — enforced
-    // at registration — and the merge reads state ∪ base paths).
+    // rewrite (the delta branch carries the non-group delta conjunct —
+    // enforced at registration — and the merge reads state ∪ base paths).
     spark.sessionState.optimizer.execute(analyzed)
   }
 
@@ -294,6 +352,45 @@ object MaterializedViews {
     } yield plan
   }
 
+  /** Re-express one user output over the merged view's attributes:
+    * every maximal registered subtree (group key, whole aggregate)
+    * becomes the corresponding merged attribute, avg(e) becomes
+    * sum(e)/count(e) when both constituents are registered. Refuses
+    * unless the result consumed every base reference, contains no
+    * leftover aggregate, and kept the original type.
+    */
+  private def mapOutput(v: MvView, rep: LogicalPlan,
+                        inlined: Expression): Option[Expression] = {
+    val byName = rep.output
+      .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+    def attr(n: String): Attribute = byName(n.toLowerCase(Locale.ROOT))
+    val replaced = inlined.transformDown {
+      case ae @ AggregateExpression(a: Average, _, false, None, _) =>
+        (for {
+          sk <- norm(Sum(a.child).toAggregateExpression())
+          ck <- norm(Count(Seq(a.child)).toAggregateExpression())
+          sn <- v.aggKeyToName.get(sk)
+          cn <- v.aggKeyToName.get(ck)
+          if ae.dataType == DoubleType
+        } yield Divide(Cast(attr(sn), DoubleType), Cast(attr(cn), DoubleType))
+        ).getOrElse(ae)
+      case sub =>
+        norm(sub).flatMap(k => v.groupKeyToName.get(k)
+          .orElse(v.aggKeyToName.get(k))).map(n => attr(n): Expression)
+          .getOrElse(sub)
+    }
+    val repIds = rep.output.map(_.exprId).toSet
+    val complete = replaced.references.forall(a => repIds.contains(a.exprId))
+    val noAgg = !replaced.exists(_.isInstanceOf[AggregateExpression])
+    // catalogString comparison = type equality ignoring nullability (the
+    // parquet state's struct fields are nullable where the live window
+    // struct's are not; values are identical)
+    val typeOk =
+      try replaced.dataType.catalogString == inlined.dataType.catalogString
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (complete && noAgg && typeOk) Some(replaced) else None
+  }
+
   private def rewriteWith(v: MvView, agg: Aggregate,
                           inline: Expression => Expression,
                           condOpt: Option[Expression]): Option[LogicalPlan] = {
@@ -301,64 +398,38 @@ object MaterializedViews {
     val gKeys = agg.groupingExpressions.flatMap(e => norm(inline(e)))
     if (gKeys.size != agg.groupingExpressions.size ||
       gKeys.toSet != v.groupKeys) return None
-    // a crossed filter may only constrain group columns
-    val condOk = condOpt.forall(_.collect { case a: AttributeReference => a }
-      .forall(a => norm(inline(a)).exists(v.groupKeys.contains)))
-    if (!condOk) return None
-    // every output must be a group key, a registered aggregate, or an
-    // AVG whose sum/count constituents are both registered (avg(e) ≡
-    // sum(e)/count(e) — partials merge, the ratio does not, so it is
-    // reconstructed above the merge; double-typed only, since the
-    // reconstruction divides doubles)
-    val mapped: Seq[(NamedExpression, Out)] =
-      agg.aggregateExpressions.flatMap { ne =>
-        val inner = ne match { case Alias(c, _) => c; case e => e }
-        inner match {
-          case AggregateExpression(a: Average, _, false, None, _)
-              if ne.dataType == DoubleType =>
-            val ch = inline(a.child)
-            for {
-              sk <- norm(Sum(ch).toAggregateExpression())
-              ck <- norm(Count(Seq(ch)).toAggregateExpression())
-              sn <- v.aggKeyToName.get(sk)
-              cn <- v.aggKeyToName.get(ck)
-            } yield ne -> (OutAvg(sn, cn): Out)
-          case _ =>
-            norm(inline(inner)).flatMap(k =>
-              v.groupKeyToName.get(k).orElse(v.aggKeyToName.get(k)))
-              .map(n => ne -> (OutCol(n): Out))
-        }
-      }
-    if (mapped.size != agg.aggregateExpressions.size) return None
-    // merged output types must equal the direct plan's
-    if (!mapped.forall {
-        case (ne, OutCol(name)) => v.outTypes.get(name).contains(ne.dataType)
-        case (_, _: OutAvg) => true // Divide(double, double) by construction
-      }) return None
+    // crossed-filter conjuncts: every definition conjunct must be
+    // present (a windowed aggregate without the analyzer's isnotnull
+    // has different null semantics than the state), and anything extra
+    // must constrain plain group columns (the pull predicate)
+    val userConjs = condOpt.map(conjuncts).getOrElse(Nil)
+    val userKeys = userConjs.map(norm)
+    if (userKeys.exists(_.isEmpty)) return None
+    val keyed = userConjs.zip(userKeys.flatten)
+    val (defMatched, extra) = keyed.partition {
+      case (_, k) => v.defCondKeys.contains(k)
+    }
+    if (defMatched.map(_._2).toSet != v.defCondKeys) return None
+    val extraOk = extra.forall { case (c, _) =>
+      c.references.forall(a =>
+        v.plainGroupNames.contains(a.name.toLowerCase(Locale.ROOT)))
+    }
+    if (!extraOk) return None
+    val extraCond = extra.map(_._1).reduceOption(And)
 
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map { spark =>
-        val rep = servingPlan(spark, v, condOpt.map(inline))
-        val byName = rep.output
-          .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
-        def attr(n: String) = byName(n.toLowerCase(Locale.ROOT))
-        val projList = mapped.map {
-          case (ne, OutCol(name)) =>
-            Alias(attr(name), ne.name)(exprId = ne.exprId)
-          case (ne, OutAvg(sn, cn)) =>
-            // null iff the merged sum is null (all inputs null ⇒ count 0
-            // ⇒ Average is null too); a group in the view always has
-            // count(e) ≥ 0 and the null sum propagates through Divide
-            Alias(Divide(Cast(attr(sn), DoubleType),
-              Cast(attr(cn), DoubleType)), ne.name)(exprId = ne.exprId)
-        }
-        Project(projList, rep)
+      .flatMap { spark =>
+        val rep = servingPlan(spark, v, extraCond)
+        val mapped: Seq[Option[NamedExpression]] =
+          agg.aggregateExpressions.map { ne =>
+            val inner = ne match { case Alias(c, _) => c; case e => e }
+            mapOutput(v, rep, inline(inner)).map(e =>
+              Alias(e, ne.name)(exprId = ne.exprId))
+          }
+        if (mapped.exists(_.isEmpty)) None
+        else Some(Project(mapped.flatten, rep))
       }
   }
-
-  private sealed trait Out
-  private final case class OutCol(name: String) extends Out
-  private final case class OutAvg(sumName: String, cntName: String) extends Out
 }
 
 /** The optimizer rule: substitute matching aggregates with their
@@ -366,7 +437,7 @@ object MaterializedViews {
   * `spark.graft.mv.enabled=false`. Idempotent across fixed-point
   * iterations — the substituted merge aggregate reads state ∪ base
   * (paths differ from any registered base), and the inner delta branch
-  * carries a filter on a non-group column (enforced at registration),
+  * carries a conjunct on a non-group column (enforced at registration),
   * so neither re-matches.
   */
 object MaterializedViewRewrite extends Rule[LogicalPlan] {

@@ -192,6 +192,54 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowed mv: the plain daily-pane rollup is served from pane " +
+    "state + ts-pushed delta, derived millis outputs map through") {
+    Incremental.mvWindowPrepare(spark, sfDir)
+    val evCents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    // the exact user shape — struct outputs projected to epoch millis
+    // ABOVE the aggregate (CollapseProject may fold them INTO it; the
+    // derived-output mapping must serve either shape)
+    def daily: DataFrame = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(evCents).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        unix_millis(col("window.end")).as("we"),
+        col("event_type"), col("cnt"), col("sum_cents"))
+    val (got, plan) = collected(enabled = true)(daily)
+    assert(plan.contains(Incremental.mvWindowStateDir(sfDir)),
+      s"windowed serving plan must scan the pane state\n$plan")
+    val eventScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(eventScans == 1,
+      s"expected 1 events scan (the delta), got $eventScans\n$plan")
+    val (want, directPlan) = collected(enabled = false)(daily)
+    assert(!directPlan.contains(Incremental.mvWindowStateDir(sfDir)))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the mid-window cutoff means at least one pane merged a state
+    // partial WITH a delta partial — otherwise this proved an append
+    val cutoffPane = spark.sql(
+      "SELECT unix_millis(date_trunc('DAY', TIMESTAMP'2024-01-25 12:00:00'))")
+      .collect()(0).getLong(0)
+    assert(got.exists(_.getLong(0) == cutoffPane),
+      "the straddled pane must appear in the served result")
+  }
+
+  test("windowed mv bails out: a different pane size and a non-window " +
+    "events rollup pass through unrewritten") {
+    Incremental.mvWindowPrepare(spark, sfDir)
+    val state = Incremental.mvWindowStateDir(sfDir)
+    def planOf(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // hourly panes are NOT the registered daily view
+    assert(!planOf(Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))).contains(state))
+    // same aggregates without the window key: different group signature
+    assert(!planOf(Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))).contains(state))
+  }
+
   test("mv registration guards: group-only delta predicate and decimal " +
     "sums are rejected") {
     intercept[IllegalArgumentException] {
@@ -199,7 +247,7 @@ class MaterializedViewSpec extends SparkSpec {
         base = sp => Tables.orders(sp, sfDir),
         stateDir = "/tmp/never-written",
         deltaPred = col("o_custkey") > 100, // group-only: would recurse
-        groupCols = Seq("o_custkey"),
+        groupCols = Seq(col("o_custkey")),
         aggCols = Seq(count(lit(1)).as("n")))
     }
     intercept[IllegalArgumentException] {
@@ -207,7 +255,7 @@ class MaterializedViewSpec extends SparkSpec {
         base = sp => Tables.orders(sp, sfDir),
         stateDir = "/tmp/never-written",
         deltaPred = col("o_orderdate") >= lit("2001-01-01").cast("timestamp"),
-        groupCols = Seq("o_custkey"),
+        groupCols = Seq(col("o_custkey")),
         aggCols = Seq(sum(col("o_totalprice").cast("decimal(18,2)")).as("s")))
     }
     assert(!MaterializedViews.registered.contains("bad_delta_pred"))

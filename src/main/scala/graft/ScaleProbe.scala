@@ -85,8 +85,11 @@ object ScaleProbe {
     // id-shifted copies and the merge is one key shuffle, so the probe
     // catches any regression to a full-history rescan. q_mv_pull adds
     // the group-key predicate pushed into both branch scans — its wall
-    // should track the MATCHING fraction, not the corpus.
-    "q_mv_rewrite", "q_mv_pull")
+    // should track the MATCHING fraction, not the corpus (measured
+    // 1.03x at 10x). q_mv_window is the pane-state serving shape —
+    // |panes|x|types| state rows + the ts-pushed delta, linear like
+    // q_incr_window's merge.
+    "q_mv_rewrite", "q_mv_pull", "q_mv_window")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -514,7 +514,30 @@ object Incremental {
         |  (epoch_ms(ts) // 86400000) * 86400000 + 86400000 AS we,
         |  event_type, count(*) AS cnt,
         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
-        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+        |FROM events GROUP BY 1, 2, 3""".stripMargin),
+
+    // The MV LIFECYCLE: refresh folds the accumulated delta into a new
+    // state artifact (merge(state ∪ partial(moved)) — the same algebra
+    // the serving plan runs) and advances the cutoff, swapping the
+    // registration atomically. The user query is IDENTICAL to
+    // q_mv_rewrite's — what changed is behind the rule: the serving
+    // plan now reads the refreshed state and a five-month-smaller
+    // delta. The oracle is still the full recompute, so the gate
+    // proves refresh preserved the view exactly.
+    "q_mv_refresh" -> Q(
+      (s, d) => {
+        Incremental.mvRefresh(s, d)
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+            max(cents(col("o_totalprice"))).as("max_price_cents"))
+      },
+      s"""SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+        |    AS sum_price_cents,
+        |  max(${centsSql("o_totalprice")}) AS max_price_cents
+        |FROM orders GROUP BY 1""".stripMargin)
   )
 
   /** Bench's separately-timed prepare phases for the state artifacts. */
@@ -531,7 +554,8 @@ object Incremental {
     "q_mv_rewrite" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_pull" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_avg" -> ((s, d) => mvPrepare(s, d)),
-    "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)))
+    "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
+    "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -699,6 +723,29 @@ object Incremental {
       groupCols = Seq(col("o_custkey")),
       aggCols = mvAggs)
     graft.plans.MaterializedViews.install(s)
+  }
+
+  /** The refresh target: five months past the registration cutoff (the
+    * orders calendar ends 2001-08-01, so the post-refresh delta is small
+    * but non-empty — both the fold and the remaining serving branch stay
+    * exercised). */
+  private val RefreshCutoff = "2001-06-01"
+
+  private[graft] def mvRefreshedStateDir(d: String): String =
+    stateDirs.get(s"mv_orders_r_$d")
+
+  /** Advance the orders view's cutoff: fold [Cutoff, RefreshCutoff) into
+    * a fresh state artifact and swap the registration. Idempotent (the
+    * fold is materialize-once; a repeat put writes the same values). */
+  private[graft] def mvRefresh(s: SparkSession, d: String): Unit = {
+    mvPrepare(s, d)
+    val dateType =
+      Tables.orders(s, d).schema("o_orderdate").dataType.catalogString
+    materialize(s"mv_orders_r_$d") { dir =>
+      graft.plans.MaterializedViews.refresh(s, s"orders_rollup_$d",
+        col("o_orderdate") >= lit(RefreshCutoff).cast(dateType), dir)
+    }
+    ()
   }
 
   /** The windowed MV definition: daily panes × event_type, COUNT/SUM

@@ -287,6 +287,41 @@ object MaterializedViews {
     ()
   }
 
+  /** Advance a view's cutoff: fold the rows that LEAVE the delta —
+    * `oldPred ∧ ¬newPred` — into a fresh state artifact at `newStateDir`
+    * (merge(old state ∪ partial(moved)), the same algebra the serving
+    * plan runs), then swap the registration atomically. Serving is
+    * correct before, during (the rule reads one consistent MvView
+    * value), and after; only the delta scan shrinks. The caller owns
+    * the implication contract newPred ⊆ oldPred (the cutoff only
+    * advances) and the write-once discipline of `newStateDir`.
+    */
+  def refresh(spark: SparkSession, name: String, newDeltaPred: Column,
+              newStateDir: String): Unit = {
+    val v = views.getOrElse(name,
+      throw new IllegalArgumentException(s"mv $name: not registered"))
+    val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
+      spark.read.parquet(v.stateDir).schema)
+    val moved = v.base(spark)
+      .filter(v.deltaPred && org.apache.spark.sql.functions.not(newDeltaPred))
+      .groupBy(v.groupCols: _*)
+      .agg(v.aggCols.head, v.aggCols.tail: _*)
+    spark.read.schema(stateSchema).parquet(v.stateDir)
+      .unionByName(moved)
+      .groupBy(v.groupNames.map(col): _*)
+      .agg(mergeCols(v).head, mergeCols(v).tail: _*)
+      .write.mode("overwrite").parquet(newStateDir)
+    views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    schemaCache.remove(newStateDir)
+    ()
+  }
+
+  private def mergeCols(v: MvView): Seq[Column] = v.mergeAgg.map {
+    case (a, "min") => min(col(a)).as(a)
+    case (a, "max") => max(col(a)).as(a)
+    case (a, _) => sum(col(a)).as(a)
+  }
+
   /** Install the rewrite rule into an existing session's optimizer (the
     * runtime path; config-built sessions get it from
     * [[graft.GraftExtensions]]). Idempotent.
@@ -318,14 +353,10 @@ object MaterializedViews {
     condCol.foreach { c => state = state.filter(c); delta = delta.filter(c) }
     val deltaPart = delta.groupBy(v.groupCols: _*)
       .agg(v.aggCols.head, v.aggCols.tail: _*)
-    val mergeCols = v.mergeAgg.map {
-      case (a, "min") => min(col(a)).as(a)
-      case (a, "max") => max(col(a)).as(a)
-      case (a, _) => sum(col(a)).as(a)
-    }
+    val merges = mergeCols(v)
     val analyzed = state.unionByName(deltaPart)
       .groupBy(v.groupNames.map(col): _*)
-      .agg(mergeCols.head, mergeCols.tail: _*)
+      .agg(merges.head, merges.tail: _*)
       .queryExecution.analyzed
     // The substitution happens mid-/post-optimization, so the fresh
     // subtree would otherwise skip the standard normalization passes —

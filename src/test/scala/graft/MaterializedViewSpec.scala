@@ -261,4 +261,24 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!MaterializedViews.registered.contains("bad_delta_pred"))
     assert(!MaterializedViews.registered.contains("bad_decimal"))
   }
+
+  // LAST deliberately: refresh mutates the shared registration, and the
+  // earlier tests assert serving from the pre-refresh state artifact
+  test("mv refresh: folding the delta into a new state artifact advances " +
+    "the cutoff and serving still equals the recompute") {
+    Incremental.mvPrepare(spark, sfDir)
+    val (before, planBefore) = collected(enabled = true)(userRollup)
+    assert(planBefore.contains(Incremental.mvStateDir(sfDir)))
+    Incremental.mvRefresh(spark, sfDir)
+    val (after, planAfter) = collected(enabled = true)(userRollup)
+    assert(planAfter.contains(Incremental.mvRefreshedStateDir(sfDir)),
+      s"post-refresh serving must read the refreshed state\n$planAfter")
+    assert(!planAfter.contains(Incremental.mvStateDir(sfDir)),
+      "the old state artifact must have left the serving plan")
+    assert(planAfter.contains("2001-06-01"),
+      s"the delta scan must carry the ADVANCED cutoff\n$planAfter")
+    val (want, _) = collected(enabled = false)(userRollup)
+    assert(before == want)
+    assert(after == want)
+  }
 }

@@ -89,6 +89,7 @@ case object ShowVariables extends Statement                 // SHOW VARIABLES
 case class CreateType(name: String, typeSql: String) extends Statement // CREATE TYPE t AS ...
 case class DropType(name: String, ifExists: Boolean) extends Statement // DROP TYPE t
 case object ShowTypes extends Statement                     // SHOW TYPES
+case object ShowMaterializedViews extends Statement // SHOW MATERIALIZED VIEWS
 // Connector management (ksqlDB's CREATE SOURCE/SINK CONNECTOR — proxied
 // to Kafka Connect by the real server; served by graft's embedded
 // file-connector runtime, see Connectors.scala)

@@ -226,6 +226,9 @@ object Parser {
         else if (p.accept("FUNCTIONS")) ShowFunctions
         else if (p.accept("VARIABLES")) ShowVariables
         else if (p.accept("TYPES")) ShowTypes
+        else if (p.accept("MATERIALIZED")) {
+          p.expect("VIEWS"); ShowMaterializedViews
+        }
         // TOPICS: the file-backed analogue lists the same catalog —
         // every bound source IS a "topic" in this engine's model
         else if (p.accept("TOPICS")) ShowSources(tables = false)

@@ -1663,6 +1663,14 @@ object Translator {
         import spark.implicits._
         val rows = typesFor(spark).toSeq.sortBy(_._1)
         (catalog, Some(rows.toDF("type_name", "definition")))
+      case ShowMaterializedViews =>
+        // the MV-rewrite catalog (graft.plans.MaterializedViews): the
+        // views whose plain aggregates the optimizer rule serves from
+        // state ∪ delta — surfaced in the dialect like every other
+        // catalog listing
+        import spark.implicits._
+        (catalog, Some(graft.plans.MaterializedViews.describeAll
+          .toDF("name", "base", "group_keys", "aggregates")))
     }
   }
 

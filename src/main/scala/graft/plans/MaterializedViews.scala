@@ -98,6 +98,15 @@ object MaterializedViews {
   def registered: Set[String] = views.keySet.toSet
   private[graft] def view(name: String): Option[MvView] = views.get(name)
 
+  /** Catalog listing (the dialect's SHOW MATERIALIZED VIEWS): one row
+    * per view — name, base paths, group output names, aggregate names. */
+  def describeAll: Seq[(String, String, String, String)] =
+    views.values.toSeq.sortBy(_.name).map(v => (
+      v.name,
+      v.basePaths.toSeq.sorted.mkString(","),
+      v.groupNames.mkString(", "),
+      v.mergeAgg.map(_._1).mkString(", ")))
+
   /** Drop all registrations (specs; a prod catalog would scope by name). */
   def clear(): Unit = { views.clear(); schemaCache.clear() }
 

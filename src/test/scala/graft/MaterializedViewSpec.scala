@@ -262,6 +262,16 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!MaterializedViews.registered.contains("bad_decimal"))
   }
 
+  test("SHOW MATERIALIZED VIEWS surfaces the MV catalog in the dialect") {
+    import graft.ksql.Translator
+    Incremental.mvPrepare(spark, sfDir)
+    val (_, Some(df)) = Translator.run(spark, Map.empty,
+      "SHOW MATERIALIZED VIEWS;"): @unchecked
+    val rows = df.collect().map(r => (r.getString(0), r.getString(2)))
+    assert(rows.exists { case (n, g) =>
+      n == s"orders_rollup_$sfDir" && g == "o_custkey" }, rows.toSeq)
+  }
+
   // LAST deliberately: refresh mutates the shared registration, and the
   // earlier tests assert serving from the pre-refresh state artifact
   test("mv refresh: folding the delta into a new state artifact advances " +

@@ -380,16 +380,19 @@ object MaterializedViews {
     spark.sessionState.optimizer.execute(analyzed)
   }
 
-  /** Attempt the substitution for one Aggregate node. */
+  /** Attempt the substitution for one Aggregate node. Several views may
+    * share a base (the orders rollup and a priority rollup over the
+    * same parquet) — every path-matching view gets a chance, first
+    * successful rewrite wins. */
   private[plans] def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (views.isEmpty) return None
     if (agg.groupingExpressions.exists(!_.deterministic) ||
       agg.aggregateExpressions.exists(!_.deterministic)) return None
-    for {
-      (paths, inline, condOpt) <- unwrap(agg.child)
-      v <- views.values.find(_.basePaths == paths)
-      plan <- rewriteWith(v, agg, inline, condOpt)
-    } yield plan
+    unwrap(agg.child).flatMap { case (paths, inline, condOpt) =>
+      views.values.view.filter(_.basePaths == paths)
+        .flatMap(v => rewriteWith(v, agg, inline, condOpt))
+        .headOption
+    }
   }
 
   /** Re-express one user output over the merged view's attributes:

@@ -272,6 +272,38 @@ class MaterializedViewSpec extends SparkSpec {
       n == s"orders_rollup_$sfDir" && g == "o_custkey" }, rows.toSeq)
   }
 
+  test("two views over the SAME base: each query is served by the view " +
+    "whose signature matches, not just the first registered") {
+    Incremental.mvPrepare(spark, sfDir)
+    // a second rollup over the same orders parquet, different group key
+    val prioState = java.nio.file.Files
+      .createTempDirectory("mv_orders_prio").toString
+    val dateType =
+      Tables.orders(spark, sfDir).schema("o_orderdate").dataType.catalogString
+    val cutoff = lit("2001-01-01").cast(dateType)
+    Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(prioState)
+    MaterializedViews.register(spark, s"orders_by_prio_$sfDir",
+      base = sp => Tables.orders(sp, sfDir),
+      stateDir = prioState,
+      deltaPred = col("o_orderdate") >= cutoff,
+      groupCols = Seq(col("o_orderpriority")),
+      aggCols = Seq(count(lit(1)).as("n")))
+    def byPrio: DataFrame = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val (got, plan) = collected(enabled = true)(byPrio)
+    assert(plan.contains(prioState),
+      s"the priority view must serve its own signature\n$plan")
+    val (want, _) = collected(enabled = false)(byPrio)
+    assert(got == want)
+    // and the custkey rollup still routes to the ORIGINAL view
+    val (_, plan2) = collected(enabled = true)(userRollup)
+    assert(plan2.contains(Incremental.mvStateDir(sfDir)), plan2)
+    assert(!plan2.contains(prioState), plan2)
+  }
+
   // LAST deliberately: refresh mutates the shared registration, and the
   // earlier tests assert serving from the pre-refresh state artifact
   test("mv refresh: folding the delta into a new state artifact advances " +

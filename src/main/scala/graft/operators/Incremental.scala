@@ -516,6 +516,33 @@ object Incremental {
         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
 
+    // The HOPPING windowed MV: sliding panes plan through an Expand
+    // (each event fans into size/advance = 2 panes), so the serving
+    // match must recognize the Expand's structure — the rule keys on
+    // each projection row's window-struct expressions (pruning-
+    // insensitive) and re-expresses everything above the Expand over
+    // name placeholders. The user writes the plain hopping rollup; the
+    // oracle re-windows ALL events with the two-pane unnest.
+    "q_mv_hopping" -> Q(
+      (s, d) => {
+        Incremental.mvHoppingPrepare(s, d)
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("value"))).as("sum_cents"))
+          .select(unix_millis(col("window.start")).as("ws"),
+            col("event_type"), col("cnt"), col("sum_cents"))
+      },
+      s"""WITH hops AS (
+        |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - i * 1800000 AS ws,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+        |)
+        |SELECT ws, event_type, count(*) AS cnt,
+        |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
+        |FROM hops GROUP BY 1, 2""".stripMargin),
+
     // The MV LIFECYCLE: refresh folds the accumulated delta into a new
     // state artifact (merge(state ∪ partial(moved)) — the same algebra
     // the serving plan runs) and advances the cutoff, swapping the
@@ -555,6 +582,7 @@ object Incremental {
     "q_mv_pull" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_avg" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
+    "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
     "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
@@ -722,6 +750,31 @@ object Incremental {
       deltaPred = col("o_orderdate") >= cutoffLit,
       groupCols = Seq(col("o_custkey")),
       aggCols = mvAggs)
+    graft.plans.MaterializedViews.install(s)
+  }
+
+  private[graft] def mvHoppingStateDir(d: String): String =
+    stateDirs.get(s"mv_events_hop_$d")
+
+  /** Hopping MV prepare: pre-cutoff pane partials on the 1 h/30 m grid
+    * (each event fans to 2 panes at prepare time, exactly once — the
+    * serving delta fans the SAME way, history never re-expands). */
+  private[graft] def mvHoppingPrepare(s: SparkSession, d: String): Unit = {
+    materialize(s"mv_events_hop_$d") { dir =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit(WindowCutoff).cast("timestamp"))
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(mvWindowAggs.head, mvWindowAggs.tail: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"events_hopping_$d",
+      base = sp => Tables.events(sp, d),
+      stateDir = mvHoppingStateDir(d),
+      deltaPred = col("ts") >= lit(WindowCutoff).cast("timestamp"),
+      groupCols = Seq(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type")),
+      aggCols = mvWindowAggs)
     graft.plans.MaterializedViews.install(s)
   }
 

@@ -6,9 +6,9 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, ExprId, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, max, min, sum}
@@ -85,6 +85,7 @@ object MaterializedViews {
       groupKeyToName: Map[String, String],
       plainGroupNames: Set[String],
       defCondKeys: Set[String],
+      shapeKey: Seq[String],
       aggCols: Seq[Column],
       aggKeyToName: Map[String, String],
       mergeAgg: Seq[(String, String)]) {
@@ -140,10 +141,16 @@ object MaterializedViews {
       // subtrees folded (`CAST(0 AS BIGINT)` vs `0L`), IsNotNull looking
       // through never-nulling timestamp casts (InferFiltersFromConstraints
       // derives `isnotnull(ts)` from `isnotnull(cast(ts))`).
+      // every case guards on `resolved`: above an Expand the tree holds
+      // name placeholders (UnresolvedAttribute), and dataType/eval on
+      // their ancestors would throw — those subtrees just render as-is,
+      // identically on both sides of the comparison
       val canon = e.transformUp {
-        case c: Cast if c.child.dataType == c.dataType => c.child
-        case IsNotNull(c: Cast) if castNeverNulls(c) => IsNotNull(c.child)
-        case x if x.foldable && !x.isInstanceOf[Literal] =>
+        case c: Cast if c.resolved && c.child.dataType == c.dataType =>
+          c.child
+        case IsNotNull(c: Cast) if c.resolved && castNeverNulls(c) =>
+          IsNotNull(c.child)
+        case x if x.resolved && x.foldable && !x.isInstanceOf[Literal] =>
           Literal.create(x.eval(), x.dataType)
       }
       Some(canon.transformUp {
@@ -158,18 +165,28 @@ object MaterializedViews {
   }
 
   /** Strip SubqueryAlias/deterministic Projects (inlining alias
-    * definitions), ANDing crossed Filters, down to a V1 file relation.
-    * Returns (scan root paths, an inliner re-expressing any expression
-    * over the relation's own attributes, the inlined filter condition).
+    * definitions), ANDing crossed Filters, down to a V1 file relation —
+    * optionally through Expand nodes (hopping windows plan as an Expand
+    * that fans each row into its panes). Returns (scan root paths, an
+    * inliner re-expressing any expression over the relation's own
+    * attributes — or, above an Expand, over NAME placeholders for its
+    * outputs — the inlined filter condition, and the structural SHAPE:
+    * one normalized key per crossed Expand. The shape key carries only
+    * each projection row's non-attribute expressions (the window
+    * structs): passthrough attributes are plumbing that column pruning
+    * legally drops from the user side, and they are pure identity, so
+    * two Expands with equal non-trivial rows have equal semantics for
+    * the named outputs both sides reference.)
     */
-  private[graft] def unwrap(p: LogicalPlan)
-      : Option[(Set[String], Expression => Expression, Option[Expression])] =
+  private[graft] def unwrap(p: LogicalPlan): Option[
+      (Set[String], Expression => Expression, Option[Expression],
+        Seq[String])] =
     p match {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
             Some((fs.location.rootPaths.map(_.toString).toSet,
-              identity[Expression] _, None))
+              identity[Expression] _, None, Nil))
           case _ => None
         }
       case sa: SubqueryAlias => unwrap(sa.child)
@@ -177,7 +194,7 @@ object MaterializedViews {
           if pr.projectList.forall(_.deterministic) &&
             pr.projectList.forall(e =>
               e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
-        unwrap(pr.child).map { case (ps, f, cond) =>
+        unwrap(pr.child).map { case (ps, f, cond, shape) =>
           val defs: Map[Long, Expression] = pr.projectList.collect {
             case a: Alias => a.exprId.id -> f(a.child)
           }.toMap
@@ -186,12 +203,41 @@ object MaterializedViews {
               case ar: AttributeReference if defs.contains(ar.exprId.id) =>
                 defs(ar.exprId.id)
             })
-          (ps, g, cond)
+          (ps, g, cond, shape)
         }
       case fl: Filter if fl.condition.deterministic =>
-        unwrap(fl.child).map { case (ps, f, prev) =>
+        unwrap(fl.child).map { case (ps, f, prev, shape) =>
           val c = f(fl.condition)
-          (ps, f, Some(prev.map(And(_, c)).getOrElse(c)))
+          (ps, f, Some(prev.map(And(_, c)).getOrElse(c)), shape)
+        }
+      case ex: Expand if ex.projections.forall(_.forall(_.deterministic)) =>
+        unwrap(ex.child).flatMap { case (ps, f, cond, shape) =>
+          val rowKeys = ex.projections.map { row =>
+            val nontrivial = row.filterNot(_.isInstanceOf[AttributeReference])
+              .map(e => norm(f(e)))
+            if (nontrivial.exists(_.isEmpty)) None
+            else Some(nontrivial.flatten.mkString("[", ",", "]"))
+          }
+          if (rowKeys.exists(_.isEmpty)) None
+          else {
+            val key = rowKeys.flatten.mkString("expand(", ";", ")")
+            val outs: Map[Long, Attribute] = ex.output
+              .map(a => a.exprId.id -> a).toMap
+            // above the Expand, expressions reference its outputs by a
+            // NAME MARKER: a resolved attribute with the output's own
+            // type and the canonical exprId 0, so norm's resolved-only
+            // rewrites (no-op-cast strip, folding) still fire on the
+            // ancestors, the rendering is name-based on both sides, and
+            // the isnotnull(ts) conjunct's placement (pushed below the
+            // Expand or not) becomes irrelevant
+            val g: Expression => Expression = e => e.transformUp {
+              case ar: AttributeReference if outs.contains(ar.exprId.id) =>
+                val o = outs(ar.exprId.id)
+                AttributeReference(o.name.toLowerCase(Locale.ROOT),
+                  o.dataType, o.nullable)(exprId = ExprId(0))
+            }
+            Some((ps, g, cond, shape :+ key))
+          }
         }
       case _ => None
     }
@@ -220,7 +266,7 @@ object MaterializedViews {
       case other =>
         fail(s"definition did not analyze to an Aggregate: ${other.nodeName}")
     }
-    val (paths, inline, defCond) = unwrap(aPlan.child).getOrElse(
+    val (paths, inline, defCond, shapeKey) = unwrap(aPlan.child).getOrElse(
       fail("base must unwrap to a single V1 file relation"))
     val defCondKeys = defCond.map(conjuncts).getOrElse(Nil).map(c =>
       norm(c).getOrElse(fail(s"definition filter $c has no normalized form")))
@@ -241,9 +287,16 @@ object MaterializedViews {
     if (gKeysDef.size != aPlan.groupingExpressions.size ||
       gKeysDef.toSet != groupKeyToName.keySet)
       fail("every grouping expression must appear as an output column")
+    // "plain" = the key is a bare attribute AND the name exists on the
+    // base frame itself (an Expand output like `window` renders as a
+    // bare placeholder but has no base column; a pull predicate on it
+    // could not be applied below the delta aggregate)
+    val baseCols = base(spark).columns.map(_.toLowerCase(Locale.ROOT)).toSet
     val plainGroupNames = groupKeyToName.collect {
       case (k, n) if k == UnresolvedAttribute
-        .quoted(n.toLowerCase(Locale.ROOT)).sql => n.toLowerCase(Locale.ROOT)
+        .quoted(n.toLowerCase(Locale.ROOT)).sql &&
+        baseCols.contains(n.toLowerCase(Locale.ROOT)) =>
+        n.toLowerCase(Locale.ROOT)
     }.toSet
 
     val aggAliases = aPlan.aggregateExpressions.collect {
@@ -292,7 +345,7 @@ object MaterializedViews {
 
     views.putIfAbsent(name, MvView(name, paths, base, stateDir, deltaPred,
       groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
-      defCondKeys, aggCols, aggKeyToName, mergeAgg))
+      defCondKeys, shapeKey, aggCols, aggKeyToName, mergeAgg))
     ()
   }
 
@@ -388,8 +441,9 @@ object MaterializedViews {
     if (views.isEmpty) return None
     if (agg.groupingExpressions.exists(!_.deterministic) ||
       agg.aggregateExpressions.exists(!_.deterministic)) return None
-    unwrap(agg.child).flatMap { case (paths, inline, condOpt) =>
-      views.values.view.filter(_.basePaths == paths)
+    unwrap(agg.child).flatMap { case (paths, inline, condOpt, shape) =>
+      views.values.view
+        .filter(v => v.basePaths == paths && v.shapeKey == shape)
         .flatMap(v => rewriteWith(v, agg, inline, condOpt))
         .headOption
     }
@@ -422,6 +476,9 @@ object MaterializedViews {
           .orElse(v.aggKeyToName.get(k))).map(n => attr(n): Expression)
           .getOrElse(sub)
     }
+    // leftover name placeholders (above-Expand references that matched
+    // nothing) leave the tree unresolved — bail before touching exprIds
+    if (!replaced.resolved) return None
     val repIds = rep.output.map(_.exprId).toSet
     val complete = replaced.references.forall(a => repIds.contains(a.exprId))
     val noAgg = !replaced.exists(_.isInstanceOf[AggregateExpression])

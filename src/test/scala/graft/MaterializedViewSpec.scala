@@ -272,6 +272,42 @@ class MaterializedViewSpec extends SparkSpec {
       n == s"orders_rollup_$sfDir" && g == "o_custkey" }, rows.toSeq)
   }
 
+  test("hopping mv: the sliding-pane rollup (an Expand plan) is served " +
+    "from pane state, and the shape key separates it from the daily view") {
+    Incremental.mvWindowPrepare(spark, sfDir)
+    Incremental.mvHoppingPrepare(spark, sfDir)
+    val evCents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    def hopping: DataFrame = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(evCents).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"), col("sum_cents"))
+    val (got, plan) = collected(enabled = true)(hopping)
+    assert(plan.contains(Incremental.mvHoppingStateDir(sfDir)),
+      s"hopping serving plan must scan the hopping pane state\n$plan")
+    assert(!plan.contains(Incremental.mvWindowStateDir(sfDir)),
+      "the DAILY view must not serve a hopping query (shape key)")
+    val eventScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(eventScans == 1, s"expected 1 events scan, got $eventScans\n$plan")
+    val (want, _) = collected(enabled = false)(hopping)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // and the tumbling daily query still routes to the DAILY view, never
+    // the hopping one — shapes are disjoint in both directions
+    def daily: DataFrame = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val (_, dailyPlan) = collected(enabled = true)(daily)
+    assert(dailyPlan.contains(Incremental.mvWindowStateDir(sfDir)), dailyPlan)
+    assert(!dailyPlan.contains(Incremental.mvHoppingStateDir(sfDir)))
+    // a DIFFERENT slide over the same size matches neither
+    def otherSlide: DataFrame = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val (_, osPlan) = collected(enabled = true)(otherSlide)
+    assert(!osPlan.contains(Incremental.mvHoppingStateDir(sfDir)))
+  }
+
   test("two views over the SAME base: each query is served by the view " +
     "whose signature matches, not just the first registered") {
     Incremental.mvPrepare(spark, sfDir)

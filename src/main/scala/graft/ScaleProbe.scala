@@ -89,7 +89,7 @@ object ScaleProbe {
     // 1.03x at 10x). q_mv_window is the pane-state serving shape —
     // |panes|x|types| state rows + the ts-pushed delta, linear like
     // q_incr_window's merge.
-    "q_mv_rewrite", "q_mv_pull", "q_mv_window")
+    "q_mv_rewrite", "q_mv_pull", "q_mv_window", "q_mv_hopping")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -280,6 +280,14 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       sb.append(s"ksql_stream_ring_dropped_total$label ${c.ring.dropped}\n")
       sb.append(s"ksql_stream_served_rows_total$label ${c.served.get}\n")
     }
+    // materialized-view serving: rewrite events per registered view —
+    // the operator's evidence that the expensive rollups actually route
+    // through state instead of rescanning history
+    sb.append("# TYPE ksql_mv_rewrites_total counter\n")
+    graft.plans.MaterializedViews.servedCounts.toSeq.sortBy(_._1).foreach {
+      case (name, n) =>
+        sb.append(s"""ksql_mv_rewrites_total{view="${esc(name)}"} $n\n""")
+    }
     sb.append("# TYPE ksql_query_batch_id gauge\n")
     sb.append("# TYPE ksql_query_input_rows_per_sec gauge\n")
     sb.append("# TYPE ksql_query_state_rows gauge\n")

@@ -94,6 +94,12 @@ object MaterializedViews {
 
   private val views = TrieMap.empty[String, MvView]
   private val schemaCache = TrieMap.empty[String, StructType]
+  // rewrite EVENTS per view (each optimization that substituted this
+  // view's serving plan — an explain and an execution both count, like
+  // any optimizer-level counter). Exposed via the REST /metrics
+  // exposition as ksql_mv_rewrites_total.
+  private val served =
+    TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
 
   def isEmpty: Boolean = views.isEmpty
   def registered: Set[String] = views.keySet.toSet
@@ -108,8 +114,12 @@ object MaterializedViews {
       v.groupNames.mkString(", "),
       v.mergeAgg.map(_._1).mkString(", ")))
 
+  /** Rewrite events served per view, for observability surfaces. */
+  def servedCounts: Map[String, Long] =
+    served.readOnlySnapshot().map { case (k, v) => k -> v.get() }.toMap
+
   /** Drop all registrations (specs; a prod catalog would scope by name). */
-  def clear(): Unit = { views.clear(); schemaCache.clear() }
+  def clear(): Unit = { views.clear(); schemaCache.clear(); served.clear() }
 
   /** Normalized rendering for semantic expression comparison: attribute
     * names lowercased (exprIds differ across plans), no-op casts stripped
@@ -444,7 +454,11 @@ object MaterializedViews {
     unwrap(agg.child).flatMap { case (paths, inline, condOpt, shape) =>
       views.values.view
         .filter(v => v.basePaths == paths && v.shapeKey == shape)
-        .flatMap(v => rewriteWith(v, agg, inline, condOpt))
+        .flatMap(v => rewriteWith(v, agg, inline, condOpt).map { plan =>
+          served.getOrElseUpdate(v.name,
+            new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+          plan
+        })
         .headOption
     }
   }

@@ -262,6 +262,23 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!MaterializedViews.registered.contains("bad_decimal"))
   }
 
+  test("the served-rewrites counter moves when a query routes through " +
+    "the view, and stays put for unserved queries") {
+    Incremental.mvPrepare(spark, sfDir)
+    val name = s"orders_rollup_$sfDir"
+    val before = MaterializedViews.servedCounts.getOrElse(name, 0L)
+    val (_, plan) = collected(enabled = true)(userRollup)
+    assert(plan.contains(Incremental.mvStateDir(sfDir)))
+    val after = MaterializedViews.servedCounts.getOrElse(name, 0L)
+    assert(after > before, s"counter must move on a served rewrite " +
+      s"($before -> $after)")
+    // an unserved shape leaves the counter alone
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority")).agg(sum(col("o_totalprice")).as("s"))
+      .queryExecution.executedPlan
+    assert(MaterializedViews.servedCounts.getOrElse(name, 0L) == after)
+  }
+
   test("SHOW MATERIALIZED VIEWS surfaces the MV catalog in the dialect") {
     import graft.ksql.Translator
     Incremental.mvPrepare(spark, sfDir)

@@ -62,6 +62,9 @@ class RestServerSpec extends SparkSpec {
     val (_, b1) = get("/metrics")                  // scrapes are NOT counted
     assert(counter(b1, "ksql_statements_total") == s0 + 2, b1)
     assert(counter(b1, "ksql_statement_errors_total") == e0 + 1, b1)
+    // the MV-serving counter family is always declared (entries appear
+    // per registered view as rewrites happen)
+    assert(b1.contains("# TYPE ksql_mv_rewrites_total counter"), b1)
   }
 
   test("/ksql executes DDL + CSAS and the catalog threads to later requests") {

@@ -125,11 +125,23 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     * replay failure (e.g. its source parquet was since removed) skips
     * the entry loudly — refusing to serve at all would turn one bad
     * historical statement into a cluster-wide outage. */
+  /** Log entries this server loud-skipped during replay. Non-zero makes
+    * compaction REFUSE (see compactCommandLog): a snapshot written past
+    * a skipped entry would erase it for every future joiner, turning a
+    * transient failure (source parquet mid-rewrite) into permanent
+    * cluster-wide loss — before compaction existed, every restart
+    * retried the full log and recovered. Correctness over the replay
+    * bound: a permanently-bad historical statement disables compaction
+    * on the servers that witnessed it, which is the safe direction. */
+  private var replaySkips = 0L
+
   private def replayStmt(stmt: String): Unit = {
     tailStatements += 1 // a log entry beyond the snapshot, pass or fail
-    replayEither(stmt).left.foreach(msg =>
+    replayEither(stmt).left.foreach { msg =>
+      replaySkips += 1
       System.err.println(s"[rest] command-log replay skipped: " +
-        s"${stmt.take(120)}: $msg"))
+        s"${stmt.take(120)}: $msg")
+    }
   }
 
   /** Apply any log entries beyond our offset. Callers hold stmtLock. */
@@ -189,9 +201,18 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   def compactCommandLog(): Unit = stmtLock.synchronized {
     cmdLog.foreach { l =>
       syncFromLog() // apply everything first: upto must cover bindings
-      l.writeSnapshot(appliedOffset,
-        bindings.toSeq.sortBy(_._2._1).map(_._2._2))
-      tailStatements = 0 // the tail starts fresh behind our snapshot
+      if (replaySkips > 0) {
+        // a snapshot with `upto` past a loud-skipped entry would erase
+        // that statement for every future joiner — keep the previous
+        // snapshot (whose tail still carries it, so joiners keep
+        // retrying) and leave the log uncompacted from this server
+        System.err.println(s"[rest] compaction refused: $replaySkips " +
+          "replay skip(s) — a snapshot here would bake the loss in")
+      } else {
+        l.writeSnapshot(appliedOffset,
+          bindings.toSeq.sortBy(_._2._1).map(_._2._2))
+        tailStatements = 0 // the tail starts fresh behind our snapshot
+      }
     }
   }
 
@@ -325,6 +346,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
           progress = failed.size < pending.size
           pending = failed
         }
+        replaySkips += pending.size // a re-compaction here would drop them
         pending.foreach(s => System.err.println(
           s"[rest] snapshot replay skipped: ${s.take(120)}"))
         appliedOffset = upto
@@ -604,11 +626,16 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     val connId = streamConnSeq.incrementAndGet()
     val conn = StreamConn(ring, new java.util.concurrent.atomic.AtomicLong)
     streamConns.put(connId, conn)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
-    val out = ex.getResponseBody
     var served = 0L
     try {
+      // header send INSIDE the teardown scope: a client that disconnects
+      // before the response flushes throws right here, and the finally
+      // below must still stop the per-connection query and drop the
+      // metrics entry — outside it, every aborted connect leaked a live
+      // streaming query and a phantom /metrics gauge
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
+      val out = ex.getResponseBody
       out.write((JsonMethods.compact(JObject("header" -> JObject(
         "schema" -> JArray(df.schema.fields.toList.map(fd =>
           JObject("name" -> JString(fd.name),
@@ -757,7 +784,22 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   }
 
   private def drainPush(stmt: String, df: DataFrame): DataFrame = {
-    val st = pushQueries.computeIfAbsent(stmt, _ => startPush(df))
+    // start the query OUTSIDE the map's bin lock: computeIfAbsent would
+    // hold the bin for the multi-second writeStream.start(), and the
+    // /metrics forEach blocks on locked bins — the exact scrape stall
+    // the concurrent map exists to prevent. Callers hold stmtLock, so
+    // one statement still maps to one query; the putIfAbsent loser path
+    // (reachable only if a future caller skips the lock) stops its own
+    // query instead of leaking it.
+    val st = Option(pushQueries.get(stmt)).getOrElse {
+      val fresh = startPush(df)
+      Option(pushQueries.putIfAbsent(stmt, fresh)) match {
+        case Some(winner) =>
+          try fresh.query.stop() catch { case _: Throwable => () }
+          winner
+        case None => fresh
+      }
+    }
     st.query.processAllAvailable()
     (st.ring, st.sink) match {
       case (Some(ring), _) =>

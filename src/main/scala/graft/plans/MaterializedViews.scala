@@ -399,8 +399,13 @@ object MaterializedViews {
     * [[graft.GraftExtensions]]). Idempotent.
     */
   def install(spark: SparkSession): Unit = synchronized {
+    // extension-built sessions already carry the rule via
+    // injectOptimizerRule — appending it to extraOptimizations too would
+    // run the whole transformUp twice per optimization for nothing
+    val injected = spark.sessionState.optimizer.batches
+      .exists(_.rules.exists(_ eq MaterializedViewRewrite))
     val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_ eq MaterializedViewRewrite))
+    if (!injected && !cur.exists(_ eq MaterializedViewRewrite))
       spark.experimental.extraOptimizations = cur :+ MaterializedViewRewrite
   }
 

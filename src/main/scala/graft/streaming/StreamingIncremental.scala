@@ -218,8 +218,13 @@ object StreamingIncremental {
       // on epoch millis, the exact grid the batch ops and the DuckDB
       // oracles use
       .withColumn("ws", explode(expr(
+        // FLOOR division, not `div` (truncation toward zero): a
+        // pre-1970 event (negative epoch millis) must land on the same
+        // pane grid Spark's window()/the batch state use, or the merged
+        // view diverges from the re-window for pre-epoch feeds
         s"transform(sequence(0, ${panes - 1}), " +
-          s"i -> (ts_ms div $advanceMs) * $advanceMs - i * $advanceMs)")))
+          s"i -> ((ts_ms div $advanceMs) - (CASE WHEN ts_ms % $advanceMs < 0" +
+          s" THEN 1 ELSE 0 END)) * $advanceMs - i * $advanceMs)")))
       .select(col("ws").cast("long"), col("grp"), lit(1L).as("one"),
         col("cents"))
       .as[PaneRow]

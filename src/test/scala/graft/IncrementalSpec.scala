@@ -564,9 +564,12 @@ class IncrementalSpec extends SparkSpec {
       // batch 1: ts=900 fans out to panes 500 and 0 of "a" — BOTH
       // seeded partials merge with the delta (the straddle regime)
       mem.addData(Seq((900L, "a", 7L))); q.processAllAvailable()
-      // batch 2: a never-seeded (pane, group) starts from zero, and a
-      // second "a" event proves state carries across batches
-      mem.addData(Seq((2200L, "c", 4L), (950L, "a", 9L)))
+      // batch 2: a never-seeded (pane, group) starts from zero, a
+      // second "a" event proves state carries across batches, and a
+      // PRE-EPOCH event proves the pane grid floors (ts=-100 belongs to
+      // panes [-500,500) and [-1000,0) — truncating division would put
+      // it in [0,1000) and [-500,500))
+      mem.addData(Seq((2200L, "c", 4L), (950L, "a", 9L), (-100L, "n", 2L)))
       q.processAllAvailable(); q.stop()
       val fin = spark.table("pane_seeded")
         .groupBy(col("ws"), col("grp"))
@@ -580,7 +583,9 @@ class IncrementalSpec extends SparkSpec {
         (0L, 1000L, "a", 5L, 46L),    // seed 3/30 + both events
         (500L, 1500L, "a", 4L, 36L),  // seed 2/20 + both events
         (2000L, 3000L, "c", 1L, 4L),  // fresh pane from empty state
-        (1500L, 2500L, "c", 1L, 4L))) // its hopping twin
+        (1500L, 2500L, "c", 1L, 4L),  // its hopping twin
+        (-500L, 500L, "n", 1L, 2L),   // pre-epoch event, floored grid
+        (-1000L, 0L, "n", 1L, 2L)))   // its hopping twin
       // the untouched seeded pane was never emitted — the stream only
       // repairs panes its own events land in
       assert(!spark.table("pane_seeded").collect()

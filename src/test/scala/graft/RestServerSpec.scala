@@ -511,6 +511,40 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("command log: compaction refuses after a loud replay skip — a " +
+    "snapshot past the skipped entry would bake the loss in") {
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_skip", ".jsonl")
+    val tmpTable = java.nio.file.Files.createTempDirectory("graft_skip_src")
+    // a source parquet that exists when server A executes the CREATE...
+    spark.range(5).toDF("v").write.mode("overwrite")
+      .parquet(tmpTable.resolve("t.parquet").toString)
+    val catalogB = Repl.preloadCatalog(spark, sfDir) +
+      ("skiptbl" -> graft.ksql.Translator.Source(
+        spark.read.parquet(tmpTable.resolve("t.parquet").toString), "v"))
+    val srvA = new RestServer(spark, catalogB, maxRows = 10,
+      commandLog = Some(log)).start()
+    try {
+      val (c1, b1) = postTo(srvA.boundPort, "/ksql",
+        "CREATE STREAM skip_child AS SELECT v FROM skiptbl;")
+      assert(c1 == 200, b1)
+      // ...but is ABSENT from server B's preload, so B's replay of the
+      // CSAS loud-skips (unknown source) — the transient-failure stand-in
+      val srvB = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+        maxRows = 10, commandLog = Some(log)).start()
+      try {
+        srvB.compactCommandLog()
+        // no snapshot may exist: B refused (its replay skipped an entry)
+        assert(!java.nio.file.Files.exists(
+          log.resolveSibling(log.getFileName.toString + ".snapshot")),
+          "compaction must refuse after a loud replay skip")
+        // A replayed nothing it didn't execute — ITS compaction works
+        srvA.compactCommandLog()
+        assert(java.nio.file.Files.exists(
+          log.resolveSibling(log.getFileName.toString + ".snapshot")))
+      } finally srvB.stop()
+    } finally srvA.stop()
+  }
+
   test("command log: snapshot compaction bounds a late joiner's replay " +
     "by catalog size, not DDL history") {
     val log = java.nio.file.Files.createTempFile("graft_cmdlog_snap", ".jsonl")

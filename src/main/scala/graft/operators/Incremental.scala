@@ -334,6 +334,16 @@ object Incremental {
             sum(cents(col("value"))).as("sum_cents"))
           .select(col("user_id"), col("first_ms"), col("last_ms"),
             col("cnt"), col("sum_cents"))
+        // Scale note (round-12 verdict): the broadcast semi/anti pair
+        // below assumes the DELTA'S DISTINCT-USER SET fits broadcast
+        // (tens of MB — millions of user ids), which holds for the
+        // late-arrival regime this models: a late batch touches a tiny
+        // user fraction. A delta touching MOST users makes repair cost
+        // |state| anyway, and the right spelling is to DROP the two
+        // broadcast hints — Spark then plans a shuffle semi/anti join on
+        // user_id and AQE picks broadcast back when the delta side turns
+        // out small. Same algebra, same oracle; only the join strategy
+        // hint changes.
         val touched = delta.select(col("user_id")).distinct()
         val stTouched = state
           .join(broadcast(touched), Seq("user_id"), "left_semi")
@@ -543,6 +553,32 @@ object Incremental {
         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
         |FROM hops GROUP BY 1, 2""".stripMargin),
 
+    // The GLOBAL (no-key) aggregate served by RE-AGGREGATING the view —
+    // the most common dashboard query ("total orders, total revenue"):
+    // the user writes the plain keyless rollup and the rule substitutes
+    // a second one-row aggregate ABOVE merge(state ∪ partial(Δ)) —
+    // COUNT/SUM re-aggregate by summing the merged partials (count
+    // coalesced to 0 for the empty case), MAX by itself, AVG as
+    // total-sum/total-count. |state| rows reduce to 1; history is never
+    // rescanned. The oracle is the full keyless recompute.
+    "q_mv_global" -> Q(
+      (s, d) => {
+        Incremental.mvPrepare(s, d)
+        Tables.orders(s, d)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+            max(cents(col("o_totalprice"))).as("max_price_cents"),
+            avg(cents(col("o_totalprice"))).as("avg_price_cents"))
+      },
+      s"""SELECT count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+        |    AS sum_price_cents,
+        |  max(${centsSql("o_totalprice")}) AS max_price_cents,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE)
+        |    / CAST(count(${centsSql("o_totalprice")}) AS DOUBLE)
+        |    AS avg_price_cents
+        |FROM orders""".stripMargin),
+
     // The MV LIFECYCLE: refresh folds the accumulated delta into a new
     // state artifact (merge(state ∪ partial(moved)) — the same algebra
     // the serving plan runs) and advances the cutoff, swapping the
@@ -581,6 +617,7 @@ object Incremental {
     "q_mv_rewrite" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_pull" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_avg" -> ((s, d) => mvPrepare(s, d)),
+    "q_mv_global" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
     "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
     "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)))

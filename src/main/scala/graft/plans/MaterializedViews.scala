@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, ExprId, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -317,8 +317,12 @@ object MaterializedViews {
         fail(s"${al.name} — DISTINCT/FILTER aggregates are not mergeable partials")
       if (al.dataType.isInstanceOf[DecimalType])
         fail(s"${al.name} — DECIMAL sums widen on re-aggregation; store BIGINT cents")
+      // "count" merges like "sum" but is remembered separately: a
+      // GLOBAL re-aggregation of the view must serve count as
+      // coalesce(sum(partials), 0) — count over an empty input is 0,
+      // while a bare SUM over the empty merged view would return NULL
       val kind = ae.aggregateFunction match {
-        case _: Count => "sum"
+        case _: Count => "count"
         case _: Sum => "sum"
         case _: Min => "min"
         case _: Max => "max"
@@ -352,6 +356,7 @@ object MaterializedViews {
       fail("delta predicate must carry a conjunct on a non-group column — " +
         "a group-only delta would make the serving plan's own delta " +
         "branch match the view it serves")
+    requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
 
     views.putIfAbsent(name, MvView(name, paths, base, stateDir, deltaPred,
       groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
@@ -372,6 +377,11 @@ object MaterializedViews {
               newStateDir: String): Unit = {
     val v = views.getOrElse(name,
       throw new IllegalArgumentException(s"mv $name: not registered"))
+    // same coverage guard as register: a NULL-evaluating NEW predicate
+    // would drop rows from both the `oldPred && !newPred` fold and the
+    // post-refresh delta
+    requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
+      name)
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
     val moved = v.base(spark)
@@ -388,10 +398,42 @@ object MaterializedViews {
     ()
   }
 
+  /** Coverage guard (round-12 ADVICE): the register/refresh contract is
+    * `state ⊎ (base WHERE pred) = base`, but a row where `pred`
+    * evaluates to NULL (nullable delta column, a null-introducing cast)
+    * satisfies neither the complement the state was built under nor the
+    * serving delta filter — and refresh's `oldPred && !newPred` fold
+    * drops it from both the fold and the future delta. The transparent
+    * rewrite would then silently under-count for plain user queries
+    * that never mentioned the view. Guard: when Catalyst derives the
+    * predicate as NULLABLE over this base (bottom-up nullability — a
+    * non-nullable predicate is statically total and skips the scan
+    * entirely), probe ONCE per register/refresh that no base row
+    * NULL-evaluates it: one `pred IS NULL` filter with an isEmpty
+    * early exit, at DDL time, never per served query. Opt-out for
+    * operators with schema-level guarantees:
+    * `spark.graft.mv.coverageCheck=false`. */
+  private def requireTotalPredicate(spark: SparkSession,
+      base: SparkSession => DataFrame, pred: Column, what: String,
+      name: String): Unit = {
+    if (MaterializedViewRewrite.isDisabledStr(spark.conf.get(
+      "spark.graft.mv.coverageCheck", "true"))) return
+    val frame = base(spark)
+    val nullable = frame.select(pred.cast("boolean").as("p"))
+      .schema.head.nullable
+    if (nullable && !frame.filter(pred.isNull).isEmpty)
+      throw new IllegalArgumentException(s"mv $name: $what evaluates to " +
+        "NULL on at least one base row — such rows fall in NEITHER the " +
+        "state artifact (built with the complement) nor the serving " +
+        "delta branch, so the rewrite would silently drop them. Make " +
+        "the predicate total (AND an IS NOT NULL arm, or coalesce) or " +
+        "clean the base.")
+  }
+
   private def mergeCols(v: MvView): Seq[Column] = v.mergeAgg.map {
     case (a, "min") => min(col(a)).as(a)
     case (a, "max") => max(col(a)).as(a)
-    case (a, _) => sum(col(a)).as(a)
+    case (a, _) => sum(col(a)).as(a) // "sum" and "count" both merge by SUM
   }
 
   /** Install the rewrite rule into an existing session's optimizer (the
@@ -481,6 +523,17 @@ object MaterializedViews {
       .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
     def attr(n: String): Attribute = byName(n.toLowerCase(Locale.ROOT))
     val replaced = inlined.transformDown {
+      // AVG divergence note: the served value is CAST(exact BIGINT sum
+      // AS DOUBLE) / CAST(count AS DOUBLE), while Spark's native Average
+      // over integral input ACCUMULATES the sum in DOUBLE. Below 2^53
+      // the two are bit-identical (double-accumulating integers is
+      // exact there); above 2^53 the native accumulation can round
+      // per-step while the served sum rounds ONCE at the final cast, so
+      // the two plans may differ in the last ulp — the served value is
+      // the more accurate of the pair, but results become
+      // plan-dependent. Registrations whose per-group integral totals
+      // can plausibly exceed 2^53 (~9e15 — e.g. >9e13 rows of 100-unit
+      // values in ONE group) should not rely on avg reconstruction.
       case ae @ AggregateExpression(a: Average, _, false, None, _) =>
         (for {
           sk <- norm(Sum(a.child).toAggregateExpression())
@@ -510,13 +563,88 @@ object MaterializedViews {
     if (complete && noAgg && typeOk) Some(replaced) else None
   }
 
+  /** Re-express one output of a GLOBAL (no-key) user aggregate as a
+    * re-aggregation of the merged view: the view holds one merged
+    * partial row per group, and the distributive set re-aggregates
+    * losslessly across groups — SUM/COUNT by summing the partials
+    * (COUNT coalesced to 0: count over an empty input is 0 while SUM
+    * over the empty view is NULL), MIN/MAX by themselves, AVG as
+    * total-sum / total-count (NULL over the empty view on both — the
+    * unserved plan's avg over zero rows is NULL too). Every
+    * AggregateExpression in the output must map, or the whole output
+    * refuses — an unmapped count(*) left in place would count VIEW
+    * GROUPS, not base rows, which is exactly the silent-wrong-answer
+    * failure mode the bail-outs exist to prevent. */
+  private def mapGlobalOutput(v: MvView, rep: LogicalPlan,
+                              inlined: Expression): Option[Expression] = {
+    val byName = rep.output
+      .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+    def attr(n: String): Attribute = byName(n.toLowerCase(Locale.ROOT))
+    val kinds = v.mergeAgg.toMap
+    // pre-check EVERY aggregate subtree maps (nested aggregates are
+    // impossible, so collect is exhaustive and the transform total)
+    val mappable = inlined.collect {
+      case ae: AggregateExpression => ae
+    }.forall {
+      case ae @ AggregateExpression(a: Average, _, false, None, _) =>
+        (for {
+          sk <- norm(Sum(a.child).toAggregateExpression())
+          ck <- norm(Count(Seq(a.child)).toAggregateExpression())
+        } yield v.aggKeyToName.contains(sk) && v.aggKeyToName.contains(ck) &&
+          ae.dataType == DoubleType).getOrElse(false)
+      case ae =>
+        !ae.isDistinct && ae.filter.isEmpty &&
+          norm(ae).exists(v.aggKeyToName.contains)
+    }
+    if (!mappable) return None
+    // explicit recursion, NOT transformDown: the replacements contain
+    // fresh AggregateExpressions over view attributes, and transformDown
+    // re-descends into its own replacements — a (pathological) key
+    // collision would then rewrite the rewritten. Replaced subtrees are
+    // final here.
+    def go(e: Expression): Expression = e match {
+      case AggregateExpression(a: Average, _, false, None, _) =>
+        val sn = v.aggKeyToName(norm(Sum(a.child).toAggregateExpression()).get)
+        val cn = v.aggKeyToName(
+          norm(Count(Seq(a.child)).toAggregateExpression()).get)
+        Divide(
+          Cast(Sum(attr(sn)).toAggregateExpression(), DoubleType),
+          Cast(Sum(attr(cn)).toAggregateExpression(), DoubleType))
+      case ae: AggregateExpression =>
+        val n = v.aggKeyToName(norm(ae).get)
+        val a = attr(n)
+        kinds(n) match {
+          case "min" => Min(a).toAggregateExpression()
+          case "max" => Max(a).toAggregateExpression()
+          case "count" => Coalesce(Seq(
+            Sum(a).toAggregateExpression(),
+            Literal.create(0L, a.dataType)))
+          case _ => Sum(a).toAggregateExpression()
+        }
+      // a group key referenced OUTSIDE an aggregate can't appear in a
+      // global aggregate (the analyzer rejects it), and one INSIDE an
+      // aggregate fails the mappable pre-check above — nothing to do
+      case other => other.mapChildren(go)
+    }
+    val replaced = go(inlined)
+    if (!replaced.resolved) return None
+    val repIds = rep.output.map(_.exprId).toSet
+    val complete = replaced.references.forall(a => repIds.contains(a.exprId))
+    val typeOk =
+      try replaced.dataType.catalogString == inlined.dataType.catalogString
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (complete && typeOk) Some(replaced) else None
+  }
+
   private def rewriteWith(v: MvView, agg: Aggregate,
                           inline: Expression => Expression,
                           condOpt: Option[Expression]): Option[LogicalPlan] = {
-    // group signature: exact set equality over normalized keys
+    // group signature: exact set equality over normalized keys — OR the
+    // GLOBAL case (no grouping at all), served by re-aggregating the view
     val gKeys = agg.groupingExpressions.flatMap(e => norm(inline(e)))
-    if (gKeys.size != agg.groupingExpressions.size ||
-      gKeys.toSet != v.groupKeys) return None
+    val global = agg.groupingExpressions.isEmpty && v.groupNames.nonEmpty
+    if (!global && (gKeys.size != agg.groupingExpressions.size ||
+      gKeys.toSet != v.groupKeys)) return None
     // crossed-filter conjuncts: every definition conjunct must be
     // present (a windowed aggregate without the analyzer's isnotnull
     // has different null semantics than the state), and anything extra
@@ -542,10 +670,15 @@ object MaterializedViews {
         val mapped: Seq[Option[NamedExpression]] =
           agg.aggregateExpressions.map { ne =>
             val inner = ne match { case Alias(c, _) => c; case e => e }
-            mapOutput(v, rep, inline(inner)).map(e =>
-              Alias(e, ne.name)(exprId = ne.exprId))
+            val m = if (global) mapGlobalOutput(v, rep, inline(inner))
+              else mapOutput(v, rep, inline(inner))
+            m.map(e => Alias(e, ne.name)(exprId = ne.exprId))
           }
         if (mapped.exists(_.isEmpty)) None
+        // global: a second (one-row) aggregate ABOVE the merged view —
+        // |groups| rows in, 1 out; the outer node can never re-match the
+        // rule because its child unwraps to an Aggregate, not a relation
+        else if (global) Some(Aggregate(Nil, mapped.flatten, rep))
         else Some(Project(mapped.flatten, rep))
       }
   }
@@ -560,9 +693,17 @@ object MaterializedViews {
   * so neither re-matches.
   */
 object MaterializedViewRewrite extends Rule[LogicalPlan] {
+  /** Conf-string boolean: the kill switch exists for the emergency-
+    * disable scenario, where an operator typing `FALSE`, `False` or `0`
+    * must actually disable the rewrite — an exact lowercase compare
+    * would leave it silently active at the worst possible moment. */
+  private[plans] def isDisabledStr(s: String): Boolean = {
+    val t = s.trim
+    t.equalsIgnoreCase("false") || t == "0"
+  }
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MaterializedViews.isEmpty ||
-      conf.getConfString("spark.graft.mv.enabled", "true") == "false") plan
+      isDisabledStr(conf.getConfString("spark.graft.mv.enabled", "true"))) plan
     else plan.transformUp {
       case agg: Aggregate => MaterializedViews.tryRewrite(agg).getOrElse(agg)
     }

@@ -101,8 +101,53 @@ class MaterializedViewSpec extends SparkSpec {
     // DISTINCT aggregates are not mergeable partials
     assert(!planOf(orders.groupBy(col("o_custkey"))
       .agg(countDistinct(col("o_orderpriority")).as("n"))).contains(state))
-    // global (no-key) aggregate has a different group signature
-    assert(!planOf(orders.agg(count(lit(1)).as("n"))).contains(state))
+    // a GLOBAL aggregate over an UNREGISTERED expression must bail —
+    // and so must a global mix where only SOME aggregates map (the
+    // unmapped count(distinct) left in place would count view groups)
+    assert(!planOf(orders.agg(sum(col("o_totalprice")).as("s")))
+      .contains(state))
+    assert(!planOf(orders.agg(count(lit(1)).as("n"),
+      countDistinct(col("o_orderpriority")).as("d"))).contains(state))
+  }
+
+  test("global mv serving: a no-key rollup re-aggregates the view — " +
+    "count/sum/max/avg and the keyed pull predicate all serve exactly") {
+    Incremental.mvPrepare(spark, sfDir)
+    val state = Incremental.mvStateDir(sfDir)
+    // count + sum + max + a derived expression over registered aggs
+    def globalQ: DataFrame = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"),
+        max(cents).as("mx"), avg(cents).as("av"),
+        (sum(cents) / lit(100.0)).as("total_price"))
+    val (got, plan) = collected(enabled = true)(globalQ)
+    assert(plan.contains(state),
+      s"global rollup must be served from the view state\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$plan")
+    val (want, directPlan) = collected(enabled = false)(globalQ)
+    assert(!directPlan.contains(state))
+    assert(got == want)
+    // pull shape: a group-key predicate below the global aggregate
+    // reaches both branch scans, and the re-aggregate covers only the
+    // matching groups
+    def globalPull: DataFrame = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 300)
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"))
+    val (gotP, planP) = collected(enabled = true)(globalPull)
+    assert(planP.contains(state), planP)
+    val (wantP, _) = collected(enabled = false)(globalPull)
+    assert(gotP == wantP)
+    // empty-match pull: count must serve 0 (not NULL), sum/max NULL —
+    // the exact global-aggregate-over-empty-input semantics
+    def globalEmpty: DataFrame = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= -1)
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"), max(cents).as("mx"))
+    val (gotE, planE) = collected(enabled = true)(globalEmpty)
+    assert(planE.contains(state), planE)
+    val (wantE, _) = collected(enabled = false)(globalEmpty)
+    assert(gotE == wantE)
+    val row = gotE.head
+    assert(row.getLong(0) == 0L && row.isNullAt(1) && row.isNullAt(2), row)
   }
 
   test("mv rewrite: the gated queries' own frames equal their full " +
@@ -397,6 +442,53 @@ class MaterializedViewSpec extends SparkSpec {
     assert(g2 == want)
     MaterializedViews.clear()
     Incremental.mvPrepare(spark, sfDir) // restore for later tests
+  }
+
+  test("coverage guard: a delta predicate that NULL-evaluates on a base " +
+    "row is refused at registration (the round-12 ADVICE hole)") {
+    import spark.implicits._
+    // a base with a NULL in the delta column: the complement-built state
+    // and the delta branch would BOTH miss that row
+    val dir = java.nio.file.Files.createTempDirectory("mv_nullbase").toString
+    Seq((1L, Some(10L), 5.0), (2L, None, 7.0), (3L, Some(30L), 9.0))
+      .toDF("k", "pos", "x").write.mode("overwrite").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      MaterializedViews.register(spark, "null_delta_base",
+        base = sp => sp.read.parquet(dir),
+        stateDir = "/tmp/never-written-null",
+        deltaPred = col("pos") >= 20L,
+        groupCols = Seq(col("k")),
+        aggCols = Seq(count(lit(1)).as("n"), sum(col("pos")).as("sp")))
+    }
+    assert(ex.getMessage.contains("NULL"), ex.getMessage)
+    assert(!MaterializedViews.registered.contains("null_delta_base"))
+    // a TOTAL spelling of the same predicate over the same base is fine
+    val stDir = java.nio.file.Files.createTempDirectory("mv_nullst").toString
+    spark.read.parquet(dir)
+      .filter(!(coalesce(col("pos"), lit(Long.MinValue)) >= 20L))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("sp"))
+      .write.mode("overwrite").parquet(stDir)
+    MaterializedViews.register(spark, "null_delta_total",
+      base = sp => sp.read.parquet(dir),
+      stateDir = stDir,
+      deltaPred = coalesce(col("pos"), lit(Long.MinValue)) >= 20L,
+      groupCols = Seq(col("k")),
+      aggCols = Seq(count(lit(1)).as("n"), sum(col("pos")).as("sp")))
+    assert(MaterializedViews.registered.contains("null_delta_total"))
+  }
+
+  test("kill switch accepts FALSE/False/0 spellings (emergency-disable " +
+    "must not be case-sensitive)") {
+    Incremental.mvPrepare(spark, sfDir)
+    for (off <- Seq("FALSE", "False", "0", " false ")) {
+      spark.conf.set("spark.graft.mv.enabled", off)
+      try {
+        val plan = userRollup.queryExecution.executedPlan.toString
+        assert(!plan.contains(Incremental.mvStateDir(sfDir)),
+          s"spelling '$off' must disable the rewrite")
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    }
   }
 
   // LAST deliberately: refresh mutates the shared registration, and the

@@ -579,6 +579,35 @@ object Incremental {
         |    AS avg_price_cents
         |FROM orders""".stripMargin),
 
+    // MV refresh under DELETES — the CDC retraction inside the refresh
+    // fold: upstream retracted a deterministic row set (o_orderkey ≡ 0
+    // mod 97, dated before the new cutoff), and refreshWithDeletes folds
+    // the cutoff advance AND the retraction into one new state artifact —
+    // COUNT/SUM subtract exactly (BIGINT cents), and ONLY the groups
+    // whose stored extremum was deleted recompute MIN/MAX from surviving
+    // rows (broadcast-semi-join-pruned before the aggregate). The user
+    // query is the PLAIN rollup; the oracle is the full recompute over
+    // the surviving rows, so the gate proves subtract+repair ≡
+    // rescan-minus-deleted.
+    "q_mv_refresh_delete" -> Q(
+      (s, d) => {
+        Incremental.mvDeletePrepare(s, d)
+        Tables.orders(s, d)
+          .groupBy((col("o_custkey") % 1000).as("cust_mod"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_cents"),
+            max(cents(col("o_totalprice"))).as("max_cents"),
+            min(cents(col("o_totalprice"))).as("min_cents"))
+      },
+      s"""SELECT o_custkey % 1000 AS cust_mod, count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+        |  max(${centsSql("o_totalprice")}) AS max_cents,
+        |  min(${centsSql("o_totalprice")}) AS min_cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0
+        |           AND o_orderdate < TIMESTAMP '2001-06-01')
+        |GROUP BY 1""".stripMargin),
+
     // The MV LIFECYCLE: refresh folds the accumulated delta into a new
     // state artifact (merge(state ∪ partial(moved)) — the same algebra
     // the serving plan runs) and advances the cutoff, swapping the
@@ -620,7 +649,8 @@ object Incremental {
     "q_mv_global" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
     "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
-    "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)))
+    "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)),
+    "q_mv_refresh_delete" -> ((s, d) => mvDeletePrepare(s, d)))
 
   // ─── write-once state artifacts (per sf-dir, idempotent, lock-guarded:
   //     bench's 8-way pool may race two queries into the first call) ────
@@ -836,6 +866,62 @@ object Incremental {
         col("o_orderdate") >= lit(RefreshCutoff).cast(dateType), dir)
     }
     ()
+  }
+
+  /** The retraction-view definition: orders rolled up by the cust_mod
+    * EXPRESSION key (disjoint from orders_rollup's o_custkey signature —
+    * two views over the same base must never both match one query when
+    * their contracts differ), with a MIN partial so both extremum-repair
+    * directions exist. */
+  private def mvDelAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_orders"),
+    sum(cents(col("o_totalprice"))).as("sum_cents"),
+    max(cents(col("o_totalprice"))).as("max_cents"),
+    min(cents(col("o_totalprice"))).as("min_cents"))
+  private def mvDelGroup: Seq[org.apache.spark.sql.Column] =
+    Seq((col("o_custkey") % 1000).as("cust_mod"))
+
+  private[graft] def mvDeleteStateDir(d: String): String =
+    stateDirs.get(s"mv_del_$d")
+  private[graft] def mvDeleteRefreshedDir(d: String): String =
+    stateDirs.get(s"mv_del_r_$d")
+  /** Touched-group count from the retraction refresh (spec hook). */
+  private[graft] val mvDeleteTouched =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Register the cust_mod retraction view at the standard cutoff, then
+    * fold the cutoff advance AND the %97 retraction into a refreshed
+    * state via refreshWithDeletes. Idempotent; safe under Verify's
+    * parallel dumps (each step materializes once, later callers block
+    * until both completed). */
+  private[graft] def mvDeletePrepare(s: SparkSession, d: String): Unit = {
+    val dateType =
+      Tables.orders(s, d).schema("o_orderdate").dataType.catalogString
+    val cutoff = lit(Cutoff).cast(dateType)
+    materialize(s"mv_del_$d") { dir =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .groupBy(mvDelGroup: _*)
+        .agg(mvDelAggs.head, mvDelAggs.tail: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"orders_mod_$d",
+      base = sp => Tables.orders(sp, d),
+      stateDir = mvDeleteStateDir(d),
+      deltaPred = col("o_orderdate") >= cutoff,
+      groupCols = mvDelGroup,
+      aggCols = mvDelAggs)
+    graft.plans.MaterializedViews.install(s)
+    val newCutoff = lit(RefreshCutoff).cast(dateType)
+    materialize(s"mv_del_r_$d") { dir =>
+      val touched = graft.plans.MaterializedViews.refreshWithDeletes(s,
+        s"orders_mod_$d",
+        newDeltaPred = col("o_orderdate") >= newCutoff,
+        deletePred = col("o_orderkey") % 97 === 0 &&
+          col("o_orderdate") < newCutoff,
+        newStateDir = dir)
+      mvDeleteTouched.put(d, touched)
+    }
   }
 
   /** The windowed MV definition: daily panes × event_type, COUNT/SUM

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, max, min, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, min, sum, when}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, StructType, TimestampNTZType, TimestampType}
 
@@ -434,6 +434,165 @@ object MaterializedViews {
     case (a, "min") => min(col(a)).as(a)
     case (a, "max") => max(col(a)).as(a)
     case (a, _) => sum(col(a)).as(a) // "sum" and "count" both merge by SUM
+  }
+
+  /** Refresh under RETRACTIONS — the CDC posture: the base models an
+    * append-only log whose upstream issued deletes for some rows, given
+    * here as `deletePred`. After this refresh the view's contract is
+    * `agg(base WHERE NOT deletePred)` — a plain user aggregate over the
+    * base is served the retraction-folded answer, which is the point of
+    * a retraction (those rows are logically gone upstream; the immutable
+    * file is just their tombstone-less carrier).
+    *
+    * Algebra (the `q_incr_delete` repair, inside the refresh fold):
+    *   1. fold the rows that LEAVE the delta minus the deleted ones —
+    *      `oldPred ∧ ¬newPred ∧ ¬del` — into merge(state ∪ partial(·));
+    *   2. aggregate the deleted STATE-REGION rows (`¬oldPred ∧ del`)
+    *      into per-group delete partials: COUNT/SUM subtract exactly
+    *      (integral partials required — see the guard), and only groups
+    *      whose stored extremum was deleted (delete-partial min/max ==
+    *      folded min/max) recompute MIN/MAX from surviving rows, pruned
+    *      by a broadcast semi-join on the group keys EVALUATED ON BASE
+    *      ROWS before the aggregate — untouched groups never rescan
+    *      (with state partitioned by key that scan prunes to touched
+    *      partitions);
+    *   3. groups retracted to zero rows leave the view (detected via the
+    *      COUNT partial, which is therefore required).
+    *
+    * Deletes still inside the NEW delta are refused — the serving delta
+    * branch rescans `base WHERE newPred` per query and would resurrect
+    * them; advance the cutoff past the retractions instead. Window-keyed
+    * views are not supported here (the semi-join evaluates group
+    * expressions in a join condition, where `window()` does not
+    * resolve); pane retraction is the windowed-IVM algebra
+    * (q_incr_window), a different operator.
+    *
+    * Returns the number of argmax-touched groups (the MIN/MAX recompute
+    * set) — the repair-cost observable: everything else subtracted
+    * without rescanning. */
+  def refreshWithDeletes(spark: SparkSession, name: String,
+                         newDeltaPred: Column, deletePred: Column,
+                         newStateDir: String): Long = {
+    val v = views.getOrElse(name,
+      throw new IllegalArgumentException(s"mv $name: not registered"))
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"mv $name: $msg")
+    requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
+      name)
+    requireTotalPredicate(spark, v.base, deletePred, "delete predicate",
+      name)
+    val base = v.base(spark)
+    // a delete inside the new delta would be re-read by every served
+    // query — bounded probe (limit-1 semantics via isEmpty)
+    if (!base.filter(newDeltaPred && deletePred).isEmpty)
+      fail("deletePred must not overlap the NEW delta predicate — the " +
+        "serving delta branch rescans it per query and would resurrect " +
+        "the deleted rows; advance the cutoff past the retractions")
+    val cntName = v.mergeAgg.collectFirst { case (n, "count") => n }
+      .getOrElse(fail("retraction needs a COUNT partial to detect " +
+        "groups deleted down to zero rows — register one"))
+    // exact subtraction only: a double partial re-summed after a
+    // subtract drifts in the last ulp (the BIGINT-cents discipline)
+    val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
+      spark.read.parquet(v.stateDir).schema)
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType)
+    v.mergeAgg.foreach { case (n, kind) =>
+      if ((kind == "sum" || kind == "count") &&
+        !integral.contains(stateSchema(n).dataType))
+        fail(s"$n — retraction subtracts partials, which is only exact " +
+          "for integral types; store BIGINT (cents) partials")
+    }
+    // strip registration aliases for join-condition use: an Alias inside
+    // a predicate does not analyze
+    import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
+    val bareGroupCols = v.groupCols.map { c =>
+      ColumnBridge.expression(c) match {
+        case CAlias(child, _) => ColumnBridge.column(child)
+        case _ => c
+      }
+    }
+
+    // 1. the ordinary fold, minus deleted rows
+    val moved = base
+      .filter(v.deltaPred &&
+        org.apache.spark.sql.functions.not(newDeltaPred) &&
+        org.apache.spark.sql.functions.not(deletePred))
+      .groupBy(v.groupCols: _*)
+      .agg(v.aggCols.head, v.aggCols.tail: _*)
+    val folded = spark.read.schema(stateSchema).parquet(v.stateDir)
+      .unionByName(moved)
+      .groupBy(v.groupNames.map(col): _*)
+      .agg(mergeCols(v).head, mergeCols(v).tail: _*)
+
+    // 2. delete partials from the state region, joined by group key
+    val dels = base
+      .filter(org.apache.spark.sql.functions.not(v.deltaPred) && deletePred)
+      .groupBy(v.groupCols: _*)
+      .agg(v.aggCols.head, v.aggCols.tail: _*)
+      .select(v.groupNames.map(col) ++
+        v.mergeAgg.map { case (n, _) => col(n).as(s"__d_$n") }: _*)
+    val joined = folded.join(dels, v.groupNames, "left")
+
+    // touched groups: a deleted extremum equals the folded extremum
+    // (=== not <=>: a NULL delete partial means "nothing deleted here")
+    val minMax = v.mergeAgg.filter(m => m._2 == "min" || m._2 == "max")
+    val touchCond = minMax.map { case (n, _) =>
+      col(s"__d_$n") === col(n)
+    }.reduceOption(_ || _)
+    val survivors = base.filter(
+      org.apache.spark.sql.functions.not(newDeltaPred) &&
+        org.apache.spark.sql.functions.not(deletePred))
+    var touchedGroups = 0L
+    val repaired: Option[DataFrame] = touchCond.map { tc =>
+      val touched = joined.filter(tc).select(v.groupNames.map(col): _*)
+      touchedGroups = touched.count()
+      // semi-join BEFORE the aggregate: group keys evaluated on base
+      // rows against the (broadcast) touched set — the scan feeds only
+      // touched-group rows into the recompute shuffle. The touched side
+      // is renamed to reserved names first: a plain group column exists
+      // on BOTH sides and a bare reference would be ambiguous.
+      val touchedKeys = touched.select(v.groupNames.map(n =>
+        col(n).as(s"__t_$n")): _*)
+      val joinCond = bareGroupCols.zip(v.groupNames).map { case (c, n) =>
+        c === col(s"__t_$n")
+      }.reduce(_ && _)
+      val minMaxAggs = v.aggCols.zip(v.mergeAgg).collect {
+        case (c, (_, k)) if k == "min" || k == "max" => c
+      }
+      survivors
+        .join(broadcast(touchedKeys), joinCond, "left_semi")
+        .groupBy(v.groupCols: _*)
+        .agg(minMaxAggs.head, minMaxAggs.tail: _*)
+        .select(v.groupNames.map(col) ++ minMax.map { case (n, _) =>
+          col(n).as(s"__r_$n") }: _*)
+    }
+    val withRepair = repaired.fold(joined)(r =>
+      joined.join(broadcast(r), v.groupNames, "left"))
+
+    // 3. subtract / repair / drop emptied groups, restore column order
+    val outAggs = v.mergeAgg.map {
+      case (n, k) if k == "min" || k == "max" =>
+        // a repaired value exists exactly for argmax-touched groups;
+        // an emptied group's NULL repair is dropped by the cnt filter
+        if (touchCond.isDefined)
+          when(col(s"__d_$n") === col(n), col(s"__r_$n"))
+            .otherwise(col(n)).as(n)
+        else col(n).as(n)
+      case (n, _) =>
+        (col(n) - coalesce(col(s"__d_$n"), lit(0L)))
+          .cast(stateSchema(n).dataType).as(n)
+    }
+    withRepair
+      .select(v.groupNames.map(col) ++ outAggs: _*)
+      .filter(col(cntName) > 0)
+      .write.mode("overwrite").parquet(newStateDir)
+    views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    schemaCache.remove(newStateDir)
+    touchedGroups
   }
 
   /** Install the rewrite rule into an existing session's optimizer (the

@@ -491,6 +491,143 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("retraction refresh: subtract+argmax-repair equals the full " +
+    "recompute over surviving rows, served from the refreshed state") {
+    Incremental.mvDeletePrepare(spark, sfDir)
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+      .cast("long")
+    def userQ: DataFrame = Tables.orders(spark, sfDir)
+      .groupBy((col("o_custkey") % 1000).as("cust_mod"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"),
+        max(cents).as("max_cents"), min(cents).as("min_cents"))
+    val (got, plan) = collected(enabled = true)(userQ)
+    assert(plan.contains(Incremental.mvDeleteRefreshedDir(sfDir)),
+      s"must serve from the retraction-refreshed state\n$plan")
+    assert(!plan.contains(Incremental.mvDeleteStateDir(sfDir)),
+      "the pre-delete state artifact must have left the serving plan")
+    assert(plan.contains("2001-06-01"),
+      s"the delta scan must carry the ADVANCED cutoff\n$plan")
+    // the oracle semantics: full recompute MINUS the retracted rows
+    val want = Tables.orders(spark, sfDir)
+      .filter(!(col("o_orderkey") % 97 === 0 &&
+        col("o_orderdate") < lit("2001-06-01").cast("timestamp")))
+      .groupBy((col("o_custkey") % 1000).as("cust_mod"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"),
+        max(cents).as("max_cents"), min(cents).as("min_cents"))
+      .collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // only argmax/argmin-touched groups recomputed — a strict subset
+    val touched = Incremental.mvDeleteTouched.get(sfDir)
+    assert(touched != null, "prepare must record the touched-group count")
+    assert(touched < got.size,
+      s"repair must be pruned: $touched touched of ${got.size} groups")
+  }
+
+  test("retraction refresh regimes: deleted max repairs, deleted min " +
+    "repairs, subtract-only, emptied group leaves, untouched passthrough") {
+    import spark.implicits._
+    import graft.plans.{MaterializedViews => MV}
+    // base: group 1 loses its MAX row; group 2 loses its MIN row;
+    // group 3 loses a middle row (subtract only); group 4 loses ALL
+    // pre-cutoff rows (leaves the view — it has no delta rows either);
+    // group 5 untouched. pos >= 100 is the delta region; del = flag.
+    val rows = Seq(
+      // (k, pos, x, del)
+      (1L, 1L, 100L, true), (1L, 2L, 50L, false), (1L, 3L, 10L, false),
+      (2L, 1L, 5L, true), (2L, 2L, 50L, false), (2L, 3L, 90L, false),
+      (3L, 1L, 40L, true), (3L, 2L, 20L, false), (3L, 3L, 80L, false),
+      (4L, 1L, 70L, true), (4L, 2L, 60L, true),
+      (5L, 1L, 30L, false), (5L, 2L, 35L, false),
+      // delta-region rows (pos >= 100), never deleted
+      (1L, 100L, 7L, false), (5L, 101L, 95L, false))
+    val dir = java.nio.file.Files.createTempDirectory("mv_del_syn").toString
+    rows.toDF("k", "pos", "x", "del")
+      .write.mode("overwrite").parquet(dir)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      max(col("x")).as("mx"), min(col("x")).as("mn"))
+    val st = java.nio.file.Files.createTempDirectory("mv_del_syn_st").toString
+    spark.read.parquet(dir).filter(col("pos") < 100L)
+      .groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(st)
+    MV.register(spark, "syn_retract",
+      base = sp => sp.read.parquet(dir),
+      stateDir = st, deltaPred = col("pos") >= 100L,
+      groupCols = Seq(col("k")), aggCols = aggs)
+    val newSt = java.nio.file.Files.createTempDirectory("mv_del_syn_r")
+      .toString
+    // cutoff stays (newPred == oldPred): a PURE retraction refresh
+    val touched = MV.refreshWithDeletes(spark, "syn_retract",
+      newDeltaPred = col("pos") >= 100L, deletePred = col("del"),
+      newStateDir = newSt)
+    // groups 1 (max deleted) and 2 (min deleted) recompute; 4 counts as
+    // touched too (a fully-retracted group's extremum was trivially
+    // deleted; its NULL repair is dropped by the count filter);
+    // 3 subtracts without recompute; 5 passes through untouched
+    assert(touched == 3L, s"expected exactly 3 argmax-touched groups, " +
+      s"got $touched")
+    val state = spark.read.parquet(newSt)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(state(1L) == ((2L, 60L, 50L, 10L)), state.get(1L).toString)
+    assert(state(2L) == ((2L, 140L, 90L, 50L)), state.get(2L).toString)
+    assert(state(3L) == ((2L, 100L, 80L, 20L)), state.get(3L).toString)
+    assert(!state.contains(4L), "a fully-retracted group must leave")
+    assert(state(5L) == ((2L, 65L, 35L, 30L)), state.get(5L).toString)
+    // and the VIEW still serves the exact recompute-minus-deleted
+    def q: DataFrame = spark.read.parquet(dir)
+      .groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(newSt), plan)
+    val want = spark.read.parquet(dir).filter(!col("del"))
+      .groupBy(col("k")).agg(aggs.head, aggs.tail: _*).collect().toSet
+    assert(got == want)
+    MaterializedViews.clear()
+    Incremental.mvPrepare(spark, sfDir) // restore for later tests
+  }
+
+  test("retraction refresh guards: delta-overlapping deletes, missing " +
+    "count partial, and double sums are all refused") {
+    import spark.implicits._
+    import graft.plans.{MaterializedViews => MV}
+    val dir = java.nio.file.Files.createTempDirectory("mv_del_g").toString
+    Seq((1L, 1L, 1.5, false), (1L, 150L, 2.5, true))
+      .toDF("k", "pos", "x", "del").write.mode("overwrite").parquet(dir)
+    def mk(name: String, aggs: Seq[org.apache.spark.sql.Column]): Unit = {
+      val st = java.nio.file.Files.createTempDirectory(s"mv_del_g_$name")
+        .toString
+      spark.read.parquet(dir).filter(col("pos") < 100L)
+        .groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(st)
+      MV.register(spark, name, base = sp => sp.read.parquet(dir),
+        stateDir = st, deltaPred = col("pos") >= 100L,
+        groupCols = Seq(col("k")), aggCols = aggs)
+    }
+    // a delete inside the (unchanged) delta region: refused
+    mk("g_overlap", Seq(count(lit(1)).as("n"), max(col("pos")).as("m")))
+    val e1 = intercept[IllegalArgumentException] {
+      MV.refreshWithDeletes(spark, "g_overlap", col("pos") >= 100L,
+        col("del"), "/tmp/never-written-g1")
+    }
+    assert(e1.getMessage.contains("overlap"), e1.getMessage)
+    // no COUNT partial: emptied groups undetectable — refused
+    mk("g_nocount", Seq(max(col("pos")).as("m")))
+    val e2 = intercept[IllegalArgumentException] {
+      MV.refreshWithDeletes(spark, "g_nocount", col("pos") >= 100L,
+        col("pos") < 0L, "/tmp/never-written-g2")
+    }
+    assert(e2.getMessage.contains("COUNT"), e2.getMessage)
+    // double SUM partial: subtraction drifts — refused
+    mk("g_double", Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+    val e3 = intercept[IllegalArgumentException] {
+      MV.refreshWithDeletes(spark, "g_double", col("pos") >= 100L,
+        col("pos") < 0L, "/tmp/never-written-g3")
+    }
+    assert(e3.getMessage.contains("integral"), e3.getMessage)
+    MaterializedViews.clear()
+    Incremental.mvPrepare(spark, sfDir)
+  }
+
   // LAST deliberately: refresh mutates the shared registration, and the
   // earlier tests assert serving from the pre-refresh state artifact
   test("mv refresh: folding the delta into a new state artifact advances " +

@@ -172,7 +172,13 @@ object Bench {
       "q_pca_cov", "q_pca_project", "q_span_strip",
       // iterative/multi-action graph ops (7 driver actions each — the
       // heavy tail by construction, and overlap-sensitive)
-      "q_pagerank", "q_triangles")
+      "q_pagerank", "q_triangles",
+      // round-13 additions (r12 verdict): q_bfs_hops regressed 4x
+      // overlapped in r12 with no committed adjudication — its
+      // per-level driver actions make it contention-sensitive like the
+      // other graph ops; q_incr_session's window-sort repair pass is
+      // the other overlap-sensitive newcomer
+      "q_bfs_hops", "q_incr_session")
     val solo: Seq[(String, Double)] = soloNames.flatMap(n =>
       SparkEntry.queries.get(n).map { fn =>
         val s0 = System.nanoTime()

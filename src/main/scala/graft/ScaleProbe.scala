@@ -133,15 +133,13 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
     rep("orders", Seq("o_orderkey"))
-    // documents/embeddings replicate with VARIED content, not exact
-    // copies: content-bucketed ops (minhash bands, gram tables, RHP
-    // buckets) see 10 identical copies as one bucket 10x denser — pair
-    // volume ~100x, the all-duplicate pathology, not organic growth.
-    // A deterministic per-copy vowel rotation rewrites most words (all
-    // shingles/grams distinct across copies); embeddings get a
-    // per-copy, per-dimension direction perturbation (pure scaling
-    // would preserve every sign-hash bucket). Copy 0 is bit-identical
-    // to the source, so 1x-vs-Nx compares the same base data.
+    // documents replicate with VARIED content, not exact copies:
+    // content-bucketed ops (minhash bands, gram tables) see 10
+    // identical copies as one bucket 10x denser — pair volume ~100x,
+    // the all-duplicate pathology, not organic growth. A deterministic
+    // per-copy vowel rotation rewrites most words (all shingles/grams
+    // distinct across copies); copy 0 is bit-identical to the source,
+    // so 1x-vs-Nx compares the same base data.
     locally {
       // vowel rotation (period 5) x s/t swap (period 2) -> 10 distinct
       // per-copy character maps; copy 0 is the identity
@@ -154,13 +152,51 @@ object ScaleProbe {
           .withColumn("text", translate(col("text"), from, vow + st))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-      (0 until factor).map { i =>
-        spark.read.parquet(s"$src/embeddings.parquet")
-          .withColumn("vec_id", col("vec_id") + lit(i * off))
+    }
+    // embeddings are INDEPENDENTLY sampled, not replicated (round 13 —
+    // the round-12 verdict ask): any per-copy perturbation preserves
+    // cosine, so a replicated corpus makes every base vector a
+    // factor-copy near-dup family and the embedding-dedup entries
+    // measure duplication structure, not plans (three rounds of sf1
+    // walls were exactly that; EmbedLshProbe proved the operator's own
+    // exponent is 1.34 on organic corpora). Same corpus model as the
+    // probe, at corpus scale and fully distributed: n·factor fresh
+    // deterministic gaussians (Box-Muller over xxhash64-derived
+    // uniforms — no Random state on the driver, reproducible across
+    // runs), with 1% planted near-dup pairs (partner = v + 0.5·g,
+    // E[cos] ≈ 0.89) so near-dup output grows LINEARLY like a real
+    // corpus with a real duplication rate.
+    locally {
+      val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = srcEmb.selectExpr("size(embedding)").head().getInt(0)
+      val nSrc = srcEmb.count()
+      def gauss(idExpr: String, salt: Int): String =
+        s"sqrt(-2.0 * ln((pmod(xxhash64($idExpr, j, $salt), 1000000007) " +
+          s"+ 1.0) / 1000000009.0)) * cos(6.283185307179586 * " +
+          s"(pmod(xxhash64($idExpr, j, ${salt + 1}), 1000000007) + 1.0) " +
+          "/ 1000000009.0)"
+      def indep(n: Long, out: String): Unit = {
+        val nP = n / 100
+        spark.range(n).toDF("vec_id")
+          .withColumn("planted", col("vec_id") >= lit(n - nP))
+          .withColumn("seed_id", when(col("planted"),
+            col("vec_id") - lit(n - nP)).otherwise(col("vec_id")))
           .withColumn("embedding", expr(
-            s"transform(embedding, (x, j) -> x + float(0.1 * $i * cos(j + vec_id)))"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+            s"transform(sequence(0, ${dim - 1}), j -> float(" +
+              s"${gauss("seed_id", 11)} + CASE WHEN planted THEN " +
+              s"0.5 * (${gauss("vec_id", 31)}) ELSE 0.0d END))"))
+          .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+          .select("vec_id", "embedding", "label")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      }
+      indep(nSrc * factor, dst)
+      // a 1x corpus from the SAME generator (its plain-gaussian prefix
+      // is shared; the planted blocks differ by construction), so the
+      // embedding queries' 1x-vs-Nx ratio compares like with like —
+      // timing the synthetic 10x against the real sf corpus would
+      // confound the exponent with a distribution change
+      indep(nSrc, s"${dst}_emb1x")
     }
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -177,12 +213,17 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // embedding-only queries time their 1x side against the synthetic
+    // 1x corpus (same generator as the 10x — see above); they read
+    // nothing but embeddings.parquet, so the slim dir suffices
+    val embQueries = Set("q_ann_brute", "q_ann_pq", "q_ann_graph")
     val rows = queries.map { q =>
+      val oneX = if (embQueries(q)) s"${dst}_emb1x" else src
       // per-query warm-up run: the first execution pays codegen and
       // plan compilation — charging that to the 1x sample would bias
       // every ratio downward
-      time(src, q)
-      val t1 = time(src, q); val tN = time(dst, q)
+      time(oneX, q)
+      val t1 = time(oneX, q); val tN = time(dst, q)
       // Locale.ROOT: f"%.3f" is default-locale-sensitive and a comma
       // decimal separator corrupts the JSON line (same fix as Bench)
       def fmt(v: Double, p: String) =

@@ -90,6 +90,15 @@ case class CreateType(name: String, typeSql: String) extends Statement // CREATE
 case class DropType(name: String, ifExists: Boolean) extends Statement // DROP TYPE t
 case object ShowTypes extends Statement                     // SHOW TYPES
 case object ShowMaterializedViews extends Statement // SHOW MATERIALIZED VIEWS
+// CREATE MATERIALIZED VIEW name WITH (STATE_DIR='…', DELTA='<pred>')
+//   AS SELECT … FROM src [WHERE …] GROUP BY … — registers the optimizer
+// MV-rewrite serving plan (state ⊎ delta) for the SELECT's aggregate
+// shape; the state artifact is built once (single-writer) if absent
+case class CreateMaterializedView(name: String,
+    props: Map[String, String], select: SelectStmt,
+    ifNotExists: Boolean = false) extends Statement
+case class DropMaterializedView(name: String,
+    ifExists: Boolean) extends Statement
 // Connector management (ksqlDB's CREATE SOURCE/SINK CONNECTOR — proxied
 // to Kafka Connect by the real server; served by graft's embedded
 // file-connector runtime, see Connectors.scala)

@@ -163,6 +163,59 @@ object KsqlQueries {
       })
     }
 
+  /** sf-dir → temp root for q_mv_ddl: a materialized view created
+    * ENTIRELY through KSQL text — the PATH-bound source, the CREATE
+    * MATERIALIZED VIEW (which builds the state artifact as its
+    * single-writer prepare and registers the optimizer rewrite), and
+    * later the user's plain pull query, all through the Translator. */
+  private val mvDdlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvDdlLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The DDL aggregate list — written once so the CREATE and the user
+    * query carry byte-identical expression text (the rewrite's semantic
+    * match normalizes trees, but identical text removes all doubt). */
+  private val mvDdlAggText =
+    """COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+      |  MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS max_cents""".stripMargin
+
+  /** Identifier-safe per-sf-dir view name (the registry is JVM-global). */
+  private[graft] def mvDdlName(d: String): String =
+    "orders_status_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The CMV statement itself (specs replay it verbatim — idempotence
+    * and the registration-from-existing-artifact path). The delta
+    * literal is TIMESTAMP_NTZ to match o_orderdate's own parquet type
+    * (timestamp[us] without UTC adjustment infers NTZ on Spark 4) — a
+    * mistyped literal would cost the delta scan's parquet pushdown at
+    * 100 TB. */
+  private[graft] def mvDdlStatement(d: String, t: String): String =
+    s"""CREATE MATERIALIZED VIEW ${mvDdlName(d)} WITH (
+       |  STATE_DIR='$t/state',
+       |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+       |SELECT o_orderstatus, $mvDdlAggText
+       |FROM orders_src GROUP BY o_orderstatus""".stripMargin
+
+  /** The user's plain rollup over the same source — no state dir, no
+    * cutoff, no knowledge the view exists. */
+  private[graft] def mvDdlPullQuery: String =
+    s"""SELECT o_orderstatus, $mvDdlAggText
+       |FROM orders_src GROUP BY o_orderstatus""".stripMargin
+
+  private[graft] def mvDdlDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvDdlLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      mvDdlDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("mv_ddl").toString
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        Translator.run(s, c1, mvDdlStatement(d, t))
+        t
+      })
+    }
+
   /** Bench prepare hooks: write-phase artifacts, each separately timed. */
   def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     Map(
@@ -170,6 +223,7 @@ object KsqlQueries {
       "q_avro_evolution" -> ((s, d) => { avroEvolutionDir(s, d); () }),
       "q_rest_csas" -> ((s, d) => { restCsasDir(s, d); () }),
       "q_avro_registry" -> ((s, d) => { avroRegistryDir(s, d); () }),
+      "q_mv_ddl" -> ((s, d) => { mvDdlDir(s, d); () }),
       "q_ksql_csas_partitioned" -> ((s, d) => { csasPartitionedDir(s, d); () }))
 
   val ctasWindowed: String =
@@ -461,6 +515,30 @@ object KsqlQueries {
         |  CAST(count(*) AS BIGINT) AS cnt, min(n_name) AS first_name,
         |  CAST(sum(n_nationkey + n_regionkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY 1""".stripMargin),
+
+    // CREATE MATERIALIZED VIEW through the dialect (round 13 — the
+    // round-12 verdict's top item): the view is created ENTIRELY in KSQL
+    // text (mvDdlDir's prepare: PATH-bound source + the CMV statement,
+    // which builds the state artifact single-writer and registers the
+    // optimizer rewrite), then the user posts the PLAIN rollup — no
+    // state dir, no cutoff, no knowledge the view exists — and the
+    // optimizer serves merge(state ⊎ date-pushed delta). The oracle is
+    // the full recompute; KsqlSpec pins the serving plan (state leaf +
+    // pushed delta cutoff) and SHOW MATERIALIZED VIEWS lists the view.
+    "q_mv_ddl" -> Q(
+      (s, d) => {
+        mvDdlDir(s, d)
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (_, Some(df)) = Translator.run(s, c1, mvDdlPullQuery): @unchecked
+        df
+      },
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin),
 
     "q_ksql_script" -> Q(
       (s, d) => {

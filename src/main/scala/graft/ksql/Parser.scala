@@ -125,6 +125,28 @@ object Parser {
           p.expect("AS")
           if (p.done) p.fail("CREATE TYPE expects a type after AS")
           CreateType(name, rejoinToEnd(p))
+        } else if (p.accept("MATERIALIZED")) {
+          // CREATE MATERIALIZED VIEW [IF NOT EXISTS] name
+          //   WITH (STATE_DIR='…', DELTA='<predicate>') AS SELECT …
+          p.expect("VIEW")
+          val ifNotExists =
+            if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS"); true }
+            else false
+          val name = p.next().text
+          val props = Map.newBuilder[String, String]
+          if (p.accept("WITH")) {
+            p.expect("(")
+            while (!p.accept(")")) {
+              if (p.done) p.fail("expected ) closing WITH properties")
+              val k = p.next().up
+              p.expect("=")
+              props += (k -> p.next().text)
+              p.accept(",")
+            }
+          }
+          p.expect("AS")
+          CreateMaterializedView(name, props.result(), parseSelect(p),
+            ifNotExists)
         } else if (p.peekUp == "SOURCE" || p.peekUp == "SINK") {
           // CREATE SOURCE|SINK CONNECTOR [IF NOT EXISTS] name WITH (...)
           // — ksqlDB's connector DDL (proxied to Kafka Connect by the
@@ -311,7 +333,11 @@ object Parser {
       } else if (p.accept("UNDEFINE")) {
         UndefineVar(p.next().text)
       } else if (p.accept("DROP")) {
-        if (p.accept("TYPE")) {
+        if (p.accept("MATERIALIZED")) {
+          p.expect("VIEW")
+          val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+          DropMaterializedView(p.next().text, ifExists)
+        } else if (p.accept("TYPE")) {
           val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
           DropType(p.next().text, ifExists)
         } else if (p.accept("CONNECTOR")) {

@@ -74,6 +74,23 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     * stmtLock like the offset. */
   private var bindingSeq = 0L
   private var bindings = Map.empty[String, (Long, String)]
+  /** Dropped (create, drop) statement pairs with their lifetime interval
+    * [createSeq, dropSeq] — the compaction DEPENDENCY fix (the round-12
+    * documented hole): a surviving binding created INSIDE a dropped
+    * source's lifetime may depend on it (CREATE B AS SELECT FROM A;
+    * DROP A), and a snapshot holding only B's statement can never bind
+    * B on a late joiner — fixpoint retry can't conjure A. Compaction
+    * therefore RETAINS every pair where some surviving binding was
+    * created INSIDE the pair's lifetime AND its statement MENTIONS the
+    * dropped name (dependencies in this dialect are by name — FROM /
+    * JOIN / subquery references; a word-boundary match is conservative
+    * for false positives, never false negatives), replayed in seq order
+    * (create → dependent creates → drop), and PRUNES the rest — seqs
+    * are monotonic, so a pruned pair can never become needed, and the
+    * snapshot stays bounded by catalog size + |live dependencies on
+    * dropped sources|. Guarded by stmtLock. */
+  private var droppedPairs = Vector.empty[
+    (String, Long, Long, String, String)] // (name, cSeq, dSeq, cStmt, dStmt)
   /** Spec hook: statements actually replayed (snapshot + log) since
     * construction — the late-joiner cost the compaction bounds. */
   private[graft] val replayedStatements =
@@ -95,15 +112,28 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     new java.util.concurrent.atomic.AtomicLong
 
   private def recordBindings(before: Translator.Catalog,
-      after: Translator.Catalog, stmt: String): Unit =
-    if (after != before) {
+      after: Translator.Catalog, mvBefore: Set[String],
+      mvAfter: Set[String], stmt: String): Unit =
+    if (after != before || mvAfter != mvBefore) {
       bindingSeq += 1
       // Sources are reference-identical when untouched, so this finds
       // exactly the names this statement bound or rebound
       after.foreach { case (n, src) =>
         if (!before.get(n).contains(src)) bindings += n -> (bindingSeq, stmt)
       }
-      (before.keySet -- after.keySet).foreach(bindings -= _)
+      def recordDrop(n: String): Unit = {
+        bindings.get(n).foreach { case (cSeq, cStmt) =>
+          droppedPairs :+= ((n, cSeq, bindingSeq, cStmt, stmt))
+        }
+        bindings -= n
+      }
+      (before.keySet -- after.keySet).foreach(recordDrop)
+      // materialized-view DDL mutates the JVM-global MV registry, not
+      // the catalog map — tracked under a reserved key space so CREATE
+      // MATERIALIZED VIEW replicates (and compacts) like any binding
+      (mvAfter -- mvBefore).foreach(n =>
+        bindings += s"#mv:$n" -> (bindingSeq, stmt))
+      (mvBefore -- mvAfter).foreach(n => recordDrop(s"#mv:$n"))
     }
 
   /** Replay one statement; Left(error) on failure (caller decides
@@ -111,9 +141,11 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   private def replayEither(stmt: String): Either[String, Unit] =
     try {
       val before = catalog
+      val mvBefore = graft.plans.MaterializedViews.registered
       val (cat2, _) = Translator.run(spark, catalog, stmt)
       catalog = cat2
-      recordBindings(before, cat2, stmt)
+      recordBindings(before, cat2, mvBefore,
+        graft.plans.MaterializedViews.registered, stmt)
       replayedStatements.incrementAndGet()
       Right(())
     } catch {
@@ -162,14 +194,19 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       var res: Option[DataFrame] = None
       var appended = false
       appliedOffset = l.transact(appliedOffset, replayStmt) { () =>
+        val mvBefore = graft.plans.MaterializedViews.registered
         val (cat2, r) = Translator.run(spark, catalog, stmt)
         // Map equality with reference-equal Sources: true exactly when a
         // name was bound, rebound, or dropped — the command-topic class.
-        // Pull SELECTs, SHOW/DESCRIBE, INSERT VALUES stay unlogged (data
-        // and introspection, not cluster DDL — the real command topic
-        // draws the same line).
-        val changed = cat2 != catalog
-        recordBindings(catalog, cat2, stmt)
+        // MV registry changes (CREATE/DROP MATERIALIZED VIEW) count too:
+        // a view created on one server must serve on all, and its
+        // single-writer state build makes replay cheap (registration
+        // only). Pull SELECTs, SHOW/DESCRIBE, INSERT VALUES stay
+        // unlogged (data and introspection, not cluster DDL — the real
+        // command topic draws the same line).
+        val mvAfter = graft.plans.MaterializedViews.registered
+        val changed = cat2 != catalog || mvAfter != mvBefore
+        recordBindings(catalog, cat2, mvBefore, mvAfter, stmt)
         catalog = cat2
         res = r
         if (changed) { appended = true; Some(stmt) } else None
@@ -209,8 +246,29 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         System.err.println(s"[rest] compaction refused: $replaySkips " +
           "replay skip(s) — a snapshot here would bake the loss in")
       } else {
-        l.writeSnapshot(appliedOffset,
-          bindings.toSeq.sortBy(_._2._1).map(_._2._2))
+        // dependency fix (see droppedPairs): retain (create, drop) pairs
+        // where a surviving binding created inside the pair's lifetime
+        // MENTIONS the dropped name — that statement must replay BETWEEN
+        // the pair's create and drop. Everything interleaves in
+        // binding-seq order; (seq, stmt) dedup collapses one statement
+        // binding several names. Unneeded pairs are pruned for good
+        // (seqs are monotonic — no future binding can land inside a
+        // past interval).
+        def mentions(stmt: String, name: String): Boolean =
+          ("(?i)\\b" + java.util.regex.Pattern.quote(
+            name.stripPrefix("#mv:")) + "\\b").r
+            .findFirstIn(stmt).isDefined
+        val retained = droppedPairs.filter { case (n, cSeq, dSeq, _, _) =>
+          bindings.values.exists { case (bSeq, bStmt) =>
+            cSeq < bSeq && bSeq < dSeq && mentions(bStmt, n)
+          }
+        }
+        droppedPairs = retained
+        val stmts = (bindings.values.toSeq ++
+          retained.flatMap { case (_, cSeq, dSeq, cStmt, dStmt) =>
+            Seq((cSeq, cStmt), (dSeq, dStmt)) })
+          .distinct.sortBy(_._1).map(_._2)
+        l.writeSnapshot(appliedOffset, stmts)
         tailStatements = 0 // the tail starts fresh behind our snapshot
       }
     }

@@ -1671,6 +1671,124 @@ object Translator {
         import spark.implicits._
         (catalog, Some(graft.plans.MaterializedViews.describeAll
           .toDF("name", "base", "group_keys", "aggregates")))
+
+      case CreateMaterializedView(name, props, sel, ifNotExists) =>
+        // ksqlDB's whole TABLE contract is that a CTAS *is* a
+        // materialized view; this DDL makes that explicit for the
+        // batch/pull engine: register the SELECT's aggregate shape with
+        // the optimizer rewrite, so every PLAIN user aggregate matching
+        // it — posted over REST, typed in the REPL, or written as raw
+        // Spark — silently serves from merge(state ⊎ delta) instead of
+        // rescanning history.
+        //
+        // WITH (STATE_DIR='dir')  — where the pre-delta partials live.
+        //   SINGLE-WRITER: built here only when the directory holds no
+        //   data; a replaying server (command-log late joiner, restart)
+        //   registers against the already-built artifact and never
+        //   rewrites it — the same posture as connector tasks.
+        // WITH (DELTA='<pred>') — the serving-time rescan region;
+        //   everything OUTSIDE it must be covered by the state artifact.
+        //   Both registration guards (non-group conjunct, NULL-coverage
+        //   probe) apply exactly as in the programmatic API.
+        //
+        // Scope: plain GROUP BY over one PATH-bound source (expressions
+        // allowed as keys), optional WHERE folded into the base on BOTH
+        // branches. Windowed shapes stay programmatic
+        // (Incremental.mvWindowPrepare) until a WINDOW mapping lands.
+        val mvName = name.toLowerCase
+        if (graft.plans.MaterializedViews.registered.contains(mvName)) {
+          // idempotent like every CREATE here: command-log replay
+          // re-executes DDL on servers that already applied it
+          (catalog, None)
+        } else {
+          def need(k: String): String = props.getOrElse(k,
+            throw new IllegalArgumentException(
+              s"CREATE MATERIALIZED VIEW needs WITH ($k='…')"))
+          val stateDir = need("STATE_DIR")
+          val deltaText = need("DELTA")
+          if (sel.joins.nonEmpty || sel.having.isDefined ||
+            sel.orderBy.nonEmpty || sel.limit.isDefined ||
+            sel.fromSub.isDefined)
+            throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW supports a plain " +
+                "SELECT … FROM src [WHERE …] [WINDOW TUMBLING|HOPPING …] " +
+                "GROUP BY … definition (joined views stay programmatic)")
+          sel.window.foreach {
+            case _: Session => throw new IllegalArgumentException(
+              "SESSION windows are not servable from per-row state (a " +
+                "session is not a function of one row's timestamp) — " +
+                "session maintenance is the IVM path (q_incr_session)")
+            case _ => ()
+          }
+          if (sel.groupBy.isEmpty && sel.window.isEmpty)
+            throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW needs a GROUP BY (the view state " +
+                "is per-group partials)")
+          val src = catalog.getOrElse(sel.from.toLowerCase,
+            throw new IllegalArgumentException(s"unknown source ${sel.from}"))
+          val base = sel.where.fold(src.df)(w =>
+            src.df.filter(expr(rewriteExpr(w))))
+          // group keys / aggregates: the same alias resolution (and the
+          // same windowStruct construction) as the grouped SELECT path,
+          // so the registered definition is exactly what the equivalent
+          // pull query plans — tumbling registers the window struct as
+          // an expression key, hopping through its Expand shape key
+          val winCol = sel.window.map(w =>
+            windowStruct(w, col(src.timeColumn)))
+          val aliasMap = sel.columns.collect {
+            case (e, Some(a)) => a.toLowerCase -> e
+          }.toMap
+          val keys = winCol.toSeq ++ sel.groupBy.map { g =>
+            aliasMap.get(g.trim.toLowerCase) match {
+              case Some(e) => expr(rewriteExpr(e)).as(g.trim)
+              case None => expr(rewriteExpr(g))
+            }
+          }
+          val keyTexts = sel.groupBy
+            .map(g => rewriteExpr(aliasMap.getOrElse(g.trim.toLowerCase, g)))
+            .toSet
+          // WINDOWSTART/WINDOWEND are pseudo-columns of the window key —
+          // they surface post-agg at query time, not as registered aggs
+          val isWinPseudo = (e: String) => {
+            val t = e.replaceAll("\\s", "").toLowerCase
+            t == "windowstart" || t == "windowstart()" ||
+              t == "windowend" || t == "windowend()"
+          }
+          val aggs = sel.columns.filterNot { case (e, _) =>
+            keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)
+          }.map { case (e, alias) =>
+            val a = alias.getOrElse(throw new IllegalArgumentException(
+              s"materialized-view aggregate '$e' needs an AS alias — the " +
+                "state artifact's column names are the serving contract"))
+            expr(rewriteExpr(e)).as(a)
+          }
+          if (aggs.isEmpty) throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW needs at least one aggregate column")
+          val deltaPred = expr(rewriteExpr(deltaText))
+          // single-writer state build: only when the dir holds no data
+          val dirFile = new java.io.File(stateDir.stripPrefix("file:"))
+          val hasData = Option(dirFile.listFiles()).toSeq.flatten
+            .exists(f => f.getName.startsWith("part-"))
+          if (!hasData)
+            base.filter(!deltaPred)
+              .groupBy(keys: _*)
+              .agg(aggs.head, aggs.tail: _*)
+              .write.mode("overwrite").parquet(stateDir)
+          // the base factory captures the session-bound frame: the
+          // dialect runs embedded (one session per server), and a
+          // replaying server re-executes this statement on ITS session
+          graft.plans.MaterializedViews.register(spark, mvName,
+            base = _ => base, stateDir = stateDir, deltaPred = deltaPred,
+            groupCols = keys, aggCols = aggs)
+          graft.plans.MaterializedViews.install(spark)
+          (catalog, None)
+        }
+
+      case DropMaterializedView(name, ifExists) =>
+        val had = graft.plans.MaterializedViews.drop(name.toLowerCase)
+        if (!had && !ifExists) throw new IllegalArgumentException(
+          s"unknown materialized view $name")
+        (catalog, None)
     }
   }
 

@@ -121,6 +121,16 @@ object MaterializedViews {
   /** Drop all registrations (specs; a prod catalog would scope by name). */
   def clear(): Unit = { views.clear(); schemaCache.clear(); served.clear() }
 
+  /** Unregister one view (the dialect's DROP MATERIALIZED VIEW). The
+    * state artifact stays on disk — registration never owns storage
+    * (the caller/prepare wrote it; a re-CREATE serves from it again).
+    * Returns whether the name was registered. */
+  def drop(name: String): Boolean = {
+    val had = views.remove(name).isDefined
+    served.remove(name)
+    had
+  }
+
   /** Normalized rendering for semantic expression comparison: attribute
     * names lowercased (exprIds differ across plans), no-op casts stripped
     * (the optimizer's SimplifyCasts removes them on the user side while

@@ -444,6 +444,36 @@ class MaterializedViewSpec extends SparkSpec {
     Incremental.mvPrepare(spark, sfDir) // restore for later tests
   }
 
+  test("multi-view UNION serving: one query unioning two registered " +
+    "rollups gets BOTH branches substituted in a single plan") {
+    Incremental.mvPrepare(spark, sfDir)
+    Incremental.mvWindowPrepare(spark, sfDir)
+    // a UNION ALL whose two branches are plain rollups over DIFFERENT
+    // registered bases — transformUp visits each Aggregate
+    // independently, so both serve from their own state with no
+    // UNION-specific machinery (asserted so it stays true)
+    def u: DataFrame = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"))
+      .unionByName(Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("cnt")))
+    val (got, plan) = collected(enabled = true)(u)
+    assert(plan.contains(Incremental.mvStateDir(sfDir)),
+      s"the orders branch must serve from its state\n$plan")
+    assert(plan.contains(Incremental.mvWindowStateDir(sfDir)),
+      s"the events branch must serve from the pane state\n$plan")
+    val (want, _) = collected(enabled = false)(u)
+    // multiset compare too: UNION ALL keeps duplicate counts
+    val gotL = u.collect().toSeq.map(_.getLong(0)).sorted
+    spark.conf.set("spark.graft.mv.enabled", "false")
+    val wantL = try u.collect().toSeq.map(_.getLong(0)).sorted
+      finally spark.conf.unset("spark.graft.mv.enabled")
+    assert(gotL == wantL)
+    assert(got.nonEmpty && want.nonEmpty)
+  }
+
   test("coverage guard: a delta predicate that NULL-evaluates on a base " +
     "row is refused at registration (the round-12 ADVICE hole)") {
     import spark.implicits._
@@ -489,6 +519,130 @@ class MaterializedViewSpec extends SparkSpec {
           s"spelling '$off' must disable the rewrite")
       } finally spark.conf.unset("spark.graft.mv.enabled")
     }
+  }
+
+  test("CREATE MATERIALIZED VIEW through the dialect: the DDL builds the " +
+    "state artifact, registers the rewrite, and a plain dialect rollup " +
+    "is served (plan-pinned); DROP unregisters; re-CREATE reuses state") {
+    import graft.ksql.{KsqlQueries, Translator}
+    val t = KsqlQueries.mvDdlDir(spark, sfDir)
+    val name = KsqlQueries.mvDdlName(sfDir)
+    assert(MaterializedViews.registered.contains(name))
+    def parts: Int = Option(new java.io.File(s"$t/state").listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("part-"))
+    assert(parts > 0, "the DDL must have built the state artifact")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    def q: DataFrame = {
+      val (_, Some(df)) =
+        Translator.run(spark, c1, KsqlQueries.mvDdlPullQuery): @unchecked
+      df
+    }
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(s"$t/state"),
+      s"the dialect pull query must be served from the DDL's state\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the delta scan must push the DDL's cutoff\n$plan")
+    val (want, _) = collected(enabled = false)(q)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // SHOW MATERIALIZED VIEWS lists the DDL-created view
+    val (_, Some(shows)) = Translator.run(spark, Map.empty,
+      "SHOW MATERIALIZED VIEWS;"): @unchecked
+    assert(shows.collect().exists(_.getString(0) == name))
+    // idempotent re-CREATE (the command-log replay posture): no error,
+    // no state rebuild
+    val nBefore = parts
+    Translator.run(spark, c1, KsqlQueries.mvDdlStatement(sfDir, t))
+    assert(parts == nBefore, "replaying the CMV must not rebuild state")
+    // DROP unregisters; a second DROP without IF EXISTS errors; with
+    // IF EXISTS it is quiet
+    Translator.run(spark, Map.empty, s"DROP MATERIALIZED VIEW $name;")
+    assert(!MaterializedViews.registered.contains(name))
+    intercept[IllegalArgumentException] {
+      Translator.run(spark, Map.empty, s"DROP MATERIALIZED VIEW $name;")
+    }
+    Translator.run(spark, Map.empty, s"DROP MATERIALIZED VIEW IF EXISTS $name;")
+    // re-CREATE against the EXISTING artifact: registration only (the
+    // late-joiner path — state is never rewritten), serving resumes
+    Translator.run(spark, c1, KsqlQueries.mvDdlStatement(sfDir, t))
+    assert(MaterializedViews.registered.contains(name))
+    assert(parts == nBefore)
+    val (got2, plan2) = collected(enabled = true)(q)
+    assert(plan2.contains(s"$t/state"), plan2)
+    assert(got2 == want)
+  }
+
+  test("windowed CREATE MATERIALIZED VIEW: a WINDOW TUMBLING definition " +
+    "registers the pane view and the dialect's windowed pull query is " +
+    "served from pane state") {
+    import graft.ksql.Translator
+    val t = java.nio.file.Files.createTempDirectory("mv_ddl_win").toString
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM ev_src WITH (PATH='$sfDir/events.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW ev_daily_ddl WITH (
+         |  STATE_DIR='$t/state',
+         |  DELTA='ts >= TIMESTAMP ''2024-01-25 12:00:00''') AS
+         |SELECT event_type, COUNT(*) AS cnt
+         |FROM ev_src WINDOW TUMBLING (SIZE 2 HOURS)
+         |GROUP BY event_type""".stripMargin)
+    assert(MaterializedViews.registered.contains("ev_daily_ddl"))
+    def q: DataFrame = {
+      val (_, Some(df)) = Translator.run(spark, c1,
+        """SELECT event_type, WINDOWSTART AS ws, COUNT(*) AS cnt
+          |FROM ev_src WINDOW TUMBLING (SIZE 2 HOURS)
+          |GROUP BY event_type""".stripMargin): @unchecked
+      df
+    }
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(s"$t/state"),
+      s"the windowed dialect pull must serve from pane state\n$plan")
+    val (want, _) = collected(enabled = false)(q)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // session windows refuse with the IVM pointer
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"""CREATE MATERIALIZED VIEW ev_sess_ddl WITH (
+           |  STATE_DIR='$t/s2', DELTA='ts >= TIMESTAMP ''2024-01-25''') AS
+           |SELECT user_id, COUNT(*) AS cnt
+           |FROM ev_src WINDOW SESSION (6 HOURS)
+           |GROUP BY user_id""".stripMargin)
+    }
+    assert(e.getMessage.contains("SESSION"), e.getMessage)
+    Translator.run(spark, Map.empty,
+      "DROP MATERIALIZED VIEW IF EXISTS ev_daily_ddl;")
+  }
+
+  test("CREATE MATERIALIZED VIEW guards: missing WITH props, windowed/" +
+    "joined shapes, unaliased aggregates, and no GROUP BY are refused") {
+    import graft.ksql.Translator
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    def bad(stmt: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Translator.run(spark, c1, stmt)
+      }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"$stmt -> ${e.getMessage}")
+    }
+    bad("CREATE MATERIALIZED VIEW g1 AS SELECT o_orderstatus, COUNT(*) AS n " +
+      "FROM orders_src GROUP BY o_orderstatus", "STATE_DIR")
+    bad("CREATE MATERIALIZED VIEW g2 WITH (STATE_DIR='/tmp/g2') AS " +
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders_src " +
+      "GROUP BY o_orderstatus", "DELTA")
+    bad("CREATE MATERIALIZED VIEW g3 WITH (STATE_DIR='/tmp/g3', " +
+      "DELTA='o_orderkey >= 0') AS SELECT COUNT(*) AS n FROM orders_src",
+      "GROUP BY")
+    bad("CREATE MATERIALIZED VIEW g4 WITH (STATE_DIR='/tmp/g4', " +
+      "DELTA='o_orderkey >= 0') AS SELECT o_orderstatus, COUNT(*) " +
+      "FROM orders_src GROUP BY o_orderstatus", "alias")
+    bad("CREATE MATERIALIZED VIEW g5 WITH (STATE_DIR='/tmp/g5', " +
+      "DELTA='o_orderkey >= 0') AS SELECT o_orderstatus, COUNT(*) AS n " +
+      "FROM orders_src JOIN orders_src o2 ON o_orderkey = o2.o_orderkey " +
+      "GROUP BY o_orderstatus", "programmatic")
+    assert(!MaterializedViews.registered.exists(_.startsWith("g")))
   }
 
   test("retraction refresh: subtract+argmax-repair equals the full " +

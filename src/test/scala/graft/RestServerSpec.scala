@@ -471,6 +471,76 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("command log: CREATE MATERIALIZED VIEW replicates — late joiners " +
+    "re-register from the log against the already-built state artifact, " +
+    "compaction keeps the view, DROP replicates too") {
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_mv", ".jsonl")
+    val t = java.nio.file.Files.createTempDirectory("rest_mv_repl").toString
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    def stateParts: Int = Option(new java.io.File(s"$t/state").listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("part-"))
+    val srvA = mk()
+    try {
+      val (c0, b0) = postTo(srvA.boundPort, "/ksql",
+        s"CREATE STREAM mvrepl_src WITH (PATH='$sfDir/orders.parquet');")
+      assert(c0 == 200, b0)
+      val (c1, b1) = postTo(srvA.boundPort, "/ksql",
+        s"""CREATE MATERIALIZED VIEW mvrepl_view WITH (
+           |  STATE_DIR='$t/state',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+           |SELECT o_orderstatus, COUNT(*) AS n
+           |FROM mvrepl_src GROUP BY o_orderstatus;""".stripMargin)
+      assert(c1 == 200, b1)
+      val partsBefore = stateParts
+      assert(partsBefore > 0, "the CMV must have built the state artifact")
+      // simulate a fresh process: wipe the (JVM-global) registration,
+      // then start a LATE JOINER over the same log — start() replays the
+      // CMV, which re-registers against the EXISTING artifact (the
+      // single-writer posture: replay never rebuilds state)
+      assert(graft.plans.MaterializedViews.drop("mvrepl_view"))
+      val srvB = mk()
+      try {
+        val (c2, b2) = postTo(srvB.boundPort, "/ksql",
+          "SHOW MATERIALIZED VIEWS;")
+        assert(c2 == 200 && b2.contains("mvrepl_view"), b2)
+        assert(stateParts == partsBefore, "replay must not rebuild state")
+        // the replicated view actually SERVES on the late joiner
+        val (c3, b3) = postTo(srvB.boundPort, "/query",
+          "SELECT o_orderstatus, COUNT(*) AS n FROM mvrepl_src " +
+            "GROUP BY o_orderstatus;")
+        assert(c3 == 200, b3)
+        // compaction carries the CMV (the #mv binding class): a joiner
+        // that starts from the SNAPSHOT still gets the view
+        srvB.compactCommandLog()
+        val snap = log.resolveSibling(log.getFileName.toString + ".snapshot")
+        assert(java.nio.file.Files.exists(snap))
+        assert(new String(java.nio.file.Files.readAllBytes(snap))
+          .contains("mvrepl_view"), "snapshot must retain the CMV")
+        assert(graft.plans.MaterializedViews.drop("mvrepl_view"))
+        val srvC = mk()
+        try {
+          val (c4, b4) = postTo(srvC.boundPort, "/ksql",
+            "SHOW MATERIALIZED VIEWS;")
+          assert(c4 == 200 && b4.contains("mvrepl_view"), b4)
+        } finally srvC.stop()
+        // DROP MATERIALIZED VIEW is cluster DDL too: it lands on the log
+        val linesBefore = java.nio.file.Files.readAllLines(log).size()
+        val (c5, b5) = postTo(srvA.boundPort, "/ksql",
+          "DROP MATERIALIZED VIEW mvrepl_view;")
+        assert(c5 == 200, b5)
+        assert(java.nio.file.Files.readAllLines(log).size() ==
+          linesBefore + 1, "the DROP must append to the command log")
+        assert(!graft.plans.MaterializedViews.registered
+          .contains("mvrepl_view"))
+      } finally srvB.stop()
+    } finally {
+      srvA.stop()
+      graft.plans.MaterializedViews.drop("mvrepl_view")
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
   test("command log: concurrent DDL on two servers serializes and converges") {
     // the property total ordering exists for: statements racing into
     // BOTH servers interleave whole-statement, every server ends with
@@ -507,6 +577,71 @@ class RestServerSpec extends SparkSpec {
         lines.count(_.contains(s"conc_$i")) == 1), lines)
     } finally {
       srvA.stop(); srvB.stop()
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
+  test("command log: compaction retains (create, drop) pairs a surviving " +
+    "binding depends on — late joiners bind the dependent identically, " +
+    "and unrelated churn still prunes") {
+    // the round-12 documented hole: CREATE A → CREATE B (depends on A) →
+    // DROP A → compact. The old snapshot held only B's CSAS, whose
+    // replay could never bind (unknown source A) — late joiners silently
+    // lacked a stream that log-replaying servers serve.
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_dep", ".jsonl")
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    val srvA = mk()
+    try {
+      val (c1, b1) = postTo(srvA.boundPort, "/ksql",
+        s"CREATE STREAM dep_a WITH (PATH='$sfDir/orders.parquet');")
+      assert(c1 == 200, b1)
+      val (c2, b2) = postTo(srvA.boundPort, "/ksql",
+        "CREATE STREAM dep_b AS SELECT o_orderkey, o_totalprice " +
+          "FROM dep_a WHERE o_totalprice > 200000;")
+      assert(c2 == 200, b2)
+      val (c3, b3) = postTo(srvA.boundPort, "/ksql", "DROP STREAM dep_a;")
+      assert(c3 == 200, b3)
+      srvA.compactCommandLog()
+      // the snapshot carries the full pair + the dependent, in seq order
+      val snap = log.resolveSibling(log.getFileName.toString + ".snapshot")
+      import scala.jdk.CollectionConverters._
+      val snapStmts = java.nio.file.Files.readAllLines(snap).asScala.tail
+      assert(snapStmts.size == 3, snapStmts)
+      assert(snapStmts(0).contains("dep_a") && snapStmts(0).contains("PATH"))
+      assert(snapStmts(1).contains("dep_b"))
+      assert(snapStmts(2).contains("DROP"), snapStmts)
+      // a late joiner bootstraps from the snapshot ONLY (the tail is
+      // empty) and must end IDENTICAL to a log-replaying server: dep_b
+      // bound and queryable, dep_a dropped
+      val srvB = mk()
+      try {
+        assert(srvB.replayedStatements.get() == 3)
+        val expected = Tables.orders(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("o_totalprice") > 200000)
+          .count()
+        val (c4, b4) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM dep_b;")
+        assert(c4 == 200, b4)
+        assert((JsonMethods.parse(b4.linesIterator.toSeq(1)) \ "row" \ "columns")
+          == JArray(List(JInt(BigInt(expected)))), b4)
+        val (c5, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM dep_a;")
+        assert(c5 == 400, "dep_a must be dropped on the late joiner too")
+      } finally srvB.stop()
+      // unrelated churn: create/drop cycles whose lifetime contains no
+      // surviving creation are PRUNED — the snapshot stays bounded
+      for (i <- 0 until 5) {
+        postTo(srvA.boundPort, "/ksql",
+          s"CREATE STREAM churn_$i AS SELECT o_orderkey FROM dep_b;")
+        postTo(srvA.boundPort, "/ksql", s"DROP STREAM churn_$i;")
+      }
+      srvA.compactCommandLog()
+      val snapStmts2 = java.nio.file.Files.readAllLines(snap).asScala.tail
+      assert(snapStmts2.size == 3,
+        s"churn must compact away, got ${snapStmts2.size}: $snapStmts2")
+    } finally {
+      srvA.stop()
       java.nio.file.Files.deleteIfExists(log)
     }
   }

@@ -89,7 +89,14 @@ object ScaleProbe {
     // 1.03x at 10x). q_mv_window is the pane-state serving shape —
     // |panes|x|types| state rows + the ts-pushed delta, linear like
     // q_incr_window's merge.
-    "q_mv_rewrite", "q_mv_pull", "q_mv_window", "q_mv_hopping")
+    // round 13: q_mv_global — the no-key re-aggregate adds a 1-row
+    // reduction above the same state+delta merge as q_mv_rewrite, so its
+    // exponent should track q_mv_rewrite's; q_mv_refresh_delete serves a
+    // retraction-refreshed view (same serving shape, the refresh cost is
+    // its own prepare); q_mv_ddl is the dialect-created view's serving
+    // path (prepare runs the CMV statement).
+    "q_mv_rewrite", "q_mv_pull", "q_mv_window", "q_mv_hopping",
+    "q_mv_global", "q_mv_refresh_delete", "q_mv_ddl")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -146,6 +146,50 @@ class PlanAuditSpec extends SparkSpec {
       s"window sort must consume the pruned branch\n$p")
   }
 
+  test("mv_global: the served no-key rollup reads |state| + one pushed " +
+    "delta scan, never the history") {
+    val p = plan("q_mv_global")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta scan must push the cutoff\n$p")
+    // the state artifact (original or refreshed — the shared orders view
+    // may have been advanced by q_mv_refresh in this JVM) is a plan leaf
+    val stateLeaf = Seq(
+      Option(operators.Incremental.mvStateDir(sfDir)),
+      Option(operators.Incremental.mvRefreshedStateDir(sfDir)))
+      .flatten.exists(p.contains)
+    assert(stateLeaf, s"no MV state leaf in the served global plan\n$p")
+    // the re-aggregate stacks above the merge: >= 3 aggregate layers
+    // (delta partial, merge, global), each with its partial/final split
+    assert("HashAggregate".r.findAllIn(p).length >= 6, p)
+  }
+
+  test("mv_refresh_delete: the retraction-refreshed view serves from the " +
+    "new state with the ADVANCED cutoff pushed") {
+    val p = plan("q_mv_refresh_delete")
+    assert(p.contains(operators.Incremental.mvDeleteRefreshedDir(sfDir)),
+      s"must serve from the retraction-refreshed state\n$p")
+    assert(!p.contains(operators.Incremental.mvDeleteStateDir(sfDir)),
+      s"the pre-delete artifact must have left the plan\n$p")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+    assert(p.contains("2001-06-01"),
+      s"the delta scan must carry the advanced cutoff\n$p")
+  }
+
+  test("mv_ddl: the dialect-created view serves the dialect pull query " +
+    "from its state artifact with the pushed delta cutoff") {
+    val p = plan("q_mv_ddl")
+    assert(p.contains(
+      graft.ksql.KsqlQueries.mvDdlDir(spark, sfDir) + "/state"),
+      s"must serve from the DDL-built state\n$p")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta scan must push the DDL's cutoff\n$p")
+  }
+
   test("dq-checks suite shares scans: three aggregates, no row widening") {
     val p = plan("q_dq_checks")
     // the FK-containment branch must be a semi join, never an outer/inner

@@ -95,8 +95,11 @@ object ScaleProbe {
     // retraction-refreshed view (same serving shape, the refresh cost is
     // its own prepare); q_mv_ddl is the dialect-created view's serving
     // path (prepare runs the CMV statement).
+    // q_mv_distinct: pair-set serving — state grows with distinct
+    // (group, user) pairs, the delta pre-deduplicates map-side, and the
+    // merge is one pair-key shuffle; linear by shape.
     "q_mv_rewrite", "q_mv_pull", "q_mv_window", "q_mv_hopping",
-    "q_mv_global", "q_mv_refresh_delete", "q_mv_ddl")
+    "q_mv_global", "q_mv_refresh_delete", "q_mv_ddl", "q_mv_distinct")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -579,6 +579,24 @@ object Incremental {
         |    AS avg_price_cents
         |FROM orders""".stripMargin),
 
+    // COUNT(DISTINCT) materialized-view serving — the q_incr_distinct
+    // pair-set algebra behind the TRANSPARENT rewrite: the user writes
+    // the plain `countDistinct(user_id)` rollup with no knowledge of any
+    // view, and the rule serves distinct(pair-state ∪ distinct(Δ-pairs))
+    // re-counted per group. The state is the distinct (event_type,
+    // user_id) pair set — the information-theoretic minimum for an exact
+    // answer — and the delta pre-deduplicates map-side, so maintenance
+    // is one pair-key shuffle over |state| + |distinct Δ| at any scale.
+    "q_mv_distinct" -> Q(
+      (s, d) => {
+        Incremental.mvDistinctPrepare(s, d)
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin),
+
     // MV refresh under DELETES — the CDC retraction inside the refresh
     // fold: upstream retracted a deterministic row set (o_orderkey ≡ 0
     // mod 97, dated before the new cutoff), and refreshWithDeletes folds
@@ -647,6 +665,7 @@ object Incremental {
     "q_mv_pull" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_avg" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_global" -> ((s, d) => mvPrepare(s, d)),
+    "q_mv_distinct" -> ((s, d) => mvDistinctPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
     "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
     "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)),
@@ -866,6 +885,29 @@ object Incremental {
         col("o_orderdate") >= lit(RefreshCutoff).cast(dateType), dir)
     }
     ()
+  }
+
+  private[graft] def mvDistinctStateDir(d: String): String =
+    stateDirs.get(s"mv_dist_$d")
+
+  /** Pair-set DISTINCT view prepare: the distinct (event_type, user_id)
+    * pairs at the standard event cutoff (the value column under the
+    * reserved `__dv` name the serving plan reconstructs), registered as
+    * a COUNT(DISTINCT) view. Idempotent. */
+  private[graft] def mvDistinctPrepare(s: SparkSession, d: String): Unit = {
+    materialize(s"mv_dist_$d") { dir =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit(EventCutoff).cast("timestamp"))
+        .select(col("event_type"), col("user_id").as("__dv")).distinct()
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"events_distinct_$d",
+      base = sp => Tables.events(sp, d),
+      stateDir = mvDistinctStateDir(d),
+      deltaPred = col("ts") >= lit(EventCutoff).cast("timestamp"),
+      groupCols = Seq(col("event_type")),
+      aggCols = Seq(countDistinct(col("user_id")).as("n_users")))
+    graft.plans.MaterializedViews.install(s)
   }
 
   /** The retraction-view definition: orders rolled up by the cust_mod

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, sum, when}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, StructType, TimestampNTZType, TimestampType}
 
@@ -73,7 +73,11 @@ import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, StructType
   */
 object MaterializedViews {
 
-  /** One registered view: pure data, no session or plan references. */
+  /** One registered view: pure data, no session or plan references.
+    * `distinctOf` marks a PAIR-SET view (COUNT(DISTINCT x)): the state
+    * holds distinct (group, x) pairs — the information-theoretic minimum
+    * for an exact distinct count — and serving re-counts
+    * distinct(state ∪ distinct(Δ-pairs)) instead of merging partials. */
   final case class MvView(
       name: String,
       basePaths: Set[String],
@@ -88,7 +92,8 @@ object MaterializedViews {
       shapeKey: Seq[String],
       aggCols: Seq[Column],
       aggKeyToName: Map[String, String],
-      mergeAgg: Seq[(String, String)]) {
+      mergeAgg: Seq[(String, String)],
+      distinctOf: Option[Column] = None) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 
@@ -322,9 +327,47 @@ object MaterializedViews {
     val aggAliases = aPlan.aggregateExpressions.collect {
       case al @ Alias(ae: AggregateExpression, _) => (al, ae)
     }
+    // pair-set DISTINCT mode: exactly one COUNT(DISTINCT x) and nothing
+    // else — the state is the distinct (group, x) pair set (the
+    // q_incr_distinct algebra behind the transparent rewrite). Mixed
+    // distinct+partial registrations stay refused: the two state shapes
+    // don't share an artifact.
+    val distinctOnly = aggAliases match {
+      case Seq((al, ae @ AggregateExpression(c: Count, _, true, None, _)))
+          if c.children.size == 1 => Some((al, ae, c))
+      case _ => None
+    }
+    distinctOnly.foreach { case (al, ae, c) =>
+      val k = norm(inline(ae)).getOrElse(
+        fail(s"aggregate ${al.name} has no normalized form"))
+      val xExpr = inline(c.children.head).transformUp {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      }
+      val xCol = ColumnBridge.column(xExpr)
+      // recursion guard, same as the partial path below
+      val predConjs0 =
+        base(spark).filter(deltaPred).queryExecution.analyzed match {
+          case f: Filter => conjuncts(f.condition)
+          case _ => Seq.empty[Expression]
+        }
+      val guard0 = predConjs0.exists { cj =>
+        val ck = norm(cj)
+        ck.forall(!defCondKeys.contains(_)) && cj.references.exists(a =>
+          !plainGroupNames.contains(a.name.toLowerCase(Locale.ROOT)))
+      }
+      if (!guard0)
+        fail("delta predicate must carry a conjunct on a non-group column")
+      requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
+      views.putIfAbsent(name, MvView(name, paths, base, stateDir, deltaPred,
+        groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
+        defCondKeys, shapeKey, aggCols, Map(k -> al.name),
+        Seq(al.name -> "distinct"), distinctOf = Some(xCol)))
+      return
+    }
     val mergeAgg = aggAliases.map { case (al, ae) =>
       if (ae.isDistinct || ae.filter.nonEmpty)
-        fail(s"${al.name} — DISTINCT/FILTER aggregates are not mergeable partials")
+        fail(s"${al.name} — DISTINCT/FILTER aggregates are not mergeable " +
+          "partials (a SOLE COUNT(DISTINCT x) registers as a pair-set view)")
       if (al.dataType.isInstanceOf[DecimalType])
         fail(s"${al.name} — DECIMAL sums widen on re-aggregation; store BIGINT cents")
       // "count" merges like "sum" but is remembered separately: a
@@ -394,15 +437,24 @@ object MaterializedViews {
       name)
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
-    val moved = v.base(spark)
+    val movedRows = v.base(spark)
       .filter(v.deltaPred && org.apache.spark.sql.functions.not(newDeltaPred))
-      .groupBy(v.groupCols: _*)
-      .agg(v.aggCols.head, v.aggCols.tail: _*)
-    spark.read.schema(stateSchema).parquet(v.stateDir)
-      .unionByName(moved)
-      .groupBy(v.groupNames.map(col): _*)
-      .agg(mergeCols(v).head, mergeCols(v).tail: _*)
-      .write.mode("overwrite").parquet(newStateDir)
+    (v.distinctOf match {
+      case Some(x) =>
+        // pair-set fold: new state = distinct(state ∪ moved pairs)
+        spark.read.schema(stateSchema).parquet(v.stateDir)
+          .unionByName(movedRows
+            .select(v.groupCols :+ x.as("__dv"): _*).distinct())
+          .distinct()
+      case None =>
+        val moved = movedRows
+          .groupBy(v.groupCols: _*)
+          .agg(v.aggCols.head, v.aggCols.tail: _*)
+        spark.read.schema(stateSchema).parquet(v.stateDir)
+          .unionByName(moved)
+          .groupBy(v.groupNames.map(col): _*)
+          .agg(mergeCols(v).head, mergeCols(v).tail: _*)
+    }).write.mode("overwrite").parquet(newStateDir)
     views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
     schemaCache.remove(newStateDir)
     ()
@@ -487,6 +539,11 @@ object MaterializedViews {
       throw new IllegalArgumentException(s"mv $name: not registered"))
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"mv $name: $msg")
+    if (v.distinctOf.isDefined)
+      fail("a pair-set DISTINCT view cannot retract — the state stores " +
+        "each (group, value) once, so a deleted row's multiplicity is " +
+        "lost and a pair may or may not survive; rebuild the view over " +
+        "the surviving base instead")
     requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
       name)
     requireTotalPredicate(spark, v.base, deletePred, "delete predicate",
@@ -639,13 +696,26 @@ object MaterializedViews {
     var state = spark.read.schema(stateSchema).parquet(v.stateDir)
     var delta = v.base(spark).filter(v.deltaPred)
     condCol.foreach { c => state = state.filter(c); delta = delta.filter(c) }
-    val deltaPart = delta.groupBy(v.groupCols: _*)
-      .agg(v.aggCols.head, v.aggCols.tail: _*)
-    val merges = mergeCols(v)
-    val analyzed = state.unionByName(deltaPart)
-      .groupBy(v.groupNames.map(col): _*)
-      .agg(merges.head, merges.tail: _*)
-      .queryExecution.analyzed
+    val analyzed = (v.distinctOf match {
+      case Some(x) =>
+        // pair-set serving: distinct(state-pairs ∪ distinct(Δ-pairs)) —
+        // the delta pre-deduplicates map-side, re-seen pairs collapse
+        // into the state, and the count never replays base events
+        // (count(__dv) skips NULL values, matching COUNT(DISTINCT))
+        val outName = v.mergeAgg.head._1
+        val deltaPairs = delta
+          .select(v.groupCols :+ x.as("__dv"): _*).distinct()
+        state.unionByName(deltaPairs).distinct()
+          .groupBy(v.groupNames.map(col): _*)
+          .agg(count(col("__dv")).as(outName))
+      case None =>
+        val deltaPart = delta.groupBy(v.groupCols: _*)
+          .agg(v.aggCols.head, v.aggCols.tail: _*)
+        val merges = mergeCols(v)
+        state.unionByName(deltaPart)
+          .groupBy(v.groupNames.map(col): _*)
+          .agg(merges.head, merges.tail: _*)
+    }).queryExecution.analyzed
     // The substitution happens mid-/post-optimization, so the fresh
     // subtree would otherwise skip the standard normalization passes —
     // costing real things: an unfolded `cast('2001-01-01' AS ...)` in the

@@ -444,6 +444,74 @@ class MaterializedViewSpec extends SparkSpec {
     Incremental.mvPrepare(spark, sfDir) // restore for later tests
   }
 
+  test("pair-set DISTINCT view: a plain countDistinct rollup is served " +
+    "from distinct pairs; pull predicate pushes; refresh folds pairs; " +
+    "retraction and mixed registrations refuse") {
+    Incremental.mvDistinctPrepare(spark, sfDir)
+    val state = Incremental.mvDistinctStateDir(sfDir)
+    def q: DataFrame = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(state),
+      s"distinct rollup must serve from the pair-set state\n$plan")
+    val eventScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(eventScans == 1, s"expected 1 events scan, got $eventScans\n$plan")
+    val (want, directPlan) = collected(enabled = false)(q)
+    assert(!directPlan.contains(state))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // pull predicate on the plain group column filters both branches
+    def pull: DataFrame = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val (gotP, planP) = collected(enabled = true)(pull)
+    assert(planP.contains(state), planP)
+    val (wantP, _) = collected(enabled = false)(pull)
+    assert(gotP == wantP)
+    // a GLOBAL count(distinct) must NOT be served (sum of per-group
+    // distincts is not the global distinct; pair-level state isn't in
+    // the re-aggregate's reach)
+    val globalPlan = {
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      try Tables.events(spark, sfDir)
+        .agg(countDistinct(col("user_id")).as("n"))
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(!globalPlan.contains(state), globalPlan)
+    // refresh folds moved pairs and serving still matches
+    val newDir = java.nio.file.Files
+      .createTempDirectory("mv_dist_refresh").toString
+    MaterializedViews.refresh(spark, s"events_distinct_$sfDir",
+      col("ts") >= lit("2024-01-28").cast("timestamp"), newDir)
+    val (got2, plan2) = collected(enabled = true)(q)
+    assert(plan2.contains(newDir), plan2)
+    assert(got2 == want)
+    // retraction refuses with the multiplicity explanation
+    val e = intercept[IllegalArgumentException] {
+      MaterializedViews.refreshWithDeletes(spark, s"events_distinct_$sfDir",
+        col("ts") >= lit("2024-01-28").cast("timestamp"),
+        col("event_id") % 7 === 0, "/tmp/never-written-dist")
+    }
+    assert(e.getMessage.contains("multiplicity"), e.getMessage)
+    // mixed distinct + partial aggregates refuse registration
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedViews.register(spark, "bad_mixed_distinct",
+        base = sp => Tables.events(sp, sfDir),
+        stateDir = "/tmp/never-written-mixed",
+        deltaPred = col("ts") >= lit("2024-01-25").cast("timestamp"),
+        groupCols = Seq(col("event_type")),
+        aggCols = Seq(countDistinct(col("user_id")).as("nd"),
+          count(lit(1)).as("n")))
+    }
+    assert(e2.getMessage.contains("pair-set"), e2.getMessage)
+    // restore the standard registration for later tests / gated queries
+    MaterializedViews.drop(s"events_distinct_$sfDir")
+    Incremental.mvDistinctPrepare(spark, sfDir)
+  }
+
   test("multi-view UNION serving: one query unioning two registered " +
     "rollups gets BOTH branches substituted in a single plan") {
     Incremental.mvPrepare(spark, sfDir)

@@ -165,6 +165,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 6, p)
   }
 
+  test("mv_distinct: the pair-set view serves with one ts-pushed events " +
+    "scan; the delta pre-deduplicates before the union") {
+    val p = plan("q_mv_distinct")
+    assert(p.contains(operators.Incremental.mvDistinctStateDir(sfDir)),
+      s"must serve from the pair-set state\n$p")
+    val eventScans = "events\\.parquet".r.findAllIn(p).length
+    assert(eventScans == 1, s"expected 1 events scan, got $eventScans\n$p")
+    // the union's dedup + the final count are aggregates; the delta-side
+    // distinct adds a third layer — all partial/final split
+    assert("HashAggregate".r.findAllIn(p).length >= 6, p)
+  }
+
   test("mv_refresh_delete: the retraction-refreshed view serves from the " +
     "new state with the ADVANCED cutoff pushed") {
     val p = plan("q_mv_refresh_delete")

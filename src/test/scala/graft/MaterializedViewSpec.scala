@@ -653,13 +653,13 @@ class MaterializedViewSpec extends SparkSpec {
          |  STATE_DIR='$t/state',
          |  DELTA='ts >= TIMESTAMP ''2024-01-25 12:00:00''') AS
          |SELECT event_type, COUNT(*) AS cnt
-         |FROM ev_src WINDOW TUMBLING (SIZE 2 HOURS)
+         |FROM ev_src WINDOW TUMBLING (SIZE 3 HOURS)
          |GROUP BY event_type""".stripMargin)
     assert(MaterializedViews.registered.contains("ev_daily_ddl"))
     def q: DataFrame = {
       val (_, Some(df)) = Translator.run(spark, c1,
         """SELECT event_type, WINDOWSTART AS ws, COUNT(*) AS cnt
-          |FROM ev_src WINDOW TUMBLING (SIZE 2 HOURS)
+          |FROM ev_src WINDOW TUMBLING (SIZE 3 HOURS)
           |GROUP BY event_type""".stripMargin): @unchecked
       df
     }

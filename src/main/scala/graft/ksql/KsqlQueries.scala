@@ -207,13 +207,17 @@ object KsqlQueries {
   private[graft] def mvDdlDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     mvDdlLocks.computeIfAbsent(d, _ => new Object).synchronized {
-      mvDdlDirs.getOrElseUpdate(d, {
-        val t = java.nio.file.Files.createTempDirectory("mv_ddl").toString
+      val t = mvDdlDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl").toString)
+      // run the CMV whenever the view is unregistered (first call, or a
+      // spec's registry clear()): with the state artifact already on
+      // disk this is registration-only — the single-writer replay path
+      if (!graft.plans.MaterializedViews.registered.contains(mvDdlName(d))) {
         val (c1, _) = Translator.run(s, Map.empty,
           s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
         Translator.run(s, c1, mvDdlStatement(d, t))
-        t
-      })
+      }
+      t
     }
 
   /** The WINDOWED dialect view (q_mv_ddl_window): 2-hour tumbling panes
@@ -240,8 +244,12 @@ object KsqlQueries {
   private[graft] def mvDdlWindowDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     mvDdlWinLocks.computeIfAbsent(d, _ => new Object).synchronized {
-      mvDdlWinDirs.getOrElseUpdate(d, {
-        val t = java.nio.file.Files.createTempDirectory("mv_ddl_win").toString
+      val t = mvDdlWinDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_win").toString)
+      // re-run on an unregistered view (first call, or a spec's registry
+      // clear()) — registration-only once the state artifact exists
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvDdlWindowName(d))) {
         val (c1, _) = Translator.run(s, Map.empty,
           s"CREATE STREAM ev_src WITH (PATH='$d/events.parquet')")
         Translator.run(s, c1,
@@ -251,8 +259,8 @@ object KsqlQueries {
              |SELECT event_type, $mvDdlWinAggText
              |FROM ev_src WINDOW TUMBLING (SIZE 2 HOURS)
              |GROUP BY event_type""".stripMargin)
-        t
-      })
+      }
+      t
     }
 
   /** Bench prepare hooks: write-phase artifacts, each separately timed. */

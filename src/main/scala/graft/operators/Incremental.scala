@@ -873,6 +873,25 @@ object Incremental {
   private[graft] def mvRefreshedStateDir(d: String): String =
     stateDirs.get(s"mv_orders_r_$d")
 
+  /** Re-pin a registration to its FINAL (refreshed) artifact. A spec's
+    * registry clear() followed by a prepare re-register would otherwise
+    * leave the view at its PRE-refresh state while the refreshed
+    * artifact memo exists (the refresh fold is materialize-once) —
+    * values stay correct either way, but serving would silently read
+    * the stale artifact with the unadvanced cutoff. */
+  private def repinView(s: SparkSession, name: String, finalDir: String,
+      base: SparkSession => org.apache.spark.sql.DataFrame,
+      deltaPred: org.apache.spark.sql.Column,
+      groupCols: Seq[org.apache.spark.sql.Column],
+      aggCols: Seq[org.apache.spark.sql.Column]): Unit =
+    if (!graft.plans.MaterializedViews.view(name)
+      .exists(_.stateDir == finalDir)) {
+      graft.plans.MaterializedViews.drop(name)
+      graft.plans.MaterializedViews.register(s, name, base, finalDir,
+        deltaPred, groupCols, aggCols)
+      graft.plans.MaterializedViews.install(s)
+    }
+
   /** Advance the orders view's cutoff: fold [Cutoff, RefreshCutoff) into
     * a fresh state artifact and swap the registration. Idempotent (the
     * fold is materialize-once; a repeat put writes the same values). */
@@ -884,7 +903,10 @@ object Incremental {
       graft.plans.MaterializedViews.refresh(s, s"orders_rollup_$d",
         col("o_orderdate") >= lit(RefreshCutoff).cast(dateType), dir)
     }
-    ()
+    repinView(s, s"orders_rollup_$d", mvRefreshedStateDir(d),
+      sp => Tables.orders(sp, d),
+      col("o_orderdate") >= lit(RefreshCutoff).cast(dateType),
+      Seq(col("o_custkey")), mvAggs)
   }
 
   private[graft] def mvDistinctStateDir(d: String): String =
@@ -964,6 +986,9 @@ object Incremental {
         newStateDir = dir)
       mvDeleteTouched.put(d, touched)
     }
+    repinView(s, s"orders_mod_$d", mvDeleteRefreshedDir(d),
+      sp => Tables.orders(sp, d),
+      col("o_orderdate") >= newCutoff, mvDelGroup, mvDelAggs)
   }
 
   /** The windowed MV definition: daily panes × event_type, COUNT/SUM

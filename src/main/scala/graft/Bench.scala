@@ -177,8 +177,11 @@ object Bench {
       // overlapped in r12 with no committed adjudication — its
       // per-level driver actions make it contention-sensitive like the
       // other graph ops; q_incr_session's window-sort repair pass is
-      // the other overlap-sensitive newcomer
-      "q_bfs_hops", "q_incr_session")
+      // the other overlap-sensitive newcomer; q_dedup_embed_lsh_scaled
+      // is the sf1 NOBASE wall (LPT schedules it first, so its
+      // overlapped run-2 number absorbs the whole pool's contention —
+      // the solo entry adjudicates how much is its own candidate volume)
+      "q_bfs_hops", "q_incr_session", "q_dedup_embed_lsh_scaled")
     val solo: Seq[(String, Double)] = soloNames.flatMap(n =>
       SparkEntry.queries.get(n).map { fn =>
         val s0 = System.nanoTime()

@@ -229,10 +229,15 @@ object ScaleProbe {
     val embQueries = Set("q_ann_brute", "q_ann_pq", "q_ann_graph")
     val rows = queries.map { q =>
       val oneX = if (embQueries(q)) s"${dst}_emb1x" else src
-      // per-query warm-up run: the first execution pays codegen and
-      // plan compilation — charging that to the 1x sample would bias
-      // every ratio downward
-      time(oneX, q)
+      // per-query warm-up on BOTH dirs (round 13): the first execution
+      // pays codegen/plan compilation AND any write-once artifact build
+      // (incremental state, MV registrations, index layouts) — charging
+      // those to either sample corrupts the ratio in opposite
+      // directions (1x-only warm-up billed the 10x state build into tN:
+      // q_mv_refresh_delete measured 12.4x when its SERVING is ~1x).
+      // Builds are Bench's separately-timed prepare phases; the probe's
+      // exponents are the serving path, warmed like Bench's timed runs.
+      time(oneX, q); time(dst, q)
       val t1 = time(oneX, q); val tN = time(dst, q)
       // Locale.ROOT: f"%.3f" is default-locale-sensitive and a comma
       // decimal separator corrupts the JSON line (same fix as Bench)

@@ -293,7 +293,21 @@ object MaterializedViews {
     }
     val (paths, inline, defCond, shapeKey) = unwrap(aPlan.child).getOrElse(
       fail("base must unwrap to a single V1 file relation"))
-    val defCondKeys = defCond.map(conjuncts).getOrElse(Nil).map(c =>
+    // canonical definition conjuncts come from the OPTIMIZED child:
+    // conjunct matching compares against OPTIMIZED user plans, where
+    // InferFiltersFromConstraints has added an `isnotnull(x)` beside
+    // every null-intolerant `x = …` — an analyzed-side definition WHERE
+    // would lack those and never match. Running the same optimizer over
+    // the definition child yields the same canonical set (norm already
+    // handles the folding/cast rewrites). Falls back to the analyzed
+    // conjuncts if the optimized shape stops unwrapping.
+    val defCondCanon = (try unwrap(
+      spark.sessionState.optimizer.execute(aPlan.child))
+    catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some((p2, _, cond2, _)) if p2 == paths => cond2
+      case _ => defCond
+    }
+    val defCondKeys = defCondCanon.map(conjuncts).getOrElse(Nil).map(c =>
       norm(c).getOrElse(fail(s"definition filter $c has no normalized form")))
       .toSet
 
@@ -809,7 +823,11 @@ object MaterializedViews {
     * (COUNT coalesced to 0: count over an empty input is 0 while SUM
     * over the empty view is NULL), MIN/MAX by themselves, AVG as
     * total-sum / total-count (NULL over the empty view on both — the
-    * unserved plan's avg over zero rows is NULL too). Every
+    * unserved plan's avg over zero rows is NULL too). DOUBLE-typed SUM
+    * partials re-sum here in a different order than the unserved plan
+    * (per-group subtotals vs one global accumulation) — last-ulp
+    * plan-dependence, the same class as any Spark re-aggregation; the
+    * repo-wide BIGINT-cents discipline is the exact spelling. Every
     * AggregateExpression in the output must map, or the whole output
     * refuses — an unmapped count(*) left in place would count VIEW
     * GROUPS, not base rows, which is exactly the silent-wrong-answer

@@ -641,6 +641,53 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("CMV with a WHERE definition: the filter folds into both serving " +
+    "branches, a matching user query serves, a filterless one bails; " +
+    "and a GLOBAL dialect pull query re-aggregates the DDL view") {
+    import graft.ksql.{KsqlQueries, Translator}
+    val t = java.nio.file.Files.createTempDirectory("mv_ddl_where").toString
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW open_orders_mv WITH (
+         |  STATE_DIR='$t/state',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+         |SELECT o_orderpriority, COUNT(*) AS n
+         |FROM orders_src WHERE o_orderstatus = 'O'
+         |GROUP BY o_orderpriority""".stripMargin)
+    assert(MaterializedViews.registered.contains("open_orders_mv"))
+    def q(where: String): DataFrame = {
+      val (_, Some(df)) = Translator.run(spark, c1,
+        s"""SELECT o_orderpriority, COUNT(*) AS n
+           |FROM orders_src $where GROUP BY o_orderpriority""".stripMargin)
+        : @unchecked
+      df
+    }
+    // the definition's WHERE is part of the matched signature: the same
+    // filter serves, its absence bails (different semantics)
+    val (got, plan) = collected(enabled = true)(q("WHERE o_orderstatus = 'O'"))
+    assert(plan.contains(s"$t/state"), plan)
+    val (want, _) = collected(enabled = false)(q("WHERE o_orderstatus = 'O'"))
+    assert(got == want && got.nonEmpty)
+    val (_, planNoWhere) = collected(enabled = true)(q(""))
+    assert(!planNoWhere.contains(s"$t/state"),
+      "a filterless rollup must NOT be served from the filtered view")
+    // a GLOBAL dialect aggregate over the filtered base re-aggregates
+    def g: DataFrame = {
+      val (_, Some(df)) = Translator.run(spark, c1,
+        "SELECT COUNT(*) AS n FROM orders_src WHERE o_orderstatus = 'O'")
+        : @unchecked
+      df
+    }
+    val (gotG, planG) = collected(enabled = true)(g)
+    assert(planG.contains(s"$t/state"),
+      s"the dialect global pull must re-aggregate the view\n$planG")
+    val (wantG, _) = collected(enabled = false)(g)
+    assert(gotG == wantG)
+    Translator.run(spark, Map.empty,
+      "DROP MATERIALIZED VIEW IF EXISTS open_orders_mv;")
+  }
+
   test("windowed CREATE MATERIALIZED VIEW: a WINDOW TUMBLING definition " +
     "registers the pane view and the dialect's windowed pull query is " +
     "served from pane state") {

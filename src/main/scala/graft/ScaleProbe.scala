@@ -98,8 +98,12 @@ object ScaleProbe {
     // q_mv_distinct: pair-set serving — state grows with distinct
     // (group, user) pairs, the delta pre-deduplicates map-side, and the
     // merge is one pair-key shuffle; linear by shape.
+    // q_mv_rollup: three grouping-set branches re-aggregating the same
+    // state+delta serve — the delta exchanges dedupe at runtime, so the
+    // exponent should track the flat serve's.
     "q_mv_rewrite", "q_mv_pull", "q_mv_window", "q_mv_hopping",
-    "q_mv_global", "q_mv_refresh_delete", "q_mv_ddl", "q_mv_distinct")
+    "q_mv_global", "q_mv_refresh_delete", "q_mv_ddl", "q_mv_distinct",
+    "q_mv_rollup")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

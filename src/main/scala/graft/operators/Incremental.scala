@@ -597,6 +597,35 @@ object Incremental {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin),
 
+    // GROUPING-SETS serving — ROLLUP over a registered two-key view: the
+    // user writes the plain `rollup(status, priority).agg(...)` (Spark
+    // plans it as one Aggregate over an Expand with a grouping-id) and
+    // the rule serves it as a UNION of per-set re-aggregations of
+    // merge(state ∪ Δ): the finest set re-aggregates singleton groups,
+    // the status subtotal collapses priorities, the grand total drops
+    // every key — 3 × |state| rows reduced, history never rescanned
+    // (identical delta exchanges dedupe at runtime via reuse). AVG
+    // reconstructs per set from the sum/count partials. The oracle is
+    // DuckDB's own GROUP BY ROLLUP over the full recompute.
+    "q_mv_rollup" -> Q(
+      (s, d) => {
+        Incremental.mvRollupPrepare(s, d)
+        Tables.orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_cents"),
+            max(cents(col("o_totalprice"))).as("max_cents"),
+            avg(cents(col("o_totalprice"))).as("avg_cents"))
+      },
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+        |  max(${centsSql("o_totalprice")}) AS max_cents,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE)
+        |    / CAST(count(${centsSql("o_totalprice")}) AS DOUBLE)
+        |    AS avg_cents
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
+
     // MV refresh under DELETES — the CDC retraction inside the refresh
     // fold: upstream retracted a deterministic row set (o_orderkey ≡ 0
     // mod 97, dated before the new cutoff), and refreshWithDeletes folds
@@ -666,6 +695,7 @@ object Incremental {
     "q_mv_avg" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_global" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_distinct" -> ((s, d) => mvDistinctPrepare(s, d)),
+    "q_mv_rollup" -> ((s, d) => mvRollupPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
     "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
     "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)),
@@ -907,6 +937,37 @@ object Incremental {
       sp => Tables.orders(sp, d),
       col("o_orderdate") >= lit(RefreshCutoff).cast(dateType),
       Seq(col("o_custkey")), mvAggs)
+  }
+
+  /** The two-key rollup view (q_mv_rollup): orders by (status,
+    * priority) with COUNT/SUM/MAX + the avg-constituent count. */
+  private def mvRollupAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_orders"),
+    sum(cents(col("o_totalprice"))).as("sum_cents"),
+    max(cents(col("o_totalprice"))).as("max_cents"),
+    count(cents(col("o_totalprice"))).as("n_priced"))
+
+  private[graft] def mvRollupStateDir(d: String): String =
+    stateDirs.get(s"mv_sp_$d")
+
+  private[graft] def mvRollupPrepare(s: SparkSession, d: String): Unit = {
+    val dateType =
+      Tables.orders(s, d).schema("o_orderdate").dataType.catalogString
+    val cutoff = lit(Cutoff).cast(dateType)
+    materialize(s"mv_sp_$d") { dir =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(mvRollupAggs.head, mvRollupAggs.tail: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"orders_sp_$d",
+      base = sp => Tables.orders(sp, d),
+      stateDir = mvRollupStateDir(d),
+      deltaPred = col("o_orderdate") >= cutoff,
+      groupCols = Seq(col("o_orderstatus"), col("o_orderpriority")),
+      aggCols = mvRollupAggs)
+    graft.plans.MaterializedViews.install(s)
   }
 
   private[graft] def mvDistinctStateDir(d: String): String =

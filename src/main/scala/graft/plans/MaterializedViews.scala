@@ -746,11 +746,20 @@ object MaterializedViews {
   /** Attempt the substitution for one Aggregate node. Several views may
     * share a base (the orders rollup and a priority rollup over the
     * same parquet) — every path-matching view gets a chance, first
-    * successful rewrite wins. */
+    * successful rewrite wins. A grouping-sets aggregate (ROLLUP / CUBE /
+    * GROUPING SETS — recognizable by the spark_grouping_id key over an
+    * Expand) takes its own path: one re-aggregation branch per set. */
   private[plans] def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (views.isEmpty) return None
     if (agg.groupingExpressions.exists(!_.deterministic) ||
       agg.aggregateExpressions.exists(!_.deterministic)) return None
+    agg.child match {
+      // hopping windows also plan as Expand-under-Aggregate but carry no
+      // grouping id — they stay on the shape-key path below
+      case ex: Expand if agg.groupingExpressions.exists(isGroupingId) =>
+        return tryRewriteGroupingSets(agg, ex)
+      case _ => ()
+    }
     unwrap(agg.child).flatMap { case (paths, inline, condOpt, shape) =>
       views.values.view
         .filter(v => v.basePaths == paths && v.shapeKey == shape)
@@ -761,6 +770,235 @@ object MaterializedViews {
         })
         .headOption
     }
+  }
+
+  private def isGroupingId(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.name == "spark_grouping_id"
+    case _ => false
+  }
+
+  /** Serve a GROUPING-SETS aggregate (ROLLUP / CUBE / GROUPING SETS)
+    * from a registered per-key view: Spark plans these as
+    * `Aggregate(keys ∪ {spark_grouping_id}, Expand(one row per set,
+    * base))` where each Expand row carries the set's keys (NULL for the
+    * dropped ones) and the set's grouping-id literal. Every grouping
+    * set is a re-aggregation of the merged view (the same algebra as
+    * the global rewrite — the finest set re-aggregates singleton groups,
+    * coarser sets collapse them, the grand total drops all keys), so the
+    * serving plan is a UNION of per-set re-aggregates over ONE shared
+    * merge(state ∪ Δ) subtree — |sets| × |state| rows reduced, history
+    * never rescanned. Requirements, each refusing on failure: every
+    * set's key expressions must be registered group keys (a SUBSET of
+    * the view's keys is fine — the view is finer), aggregate children
+    * must be Expand passthroughs mapping to registered aggregates, and
+    * the usual conjunct/pull-predicate rules apply below the Expand.
+    * Outputs may reference the grouping-id (GROUPING()/GROUPING_ID()
+    * plan as bit math over it) — per branch it is a literal and the
+    * derived expression folds. */
+  private def tryRewriteGroupingSets(agg: Aggregate,
+                                     ex: Expand): Option[LogicalPlan] = {
+    // the grouping keys: the gid attribute + the set-key attributes,
+    // all of which must be Expand outputs
+    val gidAttr = agg.groupingExpressions.collectFirst {
+      case a: AttributeReference if isGroupingId(a) => a
+    }.get
+    val outIdx: Map[Long, Int] =
+      ex.output.zipWithIndex.map { case (a, i) => a.exprId.id -> i }.toMap
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference if !isGroupingId(a) => a
+    }
+    if (groupAttrs.size != agg.groupingExpressions.size - 1) return None
+    if (groupAttrs.exists(a => !outIdx.contains(a.exprId.id)) ||
+      !outIdx.contains(gidAttr.exprId.id)) return None
+
+    unwrap(ex.child).flatMap { case (paths, inline, condOpt, shape) =>
+      if (shape.nonEmpty) return None
+      // per grouping-set row: which key positions are kept, and the
+      // grouping-id literal. A kept position's expression must be
+      // IDENTICAL (by normalized form) across every row that keeps it.
+      val gidIdx = outIdx(gidAttr.exprId.id)
+      val rows: Seq[(Set[Int], Long)] = ex.projections.map { row =>
+        val gid = row(gidIdx) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case _ => return None
+        }
+        val kept = groupAttrs.indices.filter { i =>
+          row(outIdx(groupAttrs(i).exprId.id)) match {
+            case Literal(null, _) => false
+            case _ => true
+          }
+        }.toSet
+        (kept, gid)
+      }
+      // normalized key per group position (from any row keeping it)
+      val posKey: Seq[Option[String]] = groupAttrs.indices.map { i =>
+        val exprs = ex.projections.flatMap { row =>
+          row(outIdx(groupAttrs(i).exprId.id)) match {
+            case Literal(null, _) => None
+            case e => norm(inline(e))
+          }
+        }
+        if (exprs.isEmpty || exprs.distinct.size != 1) None
+        else Some(exprs.head)
+      }
+      if (posKey.exists(_.isEmpty)) return None
+      val posKeys = posKey.flatten
+      // passthrough map: Expand outputs whose expression is the SAME
+      // child attribute in every row — the columns aggregate functions
+      // read through the Expand
+      val passMap: Map[Long, Expression] = ex.output.zipWithIndex.flatMap {
+        case (o, i) =>
+          val exprs = ex.projections.map(_(i))
+          exprs.head match {
+            case ar: AttributeReference
+                if exprs.forall(_ == exprs.head) =>
+              Some(o.exprId.id -> inline(ar))
+            case _ => None
+          }
+      }.toMap
+
+      views.values.view.filter(v =>
+        v.basePaths == paths && v.shapeKey == Nil && v.distinctOf.isEmpty &&
+          posKeys.forall(v.groupKeys.contains))
+        .flatMap { v =>
+          rewriteGroupingSetsWith(v, agg, rows, posKeys, groupAttrs,
+            gidAttr, passMap, condOpt).map { plan =>
+            served.getOrElseUpdate(v.name,
+              new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+            plan
+          }
+        }
+        .headOption
+    }
+  }
+
+  private def rewriteGroupingSetsWith(v: MvView, agg: Aggregate,
+      rows: Seq[(Set[Int], Long)], posKeys: Seq[String],
+      groupAttrs: Seq[AttributeReference], gidAttr: AttributeReference,
+      passMap: Map[Long, Expression],
+      condOpt: Option[Expression]): Option[LogicalPlan] = {
+    // conjunct discipline below the Expand, same as the flat path
+    val userConjs = condOpt.map(conjuncts).getOrElse(Nil)
+    val userKeys = userConjs.map(norm)
+    if (userKeys.exists(_.isEmpty)) return None
+    val keyed = userConjs.zip(userKeys.flatten)
+    val (defMatched, extra) = keyed.partition {
+      case (_, k) => v.defCondKeys.contains(k)
+    }
+    if (defMatched.map(_._2).toSet != v.defCondKeys) return None
+    if (!extra.forall { case (c, _) => c.references.forall(a =>
+      v.plainGroupNames.contains(a.name.toLowerCase(Locale.ROOT))) })
+      return None
+    val extraCond = extra.map(_._1).reduceOption(And)
+
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap { spark =>
+        val kinds = v.mergeAgg.toMap
+        // inline the user outputs through the Expand passthroughs so
+        // aggregate subtrees render over relation attributes; group/gid
+        // attrs survive untouched for the per-branch cases
+        def preInline(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if passMap.contains(ar.exprId.id) =>
+            passMap(ar.exprId.id)
+        }
+        val setAttrIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+        // pre-check every aggregate maps (the mapGlobalOutput contract:
+        // an unmapped aggregate left in place would aggregate VIEW rows).
+        // An aggregate over a SET-KEY copy (count(group_col) through the
+        // Expand) is NULL-patterned per set — its per-branch semantics
+        // differ from the registered base aggregate, so it refuses.
+        val mappable = agg.aggregateExpressions.forall { ne =>
+          val inner = ne match { case Alias(c, _) => c; case e => e }
+          preInline(inner).collect {
+            case ae: AggregateExpression => ae
+          }.forall {
+            case ae if ae.references.exists(a => setAttrIds.contains(a.exprId)) =>
+              false
+            case ae @ AggregateExpression(a: Average, _, false, None, _) =>
+              (for {
+                sk <- norm(Sum(a.child).toAggregateExpression())
+                ck <- norm(Count(Seq(a.child)).toAggregateExpression())
+              } yield v.aggKeyToName.contains(sk) &&
+                v.aggKeyToName.contains(ck) &&
+                ae.dataType == DoubleType).getOrElse(false)
+            case ae =>
+              !ae.isDistinct && ae.filter.isEmpty &&
+                norm(ae).exists(v.aggKeyToName.contains)
+          }
+        }
+        if (!mappable) return None
+
+        // one re-aggregation branch per grouping set, each over its OWN
+        // freshly-built serving subtree (fresh attribute ids — a shared
+        // subtree would self-union identical exprIds; Catalyst's
+        // exchange reuse still dedupes the identical scans at runtime
+        // by canonical equality)
+        val branches: Seq[Option[LogicalPlan]] = rows.map { case (kept, gid) =>
+          val rep = servingPlan(spark, v, extraCond)
+          val repByName = rep.output
+            .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+          def repAttr(n: String): Attribute =
+            repByName(n.toLowerCase(Locale.ROOT))
+          val posRepAttr: Seq[Attribute] =
+            posKeys.map(k => repAttr(v.groupKeyToName(k)))
+          def go(e: Expression): Expression = e match {
+            case ar: AttributeReference if ar.exprId == gidAttr.exprId =>
+              Literal(gid, ar.dataType)
+            case ar: AttributeReference
+                if groupAttrs.exists(_.exprId == ar.exprId) =>
+              val i = groupAttrs.indexWhere(_.exprId == ar.exprId)
+              if (kept(i)) posRepAttr(i)
+              else Literal.create(null, ar.dataType)
+            case AggregateExpression(a: Average, _, false, None, _) =>
+              val sn = v.aggKeyToName(
+                norm(Sum(a.child).toAggregateExpression()).get)
+              val cn = v.aggKeyToName(
+                norm(Count(Seq(a.child)).toAggregateExpression()).get)
+              Divide(
+                Cast(Sum(repAttr(sn)).toAggregateExpression(), DoubleType),
+                Cast(Sum(repAttr(cn)).toAggregateExpression(), DoubleType))
+            case ae: AggregateExpression =>
+              val n = v.aggKeyToName(norm(ae).get)
+              val a = repAttr(n)
+              kinds(n) match {
+                case "min" => Min(a).toAggregateExpression()
+                case "max" => Max(a).toAggregateExpression()
+                case "count" => Coalesce(Seq(
+                  Sum(a).toAggregateExpression(),
+                  Literal.create(0L, a.dataType)))
+                case _ => Sum(a).toAggregateExpression()
+              }
+            case other => other.mapChildren(go)
+          }
+          val outs: Seq[Option[NamedExpression]] =
+            agg.aggregateExpressions.map { ne =>
+              val inner = ne match { case Alias(c, _) => c; case e => e }
+              val mapped = go(preInline(inner))
+              val ok = mapped.resolved &&
+                mapped.references.forall(a =>
+                  rep.output.exists(_.exprId == a.exprId)) &&
+                (try mapped.dataType.catalogString ==
+                  inner.dataType.catalogString
+                catch { case scala.util.control.NonFatal(_) => false })
+              if (ok) Some(Alias(mapped, ne.name)()) else None
+            }
+          if (outs.exists(_.isEmpty)) None
+          else Some(Aggregate(
+            kept.toSeq.sorted.map(posRepAttr(_): Expression),
+            outs.flatten, rep))
+        }
+        if (branches.exists(_.isEmpty)) None
+        else {
+          val union = branches.flatten.reduceLeft[LogicalPlan](
+            (l, r) => org.apache.spark.sql.catalyst.plans.logical.Union(l, r))
+          // bind the union's outputs back to the user's attribute ids
+          val bound = union.output.zip(agg.aggregateExpressions).map {
+            case (a, ne) => Alias(a, ne.name)(exprId = ne.exprId)
+          }
+          Some(Project(bound, union))
+        }
+      }
   }
 
   /** Re-express one user output over the merged view's attributes:

@@ -153,11 +153,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"delta scan must push the cutoff\n$p")
-    // the state artifact (original or refreshed — the shared orders view
-    // may have been advanced by q_mv_refresh in this JVM) is a plan leaf
+    // the state artifact is a plan leaf — ANY orders view may serve a
+    // global aggregate (first successful signature wins, all correct):
+    // the custkey rollup (original or refreshed) or the two-key
+    // status/priority view
     val stateLeaf = Seq(
       Option(operators.Incremental.mvStateDir(sfDir)),
-      Option(operators.Incremental.mvRefreshedStateDir(sfDir)))
+      Option(operators.Incremental.mvRefreshedStateDir(sfDir)),
+      Option(operators.Incremental.mvRollupStateDir(sfDir)))
       .flatten.exists(p.contains)
     assert(stateLeaf, s"no MV state leaf in the served global plan\n$p")
     // the re-aggregate stacks above the merge: >= 3 aggregate layers

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** Randomized hardening for the materialized-view rewrite: the rule's
+  * failure mode is a WRONG ANSWER SERVED SILENTLY, so beyond the
+  * shape-by-shape specs the whole surface gets fuzzed — random
+  * combinations of grouping shape (flat / rollup / cube / grouping
+  * subsets / global), aggregate subsets with derived expressions and
+  * random aliases, and optional filters (group-column pull predicates,
+  * non-group filters that must force a bail-out) — asserting ONE
+  * invariant on every draw: the served result equals the rule-off
+  * direct plan, bit for bit. Which view serves (or whether any does) is
+  * deliberately uncontrolled; value equality must hold either way, and
+  * the run asserts the rewrite actually fired on a healthy fraction of
+  * draws so the fuzz exercises serving, not just pass-through.
+  */
+class MvRewriteFuzzSpec extends SparkSpec {
+
+  private val cents =
+    floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+
+  test("randomized aggregate shapes over registered orders views: served " +
+    "values always equal the direct plan; a healthy fraction serves") {
+    Incremental.mvPrepare(spark, sfDir)
+    Incremental.mvRollupPrepare(spark, sfDir)
+    val stateDirs = Seq(
+      Option(Incremental.mvStateDir(sfDir)),
+      Option(Incremental.mvRefreshedStateDir(sfDir)),
+      Option(Incremental.mvRollupStateDir(sfDir))).flatten
+    val rnd = new scala.util.Random(20260815)
+
+    def baseAgg(i: Int): Column = i match {
+      case 0 => count(lit(1))
+      case 1 => sum(cents)
+      case 2 => max(cents)
+      case _ => avg(cents)
+    }
+    def derived(c: Column, i: Int): Column = i match {
+      case 0 => c
+      case 1 => c * lit(2)
+      case _ => c + lit(1)
+    }
+
+    var servedCount = 0
+    for (i <- 0 until 40) {
+      val nAggs = 1 + rnd.nextInt(3)
+      val aggs = (0 until nAggs).map { j =>
+        derived(baseAgg(rnd.nextInt(4)), rnd.nextInt(3)).as(s"a${i}_$j")
+      }
+      val filtered = rnd.nextInt(4) match {
+        case 0 => Tables.orders(spark, sfDir)
+        case 1 => Tables.orders(spark, sfDir)
+          .filter(col("o_orderstatus") === "O") // plain group col (sp view)
+        case 2 => Tables.orders(spark, sfDir)
+          .filter(col("o_custkey") <= 500) // plain group col (custkey view)
+        case _ => Tables.orders(spark, sfDir) // non-group filter: must bail
+          .filter(col("o_totalprice") > 1000.0)
+      }
+      // pin every random draw BEFORE the q definition: q is evaluated
+      // twice (rewrite on / off) and must describe the same query
+      val shape = rnd.nextInt(7)
+      def q: DataFrame = shape match {
+        case 0 => filtered.groupBy(col("o_custkey"))
+          .agg(aggs.head, aggs.tail: _*)
+        case 1 => filtered.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(aggs.head, aggs.tail: _*)
+        case 2 => filtered.rollup(col("o_orderstatus"))
+          .agg(aggs.head, aggs.tail: _*)
+        case 3 => filtered.rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(aggs.head, aggs.tail: _*)
+        case 4 => filtered.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(aggs.head, aggs.tail: _*)
+        case 5 => filtered.agg(aggs.head, aggs.tail: _*)
+        case _ => filtered.groupBy(col("o_orderpriority")) // no view has this
+          .agg(aggs.head, aggs.tail: _*)
+      }
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val (got, plan) = try {
+        val df = q
+        (df.collect().toSet, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+      if (stateDirs.exists(plan.contains)) servedCount += 1
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val want = try q.collect().toSet
+        finally spark.conf.unset("spark.graft.mv.enabled")
+      assert(got == want,
+        s"draw $i diverged (served=${stateDirs.exists(plan.contains)})\n$plan")
+    }
+    assert(servedCount >= 10,
+      s"only $servedCount/40 draws served — the fuzz stopped exercising " +
+        "the rewrite")
+  }
+}

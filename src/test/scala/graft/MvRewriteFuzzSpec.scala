@@ -94,4 +94,72 @@ class MvRewriteFuzzSpec extends SparkSpec {
       s"only $servedCount/40 draws served — the fuzz stopped exercising " +
         "the rewrite")
   }
+
+  test("randomized windowed/hopping/distinct/global shapes over the " +
+    "events views: served values always equal the direct plan") {
+    Incremental.mvWindowPrepare(spark, sfDir)
+    Incremental.mvHoppingPrepare(spark, sfDir)
+    Incremental.mvDistinctPrepare(spark, sfDir)
+    val stateDirs = Seq(
+      Option(Incremental.mvWindowStateDir(sfDir)),
+      Option(Incremental.mvHoppingStateDir(sfDir)),
+      Option(Incremental.mvDistinctStateDir(sfDir))).flatten
+    val rnd = new scala.util.Random(13)
+    val evCents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+
+    var servedCount = 0
+    for (i <- 0 until 30) {
+      val aggPick = rnd.nextInt(3)
+      def aggsFor(distinctShape: Boolean): Seq[Column] =
+        if (distinctShape) Seq(countDistinct(col("user_id")).as(s"d$i"))
+        else aggPick match {
+          case 0 => Seq(count(lit(1)).as(s"c$i"))
+          case 1 => Seq(count(lit(1)).as(s"c$i"), sum(evCents).as(s"s$i"))
+          case _ => Seq((sum(evCents) / lit(100.0)).as(s"v$i"),
+            count(lit(1)).as(s"c$i"))
+        }
+      val filtered = rnd.nextInt(3) match {
+        case 0 => Tables.events(spark, sfDir)
+        case 1 => Tables.events(spark, sfDir)
+          .filter(col("event_type") === "view") // plain group col
+        case _ => Tables.events(spark, sfDir)
+          .filter(col("value") > 50.0) // non-group: must bail, stay equal
+      }
+      val shape = rnd.nextInt(6)
+      def q: DataFrame = shape match {
+        case 0 => filtered // the registered daily panes (struct key kept
+          // in the output — Row equality covers struct values)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(aggsFor(false).head, aggsFor(false).tail: _*)
+        case 1 => filtered // registered hopping panes
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(aggsFor(false).head, aggsFor(false).tail: _*)
+        case 2 => filtered // UNREGISTERED pane size: must bail
+          .groupBy(window(col("ts"), "45 minutes"), col("event_type"))
+          .agg(aggsFor(false).head, aggsFor(false).tail: _*)
+        case 3 => filtered.groupBy(col("event_type"))
+          .agg(aggsFor(true).head) // pair-set distinct view
+        case 4 => filtered.agg(aggsFor(false).head,
+          aggsFor(false).tail: _*) // global over events
+        case _ => filtered.groupBy(col("user_id")) // no view: must bail
+          .agg(aggsFor(false).head, aggsFor(false).tail: _*)
+      }
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val (got, plan) = try {
+        val df = q
+        (df.collect().toSet, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+      if (stateDirs.exists(plan.contains)) servedCount += 1
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val want = try q.collect().toSet
+        finally spark.conf.unset("spark.graft.mv.enabled")
+      assert(got == want,
+        s"draw $i (shape $shape) diverged " +
+          s"(served=${stateDirs.exists(plan.contains)})\n$plan")
+    }
+    assert(servedCount >= 6,
+      s"only $servedCount/30 draws served — the fuzz stopped exercising " +
+        "the events views")
+  }
 }

@@ -41,7 +41,8 @@ case class SelectStmt(
     fromSub: Option[SelectStmt] = None,       // derived table: FROM (SELECT ...)
     orderBy: Seq[(String, Boolean)] = Seq.empty, // (expr, descending)
     limit: Option[Int] = None,
-    emitFinal: Boolean = false)  // EMIT FINAL: only closed windows (append mode)
+    emitFinal: Boolean = false, // EMIT FINAL: only closed windows (append mode)
+    groupingMode: Option[String] = None) // GROUP BY ROLLUP(...)/CUBE(...)
 
 sealed trait Statement
 case class CreateSource(
@@ -99,6 +100,14 @@ case class CreateMaterializedView(name: String,
     ifNotExists: Boolean = false) extends Statement
 case class DropMaterializedView(name: String,
     ifExists: Boolean) extends Statement
+// REFRESH MATERIALIZED VIEW name WITH (STATE_DIR='…', DELTA='<pred>'
+//   [, DELETED='<pred>']) — advance the view's cutoff (and optionally
+// fold upstream retractions) into a FRESH state artifact: the receiving
+// server folds single-writer; replaying servers find the artifact built
+// and re-pin their registration without re-folding (the maintenance
+// half of the MV lifecycle, replicated like the create)
+case class RefreshMaterializedView(name: String,
+    props: Map[String, String]) extends Statement
 // Connector management (ksqlDB's CREATE SOURCE/SINK CONNECTOR — proxied
 // to Kafka Connect by the real server; served by graft's embedded
 // file-connector runtime, see Connectors.scala)

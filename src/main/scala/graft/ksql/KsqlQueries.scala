@@ -263,6 +263,144 @@ object KsqlQueries {
       t
     }
 
+  // ─── REFRESH MATERIALIZED VIEW through the dialect (round 14) ──────
+  // The maintenance half of the MV lifecycle in KSQL text: the CMV
+  // registers at the standard cutoff, then REFRESH folds the delta
+  // (and, in the _delete variant, upstream retractions) into a fresh
+  // artifact and advances the cutoff — single-writer fold, replayers
+  // re-pin. Helpers follow the mvDdlDir idempotence pattern.
+
+  private val mvRefDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvRefLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvRefName(d: String): String =
+    "orders_prio_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val mvRefAggText =
+    """COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+      |  MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS max_cents""".stripMargin
+
+  private[graft] def mvRefPullQuery: String =
+    s"""SELECT o_orderpriority, $mvRefAggText
+       |FROM orders_src GROUP BY o_orderpriority""".stripMargin
+
+  private[graft] def mvRefStatement(d: String, t: String): String =
+    s"""REFRESH MATERIALIZED VIEW ${mvRefName(d)} WITH (
+       |  STATE_DIR='$t/state2',
+       |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''')""".stripMargin
+
+  private[graft] def mvRefreshDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvRefLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvRefDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_ref").toString)
+      if (!graft.plans.MaterializedViews.registered.contains(mvRefName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (c2, _) = Translator.run(s, c1,
+          s"""CREATE MATERIALIZED VIEW ${mvRefName(d)} WITH (
+             |  STATE_DIR='$t/state',
+             |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+             |SELECT o_orderpriority, $mvRefAggText
+             |FROM orders_src GROUP BY o_orderpriority""".stripMargin)
+        // the refresh replays idempotently too: a populated STATE_DIR2
+        // with a matching signature re-pins without re-folding
+        Translator.run(s, c2, mvRefStatement(d, t))
+      } else if (!graft.plans.MaterializedViews.view(mvRefName(d))
+        .exists(_.stateDir == s"$t/state2")) {
+        // registered (an earlier CMV replay) but not yet refreshed —
+        // e.g. a spec cleared the registry after the first full run
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        Translator.run(s, c1, mvRefStatement(d, t))
+      }
+      t
+    }
+
+  private val mvRefDelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvRefDelLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvRefDelName(d: String): String =
+    "orders_cmod5_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def mvRefDelPullQuery: String =
+    s"""SELECT o_custkey % 500 AS cmod5, $mvRefAggText
+       |FROM orders_src GROUP BY cmod5""".stripMargin
+
+  private[graft] def mvRefDelStatement(d: String, t: String): String =
+    s"""REFRESH MATERIALIZED VIEW ${mvRefDelName(d)} WITH (
+       |  STATE_DIR='$t/state2',
+       |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''',
+       |  DELETED='o_orderkey % 97 = 0 AND
+       |    o_orderdate < TIMESTAMP_NTZ ''2001-06-01''')""".stripMargin
+
+  private[graft] def mvRefreshDelDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvRefDelLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvRefDelDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_refdel").toString)
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvRefDelName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (c2, _) = Translator.run(s, c1,
+          s"""CREATE MATERIALIZED VIEW ${mvRefDelName(d)} WITH (
+             |  STATE_DIR='$t/state',
+             |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+             |SELECT o_custkey % 500 AS cmod5, $mvRefAggText
+             |FROM orders_src GROUP BY cmod5""".stripMargin)
+        Translator.run(s, c2, mvRefDelStatement(d, t))
+      } else if (!graft.plans.MaterializedViews.view(mvRefDelName(d))
+        .exists(_.stateDir == s"$t/state2")) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        Translator.run(s, c1, mvRefDelStatement(d, t))
+      }
+      t
+    }
+
+  // ─── dialect ROLLUP/CUBE, served from a per-key view (round 14) ────
+  private val mvRollupDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvRollupLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvDdlRollupName(d: String): String =
+    "orders_sp_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def mvDdlRollupQuery: String =
+    s"""SELECT o_orderstatus, o_orderpriority, $mvRefAggText
+       |FROM orders_src
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** The per-key (status, priority) view in KSQL text — the dialect's
+    * ROLLUP pull query over the same keys serves every grouping set
+    * from it through the grouping-sets rewrite. */
+  private[graft] def mvDdlRollupDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvRollupLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvRollupDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_rollup").toString)
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvDdlRollupName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        Translator.run(s, c1,
+          s"""CREATE MATERIALIZED VIEW ${mvDdlRollupName(d)} WITH (
+             |  STATE_DIR='$t/state',
+             |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+             |SELECT o_orderstatus, o_orderpriority, $mvRefAggText
+             |FROM orders_src
+             |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+      }
+      t
+    }
+
   /** Bench prepare hooks: write-phase artifacts, each separately timed. */
   def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     Map(
@@ -272,6 +410,9 @@ object KsqlQueries {
       "q_avro_registry" -> ((s, d) => { avroRegistryDir(s, d); () }),
       "q_mv_ddl" -> ((s, d) => { mvDdlDir(s, d); () }),
       "q_mv_ddl_window" -> ((s, d) => { mvDdlWindowDir(s, d); () }),
+      "q_mv_ddl_refresh" -> ((s, d) => { mvRefreshDir(s, d); () }),
+      "q_mv_ddl_refresh_delete" -> ((s, d) => { mvRefreshDelDir(s, d); () }),
+      "q_ksql_rollup_mv" -> ((s, d) => { mvDdlRollupDir(s, d); () }),
       "q_ksql_csas_partitioned" -> ((s, d) => { csasPartitionedDir(s, d); () }))
 
   val ctasWindowed: String =
@@ -608,6 +749,101 @@ object KsqlQueries {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
+
+    // REFRESH MATERIALIZED VIEW through the dialect (round 14 — the
+    // round-13 verdict's top item): the CMV registers the priority
+    // rollup at the 2001-01-01 cutoff, REFRESH folds five months of
+    // delta into a fresh artifact (single-writer) and advances the
+    // cutoff to 2001-06-01 — all in KSQL text, replicated through the
+    // command log as an `#mv:name#refresh` binding. The pull query is
+    // the PLAIN rollup; the oracle is the full recompute, so the gate
+    // proves the refreshed view is indistinguishable from the rescan.
+    // KsqlSpec pins the ADVANCED cutoff in the served plan.
+    "q_mv_ddl_refresh" -> Q(
+      (s, d) => {
+        mvRefreshDir(s, d)
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (_, Some(df)) = Translator.run(s, c1, mvRefPullQuery): @unchecked
+        df
+      },
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // REFRESH … WITH (DELETED='…') — the CDC retraction folded through
+    // the dialect: counts/sums subtract exactly, only argmax-touched
+    // groups rescan for MAX, and the refreshed view's contract becomes
+    // agg(base WHERE NOT deleted). The pull query is the plain rollup;
+    // the oracle recomputes over the surviving rows.
+    "q_mv_ddl_refresh_delete" -> Q(
+      (s, d) => {
+        mvRefreshDelDir(s, d)
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (_, Some(df)) =
+          Translator.run(s, c1, mvRefDelPullQuery): @unchecked
+        df
+      },
+      """SELECT o_custkey % 500 AS cmod5, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0
+        |           AND o_orderdate < TIMESTAMP '2001-06-01')
+        |GROUP BY 1""".stripMargin),
+
+    // GROUP BY ROLLUP through the dialect, UNSERVED (no view over
+    // customer): the parser's grouping-mode flag plans Spark's rollup —
+    // an Aggregate over an Expand — and the oracle is DuckDB's own
+    // GROUP BY ROLLUP, so subtotal/grand-total NULL semantics match
+    // engine-for-engine.
+    "q_ksql_rollup" -> Q(
+      (s, d) => {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM cust WITH (PATH='$d/customer.parquet')")
+        val (_, Some(df)) = Translator.run(s, c1,
+          """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+            |  SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            |    AS bal_cents
+            |FROM cust
+            |GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin)
+          : @unchecked
+        df
+      },
+      """SELECT c_mktsegment, c_nationkey, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS bal_cents
+        |FROM customer
+        |GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin),
+
+    // GROUP BY ROLLUP through the dialect, SERVED from a per-key view
+    // created in KSQL text: the grouping-sets rewrite recognizes the
+    // Expand-shaped aggregate against the (status, priority) view and
+    // serves every set — subtotals, grand total — as re-aggregations of
+    // merge(state ∪ delta); history is never rescanned (KsqlSpec pins
+    // the state leaf in the plan). The oracle is DuckDB's full ROLLUP.
+    "q_ksql_rollup_mv" -> Q(
+      (s, d) => {
+        mvDdlRollupDir(s, d)
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (_, Some(df)) =
+          Translator.run(s, c1, mvDdlRollupQuery): @unchecked
+        df
+      },
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
 
     "q_ksql_script" -> Q(
       (s, d) => {

@@ -239,6 +239,23 @@ object Parser {
         if (interval < 1) p.fail("INTERVAL must be >= 1")
         val limit = if (p.accept("LIMIT")) limitOperand(p) else 10
         PrintRows(name, limit, interval, fromBeginning)
+      } else if (p.accept("REFRESH")) {
+        // REFRESH MATERIALIZED VIEW name
+        //   WITH (STATE_DIR='…', DELTA='<pred>' [, DELETED='<pred>'])
+        p.expect("MATERIALIZED"); p.expect("VIEW")
+        val name = p.next().text
+        val props = Map.newBuilder[String, String]
+        if (p.accept("WITH")) {
+          p.expect("(")
+          while (!p.accept(")")) {
+            if (p.done) p.fail("expected ) closing WITH properties")
+            val k = p.next().up
+            p.expect("=")
+            props += (k -> p.next().text)
+            p.accept(",")
+          }
+        }
+        RefreshMaterializedView(name, props.result())
       } else if (p.accept("SHOW") || p.accept("LIST")) {
         // LIST is KSQL's synonym for SHOW
         if (p.accept("TABLES")) ShowSources(tables = true)
@@ -547,11 +564,26 @@ object Parser {
         Session(d, g, r)
       }
     } else None
+    // GROUP BY ROLLUP(a, b) / CUBE(a, b) — hierarchical / full grouping
+    // sets, parsed as a mode flag over the plain key list (the
+    // translator plans them through Spark's rollup/cube, and a
+    // registered per-key materialized view serves the resulting
+    // Expand-shaped aggregate via the grouping-sets rewrite)
+    var groupingMode: Option[String] = None
     val groupBy = if (p.accept("GROUP")) {
       p.expect("BY")
+      if (p.accept("ROLLUP")) groupingMode = Some("rollup")
+      else if (p.accept("CUBE")) groupingMode = Some("cube")
       val gs = Seq.newBuilder[String]
-      var m = true
-      while (m) { gs += exprUntilCol(p); m = p.accept(",") }
+      if (groupingMode.isDefined) {
+        p.expect("(")
+        var m = true
+        while (m) { gs += exprUntilCol(p); m = p.accept(",") }
+        p.expect(")")
+      } else {
+        var m = true
+        while (m) { gs += exprUntilCol(p); m = p.accept(",") }
+      }
       gs.result()
     } else Seq.empty
     val having = if (p.accept("HAVING")) Some(exprUntil(p, selectStops - ",")) else None
@@ -579,7 +611,8 @@ object Parser {
     val limit = limit0.orElse(
       if (p.accept("LIMIT")) Some(limitOperand(p)) else None)
     SelectStmt(cols.result(), from, fromAlias, joins.result(), where, window,
-      groupBy, having, partitionBy, emit, fromSub, orderBy, limit, emitFinal)
+      groupBy, having, partitionBy, emit, fromSub, orderBy, limit, emitFinal,
+      groupingMode)
   }
 
   // column-level expressions additionally stop at AS (aliases); CAST(x AS

@@ -112,8 +112,8 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     new java.util.concurrent.atomic.AtomicLong
 
   private def recordBindings(before: Translator.Catalog,
-      after: Translator.Catalog, mvBefore: Set[String],
-      mvAfter: Set[String], stmt: String): Unit =
+      after: Translator.Catalog, mvBefore: Map[String, String],
+      mvAfter: Map[String, String], stmt: String): Unit =
     if (after != before || mvAfter != mvBefore) {
       bindingSeq += 1
       // Sources are reference-identical when untouched, so this finds
@@ -130,10 +130,24 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       (before.keySet -- after.keySet).foreach(recordDrop)
       // materialized-view DDL mutates the JVM-global MV registry, not
       // the catalog map — tracked under a reserved key space so CREATE
-      // MATERIALIZED VIEW replicates (and compacts) like any binding
-      (mvAfter -- mvBefore).foreach(n =>
+      // MATERIALIZED VIEW replicates (and compacts) like any binding.
+      // A REFRESH (same name, new state dir) binds a SEPARATE
+      // `#mv:name#refresh` key: compaction then keeps the CREATE (which
+      // a fresh joiner must replay first) AND the latest refresh (whose
+      // replay re-pins against the newest artifact) — keeping only the
+      // refresh under the create's key would replay REFRESH without
+      // CREATE and lose the view.
+      (mvAfter.keySet -- mvBefore.keySet).foreach(n =>
         bindings += s"#mv:$n" -> (bindingSeq, stmt))
-      (mvBefore -- mvAfter).foreach(n => recordDrop(s"#mv:$n"))
+      (mvBefore.keySet -- mvAfter.keySet).foreach { n =>
+        recordDrop(s"#mv:$n")
+        if (bindings.contains(s"#mv:$n#refresh"))
+          recordDrop(s"#mv:$n#refresh")
+      }
+      mvAfter.foreach { case (n, dir) =>
+        if (mvBefore.get(n).exists(_ != dir))
+          bindings += s"#mv:$n#refresh" -> (bindingSeq, stmt)
+      }
     }
 
   /** Replay one statement; Left(error) on failure (caller decides
@@ -141,11 +155,11 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
   private def replayEither(stmt: String): Either[String, Unit] =
     try {
       val before = catalog
-      val mvBefore = graft.plans.MaterializedViews.registered
+      val mvBefore = graft.plans.MaterializedViews.registeredState
       val (cat2, _) = Translator.run(spark, catalog, stmt)
       catalog = cat2
       recordBindings(before, cat2, mvBefore,
-        graft.plans.MaterializedViews.registered, stmt)
+        graft.plans.MaterializedViews.registeredState, stmt)
       replayedStatements.incrementAndGet()
       Right(())
     } catch {
@@ -194,7 +208,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
       var res: Option[DataFrame] = None
       var appended = false
       appliedOffset = l.transact(appliedOffset, replayStmt) { () =>
-        val mvBefore = graft.plans.MaterializedViews.registered
+        val mvBefore = graft.plans.MaterializedViews.registeredState
         val (cat2, r) = Translator.run(spark, catalog, stmt)
         // Map equality with reference-equal Sources: true exactly when a
         // name was bound, rebound, or dropped — the command-topic class.
@@ -204,7 +218,7 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         // only). Pull SELECTs, SHOW/DESCRIBE, INSERT VALUES stay
         // unlogged (data and introspection, not cluster DDL — the real
         // command topic draws the same line).
-        val mvAfter = graft.plans.MaterializedViews.registered
+        val mvAfter = graft.plans.MaterializedViews.registeredState
         val changed = cat2 != catalog || mvAfter != mvBefore
         recordBindings(catalog, cat2, mvBefore, mvAfter, stmt)
         catalog = cat2
@@ -254,14 +268,35 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
         // binding several names. Unneeded pairs are pruned for good
         // (seqs are monotonic — no future binding can land inside a
         // past interval).
-        def mentions(stmt: String, name: String): Boolean =
-          ("(?i)\\b" + java.util.regex.Pattern.quote(
-            name.stripPrefix("#mv:")) + "\\b").r
+        def mentions(stmt: String, name: String): Boolean = {
+          // reserved-key forms carry suffixes (`#mv:v`, `#mv:v#refresh`)
+          // but statements mention the bare VIEW name — strip to it
+          val bare = name.stripPrefix("#mv:").takeWhile(_ != '#')
+          ("(?i)\\b" + java.util.regex.Pattern.quote(bare) + "\\b").r
             .findFirstIn(stmt).isDefined
-        val retained = droppedPairs.filter { case (n, cSeq, dSeq, _, _) =>
-          bindings.values.exists { case (bSeq, bStmt) =>
-            cSeq < bSeq && bSeq < dSeq && mentions(bStmt, n)
+        }
+        // retention runs to a FIXPOINT: a retained pair's own create
+        // statement is a dependent too. In the chain CREATE A; CREATE B
+        // FROM A; DROP A; CREATE C FROM B; DROP B, pair B is retained
+        // because surviving C mentions it — and that makes B's create
+        // (`CREATE B … FROM A`, which sits inside A's lifetime) a
+        // surviving statement, so pair A must be retained for it to
+        // replay. One-pass retention would prune A and a
+        // snapshot-bootstrapped joiner would silently lose B and C.
+        var deps: Seq[(Long, String)] = bindings.values.toSeq
+        var retained = Vector.empty[(String, Long, Long, String, String)]
+        var remaining = droppedPairs
+        var grew = true
+        while (grew) {
+          val (hit, miss) = remaining.partition { case (n, cSeq, dSeq, _, _) =>
+            deps.exists { case (bSeq, bStmt) =>
+              cSeq < bSeq && bSeq < dSeq && mentions(bStmt, n)
+            }
           }
+          grew = hit.nonEmpty
+          retained ++= hit
+          deps ++= hit.map { case (_, cSeq, _, cStmt, _) => (cSeq, cStmt) }
+          remaining = miss
         }
         droppedPairs = retained
         val stmts = (bindings.values.toSeq ++

@@ -1066,7 +1066,21 @@ object Translator {
           val c = expr(rewriteExpr(e))
           alias.fold(c)(c.as)
         }
-        val grouped = df.groupBy(keys: _*)
+        // GROUP BY ROLLUP/CUBE: plan through Spark's grouping-sets
+        // surface (an Aggregate over an Expand carrying the grouping
+        // id) — when a per-key materialized view covers the keys, the
+        // MV rewrite serves every grouping set from merge(state ∪ Δ)
+        val grouped = s.groupingMode match {
+          case Some(mode) =>
+            if (s.window.isDefined) throw new IllegalArgumentException(
+              "ROLLUP/CUBE does not compose with WINDOW — a pane is " +
+                "already a grouping dimension; roll up post-aggregation")
+            if (df.isStreaming) throw new IllegalArgumentException(
+              "ROLLUP/CUBE is a batch (pull) construct — a streaming " +
+                "grouping-set state would multiply every update")
+            if (mode == "rollup") df.rollup(keys: _*) else df.cube(keys: _*)
+          case None => df.groupBy(keys: _*)
+        }
         val out =
           if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
           else grouped.count()
@@ -1708,11 +1722,13 @@ object Translator {
           val deltaText = need("DELTA")
           if (sel.joins.nonEmpty || sel.having.isDefined ||
             sel.orderBy.nonEmpty || sel.limit.isDefined ||
-            sel.fromSub.isDefined)
+            sel.fromSub.isDefined || sel.groupingMode.isDefined)
             throw new IllegalArgumentException(
               "CREATE MATERIALIZED VIEW supports a plain " +
                 "SELECT … FROM src [WHERE …] [WINDOW TUMBLING|HOPPING …] " +
-                "GROUP BY … definition (joined views stay programmatic)")
+                "GROUP BY … definition (joined views stay programmatic; " +
+                "a ROLLUP/CUBE view is redundant — register the per-key " +
+                "view and the grouping-sets rewrite serves every set)")
           sel.window.foreach {
             case _: Session => throw new IllegalArgumentException(
               "SESSION windows are not servable from per-row state (a " +
@@ -1765,15 +1781,51 @@ object Translator {
           if (aggs.isEmpty) throw new IllegalArgumentException(
             "CREATE MATERIALIZED VIEW needs at least one aggregate column")
           val deltaPred = expr(rewriteExpr(deltaText))
+          // VALIDATE BEFORE WRITING (round-13 ADVICE): every register-
+          // side guard — definition shape, unsupported aggregates, the
+          // non-group-conjunct recursion guard, the NULL-coverage
+          // probe — runs FIRST, so a rejected DELTA can never leave an
+          // artifact built under its complement in STATE_DIR for a
+          // corrected re-issue to silently register against.
+          graft.plans.MaterializedViews.validate(spark, mvName,
+            base = _ => base, stateDir = stateDir, deltaPred = deltaPred,
+            groupCols = keys, aggCols = aggs)
+          // the defining signature persists NEXT TO the artifact and is
+          // verified on the registration-from-existing-artifact path:
+          // the contract state ⊎ delta = base only holds when the
+          // artifact was built under THIS definition's complement — a
+          // dir reused with a different WHERE/keys/aggs/DELTA would
+          // otherwise serve silently wrong answers
+          val signature = Seq(
+            "src=" + sel.from.toLowerCase,
+            "where=" + sel.where.map(rewriteExpr).getOrElse(""),
+            "keys=" + keys.map(_.toString).mkString("|"),
+            "aggs=" + aggs.map(_.toString).mkString("|"),
+            "delta=" + rewriteExpr(deltaText)).mkString("\n")
           // single-writer state build: only when the dir holds no data
           val dirFile = new java.io.File(stateDir.stripPrefix("file:"))
+          val sigFile = new java.io.File(dirFile, "_graft_mv.signature")
           val hasData = Option(dirFile.listFiles()).toSeq.flatten
             .exists(f => f.getName.startsWith("part-"))
-          if (!hasData)
+          if (hasData) {
+            val onDisk = if (sigFile.exists())
+              new String(java.nio.file.Files.readAllBytes(sigFile.toPath),
+                java.nio.charset.StandardCharsets.UTF_8)
+            else ""
+            if (onDisk != signature) throw new IllegalArgumentException(
+              s"CREATE MATERIALIZED VIEW $mvName: STATE_DIR '$stateDir' " +
+                "holds an artifact built under a DIFFERENT definition " +
+                "(or none recorded) — serving from it would violate " +
+                "state ⊎ delta = base; point STATE_DIR at a fresh " +
+                "directory or re-issue the original definition")
+          } else {
             base.filter(!deltaPred)
               .groupBy(keys: _*)
               .agg(aggs.head, aggs.tail: _*)
               .write.mode("overwrite").parquet(stateDir)
+            java.nio.file.Files.write(sigFile.toPath, signature.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
           // the base factory captures the session-bound frame: the
           // dialect runs embedded (one session per server), and a
           // replaying server re-executes this statement on ITS session
@@ -1788,6 +1840,67 @@ object Translator {
         val had = graft.plans.MaterializedViews.drop(name.toLowerCase)
         if (!had && !ifExists) throw new IllegalArgumentException(
           s"unknown materialized view $name")
+        (catalog, None)
+
+      case RefreshMaterializedView(name, props) =>
+        // the maintenance half of the MV lifecycle (the create is
+        // CreateMaterializedView above): fold the rows that LEAVE the
+        // delta — plus, with DELETED, upstream retractions — into a
+        // FRESH artifact at the new STATE_DIR and advance the cutoff.
+        // SINGLE-WRITER like the create's state build: the server that
+        // receives the statement folds; a replaying server (command-log
+        // late joiner, restart) finds the artifact already built and
+        // re-pins its registration — registration only, never a second
+        // fold. The statement replicates through the command log as an
+        // `#mv:name#refresh` binding, so every server serves the new
+        // artifact (the round-13 lifecycle asymmetry, closed).
+        val mvName = name.toLowerCase
+        def needR(k: String): String = props.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"REFRESH MATERIALIZED VIEW needs WITH ($k='…')"))
+        val newDir = needR("STATE_DIR")
+        val deltaText = needR("DELTA")
+        if (!graft.plans.MaterializedViews.registered.contains(mvName))
+          throw new IllegalArgumentException(
+            s"unknown materialized view $name")
+        val newPred = expr(rewriteExpr(deltaText))
+        val deletedText = props.get("DELETED")
+        // the refresh contract baked next to the artifact: a replaying
+        // server re-pins ONLY against an artifact the exact same
+        // statement built — a dir reused under a different DELTA/DELETED
+        // would swap in a cutoff the artifact doesn't cover
+        val signature = Seq(
+          "view=" + mvName,
+          "delta=" + rewriteExpr(deltaText),
+          "deleted=" + deletedText.map(rewriteExpr).getOrElse(""))
+          .mkString("\n")
+        val dirFile = new java.io.File(newDir.stripPrefix("file:"))
+        val sigFile = new java.io.File(dirFile, "_graft_mv.signature")
+        val hasData = Option(dirFile.listFiles()).toSeq.flatten
+          .exists(f => f.getName.startsWith("part-"))
+        if (hasData) {
+          val onDisk = if (sigFile.exists())
+            new String(java.nio.file.Files.readAllBytes(sigFile.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+          else ""
+          if (onDisk != signature) throw new IllegalArgumentException(
+            s"REFRESH MATERIALIZED VIEW $mvName: STATE_DIR '$newDir' " +
+              "holds an artifact a DIFFERENT refresh built (or none " +
+              "recorded) — re-pinning against it would serve a cutoff " +
+              "the artifact doesn't cover; use a fresh directory")
+          graft.plans.MaterializedViews.repin(mvName, newDir, newPred)
+        } else {
+          deletedText match {
+            case Some(dt) =>
+              graft.plans.MaterializedViews.refreshWithDeletes(spark,
+                mvName, newPred, expr(rewriteExpr(dt)), newDir)
+            case None =>
+              graft.plans.MaterializedViews.refresh(spark, mvName,
+                newPred, newDir)
+          }
+          java.nio.file.Files.write(sigFile.toPath, signature.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
         (catalog, None)
     }
   }

@@ -626,6 +626,59 @@ object Incremental {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
 
+    // JOIN-VIEW materialized serving — the dashboard rollup over a
+    // fact ⋈ dim join (revenue by nation), served without rescanning
+    // fact history: the view registers over the JOINED base (orders ⋈
+    // customer on custkey), the rule's unwrap crosses the inner
+    // equi-join (its condition becomes a structural shape key — two
+    // views over the same path pair with different join conditions can
+    // never cross-match), and serving is merge(state ∪ partial(Δorders
+    // ⋈ customer)) — the delta branch's orders scan carries the pushed
+    // date cutoff and the dim side broadcasts (Calcite/BigQuery-class
+    // multi-table MV substitution, expressed through the same rule).
+    // The user writes the PLAIN join-rollup; the oracle recomputes it.
+    "q_mv_join" -> Q(
+      (s, d) => {
+        Incremental.mvJoinPrepare(s, d)
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_cents"),
+            max(cents(col("o_totalprice"))).as("max_cents"))
+      },
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+        |  max(${centsSql("o_totalprice")}) AS max_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin),
+
+    // COUNT(DISTINCT) retraction — the multiplicity-carrying pair-set
+    // (round-13 verdict item 3): the state stores (group, value, count)
+    // instead of the bare pair, so upstream CDC deletes subtract
+    // EXACTLY — one union of state, moved(+1), deletes(−1) summed in a
+    // single pair-key shuffle, pairs reaching zero leave the view, no
+    // join and no repair pass (a pair set has no extremum to rescan
+    // for). 2× pair-state cost, opt-in at registration
+    // (countedPairs=true). The user writes the plain countDistinct
+    // rollup; the oracle recomputes over the surviving rows, so the
+    // gate proves subtract ≡ rescan-minus-deleted — including pairs
+    // whose LAST event was deleted (the emptied regime).
+    "q_mv_distinct_delete" -> Q(
+      (s, d) => {
+        Incremental.mvDistinctDeletePrepare(s, d)
+        Tables.events(s, d)
+          .groupBy(col("event_type"), (col("user_id") % 2).as("upar"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      """SELECT event_type, user_id % 2 AS upar,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE NOT ((user_id % 7 = 0 OR event_id % 89 = 0)
+        |           AND ts < TIMESTAMP '2024-01-28')
+        |GROUP BY 1, 2""".stripMargin),
+
     // MV refresh under DELETES — the CDC retraction inside the refresh
     // fold: upstream retracted a deterministic row set (o_orderkey ≡ 0
     // mod 97, dated before the new cutoff), and refreshWithDeletes folds
@@ -695,6 +748,8 @@ object Incremental {
     "q_mv_avg" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_global" -> ((s, d) => mvPrepare(s, d)),
     "q_mv_distinct" -> ((s, d) => mvDistinctPrepare(s, d)),
+    "q_mv_distinct_delete" -> ((s, d) => mvDistinctDeletePrepare(s, d)),
+    "q_mv_join" -> ((s, d) => mvJoinPrepare(s, d)),
     "q_mv_rollup" -> ((s, d) => mvRollupPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
     "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
@@ -913,12 +968,13 @@ object Incremental {
       base: SparkSession => org.apache.spark.sql.DataFrame,
       deltaPred: org.apache.spark.sql.Column,
       groupCols: Seq[org.apache.spark.sql.Column],
-      aggCols: Seq[org.apache.spark.sql.Column]): Unit =
+      aggCols: Seq[org.apache.spark.sql.Column],
+      countedPairs: Boolean = false): Unit =
     if (!graft.plans.MaterializedViews.view(name)
       .exists(_.stateDir == finalDir)) {
       graft.plans.MaterializedViews.drop(name)
       graft.plans.MaterializedViews.register(s, name, base, finalDir,
-        deltaPred, groupCols, aggCols)
+        deltaPred, groupCols, aggCols, countedPairs)
       graft.plans.MaterializedViews.install(s)
     }
 
@@ -991,6 +1047,105 @@ object Incremental {
       groupCols = Seq(col("event_type")),
       aggCols = Seq(countDistinct(col("user_id")).as("n_users")))
     graft.plans.MaterializedViews.install(s)
+  }
+
+  /** The JOIN-VIEW definition (q_mv_join): the orders ⋈ customer
+    * rollup by c_nationkey. The base factory captures the WHOLE join —
+    * registration, the state build, the serving delta branch, and
+    * refresh all run over it unchanged, and the rule's unwrap crosses
+    * the inner equi-join on both the definition and the user plan (the
+    * join condition is part of the matched shape). The dim is re-read
+    * fresh at serving time; a dim-side change is a staleness event the
+    * caller answers with refresh, exactly like a fact-side base change
+    * (the write-once artifact discipline). */
+  private def mvJoinAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_orders"),
+    sum(cents(col("o_totalprice"))).as("sum_cents"),
+    max(cents(col("o_totalprice"))).as("max_cents"))
+  private def mvJoinBase(sp: SparkSession, d: String): DataFrame =
+    Tables.orders(sp, d).join(Tables.customer(sp, d),
+      col("o_custkey") === col("c_custkey"))
+
+  private[graft] def mvJoinStateDir(d: String): String =
+    stateDirs.get(s"mv_join_$d")
+
+  private[graft] def mvJoinPrepare(s: SparkSession, d: String): Unit = {
+    val dateType =
+      Tables.orders(s, d).schema("o_orderdate").dataType.catalogString
+    val cutoff = lit(Cutoff).cast(dateType)
+    materialize(s"mv_join_$d") { dir =>
+      mvJoinBase(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .groupBy(col("c_nationkey"))
+        .agg(mvJoinAggs.head, mvJoinAggs.tail: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"orders_cust_$d",
+      base = sp => mvJoinBase(sp, d),
+      stateDir = mvJoinStateDir(d),
+      deltaPred = col("o_orderdate") >= cutoff,
+      groupCols = Seq(col("c_nationkey")),
+      aggCols = mvJoinAggs)
+    graft.plans.MaterializedViews.install(s)
+  }
+
+  /** The counted-pair retraction view (q_mv_distinct_delete): distinct
+    * users per (event_type, user_id%2) with PER-PAIR multIplicity state
+    * — registered countedPairs so refreshWithDeletes subtracts exactly
+    * and emptied pairs leave. The two-key signature is disjoint from
+    * events_distinct's single-key one: the two views' contracts diverge
+    * after the retraction, so they must never match the same query. */
+  private def mvDistDelGroup: Seq[org.apache.spark.sql.Column] =
+    Seq(col("event_type"), (col("user_id") % 2).as("upar"))
+
+  private[graft] def mvDistDelStateDir(d: String): String =
+    stateDirs.get(s"mv_dd_$d")
+  private[graft] def mvDistDelRefreshedDir(d: String): String =
+    stateDirs.get(s"mv_dd_r_$d")
+  /** Emptied-pair count from the retraction refresh (spec hook). */
+  private[graft] val mvDistDelEmptied =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The distinct-retraction cutoff: three days past EventCutoff, so
+    * the refresh exercises all three regions (state subtraction, moved
+    * fold, surviving delta). */
+  private val DistDelCutoff = "2024-01-28"
+
+  private[graft] def mvDistinctDeletePrepare(s: SparkSession,
+      d: String): Unit = {
+    materialize(s"mv_dd_$d") { dir =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit(EventCutoff).cast("timestamp"))
+        .groupBy(mvDistDelGroup :+ col("user_id").as("__dv"): _*)
+        .agg(count(lit(1)).as("__dn"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.plans.MaterializedViews.register(s, s"events_dd_$d",
+      base = sp => Tables.events(sp, d),
+      stateDir = mvDistDelStateDir(d),
+      deltaPred = col("ts") >= lit(EventCutoff).cast("timestamp"),
+      groupCols = mvDistDelGroup,
+      aggCols = Seq(countDistinct(col("user_id")).as("n_users")),
+      countedPairs = true)
+    graft.plans.MaterializedViews.install(s)
+    val newCutoff = lit(DistDelCutoff).cast("timestamp")
+    materialize(s"mv_dd_r_$d") { dir =>
+      // the delete set exercises BOTH regimes: user%7 wipes whole users
+      // (their pre-cutoff pairs empty and leave the state), event%89
+      // reduces other pairs' counts without emptying them
+      val emptied = graft.plans.MaterializedViews.refreshWithDeletes(s,
+        s"events_dd_$d",
+        newDeltaPred = col("ts") >= newCutoff,
+        deletePred = (col("user_id") % 7 === 0 ||
+          col("event_id") % 89 === 0) && col("ts") < newCutoff,
+        newStateDir = dir)
+      mvDistDelEmptied.put(d, emptied)
+    }
+    repinView(s, s"events_dd_$d", mvDistDelRefreshedDir(d),
+      sp => Tables.events(sp, d),
+      col("ts") >= newCutoff, mvDistDelGroup,
+      Seq(countDistinct(col("user_id")).as("n_users")),
+      countedPairs = true)
   }
 
   /** The retraction-view definition: orders rolled up by the cust_mod

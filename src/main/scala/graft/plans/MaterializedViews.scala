@@ -6,9 +6,10 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, sum, when}
@@ -77,7 +78,13 @@ object MaterializedViews {
     * `distinctOf` marks a PAIR-SET view (COUNT(DISTINCT x)): the state
     * holds distinct (group, x) pairs — the information-theoretic minimum
     * for an exact distinct count — and serving re-counts
-    * distinct(state ∪ distinct(Δ-pairs)) instead of merging partials. */
+    * distinct(state ∪ distinct(Δ-pairs)) instead of merging partials.
+    * `pairCounts` (opt-in at registration) upgrades the pair set to a
+    * MULTIPLICITY-CARRYING one — (group, x, __dn count) — at 2× state
+    * cost: counts subtract exactly under retraction, and a pair whose
+    * count reaches zero leaves the view, so COUNT(DISTINCT) views
+    * survive CDC deletes (refreshWithDeletes). Serving just drops the
+    * count column — the pair set itself is unchanged. */
   final case class MvView(
       name: String,
       basePaths: Set[String],
@@ -93,7 +100,8 @@ object MaterializedViews {
       aggCols: Seq[Column],
       aggKeyToName: Map[String, String],
       mergeAgg: Seq[(String, String)],
-      distinctOf: Option[Column] = None) {
+      distinctOf: Option[Column] = None,
+      pairCounts: Boolean = false) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 
@@ -108,6 +116,13 @@ object MaterializedViews {
 
   def isEmpty: Boolean = views.isEmpty
   def registered: Set[String] = views.keySet.toSet
+  /** name → current state dir: the replication-visible registration
+    * state. A REFRESH swaps the artifact without changing the name set,
+    * so command-topic change detection compares THIS map — set equality
+    * would silently leave a refresh unlogged and other servers serving
+    * the old cutoff. */
+  def registeredState: Map[String, String] =
+    views.readOnlySnapshot().map { case (k, v) => k -> v.stateDir }.toMap
   private[graft] def view(name: String): Option[MvView] = views.get(name)
 
   /** Catalog listing (the dialect's SHOW MATERIALIZED VIEWS): one row
@@ -235,6 +250,45 @@ object MaterializedViews {
           val c = f(fl.condition)
           (ps, f, Some(prev.map(And(_, c)).getOrElse(c)), shape)
         }
+      // JOIN-VIEW matching (round 14): a view may be defined over an
+      // INNER equi-join (the fact ⋈ dim rollup — revenue by nation).
+      // The join is crossed like an Expand: paths union, inliners
+      // compose (the two sides' exprIds are disjoint), side filters AND
+      // into the condition, and the JOIN CONDITION ITSELF becomes a
+      // structural shape key — two views over the same path pair with
+      // different join conditions must never cross-match. Restricted to
+      // conjunctions of two-sided attribute equalities: a one-sided or
+      // non-equi conjunct is exactly what PushDownPredicates splits out
+      // of the Join node, so the analyzed definition and the optimized
+      // user plan would disagree on the shape — such joins simply never
+      // unwrap (the query stays correct, just unserved). Outer joins
+      // refuse here too: their null-extension makes partial(Δfact ⋈ dim)
+      // unsound (an unmatched state-side row's group can gain a match
+      // from the delta).
+      case j: Join if j.joinType == Inner && j.condition.isDefined &&
+          j.condition.get.deterministic &&
+          conjuncts(j.condition.get).forall {
+            case EqualTo(l, r) =>
+              (l.references.subsetOf(j.left.outputSet) &&
+                r.references.subsetOf(j.right.outputSet) &&
+                l.references.nonEmpty && r.references.nonEmpty) ||
+              (l.references.subsetOf(j.right.outputSet) &&
+                r.references.subsetOf(j.left.outputSet) &&
+                l.references.nonEmpty && r.references.nonEmpty)
+            case _ => false
+          } =>
+        for {
+          lu <- unwrap(j.left)
+          ru <- unwrap(j.right)
+          (lp, lf, lc, ls) = lu
+          (rp, rf, rc, rs) = ru
+          if ls.isEmpty && rs.isEmpty && lp.intersect(rp).isEmpty
+          ck <- norm(rf(lf(j.condition.get)))
+        } yield {
+          val f: Expression => Expression = e => rf(lf(e))
+          val cond = Seq(lc, rc).flatten.reduceOption(And)
+          (lp ++ rp, f, cond, Seq(s"join($ck)"))
+        }
       case ex: Expand if ex.projections.forall(_.forall(_.deterministic)) =>
         unwrap(ex.child).flatMap { case (ps, f, cond, shape) =>
           val rowKeys = ex.projections.map { row =>
@@ -280,8 +334,33 @@ object MaterializedViews {
   def register(spark: SparkSession, name: String,
                base: SparkSession => DataFrame, stateDir: String,
                deltaPred: Column, groupCols: Seq[Column],
-               aggCols: Seq[Column]): Unit = {
+               aggCols: Seq[Column], countedPairs: Boolean = false): Unit = {
     if (views.contains(name)) return
+    views.putIfAbsent(name, buildView(spark, name, base, stateDir,
+      deltaPred, groupCols, aggCols, countedPairs))
+    ()
+  }
+
+  /** Run every registration-side guard — definition shape, unsupported
+    * aggregates, the recursion guard, the NULL-coverage probe — WITHOUT
+    * registering. The validate-before-write half of the dialect's CMV:
+    * the state artifact is only built once the definition is known to
+    * register cleanly, so a rejected DELTA can never leave a stale
+    * artifact behind for a later registration-from-existing-artifact to
+    * silently serve. Throws exactly when register would. */
+  def validate(spark: SparkSession, name: String,
+               base: SparkSession => DataFrame, stateDir: String,
+               deltaPred: Column, groupCols: Seq[Column],
+               aggCols: Seq[Column], countedPairs: Boolean = false): Unit = {
+    buildView(spark, name, base, stateDir, deltaPred, groupCols, aggCols,
+      countedPairs)
+    ()
+  }
+
+  private def buildView(spark: SparkSession, name: String,
+               base: SparkSession => DataFrame, stateDir: String,
+               deltaPred: Column, groupCols: Seq[Column],
+               aggCols: Seq[Column], countedPairs: Boolean): MvView = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"mv $name: $msg")
     val defDF = base(spark).groupBy(groupCols: _*)
@@ -372,12 +451,15 @@ object MaterializedViews {
       if (!guard0)
         fail("delta predicate must carry a conjunct on a non-group column")
       requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
-      views.putIfAbsent(name, MvView(name, paths, base, stateDir, deltaPred,
+      return MvView(name, paths, base, stateDir, deltaPred,
         groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
         defCondKeys, shapeKey, aggCols, Map(k -> al.name),
-        Seq(al.name -> "distinct"), distinctOf = Some(xCol)))
-      return
+        Seq(al.name -> "distinct"), distinctOf = Some(xCol),
+        pairCounts = countedPairs)
     }
+    if (countedPairs)
+      fail("countedPairs applies only to a sole-COUNT(DISTINCT) pair-set " +
+        "registration — mergeable partials already subtract exactly")
     val mergeAgg = aggAliases.map { case (al, ae) =>
       if (ae.isDistinct || ae.filter.nonEmpty)
         fail(s"${al.name} — DISTINCT/FILTER aggregates are not mergeable " +
@@ -425,10 +507,9 @@ object MaterializedViews {
         "branch match the view it serves")
     requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
 
-    views.putIfAbsent(name, MvView(name, paths, base, stateDir, deltaPred,
+    MvView(name, paths, base, stateDir, deltaPred,
       groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
-      defCondKeys, shapeKey, aggCols, aggKeyToName, mergeAgg))
-    ()
+      defCondKeys, shapeKey, aggCols, aggKeyToName, mergeAgg)
   }
 
   /** Advance a view's cutoff: fold the rows that LEAVE the delta —
@@ -454,6 +535,15 @@ object MaterializedViews {
     val movedRows = v.base(spark)
       .filter(v.deltaPred && org.apache.spark.sql.functions.not(newDeltaPred))
     (v.distinctOf match {
+      case Some(x) if v.pairCounts =>
+        // multiplicity-carrying fold: per-pair counts merge by SUM
+        val moved = movedRows
+          .groupBy(v.groupCols :+ x.as("__dv"): _*)
+          .agg(count(lit(1)).as("__dn"))
+        spark.read.schema(stateSchema).parquet(v.stateDir)
+          .unionByName(moved)
+          .groupBy((v.groupNames :+ "__dv").map(col): _*)
+          .agg(sum(col("__dn")).as("__dn"))
       case Some(x) =>
         // pair-set fold: new state = distinct(state ∪ moved pairs)
         spark.read.schema(stateSchema).parquet(v.stateDir)
@@ -469,6 +559,22 @@ object MaterializedViews {
           .groupBy(v.groupNames.map(col): _*)
           .agg(mergeCols(v).head, mergeCols(v).tail: _*)
     }).write.mode("overwrite").parquet(newStateDir)
+    views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    schemaCache.remove(newStateDir)
+    ()
+  }
+
+  /** Swap a registration to an ALREADY-BUILT artifact + its cutoff — the
+    * command-log replay half of the dialect's REFRESH MATERIALIZED VIEW:
+    * one server folds (refresh/refreshWithDeletes above) and every other
+    * server, replaying the logged statement, finds the new artifact
+    * populated and just re-pins its registration — registration only,
+    * never a second fold. The caller owns the artifact/predicate
+    * coherence contract (the dialect enforces it by replaying the exact
+    * statement the folding server ran). */
+  def repin(name: String, newStateDir: String, newDeltaPred: Column): Unit = {
+    val v = views.getOrElse(name,
+      throw new IllegalArgumentException(s"mv $name: not registered"))
     views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
     schemaCache.remove(newStateDir)
     ()
@@ -553,11 +659,12 @@ object MaterializedViews {
       throw new IllegalArgumentException(s"mv $name: not registered"))
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"mv $name: $msg")
-    if (v.distinctOf.isDefined)
+    if (v.distinctOf.isDefined && !v.pairCounts)
       fail("a pair-set DISTINCT view cannot retract — the state stores " +
         "each (group, value) once, so a deleted row's multiplicity is " +
-        "lost and a pair may or may not survive; rebuild the view over " +
-        "the surviving base instead")
+        "lost and a pair may or may not survive; register with " +
+        "countedPairs=true (multiplicity-carrying state at 2× pair-state " +
+        "cost) or rebuild the view over the surviving base instead")
     requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
       name)
     requireTotalPredicate(spark, v.base, deletePred, "delete predicate",
@@ -569,6 +676,50 @@ object MaterializedViews {
       fail("deletePred must not overlap the NEW delta predicate — the " +
         "serving delta branch rescans it per query and would resurrect " +
         "the deleted rows; advance the cutoff past the retractions")
+    v.distinctOf.foreach { x =>
+      // the multiplicity-carrying pair-set retraction: counts subtract
+      // EXACTLY, so the whole refresh is one union of three per-pair
+      // count frames — state, moved (+1 each), state-region deletes
+      // (−1 each) — summed in ONE pair-key shuffle; pairs reaching zero
+      // leave the view. No join, no repair pass: a pair set has no
+      // extremum to rescan for. The checkpoint bounds the emptied-pair
+      // count + the final write to one fold (the |pairs|-sized frame is
+      // the state itself — the same footprint the serving plan carries).
+      val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
+        spark.read.parquet(v.stateDir).schema)
+      val pairKeys = v.groupCols :+ x.as("__dv")
+      val moved = base
+        .filter(v.deltaPred &&
+          org.apache.spark.sql.functions.not(newDeltaPred) &&
+          org.apache.spark.sql.functions.not(deletePred))
+        .groupBy(pairKeys: _*)
+        .agg(count(lit(1)).as("__dn"))
+      val negDels = base
+        .filter(org.apache.spark.sql.functions.not(v.deltaPred) && deletePred)
+        .groupBy(pairKeys: _*)
+        .agg((-count(lit(1))).as("__dn"))
+      val summed = spark.read.schema(stateSchema).parquet(v.stateDir)
+        .unionByName(moved).unionByName(negDels)
+        .groupBy((v.groupNames :+ "__dv").map(col): _*)
+        .agg(sum(col("__dn")).as("__dn"))
+        .localCheckpoint()
+      // a NEGATIVE residual means the caller deleted rows the state
+      // never counted — a contract violation worth failing loudly on,
+      // because the adjacent pairs' counts are then suspect too
+      val negative = summed.filter(col("__dn") < 0).count()
+      if (negative > 0)
+        fail(s"$negative pair(s) retracted below zero — deletePred " +
+          "covers rows outside the view's counted region (state ∪ " +
+          "moved); the delete set must be a subset of previously " +
+          "folded rows")
+      val emptied = summed.filter(col("__dn") === 0).count()
+      summed.filter(col("__dn") > 0)
+        .write.mode("overwrite").parquet(newStateDir)
+      views.put(name,
+        v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+      schemaCache.remove(newStateDir)
+      return emptied
+    }
     val cntName = v.mergeAgg.collectFirst { case (n, "count") => n }
       .getOrElse(fail("retraction needs a COUNT partial to detect " +
         "groups deleted down to zero rows — register one"))
@@ -597,30 +748,42 @@ object MaterializedViews {
       }
     }
 
-    // 1. the ordinary fold, minus deleted rows
+    // 1. the ordinary fold, minus deleted rows. When a MIN/MAX repair
+    //    pass follows, the fold is consumed TWICE (the touched-count
+    //    driver action and the final write) — one eager localCheckpoint
+    //    on the |groups|-sized fold keeps state ∪ delta aggregated once.
+    val minMax = v.mergeAgg.filter(m => m._2 == "min" || m._2 == "max")
     val moved = base
       .filter(v.deltaPred &&
         org.apache.spark.sql.functions.not(newDeltaPred) &&
         org.apache.spark.sql.functions.not(deletePred))
       .groupBy(v.groupCols: _*)
       .agg(v.aggCols.head, v.aggCols.tail: _*)
-    val folded = spark.read.schema(stateSchema).parquet(v.stateDir)
+    val folded0 = spark.read.schema(stateSchema).parquet(v.stateDir)
       .unionByName(moved)
       .groupBy(v.groupNames.map(col): _*)
       .agg(mergeCols(v).head, mergeCols(v).tail: _*)
+    val folded = if (minMax.nonEmpty) folded0.localCheckpoint() else folded0
 
-    // 2. delete partials from the state region, joined by group key
+    // 2. delete partials from the state region, joined by group key.
+    //    Group-key equality must be NULL-SAFE (<=>): a NULL-keyed group
+    //    (nullable column, null-producing expression key) exists in the
+    //    fold as one group, and its deleted rows must subtract from it —
+    //    a null-unsafe join would silently never match them. The delete
+    //    side's keys are renamed first (a USING join can't spell <=>).
     val dels = base
       .filter(org.apache.spark.sql.functions.not(v.deltaPred) && deletePred)
       .groupBy(v.groupCols: _*)
       .agg(v.aggCols.head, v.aggCols.tail: _*)
-      .select(v.groupNames.map(col) ++
+      .select(v.groupNames.map(n => col(n).as(s"__dk_$n")) ++
         v.mergeAgg.map { case (n, _) => col(n).as(s"__d_$n") }: _*)
-    val joined = folded.join(dels, v.groupNames, "left")
+    val delCond = v.groupNames.map(n => col(n) <=> col(s"__dk_$n"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = folded.join(dels, delCond, "left")
+      .drop(v.groupNames.map(n => s"__dk_$n"): _*)
 
     // touched groups: a deleted extremum equals the folded extremum
-    // (=== not <=>: a NULL delete partial means "nothing deleted here")
-    val minMax = v.mergeAgg.filter(m => m._2 == "min" || m._2 == "max")
+    // (=== not <=> HERE: a NULL delete partial means "nothing deleted")
     val touchCond = minMax.map { case (n, _) =>
       col(s"__d_$n") === col(n)
     }.reduceOption(_ || _)
@@ -635,11 +798,13 @@ object MaterializedViews {
       // rows against the (broadcast) touched set — the scan feeds only
       // touched-group rows into the recompute shuffle. The touched side
       // is renamed to reserved names first: a plain group column exists
-      // on BOTH sides and a bare reference would be ambiguous.
+      // on BOTH sides and a bare reference would be ambiguous. Null-safe
+      // equality again: a touched NULL-keyed group must capture its
+      // NULL-keyed base rows.
       val touchedKeys = touched.select(v.groupNames.map(n =>
         col(n).as(s"__t_$n")): _*)
       val joinCond = bareGroupCols.zip(v.groupNames).map { case (c, n) =>
-        c === col(s"__t_$n")
+        c <=> col(s"__t_$n")
       }.reduce(_ && _)
       val minMaxAggs = v.aggCols.zip(v.mergeAgg).collect {
         case (c, (_, k)) if k == "min" || k == "max" => c
@@ -648,11 +813,15 @@ object MaterializedViews {
         .join(broadcast(touchedKeys), joinCond, "left_semi")
         .groupBy(v.groupCols: _*)
         .agg(minMaxAggs.head, minMaxAggs.tail: _*)
-        .select(v.groupNames.map(col) ++ minMax.map { case (n, _) =>
-          col(n).as(s"__r_$n") }: _*)
+        .select(v.groupNames.map(n => col(n).as(s"__rk_$n")) ++
+          minMax.map { case (n, _) => col(n).as(s"__r_$n") }: _*)
     }
-    val withRepair = repaired.fold(joined)(r =>
-      joined.join(broadcast(r), v.groupNames, "left"))
+    val withRepair = repaired.fold(joined) { r =>
+      val repCond = v.groupNames.map(n => col(n) <=> col(s"__rk_$n"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      joined.join(broadcast(r), repCond, "left")
+        .drop(v.groupNames.map(n => s"__rk_$n"): _*)
+    }
 
     // 3. subtract / repair / drop emptied groups, restore column order
     val outAggs = v.mergeAgg.map {
@@ -715,11 +884,15 @@ object MaterializedViews {
         // pair-set serving: distinct(state-pairs ∪ distinct(Δ-pairs)) —
         // the delta pre-deduplicates map-side, re-seen pairs collapse
         // into the state, and the count never replays base events
-        // (count(__dv) skips NULL values, matching COUNT(DISTINCT))
+        // (count(__dv) skips NULL values, matching COUNT(DISTINCT)).
+        // A multiplicity-carrying state serves identically — the count
+        // column is maintenance-only metadata and drops here (every
+        // surviving pair has count ≥ 1 by the refresh contract).
         val outName = v.mergeAgg.head._1
+        val statePairs = if (v.pairCounts) state.drop("__dn") else state
         val deltaPairs = delta
           .select(v.groupCols :+ x.as("__dv"): _*).distinct()
-        state.unionByName(deltaPairs).distinct()
+        statePairs.unionByName(deltaPairs).distinct()
           .groupBy(v.groupNames.map(col): _*)
           .agg(count(col("__dv")).as(outName))
       case None =>
@@ -944,7 +1117,16 @@ object MaterializedViews {
             posKeys.map(k => repAttr(v.groupKeyToName(k)))
           def go(e: Expression): Expression = e match {
             case ar: AttributeReference if ar.exprId == gidAttr.exprId =>
-              Literal(gid, ar.dataType)
+              // the parse side accepts Int-typed gid literals, so the
+              // rebuilt literal must coerce the Long back to the
+              // attribute's own type — Literal(gid, IntegerType) would
+              // construct a malformed Long-valued IntegerType literal
+              // that ClassCastExceptions at execution
+              ar.dataType match {
+                case org.apache.spark.sql.types.IntegerType =>
+                  Literal(gid.toInt, ar.dataType)
+                case _ => Literal(gid, ar.dataType)
+              }
             case ar: AttributeReference
                 if groupAttrs.exists(_.exprId == ar.exprId) =>
               val i = groupAttrs.indexWhere(_.exprId == ar.exprId)

@@ -989,4 +989,360 @@ class MaterializedViewSpec extends SparkSpec {
     assert(before == want)
     assert(after == want)
   }
+
+  // ─── round 14: join views, counted pair-set retraction, dialect
+  //     REFRESH, validate-before-build ─────────────────────────────────
+
+  test("join-view mv: the plain orders ⋈ customer rollup is served from " +
+    "state + ONE date-pushed orders scan; the pull predicate reaches " +
+    "both branches; values equal the direct join") {
+    Incremental.mvJoinPrepare(spark, sfDir)
+    val state = Incremental.mvJoinStateDir(sfDir)
+    def joinRollup: DataFrame = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents).as("sum_cents"),
+        max(cents).as("max_cents"))
+    val (got, plan) = collected(enabled = true)(joinRollup)
+    assert(plan.contains(state),
+      s"join rollup must serve from the view state\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1,
+      s"expected 1 (delta) orders scan, got $ordersScans\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the delta's orders scan must push the cutoff\n$plan")
+    // the dim joins the DELTA branch only — one customer scan
+    val custScans = "customer\\.parquet".r.findAllIn(plan).length
+    assert(custScans == 1, s"expected 1 customer scan, got $custScans\n$plan")
+    val (want, directPlan) = collected(enabled = false)(joinRollup)
+    assert(!directPlan.contains(state))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // pull predicate on the dim-side group column serves and matches
+    def pull: DataFrame = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") <= 10)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"),
+        max(cents).as("max_cents"))
+    val (gotP, planP) = collected(enabled = true)(pull)
+    assert(planP.contains(state), planP)
+    val (wantP, _) = collected(enabled = false)(pull)
+    assert(gotP == wantP)
+    assert(gotP.nonEmpty)
+  }
+
+  test("join-view mv bail-outs: different join keys, OUTER join, " +
+    "non-equi condition, non-group filter, different grouping — all " +
+    "pass through unrewritten") {
+    Incremental.mvJoinPrepare(spark, sfDir)
+    val state = Incremental.mvJoinStateDir(sfDir)
+    def planOf(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val orders = Tables.orders(spark, sfDir)
+    def cust = Tables.customer(spark, sfDir)
+    def rollup(j: DataFrame): DataFrame =
+      j.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    // a DIFFERENT join condition is a different shape — never matches
+    assert(!planOf(rollup(orders.join(cust,
+      col("o_custkey") === col("c_nationkey")))).contains(state))
+    // outer joins refuse (null-extension breaks partial-delta algebra)
+    assert(!planOf(rollup(orders.join(cust,
+      col("o_custkey") === col("c_custkey"), "left"))).contains(state))
+    // non-equi joins never unwrap
+    assert(!planOf(rollup(orders.join(cust,
+      col("o_custkey") <= col("c_custkey")))).contains(state))
+    // a filter on a NON-group column cannot serve from per-key state
+    assert(!planOf(rollup(orders.join(cust,
+      col("o_custkey") === col("c_custkey"))
+      .filter(col("c_acctbal") > 0))).contains(state))
+    // different grouping keys
+    assert(!planOf(orders.join(cust,
+      col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")))
+      .contains(state))
+  }
+
+  test("counted pair-set retraction: countDistinct survives CDC deletes " +
+    "— subtract equals rescan-minus-deleted, emptied pairs leave the " +
+    "state, over-deleting fails loudly") {
+    Incremental.mvDistinctDeletePrepare(spark, sfDir)
+    val refreshed = Incremental.mvDistDelRefreshedDir(sfDir)
+    def q: DataFrame = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), (col("user_id") % 2).as("upar"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(refreshed),
+      s"must serve from the retraction-refreshed pair state\n$plan")
+    // direct recompute over the SURVIVING rows (the view's contract)
+    val cutoff = lit("2024-01-28").cast("timestamp")
+    val del = (col("user_id") % 7 === 0 || col("event_id") % 89 === 0) &&
+      col("ts") < cutoff
+    val (want, _) = collected(enabled = false)(
+      Tables.events(spark, sfDir).filter(!del)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("upar"))
+        .agg(countDistinct(col("user_id")).as("n_users")))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the emptied regime genuinely occurred (whole users wiped) and
+    // every surviving pair carries a positive count
+    val emptied = Incremental.mvDistDelEmptied.get(sfDir)
+    assert(emptied != null && emptied.longValue > 0,
+      s"expected emptied pairs, got $emptied")
+    val st = spark.read.parquet(refreshed)
+    assert(st.columns.contains("__dn"))
+    assert(st.filter(col("__dn") < 1).isEmpty,
+      "no zero/negative pair may survive the refresh")
+    // deleting rows the state never counted (the same users again)
+    // retracts below zero and fails loudly BEFORE any swap
+    val e = intercept[IllegalArgumentException] {
+      MaterializedViews.refreshWithDeletes(spark, s"events_dd_$sfDir",
+        newDeltaPred = col("ts") >= lit("2024-01-29").cast("timestamp"),
+        deletePred = col("user_id") % 7 === 0 &&
+          col("ts") < lit("2024-01-28").cast("timestamp"),
+        newStateDir = java.nio.file.Files
+          .createTempDirectory("mv_dd_neg").toString)
+    }
+    assert(e.getMessage.contains("below zero"), e.getMessage)
+    // the failed attempt must not have swapped the registration
+    assert(MaterializedViews.view(s"events_dd_$sfDir")
+      .exists(_.stateDir == refreshed))
+  }
+
+  test("refreshWithDeletes handles NULL group keys: a NULL-keyed " +
+    "group's deletes subtract and its extremum repairs (null-safe " +
+    "group joins)") {
+    val name = "null_key_view"
+    MaterializedViews.drop(name)
+    val dateT = Tables.orders(spark, sfDir)
+      .schema("o_orderdate").dataType.catalogString
+    val cutoff = lit("2001-01-01").cast(dateT)
+    val newCutoff = lit("2001-06-01").cast(dateT)
+    // the group key NULLs out for ~1/10 of rows
+    def key = when(col("o_custkey") % 10 === 3, lit(null))
+      .otherwise(col("o_custkey") % 10).as("kmod")
+    val aggs = Seq(count(lit(1)).as("n"), sum(cents).as("sc"),
+      max(cents).as("mx"), min(cents).as("mn"))
+    def del = col("o_orderkey") % 5 === 0 && col("o_orderdate") < newCutoff
+    // precondition: the NULL group really has deleted state-region rows
+    // (otherwise this spec can't witness the null-safe join)
+    assert(!Tables.orders(spark, sfDir)
+      .filter(del && col("o_custkey") % 10 === 3 &&
+        col("o_orderdate") < cutoff).isEmpty,
+      "test data must delete at least one NULL-group state row")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("mv_nullkey").toString
+    Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+      .groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(stateDir)
+    MaterializedViews.register(spark, name,
+      base = sp => Tables.orders(sp, sfDir),
+      stateDir = stateDir,
+      deltaPred = col("o_orderdate") >= cutoff,
+      groupCols = Seq(key), aggCols = aggs)
+    try {
+      val newDir = java.nio.file.Files
+        .createTempDirectory("mv_nullkey_r").toString
+      MaterializedViews.refreshWithDeletes(spark, name,
+        newDeltaPred = col("o_orderdate") >= newCutoff,
+        deletePred = del, newStateDir = newDir)
+      val gotRows = spark.read.parquet(newDir).collect().toSet
+      val want = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < newCutoff && !del)
+        .groupBy(key).agg(aggs.head, aggs.tail: _*)
+        .collect().toSet
+      assert(gotRows == want)
+      assert(gotRows.exists(_.isNullAt(0)),
+        "the NULL-keyed group must survive with corrected partials")
+    } finally { MaterializedViews.drop(name); () }
+  }
+
+  test("CMV validates BEFORE building: a rejected DELTA leaves no " +
+    "artifact, a reused STATE_DIR under a different definition refuses, " +
+    "and the recorded definition re-registers cleanly") {
+    import graft.ksql.Translator
+    val t = java.nio.file.Files.createTempDirectory("cmv_validate").toString
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM vsrc WITH (PATH='$sfDir/orders.parquet')")
+    def parts(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("part-"))
+    // a group-only DELTA fails the recursion guard — and must fail
+    // BEFORE the artifact build, leaving the dir untouched
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"""CREATE MATERIALIZED VIEW cmv_val_bad WITH (
+           |  STATE_DIR='$t/s1', DELTA='o_orderstatus = ''F''') AS
+           |SELECT o_orderstatus, COUNT(*) AS n
+           |FROM vsrc GROUP BY o_orderstatus""".stripMargin)
+    }
+    assert(e.getMessage.contains("non-group"), e.getMessage)
+    assert(parts(s"$t/s1") == 0,
+      "a rejected definition must not have built an artifact")
+    assert(!MaterializedViews.registered.contains("cmv_val_bad"))
+    // the corrected DELTA re-issued against the SAME dir builds clean
+    val okStmt =
+      s"""CREATE MATERIALIZED VIEW cmv_val_ok WITH (
+         |  STATE_DIR='$t/s1',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+         |SELECT o_orderstatus, COUNT(*) AS n
+         |FROM vsrc GROUP BY o_orderstatus""".stripMargin
+    Translator.run(spark, c1, okStmt)
+    assert(MaterializedViews.registered.contains("cmv_val_ok"))
+    assert(parts(s"$t/s1") > 0)
+    // a DIFFERENT definition over the now-populated dir refuses — the
+    // artifact records its defining signature
+    assert(MaterializedViews.drop("cmv_val_ok"))
+    val e2 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"""CREATE MATERIALIZED VIEW cmv_val2 WITH (
+           |  STATE_DIR='$t/s1',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+           |SELECT o_orderpriority, COUNT(*) AS n
+           |FROM vsrc GROUP BY o_orderpriority""".stripMargin)
+    }
+    assert(e2.getMessage.contains("DIFFERENT definition"), e2.getMessage)
+    // the ORIGINAL definition re-registers from the artifact (replay)
+    Translator.run(spark, c1, okStmt)
+    assert(MaterializedViews.registered.contains("cmv_val_ok"))
+    MaterializedViews.drop("cmv_val_ok")
+    ()
+  }
+
+  test("dialect REFRESH MATERIALIZED VIEW: the refreshed view serves " +
+    "with the ADVANCED cutoff and the new artifact; values equal the " +
+    "recompute; guards refuse unknown views, missing props, reused dirs") {
+    import graft.ksql.{KsqlQueries, Translator}
+    val t = KsqlQueries.mvRefreshDir(spark, sfDir)
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    val (_, dfOpt) = Translator.run(spark, c1, KsqlQueries.mvRefPullQuery)
+    val df = dfOpt.get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$t/state2"),
+      s"must serve from the REFRESHED artifact\n$plan")
+    // every state-path occurrence is the refreshed dir — the pre-refresh
+    // artifact has left the plan ($t/state is a prefix of $t/state2, so
+    // compare occurrence counts)
+    val all = java.util.regex.Pattern.quote(s"$t/state").r
+      .findAllIn(plan).length
+    val ref = java.util.regex.Pattern.quote(s"$t/state2").r
+      .findAllIn(plan).length
+    assert(all == ref, s"pre-refresh artifact still in plan\n$plan")
+    assert(plan.contains("2001-06-01"),
+      s"the delta scan must carry the ADVANCED cutoff\n$plan")
+    val got = df.collect().toSet
+    val want = {
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try {
+        val (_, d2) = Translator.run(spark, c1, KsqlQueries.mvRefPullQuery)
+        d2.get.collect().toSet
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+    // guards
+    val e1 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        "REFRESH MATERIALIZED VIEW no_such_view WITH (" +
+          "STATE_DIR='/tmp/nope', DELTA='o_orderkey > 0')")
+    }
+    assert(e1.getMessage.contains("unknown materialized view"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"REFRESH MATERIALIZED VIEW ${KsqlQueries.mvRefName(sfDir)}")
+    }
+    assert(e2.getMessage.contains("needs WITH"), e2.getMessage)
+    // a DIFFERENT refresh aimed at the already-populated dir refuses
+    val e3 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"""REFRESH MATERIALIZED VIEW ${KsqlQueries.mvRefName(sfDir)} WITH (
+           |  STATE_DIR='$t/state2',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-07-01''')"""
+          .stripMargin)
+    }
+    assert(e3.getMessage.contains("DIFFERENT refresh"), e3.getMessage)
+  }
+
+  test("dialect REFRESH with DELETED: the retraction folds through KSQL " +
+    "text and the served rollup equals the surviving-row recompute") {
+    import graft.ksql.{KsqlQueries, Translator}
+    val t = KsqlQueries.mvRefreshDelDir(spark, sfDir)
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    val (_, dfOpt) = Translator.run(spark, c1, KsqlQueries.mvRefDelPullQuery)
+    val df = dfOpt.get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$t/state2"), plan)
+    val got = df.collect().toSet
+    // the view's contract is agg(base WHERE NOT deleted) — recompute it
+    val want = Tables.orders(spark, sfDir)
+      .filter(!(col("o_orderkey") % 97 === 0 &&
+        col("o_orderdate") < lit("2001-06-01")
+          .cast(Tables.orders(spark, sfDir)
+            .schema("o_orderdate").dataType.catalogString)))
+      .groupBy((col("o_custkey") % 500).as("cmod5"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"),
+        max(cents).as("max_cents"))
+      .collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("dialect ROLLUP: served from the per-key DDL view (state leaf in " +
+    "the plan), and CUBE over an unregistered table matches the direct " +
+    "plan bit for bit") {
+    import graft.ksql.{KsqlQueries, Translator}
+    val t = KsqlQueries.mvDdlRollupDir(spark, sfDir)
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    val (_, dfOpt) = Translator.run(spark, c1, KsqlQueries.mvDdlRollupQuery)
+    val df = dfOpt.get
+    val plan = df.queryExecution.executedPlan.toString
+    // the programmatic (status, priority) view shares this signature —
+    // first matching view wins, both serve identical values; the pin is
+    // that SOME per-key view state replaced the history scan
+    val servedFromView = plan.contains(s"$t/state") ||
+      Option(Incremental.mvRollupStateDir(sfDir)).exists(plan.contains)
+    assert(servedFromView,
+      s"the ROLLUP must serve from a per-key view state\n$plan")
+    val got = df.collect().toSet
+    val want = {
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try {
+        val (_, d2) = Translator.run(spark, c1, KsqlQueries.mvDdlRollupQuery)
+        val directPlan = d2.get.queryExecution.executedPlan.toString
+        assert(!directPlan.contains(s"$t/state"), directPlan)
+        d2.get.collect().toSet
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+    // CUBE over customer (no registered view) — dialect vs direct Spark
+    val (c2, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM cust WITH (PATH='$sfDir/customer.parquet')")
+    val (_, cubeOpt) = Translator.run(spark, c2,
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+        |FROM cust GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin)
+    val gotCube = cubeOpt.get.collect().toSet
+    val wantCube = Tables.customer(spark, sfDir)
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt")).collect().toSet
+    assert(gotCube == wantCube)
+    assert(gotCube.nonEmpty)
+    // ROLLUP/CUBE refuses inside a CMV definition and under a WINDOW
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"""CREATE MATERIALIZED VIEW bad_rollup_mv WITH (
+           |  STATE_DIR='/tmp/never-built-rollup',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+           |SELECT o_orderstatus, COUNT(*) AS n
+           |FROM orders_src GROUP BY ROLLUP (o_orderstatus)""".stripMargin)
+    }
+    assert(e.getMessage.contains("ROLLUP"), e.getMessage)
+  }
 }

@@ -289,8 +289,12 @@ class RestServerSpec extends SparkSpec {
       assert(metric(m2, "ksql_stream_ring_rows").isDefined, m2)
       assert(metric(m2, "ksql_stream_ring_dropped_total").contains(0L), m2)
       reader.close(); conn.disconnect()
-      // the subscription's gauges leave with the connection
-      val deadline = System.nanoTime() + 10_000_000_000L
+      // the subscription's gauges leave with the connection. Teardown
+      // needs up to TWO keep-alive cycles (~5 s apart): the first write
+      // after a disconnect can land in the OS send buffer without
+      // erroring, so only the second surfaces the IOException — under
+      // host load that is right at 10 s, so the deadline is 30.
+      val deadline = System.nanoTime() + 30_000_000_000L
       var m3 = scrape()
       while (metric(m3, "ksql_stream_served_rows_total").isDefined &&
           System.nanoTime() < deadline) { Thread.sleep(100); m3 = scrape() }
@@ -642,6 +646,136 @@ class RestServerSpec extends SparkSpec {
         s"churn must compact away, got ${snapStmts2.size}: $snapStmts2")
     } finally {
       srvA.stop()
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
+  test("command log: dependency retention is TRANSITIVE — a retained " +
+    "pair's create counts as a dependent, so chained drops survive " +
+    "compaction to a fixpoint") {
+    // the round-13 ADVICE chain: CREATE A; CREATE B FROM A; DROP A;
+    // CREATE C FROM B; DROP B. One-pass retention keeps pair B (C
+    // mentions it) but prunes pair A — no SURVIVING binding mentions A
+    // inside its lifetime; only B's retained create does. A
+    // snapshot-bootstrapped joiner then can't bind B, and so loses C.
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_fix", ".jsonl")
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    val srvA = mk()
+    try {
+      def post(stmt: String): Unit = {
+        val (c, b) = postTo(srvA.boundPort, "/ksql", stmt)
+        assert(c == 200, b)
+      }
+      post(s"CREATE STREAM fix_a WITH (PATH='$sfDir/orders.parquet');")
+      post("CREATE STREAM fix_b AS SELECT o_orderkey, o_totalprice " +
+        "FROM fix_a WHERE o_totalprice > 100000;")
+      post("DROP STREAM fix_a;")
+      post("CREATE STREAM fix_c AS SELECT o_orderkey FROM fix_b " +
+        "WHERE o_orderkey % 2 = 0;")
+      post("DROP STREAM fix_b;")
+      srvA.compactCommandLog()
+      val snap = log.resolveSibling(log.getFileName.toString + ".snapshot")
+      import scala.jdk.CollectionConverters._
+      val snapStmts = java.nio.file.Files.readAllLines(snap).asScala.tail
+      assert(snapStmts.size == 5,
+        s"fixpoint retention must keep the whole chain: $snapStmts")
+      // a joiner bootstrapping from the snapshot alone serves fix_c and
+      // has fix_a/fix_b dropped — identical to a log-replaying server
+      val srvB = mk()
+      try {
+        assert(srvB.replayedStatements.get() == 5)
+        val (c1, b1) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM fix_c;")
+        assert(c1 == 200, b1)
+        val expected = Tables.orders(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("o_totalprice") > 100000)
+          .filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0)
+          .count()
+        assert((JsonMethods.parse(b1.linesIterator.toSeq(1)) \ "row" \ "columns")
+          == JArray(List(JInt(BigInt(expected)))), b1)
+        val (c2, _) = postTo(srvB.boundPort, "/query",
+          "SELECT COUNT(*) AS n FROM fix_b;")
+        assert(c2 == 400, "fix_b must be dropped on the joiner too")
+      } finally srvB.stop()
+    } finally {
+      srvA.stop()
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
+  test("command log: REFRESH MATERIALIZED VIEW replicates — the fold " +
+    "runs once, late joiners re-pin against the new artifact, and " +
+    "compaction keeps CREATE + latest REFRESH") {
+    val log = java.nio.file.Files.createTempFile("graft_cmdlog_ref", ".jsonl")
+    val t = java.nio.file.Files.createTempDirectory("rest_mv_refresh").toString
+    def mk() = new RestServer(spark, Repl.preloadCatalog(spark, sfDir),
+      maxRows = 10, commandLog = Some(log)).start()
+    def parts(dir: String): Int = Option(new java.io.File(dir).listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("part-"))
+    val srvA = mk()
+    try {
+      def post(stmt: String): (Int, String) =
+        postTo(srvA.boundPort, "/ksql", stmt)
+      assert(post(
+        s"CREATE STREAM ref_src WITH (PATH='$sfDir/orders.parquet');")._1
+        == 200)
+      val (c1, b1) = post(
+        s"""CREATE MATERIALIZED VIEW ref_view WITH (
+           |  STATE_DIR='$t/state',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+           |SELECT o_orderstatus, COUNT(*) AS n
+           |FROM ref_src GROUP BY o_orderstatus;""".stripMargin)
+      assert(c1 == 200, b1)
+      val (c2, b2) = post(
+        s"""REFRESH MATERIALIZED VIEW ref_view WITH (
+           |  STATE_DIR='$t/state2',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''');"""
+          .stripMargin)
+      assert(c2 == 200, b2)
+      assert(graft.plans.MaterializedViews.view("ref_view")
+        .exists(_.stateDir == s"$t/state2"))
+      val foldedParts = parts(s"$t/state2")
+      assert(foldedParts > 0, "the refresh must have folded an artifact")
+      // the REFRESH landed on the log (registration state changed even
+      // though the name set did not)
+      import scala.jdk.CollectionConverters._
+      assert(java.nio.file.Files.readAllLines(log).asScala
+        .count(_.contains("REFRESH MATERIALIZED")) == 1)
+      // fresh process: wipe the JVM-global registration, join late —
+      // replay must re-pin against state2 WITHOUT re-folding
+      assert(graft.plans.MaterializedViews.drop("ref_view"))
+      val srvB = mk()
+      try {
+        assert(graft.plans.MaterializedViews.view("ref_view")
+          .exists(_.stateDir == s"$t/state2"),
+          "the late joiner must serve the refreshed artifact")
+        assert(parts(s"$t/state2") == foldedParts,
+          "replay must never fold twice")
+        // compaction keeps the CREATE and the REFRESH, in order; a
+        // snapshot-bootstrapped joiner converges to the same state
+        srvB.compactCommandLog()
+        val snap = log.resolveSibling(log.getFileName.toString + ".snapshot")
+        val snapBody = new String(java.nio.file.Files.readAllBytes(snap))
+        assert(snapBody.contains("CREATE MATERIALIZED VIEW ref_view"))
+        assert(snapBody.contains("REFRESH MATERIALIZED VIEW ref_view"))
+        assert(graft.plans.MaterializedViews.drop("ref_view"))
+        val srvC = mk()
+        try {
+          assert(graft.plans.MaterializedViews.view("ref_view")
+            .exists(_.stateDir == s"$t/state2"),
+            "snapshot bootstrap must land on the refreshed artifact")
+          // and the view actually SERVES there: the plain rollup reads
+          // the refreshed state with the advanced cutoff
+          val (c3, b3) = postTo(srvC.boundPort, "/query",
+            "SELECT o_orderstatus, COUNT(*) AS n FROM ref_src " +
+              "GROUP BY o_orderstatus;")
+          assert(c3 == 200, b3)
+        } finally srvC.stop()
+      } finally srvB.stop()
+    } finally {
+      srvA.stop()
+      graft.plans.MaterializedViews.drop("ref_view")
       java.nio.file.Files.deleteIfExists(log)
     }
   }

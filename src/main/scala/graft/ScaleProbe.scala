@@ -103,7 +103,25 @@ object ScaleProbe {
     // exponent should track the flat serve's.
     "q_mv_rewrite", "q_mv_pull", "q_mv_window", "q_mv_hopping",
     "q_mv_global", "q_mv_refresh_delete", "q_mv_ddl", "q_mv_distinct",
-    "q_mv_rollup")
+    "q_mv_rollup",
+    // round 14: q_mv_join — the join-view serve; state + (date-pushed
+    // Δorders ⋈ broadcast customer), dims stay 1× like every probe
+    // scale-up, so the delta join grows linearly. q_mv_distinct_delete —
+    // counted-pair serving after a retraction refresh (same pair-key
+    // shuffle as q_mv_distinct; the refresh fold is its prepare).
+    // q_mv_ddl_refresh — the dialect-refreshed view's serving path
+    // (smaller delta, same shape). q_ksql_rollup_mv — the dialect ROLLUP
+    // served per grouping set from the DDL view.
+    "q_mv_join", "q_mv_distinct_delete", "q_mv_ddl_refresh",
+    "q_ksql_rollup_mv")
+
+  /** Historically variance-prone entries (round 14, the round-13 verdict
+    * ask): q_ann_pq and q_dq_checks oscillate 1.7–4.9× across rounds on
+    * this host with no plan change. For these the probe reports the MIN
+    * of three timed runs per side — the same noise floor BENCH_DETAIL's
+    * solo column uses — so a GC pause or page-cache miss can't print as
+    * a scaling regression. */
+  private val Flagged = Set("q_ann_pq", "q_dq_checks")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -242,7 +260,10 @@ object ScaleProbe {
       // Builds are Bench's separately-timed prepare phases; the probe's
       // exponents are the serving path, warmed like Bench's timed runs.
       time(oneX, q); time(dst, q)
-      val t1 = time(oneX, q); val tN = time(dst, q)
+      val reps = if (Flagged(q)) 3 else 1
+      def best(dir: String): Double =
+        (1 to reps).map(_ => time(dir, q)).min
+      val t1 = best(oneX); val tN = best(dst)
       // Locale.ROOT: f"%.3f" is default-locale-sensitive and a comma
       // decimal separator corrupts the JSON line (same fix as Bench)
       def fmt(v: Double, p: String) =

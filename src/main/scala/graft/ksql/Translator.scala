@@ -1888,7 +1888,8 @@ object Translator {
               "holds an artifact a DIFFERENT refresh built (or none " +
               "recorded) — re-pinning against it would serve a cutoff " +
               "the artifact doesn't cover; use a fresh directory")
-          graft.plans.MaterializedViews.repin(mvName, newDir, newPred)
+          graft.plans.MaterializedViews.repin(mvName, newDir, newPred,
+            retracted = deletedText.isDefined)
         } else {
           deletedText match {
             case Some(dt) =>

@@ -101,7 +101,8 @@ object MaterializedViews {
       aggKeyToName: Map[String, String],
       mergeAgg: Seq[(String, String)],
       distinctOf: Option[Column] = None,
-      pairCounts: Boolean = false) {
+      pairCounts: Boolean = false,
+      retracted: Boolean = false) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 
@@ -282,12 +283,21 @@ object MaterializedViews {
           ru <- unwrap(j.right)
           (lp, lf, lc, ls) = lu
           (rp, rf, rc, rs) = ru
-          if ls.isEmpty && rs.isEmpty && lp.intersect(rp).isEmpty
+          // no Expand BELOW a join (a pane-expanded side has replicated
+          // rows — join multiplicity would be wrong), and no self-joins
+          // (two relations sharing a path would make name-based
+          // inlining ambiguous). Joins below joins DO compose — the
+          // nested shape key encodes the whole tree, so star chains
+          // (fact ⋈ dim ⋈ dim) register and match structurally.
+          if !ls.exists(_.startsWith("expand(")) &&
+            !rs.exists(_.startsWith("expand(")) &&
+            lp.intersect(rp).isEmpty
           ck <- norm(rf(lf(j.condition.get)))
         } yield {
           val f: Expression => Expression = e => rf(lf(e))
           val cond = Seq(lc, rc).flatten.reduceOption(And)
-          (lp ++ rp, f, cond, Seq(s"join($ck)"))
+          val key = s"join[${ls.mkString(",")}|${rs.mkString(",")}|$ck]"
+          (lp ++ rp, f, cond, Seq(key))
         }
       case ex: Expand if ex.projections.forall(_.forall(_.deterministic)) =>
         unwrap(ex.child).flatMap { case (ps, f, cond, shape) =>
@@ -334,10 +344,12 @@ object MaterializedViews {
   def register(spark: SparkSession, name: String,
                base: SparkSession => DataFrame, stateDir: String,
                deltaPred: Column, groupCols: Seq[Column],
-               aggCols: Seq[Column], countedPairs: Boolean = false): Unit = {
+               aggCols: Seq[Column], countedPairs: Boolean = false,
+               retracted: Boolean = false): Unit = {
     if (views.contains(name)) return
     views.putIfAbsent(name, buildView(spark, name, base, stateDir,
-      deltaPred, groupCols, aggCols, countedPairs))
+      deltaPred, groupCols, aggCols, countedPairs)
+      .copy(retracted = retracted))
     ()
   }
 
@@ -380,11 +392,16 @@ object MaterializedViews {
     // the definition child yields the same canonical set (norm already
     // handles the folding/cast rewrites). Falls back to the analyzed
     // conjuncts if the optimized shape stops unwrapping.
-    val defCondCanon = (try unwrap(
+    // the SHAPE is canonicalized from the optimized child too: user
+    // plans arrive optimized, and on multi-join trees the optimizer may
+    // normalize the join structure — registering the analyzed shape
+    // would then never match. Flat/Expand shapes are identical on both
+    // sides, so this is a no-op for single-table views.
+    val (defCondCanon, shapeCanon) = (try unwrap(
       spark.sessionState.optimizer.execute(aPlan.child))
     catch { case scala.util.control.NonFatal(_) => None }) match {
-      case Some((p2, _, cond2, _)) if p2 == paths => cond2
-      case _ => defCond
+      case Some((p2, _, cond2, shape2)) if p2 == paths => (cond2, shape2)
+      case _ => (defCond, shapeKey)
     }
     val defCondKeys = defCondCanon.map(conjuncts).getOrElse(Nil).map(c =>
       norm(c).getOrElse(fail(s"definition filter $c has no normalized form")))
@@ -453,7 +470,7 @@ object MaterializedViews {
       requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
       return MvView(name, paths, base, stateDir, deltaPred,
         groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
-        defCondKeys, shapeKey, aggCols, Map(k -> al.name),
+        defCondKeys, shapeCanon, aggCols, Map(k -> al.name),
         Seq(al.name -> "distinct"), distinctOf = Some(xCol),
         pairCounts = countedPairs)
     }
@@ -509,7 +526,7 @@ object MaterializedViews {
 
     MvView(name, paths, base, stateDir, deltaPred,
       groupCols, groupOut.map(_.name), groupKeyToName, plainGroupNames,
-      defCondKeys, shapeKey, aggCols, aggKeyToName, mergeAgg)
+      defCondKeys, shapeCanon, aggCols, aggKeyToName, mergeAgg)
   }
 
   /** Advance a view's cutoff: fold the rows that LEAVE the delta —
@@ -572,10 +589,15 @@ object MaterializedViews {
     * never a second fold. The caller owns the artifact/predicate
     * coherence contract (the dialect enforces it by replaying the exact
     * statement the folding server ran). */
-  def repin(name: String, newStateDir: String, newDeltaPred: Column): Unit = {
+  def repin(name: String, newStateDir: String, newDeltaPred: Column,
+            retracted: Boolean = false): Unit = {
     val v = views.getOrElse(name,
       throw new IllegalArgumentException(s"mv $name: not registered"))
-    views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    views.put(name, v.copy(stateDir = newStateDir,
+      deltaPred = newDeltaPred,
+      // once retracted, always retracted — the artifact excludes the
+      // deleted rows whatever later cutoff-only refreshes do
+      retracted = v.retracted || retracted))
     schemaCache.remove(newStateDir)
     ()
   }
@@ -715,8 +737,8 @@ object MaterializedViews {
       val emptied = summed.filter(col("__dn") === 0).count()
       summed.filter(col("__dn") > 0)
         .write.mode("overwrite").parquet(newStateDir)
-      views.put(name,
-        v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+      views.put(name, v.copy(stateDir = newStateDir,
+        deltaPred = newDeltaPred, retracted = true))
       schemaCache.remove(newStateDir)
       return emptied
     }
@@ -840,7 +862,15 @@ object MaterializedViews {
       .select(v.groupNames.map(col) ++ outAggs: _*)
       .filter(col(cntName) > 0)
       .write.mode("overwrite").parquet(newStateDir)
-    views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    // retraction REDEFINES the view's contract — agg(base WHERE NOT
+    // deleted), no longer agg(base). The view keeps serving its OWN
+    // declared signature (the caller who registered those keys owns the
+    // contract), but it must leave the GLOBAL-serving pool: a keyless
+    // query matches ANY view of the base, and silently adopting one
+    // view's retraction history — chosen by registry iteration order —
+    // is the wrong-answer-served-silently failure mode.
+    views.put(name, v.copy(stateDir = newStateDir,
+      deltaPred = newDeltaPred, retracted = true))
     schemaCache.remove(newStateDir)
     touchedGroups
   }
@@ -1322,6 +1352,12 @@ object MaterializedViews {
     val global = agg.groupingExpressions.isEmpty && v.groupNames.nonEmpty
     if (!global && (gKeys.size != agg.groupingExpressions.size ||
       gKeys.toSet != v.groupKeys)) return None
+    // a RETRACTED view answers agg(base WHERE NOT deleted), not
+    // agg(base) — it serves only its own declared key signature (that
+    // contract belongs to whoever registered the keys); a keyless query
+    // matches ANY view of the base, and adopting one view's retraction
+    // history by registry iteration order would be silently wrong
+    if (global && v.retracted) return None
     // crossed-filter conjuncts: every definition conjunct must be
     // present (a windowed aggregate without the analyzer's isnotnull
     // has different null semantics than the state), and anything extra

@@ -1066,6 +1066,43 @@ class MaterializedViewSpec extends SparkSpec {
       .contains(state))
   }
 
+  test("star-chain join view: orders ⋈ customer ⋈ nation serves from " +
+    "state + ONE date-pushed orders scan — the nested join shape " +
+    "matches through the optimizer-canonicalized key") {
+    Incremental.mvJoinStarPrepare(spark, sfDir)
+    val state = Incremental.mvJoinStarStateDir(sfDir)
+    def q: DataFrame = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"))
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(state),
+      s"the star rollup must serve from the chain view's state\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1,
+      s"expected 1 (delta) orders scan, got $ordersScans\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    val (want, _) = collected(enabled = false)(q)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the 2-table prefix of the chain must not match the 3-table view
+    // (it may legitimately match the 2-table view — only the star
+    // state is asserted absent)
+    val prefixPlan = {
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      try Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(!prefixPlan.contains(state), prefixPlan)
+  }
+
   test("counted pair-set retraction: countDistinct survives CDC deletes " +
     "— subtract equals rescan-minus-deleted, emptied pairs leave the " +
     "state, over-deleting fails loudly") {
@@ -1110,6 +1147,32 @@ class MaterializedViewSpec extends SparkSpec {
     // the failed attempt must not have swapped the registration
     assert(MaterializedViews.view(s"events_dd_$sfDir")
       .exists(_.stateDir == refreshed))
+  }
+
+  test("a RETRACTED view never serves a GLOBAL query: retraction " +
+    "redefines the view's contract, so only its own key signature " +
+    "serves the delete-folded answer") {
+    // the fuzz-found hole: a keyless aggregate matches ANY view of the
+    // base (global serving needs no key signature), so before the fix a
+    // plain `orders.agg(count)` could silently adopt orders_mod's %97
+    // retraction history whenever registry iteration order favored it
+    Incremental.mvPrepare(spark, sfDir)
+    Incremental.mvDeletePrepare(spark, sfDir)
+    assert(MaterializedViews.view(s"orders_mod_$sfDir").exists(_.retracted))
+    def g: DataFrame = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"))
+    val (got, plan) = collected(enabled = true)(g)
+    assert(!plan.contains(Incremental.mvDeleteRefreshedDir(sfDir)),
+      s"a retracted view must never serve a global query\n$plan")
+    val (want, _) = collected(enabled = false)(g)
+    assert(got == want)
+    // the retracted view still serves ITS OWN signature, delete-folded
+    val (gotK, planK) = collected(enabled = true)(
+      Tables.orders(spark, sfDir)
+        .groupBy((col("o_custkey") % 1000).as("cust_mod"))
+        .agg(count(lit(1)).as("n_orders")))
+    assert(planK.contains(Incremental.mvDeleteRefreshedDir(sfDir)), planK)
+    assert(gotK.nonEmpty)
   }
 
   test("refreshWithDeletes handles NULL group keys: a NULL-keyed " +

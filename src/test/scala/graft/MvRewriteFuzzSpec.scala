@@ -45,6 +45,12 @@ class MvRewriteFuzzSpec extends SparkSpec {
       case _ => c + lit(1)
     }
 
+    // serving detection via the rewrite-event counter, not a state-dir
+    // list: other suites in the same JVM register MORE views over orders
+    // (DDL views, the prio/cmod refresh views), any of which may win the
+    // first-successful-signature race — a dir allowlist undercounts
+    def servedEvents(): Long =
+      graft.plans.MaterializedViews.servedCounts.values.sum
     var servedCount = 0
     for (i <- 0 until 40) {
       val nAggs = 1 + rnd.nextInt(3)
@@ -79,16 +85,19 @@ class MvRewriteFuzzSpec extends SparkSpec {
           .agg(aggs.head, aggs.tail: _*)
       }
       spark.conf.set("spark.graft.mv.enabled", "true")
+      val before = servedEvents()
       val (got, plan) = try {
         val df = q
         (df.collect().toSet, df.queryExecution.executedPlan.toString)
       } finally spark.conf.unset("spark.graft.mv.enabled")
-      if (stateDirs.exists(plan.contains)) servedCount += 1
+      val served = servedEvents() > before ||
+        stateDirs.exists(plan.contains)
+      if (served) servedCount += 1
       spark.conf.set("spark.graft.mv.enabled", "false")
       val want = try q.collect().toSet
         finally spark.conf.unset("spark.graft.mv.enabled")
       assert(got == want,
-        s"draw $i diverged (served=${stateDirs.exists(plan.contains)})\n$plan")
+        s"draw $i diverged (served=$served)\n$plan")
     }
     assert(servedCount >= 10,
       s"only $servedCount/40 draws served — the fuzz stopped exercising " +
@@ -161,5 +170,92 @@ class MvRewriteFuzzSpec extends SparkSpec {
     assert(servedCount >= 6,
       s"only $servedCount/30 draws served — the fuzz stopped exercising " +
         "the events views")
+  }
+
+  test("randomized JOIN-VIEW shapes: served values always equal the " +
+    "direct plan over fact ⋈ dim (⋈ dim) trees — wrong keys, outer " +
+    "joins and non-group filters bail but stay equal") {
+    Incremental.mvJoinPrepare(spark, sfDir)
+    Incremental.mvJoinStarPrepare(spark, sfDir)
+    val stateDirs = Seq(
+      Option(Incremental.mvJoinStateDir(sfDir)),
+      Option(Incremental.mvJoinStarStateDir(sfDir))).flatten
+    val rnd = new scala.util.Random(1414)
+
+    def oc = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+    def ocn = oc.join(Tables.nation(spark, sfDir),
+      col("c_nationkey") === col("n_nationkey"))
+    // count/sum/max registered on the 2-table view; the star view has
+    // only count/sum (max must BAIL there); avg bails on both (no
+    // count-of-cents constituent) — every bail must still stay equal
+    def baseAgg(i: Int): Column = i match {
+      case 0 => count(lit(1))
+      case 1 => sum(cents)
+      case 2 => max(cents)
+      case _ => avg(cents)
+    }
+    def derived(c: Column, i: Int): Column = i match {
+      case 0 => c
+      case 1 => c * lit(2)
+      case _ => c + lit(1)
+    }
+
+    var servedCount = 0
+    for (i <- 0 until 30) {
+      val nAggs = 1 + rnd.nextInt(2)
+      val aggs = (0 until nAggs).map { j =>
+        derived(baseAgg(rnd.nextInt(4)), rnd.nextInt(3)).as(s"j${i}_$j")
+      }
+      val filterPick = rnd.nextInt(3) // 0 none, 1 group col, 2 non-group
+      // servable shapes (0: 2-table, 1: star, 4: global) weighted 2:1
+      // over the must-bail ones (2: wrong keys, 3: outer) so the run
+      // exercises serving AND bailing whatever the seed does
+      val shape = Seq(0, 0, 1, 1, 4, 4, 2, 3)(rnd.nextInt(8))
+      def q: DataFrame = shape match {
+        case 0 =>
+          val b = filterPick match {
+            case 1 => oc.filter(col("c_nationkey") <= 12)
+            case 2 => oc.filter(col("c_acctbal") > 0)
+            case _ => oc
+          }
+          b.groupBy(col("c_nationkey")).agg(aggs.head, aggs.tail: _*)
+        case 1 =>
+          val b = filterPick match {
+            case 1 => ocn.filter(col("n_name") > "G")
+            case 2 => ocn.filter(col("o_totalprice") > 1000.0)
+            case _ => ocn
+          }
+          b.groupBy(col("n_name")).agg(aggs.head, aggs.tail: _*)
+        case 2 => // wrong join keys: a different shape, must bail
+          Tables.orders(spark, sfDir)
+            .join(Tables.customer(spark, sfDir),
+              col("o_custkey") === col("c_nationkey"))
+            .groupBy(col("c_nationkey")).agg(aggs.head, aggs.tail: _*)
+        case 3 => // outer join: must bail
+          Tables.orders(spark, sfDir)
+            .join(Tables.customer(spark, sfDir),
+              col("o_custkey") === col("c_custkey"), "left")
+            .groupBy(col("c_nationkey")).agg(aggs.head, aggs.tail: _*)
+        case _ => // GLOBAL over the join: re-aggregates the view
+          oc.agg(aggs.head, aggs.tail: _*)
+      }
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val (got, plan) = try {
+        val df = q
+        (df.collect().toSet, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+      if (stateDirs.exists(plan.contains)) servedCount += 1
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val want = try q.collect().toSet
+        finally spark.conf.unset("spark.graft.mv.enabled")
+      assert(got == want,
+        s"draw $i (shape $shape) diverged " +
+          s"(served=${stateDirs.exists(plan.contains)})\n$plan")
+    }
+    assert(servedCount >= 6,
+      s"only $servedCount/30 draws served — the fuzz stopped exercising " +
+        "the join views")
   }
 }

@@ -205,6 +205,48 @@ class PlanAuditSpec extends SparkSpec {
       s"delta scan must push the DDL's cutoff\n$p")
   }
 
+  test("mv_join: the join view serves from state + ONE date-pushed " +
+    "orders scan with the dim joined on the delta branch only") {
+    val p = plan("q_mv_join")
+    assert(p.contains(operators.Incremental.mvJoinStateDir(sfDir)),
+      s"must serve from the join-view state\n$p")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+    val custScans = "customer\\.parquet".r.findAllIn(p).length
+    assert(custScans == 1, s"expected 1 customer scan, got $custScans\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the delta's orders scan must push the cutoff\n$p")
+    // the dim side joins broadcast — the fact delta never shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mv_join_star: the 3-table chain serves from state + one pushed " +
+    "fact scan, both dims broadcast") {
+    val p = plan("q_mv_join_star")
+    assert(p.contains(operators.Incremental.mvJoinStarStateDir(sfDir)),
+      s"must serve from the star view's state\n$p")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both dims must broadcast on the delta branch\n$p")
+  }
+
+  test("mv_ddl_refresh: the dialect-refreshed view serves ONLY the new " +
+    "artifact with the advanced cutoff pushed") {
+    val p = plan("q_mv_ddl_refresh")
+    val t = graft.ksql.KsqlQueries.mvRefreshDir(spark, sfDir)
+    assert(p.contains(s"$t/state2"),
+      s"must serve from the refreshed artifact\n$p")
+    val all = java.util.regex.Pattern.quote(s"$t/state").r
+      .findAllIn(p).length
+    val ref = java.util.regex.Pattern.quote(s"$t/state2").r
+      .findAllIn(p).length
+    assert(all == ref, s"the pre-refresh artifact must be gone\n$p")
+    assert(p.contains("2001-06-01"),
+      s"the delta scan must carry the ADVANCED cutoff\n$p")
+  }
+
   test("dq-checks suite shares scans: three aggregates, no row widening") {
     val p = plan("q_dq_checks")
     // the FK-containment branch must be a semi join, never an outer/inner

@@ -1331,6 +1331,52 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e3.getMessage.contains("DIFFERENT refresh"), e3.getMessage)
   }
 
+  test("dialect REFRESH composes with JOIN VIEWS: a programmatic " +
+    "fact ⋈ dim registration refreshes through KSQL text — the fold " +
+    "runs over the joined base, serving reads the new artifact with " +
+    "the advanced cutoff") {
+    import graft.ksql.Translator
+    val name = "jv_refresh"
+    MaterializedViews.drop(name)
+    val dateT = Tables.orders(spark, sfDir)
+      .schema("o_orderdate").dataType.catalogString
+    val cutoff = lit("2001-01-01").cast(dateT)
+    def base(sp: org.apache.spark.sql.SparkSession) =
+      Tables.orders(sp, sfDir).join(Tables.customer(sp, sfDir),
+        col("o_custkey") === col("c_custkey"))
+    val aggs = Seq(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("jv_refresh").toString
+    // c_mktsegment key: DISJOINT from orders_cust's c_nationkey
+    // signature, so this spec's serving assertion can't race the
+    // gated join view for the same query
+    base(spark).filter(col("o_orderdate") < cutoff)
+      .groupBy(col("c_mktsegment")).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(stateDir)
+    MaterializedViews.register(spark, name, base(_), stateDir,
+      col("o_orderdate") >= cutoff, Seq(col("c_mktsegment")), aggs)
+    try {
+      val newDir = java.nio.file.Files
+        .createTempDirectory("jv_refresh_new").toString
+      Translator.run(spark, Map.empty,
+        s"""REFRESH MATERIALIZED VIEW $name WITH (
+           |  STATE_DIR='$newDir',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''')"""
+          .stripMargin)
+      assert(MaterializedViews.view(name).exists(_.stateDir == newDir))
+      def q: DataFrame = base(spark).groupBy(col("c_mktsegment"))
+        .agg(aggs.head, aggs.tail: _*)
+      val (got, plan) = collected(enabled = true)(q)
+      assert(plan.contains(newDir),
+        s"serving must read the refreshed join-view artifact\n$plan")
+      assert(plan.contains("2001-06-01"),
+        s"the delta's fact scan must push the advanced cutoff\n$plan")
+      val (want, _) = collected(enabled = false)(q)
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally { MaterializedViews.drop(name); () }
+  }
+
   test("dialect REFRESH with DELETED: the retraction folds through KSQL " +
     "text and the served rollup equals the surviving-row recompute") {
     import graft.ksql.{KsqlQueries, Translator}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Batch-to-stream state handoff: a streaming aggregation SEEDED from
   * the batch-built incremental state (Spark 4's
@@ -236,6 +236,93 @@ object StreamingIncremental {
       .toDF("ws", "grp", "cnt", "sum_cents")
       .select(col("ws"), (col("ws") + lit(sizeMs)).as("we"), col("grp"),
         col("cnt"), col("sum_cents"))
+  }
+
+  /** Seed row: (grp, dv, dn) — one counted pair. */
+  private type PairSeed = (String, Long, Long)
+  /** Input row: (grp, dv, w) — w = +1 insert / −1 CDC retraction. */
+  private type PairIn = (String, Long, Long)
+  /** Output row: (grp, n_distinct). */
+  private type DistinctOut = (String, Long)
+
+  /** The COUNT(DISTINCT) shape of the handoff, retraction-capable: the
+    * batch MULTIPLICITY-CARRYING pair state (the
+    * `graft.plans.MaterializedViews` countedPairs artifact — one
+    * (group, value, count) row per pair) seeds a per-group
+    * `MapState[value → count]`, and live rows carry a WEIGHT: +1
+    * inserts, −1 CDC retractions — counts subtract exactly, a pair
+    * reaching zero leaves the map, and the per-group distinct count is
+    * maintained INCREMENTALLY in a ValueState (+1 on 0→positive, −1 on
+    * positive→0), so each emission is O(touched rows), never
+    * O(|group's pairs|). Retracting below zero fails loudly — the same
+    * contract violation the batch refresh refuses (deleting rows the
+    * state never counted poisons the adjacent counts too). At 100 TB
+    * the store holds the distinct pairs (the information-theoretic
+    * minimum for an exact retractable answer); only the delta streams.
+    */
+  private class SeededDistinctProcessor
+    extends StatefulProcessorWithInitialState[String, PairIn, DistinctOut,
+      PairSeed] {
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var nd: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long]("pairs",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      nd = getHandle.getValueState[Long]("nd",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    // one call per seed row: a group's pairs arrive as N rows; every
+    // seeded count is ≥ 1 by the batch-refresh contract, so each adds
+    // one distinct value
+    override def handleInitialState(key: String, initial: PairSeed,
+        tv: TimerValues): Unit = {
+      counts.updateValue(initial._2, initial._3)
+      nd.update((if (nd.exists()) nd.get() else 0L) + 1L)
+    }
+    override def handleInputRows(key: String, rows: Iterator[PairIn],
+        tv: TimerValues): Iterator[DistinctOut] = {
+      var n = if (nd.exists()) nd.get() else 0L
+      rows.foreach { case (_, dv, w) =>
+        val cur = if (counts.containsKey(dv)) counts.getValue(dv) else 0L
+        val nxt = cur + w
+        if (nxt < 0L) throw new IllegalStateException(
+          s"pair (group=$key, value=$dv) retracted below zero — the " +
+            "retraction stream deleted rows the state never counted")
+        if (cur == 0L && nxt > 0L) n += 1L
+        if (cur > 0L && nxt == 0L) { n -= 1L; counts.removeKey(dv) }
+        else if (nxt > 0L) counts.updateValue(dv, nxt)
+      }
+      nd.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  /** Continuous retraction-capable COUNT(DISTINCT dv) per group, seeded
+    * from the batch counted-pair artifact (`initState` columns: grp,
+    * dv, dn — the countedPairs state shape). `delta` streams (grp:
+    * string, dv: long, w: long) where w = +1 for inserts and −1 for
+    * CDC retractions. Emits the group's updated distinct count per
+    * micro-batch, update mode — keep each group's LATEST emission.
+    * Seed + Δ ≡ count(DISTINCT) over (base ∪ inserts − retractions),
+    * the spec's oracle — the streaming continuation of
+    * `q_mv_distinct_delete`'s batch refresh. */
+  def seededDistinctCount(delta: DataFrame, initState: DataFrame): DataFrame = {
+    import delta.sparkSession.implicits._
+    val seed: Dataset[PairSeed] = initState
+      .select(col("grp").cast("string"), col("dv").cast("long"),
+        col("dn").cast("long"))
+      .as[PairSeed]
+    delta
+      .select(col("grp").cast("string"), col("dv").cast("long"),
+        col("w").cast("long"))
+      .filter(col("grp").isNotNull && col("dv").isNotNull)
+      .as[PairIn]
+      .groupByKey(_._1)
+      .transformWithState(new SeededDistinctProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(_._1),
+        Encoders.product[DistinctOut], Encoders.product[PairSeed])
+      .toDF("grp", "n_distinct")
   }
 
   /** Continuous per-key (count, sum, max) over `cents`, seeded from a

@@ -691,4 +691,71 @@ class IncrementalSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming handoff: RETRACTION-CAPABLE count(DISTINCT) seeded " +
+    "from the counted-pair state — +1 inserts and -1 CDC retractions " +
+    "fold across batches, emptied pairs leave, seed + delta equals " +
+    "the full recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIncremental
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cutoff = lit("2024-01-25").cast("timestamp")
+      val pre = Tables.events(spark, sfDir).filter(col("ts") < cutoff)
+      val post = Tables.events(spark, sfDir).filter(col("ts") >= cutoff)
+      // the batch counted-pair artifact shape: (grp, dv, dn)
+      val seed = pre.groupBy(col("event_type").as("grp"),
+          col("user_id").as("dv"))
+        .agg(count(lit(1)).as("dn"))
+      // live inserts: every post-cutoff event, weight +1; live CDC
+      // retractions: every PRE-cutoff event of user%7 users, weight -1
+      // (whole-user wipes — pairs empty and must leave the map)
+      val inserts = post.select(col("event_type"), col("user_id"),
+        lit(1L)).as[(String, Long, Long)].collect()
+      val retractions = pre.filter(col("user_id") % 7 === 0)
+        .select(col("event_type"), col("user_id"), lit(-1L))
+        .as[(String, Long, Long)].collect()
+      assert(retractions.nonEmpty, "test data must retract something")
+      val mem = MemoryStream[(String, Long, Long)](spark)
+      val out = StreamingIncremental.seededDistinctCount(
+        mem.toDF().toDF("grp", "dv", "w"), seed)
+      val q = out.writeStream.format("memory").queryName("dd_seeded")
+        .outputMode("update").start()
+      // batch 1: half the inserts; batch 2: the rest + ALL retractions —
+      // the subtract crosses the batch boundary against carried state
+      val (i1, i2) = inserts.splitAt(inserts.length / 2)
+      mem.addData(i1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(i2.toIndexedSeq ++ retractions); q.processAllAvailable()
+      q.stop()
+      // update mode: keep each group's LAST emission (monotone batch id
+      // is not exposed — n_distinct is not monotone under retraction —
+      // so re-derive from the sink's arrival order via max aggregation
+      // over a per-row id)
+      val got = spark.table("dd_seeded")
+        .withColumn("rid", monotonically_increasing_id())
+        .groupBy(col("grp"))
+        .agg(max_by(col("n_distinct"), col("rid")).as("n_distinct"))
+      // oracle: distinct users over (pre minus the retracted users'
+      // pre-cutoff rows) union post — exactly q_mv_distinct_delete's
+      // contract, continued into the stream
+      val expect = pre.filter(col("user_id") % 7 =!= 0)
+        .select(col("event_type"), col("user_id"))
+        .unionByName(post.select(col("event_type"), col("user_id")))
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("n_distinct"))
+      assertSameRows(got, expect)
+      // the emptied regime really ran: some user%7 user contributed a
+      // pre-cutoff pair and no post-cutoff event for that type, so its
+      // pair left the map (otherwise got would exceed expect somewhere
+      // and the assert above would have failed — this pins the setup)
+      val emptied = pre.filter(col("user_id") % 7 === 0)
+        .select(col("event_type"), col("user_id"))
+        .exceptAll(post.select(col("event_type"), col("user_id")))
+        .count()
+      assert(emptied > 0, "setup must exercise the emptied-pair regime")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -1103,6 +1103,45 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!prefixPlan.contains(state), prefixPlan)
   }
 
+  test("windowed JOIN view: 30-day panes × segment over orders ⋈ " +
+    "customer serve from pane state + one date-pushed fact scan — the " +
+    "window key and the join cross in one unwrap") {
+    Incremental.mvWindowJoinPrepare(spark, sfDir)
+    val state = Incremental.mvWindowJoinStateDir(sfDir)
+    def q: DataFrame = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(window(col("o_orderdate"), "30 days"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"))
+      .select(unix_millis(col("window.start").cast("timestamp")).as("ws"),
+        col("c_mktsegment"), col("cnt"), col("sum_cents"))
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(state),
+      s"the windowed join rollup must serve from pane state\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1,
+      s"expected 1 (delta) orders scan, got $ordersScans\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    val (want, directPlan) = collected(enabled = false)(q)
+    assert(!directPlan.contains(state))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // a different pane size over the same join must bail
+    val otherPlan = {
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      try Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(window(col("o_orderdate"), "45 days"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(!otherPlan.contains(state), otherPlan)
+  }
+
   test("counted pair-set retraction: countDistinct survives CDC deletes " +
     "— subtract equals rescan-minus-deleted, emptied pairs leave the " +
     "state, over-deleting fails loudly") {

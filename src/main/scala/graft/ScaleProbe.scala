@@ -113,7 +113,8 @@ object ScaleProbe {
     // (smaller delta, same shape). q_ksql_rollup_mv — the dialect ROLLUP
     // served per grouping set from the DDL view.
     "q_mv_join", "q_mv_join_star", "q_mv_window_join",
-    "q_mv_distinct_delete", "q_mv_ddl_refresh", "q_ksql_rollup_mv")
+    "q_mv_hopping_join", "q_mv_distinct_delete", "q_mv_ddl_refresh",
+    "q_ksql_rollup_mv")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

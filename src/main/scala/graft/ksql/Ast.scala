@@ -42,7 +42,8 @@ case class SelectStmt(
     orderBy: Seq[(String, Boolean)] = Seq.empty, // (expr, descending)
     limit: Option[Int] = None,
     emitFinal: Boolean = false, // EMIT FINAL: only closed windows (append mode)
-    groupingMode: Option[String] = None) // GROUP BY ROLLUP(...)/CUBE(...)
+    groupingMode: Option[String] = None, // ROLLUP(...)/CUBE(...)/GROUPING SETS
+    groupingSets: Seq[Seq[String]] = Seq.empty) // the sets, when mode = sets
 
 sealed trait Statement
 case class CreateSource(

@@ -822,6 +822,32 @@ object KsqlQueries {
         |FROM customer
         |GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin),
 
+    // GROUP BY GROUPING SETS through the dialect: explicit sets —
+    // including the empty grand-total set — plan through Spark's
+    // groupingSets surface with the same alias resolution as the plain
+    // key list; the oracle is DuckDB's own GROUPING SETS, so the NULL
+    // subtotal semantics and the set membership match engine-for-engine.
+    "q_ksql_grouping_sets" -> Q(
+      (s, d) => {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM cust WITH (PATH='$d/customer.parquet')")
+        val (_, Some(df)) = Translator.run(s, c1,
+          """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+            |  SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            |    AS bal_cents
+            |FROM cust
+            |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+            |                        (c_nationkey), ())""".stripMargin)
+          : @unchecked
+        df
+      },
+      """SELECT c_mktsegment, c_nationkey, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS bal_cents
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+        |                        (c_nationkey), ())""".stripMargin),
+
     // GROUP BY ROLLUP through the dialect, SERVED from a per-key view
     // created in KSQL text: the grouping-sets rewrite recognizes the
     // Expand-shaped aggregate against the (status, priority) view and

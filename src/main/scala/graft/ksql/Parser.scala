@@ -564,18 +564,43 @@ object Parser {
         Session(d, g, r)
       }
     } else None
-    // GROUP BY ROLLUP(a, b) / CUBE(a, b) — hierarchical / full grouping
-    // sets, parsed as a mode flag over the plain key list (the
-    // translator plans them through Spark's rollup/cube, and a
-    // registered per-key materialized view serves the resulting
-    // Expand-shaped aggregate via the grouping-sets rewrite)
+    // GROUP BY ROLLUP(a, b) / CUBE(a, b) / GROUPING SETS ((a, b), (a),
+    // ()) — hierarchical / full / explicit grouping sets, parsed as a
+    // mode flag over the plain key list (the translator plans them
+    // through Spark's rollup/cube/groupingSets, and a registered
+    // per-key materialized view serves the resulting Expand-shaped
+    // aggregate via the grouping-sets rewrite)
     var groupingMode: Option[String] = None
+    var groupingSets = Seq.empty[Seq[String]]
     val groupBy = if (p.accept("GROUP")) {
       p.expect("BY")
       if (p.accept("ROLLUP")) groupingMode = Some("rollup")
       else if (p.accept("CUBE")) groupingMode = Some("cube")
+      else if (p.accept("GROUPING")) {
+        p.expect("SETS"); groupingMode = Some("sets")
+      }
       val gs = Seq.newBuilder[String]
-      if (groupingMode.isDefined) {
+      if (groupingMode.contains("sets")) {
+        p.expect("(")
+        val sets = Seq.newBuilder[Seq[String]]
+        var m = true
+        while (m) {
+          p.expect("(")
+          val one = Seq.newBuilder[String]
+          if (!p.accept(")")) { // "()" is the grand-total set
+            var n = true
+            while (n) { one += exprUntilCol(p); n = p.accept(",") }
+            p.expect(")")
+          }
+          sets += one.result()
+          m = p.accept(",")
+        }
+        p.expect(")")
+        groupingSets = sets.result()
+        // the key list is the sets' union, first-seen order — the
+        // output grouping columns, like SQL's GROUPING SETS contract
+        gs ++= groupingSets.flatten.distinct
+      } else if (groupingMode.isDefined) {
         p.expect("(")
         var m = true
         while (m) { gs += exprUntilCol(p); m = p.accept(",") }
@@ -612,7 +637,7 @@ object Parser {
       if (p.accept("LIMIT")) Some(limitOperand(p)) else None)
     SelectStmt(cols.result(), from, fromAlias, joins.result(), where, window,
       groupBy, having, partitionBy, emit, fromSub, orderBy, limit, emitFinal,
-      groupingMode)
+      groupingMode, groupingSets)
   }
 
   // column-level expressions additionally stop at AS (aliases); CAST(x AS

@@ -1073,12 +1073,26 @@ object Translator {
         val grouped = s.groupingMode match {
           case Some(mode) =>
             if (s.window.isDefined) throw new IllegalArgumentException(
-              "ROLLUP/CUBE does not compose with WINDOW — a pane is " +
-                "already a grouping dimension; roll up post-aggregation")
+              "ROLLUP/CUBE/GROUPING SETS does not compose with WINDOW — " +
+                "a pane is already a grouping dimension; roll up " +
+                "post-aggregation")
             if (df.isStreaming) throw new IllegalArgumentException(
-              "ROLLUP/CUBE is a batch (pull) construct — a streaming " +
-                "grouping-set state would multiply every update")
-            if (mode == "rollup") df.rollup(keys: _*) else df.cube(keys: _*)
+              "ROLLUP/CUBE/GROUPING SETS is a batch (pull) construct — " +
+                "a streaming grouping-set state would multiply every " +
+                "update")
+            mode match {
+              case "rollup" => df.rollup(keys: _*)
+              case "cube" => df.cube(keys: _*)
+              case _ => // explicit sets: each member resolves with the
+                // SAME alias substitution as the key list, so set
+                // columns are structurally equal to their key columns
+                val resolve = (g: String) =>
+                  aliasMap.get(g.trim.toLowerCase) match {
+                    case Some(e) => expr(rewriteExpr(e)).as(g.trim)
+                    case None => expr(rewriteExpr(g))
+                  }
+                df.groupingSets(s.groupingSets.map(_.map(resolve)), keys: _*)
+            }
           case None => df.groupBy(keys: _*)
         }
         val out =

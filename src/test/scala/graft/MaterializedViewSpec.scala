@@ -1142,6 +1142,37 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!otherPlan.contains(state), otherPlan)
   }
 
+  test("hopping JOIN view: sliding panes over orders ⋈ customer serve " +
+    "from pane state — the Expand sits above the crossed join and the " +
+    "nested shape key carries both structures") {
+    Incremental.mvHoppingJoinPrepare(spark, sfDir)
+    val state = Incremental.mvHoppingJoinStateDir(sfDir)
+    def q: DataFrame = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(window(col("o_orderdate"), "60 days", "30 days"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"))
+      .select(unix_millis(col("window.start").cast("timestamp")).as("ws"),
+        col("c_mktsegment"), col("cnt"), col("sum_cents"))
+    val (got, plan) = collected(enabled = true)(q)
+    assert(plan.contains(state),
+      s"the hopping join rollup must serve from pane state\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1,
+      s"expected 1 (delta) orders scan, got $ordersScans\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    val (want, directPlan) = collected(enabled = false)(q)
+    assert(!directPlan.contains(state))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the TUMBLING 30-day join view and this hopping one route
+    // disjointly over the same joined base — different Expand shapes
+    val tumblingState = Incremental.mvWindowJoinStateDir(sfDir)
+    if (tumblingState != null)
+      assert(!plan.contains(tumblingState), plan)
+  }
+
   test("counted pair-set retraction: countDistinct survives CDC deletes " +
     "— subtract equals rescan-minus-deleted, emptied pairs leave the " +
     "state, over-deleting fails loudly") {
@@ -1482,6 +1513,33 @@ class MaterializedViewSpec extends SparkSpec {
       .agg(count(lit(1)).as("cnt")).collect().toSet
     assert(gotCube == wantCube)
     assert(gotCube.nonEmpty)
+    // explicit GROUPING SETS through the dialect — including the empty
+    // grand-total set — served from the SAME per-key view (every set is
+    // a subset of the view's keys)
+    val gsQuery =
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS sum_cents,
+        |  MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders_src
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())""".stripMargin
+    val (_, gsOpt) = Translator.run(spark, c1, gsQuery)
+    val gsPlan = gsOpt.get.queryExecution.executedPlan.toString
+    assert(gsPlan.contains(s"$t/state") ||
+      Option(Incremental.mvRollupStateDir(sfDir)).exists(gsPlan.contains),
+      s"GROUPING SETS must serve from a per-key view state\n$gsPlan")
+    val gsGot = gsOpt.get.collect().toSet
+    val gsWant = {
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try {
+        val (_, d2) = Translator.run(spark, c1, gsQuery)
+        d2.get.collect().toSet
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(gsGot == gsWant)
+    assert(gsGot.nonEmpty)
     // ROLLUP/CUBE refuses inside a CMV definition and under a WINDOW
     val e = intercept[IllegalArgumentException] {
       Translator.run(spark, c1,

@@ -177,9 +177,13 @@ class MvRewriteFuzzSpec extends SparkSpec {
     "joins and non-group filters bail but stay equal") {
     Incremental.mvJoinPrepare(spark, sfDir)
     Incremental.mvJoinStarPrepare(spark, sfDir)
+    Incremental.mvWindowJoinPrepare(spark, sfDir)
+    Incremental.mvHoppingJoinPrepare(spark, sfDir)
     val stateDirs = Seq(
       Option(Incremental.mvJoinStateDir(sfDir)),
-      Option(Incremental.mvJoinStarStateDir(sfDir))).flatten
+      Option(Incremental.mvJoinStarStateDir(sfDir)),
+      Option(Incremental.mvWindowJoinStateDir(sfDir)),
+      Option(Incremental.mvHoppingJoinStateDir(sfDir))).flatten
     val rnd = new scala.util.Random(1414)
 
     def oc = Tables.orders(spark, sfDir)
@@ -203,16 +207,19 @@ class MvRewriteFuzzSpec extends SparkSpec {
     }
 
     var servedCount = 0
-    for (i <- 0 until 30) {
+    for (i <- 0 until 40) {
       val nAggs = 1 + rnd.nextInt(2)
       val aggs = (0 until nAggs).map { j =>
         derived(baseAgg(rnd.nextInt(4)), rnd.nextInt(3)).as(s"j${i}_$j")
       }
       val filterPick = rnd.nextInt(3) // 0 none, 1 group col, 2 non-group
-      // servable shapes (0: 2-table, 1: star, 4: global) weighted 2:1
-      // over the must-bail ones (2: wrong keys, 3: outer) so the run
-      // exercises serving AND bailing whatever the seed does
-      val shape = Seq(0, 0, 1, 1, 4, 4, 2, 3)(rnd.nextInt(8))
+      // servable shapes (0: 2-table, 1: star, 4: global, 5: windowed
+      // join, 6: hopping join) weighted 2:1 over the must-bail ones
+      // (2: wrong keys, 3: outer, 7: unregistered pane size over the
+      // join) so the run exercises serving AND bailing whatever the
+      // seed does
+      val shape = Seq(0, 0, 1, 1, 4, 4, 5, 5, 6, 6, 2, 3, 7)(
+        rnd.nextInt(13))
       def q: DataFrame = shape match {
         case 0 =>
           val b = filterPick match {
@@ -238,6 +245,26 @@ class MvRewriteFuzzSpec extends SparkSpec {
             .join(Tables.customer(spark, sfDir),
               col("o_custkey") === col("c_custkey"), "left")
             .groupBy(col("c_nationkey")).agg(aggs.head, aggs.tail: _*)
+        case 5 => // WINDOWED join view (30-day panes × segment); the
+          // window struct stays in the output — Row equality covers it
+          val b = filterPick match {
+            case 1 => oc.filter(col("c_mktsegment") === "BUILDING")
+            case 2 => oc.filter(col("o_totalprice") > 1000.0)
+            case _ => oc
+          }
+          b.groupBy(window(col("o_orderdate"), "30 days"),
+            col("c_mktsegment")).agg(aggs.head, aggs.tail: _*)
+        case 6 => // HOPPING join view (Expand above the crossed join)
+          val b = filterPick match {
+            case 1 => oc.filter(col("c_mktsegment") === "BUILDING")
+            case 2 => oc.filter(col("o_totalprice") > 1000.0)
+            case _ => oc
+          }
+          b.groupBy(window(col("o_orderdate"), "60 days", "30 days"),
+            col("c_mktsegment")).agg(aggs.head, aggs.tail: _*)
+        case 7 => // unregistered pane size over the join: must bail
+          oc.groupBy(window(col("o_orderdate"), "45 days"),
+            col("c_mktsegment")).agg(aggs.head, aggs.tail: _*)
         case _ => // GLOBAL over the join: re-aggregates the view
           oc.agg(aggs.head, aggs.tail: _*)
       }
@@ -254,8 +281,8 @@ class MvRewriteFuzzSpec extends SparkSpec {
         s"draw $i (shape $shape) diverged " +
           s"(served=${stateDirs.exists(plan.contains)})\n$plan")
     }
-    assert(servedCount >= 6,
-      s"only $servedCount/30 draws served — the fuzz stopped exercising " +
+    assert(servedCount >= 8,
+      s"only $servedCount/40 draws served — the fuzz stopped exercising " +
         "the join views")
   }
 }

@@ -771,6 +771,26 @@ class RestServerSpec extends SparkSpec {
             "SELECT o_orderstatus, COUNT(*) AS n FROM ref_src " +
               "GROUP BY o_orderstatus;")
           assert(c3 == 200, b3)
+          // a SECOND refresh rebinds the same #mv:ref_view#refresh key:
+          // compaction keeps CREATE + the LATEST refresh only (the
+          // intermediate artifact is skipped), and a fresh joiner lands
+          // directly on the newest state
+          val (c4, b4) = postTo(srvC.boundPort, "/ksql",
+            s"""REFRESH MATERIALIZED VIEW ref_view WITH (
+               |  STATE_DIR='$t/state3',
+               |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-07-01''');"""
+              .stripMargin)
+          assert(c4 == 200, b4)
+          srvC.compactCommandLog()
+          val snap2 = new String(java.nio.file.Files.readAllBytes(snap))
+          assert(snap2.contains("state3") && !snap2.contains("state2'"),
+            s"compaction must keep only the LATEST refresh\n$snap2")
+          assert(graft.plans.MaterializedViews.drop("ref_view"))
+          val srvD = mk()
+          try assert(graft.plans.MaterializedViews.view("ref_view")
+            .exists(_.stateDir == s"$t/state3"),
+            "a fresh joiner must land on the NEWEST artifact")
+          finally srvD.stop()
         } finally srvC.stop()
       } finally srvB.stop()
     } finally {

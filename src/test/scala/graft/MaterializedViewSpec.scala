@@ -1447,6 +1447,39 @@ class MaterializedViewSpec extends SparkSpec {
     } finally { MaterializedViews.drop(name); () }
   }
 
+  test("dialect REFRESH composes with WINDOWED views: the pane-state " +
+    "fold advances a tumbling CMV's cutoff through KSQL text") {
+    import graft.ksql.{KsqlQueries, Translator}
+    val t = KsqlQueries.mvDdlWindowDir(spark, sfDir)
+    val name = KsqlQueries.mvDdlWindowName(sfDir)
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM ev_src WITH (PATH='$sfDir/events.parquet')")
+    // idempotent across suite orders: an earlier run of this spec may
+    // have already advanced the cutoff (state2 built + re-pinned)
+    Translator.run(spark, c1,
+      s"""REFRESH MATERIALIZED VIEW $name WITH (
+         |  STATE_DIR='$t/state2',
+         |  DELTA='ts >= TIMESTAMP ''2024-01-28 00:00:00''')""".stripMargin)
+    assert(MaterializedViews.view(name).exists(_.stateDir == s"$t/state2"))
+    val (_, dfOpt) = Translator.run(spark, c1, KsqlQueries.mvDdlWinPullQuery)
+    val df = dfOpt.get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$t/state2"),
+      s"the windowed pull must serve from the refreshed pane state\n$plan")
+    assert(plan.contains("2024-01-28"),
+      s"the delta scan must carry the ADVANCED cutoff\n$plan")
+    val got = df.collect().toSet
+    val want = {
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try {
+        val (_, d2) = Translator.run(spark, c1, KsqlQueries.mvDdlWinPullQuery)
+        d2.get.collect().toSet
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("dialect REFRESH with DELETED: the retraction folds through KSQL " +
     "text and the served rollup equals the surviving-row recompute") {
     import graft.ksql.{KsqlQueries, Translator}

@@ -574,10 +574,23 @@ object Parser {
     var groupingSets = Seq.empty[Seq[String]]
     val groupBy = if (p.accept("GROUP")) {
       p.expect("BY")
-      if (p.accept("ROLLUP")) groupingMode = Some("rollup")
-      else if (p.accept("CUBE")) groupingMode = Some("cube")
-      else if (p.accept("GROUPING")) {
-        p.expect("SETS"); groupingMode = Some("sets")
+      // mode keywords commit only when their full shape follows —
+      // ROLLUP/CUBE must be followed by '(', GROUPING by SETS '(' — so a
+      // plain grouping column that happens to be NAMED rollup/cube/
+      // grouping (legal: they are not reserved here) still parses as a
+      // key list (round-14 ADVICE: accept("ROLLUP") alone consumed such
+      // a column and the forced '(' failed)
+      def tokAt(off: Int): String = {
+        val i = p.pos + off
+        if (i < p.toks.length && !p.toks(i).isString) p.toks(i).up else ""
+      }
+      if (!p.peek.isString && p.peekUp == "ROLLUP" && tokAt(1) == "(") {
+        p.next(); groupingMode = Some("rollup")
+      } else if (!p.peek.isString && p.peekUp == "CUBE" && tokAt(1) == "(") {
+        p.next(); groupingMode = Some("cube")
+      } else if (!p.peek.isString && p.peekUp == "GROUPING" &&
+          tokAt(1) == "SETS" && tokAt(2) == "(") {
+        p.next(); p.next(); groupingMode = Some("sets")
       }
       val gs = Seq.newBuilder[String]
       if (groupingMode.contains("sets")) {

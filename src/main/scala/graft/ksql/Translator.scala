@@ -166,13 +166,115 @@ object Translator {
     cur
   }
 
-  // Subquery predicates route through spark.sql over temp views, which
-  // are SESSION-GLOBAL mutable state — Bench runs statements concurrently
-  // on one SparkSession, so the register→analyze→drop span must be
-  // atomic, and the outer frame needs a name that can never shadow a
-  // catalog source.
-  private val viewLock = new Object
+  // Subquery predicates route through Spark's SQL parser with catalog
+  // frames bound DIRECTLY into the parsed plan (sqlOverFrames below).
+  // The counter keeps the generated outer-frame name unique so it can
+  // never shadow a catalog source inside one statement's text.
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** Parse `sqlText` with Spark's own SQL parser and bind every
+    * unresolved relation — subquery-expression plans included — to the
+    * given frames by lowercased name, then analyze. This used to route
+    * through temp views (createOrReplaceTempView ×|catalog| + spark.sql
+    * + dropTempView under a lock): session-global catalog state, and
+    * FIVE CacheManager round-trips per translated subquery — each
+    * create-or-replace and the drop call uncacheQuery, which serializes
+    * against every concurrent persist/unpersist on the session.
+    * Measured under the bench's 8-way overlap (graph queries churn
+    * cache on the same session), those trips stalled 2-3 s — the whole
+    * round-14 q_ksql_exists regression. Binding plans directly is pure
+    * tree surgery: no shared state, no lock, no CacheManager, and
+    * Catalyst's DeduplicateRelations still handles a frame appearing
+    * on both sides of the correlation (same as it does for self-joins).
+    */
+  private def sqlOverFrames(spark: SparkSession, sqlText: String,
+                            frames: Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    def bind(plan: LogicalPlan): LogicalPlan = {
+      val rels = plan.transformUp {
+        case u: UnresolvedRelation =>
+          frames.get(u.multipartIdentifier.mkString(".")
+            .toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(f) => SubqueryAlias(u.multipartIdentifier.last,
+              f.queryExecution.analyzed)
+            case None => u
+          }
+      }
+      rels.transformAllExpressions {
+        case se: SubqueryExpression => se.withNewPlan(bind(se.plan))
+      }
+    }
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      bind(spark.sessionState.sqlParser.parsePlan(sqlText)))
+  }
+
+  // ---- artifact-directory probes, Hadoop FS API ----------------------
+  // MV state artifacts live wherever the deployment's STATE_DIR points —
+  // at 100 TB that is hdfs:// or s3a://, never the server's local disk.
+  // The state build/read was always FS-agnostic Spark parquet, but the
+  // round-14 probes (hasData, signature sidecars) went through
+  // java.io.File and silently failed on any non-local scheme; these
+  // helpers are the Hadoop-FS port (round-14 verdict #3), matching the
+  // discipline SchemaRegistry and CommandLog already follow.
+  private def fsPath(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (org.apache.hadoop.fs.FileSystem,
+                                    org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Does `dir` hold build output (part- files, or partition dirs when
+    * `partitioned`)? False for a missing or empty directory. */
+  private def dirHasData(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, partitioned: Boolean = false): Boolean = {
+    val (fs, p) = fsPath(spark, dir)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("part-") || (partitioned && n.contains("="))
+    }
+  }
+
+  /** The signature sidecar next to an artifact, if present. */
+  private def readSignature(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[String] = {
+    val (fs, p) = fsPath(spark, dir)
+    val sig = new org.apache.hadoop.fs.Path(p, "_graft_mv.signature")
+    if (!fs.exists(sig)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(sig).getLen.toInt)
+      val in = fs.open(sig)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Write the signature sidecar: temp name + atomic rename (the
+    * CommandLog snapshot discipline) — a reader never sees a torn file,
+    * and a crash mid-write leaves only a dot-temp the next writer
+    * overwrites. A crash BETWEEN the state build and this write leaves
+    * populated-but-unsigned data, which the callers treat as an
+    * INCOMPLETE build to redo — not a foreign artifact to refuse. */
+  private def writeSignature(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, signature: String): Unit = {
+    val (fs, p) = fsPath(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(p, "._graft_mv.signature.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(signature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(p, "_graft_mv.signature")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) throw new java.io.IOException(
+      s"could not publish signature sidecar at $dest")
+  }
+
+  /** Hex SHA-256 — keeps the defining signature's hash inside a refresh
+    * signature one line long whatever the CREATE's size. */
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   // KSQL function name → Spark SQL rewrite. Applied token-wise, case-
   // insensitively, only at word boundaries followed by '('.
@@ -1006,25 +1108,20 @@ object Translator {
       // over catalog-registered views; Catalyst plans them as semi/anti
       // joins (broadcast when the subquery side is small)
       if (raw"(?i)\(\s*select\b".r.findFirstIn(rw).isDefined) {
-        // The outer frame registers under a GENERATED view name, then is
-        // re-aliased in SQL to the statement's own name: registering it
+        // The outer frame binds under a GENERATED name, then is
+        // re-aliased in SQL to the statement's own name: binding it
         // AS s.from would shadow the catalog view of the same name, so a
         // subquery whose FROM references the outer table itself (e.g.
         // ... WHERE x > (SELECT avg(x) FROM orders)) would silently read
         // the partially-built outer frame (join/watermark applied)
         // instead of the base table. The SQL-level alias still lets the
         // outer WHERE qualify columns (o.x / orders.x), while the inner
-        // subquery's FROM resolves against the catalog views.
-        df = viewLock.synchronized {
-          catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
-          val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
-          df.createOrReplaceTempView(vn)
-          // spark.sql analyzes eagerly — the resolved plan survives the
-          // drop; finally, so a failed analysis can't leak the view
-          try spark.sql(
-            s"SELECT * FROM $vn AS ${s.fromAlias.getOrElse(s.from)} WHERE $rw")
-          finally spark.catalog.dropTempView(vn)
-        }
+        // subquery's FROM resolves against the catalog frames.
+        val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
+        df = sqlOverFrames(spark,
+          s"SELECT * FROM $vn AS ${s.fromAlias.getOrElse(s.from)} WHERE $rw",
+          catalog.map { case (n, c) =>
+            n.toLowerCase(java.util.Locale.ROOT) -> c.df } + (vn -> df))
       } else df = df.filter(expr(rw))
     }
 
@@ -1152,14 +1249,12 @@ object Translator {
           case (e, alias) =>
             rewriteExpr(e) + alias.fold("")(a => s" AS $a")
         }
-        viewLock.synchronized {
-          catalog.foreach { case (n, c) => c.df.createOrReplaceTempView(n) }
-          val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
-          df.createOrReplaceTempView(vn)
-          try spark.sql(s"SELECT ${colTexts.mkString(", ")} " +
-            s"FROM $vn AS ${s.fromAlias.getOrElse(s.from)}")
-          finally spark.catalog.dropTempView(vn)
-        }
+        val vn = s"__graft_outer_${viewCounter.incrementAndGet()}"
+        sqlOverFrames(spark,
+          s"SELECT ${colTexts.mkString(", ")} " +
+            s"FROM $vn AS ${s.fromAlias.getOrElse(s.from)}",
+          catalog.map { case (n, c) =>
+            n.toLowerCase(java.util.Locale.ROOT) -> c.df } + (vn -> df))
       } else {
         val cols = s.columns.map {
           case ("*", _) => col("*")
@@ -1384,16 +1479,15 @@ object Translator {
             // FLAT so one schema-carrying file exists (the parquet
             // analogue of the empty-CSAS avro header-only container; the
             // partition column stays present as a data column either
-            // way). Detected AFTER the write by a local directory
-            // listing: the former pre-write isEmpty probe was an extra
-            // Spark action re-evaluating the frame on EVERY partitioned
-            // write (round-9 ADVICE); a listing costs nothing and only
-            // the rare genuinely-empty case pays a second write.
+            // way). Detected AFTER the write by a directory listing
+            // (Hadoop FS — PATH may be any scheme): the former pre-write
+            // isEmpty probe was an extra Spark action re-evaluating the
+            // frame on EVERY partitioned write (round-9 ADVICE); a
+            // listing costs nothing and only the rare genuinely-empty
+            // case pays a second write.
             sel.partitionBy.foreach { _ =>
-              val dir = new java.io.File(path.stripPrefix("file:"))
-              val hasData = Option(dir.listFiles()).toSeq.flatten.exists(f =>
-                f.getName.contains("=") || f.getName.startsWith("part-"))
-              if (!hasData) emit(sized.limit(0).write.mode("overwrite"))
+              if (!dirHasData(spark, path, partitioned = true))
+                emit(sized.limit(0).write.mode("overwrite"))
             }
           }
         }
@@ -1801,9 +1895,9 @@ object Translator {
           // probe — runs FIRST, so a rejected DELTA can never leave an
           // artifact built under its complement in STATE_DIR for a
           // corrected re-issue to silently register against.
-          graft.plans.MaterializedViews.validate(spark, mvName,
-            base = _ => base, stateDir = stateDir, deltaPred = deltaPred,
-            groupCols = keys, aggCols = aggs)
+          val validated = graft.plans.MaterializedViews.validate(spark,
+            mvName, base = _ => base, stateDir = stateDir,
+            deltaPred = deltaPred, groupCols = keys, aggCols = aggs)
           // the defining signature persists NEXT TO the artifact and is
           // verified on the registration-from-existing-artifact path:
           // the contract state ⊎ delta = base only holds when the
@@ -1816,36 +1910,35 @@ object Translator {
             "keys=" + keys.map(_.toString).mkString("|"),
             "aggs=" + aggs.map(_.toString).mkString("|"),
             "delta=" + rewriteExpr(deltaText)).mkString("\n")
-          // single-writer state build: only when the dir holds no data
-          val dirFile = new java.io.File(stateDir.stripPrefix("file:"))
-          val sigFile = new java.io.File(dirFile, "_graft_mv.signature")
-          val hasData = Option(dirFile.listFiles()).toSeq.flatten
-            .exists(f => f.getName.startsWith("part-"))
-          if (hasData) {
-            val onDisk = if (sigFile.exists())
-              new String(java.nio.file.Files.readAllBytes(sigFile.toPath),
-                java.nio.charset.StandardCharsets.UTF_8)
-            else ""
-            if (onDisk != signature) throw new IllegalArgumentException(
+          // single-writer state build: only when the dir holds a SIGNED
+          // artifact. Data without a signature is an INCOMPLETE build (a
+          // crash between the parquet write and the sidecar publish) —
+          // permanently refusing it would brick the directory for the
+          // identical re-issued statement; rebuilding under the incoming
+          // definition is always self-consistent (the overwrite replaces
+          // whatever partial state the crash left).
+          val onDisk = readSignature(spark, stateDir)
+          if (dirHasData(spark, stateDir) && onDisk.isDefined) {
+            if (onDisk.get != signature) throw new IllegalArgumentException(
               s"CREATE MATERIALIZED VIEW $mvName: STATE_DIR '$stateDir' " +
-                "holds an artifact built under a DIFFERENT definition " +
-                "(or none recorded) — serving from it would violate " +
-                "state ⊎ delta = base; point STATE_DIR at a fresh " +
-                "directory or re-issue the original definition")
+                "holds an artifact built under a DIFFERENT definition — " +
+                "serving from it would violate state ⊎ delta = base; " +
+                "point STATE_DIR at a fresh directory or re-issue the " +
+                "original definition")
           } else {
             base.filter(!deltaPred)
               .groupBy(keys: _*)
               .agg(aggs.head, aggs.tail: _*)
               .write.mode("overwrite").parquet(stateDir)
-            java.nio.file.Files.write(sigFile.toPath, signature.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
+            writeSignature(spark, stateDir, signature)
           }
-          // the base factory captures the session-bound frame: the
-          // dialect runs embedded (one session per server), and a
-          // replaying server re-executes this statement on ITS session
-          graft.plans.MaterializedViews.register(spark, mvName,
-            base = _ => base, stateDir = stateDir, deltaPred = deltaPred,
-            groupCols = keys, aggCols = aggs)
+          // register the view validate() already built — the probes ran
+          // once; the defining signature rides along so REFRESH can bind
+          // its artifact to THIS definition (a DROP + re-CREATE under
+          // the same name but different semantics must not re-pin onto
+          // the old definition's refresh artifacts)
+          graft.plans.MaterializedViews.registerValidated(
+            validated.copy(defSignature = Some(signature)))
           graft.plans.MaterializedViews.install(spark)
           (catalog, None)
         }
@@ -1881,26 +1974,30 @@ object Translator {
         val deletedText = props.get("DELETED")
         // the refresh contract baked next to the artifact: a replaying
         // server re-pins ONLY against an artifact the exact same
-        // statement built — a dir reused under a different DELTA/DELETED
-        // would swap in a cutoff the artifact doesn't cover
+        // statement built over the SAME view definition — the owning
+        // view's defining signature is part of the refresh signature, so
+        // a DROP + re-CREATE under the same name with different
+        // semantics (a different WHERE, say) can never re-pin onto an
+        // artifact folded from the old definition, even when the
+        // key/agg column names line up (round-14 ADVICE).
+        val owner = graft.plans.MaterializedViews.view(mvName)
         val signature = Seq(
           "view=" + mvName,
           "delta=" + rewriteExpr(deltaText),
-          "deleted=" + deletedText.map(rewriteExpr).getOrElse(""))
+          "deleted=" + deletedText.map(rewriteExpr).getOrElse(""),
+          "def.sha=" + owner.flatMap(_.defSignature).map(sha256Hex)
+            .getOrElse(""))
           .mkString("\n")
-        val dirFile = new java.io.File(newDir.stripPrefix("file:"))
-        val sigFile = new java.io.File(dirFile, "_graft_mv.signature")
-        val hasData = Option(dirFile.listFiles()).toSeq.flatten
-          .exists(f => f.getName.startsWith("part-"))
-        if (hasData) {
-          val onDisk = if (sigFile.exists())
-            new String(java.nio.file.Files.readAllBytes(sigFile.toPath),
-              java.nio.charset.StandardCharsets.UTF_8)
-          else ""
-          if (onDisk != signature) throw new IllegalArgumentException(
+        val onDisk = readSignature(spark, newDir)
+        // signed data = a completed refresh; unsigned data = a build
+        // that crashed between the fold and the sidecar publish, re-run
+        // the fold (overwrite replaces the partial output)
+        if (dirHasData(spark, newDir) && onDisk.isDefined) {
+          if (onDisk.get != signature) throw new IllegalArgumentException(
             s"REFRESH MATERIALIZED VIEW $mvName: STATE_DIR '$newDir' " +
-              "holds an artifact a DIFFERENT refresh built (or none " +
-              "recorded) — re-pinning against it would serve a cutoff " +
+              "holds an artifact a DIFFERENT refresh built (or the same " +
+              "refresh over a DIFFERENT definition of the view) — " +
+              "re-pinning against it would serve a cutoff or contract " +
               "the artifact doesn't cover; use a fresh directory")
           graft.plans.MaterializedViews.repin(mvName, newDir, newPred,
             retracted = deletedText.isDefined)
@@ -1913,8 +2010,7 @@ object Translator {
               graft.plans.MaterializedViews.refresh(spark, mvName,
                 newPred, newDir)
           }
-          java.nio.file.Files.write(sigFile.toPath, signature.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
+          writeSignature(spark, newDir, signature)
         }
         (catalog, None)
     }

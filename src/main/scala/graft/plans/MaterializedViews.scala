@@ -102,11 +102,51 @@ object MaterializedViews {
       mergeAgg: Seq[(String, String)],
       distinctOf: Option[Column] = None,
       pairCounts: Boolean = false,
-      retracted: Boolean = false) {
+      retracted: Boolean = false,
+      defSignature: Option[String] = None) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 
   private val views = TrieMap.empty[String, MvView]
+  // Derived lookup structures, rebuilt on every registry MUTATION
+  // (DDL-rate — registrations/drops/refreshes, never per query): the
+  // rewrite rule fires on EVERY Aggregate of EVERY optimized plan in
+  // the JVM, and a deployment carries hundreds of views, so per-fire
+  // cost must not scale with registry size. `allBasePaths` gives the
+  // rule an O(#plan leaves) bail-out for plans touching no registered
+  // base; `byPath` narrows a matching Aggregate's candidate set to the
+  // few views sharing one of its scan paths (any one path suffices as
+  // the index key — a candidate's basePaths must EQUAL the plan's).
+  @volatile private var allBasePaths: Set[String] = Set.empty
+  @volatile private var byPath: Map[String, Seq[MvView]] = Map.empty
+
+  private def reindex(): Unit = {
+    val snap = views.readOnlySnapshot().values.toSeq
+    allBasePaths = snap.iterator.flatMap(_.basePaths).toSet
+    byPath = snap.flatMap(v => v.basePaths.map(_ -> v))
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2) }
+  }
+
+  /** Candidates sharing one of `paths` — index lookup, not a registry
+    * scan. Empty when the path set is empty (never unwraps that way). */
+  private def candidates(paths: Set[String]): Seq[MvView] =
+    paths.headOption.map(p => byPath.getOrElse(p, Nil)).getOrElse(Nil)
+
+  /** O(#leaves) pre-check for the rule: does this plan scan ANY
+    * registered base path? A miss skips the whole per-Aggregate unwrap
+    * walk — rule cost on unrelated queries is one leaf sweep regardless
+    * of how many views the JVM carries. */
+  private[plans] def touchesRegistered(plan: LogicalPlan): Boolean = {
+    val paths = allBasePaths
+    paths.nonEmpty && plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(p => paths.contains(p.toString))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
   private val schemaCache = TrieMap.empty[String, StructType]
   // rewrite EVENTS per view (each optimization that substituted this
   // view's serving plan — an explain and an execution both count, like
@@ -140,7 +180,9 @@ object MaterializedViews {
     served.readOnlySnapshot().map { case (k, v) => k -> v.get() }.toMap
 
   /** Drop all registrations (specs; a prod catalog would scope by name). */
-  def clear(): Unit = { views.clear(); schemaCache.clear(); served.clear() }
+  def clear(): Unit = {
+    views.clear(); schemaCache.clear(); served.clear(); reindex()
+  }
 
   /** Unregister one view (the dialect's DROP MATERIALIZED VIEW). The
     * state artifact stays on disk — registration never owns storage
@@ -149,6 +191,7 @@ object MaterializedViews {
   def drop(name: String): Boolean = {
     val had = views.remove(name).isDefined
     served.remove(name)
+    reindex()
     had
   }
 
@@ -291,7 +334,18 @@ object MaterializedViews {
           // (fact ⋈ dim ⋈ dim) register and match structurally.
           if !ls.exists(_.startsWith("expand(")) &&
             !rs.exists(_.startsWith("expand(")) &&
-            lp.intersect(rp).isEmpty
+            lp.intersect(rp).isEmpty &&
+            // …and no CROSS-RELATION NAME COLLISIONS either: matching is
+            // name-based (norm lowercases attribute names and drops
+            // exprIds), so a view keyed on the LEFT side's `id` would
+            // structurally equal a query using the RIGHT side's
+            // same-named `id` over the same paths/condition — silently
+            // wrong. Distinct paths don't imply distinct names (id,
+            // name, ts recur everywhere outside TPC-H); refuse the
+            // unwrap, the query stays correct, just unserved.
+            j.left.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
+              .intersect(j.right.output
+                .map(_.name.toLowerCase(Locale.ROOT)).toSet).isEmpty
           ck <- norm(rf(lf(j.condition.get)))
         } yield {
           val f: Expression => Expression = e => rf(lf(e))
@@ -350,7 +404,17 @@ object MaterializedViews {
     views.putIfAbsent(name, buildView(spark, name, base, stateDir,
       deltaPred, groupCols, aggCols, countedPairs)
       .copy(retracted = retracted))
-    ()
+    reindex()
+  }
+
+  /** Register a view [[validate]] already built — the other half of the
+    * validate-then-build DDL sequence, so registration never re-runs the
+    * definition analysis, the recursion guard, or the NULL-coverage
+    * probe a validate() on the same statement just ran (round-14 ADVICE:
+    * CREATE MATERIALIZED VIEW paid both twice). Idempotent per name. */
+  def registerValidated(v: MvView): Unit = {
+    views.putIfAbsent(v.name, v)
+    reindex()
   }
 
   /** Run every registration-side guard — definition shape, unsupported
@@ -359,15 +423,15 @@ object MaterializedViews {
     * the state artifact is only built once the definition is known to
     * register cleanly, so a rejected DELTA can never leave a stale
     * artifact behind for a later registration-from-existing-artifact to
-    * silently serve. Throws exactly when register would. */
+    * silently serve. Throws exactly when register would; returns the
+    * built view so the caller can [[registerValidated]] it without
+    * paying the probes twice. */
   def validate(spark: SparkSession, name: String,
                base: SparkSession => DataFrame, stateDir: String,
                deltaPred: Column, groupCols: Seq[Column],
-               aggCols: Seq[Column], countedPairs: Boolean = false): Unit = {
+               aggCols: Seq[Column], countedPairs: Boolean = false): MvView =
     buildView(spark, name, base, stateDir, deltaPred, groupCols, aggCols,
       countedPairs)
-    ()
-  }
 
   private def buildView(spark: SparkSession, name: String,
                base: SparkSession => DataFrame, stateDir: String,
@@ -577,6 +641,7 @@ object MaterializedViews {
           .agg(mergeCols(v).head, mergeCols(v).tail: _*)
     }).write.mode("overwrite").parquet(newStateDir)
     views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    reindex()
     schemaCache.remove(newStateDir)
     ()
   }
@@ -598,6 +663,7 @@ object MaterializedViews {
       // once retracted, always retracted — the artifact excludes the
       // deleted rows whatever later cutoff-only refreshes do
       retracted = v.retracted || retracted))
+    reindex()
     schemaCache.remove(newStateDir)
     ()
   }
@@ -739,6 +805,7 @@ object MaterializedViews {
         .write.mode("overwrite").parquet(newStateDir)
       views.put(name, v.copy(stateDir = newStateDir,
         deltaPred = newDeltaPred, retracted = true))
+      reindex()
       schemaCache.remove(newStateDir)
       return emptied
     }
@@ -871,6 +938,7 @@ object MaterializedViews {
     // is the wrong-answer-served-silently failure mode.
     views.put(name, v.copy(stateDir = newStateDir,
       deltaPred = newDeltaPred, retracted = true))
+    reindex()
     schemaCache.remove(newStateDir)
     touchedGroups
   }
@@ -964,7 +1032,7 @@ object MaterializedViews {
       case _ => ()
     }
     unwrap(agg.child).flatMap { case (paths, inline, condOpt, shape) =>
-      views.values.view
+      candidates(paths).view
         .filter(v => v.basePaths == paths && v.shapeKey == shape)
         .flatMap(v => rewriteWith(v, agg, inline, condOpt).map { plan =>
           served.getOrElseUpdate(v.name,
@@ -1061,7 +1129,7 @@ object MaterializedViews {
           }
       }.toMap
 
-      views.values.view.filter(v =>
+      candidates(paths).view.filter(v =>
         v.basePaths == paths && v.shapeKey == Nil && v.distinctOf.isEmpty &&
           posKeys.forall(v.groupKeys.contains))
         .flatMap { v =>
@@ -1416,7 +1484,11 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
   }
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MaterializedViews.isEmpty ||
-      isDisabledStr(conf.getConfString("spark.graft.mv.enabled", "true"))) plan
+      isDisabledStr(conf.getConfString("spark.graft.mv.enabled", "true")) ||
+      // O(#leaves) bail: plans scanning no registered base path skip
+      // the per-Aggregate unwrap entirely — rule cost on unrelated
+      // queries stays flat however many views the JVM carries
+      !MaterializedViews.touchesRegistered(plan)) plan
     else plan.transformUp {
       case agg: Aggregate => MaterializedViews.tryRewrite(agg).getOrElse(agg)
     }

@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ksql.Translator
+import graft.plans.{MaterializedViewRewrite, MaterializedViews}
+
+/** Round-15 MV hardening: registry-size-independent rule cost, the
+  * cross-relation name-collision unwrap guard, Hadoop-FS artifact
+  * probes (non-`file:` scheme end to end), the definition-bound refresh
+  * signature, and crash-recovery for populated-but-unsigned artifacts.
+  */
+class MvHardeningSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val cents =
+    floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+
+  // --- registry-size-independent rule cost ---------------------------
+
+  test("MV rule cost is flat in registry size: a plan touching no " +
+    "registered base path bails O(#leaves) — 200 views cost what 1 does") {
+    graft.GraftExtensions.register(spark)
+    // the measured plan scans ORDERS — the registered views sit on
+    // documents.parquet, so the path pre-check must reject in O(leaves)
+    val plan = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 1000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+      .queryExecution.optimizedPlan
+    def ruleNanos(iters: Int): Long = {
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < iters) { MaterializedViewRewrite.apply(plan); i += 1 }
+      System.nanoTime() - t0
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val names = (1 to 200).map(i => s"__flat_probe_mv_$i")
+    spark.conf.set("spark.graft.mv.coverageCheck", "false")
+    try {
+      // 1 registered view — warm up, then measure
+      MaterializedViews.register(spark, names.head, _ => docs,
+        stateDir = "/tmp/__flat_probe_absent",
+        deltaPred = col("doc_id") >= 900000000L,
+        groupCols = Seq(col("lang")),
+        aggCols = Seq(count(lit(1)).as("n")))
+      ruleNanos(200)
+      val one = (1 to 3).map(_ => ruleNanos(500)).min
+      names.tail.foreach { n =>
+        MaterializedViews.register(spark, n, _ => docs,
+          stateDir = "/tmp/__flat_probe_absent",
+          deltaPred = col("doc_id") >= 900000000L,
+          groupCols = Seq(col("lang")),
+          aggCols = Seq(count(lit(1)).as("n")))
+      }
+      assert(MaterializedViews.registered.count(_.startsWith(
+        "__flat_probe_mv_")) == 200)
+      ruleNanos(200)
+      val twoHundred = (1 to 3).map(_ => ruleNanos(500)).min
+      // flat ± floor: generous 4x + 50ms headroom keeps the assertion
+      // noise-proof while still failing the old O(views)-per-Aggregate
+      // scan (which measured ~40x here before the index)
+      assert(twoHundred <= one * 4 + 50L * 1000 * 1000,
+        s"rule cost grew with registry size: 1 view ${one / 1e6}ms, " +
+          s"200 views ${twoHundred / 1e6}ms per 500 applies")
+    } finally {
+      spark.conf.unset("spark.graft.mv.coverageCheck")
+      names.foreach(MaterializedViews.drop)
+    }
+  }
+
+  // --- cross-relation name collisions ---------------------------------
+
+  test("join-view unwrap refuses when the two sides share a column " +
+    "name: same-named keys on opposite sides must never cross-match") {
+    val dirA = freshDir("mv_collide_a")
+    val dirB = freshDir("mv_collide_b")
+    import spark.implicits._
+    Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "name", "v")
+      .write.mode("overwrite").parquet(s"$dirA/a.parquet")
+    Seq((1L, "p"), (2L, "q")).toDF("id", "cat")
+      .write.mode("overwrite").parquet(s"$dirB/b.parquet")
+    def joined(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      val a = s.read.parquet(s"$dirA/a.parquet")
+      val b = s.read.parquet(s"$dirB/b.parquet")
+      a.join(b, a("id") === b("id"))
+    }
+    // registration itself must refuse: the join never unwraps, so the
+    // definition can't reach a single-relation base (correct, unserved)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedViews.register(spark, "__collide_mv", joined,
+        stateDir = "/tmp/__collide_absent",
+        deltaPred = col("v") >= 1000L,
+        groupCols = Seq(col("name")),
+        aggCols = Seq(count(lit(1)).as("n")))
+    }
+    assert(e.getMessage.contains("single V1 file relation"))
+    assert(!MaterializedViews.registered.contains("__collide_mv"))
+  }
+
+  // --- Hadoop-FS artifact probes (non-file: scheme) --------------------
+
+  private def mockPath(local: String): String = s"mockfs:$local"
+
+  private def enableMockFs(): Unit =
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockfs.impl", classOf[MockFs].getName)
+
+  test("CREATE/REFRESH MATERIALIZED VIEW work end to end through a " +
+    "non-file: Hadoop scheme: probes, sidecars, state build and serving") {
+    enableMockFs()
+    val root = freshDir("mv_mockfs")
+    val state1 = mockPath(s"$root/state")
+    val state2 = mockPath(s"$root/state2")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW mockfs_mv WITH (
+         |  STATE_DIR='$state1',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''') AS
+         |SELECT o_orderstatus, COUNT(*) AS n
+         |FROM orders_src GROUP BY o_orderstatus""".stripMargin)
+    try {
+      assert(MaterializedViews.registered.contains("mockfs_mv"))
+      // the artifact + signature landed under the scheme'd dir
+      assert(new java.io.File(s"$root/state/_graft_mv.signature").exists())
+      assert(Option(new java.io.File(s"$root/state").listFiles()).toSeq
+        .flatten.exists(_.getName.startsWith("part-")))
+      // serving works with a mockfs state leaf
+      def pull: DataFrame = {
+        val (_, Some(df)) = Translator.run(spark, c1,
+          "SELECT o_orderstatus, COUNT(*) AS n FROM orders_src " +
+            "GROUP BY o_orderstatus"): @unchecked
+        df
+      }
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val plan = pull.queryExecution.executedPlan.toString
+      assert(plan.contains(s"$root/state"),
+        s"must serve from the mockfs state artifact\n$plan")
+      val got = pull.collect().toSet
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val want = pull.collect().toSet
+      spark.conf.unset("spark.graft.mv.enabled")
+      assert(got == want && got.nonEmpty)
+      // REFRESH folds into a second mockfs dir and re-pins
+      Translator.run(spark, c1,
+        s"""REFRESH MATERIALIZED VIEW mockfs_mv WITH (
+           |  STATE_DIR='$state2',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-09-01''')"""
+          .stripMargin)
+      assert(MaterializedViews.view("mockfs_mv").exists(_.stateDir == state2))
+      assert(new java.io.File(s"$root/state2/_graft_mv.signature").exists())
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val got2 = pull.collect().toSet
+      spark.conf.unset("spark.graft.mv.enabled")
+      assert(got2 == want)
+      // signature-mismatch refusal is preserved across the FS port: a
+      // DIFFERENT refresh pointed at the populated dir refuses
+      val e = intercept[IllegalArgumentException] {
+        Translator.run(spark, c1,
+          s"""REFRESH MATERIALIZED VIEW mockfs_mv WITH (
+             |  STATE_DIR='$state2',
+             |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-12-01''')"""
+            .stripMargin)
+      }
+      assert(e.getMessage.contains("DIFFERENT"))
+    } finally {
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW IF EXISTS mockfs_mv;")
+    }
+  }
+
+  // --- definition-bound refresh signature ------------------------------
+
+  test("refresh signature binds to the view DEFINITION: after DROP + " +
+    "re-CREATE with different semantics but identical column names, a " +
+    "re-issued refresh against the old artifact refuses to re-pin") {
+    val root = freshDir("mv_defsig")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    def create(where: String, stateDir: String): Unit = {
+      Translator.run(spark, c1,
+        s"""CREATE MATERIALIZED VIEW defsig_mv WITH (
+           |  STATE_DIR='$stateDir',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''') AS
+           |SELECT o_orderstatus, COUNT(*) AS n
+           |FROM orders_src WHERE $where GROUP BY o_orderstatus"""
+          .stripMargin)
+      ()
+    }
+    val refresh =
+      s"""REFRESH MATERIALIZED VIEW defsig_mv WITH (
+         |  STATE_DIR='$root/state2',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-09-01''')"""
+        .stripMargin
+    try {
+      create("o_totalprice > 1000", s"$root/state")
+      Translator.run(spark, c1, refresh)
+      assert(MaterializedViews.view("defsig_mv")
+        .exists(_.stateDir == s"$root/state2"))
+      // same column names, DIFFERENT WHERE — the artifact at state2 was
+      // folded from the old definition and must not serve the new one
+      Translator.run(spark, Map.empty, "DROP MATERIALIZED VIEW defsig_mv;")
+      create("o_totalprice > 50000", s"$root/state_b")
+      val e = intercept[IllegalArgumentException] {
+        Translator.run(spark, c1, refresh)
+      }
+      assert(e.getMessage.contains("DIFFERENT"),
+        s"stale-definition re-pin must refuse: ${e.getMessage}")
+      assert(MaterializedViews.view("defsig_mv")
+        .exists(_.stateDir == s"$root/state_b"),
+        "the refused refresh must leave the registration untouched")
+      // while the SAME definition's replay (late joiner) still re-pins
+      Translator.run(spark, Map.empty, "DROP MATERIALIZED VIEW defsig_mv;")
+      create("o_totalprice > 1000", s"$root/state")
+      Translator.run(spark, c1, refresh)
+      assert(MaterializedViews.view("defsig_mv")
+        .exists(_.stateDir == s"$root/state2"))
+    } finally {
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW IF EXISTS defsig_mv;")
+    }
+  }
+
+  // --- crash recovery: populated-but-unsigned artifacts ----------------
+
+  test("data without a signature is an INCOMPLETE build: CREATE and " +
+    "REFRESH both rebuild instead of bricking the directory") {
+    val root = freshDir("mv_unsig")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    val create =
+      s"""CREATE MATERIALIZED VIEW unsig_mv WITH (
+         |  STATE_DIR='$root/state',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''') AS
+         |SELECT o_orderstatus, COUNT(*) AS n
+         |FROM orders_src GROUP BY o_orderstatus""".stripMargin
+    val refresh =
+      s"""REFRESH MATERIALIZED VIEW unsig_mv WITH (
+         |  STATE_DIR='$root/state2',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-09-01''')"""
+        .stripMargin
+    try {
+      Translator.run(spark, c1, create)
+      // simulate a crash between the state build and the sidecar
+      // publish: data present, signature gone; a restarted server
+      // replays the identical statement
+      val sig = new java.io.File(s"$root/state/_graft_mv.signature")
+      assert(sig.exists()); assert(sig.delete())
+      Translator.run(spark, Map.empty, "DROP MATERIALIZED VIEW unsig_mv;")
+      Translator.run(spark, c1, create) // must rebuild, not refuse
+      assert(sig.exists(), "the re-issued CREATE must re-sign the artifact")
+      assert(MaterializedViews.registered.contains("unsig_mv"))
+      // same for the refresh fold
+      Translator.run(spark, c1, refresh)
+      val sig2 = new java.io.File(s"$root/state2/_graft_mv.signature")
+      assert(sig2.exists()); assert(sig2.delete())
+      Translator.run(spark, Map.empty, "DROP MATERIALIZED VIEW unsig_mv;")
+      Translator.run(spark, c1, create)
+      Translator.run(spark, c1, refresh) // re-folds the unsigned dir
+      assert(sig2.exists(), "the replayed REFRESH must re-sign the artifact")
+      assert(MaterializedViews.view("unsig_mv")
+        .exists(_.stateDir == s"$root/state2"))
+    } finally {
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW IF EXISTS unsig_mv;")
+    }
+  }
+
+  // --- parser: mode keywords vs same-named columns ---------------------
+
+  test("GROUP BY on plain columns literally named rollup/cube/grouping " +
+    "still parses as a key list; ROLLUP(...) keeps its mode meaning") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L))
+      .toDF("rollup", "cube", "grouping")
+    val cat: Translator.Catalog =
+      Map("t" -> Translator.Source(df, "cube"))
+    val (_, Some(plain)) = Translator.run(spark, cat,
+      "SELECT rollup, COUNT(*) AS n FROM t GROUP BY rollup"): @unchecked
+    assert(plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("a" -> 2L, "b" -> 1L))
+    val (_, Some(two)) = Translator.run(spark, cat,
+      "SELECT rollup, cube, COUNT(*) AS n FROM t GROUP BY rollup, cube")
+      : @unchecked
+    assert(two.count() == 3)
+    val (_, Some(g)) = Translator.run(spark, cat,
+      "SELECT grouping, COUNT(*) AS n FROM t GROUP BY grouping"): @unchecked
+    assert(g.count() == 3)
+    // the mode form still rolls up: grand-total row present
+    val (_, Some(rolled)) = Translator.run(spark, cat,
+      "SELECT rollup, COUNT(*) AS n FROM t GROUP BY ROLLUP(rollup)")
+      : @unchecked
+    val rows = rolled.collect()
+    assert(rows.length == 3 && rows.exists(_.isNullAt(0)))
+  }
+}

@@ -729,6 +729,28 @@ object KsqlQueries {
         |    AS max_cents
         |FROM orders GROUP BY 1""".stripMargin),
 
+    // the ksqlDB TABLE PULL surface (round 15): the view itself is
+    // queryable BY NAME — `SELECT * FROM <view>` with an EMPTY catalog
+    // resolves through the MV registry to the view's definition
+    // aggregate, which the transparent rewrite serves as
+    // merge(state ⊎ pushed delta) (exact-match by construction). The
+    // oracle is the full recompute; the push half (EMIT CHANGES over
+    // the LIVE-bound stream) is MvPushServingSpec — not
+    // oracle-expressible.
+    "q_mv_table_pull" -> Q(
+      (s, d) => {
+        mvDdlDir(s, d)
+        val (_, Some(df)) = Translator.run(s, Map.empty,
+          s"SELECT * FROM ${mvDdlName(d)}"): @unchecked
+        df
+      },
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin),
+
     // the WINDOWED dialect materialized view (round 13): CREATE
     // MATERIALIZED VIEW ... WINDOW TUMBLING (SIZE 2 HOURS) through the
     // parser, then the user's plain windowed pull query — WINDOWSTART/

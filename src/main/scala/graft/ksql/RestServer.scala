@@ -699,10 +699,24 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     val ring = new RingBuffer(4 * maxRows, df.schema)
     val q = try {
       stmtLock.synchronized {
-        df.writeStream
+        def start(mode: String) = df.writeStream
           .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
             ring.add(b.collect()))
-          .outputMode("append").start()
+          .outputMode(mode).start()
+        try start("append")
+        catch {
+          // a seeded materialized-view continuation (transformWithState)
+          // emits per-key UPDATES — exactly the changelog a push
+          // subscriber wants, so serve it in update mode through the
+          // same ring. Plain streaming aggregations keep the historical
+          // contract (400 with the /query snapshot pointer): their
+          // update stream re-emits whole groups per batch, which /query
+          // already serves as a snapshot without a per-connection query.
+          case e: org.apache.spark.sql.AnalysisException
+              if df.queryExecution.logical.exists(
+                _.nodeName.contains("TransformWithState")) =>
+            start("update")
+        }
       }
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>

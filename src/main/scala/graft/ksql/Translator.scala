@@ -276,6 +276,28 @@ object Translator {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** The per-event contribution column for one registered aggregate —
+    * what a LIVE stream row feeds the seeded fold: COUNT's non-null
+    * witness (a literal for COUNT(*)), the argument expression for
+    * SUM/MIN/MAX. Derived from the UNRESOLVED tree (a single aggregate
+    * function call over the stream's columns), so the recipe re-resolves
+    * against the live frame at query time like every MvView Column. */
+  private def contributionOf(spark: SparkSession, aggText: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+    spark.sessionState.sqlParser.parseExpression(aggText) match {
+      case f: UnresolvedFunction if f.arguments.size == 1 =>
+        f.arguments.head match {
+          case _: UnresolvedStar => lit(1L)
+          case child =>
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(child)
+        }
+      case other => throw new IllegalArgumentException(
+        s"LIVE continuation needs plain single-argument aggregates " +
+          s"(COUNT/SUM/MIN/MAX over one expression); '$aggText' " +
+          s"(${other.nodeName}) is not")
+    }
+  }
+
   // KSQL function name → Spark SQL rewrite. Applied token-wise, case-
   // insensitively, only at word boundaries followed by '('.
   private val fnRename: Map[String, String] = Map(
@@ -1004,6 +1026,85 @@ object Translator {
   }
 
   /** Materialize a SELECT statement as a DataFrame over the catalog. */
+  /** Resolve a registered materialized view as a queryable source —
+    * the ksqlDB TABLE surface (pull + push) over the MV machinery.
+    *
+    * PULL (no EMIT CHANGES): the view's own definition aggregate; the
+    * transparent rewrite substitutes merge(state ∪ Δ) — an exact-match
+    * rewrite by construction, so the pull query costs |state| + the
+    * pushed delta scan, never a history rescan.
+    *
+    * PUSH (EMIT CHANGES): the ksqlDB table push query, closed end to
+    * end — the SAME batch-served answer seeds a `transformWithState`
+    * continuation of the view's LIVE-bound stream
+    * (StreamingIncremental.seededViewAggregate), so a key's latest
+    * emission always equals the batch answer over (base ∪ live-so-far)
+    * and no topic is ever replayed. Bind-time refusals (loud, with
+    * pointers) for the shapes the seeded fold doesn't carry: pair-set
+    * DISTINCT views, windowed keys, multi-column keys, non-integral
+    * serving columns. */
+  private def viewSource(spark: SparkSession, catalog: Catalog,
+      s: SelectStmt, v: graft.plans.MaterializedViews.MvView): Source = {
+    graft.plans.MaterializedViews.install(spark)
+    val served = v.base(spark).groupBy(v.groupCols: _*)
+      .agg(v.aggCols.head, v.aggCols.tail: _*)
+    if (!s.emitChanges) return Source(served, v.groupNames.head)
+    val liveName = v.liveSource.getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view ${v.name} has no LIVE stream bound — " +
+          "CREATE ... WITH (LIVE='stream') enables the push form " +
+          "(EMIT CHANGES); the pull form serves the current answer"))
+    val live = catalog.getOrElse(liveName,
+      throw new IllegalArgumentException(
+        s"LIVE source '$liveName' of view ${v.name} is not in this " +
+          "catalog — register the stream before push-querying the view"))
+    if (!live.df.isStreaming) throw new IllegalArgumentException(
+      s"LIVE source '$liveName' of view ${v.name} must be STREAMING")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType)
+    v.mergeAgg.map(_._1).foreach { n =>
+      val dt = served.schema(n).dataType
+      if (!integral.contains(dt)) throw new IllegalArgumentException(
+        s"view ${v.name}: serving column $n is $dt — the seeded fold " +
+          "accumulates exactly in BIGINT; store integral (cents) partials")
+    }
+    val keyName = v.groupNames.head
+    val keyType = served.schema(keyName).dataType
+    if (keyType != org.apache.spark.sql.types.StringType &&
+      !integral.contains(keyType)) throw new IllegalArgumentException(
+      s"view ${v.name}: group key $keyName is $keyType — the push form " +
+        "keys the state store by string-encoded key; use a string or " +
+        "integral key")
+    import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
+    val keyExpr = org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(v.groupCols.head) match {
+      case CAlias(c, _) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(c)
+      case _ => v.groupCols.head
+    }
+    // the seeded continuation runs on transformWithState, which needs a
+    // multi-column-family store — RocksDB is the in-tree one. The conf
+    // is read at query START, so bind time is the right moment; an
+    // operator's EXPLICIT provider choice is respected (and surfaces
+    // Spark's own loud UNSUPPORTED error if incompatible).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    // get(key, "") yields the USER-SET value only (never the registered
+    // HDFSBacked default) — unset or explicitly-HDFSBacked both switch
+    // (HDFSBacked cannot run this operator at all), any other explicit
+    // provider is respected
+    val currentProvider = spark.conf.get(providerKey, "")
+    if (currentProvider.isEmpty ||
+      currentProvider.contains("HDFSBackedStateStoreProvider"))
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Source(graft.streaming.StreamingIncremental.seededViewAggregate(
+      live.df, served, keyName, keyExpr, v.liveContribs,
+      v.mergeAgg.map(_._2)), live.timeColumn)
+  }
+
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
     // derived table (FROM (SELECT ...)) recurses; a named FROM resolves
     // through the catalog
@@ -1013,8 +1114,20 @@ object Translator {
         // qualified references (a.col) resolve against the subquery
         Source(select(spark, catalog, sub).alias(s.from),
           resolveTime(catalog, sub))
-      case None => catalog.getOrElse(s.from.toLowerCase,
-        throw new IllegalArgumentException(s"unknown source ${s.from}"))
+      case None => catalog.get(s.from.toLowerCase).getOrElse {
+        // a registered MATERIALIZED VIEW is directly queryable by name —
+        // the ksqlDB TABLE surface. Without EMIT CHANGES: the PULL form,
+        // the view's own definition aggregate, which the transparent
+        // rewrite serves as merge(state ∪ Δ) (an exact-match rewrite by
+        // construction). With EMIT CHANGES: the PUSH form — the same
+        // batch-served answer seeds a continuous fold of the view's
+        // LIVE-bound stream (viewSource below).
+        graft.plans.MaterializedViews.view(s.from.toLowerCase) match {
+          case Some(v) => viewSource(spark, catalog, s, v)
+          case None => throw new IllegalArgumentException(
+            s"unknown source ${s.from}")
+        }
+      }
     }
     // streaming sources get a watermark so windowed aggs / WITHIN joins
     // keep bounded state; batch frames pass through untouched. GRACE
@@ -1932,13 +2045,44 @@ object Translator {
               .write.mode("overwrite").parquet(stateDir)
             writeSignature(spark, stateDir, signature)
           }
+          // WITH (LIVE='stream'): bind the named streaming source as the
+          // view's continuation — a push query `SELECT … FROM <view>
+          // EMIT CHANGES` then folds that stream's events into the
+          // batch-served answer (the ksqlDB table push query) instead
+          // of replaying any topic. The name resolves at QUERY time
+          // against the querying catalog; here we only derive the
+          // per-event contribution recipe for each registered aggregate
+          // and enforce the shape the seeded fold supports. LIVE is a
+          // serving binding, not a state contract, so it is NOT part of
+          // the artifact signature.
+          val liveSource = props.get("LIVE").map(_.toLowerCase)
+          val liveContribs: Seq[org.apache.spark.sql.Column] =
+            liveSource match {
+              case None => Nil
+              case Some(_) =>
+                if (validated.distinctOf.isDefined)
+                  throw new IllegalArgumentException(
+                    "LIVE does not compose with a COUNT(DISTINCT) pair-" +
+                      "set view — the streaming continuation of distinct " +
+                      "counts is the counted-pair handoff " +
+                      "(StreamingIncremental.seededDistinctCount)")
+                if (keys.size != 1 || sel.window.isDefined)
+                  throw new IllegalArgumentException(
+                    "LIVE requires exactly one plain group key (windowed " +
+                      "continuations are the pane handoff, " +
+                      "seededWindowedAggregate)")
+                sel.columns.filterNot { case (e, _) =>
+                  keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)
+                }.map { case (e, _) => contributionOf(spark, rewriteExpr(e)) }
+            }
           // register the view validate() already built — the probes ran
           // once; the defining signature rides along so REFRESH can bind
           // its artifact to THIS definition (a DROP + re-CREATE under
           // the same name but different semantics must not re-pin onto
           // the old definition's refresh artifacts)
           graft.plans.MaterializedViews.registerValidated(
-            validated.copy(defSignature = Some(signature)))
+            validated.copy(defSignature = Some(signature),
+              liveSource = liveSource, liveContribs = liveContribs))
           graft.plans.MaterializedViews.install(spark)
           (catalog, None)
         }

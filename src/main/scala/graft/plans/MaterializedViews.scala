@@ -103,7 +103,17 @@ object MaterializedViews {
       distinctOf: Option[Column] = None,
       pairCounts: Boolean = false,
       retracted: Boolean = false,
-      defSignature: Option[String] = None) {
+      defSignature: Option[String] = None,
+      // push-query binding (the dialect's WITH (LIVE='stream')): the
+      // CATALOG NAME of the streaming source whose events continue this
+      // view, plus the per-event contribution recipe for each registered
+      // aggregate (count → its non-null witness, sum/min/max → the
+      // argument column) — both session-independent, like every other
+      // field here. Resolution of the name happens at query time
+      // against the querying statement's catalog, so a replaying server
+      // binds against ITS OWN stream registration.
+      liveSource: Option[String] = None,
+      liveContribs: Seq[Column] = Nil) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 

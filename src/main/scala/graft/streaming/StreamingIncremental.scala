@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -323,6 +323,128 @@ object StreamingIncremental {
         seed.groupByKey(_._1),
         Encoders.product[DistinctOut], Encoders.product[PairSeed])
       .toDF("grp", "n_distinct")
+  }
+
+  /** One seeded-view row: (encoded key, per-agg accumulators, per-agg
+    * presence flags — 1 when the slot holds a real value, 0 when the
+    * aggregate is empty-so-far and must surface as NULL). */
+  private type ViewRow = (String, Array[Long], Array[Long])
+
+  /** The GENERIC shape of the handoff — the streaming continuation of a
+    * registered materialized view (`graft.plans.MaterializedViews`): one
+    * (accumulator, presence) slot pair per registered aggregate, folded
+    * by the view's own merge kind (COUNT/SUM add, MIN/MAX compare). The
+    * presence flag carries SQL null semantics exactly: a SUM/MIN/MAX
+    * over zero non-null inputs is NULL, and the seed (the batch-served
+    * answer) may already carry such a NULL — so presence, not a
+    * sentinel value, distinguishes "empty" from "accumulated zero".
+    * COUNT ignores presence (count of nothing is 0, never NULL).
+    */
+  private class SeededViewProcessor(kinds: Array[String])
+    extends StatefulProcessorWithInitialState[String, ViewRow, ViewRow,
+      ViewRow] {
+    @transient private var st: ValueState[(Array[Long], Array[Long])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Array[Long], Array[Long])]("view",
+        Encoders.product[(Array[Long], Array[Long])], TTLConfig.NONE)
+    override def handleInitialState(key: String, initial: ViewRow,
+        tv: TimerValues): Unit =
+      st.update((initial._2, initial._3))
+    override def handleInputRows(key: String, rows: Iterator[ViewRow],
+        tv: TimerValues): Iterator[ViewRow] = {
+      val (acc, pres) =
+        if (st.exists()) st.get()
+        else (Array.fill(kinds.length)(0L), Array.fill(kinds.length)(0L))
+      rows.foreach { case (_, v, p) =>
+        var i = 0
+        while (i < kinds.length) {
+          val has = p(i) == 1L
+          kinds(i) match {
+            case "count" => acc(i) += v(i) // contribution is 0/1 already
+            case "sum" => if (has) { acc(i) += v(i); pres(i) = 1L }
+            case "min" => if (has) {
+              if (pres(i) == 0L || v(i) < acc(i)) acc(i) = v(i)
+              pres(i) = 1L
+            }
+            case _ => if (has) { // max
+              if (pres(i) == 0L || v(i) > acc(i)) acc(i) = v(i)
+              pres(i) = 1L
+            }
+          }
+          i += 1
+        }
+      }
+      st.update((acc, pres))
+      Iterator.single((key, acc, pres))
+    }
+  }
+
+  /** NULL group keys survive the string keying via a marker no cast can
+    * produce (a control byte); decoded back to a real NULL on output. */
+  private val NullKeyMarker = "\u0000"
+
+  /** The continuous serving half of a registered materialized view (the
+    * ksqlDB TABLE push query): `seed` is the view's BATCH-SERVED answer
+    * — merge(state ∪ Δ), exactly what the transparent rewrite serves a
+    * pull query — and `delta` is the live stream the view's LIVE
+    * binding names. Per event, each registered aggregate receives its
+    * contribution (`contribs`, one per agg: the non-null witness for
+    * COUNT, the argument for SUM/MIN/MAX) and the per-key fold
+    * continues the registered merge algebra, so at any micro-batch
+    * boundary a key's LATEST emission ≡ the batch answer over
+    * (base ∪ live-so-far) — the topic is never replayed, the state
+    * artifact is read once into the store seed. Output columns and
+    * types mirror the seed frame (the view's serving schema); group
+    * keys restricted to ONE column of string/integral type and
+    * aggregates to the view's integral-partial discipline — both
+    * enforced by the caller at BIND time, with loud refusals. */
+  def seededViewAggregate(delta: DataFrame, seed: DataFrame,
+                          keyName: String, keyExpr: Column,
+                          contribs: Seq[Column],
+                          kinds: Seq[String]): DataFrame = {
+    import delta.sparkSession.implicits._
+    require(contribs.length == kinds.length, "one contribution per kind")
+    val outNames = seed.columns.filterNot(_ == keyName).toSeq
+    require(outNames.length == kinds.length,
+      s"seed carries ${outNames.length} aggregate columns for " +
+        s"${kinds.length} kinds")
+    val keyType = seed.schema(keyName).dataType
+    val outTypes = outNames.map(n => seed.schema(n).dataType)
+    def encKey(c: Column): Column =
+      when(c.isNull, lit(NullKeyMarker)).otherwise(c.cast("string"))
+    val seedRows = seed.select(
+      encKey(col(keyName)).as("k"),
+      array(outNames.map(n => coalesce(col(n).cast("long"), lit(0L))): _*)
+        .as("v"),
+      array(outNames.map(n =>
+        when(col(n).isNotNull, 1L).otherwise(0L)): _*).as("p"))
+      .as[ViewRow]
+    val deltaRows = delta.select(
+      encKey(keyExpr).as("k"),
+      array(contribs.zip(kinds).map {
+        case (c, "count") => when(c.isNotNull, 1L).otherwise(0L)
+        case (c, _) => coalesce(c.cast("long"), lit(0L))
+      }: _*).as("v"),
+      array(contribs.map(c =>
+        when(c.isNotNull, 1L).otherwise(0L)): _*).as("p"))
+      .as[ViewRow]
+    deltaRows
+      .groupByKey(_._1)
+      .transformWithState(new SeededViewProcessor(kinds.toArray),
+        TimeMode.None(), OutputMode.Update(),
+        seedRows.groupByKey(_._1),
+        Encoders.product[ViewRow], Encoders.product[ViewRow])
+      .toDF("k", "v", "p")
+      .select(
+        when(col("k") === lit(NullKeyMarker), lit(null))
+          .otherwise(col("k")).cast(keyType).as(keyName) +:
+        outNames.zipWithIndex.map { case (n, i) =>
+          val acc = element_at(col("v"), i + 1)
+          val pres = element_at(col("p"), i + 1)
+          (if (kinds(i) == "count") acc
+           else when(pres === 1L, acc).otherwise(lit(null)))
+            .cast(outTypes(i)).as(n)
+        }: _*)
   }
 
   /** Continuous per-key (count, sum, max) over `cents`, seeded from a

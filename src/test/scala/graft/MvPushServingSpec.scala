@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.json4s.JsonAST.{JArray, JInt, JObject, JString}
+import org.json4s.jackson.JsonMethods
+
+import graft.ksql.Translator
+import graft.plans.MaterializedViews
+
+/** Round-15: the ksqlDB TABLE surface over registered materialized
+  * views — pull (`SELECT … FROM view`) served from merge(state ∪ Δ),
+  * and push (`SELECT … FROM view EMIT CHANGES`) as the SEEDED streaming
+  * continuation of the view's LIVE-bound stream: first answers come
+  * from the batch-served state, increments fold live events through
+  * the registered merge algebra, and the topic is never replayed.
+  */
+/** Live event: same columns the view's base aggregates read (top
+  * level — Spark encoders refuse spec-inner case classes). */
+case class MvPushLiveRow(o_orderstatus: String, o_orderkey: Long)
+
+class MvPushServingSpec extends SparkSpec {
+  private type LiveRow = MvPushLiveRow
+  private def LiveRow(s: String, k: Long) = MvPushLiveRow(s, k)
+
+  private def freshDir(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Full-recompute oracle over base ∪ live-so-far. */
+  private def recompute(live: Seq[LiveRow]): Map[Option[String], (Long, Long, Long)] = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderkey"))
+    val all = base.unionByName(live.toDF("o_orderstatus", "o_orderkey"))
+    all.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sk"),
+        min(col("o_orderkey")).as("mn"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("materialized view is queryable by name: pull serves the batch " +
+    "answer, EMIT CHANGES folds the LIVE stream on top of the seed — " +
+    "per-key latest emission ≡ full recompute over base ∪ live-so-far") {
+    import spark.implicits._
+    val root = freshDir("mv_push")
+    val mem = MemoryStream[LiveRow](spark)
+    val cat: Translator.Catalog = Map(
+      "orders_src" -> Translator.Source(
+        Tables.orders(spark, sfDir), "o_orderdate"),
+      "orders_live" -> Translator.Source(mem.toDF(), "o_orderkey"))
+    Translator.run(spark, cat,
+      s"""CREATE MATERIALIZED VIEW push_mv WITH (
+         |  STATE_DIR='$root/state',
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''',
+         |  LIVE='orders_live') AS
+         |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS sk,
+         |  MIN(o_orderkey) AS mn
+         |FROM orders_src GROUP BY o_orderstatus""".stripMargin)
+    try {
+      // PULL: the view name answers the batch-served rollup, and the
+      // plan reads the state artifact (the transparent rewrite fired)
+      val (_, Some(pull)) = Translator.run(spark, cat,
+        "SELECT * FROM push_mv"): @unchecked
+      val pullPlan = pull.queryExecution.executedPlan.toString
+      assert(pullPlan.contains(s"$root/state"),
+        s"pull over the view name must serve from state\n$pullPlan")
+      val want0 = recompute(Nil)
+      val got0 = pull.collect()
+        .map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got0 == want0)
+      // PUSH: EMIT CHANGES over the view name — a streaming frame
+      val (_, Some(push)) = Translator.run(spark, cat,
+        "SELECT * FROM push_mv EMIT CHANGES"): @unchecked
+      assert(push.isStreaming)
+      val q = push.writeStream.format("memory").queryName("mv_push_out")
+        .outputMode("update").start()
+      try {
+        // batch 1: two existing statuses + a NULL-keyed event; batch 2:
+        // more of one status — count is monotone per key, so each key's
+        // max-n row is its latest emission
+        val b1 = Seq(LiveRow("F", 900000001L), LiveRow("O", 900000002L),
+          LiveRow(null, 900000003L))
+        mem.addData(b1: _*); q.processAllAvailable()
+        def latest(): Map[Option[String], (Long, Long, Long)] = {
+          import org.apache.spark.sql.expressions.Window
+          spark.table("mv_push_out")
+            .withColumn("__rn", row_number().over(Window
+              .partitionBy(col("o_orderstatus"))
+              .orderBy(col("n").desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+            .collect()
+            .map(r => Option(r.getString(0)) ->
+              ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        }
+        val want1 = recompute(b1)
+        val got1 = latest()
+        // emissions cover exactly the touched keys, each equal to the
+        // FULL recompute — the seed carried the batch history the
+        // stream never saw (no topic replay)
+        assert(got1.keySet == Set(Some("F"), Some("O"), None))
+        got1.foreach { case (k, v) => assert(v == want1(k),
+          s"key $k: got $v want ${want1(k)}") }
+        val b2 = Seq(LiveRow("F", 900000004L), LiveRow("F", 900000005L))
+        mem.addData(b2: _*); q.processAllAvailable()
+        val want2 = recompute(b1 ++ b2)
+        val got2 = latest()
+        got2.foreach { case (k, v) => assert(v == want2(k),
+          s"after batch 2, key $k: got $v want ${want2(k)}") }
+      } finally q.stop()
+      // projection over the push frame resolves view output names
+      val (_, Some(proj)) = Translator.run(spark, cat,
+        "SELECT o_orderstatus, n FROM push_mv EMIT CHANGES"): @unchecked
+      assert(proj.isStreaming && proj.columns.toSeq == Seq("o_orderstatus", "n"))
+      // loud refusals: push without a LIVE binding; unknown live source
+      val noLiveDir = freshDir("mv_push_nolive")
+      Translator.run(spark, cat,
+        s"""CREATE MATERIALIZED VIEW push_mv_nolive WITH (
+           |  STATE_DIR='$noLiveDir/state',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''') AS
+           |SELECT o_orderstatus, COUNT(*) AS n
+           |FROM orders_src GROUP BY o_orderstatus""".stripMargin)
+      val e1 = intercept[IllegalArgumentException] {
+        Translator.run(spark, cat,
+          "SELECT * FROM push_mv_nolive EMIT CHANGES")
+      }
+      assert(e1.getMessage.contains("LIVE"))
+      val e2 = intercept[IllegalArgumentException] {
+        Translator.run(spark, Map(
+          "orders_src" -> cat("orders_src")),
+          "SELECT * FROM push_mv EMIT CHANGES")
+      }
+      assert(e2.getMessage.contains("not in this catalog"))
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW push_mv_nolive;")
+    } finally {
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW IF EXISTS push_mv;")
+      // the push bind auto-selects the RocksDB provider; don't leak the
+      // session conf into suites that pin their own
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("POST /query-stream over a LIVE-bound view: chunked emissions " +
+    "are seeded (batch history included) and increment per micro-batch") {
+    import spark.implicits._
+    val root = freshDir("mv_push_rest")
+    val mem = MemoryStream[LiveRow](spark)
+    val srv = new graft.ksql.RestServer(spark, Map(
+      "orders_src" -> Translator.Source(
+        Tables.orders(spark, sfDir), "o_orderdate"),
+      "orders_live" -> Translator.Source(mem.toDF(), "o_orderkey")),
+      maxRows = 10).start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def ksql(stmt: String): Unit = {
+        val body = JsonMethods.compact(JObject("ksql" -> JString(stmt)))
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(
+              s"http://127.0.0.1:${srv.boundPort}/ksql"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+      }
+      ksql(s"""CREATE MATERIALIZED VIEW rest_push_mv WITH (
+              |  STATE_DIR='$root/state',
+              |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''',
+              |  LIVE='orders_live') AS
+              |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS sk,
+              |  MIN(o_orderkey) AS mn
+              |FROM orders_src GROUP BY o_orderstatus;""".stripMargin)
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/query-stream").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setDoOutput(true); conn.setRequestMethod("POST")
+      val body = JsonMethods.compact(JObject(
+        "sql" -> JString("SELECT * FROM rest_push_mv EMIT CHANGES;"),
+        "maxRows" -> JInt(2)))
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      val header = reader.readLine()
+      assert(header != null && header.contains("\"header\""), header)
+      def nextLine(): String = {
+        var l = reader.readLine()
+        while (l != null && l.trim.isEmpty) l = reader.readLine()
+        assert(l != null, "stream ended unexpectedly")
+        l
+      }
+      def parseRow(line: String): (String, Long, Long, Long) = {
+        val JArray(cols) =
+          (JsonMethods.parse(line) \ "row" \ "columns"): @unchecked
+        (cols.head.values.toString,
+          BigInt(cols(1).values.toString).toLong,
+          BigInt(cols(2).values.toString).toLong,
+          BigInt(cols(3).values.toString).toLong)
+      }
+      // micro-batch 1 touches one key; its emission must include the
+      // BATCH history (seeded), which this connection never streamed
+      val b1 = Seq(LiveRow("F", 900000010L))
+      mem.addData(b1: _*)
+      val r1 = parseRow(nextLine())
+      val want1 = recompute(b1)(Some("F"))
+      assert(r1 == (("F", want1._1, want1._2, want1._3)), s"$r1 vs $want1")
+      // micro-batch 2, same connection, increments on top
+      val b2 = Seq(LiveRow("F", 900000011L))
+      mem.addData(b2: _*)
+      val r2 = parseRow(nextLine())
+      val want2 = recompute(b1 ++ b2)(Some("F"))
+      assert(r2 == (("F", want2._1, want2._2, want2._3)), s"$r2 vs $want2")
+      assert(nextLine().contains("Limit Reached"))
+      reader.close()
+      ksql("DROP MATERIALIZED VIEW rest_push_mv;")
+    } finally {
+      srv.stop()
+      MaterializedViews.drop("rest_push_mv")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}

@@ -1095,6 +1095,35 @@ object KsqlQueries {
         |FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON o.o_custkey = c.c_custkey""".stripMargin),
 
+    // FOREIGN-KEY TABLE-TABLE join (ksqlDB 0.19+), batch form: the left
+    // TABLE (latest event per user — KsqlTable.fromBatch's
+    // max_by-per-key changelog compaction) joins the nation TABLE on a
+    // NON-KEY left column (user_id % 25 — the FK), broadcast on the dim
+    // side. The STREAMING form — right-update fan-out to subscribers,
+    // fk-move retract+upsert, both-side deletes — is
+    // StreamingJoins.fkTableJoin, spec'd changelog-for-changelog against
+    // this batch equivalence in FkTableJoinSpec (not oracle-expressible:
+    // update-mode emissions).
+    "q_fk_table_join" -> Q(
+      (s, d) => {
+        val left = graft.streaming.KsqlTable
+          .fromBatch(Tables.events(s, d).drop("props"), "user_id", "event_id")
+          .withColumn("nat_fk", col("user_id") % 25)
+        left.join(broadcast(Tables.nation(s, d)),
+            col("nat_fk") === col("n_nationkey"))
+          .select(col("user_id"), col("event_id").as("last_event"),
+            col("event_type").as("last_type"),
+            col("n_name").as("nation_name"))
+      },
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  n_name AS nation_name
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) AS rn
+        |      FROM events) e
+        |JOIN nation ON user_id % 25 = n_nationkey
+        |WHERE rn = 1""".stripMargin),
+
     // GROUP BY on a SELECT alias (the KSQL idiom) through the dialect,
     // hash-matched against DuckDB resolving the same alias
     "q_ksql_group_alias" -> Q(

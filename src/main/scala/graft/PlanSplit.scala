@@ -58,6 +58,30 @@ object PlanSplit {
         }
       }
     }
+    if (args.headOption.contains("ALL")) {
+      // floor attribution across the whole suite, solo, post-prepares:
+      // how much of the per-query wall is frame construction + planning
+      // (the session floor) vs execution (the operator under test)
+      SparkEntry.prepares.toSeq.sortBy(_._1).foreach { case (_, p) =>
+        try p(spark, sfDir) catch { case _: Throwable => () }
+      }
+      var (tb, to, te) = (0.0, 0.0, 0.0); var n = 0
+      val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, f) =>
+          try {
+            val (b, o, e) = split(spark, sfDir, f)
+            tb += b; to += o; te += e; n += 1
+            Some((name, b, o, e))
+          } catch { case _: Throwable => None }
+      }
+      perQuery.sortBy(r => -(r._2 + r._3)).take(15).foreach {
+        case (name, b, o, e) => println(
+          s"""{"probe":"floor_top","query":"$name","build_sec":${fmt(b)},"optimize_sec":${fmt(o)},"exec_sec":${fmt(e)}}""")
+      }
+      println(s"""{"probe":"floor_total","n":$n,"build_sec":${fmt(tb)},"optimize_sec":${fmt(to)},"exec_sec":${fmt(te)},"per_query_floor_sec":${fmt((tb + to) / math.max(n, 1))}}""")
+      spark.stop()
+      return
+    }
     measure("pre")
     SparkEntry.prepares.toSeq.sortBy(_._1).foreach { case (_, p) =>
       try p(spark, sfDir) catch { case _: Throwable => () }

@@ -311,11 +311,65 @@ object StreamBench {
               s"[streambench] seeded_hopping_rocksdb failed: $e")
             Result("seeded_hopping_rocksdb", -1.0, -1.0, -1.0)
         }
+      // seeded VIEW continuation (round 15): the generic per-agg
+      // (accumulator, presence) vector fold behind the dialect's table
+      // push query (SELECT … FROM <view> EMIT CHANGES) — every key
+      // pre-seeded with the batch-served answer, three agg slots
+      // (count/sum/min), string-encoded keys. The probe measures the
+      // steady-state fold + the vector encode/decode tax relative to
+      // seeded_agg_rocksdb's hand-shaped tuple state.
+      val seededView =
+        try {
+          import spark.implicits._
+          val viewSeed = (0 until 997).map(k =>
+            (k.toLong, 100L, 50000L, 3L))
+            .toDF("key", "cnt", "sum_cents", "mn")
+          drive(spark, "seeded_view_rocksdb", batches, batchRows, rows,
+            df => graft.streaming.StreamingIncremental.seededViewAggregate(
+              df.select(col("user_id").as("key"),
+                col("event_id").as("cents")),
+              viewSeed, "key", col("key"),
+              Seq(lit(1L), col("cents"), col("cents")),
+              Seq("count", "sum", "min")),
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streambench] seeded_view_rocksdb failed: $e")
+            Result("seeded_view_rocksdb", -1.0, -1.0, -1.0)
+        }
+      // FK TABLE-TABLE join (round 15): the subscription store under
+      // churn — left changelog = every row (5000 recycled left keys, fk
+      // = the row's fixed user), right changelog = the per-1000-row
+      // burst leaders (one profile update per user per batch, fanning
+      // out to its ~5 subscribed left rows). State = 5000 left
+      // subscriptions + 997 right rows; output ≈ input volume.
+      val fkJoin =
+        try {
+          drive(spark, "fk_join_rocksdb", batches, batchRows, rows,
+            df => {
+              val left = df.select(
+                (col("event_id") % 5000L).as("l_pk"),
+                ((col("event_id") % 5000L) % 997L).as("fk"),
+                lit(null).cast("long").as("prev_fk"),
+                col("event_type").as("l_val"),
+                col("event_id").as("off"))
+              val right = df.filter(col("event_id") % 1000L === 0)
+                .select(col("user_id").as("pk"),
+                  concat(lit("v"), col("event_id")).as("r_val"),
+                  col("event_id").as("off"))
+              graft.streaming.StreamingJoins.fkTableJoin(left, right)
+            },
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streambench] fk_join_rocksdb failed: $e")
+            Result("fk_join_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      Seq(rocksJoin, tws, seeded, seededSess, seededPane)
+      Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView, fkJoin)
     }
     single ++ (join +: underRocks)
   }

@@ -1095,6 +1095,35 @@ object KsqlQueries {
         |FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON o.o_custkey = c.c_custkey""".stripMargin),
 
+    // CORRELATED comparison subquery in the dialect WHERE (round 15):
+    // orders beating twice their customer's own average — the
+    // decorrelate-to-aggregate-join shape, long documented as a
+    // translator limit and closed for free by the round-15 subquery
+    // rewrite (sqlOverFrames binds catalog frames into Spark's parsed
+    // plan, and Catalyst's decorrelation handles the rest; the old
+    // temp-view route worked too but was never gated).
+    // BIGINT-cents comparison on BOTH sides: the avg of exact integer
+    // cents is one IEEE division of identical operands in either
+    // engine, so the filter boundary can never flip on a last-ulp
+    // float-sum ordering difference (the repo-wide cents discipline)
+    "q_ksql_corr_where" -> Q(
+      (s, d) => {
+        val (_, Some(df)) = Translator.run(s, catalogFor(s, d),
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+            |WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) >
+            |  2 * (SELECT AVG(CAST(FLOOR(o2.o_totalprice * 100.0 + 0.5)
+            |    AS BIGINT))
+            |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
+            .stripMargin): @unchecked
+        df
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) >
+        |  2 * (SELECT avg(CAST(floor(o2.o_totalprice * 100.0 + 0.5)
+        |    AS BIGINT))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
+        .stripMargin),
+
     // FOREIGN-KEY TABLE-TABLE join (ksqlDB 0.19+), batch form: the left
     // TABLE (latest event per user — KsqlTable.fromBatch's
     // max_by-per-key changelog compaction) joins the nation TABLE on a

@@ -2011,6 +2011,21 @@ object Translator {
           val validated = graft.plans.MaterializedViews.validate(spark,
             mvName, base = _ => base, stateDir = stateDir,
             deltaPred = deltaPred, groupCols = keys, aggCols = aggs)
+          // a sole COUNT(DISTINCT) registers as a PAIR-SET view, whose
+          // state artifact is the distinct (group, value) pair set — NOT
+          // the aggregated counts this DDL's state build writes. Rather
+          // than build an artifact the serving plan would reject on its
+          // first union (loud, but a bricked STATE_DIR), refuse at
+          // statement time with the pointer.
+          if (validated.distinctOf.isDefined)
+            throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW: COUNT(DISTINCT) views need a " +
+                "PAIR-SET state artifact (the distinct (group, value) " +
+                "pairs), which this DDL's aggregate build does not " +
+                "write — register programmatically against a pair " +
+                "artifact (MaterializedViews.register over a prepared " +
+                "pair state, as q_mv_distinct does via " +
+                "Incremental.mvDistinctPrepare)")
           // the defining signature persists NEXT TO the artifact and is
           // verified on the registration-from-existing-artifact path:
           // the contract state ⊎ delta = base only holds when the

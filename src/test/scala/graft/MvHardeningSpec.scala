@@ -270,6 +270,28 @@ class MvHardeningSpec extends SparkSpec {
     }
   }
 
+  // --- CMV refuses pair-set shapes its state build can't write ---------
+
+  test("CREATE MATERIALIZED VIEW refuses COUNT(DISTINCT): the DDL's " +
+    "aggregate state build cannot write the pair-set artifact") {
+    val root = freshDir("mv_cmv_distinct")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, c1,
+        s"""CREATE MATERIALIZED VIEW cmv_distinct WITH (
+           |  STATE_DIR='$root/state',
+           |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-06-01''') AS
+           |SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS d
+           |FROM orders_src GROUP BY o_orderstatus""".stripMargin)
+    }
+    assert(e.getMessage.contains("PAIR-SET"))
+    assert(!MaterializedViews.registered.contains("cmv_distinct"))
+    // the refusal ran BEFORE the state build — no artifact left behind
+    assert(Option(new java.io.File(s"$root/state").listFiles())
+      .forall(_.isEmpty), "rejected DDL must leave STATE_DIR untouched")
+  }
+
   // --- parser: mode keywords vs same-named columns ---------------------
 
   test("GROUP BY on plain columns literally named rollup/cube/grouping " +

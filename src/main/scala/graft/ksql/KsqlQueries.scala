@@ -751,6 +751,24 @@ object KsqlQueries {
         |    AS max_cents
         |FROM orders GROUP BY 1""".stripMargin),
 
+    // WINDOWED table pull by name (round 15): `SELECT * FROM <windowed
+    // view>` resolves through the registry, serves from pane state ∪ Δ,
+    // and surfaces the WINDOWSTART/WINDOWEND millis pseudo-columns in
+    // place of the window struct — the windowed half of q_mv_table_pull
+    "q_mv_table_pull_window" -> Q(
+      (s, d) => {
+        mvDdlWindowDir(s, d)
+        val (_, Some(df)) = Translator.run(s, Map.empty,
+          s"SELECT * FROM ${mvDdlWindowName(d)}"): @unchecked
+        df
+      },
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  (epoch_ms(ts) // 7200000) * 7200000 AS windowstart,
+        |  (epoch_ms(ts) // 7200000) * 7200000 + 7200000 AS windowend
+        |FROM events GROUP BY 1, 4, 5""".stripMargin),
+
     // the WINDOWED dialect materialized view (round 13): CREATE
     // MATERIALIZED VIEW ... WINDOW TUMBLING (SIZE 2 HOURS) through the
     // parser, then the user's plain windowed pull query — WINDOWSTART/

@@ -1046,9 +1046,26 @@ object Translator {
   private def viewSource(spark: SparkSession, catalog: Catalog,
       s: SelectStmt, v: graft.plans.MaterializedViews.MvView): Source = {
     graft.plans.MaterializedViews.install(spark)
-    val served = v.base(spark).groupBy(v.groupCols: _*)
+    val defFrame = v.base(spark).groupBy(v.groupCols: _*)
       .agg(v.aggCols.head, v.aggCols.tail: _*)
-    if (!s.emitChanges) return Source(served, v.groupNames.head)
+    // a WINDOWED view's group output is the window STRUCT — surface the
+    // dialect's WINDOWSTART/WINDOWEND millis pseudo-columns instead
+    // (both pull and push; the struct never leaves this method)
+    val winField = defFrame.schema.fields.find(f => f.dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fieldNames.sameElements(Array("start", "end"))
+      case _ => false
+    })
+    if (!s.emitChanges) {
+      val served = winField match {
+        case Some(f) => defFrame
+          .withColumn("windowstart", unix_millis(col(s"${f.name}.start")))
+          .withColumn("windowend", unix_millis(col(s"${f.name}.end")))
+          .drop(f.name)
+        case None => defFrame
+      }
+      return Source(served, v.groupNames.headOption.getOrElse("windowstart"))
+    }
     val liveName = v.liveSource.getOrElse(
       throw new IllegalArgumentException(
         s"materialized view ${v.name} has no LIVE stream bound — " +
@@ -1066,43 +1083,91 @@ object Translator {
       org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.ByteType)
     v.mergeAgg.map(_._1).foreach { n =>
-      val dt = served.schema(n).dataType
+      val dt = defFrame.schema(n).dataType
       if (!integral.contains(dt)) throw new IllegalArgumentException(
         s"view ${v.name}: serving column $n is $dt — the seeded fold " +
           "accumulates exactly in BIGINT; store integral (cents) partials")
     }
-    val keyName = v.groupNames.head
-    val keyType = served.schema(keyName).dataType
-    if (keyType != org.apache.spark.sql.types.StringType &&
-      !integral.contains(keyType)) throw new IllegalArgumentException(
-      s"view ${v.name}: group key $keyName is $keyType — the push form " +
-        "keys the state store by string-encoded key; use a string or " +
-        "integral key")
     import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
-    val keyExpr = org.apache.spark.sql.graftbridge.ColumnBridge
-      .expression(v.groupCols.head) match {
-      case CAlias(c, _) =>
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(c)
-      case _ => v.groupCols.head
+    def bare(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
+        case CAlias(x, _) =>
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(x)
+        case _ => c
+      }
+    // key parts: the (optional) PANE start in epoch millis + the plain
+    // group keys. The pane part rides as a LONG column named
+    // "windowstart" on the SEED side, and on the live side derives
+    // from the stream's event time on the same floor-division grid
+    // (negative-millis adjusted) the batch window() and the oracles
+    // use; hopping fans each event to its size/advance panes FIRST, so
+    // the replication multiplies the delta only.
+    val (seed, delta, keyNames, keyExprs) = (winField, v.liveWindow) match {
+      case (Some(f), Some((sizeMs, advMs))) =>
+        val plainNames = v.groupNames.filterNot(_ == f.name)
+        val plainCols = v.groupCols.zip(v.groupNames).collect {
+          case (c, n) if n != f.name => bare(c)
+        }
+        val seed = defFrame
+          .withColumn("windowstart", unix_millis(col(s"${f.name}.start")))
+          .drop(f.name)
+        val tsMs = unix_millis(col(live.timeColumn).cast("timestamp"))
+        val panes = (sizeMs / advMs).toInt
+        val paneExpr =
+          if (panes == 1)
+            ((tsMs - ((tsMs % advMs) + advMs) % advMs))
+          else col("__graft_ws")
+        val deltaBase = live.df.filter(col(live.timeColumn).isNotNull)
+        val delta =
+          if (panes == 1) deltaBase
+          else deltaBase.withColumn("__graft_ws", explode(expr(
+            s"transform(sequence(0, ${panes - 1}), i -> " +
+              s"((unix_millis(CAST(${live.timeColumn} AS TIMESTAMP)) div $advMs) - " +
+              s"(CASE WHEN unix_millis(CAST(${live.timeColumn} AS TIMESTAMP)) % $advMs < 0 " +
+              s"THEN 1 ELSE 0 END)) * $advMs - i * $advMs)")))
+        (seed, delta, "windowstart" +: plainNames, paneExpr +: plainCols)
+      case (None, _) =>
+        (defFrame, live.df, v.groupNames, v.groupCols.map(bare))
+      case (Some(_), None) =>
+        throw new IllegalArgumentException(
+          s"view ${v.name} is windowed but carries no LIVE window grid " +
+            "— re-CREATE it with the LIVE binding so the pane grid is " +
+            "recorded")
+    }
+    keyNames.foreach { n =>
+      val kt = seed.schema(n).dataType
+      if (kt != org.apache.spark.sql.types.StringType && !integral(kt))
+        throw new IllegalArgumentException(
+          s"view ${v.name}: group key $n is $kt — the push form keys " +
+            "the state store by string-encoded parts; use string or " +
+            "integral keys")
     }
     // the seeded continuation runs on transformWithState, which needs a
     // multi-column-family store — RocksDB is the in-tree one. The conf
     // is read at query START, so bind time is the right moment; an
-    // operator's EXPLICIT provider choice is respected (and surfaces
-    // Spark's own loud UNSUPPORTED error if incompatible).
+    // operator's EXPLICIT non-HDFS provider choice is respected
+    // (HDFSBacked cannot run this operator at all, so unset-or-
+    // HDFSBacked both switch; get(key, "") yields the USER-SET value
+    // only, never the registered HDFSBacked default).
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    // get(key, "") yields the USER-SET value only (never the registered
-    // HDFSBacked default) — unset or explicitly-HDFSBacked both switch
-    // (HDFSBacked cannot run this operator at all), any other explicit
-    // provider is respected
     val currentProvider = spark.conf.get(providerKey, "")
     if (currentProvider.isEmpty ||
       currentProvider.contains("HDFSBackedStateStoreProvider"))
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    Source(graft.streaming.StreamingIncremental.seededViewAggregate(
-      live.df, served, keyName, keyExpr, v.liveContribs,
-      v.mergeAgg.map(_._2)), live.timeColumn)
+    val folded = graft.streaming.StreamingIncremental.seededViewAggregate(
+      delta, seed, keyNames, keyExprs, v.liveContribs,
+      v.mergeAgg.map(_._2))
+    val out = winField match {
+      case Some(_) =>
+        // surface WINDOWEND beside the pane start, like the pull form
+        val sizeMs = v.liveWindow.get._1
+        folded.select(col("windowstart") +:
+          (col("windowstart") + lit(sizeMs)).as("windowend") +:
+          folded.columns.filterNot(_ == "windowstart").toSeq.map(col): _*)
+      case None => folded
+    }
+    Source(out, live.timeColumn)
   }
 
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
@@ -2081,14 +2146,23 @@ object Translator {
                       "set view — the streaming continuation of distinct " +
                       "counts is the counted-pair handoff " +
                       "(StreamingIncremental.seededDistinctCount)")
-                if (keys.size != 1 || sel.window.isDefined)
-                  throw new IllegalArgumentException(
-                    "LIVE requires exactly one plain group key (windowed " +
-                      "continuations are the pane handoff, " +
-                      "seededWindowedAggregate)")
                 sel.columns.filterNot { case (e, _) =>
                   keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)
                 }.map { case (e, _) => contributionOf(spark, rewriteExpr(e)) }
+            }
+          // windowed LIVE continuation: tumbling is one pane per event,
+          // hopping fans each event to size/advance panes — both on the
+          // epoch-millis grid the batch window() uses (UTC sessions)
+          val liveWindow: Option[(Long, Long)] =
+            if (liveSource.isEmpty) None
+            else sel.window.map {
+              case t: Tumbling => (t.sizeMs, t.sizeMs)
+              case h: Hopping => (h.sizeMs, h.advanceMs)
+              case _: Session => throw new IllegalArgumentException(
+                "LIVE does not compose with SESSION windows (a session " +
+                  "is not a function of one row's timestamp) — the " +
+                  "session continuation is the interval-repair handoff " +
+                  "(StreamingIncremental.seededSessionize)")
             }
           // register the view validate() already built — the probes ran
           // once; the defining signature rides along so REFRESH can bind
@@ -2097,7 +2171,8 @@ object Translator {
           // the old definition's refresh artifacts)
           graft.plans.MaterializedViews.registerValidated(
             validated.copy(defSignature = Some(signature),
-              liveSource = liveSource, liveContribs = liveContribs))
+              liveSource = liveSource, liveContribs = liveContribs,
+              liveWindow = liveWindow))
           graft.plans.MaterializedViews.install(spark)
           (catalog, None)
         }

@@ -113,7 +113,12 @@ object MaterializedViews {
       // against the querying statement's catalog, so a replaying server
       // binds against ITS OWN stream registration.
       liveSource: Option[String] = None,
-      liveContribs: Seq[Column] = Nil) {
+      liveContribs: Seq[Column] = Nil,
+      // (size ms, advance ms) when the LIVE-bound view is WINDOWED:
+      // the push continuation derives each live event's pane(s) on this
+      // grid — one pane for tumbling (advance == size), size/advance
+      // fan-out for hopping — before the keyed fold
+      liveWindow: Option[(Long, Long)] = None) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 

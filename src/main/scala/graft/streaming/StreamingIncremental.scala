@@ -382,6 +382,11 @@ object StreamingIncremental {
   /** NULL group keys survive the string keying via a marker no cast can
     * produce (a control byte); decoded back to a real NULL on output. */
   private val NullKeyMarker = "\u0000"
+  /** Separator between the parts of a COMPOSITE group key — another
+    * control byte, so multi-column keys (pane × group, compound
+    * business keys) ride the same string-keyed store. A real key value
+    * containing \u0001 is adversarial input; documented, not defended. */
+  private val KeyPartSep = "\u0001"
 
   /** The continuous serving half of a registered materialized view (the
     * ksqlDB TABLE push query): `seed` is the view's BATCH-SERVED answer
@@ -401,26 +406,42 @@ object StreamingIncremental {
   def seededViewAggregate(delta: DataFrame, seed: DataFrame,
                           keyName: String, keyExpr: Column,
                           contribs: Seq[Column],
+                          kinds: Seq[String]): DataFrame =
+    seededViewAggregate(delta, seed, Seq(keyName), Seq(keyExpr),
+      contribs, kinds)
+
+  /** Composite-key form: `keyNames` are the seed's group columns (in
+    * order) and `keyExprs` the matching per-event expressions over the
+    * live stream. Parts string-encode (NULLs via the marker) and join
+    * on a control-byte separator into ONE store key; outputs decode
+    * back to the original columns and types. */
+  def seededViewAggregate(delta: DataFrame, seed: DataFrame,
+                          keyNames: Seq[String], keyExprs: Seq[Column],
+                          contribs: Seq[Column],
                           kinds: Seq[String]): DataFrame = {
     import delta.sparkSession.implicits._
     require(contribs.length == kinds.length, "one contribution per kind")
-    val outNames = seed.columns.filterNot(_ == keyName).toSeq
+    require(keyNames.nonEmpty && keyNames.length == keyExprs.length,
+      "one live expression per key column")
+    val outNames = seed.columns.filterNot(keyNames.contains).toSeq
     require(outNames.length == kinds.length,
       s"seed carries ${outNames.length} aggregate columns for " +
         s"${kinds.length} kinds")
-    val keyType = seed.schema(keyName).dataType
+    val keyTypes = keyNames.map(n => seed.schema(n).dataType)
     val outTypes = outNames.map(n => seed.schema(n).dataType)
-    def encKey(c: Column): Column =
+    def encPart(c: Column): Column =
       when(c.isNull, lit(NullKeyMarker)).otherwise(c.cast("string"))
+    def encKey(parts: Seq[Column]): Column =
+      concat_ws(KeyPartSep, parts.map(encPart): _*)
     val seedRows = seed.select(
-      encKey(col(keyName)).as("k"),
+      encKey(keyNames.map(col)).as("k"),
       array(outNames.map(n => coalesce(col(n).cast("long"), lit(0L))): _*)
         .as("v"),
       array(outNames.map(n =>
         when(col(n).isNotNull, 1L).otherwise(0L)): _*).as("p"))
       .as[ViewRow]
     val deltaRows = delta.select(
-      encKey(keyExpr).as("k"),
+      encKey(keyExprs).as("k"),
       array(contribs.zip(kinds).map {
         case (c, "count") => when(c.isNotNull, 1L).otherwise(0L)
         case (c, _) => coalesce(c.cast("long"), lit(0L))
@@ -436,8 +457,11 @@ object StreamingIncremental {
         Encoders.product[ViewRow], Encoders.product[ViewRow])
       .toDF("k", "v", "p")
       .select(
-        when(col("k") === lit(NullKeyMarker), lit(null))
-          .otherwise(col("k")).cast(keyType).as(keyName) +:
+        keyNames.zipWithIndex.map { case (n, i) =>
+          val part = element_at(split(col("k"), KeyPartSep, -1), i + 1)
+          when(part === lit(NullKeyMarker), lit(null))
+            .otherwise(part).cast(keyTypes(i)).as(n)
+        } ++
         outNames.zipWithIndex.map { case (n, i) =>
           val acc = element_at(col("v"), i + 1)
           val pres = element_at(col("p"), i + 1)

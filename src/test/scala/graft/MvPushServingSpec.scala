@@ -19,6 +19,8 @@ import graft.plans.MaterializedViews
 /** Live event: same columns the view's base aggregates read (top
   * level — Spark encoders refuse spec-inner case classes). */
 case class MvPushLiveRow(o_orderstatus: String, o_orderkey: Long)
+/** Windowed live event: (ts, event_type) — the events-table shape. */
+case class MvPushWinRow(ts: java.sql.Timestamp, event_type: String)
 
 class MvPushServingSpec extends SparkSpec {
   private type LiveRow = MvPushLiveRow
@@ -141,6 +143,103 @@ class MvPushServingSpec extends SparkSpec {
         "DROP MATERIALIZED VIEW IF EXISTS push_mv;")
       // the push bind auto-selects the RocksDB provider; don't leak the
       // session conf into suites that pin their own
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("WINDOWED view push (tumbling + hopping): EMIT CHANGES folds " +
+    "live events onto the pane-state seed on the same epoch grid — " +
+    "per-(pane,key) latest emission ≡ the full re-window recompute") {
+    import spark.implicits._
+    val root = freshDir("mv_push_win")
+    val memT = MemoryStream[MvPushWinRow](spark)
+    val memH = MemoryStream[MvPushWinRow](spark)
+    val cat: Translator.Catalog = Map(
+      "ev_src" -> Translator.Source(Tables.events(spark, sfDir), "ts"),
+      "ev_live_t" -> Translator.Source(memT.toDF(), "ts"),
+      "ev_live_h" -> Translator.Source(memH.toDF(), "ts"))
+    Translator.run(spark, cat,
+      s"""CREATE MATERIALIZED VIEW win_push_mv WITH (
+         |  STATE_DIR='$root/state',
+         |  DELTA='ts >= TIMESTAMP ''2024-03-28 00:00:00''',
+         |  LIVE='ev_live_t') AS
+         |SELECT event_type, COUNT(*) AS cnt
+         |FROM ev_src WINDOW TUMBLING (SIZE 2 HOURS)
+         |GROUP BY event_type""".stripMargin)
+    Translator.run(spark, cat,
+      s"""CREATE MATERIALIZED VIEW hop_push_mv WITH (
+         |  STATE_DIR='$root/state_h',
+         |  DELTA='ts >= TIMESTAMP ''2024-03-28 00:00:00''',
+         |  LIVE='ev_live_h') AS
+         |SELECT event_type, COUNT(*) AS cnt
+         |FROM ev_src WINDOW HOPPING (SIZE 4 HOURS, ADVANCE BY 2 HOURS)
+         |GROUP BY event_type""".stripMargin)
+    def recomputeWin(live: Seq[MvPushWinRow], sizeMs: Long,
+                     advMs: Long): Map[(Long, String), Long] = {
+      val base = Tables.events(spark, sfDir)
+        .select(unix_millis(col("ts")).as("ms"), col("event_type"))
+      val all = base.unionByName(live.toDF("ts", "event_type")
+        .select(unix_millis(col("ts")).as("ms"), col("event_type")))
+      val panes = (sizeMs / advMs).toInt
+      all.withColumn("ws", explode(expr(
+          s"transform(sequence(0, ${panes - 1}), i -> " +
+            s"(ms div $advMs) * $advMs - i * $advMs)")))
+        .groupBy(col("ws"), col("event_type")).count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    try {
+      def driveOne(name: String, mem: MemoryStream[MvPushWinRow],
+                   sink: String, sizeMs: Long, advMs: Long): Unit = {
+        val (_, Some(push)) = Translator.run(spark, cat,
+          s"SELECT * FROM $name EMIT CHANGES"): @unchecked
+        assert(push.isStreaming)
+        assert(push.columns.take(2).toSeq ==
+          Seq("windowstart", "windowend"))
+        val q = push.writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try {
+          // one event extends an EXISTING pane (inside the live data's
+          // region), one opens a NEW pane past the corpus
+          val b1 = Seq(
+            MvPushWinRow(java.sql.Timestamp.valueOf("2024-03-28 01:10:00"), "click"),
+            MvPushWinRow(java.sql.Timestamp.valueOf("2024-05-01 00:30:00"), "view"))
+          mem.addData(b1: _*); q.processAllAvailable()
+          val b2 = Seq(
+            MvPushWinRow(java.sql.Timestamp.valueOf("2024-05-01 00:45:00"), "view"))
+          mem.addData(b2: _*); q.processAllAvailable()
+          val want = recomputeWin(b1 ++ b2, sizeMs, advMs)
+          import org.apache.spark.sql.expressions.Window
+          val got = spark.table(sink)
+            .withColumn("__rn", row_number().over(Window
+              .partitionBy(col("windowstart"), col("event_type"))
+              .orderBy(col("cnt").desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+            .collect()
+            .map(r => (r.getLong(0), r.getString(2)) ->
+              (r.getLong(1), r.getLong(3)))
+            .toMap
+          got.foreach { case ((ws, t), (we, cnt)) =>
+            assert(we == ws + sizeMs, s"windowend must be start + size")
+            assert(cnt == want((ws, t)),
+              s"pane ($ws, $t): got $cnt want ${want((ws, t))}")
+          }
+          assert(got.nonEmpty)
+        } finally q.stop()
+      }
+      driveOne("win_push_mv", memT, "win_push_out", 7200000L, 7200000L)
+      driveOne("hop_push_mv", memH, "hop_push_out", 14400000L, 7200000L)
+      // windowed PULL by name surfaces the millis pseudo-columns
+      val (_, Some(pull)) = Translator.run(spark, cat,
+        "SELECT * FROM win_push_mv"): @unchecked
+      assert(pull.columns.contains("windowstart") &&
+        pull.columns.contains("windowend") && !pull.isStreaming)
+      assert(pull.count() > 0)
+    } finally {
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW IF EXISTS win_push_mv;")
+      Translator.run(spark, Map.empty,
+        "DROP MATERIALIZED VIEW IF EXISTS hop_push_mv;")
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }

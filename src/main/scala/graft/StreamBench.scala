@@ -337,6 +337,41 @@ object StreamBench {
             System.err.println(s"[streambench] seeded_view_rocksdb failed: $e")
             Result("seeded_view_rocksdb", -1.0, -1.0, -1.0)
         }
+      // WINDOWED view continuation (round 15): the same generic vector
+      // fold under a COMPOSITE key (pane-start millis × type,
+      // string-encoded parts) with 4× hopping fan-out — the dialect's
+      // windowed table push query. Measures the composite encode/split
+      // tax + fan-out against seeded_hopping_rocksdb's hand-shaped
+      // tuple processor.
+      val seededViewWin =
+        try {
+          import spark.implicits._
+          val sizeMs = 120000L; val advMs = 30000L
+          val winSeed = (for {
+            slot <- 0 until 8; t <- Seq("click", "view", "buy")
+          } yield ((t0 / advMs) * advMs + slot * advMs - 90000L, t,
+            1000L, 50000L))
+            .toDF("ws", "grp", "cnt", "sum_cents")
+          drive(spark, "seeded_view_win_rocksdb", batches, batchRows, rows,
+            df => {
+              val panes = (sizeMs / advMs).toInt
+              val delta = df
+                .withColumn("ts_ms", unix_millis(col("ts")))
+                .withColumn("ws", explode(expr(
+                  s"transform(sequence(0, ${panes - 1}), i -> " +
+                    s"(unix_millis(ts) div $advMs) * $advMs - i * $advMs)")))
+              graft.streaming.StreamingIncremental.seededViewAggregate(
+                delta, winSeed, Seq("ws", "grp"),
+                Seq(col("ws"), col("event_type")),
+                Seq(lit(1L), col("event_id")), Seq("count", "sum"))
+            },
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] seeded_view_win_rocksdb failed: $e")
+            Result("seeded_view_win_rocksdb", -1.0, -1.0, -1.0)
+        }
       // FK TABLE-TABLE join (round 15): the subscription store under
       // churn — left changelog = every row (5000 recycled left keys, fk
       // = the row's fixed user), right changelog = the per-1000-row
@@ -369,7 +404,8 @@ object StreamBench {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView, fkJoin)
+      Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView,
+        seededViewWin, fkJoin)
     }
     single ++ (join +: underRocks)
   }

@@ -114,7 +114,14 @@ object ScaleProbe {
     // served per grouping set from the DDL view.
     "q_mv_join", "q_mv_join_star", "q_mv_window_join",
     "q_mv_hopping_join", "q_mv_distinct_delete", "q_mv_ddl_refresh",
-    "q_ksql_rollup_mv")
+    "q_ksql_rollup_mv",
+    // round 15 (late): q_mv_ddl_session — the SESSION view's named
+    // pull: interval-state leaf ∪ sessionized delta, the
+    // gaps-and-islands repair windowed ONLY over delta-touched keys
+    // (the anti-join branch streams sort-free), so cost tracks
+    // |touched sessions| + |Δ|. q_mv_ddl_join — the dialect-created
+    // join view's serve (same shape as q_mv_join, different key).
+    "q_mv_ddl_session", "q_mv_ddl_join")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

@@ -372,6 +372,31 @@ object StreamBench {
               s"[streambench] seeded_view_win_rocksdb failed: $e")
             Result("seeded_view_win_rocksdb", -1.0, -1.0, -1.0)
         }
+      // SESSION view continuation (round 15, late): the generic
+      // interval-repair fold behind the session CMV's push form —
+      // per-key ListState of interval records, each carrying the
+      // (accumulator, presence) vector, seeded with one historical
+      // session per user. Measures the generic vector + string-key tax
+      // against seeded_session_rocksdb's hand-shaped tuple processor.
+      val seededSessView =
+        try {
+          import spark.implicits._
+          val svSeed = (0 until 997).map(k =>
+            (k.toLong, 1000L * k, 1000L * k + 500L, 10L, 12345L))
+            .toDF("user_id", "__first_ms", "__last_ms", "cnt", "sum_cents")
+          drive(spark, "seeded_session_view_rocksdb", batches, batchRows,
+            rows,
+            df => graft.streaming.StreamingIncremental.seededSessionView(
+              df, svSeed, 45000L, Seq("user_id"), Seq(col("user_id")),
+              unix_millis(col("ts")),
+              Seq(lit(1L), col("event_id")), Seq("count", "sum")),
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] seeded_session_view_rocksdb failed: $e")
+            Result("seeded_session_view_rocksdb", -1.0, -1.0, -1.0)
+        }
       // FK TABLE-TABLE join (round 15): the subscription store under
       // churn — left changelog = every row (5000 recycled left keys, fk
       // = the row's fixed user), right changelog = the per-1000-row
@@ -405,7 +430,7 @@ object StreamBench {
         case None => spark.conf.unset(key)
       }
       Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView,
-        seededViewWin, fkJoin)
+        seededViewWin, seededSessView, fkJoin)
     }
     single ++ (join +: underRocks)
   }

@@ -401,6 +401,131 @@ object KsqlQueries {
       t
     }
 
+  // ─── JOIN materialized view through the dialect (round 15) ────────
+  // CREATE MATERIALIZED VIEW over an INNER equi-join: the DDL builds
+  // the joined-base rollup state and registers it with the join
+  // condition as a structural shape key (the round-14 programmatic
+  // join-view algebra, now reachable in KSQL text). The user's plain
+  // dialect join-aggregate is served merge(state ∪ partial(Δorders ⋈
+  // customer)). Keyed by c_mktsegment so the registration is disjoint
+  // from the programmatic c_nationkey join view over the same paths.
+
+  private val mvJoinDdlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvJoinDdlLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvDdlJoinName(d: String): String =
+    "orders_mkt_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def mvDdlJoinPullQuery: String =
+    s"""SELECT c_mktsegment, $mvRefAggText
+       |FROM orders_src JOIN customer_src ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
+  private[graft] def mvDdlJoinStatement(d: String, t: String): String =
+    s"""CREATE MATERIALIZED VIEW ${mvDdlJoinName(d)} WITH (
+       |  STATE_DIR='$t/state',
+       |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+       |SELECT c_mktsegment, $mvRefAggText
+       |FROM orders_src JOIN customer_src ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
+  private[graft] def mvDdlJoinDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvJoinDdlLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvJoinDdlDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_join").toString)
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvDdlJoinName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (c2, _) = Translator.run(s, c1,
+          s"CREATE STREAM customer_src WITH (PATH='$d/customer.parquet')")
+        Translator.run(s, c2, mvDdlJoinStatement(d, t))
+      }
+      t
+    }
+
+  // ─── SESSION materialized views through the dialect (round 15) ────
+  // The state artifact is one INTERVAL record per (user, session) over
+  // `events WHERE NOT delta` (arrival-keyed delta — late events can
+  // extend, bridge, or open sessions); the pull BY NAME repairs
+  // state ∪ sessionized(Δ) with the gaps-and-islands interval merge,
+  // pruned to delta-touched users. Helpers follow mvDdlDir idempotence.
+
+  private val mvSessDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvSessLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvDdlSessionName(d: String): String =
+    "ev_sess_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val mvSessAggText =
+    """COUNT(*) AS cnt,
+      |  SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+      |  MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS max_cents""".stripMargin
+
+  private[graft] def mvDdlSessionDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvSessLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvSessDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_sess").toString)
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvDdlSessionName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM sev_src WITH (PATH='$d/events.parquet')")
+        Translator.run(s, c1,
+          s"""CREATE MATERIALIZED VIEW ${mvDdlSessionName(d)} WITH (
+             |  STATE_DIR='$t/state',
+             |  DELTA='event_id % 13 = 0') AS
+             |SELECT user_id, $mvSessAggText
+             |FROM sev_src WINDOW SESSION (6 HOURS)
+             |GROUP BY user_id""".stripMargin)
+      }
+      t
+    }
+
+  private val mvSessRefDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvSessRefLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvSessRefName(d: String): String =
+    "ev_sessref_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def mvSessRefStatement(d: String, t: String): String =
+    s"""REFRESH MATERIALIZED VIEW ${mvSessRefName(d)} WITH (
+       |  STATE_DIR='$t/state2',
+       |  DELTA='event_id % 13 = 0')""".stripMargin
+
+  private[graft] def mvSessRefreshDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvSessRefLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvSessRefDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_sessref").toString)
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvSessRefName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM sev_src WITH (PATH='$d/events.parquet')")
+        val (c2, _) = Translator.run(s, c1,
+          s"""CREATE MATERIALIZED VIEW ${mvSessRefName(d)} WITH (
+             |  STATE_DIR='$t/state',
+             |  DELTA='event_id % 13 <= 1') AS
+             |SELECT user_id, $mvSessAggText
+             |FROM sev_src WINDOW SESSION (6 HOURS)
+             |GROUP BY user_id""".stripMargin)
+        Translator.run(s, c2, mvSessRefStatement(d, t))
+      } else if (!graft.plans.MaterializedViews.view(mvSessRefName(d))
+        .exists(_.stateDir == s"$t/state2")) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM sev_src WITH (PATH='$d/events.parquet')")
+        Translator.run(s, c1, mvSessRefStatement(d, t))
+      }
+      t
+    }
+
   /** Bench prepare hooks: write-phase artifacts, each separately timed. */
   def prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     Map(
@@ -412,6 +537,9 @@ object KsqlQueries {
       "q_mv_ddl_window" -> ((s, d) => { mvDdlWindowDir(s, d); () }),
       "q_mv_ddl_refresh" -> ((s, d) => { mvRefreshDir(s, d); () }),
       "q_mv_ddl_refresh_delete" -> ((s, d) => { mvRefreshDelDir(s, d); () }),
+      "q_mv_ddl_session" -> ((s, d) => { mvDdlSessionDir(s, d); () }),
+      "q_mv_ddl_session_refresh" -> ((s, d) => { mvSessRefreshDir(s, d); () }),
+      "q_mv_ddl_join" -> ((s, d) => { mvDdlJoinDir(s, d); () }),
       "q_ksql_rollup_mv" -> ((s, d) => { mvDdlRollupDir(s, d); () }),
       "q_ksql_csas_partitioned" -> ((s, d) => { csasPartitionedDir(s, d); () }))
 
@@ -789,6 +917,100 @@ object KsqlQueries {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
+
+    // SESSION materialized view through the dialect (round 15): CREATE
+    // MATERIALIZED VIEW … WINDOW SESSION (6 HOURS) stores one INTERVAL
+    // record per (user, session) over the arrival-complement (late
+    // events keyed by event_id % 13 can extend, bridge, or open
+    // sessions); the pull BY NAME repairs state ∪ sessionized(Δ) with
+    // the q_incr_session gaps-and-islands merge pruned to touched
+    // users, surfacing WINDOWSTART/WINDOWEND. The oracle re-sessionizes
+    // ALL events in DuckDB — the gate proves repair ≡ rescan.
+    "q_mv_ddl_session" -> Q(
+      (s, d) => {
+        mvDdlSessionDir(s, d)
+        val (_, Some(df)) = Translator.run(s, Map.empty,
+          s"SELECT * FROM ${mvDdlSessionName(d)}"): @unchecked
+        df
+      },
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 21600000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_cents,
+        |  min(epoch_ms(ts)) AS windowstart,
+        |  max(epoch_ms(ts)) + 21600000 AS windowend
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    // …and its REFRESH: the view registers at the two-cohort cutoff
+    // (event_id % 13 <= 1), REFRESH folds cohort 1's sessions into a
+    // fresh interval artifact via the same repair (extends/bridges
+    // stored intervals — not per-key partial merge) and advances the
+    // cutoff to cohort 0 only. Same full-recompute oracle: the
+    // refreshed view is indistinguishable from the rescan.
+    "q_mv_ddl_session_refresh" -> Q(
+      (s, d) => {
+        mvSessRefreshDir(s, d)
+        val (_, Some(df)) = Translator.run(s, Map.empty,
+          s"SELECT * FROM ${mvSessRefName(d)}"): @unchecked
+        df
+      },
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 21600000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_cents,
+        |  min(epoch_ms(ts)) AS windowstart,
+        |  max(epoch_ms(ts)) + 21600000 AS windowend
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    // JOIN materialized view through the dialect (round 15): the CMV
+    // definition joins orders ⋈ customer (INNER equi) in KSQL text —
+    // the DDL builds the joined rollup state and registers it with the
+    // join condition as a structural shape key (round-14 algebra, now a
+    // statement). The gated query is the user's PLAIN dialect
+    // join-aggregate, served merge(state ∪ partial(date-pushed Δorders
+    // ⋈ customer)); the oracle is the full recompute.
+    "q_mv_ddl_join" -> Q(
+      (s, d) => {
+        mvDdlJoinDir(s, d)
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM orders_src WITH (PATH='$d/orders.parquet')")
+        val (c2, _) = Translator.run(s, c1,
+          s"CREATE STREAM customer_src WITH (PATH='$d/customer.parquet')")
+        val (_, Some(df)) =
+          Translator.run(s, c2, mvDdlJoinPullQuery): @unchecked
+        df
+      },
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS max_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin),
 
     // REFRESH MATERIALIZED VIEW through the dialect (round 14 — the
     // round-13 verdict's top item): the CMV registers the priority

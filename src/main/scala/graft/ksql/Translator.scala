@@ -1045,6 +1045,19 @@ object Translator {
     * serving columns. */
   private def viewSource(spark: SparkSession, catalog: Catalog,
       s: SelectStmt, v: graft.plans.MaterializedViews.MvView): Source = {
+    if (v.sessionGap.isDefined) {
+      // SESSION views serve BY NAME only: pull = interval repair of
+      // state ∪ sessionized(Δ) (gaps-and-islands, touched-key pruned),
+      // surfacing WINDOWSTART/WINDOWEND millis. PUSH (EMIT CHANGES, over
+      // a LIVE binding) seeds a per-key INTERVAL store from the same
+      // batch-served session set and repairs it per micro-batch — a
+      // live event can EXTEND a stored session or BRIDGE two, so
+      // emissions carry the key's FULL session set version-stamped
+      // (`__ver`); readers keep each key's max-__ver emission.
+      if (!s.emitChanges) return Source(
+        graft.plans.MaterializedViews.sessionServe(spark, v), "windowstart")
+      return sessionPushSource(spark, catalog, v)
+    }
     graft.plans.MaterializedViews.install(spark)
     val defFrame = v.base(spark).groupBy(v.groupCols: _*)
       .agg(v.aggCols.head, v.aggCols.tail: _*)
@@ -1168,6 +1181,148 @@ object Translator {
       case None => folded
     }
     Source(out, live.timeColumn)
+  }
+
+  /** The PUSH form of a SESSION view (EMIT CHANGES over its LIVE
+    * binding): seed = the batch-served session set
+    * (MaterializedViews.sessionServeIntervals — exactly what the named
+    * pull projects), continued by
+    * StreamingIncremental.seededSessionView's per-key interval repair.
+    * Same bind-time refusals as the flat push (no LIVE binding, batch
+    * LIVE source, non-integral serving columns, non-string/integral
+    * keys) plus the same RocksDB store-provider selection. */
+  private def sessionPushSource(spark: SparkSession, catalog: Catalog,
+      v: graft.plans.MaterializedViews.MvView): Source = {
+    val liveName = v.liveSource.getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view ${v.name} has no LIVE stream bound — " +
+          "CREATE ... WITH (LIVE='stream') enables the push form " +
+          "(EMIT CHANGES); the pull form serves the current answer"))
+    val live = catalog.getOrElse(liveName,
+      throw new IllegalArgumentException(
+        s"LIVE source '$liveName' of view ${v.name} is not in this " +
+          "catalog — register the stream before push-querying the view"))
+    if (!live.df.isStreaming) throw new IllegalArgumentException(
+      s"LIVE source '$liveName' of view ${v.name} must be STREAMING")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType)
+    val stateSchema = spark.read.parquet(v.stateDir).schema
+    v.mergeAgg.map(_._1).foreach { n =>
+      val dt = stateSchema(n).dataType
+      if (!integral.contains(dt)) throw new IllegalArgumentException(
+        s"view ${v.name}: serving column $n is $dt — the seeded fold " +
+          "accumulates exactly in BIGINT; store integral (cents) partials")
+    }
+    v.groupNames.foreach { n =>
+      val kt = stateSchema(n).dataType
+      if (kt != org.apache.spark.sql.types.StringType && !integral(kt))
+        throw new IllegalArgumentException(
+          s"view ${v.name}: group key $n is $kt — the push form keys " +
+            "the state store by string-encoded parts; use string or " +
+            "integral keys")
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val currentProvider = spark.conf.get(providerKey, "")
+    if (currentProvider.isEmpty ||
+      currentProvider.contains("HDFSBackedStateStoreProvider"))
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val seed = graft.plans.MaterializedViews
+      .sessionServeIntervals(spark, v)
+    val tsExpr = unix_millis(col(live.timeColumn).cast("timestamp"))
+    val folded = graft.streaming.StreamingIncremental.seededSessionView(
+      live.df.filter(col(live.timeColumn).isNotNull), seed,
+      v.sessionGap.get, v.groupNames, v.groupCols, tsExpr,
+      v.liveContribs, v.mergeAgg.map(_._2))
+    Source(folded, live.timeColumn)
+  }
+
+  /** CREATE MATERIALIZED VIEW … WINDOW SESSION (round 15): the state
+    * artifact is one INTERVAL record per (keys, session) over `base
+    * WHERE NOT delta` — keys…, __first_ms, __last_ms, per-aggregate
+    * partials — and the view serves BY NAME (pull) via the
+    * gaps-and-islands interval repair (MaterializedViews.sessionServe).
+    * The transparent rewrite never fires on session views (a session is
+    * not a function of one row's timestamp, so per-key partial merge is
+    * unsound — buildView refuses session_window keys outright); LIVE
+    * push is refused with the seededSessionize pointer. Same
+    * single-writer, signed-artifact discipline as the flat CMV. */
+  private def createSessionMv(spark: SparkSession, catalog: Catalog,
+      mvName: String, sel: SelectStmt, sess: Session, stateDir: String,
+      deltaText: String, props: Map[String, String])
+    : (Catalog, Option[DataFrame]) = {
+    if (sel.groupBy.isEmpty) throw new IllegalArgumentException(
+      "a SESSION materialized view needs a plain GROUP BY key (the " +
+        "touched-key repair prune is keyed)")
+    if (sel.joins.nonEmpty) throw new IllegalArgumentException(
+      "a SESSION materialized view registers over a single source — " +
+        "enrich upstream (CSAS with a stream-table join) and register " +
+        "the enriched stream")
+    val src = catalog.getOrElse(sel.from.toLowerCase,
+      throw new IllegalArgumentException(s"unknown source ${sel.from}"))
+    val base = sel.where.fold(src.df)(w =>
+      src.df.filter(expr(rewriteExpr(w))))
+    val keyNames = sel.groupBy.map(_.trim)
+    val keyTexts = keyNames.map(rewriteExpr).toSet
+    val isWinPseudo = (e: String) => {
+      val t = e.replaceAll("\\s", "").toLowerCase
+      t == "windowstart" || t == "windowstart()" ||
+        t == "windowend" || t == "windowend()"
+    }
+    val aggs = sel.columns.filterNot { case (e, _) =>
+      keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)
+    }.map { case (e, alias) =>
+      val a = alias.getOrElse(throw new IllegalArgumentException(
+        s"materialized-view aggregate '$e' needs an AS alias — the " +
+          "state artifact's column names are the serving contract"))
+      expr(rewriteExpr(e)).as(a)
+    }
+    if (aggs.isEmpty) throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW needs at least one aggregate column")
+    val deltaPred = expr(rewriteExpr(deltaText))
+    // validate BEFORE writing, like the flat path: a rejected definition
+    // must never leave an artifact in STATE_DIR
+    val validated = graft.plans.MaterializedViews.validateSession(spark,
+      mvName, _ => base, stateDir, deltaPred, src.timeColumn, sess.gapMs,
+      keyNames, aggs)
+    val signature = Seq(
+      "src=" + sel.from.toLowerCase,
+      "where=" + sel.where.map(rewriteExpr).getOrElse(""),
+      "session=" + sess.gapMs + "ms@" + src.timeColumn,
+      "keys=" + keyNames.mkString("|"),
+      "aggs=" + aggs.map(_.toString).mkString("|"),
+      "delta=" + rewriteExpr(deltaText)).mkString("\n")
+    val onDisk = readSignature(spark, stateDir)
+    if (dirHasData(spark, stateDir) && onDisk.isDefined) {
+      if (onDisk.get != signature) throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $mvName: STATE_DIR '$stateDir' " +
+          "holds an artifact built under a DIFFERENT definition — " +
+          "serving from it would violate state ⊎ delta = base; point " +
+          "STATE_DIR at a fresh directory or re-issue the original " +
+          "definition")
+    } else {
+      graft.plans.MaterializedViews.sessionStateFrame(spark, validated)
+        .write.mode("overwrite").parquet(stateDir)
+      writeSignature(spark, stateDir, signature)
+    }
+    // WITH (LIVE='stream'): the push form's continuation binding — per
+    // live event, each registered aggregate's contribution (COUNT →
+    // non-null witness, SUM/MIN/MAX → the argument), folded through the
+    // interval repair at query time (sessionPushSource). A serving
+    // binding, not a state contract — NOT part of the signature.
+    val liveSource = props.get("LIVE").map(_.toLowerCase)
+    val liveContribs: Seq[org.apache.spark.sql.Column] =
+      if (liveSource.isEmpty) Nil
+      else sel.columns.filterNot { case (e, _) =>
+        keyTexts.contains(rewriteExpr(e)) || isWinPseudo(e)
+      }.map { case (e, _) => contributionOf(spark, rewriteExpr(e)) }
+    graft.plans.MaterializedViews.registerValidated(
+      validated.copy(defSignature = Some(signature),
+        liveSource = liveSource, liveContribs = liveContribs))
+    (catalog, None)
   }
 
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
@@ -2006,20 +2161,27 @@ object Translator {
               s"CREATE MATERIALIZED VIEW needs WITH ($k='…')"))
           val stateDir = need("STATE_DIR")
           val deltaText = need("DELTA")
-          if (sel.joins.nonEmpty || sel.having.isDefined ||
+          if (sel.having.isDefined ||
             sel.orderBy.nonEmpty || sel.limit.isDefined ||
             sel.fromSub.isDefined || sel.groupingMode.isDefined)
             throw new IllegalArgumentException(
-              "CREATE MATERIALIZED VIEW supports a plain " +
-                "SELECT … FROM src [WHERE …] [WINDOW TUMBLING|HOPPING …] " +
-                "GROUP BY … definition (joined views stay programmatic; " +
-                "a ROLLUP/CUBE view is redundant — register the per-key " +
-                "view and the grouping-sets rewrite serves every set)")
-          sel.window.foreach {
-            case _: Session => throw new IllegalArgumentException(
-              "SESSION windows are not servable from per-row state (a " +
-                "session is not a function of one row's timestamp) — " +
-                "session maintenance is the IVM path (q_incr_session)")
+              "CREATE MATERIALIZED VIEW supports a " +
+                "SELECT … FROM src [JOIN dim ON …]* [WHERE …] " +
+                "[WINDOW TUMBLING|HOPPING|SESSION …] GROUP BY … " +
+                "definition (a ROLLUP/CUBE view is redundant — register " +
+                "the per-key view and the grouping-sets rewrite serves " +
+                "every set)")
+          sel.window match {
+            case Some(sess: Session) =>
+              // SESSION CMV (round 15): per-row partials can't carry a
+              // session (not a function of one row's timestamp), so the
+              // transparent rewrite never serves these — but the TABLE
+              // surface can: the state artifact stores one INTERVAL
+              // record per (keys, session), and a pull BY NAME repairs
+              // state ∪ sessionized(Δ) with the q_incr_session
+              // gaps-and-islands merge, pruned to delta-touched keys.
+              return createSessionMv(spark, catalog, mvName, sel, sess,
+                stateDir, deltaText, props)
             case _ => ()
           }
           if (sel.groupBy.isEmpty && sel.window.isEmpty)
@@ -2028,8 +2190,45 @@ object Translator {
                 "is per-group partials)")
           val src = catalog.getOrElse(sel.from.toLowerCase,
             throw new IllegalArgumentException(s"unknown source ${sel.from}"))
-          val base = sel.where.fold(src.df)(w =>
-            src.df.filter(expr(rewriteExpr(w))))
+          // JOIN-VIEW DDL (round 15): the definition may join dims —
+          // INNER equi-joins only, the exact shape the rewrite's unwrap
+          // crosses (outer joins null-extend, making partial(Δ ⋈ dim)
+          // unsound; WITHIN is a streaming interval contract). The
+          // joined base registers exactly as the programmatic join
+          // views do: the join condition becomes a structural shape
+          // key, and a user's plain join-aggregate over the same
+          // relations serves from merge(state ∪ partial(Δfact ⋈ dim)).
+          // NO broadcast hint here — a ResolvedHint node in the
+          // DEFINITION would stop it unwrapping at registration (user
+          // plans are safe either way: the optimizer folds hints into
+          // the Join node before the rule runs); the serving plan's own
+          // delta branch still broadcasts small dims by size.
+          val joined = sel.joins.foldLeft(
+            sel.fromAlias.fold(src.df)(a => src.df.alias(a))) { (acc, j) =>
+            if (j.joinType != "inner") throw new IllegalArgumentException(
+              s"CREATE MATERIALIZED VIEW: ${j.joinType.toUpperCase} JOIN " +
+                "does not register — only INNER equi-joins unwrap (an " +
+                "outer join's null-extension makes the delta partial " +
+                "unsound)")
+            if (j.withinMs.isDefined) throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW: WITHIN joins are a streaming " +
+                "interval contract, not a materializable view shape")
+            if (j.table.toLowerCase == sel.from.toLowerCase ||
+              sel.joins.count(_.table.toLowerCase == j.table.toLowerCase) > 1)
+              throw new IllegalArgumentException(
+                "CREATE MATERIALIZED VIEW: self-joins do not register " +
+                  "— two sides sharing a relation make name-based " +
+                  "expression matching ambiguous")
+            val right = catalog.getOrElse(j.table.toLowerCase,
+              throw new IllegalArgumentException(
+                s"unknown source ${j.table}"))
+            val rdf = j.alias.fold(right.df)(a => right.df.alias(a))
+            acc.join(rdf,
+              expr(s"${rewriteExpr(j.onLeft)} = ${rewriteExpr(j.onRight)}"),
+              "inner")
+          }
+          val base = sel.where.fold(joined)(w =>
+            joined.filter(expr(rewriteExpr(w))))
           // group keys / aggregates: the same alias resolution (and the
           // same windowStruct construction) as the grouped SELECT path,
           // so the registered definition is exactly what the equivalent
@@ -2099,6 +2298,9 @@ object Translator {
           // otherwise serve silently wrong answers
           val signature = Seq(
             "src=" + sel.from.toLowerCase,
+            "joins=" + sel.joins.map(j => s"${j.joinType}:" +
+              s"${j.table.toLowerCase}:${rewriteExpr(j.onLeft)}=" +
+              rewriteExpr(j.onRight)).mkString("|"),
             "where=" + sel.where.map(rewriteExpr).getOrElse(""),
             "keys=" + keys.map(_.toString).mkString("|"),
             "aggs=" + aggs.map(_.toString).mkString("|"),
@@ -2140,6 +2342,13 @@ object Translator {
             liveSource match {
               case None => Nil
               case Some(_) =>
+                if (sel.joins.nonEmpty)
+                  throw new IllegalArgumentException(
+                    "LIVE does not compose with a JOIN view — the push " +
+                      "continuation folds RAW stream events, which lack " +
+                      "the joined dim columns; enrich the stream with a " +
+                      "stream-table join upstream and bind THAT source, " +
+                      "or serve the join view by pull")
                 if (validated.distinctOf.isDefined)
                   throw new IllegalArgumentException(
                     "LIVE does not compose with a COUNT(DISTINCT) pair-" +
@@ -2215,6 +2424,12 @@ object Translator {
         // artifact folded from the old definition, even when the
         // key/agg column names line up (round-14 ADVICE).
         val owner = graft.plans.MaterializedViews.view(mvName)
+        if (owner.exists(_.sessionGap.isDefined) && deletedText.isDefined)
+          throw new IllegalArgumentException(
+            s"REFRESH MATERIALIZED VIEW $mvName: DELETED is not " +
+              "supported on a SESSION view — a deleted event can SPLIT " +
+              "a session, which the interval merge cannot express; " +
+              "rebuild the view over the surviving base instead")
         val signature = Seq(
           "view=" + mvName,
           "delta=" + rewriteExpr(deltaText),
@@ -2241,8 +2456,12 @@ object Translator {
               graft.plans.MaterializedViews.refreshWithDeletes(spark,
                 mvName, newPred, expr(rewriteExpr(dt)), newDir)
             case None =>
-              graft.plans.MaterializedViews.refresh(spark, mvName,
-                newPred, newDir)
+              if (owner.exists(_.sessionGap.isDefined))
+                graft.plans.MaterializedViews.refreshSession(spark, mvName,
+                  newPred, newDir)
+              else
+                graft.plans.MaterializedViews.refresh(spark, mvName,
+                  newPred, newDir)
           }
           writeSignature(spark, newDir, signature)
         }

@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression, SessionWindow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
@@ -118,7 +118,22 @@ object MaterializedViews {
       // the push continuation derives each live event's pane(s) on this
       // grid — one pane for tumbling (advance == size), size/advance
       // fan-out for hopping — before the keyed fold
-      liveWindow: Option[(Long, Long)] = None) {
+      liveWindow: Option[(Long, Long)] = None,
+      // SESSION view (round 15): gap ms + the event-time column. A
+      // session is NOT a function of one row's timestamp — per-key
+      // partial merge is unsound when a delta event extends or bridges
+      // stored sessions — so session views serve BY NAME only (the
+      // table surface, via [[sessionServe]]): the transparent rewrite
+      // never fires on them (shapeKey carries a `session[gap]` sentinel
+      // no user plan's unwrap can produce). State artifact: one
+      // interval record per (keys, session) — keys…, __first_ms,
+      // __last_ms, per-aggregate partials — repaired on serve/refresh
+      // by the interval-level gaps-and-islands merge (provably
+      // equivalent to re-sessionizing raw events: every event-level
+      // gap < g is witnessed by interval adjacency), pruned to
+      // delta-touched keys by a broadcast semi-join.
+      sessionGap: Option[Long] = None,
+      sessionTimeCol: Option[String] = None) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 
@@ -461,8 +476,34 @@ object MaterializedViews {
       case other =>
         fail(s"definition did not analyze to an Aggregate: ${other.nodeName}")
     }
+    // SESSION-window keys refuse OUTRIGHT (latent-wrong-answer class): a
+    // session struct is not a pure function of one row's timestamp, so
+    // merging state ∪ Δ partials BY KEY EQUALITY is unsound — a delta
+    // event that extends or bridges a stored session carries a DIFFERENT
+    // struct value and would merge into a separate (wrong) row. Session
+    // maintenance is the interval-repair path: registerSessionValidated /
+    // sessionServe (the DDL's WINDOW SESSION), or the IVM operator
+    // (q_incr_session). Tumbling structs ARE per-row functions and stay
+    // supported; hopping goes through its Expand shape.
+    // the analyzer's SessionWindowing rule has already rewritten the
+    // SessionWindow expression into a marker-metadata'd attribute over a
+    // per-row struct Project by the time we see the Aggregate — detect
+    // either form
+    val isSessionKey = (e: Expression) => e.exists {
+      case a: AttributeReference =>
+        a.metadata.contains(SessionWindow.marker)
+      case _: SessionWindow => true
+      case _ => false
+    }
+    if (aPlan.groupingExpressions.exists(isSessionKey))
+      fail("session_window group keys cannot register as mergeable-partial " +
+        "views (a delta event extending a stored session has a different " +
+        "struct key — struct-keyed merge would serve wrong rows); use the " +
+        "SESSION view path (validateSession / the DDL's WINDOW SESSION)")
     val (paths, inline, defCond, shapeKey) = unwrap(aPlan.child).getOrElse(
-      fail("base must unwrap to a single V1 file relation"))
+      fail("base must unwrap to V1 file relations — a single table, or " +
+        "INNER equi-joins over distinct tables (no self-joins, no " +
+        "cross-side name collisions, no outer/non-equi conditions)"))
     // canonical definition conjuncts come from the OPTIMIZED child:
     // conjunct matching compares against OPTIMIZED user plans, where
     // InferFiltersFromConstraints has added an `isnotnull(x)` beside
@@ -621,6 +662,9 @@ object MaterializedViews {
               newStateDir: String): Unit = {
     val v = views.getOrElse(name,
       throw new IllegalArgumentException(s"mv $name: not registered"))
+    if (v.sessionGap.isDefined) throw new IllegalArgumentException(
+      s"mv $name is a SESSION view — its state is interval records, " +
+        "not per-key partials; refresh it with refreshSession")
     // same coverage guard as register: a NULL-evaluating NEW predicate
     // would drop rows from both the `oldPred && !newPred` fold and the
     // post-refresh delta
@@ -721,6 +765,217 @@ object MaterializedViews {
     case (a, _) => sum(col(a)).as(a) // "sum" and "count" both merge by SUM
   }
 
+  // ─── SESSION views (round 15) — named serving over interval state ───
+  //
+  // A SESSION window is not a function of one row's timestamp, so the
+  // mergeable-partial algebra above cannot carry it (buildView refuses
+  // session_window keys outright). Instead the state artifact stores ONE
+  // INTERVAL RECORD per (keys, session): keys…, __first_ms, __last_ms,
+  // per-aggregate partials. Serving and refresh repair it with the
+  // interval-level gaps-and-islands merge of q_incr_session — sort a
+  // key's intervals by __first_ms, break when __first_ms − running
+  // max(__last_ms) ≥ gap — which is provably equivalent to
+  // re-sessionizing the raw events (every event-level gap < g is
+  // witnessed by interval adjacency). The merge pass is pruned by a
+  // NULL-SAFE broadcast semi-join to keys present in the delta:
+  // untouched keys' sessions stream through with NO window sort, so at
+  // 100 TB the repair cost is |touched-key sessions| + |Δ|, never
+  // |state|. (Scale note, same as q_incr_session: the broadcast assumes
+  // the DELTA'S DISTINCT-KEY SET fits broadcast — the late-arrival
+  // regime this models; a delta touching most keys should drop the hint
+  // and let AQE pick the strategy.) These views serve BY NAME only; the
+  // `session[gap]` shapeKey sentinel keeps them out of every rewrite
+  // path (no user plan's unwrap produces it).
+
+  /** Per-session partials of `df` on the registered grid: one row per
+    * (keys, session) with the interval bounds and each aggregate's
+    * partial. Shared by the state build (Translator), serving, and
+    * refresh — the three must agree on the artifact shape. */
+  private[graft] def sessionPartials(df: DataFrame, timeCol: String,
+      gapMs: Long, keyNames: Seq[String], aggCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{session_window, unix_millis}
+    val ts = col(timeCol)
+    val aggsAll = Seq(min(unix_millis(ts)).as("__first_ms"),
+      max(unix_millis(ts)).as("__last_ms")) ++ aggCols
+    df.filter(ts.isNotNull) // a NULL-ts row is outside every session —
+      // identically on the state build, the delta, and a direct
+      // session_window query, so the serving contract is consistent
+      .groupBy(session_window(ts, s"$gapMs milliseconds") +:
+        keyNames.map(col): _*)
+      .agg(aggsAll.head, aggsAll.tail: _*)
+      .drop("session_window")
+  }
+
+  /** Gaps-and-islands repair of `state ∪ delta` interval records for
+    * one view: touched keys (NULL-safe semi-join against the delta's
+    * key set) merge; untouched keys stream through sort-free. Returns
+    * interval records in the artifact shape. */
+  private def sessionRepair(v: MvView, state: DataFrame,
+      delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = v.sessionGap.get
+    val keyNames = v.groupNames
+    val touched = delta.select(keyNames.map(col): _*).distinct()
+    // NULL-SAFE key match: a NULL-keyed group's late events must repair
+    // its stored sessions too (plain equi-semi-join would route the
+    // stored NULL-key sessions to the untouched branch and double them)
+    val stA = state.alias("__st")
+    val tcA = broadcast(touched.alias("__tc"))
+    val cond = keyNames.map(n => col(s"__st.$n") <=> col(s"__tc.$n"))
+      .reduce(_ && _)
+    val stTouched = stA.join(tcA, cond, "left_semi")
+    val stUntouched = stA.join(tcA, cond, "left_anti")
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("__first_ms"), col("__last_ms"))
+    val aggsAll = Seq(min(col("__first_ms")).as("__first_ms"),
+      max(col("__last_ms")).as("__last_ms")) ++ mergeCols(v)
+    val merged = stTouched.unionByName(delta)
+      .withColumn("__pmax", max(col("__last_ms"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk", when(col("__pmax").isNull ||
+        col("__first_ms") - col("__pmax") >= gap, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keyNames :+ "__sid").map(col): _*)
+      .agg(aggsAll.head, aggsAll.tail: _*)
+      .drop("__sid")
+    stUntouched.unionByName(merged)
+  }
+
+  /** Run every session-registration guard WITHOUT registering (the
+    * validate-before-build half, mirroring [[validate]]): keys must be
+    * plain base columns, aggregates must be mergeable partials
+    * (COUNT/SUM/MIN/MAX, no DISTINCT/FILTER, no DECIMAL — an interval
+    * merge re-aggregates them), the delta predicate must be total.
+    * Returns the built view for [[registerValidated]]. */
+  def validateSession(spark: SparkSession, name: String,
+      base: SparkSession => DataFrame, stateDir: String,
+      deltaPred: Column, timeCol: String, gapMs: Long,
+      keyNames: Seq[String], aggCols: Seq[Column]): MvView = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"mv $name: $msg")
+    if (gapMs <= 0) fail("session gap must be positive")
+    if (keyNames.isEmpty)
+      fail("a session view needs at least one plain GROUP BY key (the " +
+        "touched-key repair prune is keyed)")
+    if (aggCols.isEmpty) fail("a session view needs at least one aggregate")
+    val frame = base(spark)
+    val byLower = frame.columns
+      .map(c => c.toLowerCase(Locale.ROOT) -> c).toMap
+    val keys = keyNames.map(k => byLower.getOrElse(k.toLowerCase(Locale.ROOT),
+      fail(s"session group key '$k' must be a plain base column (an " +
+        "expression key has no stable interval-record identity for the " +
+        "touched-key prune)")))
+    val tc = byLower.getOrElse(timeCol.toLowerCase(Locale.ROOT),
+      fail(s"time column '$timeCol' is not a base column"))
+    // classify aggregate kinds off the FLAT analyzed aggregate — kinds
+    // don't depend on the window, and this reuses Catalyst's resolution
+    val aPlan = frame.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .queryExecution.analyzed match {
+      case a: Aggregate => a
+      case other =>
+        fail(s"definition did not analyze to an Aggregate: ${other.nodeName}")
+    }
+    val mergeAgg = aPlan.aggregateExpressions.collect {
+      case al @ Alias(ae: AggregateExpression, _) => (al, ae)
+    }.map { case (al, ae) =>
+      if (ae.isDistinct || ae.filter.nonEmpty)
+        fail(s"${al.name} — DISTINCT/FILTER aggregates have no mergeable " +
+          "session partial (sessions merge by interval union)")
+      if (al.dataType.isInstanceOf[DecimalType])
+        fail(s"${al.name} — DECIMAL sums widen on re-aggregation; " +
+          "store BIGINT cents")
+      val kind = ae.aggregateFunction match {
+        case _: Count => "count"
+        case _: Sum => "sum"
+        case _: Min => "min"
+        case _: Max => "max"
+        case _: Average =>
+          fail(s"${al.name} — AVG has no lossless session partial; " +
+            "register SUM and COUNT columns and derive the average")
+        case other =>
+          fail(s"${al.name} — unsupported aggregate ${other.prettyName}")
+      }
+      al.name -> kind
+    }
+    if (mergeAgg.size != aggCols.size)
+      fail("every aggregate column must be a plain aggregate with an alias")
+    requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
+    // base paths recorded for SHOW MATERIALIZED VIEWS when the base
+    // unwraps; the sentinel shapeKey keeps every rewrite path away
+    // regardless
+    val paths = unwrap(aPlan.child).map(_._1).getOrElse(Set.empty[String])
+    MvView(name, paths, base, stateDir, deltaPred,
+      groupCols = keys.map(col), groupNames = keys,
+      groupKeyToName = Map.empty,
+      plainGroupNames = keys.map(_.toLowerCase(Locale.ROOT)).toSet,
+      defCondKeys = Set.empty, shapeKey = Seq(s"session[$gapMs]"),
+      aggCols = aggCols, aggKeyToName = Map.empty, mergeAgg = mergeAgg,
+      sessionGap = Some(gapMs), sessionTimeCol = Some(tc))
+  }
+
+  /** The state artifact's content for a session view: per-session
+    * partials of `base WHERE NOT delta` — what the DDL's single-writer
+    * build writes to STATE_DIR. */
+  def sessionStateFrame(spark: SparkSession, v: MvView): DataFrame =
+    sessionPartials(
+      v.base(spark).filter(org.apache.spark.sql.functions.not(v.deltaPred)),
+      v.sessionTimeCol.get, v.sessionGap.get, v.groupNames, v.aggCols)
+
+  /** The batch-served SESSION SET of a session view, as interval
+    * records (keys…, __first_ms, __last_ms, aggregate partials):
+    * repair(state ∪ per-session Δ partials). The named pull projects
+    * WINDOWSTART/WINDOWEND from it; the push continuation seeds its
+    * per-key interval store with it. */
+  def sessionServeIntervals(spark: SparkSession, v: MvView): DataFrame = {
+    val gap = v.sessionGap.get
+    val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
+      spark.read.parquet(v.stateDir).schema)
+    val state = spark.read.schema(stateSchema).parquet(v.stateDir)
+    val delta = sessionPartials(v.base(spark).filter(v.deltaPred),
+      v.sessionTimeCol.get, gap, v.groupNames, v.aggCols)
+    sessionRepair(v, state, delta)
+  }
+
+  /** Serve a session view BY NAME: repair(state ∪ per-session Δ
+    * partials), surfacing WINDOWSTART/WINDOWEND millis (end = last
+    * event + gap, Spark's own session_window end). */
+  def sessionServe(spark: SparkSession, v: MvView): DataFrame =
+    sessionServeIntervals(spark, v)
+      .withColumn("windowstart", col("__first_ms"))
+      .withColumn("windowend", col("__last_ms") + lit(v.sessionGap.get))
+      .drop("__first_ms", "__last_ms")
+
+  /** Advance a session view's cutoff: repair the rows that LEAVE the
+    * delta (`oldPred ∧ ¬newPred`, sessionized) into a fresh interval
+    * artifact at `newStateDir`, then swap the registration — the
+    * session half of [[refresh]], same single-writer/write-once
+    * contract. Retraction (DELETED) is refused at the dialect: a
+    * deleted event can SPLIT a session, which the interval merge
+    * cannot express. */
+  def refreshSession(spark: SparkSession, name: String,
+      newDeltaPred: Column, newStateDir: String): Unit = {
+    val v = views.getOrElse(name,
+      throw new IllegalArgumentException(s"mv $name: not registered"))
+    require(v.sessionGap.isDefined, s"mv $name is not a session view")
+    requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
+      name)
+    val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
+      spark.read.parquet(v.stateDir).schema)
+    val state = spark.read.schema(stateSchema).parquet(v.stateDir)
+    val moved = sessionPartials(
+      v.base(spark).filter(v.deltaPred &&
+        org.apache.spark.sql.functions.not(newDeltaPred)),
+      v.sessionTimeCol.get, v.sessionGap.get, v.groupNames, v.aggCols)
+    sessionRepair(v, state, moved)
+      .write.mode("overwrite").parquet(newStateDir)
+    views.put(name, v.copy(stateDir = newStateDir, deltaPred = newDeltaPred))
+    reindex()
+    schemaCache.remove(newStateDir)
+    ()
+  }
+
   /** Refresh under RETRACTIONS — the CDC posture: the base models an
     * append-only log whose upstream issued deletes for some rows, given
     * here as `deletePred`. After this refresh the view's contract is
@@ -762,6 +1017,10 @@ object MaterializedViews {
       throw new IllegalArgumentException(s"mv $name: not registered"))
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"mv $name: $msg")
+    if (v.sessionGap.isDefined)
+      fail("a SESSION view cannot retract through the interval merge — " +
+        "a deleted event can SPLIT a session; rebuild the view over the " +
+        "surviving base instead")
     if (v.distinctOf.isDefined && !v.pairCounts)
       fail("a pair-set DISTINCT view cannot retract — the state stores " +
         "each (group, value) once, so a deleted row's multiplicity is " +

@@ -471,6 +471,185 @@ object StreamingIncremental {
         }: _*)
   }
 
+  /** One generic session interval: (first_ms, last_ms, accumulators,
+    * presence) — the SessV of the seeded SESSION-VIEW continuation. */
+  private type SessV = (Long, Long, Array[Long], Array[Long])
+  /** Seed row: (encoded key, first_ms, last_ms, acc, pres). */
+  private type SessVRow = (String, Long, Long, Array[Long], Array[Long])
+  /** Live input row: (encoded key, ts_ms, contribs, presence). */
+  private type SessVIn = (String, Long, Array[Long], Array[Long])
+  /** Output row: (encoded key, ver, first_ms, last_ms, acc, pres). */
+  private type SessVOut = (String, Long, Long, Long, Array[Long],
+    Array[Long])
+
+  /** The SESSION shape of the generic view handoff: per key a
+    * `ListState` of interval records (first, last, one (accumulator,
+    * presence) slot pair per registered aggregate), seeded from the
+    * view's BATCH-SERVED session set. Live events sessionize locally
+    * per micro-batch (sorted fold), then interval-merge with the stored
+    * sessions — the q_incr_session gaps-and-islands algebra, so a live
+    * event can EXTEND a stored session or BRIDGE two into one. Because
+    * event contributions encode exactly like interval partials (COUNT →
+    * its 0/1 witness, SUM/MIN/MAX → the value with a presence flag),
+    * ONE merge function serves both event-into-interval and
+    * interval-into-interval folds. Emissions carry the key's FULL
+    * current session set, version-stamped — sessions can merge, so a
+    * per-session emission could not retract the subsumed; readers keep
+    * each key's max-`__ver` emission. Per-key work is |key's batch
+    * events| log-sorted + the key's own session list, never another
+    * key's state. */
+  private class SeededSessionViewProcessor(gapMs: Long,
+      kinds: Array[String])
+    extends StatefulProcessorWithInitialState[String, SessVIn, SessVOut,
+      SessVRow] {
+    @transient private var st: ListState[SessV] = _
+    @transient private var ver: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getListState[SessV]("sessions",
+        Encoders.product[SessV], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    /** Merge (v, p) into (acc, pres) slot-wise by kind. COUNT slots add
+      * their witnesses unconditionally (count of empty = 0, always
+      * "present"); SUM adds present values; MIN/MAX compare present
+      * values, adopting the first present one. */
+    private def mergeInto(acc: Array[Long], pres: Array[Long],
+        v: Array[Long], p: Array[Long]): Unit = {
+      var i = 0
+      while (i < kinds.length) {
+        kinds(i) match {
+          case "count" => acc(i) += v(i); pres(i) = 1L
+          case "sum" => if (p(i) == 1L) { acc(i) += v(i); pres(i) = 1L }
+          case "min" => if (p(i) == 1L) {
+            if (pres(i) == 0L || v(i) < acc(i)) acc(i) = v(i)
+            pres(i) = 1L
+          }
+          case _ => if (p(i) == 1L) { // max
+            if (pres(i) == 0L || v(i) > acc(i)) acc(i) = v(i)
+            pres(i) = 1L
+          }
+        }
+        i += 1
+      }
+    }
+    override def handleInitialState(key: String, initial: SessVRow,
+        tv: TimerValues): Unit =
+      st.appendValue((initial._2, initial._3, initial._4, initial._5))
+    override def handleInputRows(key: String, rows: Iterator[SessVIn],
+        tv: TimerValues): Iterator[SessVOut] = {
+      // 1) sessionize the batch's events alone (sorted fold), folding
+      //    each event's contribution vector as it lands
+      val evs = rows.toArray.sortBy(_._2)
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[SessV]
+      evs.foreach { case (_, ts, v, p) =>
+        if (fresh.nonEmpty && ts - fresh.last._2 < gapMs) {
+          val (f, _, acc, pres) = fresh.last
+          mergeInto(acc, pres, v, p)
+          fresh(fresh.length - 1) = (f, ts, acc, pres)
+        } else {
+          val acc = Array.fill(kinds.length)(0L)
+          val pres = Array.fill(kinds.length)(0L)
+          mergeInto(acc, pres, v, p)
+          fresh += ((ts, ts, acc, pres))
+        }
+      }
+      // 2) interval-level gaps-and-islands merge with the stored
+      //    sessions — ≡ re-sessionizing the raw events
+      val all = ((if (st.exists()) st.get().toArray else Array.empty[SessV])
+        ++ fresh).sortBy(s => (s._1, s._2))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[SessV]
+      all.foreach { case s @ (f, l, v, p) =>
+        if (merged.nonEmpty && f - merged.last._2 < gapMs) {
+          val (pf, pl, acc, pres) = merged.last
+          mergeInto(acc, pres, v, p)
+          merged(merged.length - 1) = (pf, math.max(pl, l), acc, pres)
+        } else merged += s
+      }
+      st.put(merged.toArray)
+      val nv = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(nv)
+      merged.iterator.map { case (f, l, v, p) => (key, nv, f, l, v, p) }
+    }
+  }
+
+  /** The continuous serving half of a SESSION materialized view (the
+    * push query over `CREATE … WINDOW SESSION … WITH (LIVE=…)`): `seed`
+    * is the view's batch-served SESSION SET — the interval repair of
+    * state ∪ Δ, exactly what the named pull serves — with columns
+    * keys…, `__first_ms`, `__last_ms`, then the aggregate partials.
+    * Live events key-encode like [[seededViewAggregate]] (composite
+    * string keys, NULL markers), carry their event-time millis via
+    * `tsExpr`, and fold through [[SeededSessionViewProcessor]]'s
+    * interval repair. Output: the serving schema (keys, aggregates,
+    * WINDOWSTART/WINDOWEND) plus `__ver` — sessions can merge, so
+    * readers keep each key's max-`__ver` emission as the current view. */
+  def seededSessionView(delta: DataFrame, seed: DataFrame, gapMs: Long,
+                        keyNames: Seq[String], keyExprs: Seq[Column],
+                        tsExpr: Column, contribs: Seq[Column],
+                        kinds: Seq[String]): DataFrame = {
+    import delta.sparkSession.implicits._
+    require(contribs.length == kinds.length, "one contribution per kind")
+    require(keyNames.nonEmpty && keyNames.length == keyExprs.length,
+      "one live expression per key column")
+    val outNames = seed.columns
+      .filterNot(keyNames.contains)
+      .filterNot(Set("__first_ms", "__last_ms")).toSeq
+    require(outNames.length == kinds.length,
+      s"seed carries ${outNames.length} aggregate columns for " +
+        s"${kinds.length} kinds")
+    val keyTypes = keyNames.map(n => seed.schema(n).dataType)
+    val outTypes = outNames.map(n => seed.schema(n).dataType)
+    def encPart(c: Column): Column =
+      when(c.isNull, lit(NullKeyMarker)).otherwise(c.cast("string"))
+    def encKey(parts: Seq[Column]): Column =
+      concat_ws(KeyPartSep, parts.map(encPart): _*)
+    val seedRows = seed.select(
+      encKey(keyNames.map(col)).as("k"),
+      col("__first_ms").cast("long").as("f"),
+      col("__last_ms").cast("long").as("l"),
+      array(outNames.map(n => coalesce(col(n).cast("long"), lit(0L))): _*)
+        .as("v"),
+      array(outNames.map(n =>
+        when(col(n).isNotNull, 1L).otherwise(0L)): _*).as("p"))
+      .as[SessVRow]
+    val deltaRows = delta.select(
+      encKey(keyExprs).as("k"),
+      tsExpr.cast("long").as("ts"),
+      array(contribs.zip(kinds).map {
+        case (c, "count") => when(c.isNotNull, 1L).otherwise(0L)
+        case (c, _) => coalesce(c.cast("long"), lit(0L))
+      }: _*).as("v"),
+      array(contribs.map(c =>
+        when(c.isNotNull, 1L).otherwise(0L)): _*).as("p"))
+      .filter(col("ts").isNotNull)
+      .as[SessVIn]
+    deltaRows
+      .groupByKey(_._1)
+      .transformWithState(
+        new SeededSessionViewProcessor(gapMs, kinds.toArray),
+        TimeMode.None(), OutputMode.Update(),
+        seedRows.groupByKey(_._1),
+        Encoders.product[SessVOut], Encoders.product[SessVRow])
+      .toDF("k", "ver", "f", "l", "v", "p")
+      .select(
+        keyNames.zipWithIndex.map { case (n, i) =>
+          val part = element_at(split(col("k"), KeyPartSep, -1), i + 1)
+          when(part === lit(NullKeyMarker), lit(null))
+            .otherwise(part).cast(keyTypes(i)).as(n)
+        } ++
+        outNames.zipWithIndex.map { case (n, i) =>
+          val acc = element_at(col("v"), i + 1)
+          val pres = element_at(col("p"), i + 1)
+          (if (kinds(i) == "count") acc
+           else when(pres === 1L, acc).otherwise(lit(null)))
+            .cast(outTypes(i)).as(n)
+        } ++ Seq(
+          col("f").as("windowstart"),
+          (col("l") + lit(gapMs)).as("windowend"),
+          col("ver").as("__ver")): _*)
+  }
+
   /** Continuous per-key (count, sum, max) over `cents`, seeded from a
     * batch state frame with columns (key, cnt, sum_cents, max_cents).
     * `delta` is a streaming frame with (key: long, cents: long). Emits

@@ -789,22 +789,26 @@ class MaterializedViewSpec extends SparkSpec {
     val (want, _) = collected(enabled = false)(q)
     assert(got == want)
     assert(got.nonEmpty)
-    // session windows refuse with the IVM pointer
-    val e = intercept[IllegalArgumentException] {
-      Translator.run(spark, c1,
-        s"""CREATE MATERIALIZED VIEW ev_sess_ddl WITH (
-           |  STATE_DIR='$t/s2', DELTA='ts >= TIMESTAMP ''2024-01-25''') AS
-           |SELECT user_id, COUNT(*) AS cnt
-           |FROM ev_src WINDOW SESSION (6 HOURS)
-           |GROUP BY user_id""".stripMargin)
-    }
-    assert(e.getMessage.contains("SESSION"), e.getMessage)
+    // SESSION windows register through their own path (round 15 —
+    // interval-record state, named-pull serving; SessionMvSpec covers
+    // the full surface). Here: the DDL registers and the state is
+    // interval records, NOT per-key partials.
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW ev_sess_ddl WITH (
+         |  STATE_DIR='$t/s2', DELTA='ts >= TIMESTAMP ''2024-01-25''') AS
+         |SELECT user_id, COUNT(*) AS cnt
+         |FROM ev_src WINDOW SESSION (6 HOURS)
+         |GROUP BY user_id""".stripMargin)
+    assert(MaterializedViews.registered.contains("ev_sess_ddl"))
+    assert(spark.read.parquet(s"$t/s2").columns.contains("__first_ms"))
+    Translator.run(spark, Map.empty,
+      "DROP MATERIALIZED VIEW IF EXISTS ev_sess_ddl;")
     Translator.run(spark, Map.empty,
       "DROP MATERIALIZED VIEW IF EXISTS ev_daily_ddl;")
   }
 
-  test("CREATE MATERIALIZED VIEW guards: missing WITH props, windowed/" +
-    "joined shapes, unaliased aggregates, and no GROUP BY are refused") {
+  test("CREATE MATERIALIZED VIEW guards: missing WITH props, self-joins, " +
+    "unaliased aggregates, and no GROUP BY are refused") {
     import graft.ksql.Translator
     val (c1, _) = Translator.run(spark, Map.empty,
       s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
@@ -826,10 +830,13 @@ class MaterializedViewSpec extends SparkSpec {
     bad("CREATE MATERIALIZED VIEW g4 WITH (STATE_DIR='/tmp/g4', " +
       "DELTA='o_orderkey >= 0') AS SELECT o_orderstatus, COUNT(*) " +
       "FROM orders_src GROUP BY o_orderstatus", "alias")
+    // INNER equi-joins over DISTINCT tables register (round 15, the
+    // join-view DDL) — but a SELF-join still refuses at unwrap (shared
+    // paths make name-based inlining ambiguous)
     bad("CREATE MATERIALIZED VIEW g5 WITH (STATE_DIR='/tmp/g5', " +
       "DELTA='o_orderkey >= 0') AS SELECT o_orderstatus, COUNT(*) AS n " +
       "FROM orders_src JOIN orders_src o2 ON o_orderkey = o2.o_orderkey " +
-      "GROUP BY o_orderstatus", "programmatic")
+      "GROUP BY o_orderstatus", "self-join")
     assert(!MaterializedViews.registered.exists(_.startsWith("g")))
   }
 

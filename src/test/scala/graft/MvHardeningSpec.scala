@@ -97,7 +97,7 @@ class MvHardeningSpec extends SparkSpec {
         groupCols = Seq(col("name")),
         aggCols = Seq(count(lit(1)).as("n")))
     }
-    assert(e.getMessage.contains("single V1 file relation"))
+    assert(e.getMessage.contains("name collisions"))
     assert(!MaterializedViews.registered.contains("__collide_mv"))
   }
 
@@ -318,5 +318,64 @@ class MvHardeningSpec extends SparkSpec {
       : @unchecked
     val rows = rolled.collect()
     assert(rows.length == 3 && rows.exists(_.isNullAt(0)))
+  }
+
+  // --- JOIN views through the CMV DDL (round 15) -----------------------
+
+  test("CREATE MATERIALIZED VIEW over an INNER equi-join: the DDL " +
+    "registers the join view, a plain dialect join-aggregate is served " +
+    "from state (plan-pinned), and outer/WITHIN/LIVE shapes refuse") {
+    import graft.ksql.KsqlQueries
+    val t = KsqlQueries.mvDdlJoinDir(spark, sfDir)
+    val name = KsqlQueries.mvDdlJoinName(sfDir)
+    assert(MaterializedViews.registered.contains(name))
+    // the registered shape key carries the join condition
+    assert(MaterializedViews.view(name).get.shapeKey
+      .exists(_.startsWith("join[")))
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM orders_src WITH (PATH='$sfDir/orders.parquet')")
+    val (c2, _) = Translator.run(spark, c1,
+      s"CREATE STREAM customer_src WITH (PATH='$sfDir/customer.parquet')")
+    def q: org.apache.spark.sql.DataFrame = {
+      val (_, Some(df)) =
+        Translator.run(spark, c2, KsqlQueries.mvDdlJoinPullQuery): @unchecked
+      df
+    }
+    val servedDf = q
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$t/state"),
+      s"the dialect join-aggregate must be served from the DDL's state\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the delta scan must push the DDL's cutoff\n$plan")
+    val got = servedDf.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    spark.conf.set("spark.graft.mv.enabled", "false")
+    val want = try q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    finally spark.conf.unset("spark.graft.mv.enabled")
+    assert(got == want && got.nonEmpty)
+    // refusal surface: outer join, WITHIN, LIVE on a join view
+    def ddl(joinText: String, props: String = ""): String =
+      s"""CREATE MATERIALIZED VIEW mvj_refuse WITH (
+         |  STATE_DIR='$t/refuse'$props,
+         |  DELTA='o_orderdate >= TIMESTAMP_NTZ ''2001-01-01''') AS
+         |SELECT c_mktsegment, COUNT(*) AS n
+         |FROM orders_src $joinText ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c2, ddl("LEFT JOIN customer_src"))
+    }
+    assert(e1.getMessage.contains("INNER"))
+    val e2 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c2,
+        ddl("JOIN customer_src WITHIN 1 HOURS"))
+    }
+    assert(e2.getMessage.contains("WITHIN"))
+    val e3 = intercept[IllegalArgumentException] {
+      Translator.run(spark, c2,
+        ddl("JOIN customer_src", ", LIVE='orders_src'"))
+    }
+    assert(e3.getMessage.contains("JOIN view"))
+    assert(!MaterializedViews.registered.contains("mvj_refuse"))
   }
 }

@@ -538,6 +538,7 @@ object KsqlQueries {
       "q_mv_ddl_refresh" -> ((s, d) => { mvRefreshDir(s, d); () }),
       "q_mv_ddl_refresh_delete" -> ((s, d) => { mvRefreshDelDir(s, d); () }),
       "q_mv_ddl_session" -> ((s, d) => { mvDdlSessionDir(s, d); () }),
+      "q_mv_session_serve" -> ((s, d) => { mvDdlSessionDir(s, d); () }),
       "q_mv_ddl_session_refresh" -> ((s, d) => { mvSessRefreshDir(s, d); () }),
       "q_mv_ddl_join" -> ((s, d) => { mvDdlJoinDir(s, d); () }),
       "q_ksql_rollup_mv" -> ((s, d) => { mvDdlRollupDir(s, d); () }),
@@ -951,6 +952,44 @@ object KsqlQueries {
         |  max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_cents,
         |  min(epoch_ms(ts)) AS windowstart,
         |  max(epoch_ms(ts)) + 21600000 AS windowend
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    // …the TRANSPARENT half (round 15, late): the user's plain dialect
+    // SESSION query — written with no knowledge of the view — is served
+    // from the same interval artifact by tryRewriteSession (the session
+    // struct matches by normalized rendering, which pins time column
+    // AND gap). Same oracle as the named pull; KsqlSpec-class plan
+    // pinning lives in SessionMvSpec.
+    "q_mv_session_serve" -> Q(
+      (s, d) => {
+        mvDdlSessionDir(s, d)
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM sev_src WITH (PATH='$d/events.parquet')")
+        val (_, Some(df)) = Translator.run(s, c1,
+          s"""SELECT user_id, WINDOWSTART AS windowstart,
+             |  WINDOWEND AS windowend, $mvSessAggText
+             |FROM sev_src WINDOW SESSION (6 HOURS)
+             |GROUP BY user_id""".stripMargin): @unchecked
+        df
+      },
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 21600000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(epoch_ms(ts)) AS windowstart,
+        |  max(epoch_ms(ts)) + 21600000 AS windowend,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_cents
         |FROM g GROUP BY user_id, sid""".stripMargin),
 
     // …and its REFRESH: the view registers at the two-cohort cutoff

@@ -1322,6 +1322,10 @@ object Translator {
     graft.plans.MaterializedViews.registerValidated(
       validated.copy(defSignature = Some(signature),
         liveSource = liveSource, liveContribs = liveContribs))
+    // the transparent session rewrite (tryRewriteSession) serves plain
+    // session_window aggregates from this view — install like the flat
+    // CMV path does
+    graft.plans.MaterializedViews.install(spark)
     (catalog, None)
   }
 
@@ -1898,6 +1902,30 @@ object Translator {
         (catalog, Some(rows.toDF("name", "time_column", "is_streaming")))
       case Describe(name, extended) =>
         import spark.implicits._
+        // a registered MATERIALIZED VIEW describes like any other
+        // catalog object (the TABLE surface again): its keys, aggregate
+        // kinds, state artifact, cutoff, and bindings — metadata only,
+        // no scan. Catalog sources shadow views of the same name, like
+        // the query-time resolution order in select().
+        if (!catalog.contains(name.toLowerCase) &&
+          graft.plans.MaterializedViews.view(name.toLowerCase).isDefined) {
+          val v = graft.plans.MaterializedViews.view(name.toLowerCase).get
+          val rows = Seq(
+            "(materialized view)" -> v.name,
+            "(group keys)" -> v.groupNames.mkString(", "),
+            "(aggregates)" -> v.mergeAgg.map { case (n, k) => s"$n:$k" }
+              .mkString(", "),
+            "(state dir)" -> v.stateDir,
+            "(delta)" -> v.deltaPred.toString,
+            "(base paths)" -> v.basePaths.toSeq.sorted.mkString(","),
+            "(retracted)" -> v.retracted.toString) ++
+            v.sessionGap.map(g => "(session gap ms)" -> g.toString).toSeq ++
+            v.sessionTimeCol.map(c => "(session time column)" -> c).toSeq ++
+            v.liveSource.map(l => "(live source)" -> l).toSeq ++
+            v.distinctOf.map(_ =>
+              "(distinct pair-set)" -> v.pairCounts.toString).toSeq
+          return (catalog, Some(rows.toDF("column", "type")))
+        }
         val src = catalog.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"unknown source $name"))
         val rows = src.df.schema.map(f => (f.name, f.dataType.simpleString))

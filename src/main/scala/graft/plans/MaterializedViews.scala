@@ -133,7 +133,12 @@ object MaterializedViews {
       // gap < g is witnessed by interval adjacency), pruned to
       // delta-touched keys by a broadcast semi-join.
       sessionGap: Option[Long] = None,
-      sessionTimeCol: Option[String] = None) {
+      sessionTimeCol: Option[String] = None,
+      // the analyzed session struct's type (struct<start,end> in the
+      // source's timestamp flavor) — the transparent session rewrite
+      // rebuilds the MERGED window struct from the interval millis and
+      // must reproduce the exact field types the user plan carries
+      sessionKeyType: Option[org.apache.spark.sql.types.DataType] = None) {
     def groupKeys: Set[String] = groupKeyToName.keySet
   }
 
@@ -485,17 +490,7 @@ object MaterializedViews {
     // sessionServe (the DDL's WINDOW SESSION), or the IVM operator
     // (q_incr_session). Tumbling structs ARE per-row functions and stay
     // supported; hopping goes through its Expand shape.
-    // the analyzer's SessionWindowing rule has already rewritten the
-    // SessionWindow expression into a marker-metadata'd attribute over a
-    // per-row struct Project by the time we see the Aggregate — detect
-    // either form
-    val isSessionKey = (e: Expression) => e.exists {
-      case a: AttributeReference =>
-        a.metadata.contains(SessionWindow.marker)
-      case _: SessionWindow => true
-      case _ => false
-    }
-    if (aPlan.groupingExpressions.exists(isSessionKey))
+    if (aPlan.groupingExpressions.exists(isSessionKeyed))
       fail("session_window group keys cannot register as mergeable-partial " +
         "views (a delta event extending a stored session has a different " +
         "struct key — struct-keyed merge would serve wrong rows); use the " +
@@ -902,17 +897,79 @@ object MaterializedViews {
     if (mergeAgg.size != aggCols.size)
       fail("every aggregate column must be a plain aggregate with an alias")
     requireTotalPredicate(spark, base, deltaPred, "delta predicate", name)
-    // base paths recorded for SHOW MATERIALIZED VIEWS when the base
-    // unwraps; the sentinel shapeKey keeps every rewrite path away
-    // regardless
-    val paths = unwrap(aPlan.child).map(_._1).getOrElse(Set.empty[String])
+    // ── transparent-rewrite metadata: analyze the SESSION definition ──
+    // The rewrite serves a user's PLAIN session_window aggregate from
+    // this view (tryRewriteSession), so the matching surface is computed
+    // from the session-analyzed definition exactly as buildView does for
+    // flat views: the session struct's normalized rendering becomes a
+    // group key (mapped to the rebuilt "__session" struct column of the
+    // serving plan), plain keys and aggregates get their norm → name
+    // maps, and the definition's analyzer-inserted conjuncts
+    // (isnotnull(ts) under the window) are required of user plans.
+    import org.apache.spark.sql.functions.session_window
+    val sessDF = frame
+      .groupBy(session_window(col(tc), s"$gapMs milliseconds") +:
+        keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val sPlan = sessDF.queryExecution.analyzed match {
+      case a: Aggregate => a
+      case other => fail(
+        s"session definition did not analyze to an Aggregate: ${other.nodeName}")
+    }
+    val (paths, inline, defCond, _) = unwrap(sPlan.child).getOrElse(
+      fail("base must unwrap to a single V1 file relation"))
+    // canonical conjuncts + session-struct rendering come from the
+    // OPTIMIZED child (user plans arrive optimized — same reasoning as
+    // buildView); fall back to the analyzed forms when the optimized
+    // shape stops unwrapping
+    val (condCanon, inlineCanon) = (try unwrap(
+      spark.sessionState.optimizer.execute(sPlan.child))
+    catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some((p2, i2, c2, _)) if p2 == paths => (c2, i2)
+      case _ => (defCond, inline)
+    }
+    val defCondKeys = condCanon.map(conjuncts).getOrElse(Nil).map(c =>
+      norm(c).getOrElse(fail(s"definition filter $c has no normalized form")))
+      .toSet
+    val sessAttr = sPlan.groupingExpressions.find(isSessionKeyed).getOrElse(
+      fail("session definition lost its session_window grouping key"))
+    val sessNorm = norm(inlineCanon(sessAttr)).getOrElse(
+      fail("the session struct has no normalized rendering"))
+    val plainKeyToName = keys.map(k =>
+      UnresolvedAttribute.quoted(k.toLowerCase(Locale.ROOT)).sql -> k).toMap
+    val aggKeyToName = sPlan.aggregateExpressions.collect {
+      case al @ Alias(ae: AggregateExpression, _) =>
+        norm(inline(ae)).getOrElse(
+          fail(s"aggregate ${al.name} has no normalized form")) -> al.name
+    }.toMap
+    // recursion guard (needed once the transparent rewrite serves
+    // session aggregates: the serving plan's own delta branch IS a
+    // session aggregate over base WHERE deltaPred — at least one delta
+    // conjunct must be neither a definition conjunct nor a plain-group
+    // constraint, or that branch would re-match the view it serves)
+    val predConjs = base(spark).filter(deltaPred)
+      .queryExecution.analyzed match {
+      case f: Filter => conjuncts(f.condition)
+      case _ => Seq.empty[Expression]
+    }
+    val guardOk = predConjs.exists { c =>
+      val k = norm(c)
+      k.forall(!defCondKeys.contains(_)) && c.references.exists(a =>
+        !keys.map(_.toLowerCase(Locale.ROOT))
+          .contains(a.name.toLowerCase(Locale.ROOT)))
+    }
+    if (!guardOk)
+      fail("delta predicate must carry a conjunct on a non-group column — " +
+        "a group-only delta would make the serving plan's own delta " +
+        "branch match the view it serves")
     MvView(name, paths, base, stateDir, deltaPred,
       groupCols = keys.map(col), groupNames = keys,
-      groupKeyToName = Map.empty,
+      groupKeyToName = plainKeyToName + (sessNorm -> "__session"),
       plainGroupNames = keys.map(_.toLowerCase(Locale.ROOT)).toSet,
-      defCondKeys = Set.empty, shapeKey = Seq(s"session[$gapMs]"),
-      aggCols = aggCols, aggKeyToName = Map.empty, mergeAgg = mergeAgg,
-      sessionGap = Some(gapMs), sessionTimeCol = Some(tc))
+      defCondKeys = defCondKeys, shapeKey = Seq(s"session[$gapMs]"),
+      aggCols = aggCols, aggKeyToName = aggKeyToName, mergeAgg = mergeAgg,
+      sessionGap = Some(gapMs), sessionTimeCol = Some(tc),
+      sessionKeyType = Some(sessAttr.dataType))
   }
 
   /** The state artifact's content for a session view: per-session
@@ -928,12 +985,19 @@ object MaterializedViews {
     * repair(state ∪ per-session Δ partials). The named pull projects
     * WINDOWSTART/WINDOWEND from it; the push continuation seeds its
     * per-key interval store with it. */
-  def sessionServeIntervals(spark: SparkSession, v: MvView): DataFrame = {
+  def sessionServeIntervals(spark: SparkSession, v: MvView,
+      extraCond: Option[Column] = None): DataFrame = {
     val gap = v.sessionGap.get
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
-    val state = spark.read.schema(stateSchema).parquet(v.stateDir)
-    val delta = sessionPartials(v.base(spark).filter(v.deltaPred),
+    var state = spark.read.schema(stateSchema).parquet(v.stateDir)
+    var deltaBase = v.base(spark).filter(v.deltaPred)
+    // pull predicate (plain group columns only — enforced by the
+    // caller): keys are untouched by sessionization, so the filter
+    // commutes with the per-key repair and prunes BOTH branches' scans
+    extraCond.foreach { c => state = state.filter(c)
+      deltaBase = deltaBase.filter(c) }
+    val delta = sessionPartials(deltaBase,
       v.sessionTimeCol.get, gap, v.groupNames, v.aggCols)
     sessionRepair(v, state, delta)
   }
@@ -946,6 +1010,35 @@ object MaterializedViews {
       .withColumn("windowstart", col("__first_ms"))
       .withColumn("windowend", col("__last_ms") + lit(v.sessionGap.get))
       .drop("__first_ms", "__last_ms")
+
+  /** The transparent serving plan for a SESSION-window user aggregate:
+    * the repaired interval records with the MERGED window struct
+    * rebuilt (start = first event, end = last event + gap — exactly
+    * what Spark's session aggregation outputs) in the definition's own
+    * timestamp flavor, exposed as "__session" beside the plain keys and
+    * merged aggregates. Optimized like servingPlan — re-entry is safe:
+    * the delta branch's session aggregate carries the registration-
+    * enforced non-group delta conjunct, so it never re-matches. */
+  private def sessionServingPlan(spark: SparkSession, v: MvView,
+      extraCond: Option[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.timestamp_millis
+    val condCol = extraCond.map { c =>
+      ColumnBridge.column(c.transformUp {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    }
+    val gap = v.sessionGap.get
+    val fields = v.sessionKeyType.get
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val frame = sessionServeIntervals(spark, v, condCol).select(
+      org.apache.spark.sql.functions.struct(
+        timestamp_millis(col("__first_ms"))
+          .cast(fields("start").dataType).as("start"),
+        timestamp_millis(col("__last_ms") + lit(gap))
+          .cast(fields("end").dataType).as("end")).as("__session") +:
+        (v.groupNames ++ v.mergeAgg.map(_._1)).map(col): _*)
+    spark.sessionState.optimizer.execute(frame.queryExecution.analyzed)
+  }
 
   /** Advance a session view's cutoff: repair the rows that LEAVE the
     * delta (`oldPred ∧ ¬newPred`, sessionized) into a fresh interval
@@ -1305,6 +1398,11 @@ object MaterializedViews {
         return tryRewriteGroupingSets(agg, ex)
       case _ => ()
     }
+    // SESSION-window aggregates (a session-marked grouping attribute)
+    // take their own path: per-key partial merge is unsound for them,
+    // so they only ever match SESSION views' interval-repair serving
+    if (agg.groupingExpressions.exists(isSessionKeyed))
+      return tryRewriteSession(agg)
     unwrap(agg.child).flatMap { case (paths, inline, condOpt, shape) =>
       candidates(paths).view
         .filter(v => v.basePaths == paths && v.shapeKey == shape)
@@ -1317,8 +1415,85 @@ object MaterializedViews {
     }
   }
 
+  /** Serve a user's PLAIN session_window aggregate from a registered
+    * SESSION view: the grouping set must equal the view's keys — the
+    * session struct matching BY NORMALIZED RENDERING (which pins the
+    * time column AND the gap: they are literals inside the struct
+    * expression), plain keys by the usual norm — with the standard
+    * conjunct discipline (definition conjuncts required, extras only on
+    * plain group columns → the pull predicate, pushed into both
+    * branches of the interval repair). Outputs map through the same
+    * mapOutput machinery as flat views: the rebuilt "__session" struct
+    * substitutes for the session key, so passthroughs AND derived
+    * expressions (unix_millis(session.start), WINDOWSTART/WINDOWEND
+    * projections) serve alike. Anything unmatched refuses — the query
+    * stays correct, just unserved. */
+  private def tryRewriteSession(agg: Aggregate): Option[LogicalPlan] = {
+    unwrap(agg.child).flatMap { case (paths, inline, condOpt, shape) =>
+      if (shape.nonEmpty) return None
+      candidates(paths).view
+        .filter(v => v.sessionGap.isDefined && v.basePaths == paths)
+        .flatMap(v => rewriteSessionWith(v, agg, inline, condOpt).map {
+          plan =>
+            served.getOrElseUpdate(v.name,
+              new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+            plan
+        })
+        .headOption
+    }
+  }
+
+  private def rewriteSessionWith(v: MvView, agg: Aggregate,
+                                 inline: Expression => Expression,
+                                 condOpt: Option[Expression])
+    : Option[LogicalPlan] = {
+    // group signature: exact set equality over ALL grouping expressions
+    // — the session struct's norm and the plain keys together must equal
+    // the registered key set (no GLOBAL/subset forms: collapsing
+    // sessions re-aggregates across windows, a different query)
+    val gKeys = agg.groupingExpressions.flatMap(e => norm(inline(e)))
+    if (gKeys.size != agg.groupingExpressions.size ||
+      gKeys.toSet != v.groupKeys) return None
+    val userConjs = condOpt.map(conjuncts).getOrElse(Nil)
+    val userKeys = userConjs.map(norm)
+    if (userKeys.exists(_.isEmpty)) return None
+    val keyed = userConjs.zip(userKeys.flatten)
+    val (defMatched, extra) = keyed.partition {
+      case (_, k) => v.defCondKeys.contains(k)
+    }
+    if (defMatched.map(_._2).toSet != v.defCondKeys) return None
+    val extraOk = extra.forall { case (c, _) =>
+      c.references.forall(a =>
+        v.plainGroupNames.contains(a.name.toLowerCase(Locale.ROOT)))
+    }
+    if (!extraOk) return None
+    val extraCond = extra.map(_._1).reduceOption(And)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap { spark =>
+        val rep = sessionServingPlan(spark, v, extraCond)
+        val mapped: Seq[Option[NamedExpression]] =
+          agg.aggregateExpressions.map { ne =>
+            val inner = ne match { case Alias(c, _) => c; case e => e }
+            mapOutput(v, rep, inline(inner))
+              .map(e => Alias(e, ne.name)(exprId = ne.exprId))
+          }
+        if (mapped.exists(_.isEmpty)) None
+        else Some(Project(mapped.flatten, rep))
+      }
+  }
+
   private def isGroupingId(e: Expression): Boolean = e match {
     case a: AttributeReference => a.name == "spark_grouping_id"
+    case _ => false
+  }
+
+  /** Does this expression carry a session-window key? The analyzer's
+    * SessionWindowing rule rewrites the SessionWindow expression into a
+    * marker-metadata'd attribute over a per-row struct Project by the
+    * time any rule sees the Aggregate — detect either form. */
+  private def isSessionKeyed(e: Expression): Boolean = e.exists {
+    case a: AttributeReference => a.metadata.contains(SessionWindow.marker)
+    case _: SessionWindow => true
     case _ => false
   }
 

@@ -354,6 +354,24 @@ class MvHardeningSpec extends SparkSpec {
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     finally spark.conf.unset("spark.graft.mv.enabled")
     assert(got == want && got.nonEmpty)
+    // the TABLE surface works for join views too: pull BY NAME serves
+    // the same rows from the same state
+    val (_, Some(byName)) = Translator.run(spark, Map.empty,
+      s"SELECT * FROM $name"): @unchecked
+    assert(byName.queryExecution.executedPlan.toString
+      .contains(s"$t/state"))
+    assert(byName.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      == want)
+    // …and DESCRIBE resolves the view as a catalog object
+    val (_, Some(desc)) = Translator.run(spark, Map.empty,
+      s"DESCRIBE $name"): @unchecked
+    val props = desc.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(props("(materialized view)") == name)
+    assert(props("(group keys)") == "c_mktsegment")
+    assert(props("(aggregates)")
+      == "n_orders:count, sum_cents:sum, max_cents:max")
     // refusal surface: outer join, WITHIN, LIVE on a join view
     def ddl(joinText: String, props: String = ""): String =
       s"""CREATE MATERIALIZED VIEW mvj_refuse WITH (

@@ -285,4 +285,56 @@ class MvRewriteFuzzSpec extends SparkSpec {
       s"only $servedCount/40 draws served — the fuzz stopped exercising " +
         "the join views")
   }
+
+  test("randomized dialect SESSION shapes over the registered session " +
+    "view: served values always equal the direct plan; a healthy " +
+    "fraction serves") {
+    import graft.ksql.{KsqlQueries, Translator}
+    // registers the 6-hour user_id session view over sf events (cnt /
+    // sum_cents / max_cents) and installs the rewrite
+    KsqlQueries.mvDdlSessionDir(spark, sfDir)
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM sev_src WITH (PATH='$sfDir/events.parquet')")
+    val rnd = new scala.util.Random(20260816)
+    val aggPool = Seq(
+      "COUNT(*) AS a",
+      "SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS b",
+      "MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS c",
+      // AVG is not a registered session partial → must bail, not err
+      "AVG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS d")
+    def servedEvents(): Long =
+      graft.plans.MaterializedViews.servedCounts.values.sum
+    var servedCount = 0
+    for (i <- 0 until 20) {
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+      // 3 HOURS never matches the registered 6-hour struct → bail
+      val gap = if (rnd.nextInt(4) == 0) "3 HOURS" else "6 HOURS"
+      val where = rnd.nextInt(4) match {
+        case 0 => "WHERE user_id <= 100 " // pull predicate: serves
+        case 1 => "WHERE value > 10 "     // non-group filter: bails
+        case _ => ""
+      }
+      val pseudo =
+        if (rnd.nextBoolean()) Seq("WINDOWSTART AS ws", "WINDOWEND AS we")
+        else Nil
+      val sel = (Seq("user_id") ++ pseudo ++ aggs).mkString(", ")
+      val sql = s"SELECT $sel FROM sev_src $where" +
+        s"WINDOW SESSION ($gap) GROUP BY user_id"
+      def run(on: Boolean): Set[org.apache.spark.sql.Row] = {
+        spark.conf.set("spark.graft.mv.enabled", on.toString)
+        try {
+          val (_, Some(df)) = Translator.run(spark, c1, sql): @unchecked
+          df.collect().toSet
+        } finally spark.conf.unset("spark.graft.mv.enabled")
+      }
+      val before = servedEvents()
+      val got = run(on = true)
+      if (servedEvents() > before) servedCount += 1
+      val want = run(on = false)
+      assert(got == want, s"draw $i diverged: $sql")
+    }
+    assert(servedCount >= 5,
+      s"only $servedCount/20 draws served — the fuzz stopped exercising " +
+        "the session view")
+  }
 }

@@ -333,8 +333,117 @@ class SessionMvSpec extends SparkSpec {
     } finally { MaterializedViews.drop("sess_push_mv"); () }
   }
 
-  test("the transparent rewrite never fires on a session view: a plain " +
-    "flat aggregate over the same base is answered directly") {
+  test("DESCRIBE over a session view surfaces the gap, time column, " +
+    "and LIVE binding") {
+    val dir = freshDir("sess_desc")
+    corpus().write.mode("overwrite").parquet(s"$dir/ev.parquet")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM sdesc_src WITH (PATH='$dir/ev.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW sess_desc_mv WITH (
+         |  STATE_DIR='$dir/state', DELTA='arr = 1',
+         |  LIVE='sdesc_src') AS
+         |SELECT user_id, COUNT(*) AS cnt
+         |FROM sdesc_src WINDOW SESSION (10 SECONDS)
+         |GROUP BY user_id""".stripMargin)
+    try {
+      val (_, Some(desc)) = Translator.run(spark, Map.empty,
+        "DESCRIBE sess_desc_mv"): @unchecked
+      val props = desc.collect().map(r => r.getString(0) -> r.getString(1))
+        .toMap
+      assert(props("(session gap ms)") == "10000")
+      assert(props("(session time column)") == "ts")
+      assert(props("(live source)") == "sdesc_src")
+      assert(props("(aggregates)") == "cnt:count")
+    } finally { MaterializedViews.drop("sess_desc_mv"); () }
+  }
+
+  test("transparent session rewrite: a plain session_window aggregate " +
+    "over the base serves from the interval state (plan-pinned), a " +
+    "group-key filter becomes the pull predicate, derived outputs map; " +
+    "different gap / non-group filters / different keys bail") {
+    val dir = freshDir("sess_rw")
+    corpus().write.mode("overwrite").parquet(s"$dir/ev.parquet")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM srw_src WITH (PATH='$dir/ev.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW sess_rw_mv WITH (
+         |  STATE_DIR='$dir/state', DELTA='arr = 1') AS
+         |SELECT user_id, COUNT(*) AS cnt, SUM(points) AS pts
+         |FROM srw_src WINDOW SESSION (10 SECONDS)
+         |GROUP BY user_id""".stripMargin)
+    graft.plans.MaterializedViews.install(spark)
+    val base = spark.read.parquet(s"$dir/ev.parquet")
+    def collected(enabled: Boolean)(mk: => org.apache.spark.sql.DataFrame)
+      : (Set[org.apache.spark.sql.Row], String) = {
+      spark.conf.set("spark.graft.mv.enabled", enabled.toString)
+      try {
+        val df = mk
+        (df.collect().toSet, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    try {
+      // (1) the user's plain session aggregate — own aliases, own
+      // column order — serves from the interval artifact
+      def q = base
+        .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("c"), sum(col("points")).as("p"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("ws"),
+          unix_millis(col("session_window.end")).as("we"),
+          col("c"), col("p"))
+      val (got, plan) = collected(enabled = true)(q)
+      assert(plan.contains(s"$dir/state"),
+        s"the session aggregate must serve from interval state\n$plan")
+      val (want, offPlan) = collected(enabled = false)(q)
+      assert(!offPlan.contains(s"$dir/state"))
+      assert(got == want && got.nonEmpty)
+      // (2) a group-key filter is the pull predicate: still served,
+      // still exact
+      def qf = base.filter(col("user_id") === 1L)
+        .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val (gotF, planF) = collected(enabled = true)(qf)
+      assert(planF.contains(s"$dir/state"))
+      val (wantF, _) = collected(enabled = false)(qf)
+      assert(gotF == wantF && gotF.nonEmpty)
+      // (3) bail-outs: a DIFFERENT gap, a non-group filter, and a
+      // missing group key must pass through unrewritten
+      def bails(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val (g, p) = collected(enabled = true)(mk)
+        assert(!p.contains(s"$dir/state"), s"must not serve\n$p")
+        val (w, _) = collected(enabled = false)(mk)
+        assert(g == w)
+      }
+      bails(base
+        .groupBy(session_window(col("ts"), "20 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("c")))
+      bails(base.filter(col("points") > 2L)
+        .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("c")))
+      bails(base
+        .groupBy(session_window(col("ts"), "10 seconds"))
+        .agg(count(lit(1)).as("c")))
+      // (4) the DIALECT session query serves too — WINDOWSTART/WINDOWEND
+      // map through the rebuilt struct's subtrees
+      def dq = {
+        val (_, Some(df)) = Translator.run(spark, c1,
+          """SELECT user_id, WINDOWSTART AS ws, WINDOWEND AS we,
+            |  COUNT(*) AS cnt, SUM(points) AS pts
+            |FROM srw_src WINDOW SESSION (10 SECONDS)
+            |GROUP BY user_id""".stripMargin): @unchecked
+        df
+      }
+      val (gotD, planD) = collected(enabled = true)(dq)
+      assert(planD.contains(s"$dir/state"),
+        s"the dialect session query must serve from interval state\n$planD")
+      val (wantD, _) = collected(enabled = false)(dq)
+      assert(gotD == wantD && gotD.nonEmpty)
+    } finally { MaterializedViews.drop("sess_rw_mv"); () }
+  }
+
+  test("a plain FLAT aggregate never serves from a session view — the " +
+    "interval state answers session-window queries only") {
     val dir = freshDir("sess_norw")
     corpus().write.mode("overwrite").parquet(s"$dir/ev.parquet")
     val (c1, _) = Translator.run(spark, Map.empty,

@@ -442,6 +442,53 @@ class SessionMvSpec extends SparkSpec {
     } finally { MaterializedViews.drop("sess_rw_mv"); () }
   }
 
+  test("session CMV with a WHERE definition: the filter folds into " +
+    "state, delta, and the matching-user-plan contract — a filterless " +
+    "user query bails") {
+    val dir = freshDir("sess_where")
+    corpus().write.mode("overwrite").parquet(s"$dir/ev.parquet")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM swh_src WITH (PATH='$dir/ev.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW sess_where_mv WITH (
+         |  STATE_DIR='$dir/state', DELTA='arr = 1') AS
+         |SELECT user_id, COUNT(*) AS cnt, SUM(points) AS pts
+         |FROM swh_src WHERE points >= 2
+         |WINDOW SESSION (10 SECONDS)
+         |GROUP BY user_id""".stripMargin)
+    graft.plans.MaterializedViews.install(spark)
+    val base = spark.read.parquet(s"$dir/ev.parquet")
+    try {
+      // pull by name ≡ re-sessionizing the FILTERED base
+      val (_, Some(pull)) = Translator.run(spark, Map.empty,
+        "SELECT * FROM sess_where_mv"): @unchecked
+      assert(served(pull) ==
+        recompute(corpus().filter(col("points") >= 2L), 10000L))
+      // a user query carrying the same WHERE serves from state
+      def q(filtered: Boolean) = {
+        val b = if (filtered) base.filter(col("points") >= 2L) else base
+        b.groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+          .agg(count(lit(1)).as("c"), sum(col("points")).as("p"))
+      }
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val (gotOn, planOn, gotBail, planBail) = try {
+        (q(filtered = true).collect().toSet,
+          q(filtered = true).queryExecution.executedPlan.toString,
+          q(filtered = false).collect().toSet,
+          q(filtered = false).queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+      assert(planOn.contains(s"$dir/state"), planOn)
+      // …and the filterless query must NOT serve (it covers MORE rows
+      // than the view) — correct either way
+      assert(!planBail.contains(s"$dir/state"))
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try {
+        assert(gotOn == q(filtered = true).collect().toSet)
+        assert(gotBail == q(filtered = false).collect().toSet)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+    } finally { MaterializedViews.drop("sess_where_mv"); () }
+  }
+
   test("a plain FLAT aggregate never serves from a session view — the " +
     "interval state answers session-window queries only") {
     val dir = freshDir("sess_norw")

@@ -173,6 +173,20 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
     val off = 1000000000L
+    // SPARK_GRAFT_PROBE_REUSE=1 skips the corpus rebuild when the dirs
+    // already exist — both an iteration convenience AND a measurement
+    // control: the 10× build (≈6M-row unions, corpus-scale string
+    // rewrites, distributed gaussian generation) leaves the measuring
+    // JVM with a loaded old generation, and the string-allocation-
+    // heaviest entries then measure GC backpressure instead of their
+    // plans (q_line_dedup read 15-55× in build-then-measure JVMs vs
+    // ~2× in a fresh one — same corpus, same conf, same plan). The
+    // committed record protocol is: build once, then measure in a
+    // REUSE run.
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+      new java.io.File(s"$dst/documents.parquet").exists() &&
+      new java.io.File(s"${dst}_emb1x/embeddings.parquet").exists()
+    if (!reuse) {
     def rep(name: String, idCols: Seq[String]): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")
       (0 until factor).map { i =>
@@ -258,6 +272,7 @@ object ScaleProbe {
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
 
     def time(dir: String, q: String): Double = {
       val t0 = System.nanoTime()
@@ -291,7 +306,15 @@ object ScaleProbe {
       operators.Dedup.resetMemos()
       operators.Similarity.resetMemos()
       time(oneX, q); time(dst, q)
-      val reps = if (Flagged(q)) 3 else 1
+      // min-of-2 for EVERY entry (3 for the historically variance-prone
+      // two): the probe runs queries sequentially in one JVM, so a
+      // single timed sample can measure a NEIGHBOR'S GC debt instead of
+      // the plan — each run one different entry read 15-55× (line_dedup
+      // after the corpus build, dq_checksum after the jaccard string
+      // shuffles) while a fresh-JVM re-run of the same query read
+      // 1-2×. The min across two samples is the same noise floor
+      // BENCH_DETAIL's solo column uses.
+      val reps = if (Flagged(q)) 3 else 2
       def best(dir: String): Double =
         (1 to reps).map(_ => time(dir, q)).min
       val t1 = best(oneX); val tN = best(dst)

@@ -2452,12 +2452,6 @@ object Translator {
         // artifact folded from the old definition, even when the
         // key/agg column names line up (round-14 ADVICE).
         val owner = graft.plans.MaterializedViews.view(mvName)
-        if (owner.exists(_.sessionGap.isDefined) && deletedText.isDefined)
-          throw new IllegalArgumentException(
-            s"REFRESH MATERIALIZED VIEW $mvName: DELETED is not " +
-              "supported on a SESSION view — a deleted event can SPLIT " +
-              "a session, which the interval merge cannot express; " +
-              "rebuild the view over the surviving base instead")
         val signature = Seq(
           "view=" + mvName,
           "delta=" + rewriteExpr(deltaText),
@@ -2477,19 +2471,26 @@ object Translator {
               "re-pinning against it would serve a cutoff or contract " +
               "the artifact doesn't cover; use a fresh directory")
           graft.plans.MaterializedViews.repin(mvName, newDir, newPred,
-            retracted = deletedText.isDefined)
+            retracted = deletedText.isDefined,
+            deletedPred = deletedText.map(dt => expr(rewriteExpr(dt))))
         } else {
+          val session = owner.exists(_.sessionGap.isDefined)
           deletedText match {
+            case Some(dt) if session =>
+              // touched-key recompute: a deleted event can SPLIT a
+              // session, so keys with deletes rescan their surviving
+              // rows; everyone else takes the interval repair
+              graft.plans.MaterializedViews.refreshSessionWithDeletes(
+                spark, mvName, newPred, expr(rewriteExpr(dt)), newDir)
             case Some(dt) =>
               graft.plans.MaterializedViews.refreshWithDeletes(spark,
                 mvName, newPred, expr(rewriteExpr(dt)), newDir)
+            case None if session =>
+              graft.plans.MaterializedViews.refreshSession(spark, mvName,
+                newPred, newDir)
             case None =>
-              if (owner.exists(_.sessionGap.isDefined))
-                graft.plans.MaterializedViews.refreshSession(spark, mvName,
-                  newPred, newDir)
-              else
-                graft.plans.MaterializedViews.refresh(spark, mvName,
-                  newPred, newDir)
+              graft.plans.MaterializedViews.refresh(spark, mvName,
+                newPred, newDir)
           }
           writeSignature(spark, newDir, signature)
         }

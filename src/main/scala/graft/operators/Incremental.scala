@@ -356,7 +356,7 @@ object Incremental {
             .over(w.rowsBetween(Window.unboundedPreceding, -1)))
           .withColumn("brk",
             when(col("pmax").isNull ||
-              col("first_ms") - col("pmax") >= gapMs, 1L).otherwise(0L))
+              col("first_ms") - col("pmax") > gapMs, 1L).otherwise(0L))
           .withColumn("sid", sum(col("brk"))
             .over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col("user_id"), col("sid"))
@@ -374,7 +374,7 @@ object Incremental {
       s"""WITH o AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 21600000
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -127,7 +127,7 @@ object WindowQueries {
       """WITH o AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 21600000
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

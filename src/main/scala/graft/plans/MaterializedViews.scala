@@ -132,6 +132,16 @@ object MaterializedViews {
       // equivalent to re-sessionizing raw events: every event-level
       // gap < g is witnessed by interval adjacency), pruned to
       // delta-touched keys by a broadcast semi-join.
+      // ALL retraction predicates folded so far (ANDed complement on
+      // every survivor RESCAN): the state subtracts/refolds
+      // incrementally, but the MIN/MAX argmax repair and the session
+      // touched-key recompute go back to the RAW base, which carries no
+      // tombstones — without this, a second DELETED refresh would
+      // resurrect rows the first one removed (silent wrong extremum /
+      // wrong session). Maintained by refreshWithDeletes /
+      // refreshSessionWithDeletes and by repin (the command-log replay
+      // path), so sequential retractions compose on every server.
+      deletedSoFar: Option[Column] = None,
       sessionGap: Option[Long] = None,
       sessionTimeCol: Option[String] = None,
       // the analyzed session struct's type (struct<start,end> in the
@@ -709,14 +719,20 @@ object MaterializedViews {
     * coherence contract (the dialect enforces it by replaying the exact
     * statement the folding server ran). */
   def repin(name: String, newStateDir: String, newDeltaPred: Column,
-            retracted: Boolean = false): Unit = {
+            retracted: Boolean = false,
+            deletedPred: Option[Column] = None): Unit = {
     val v = views.getOrElse(name,
       throw new IllegalArgumentException(s"mv $name: not registered"))
     views.put(name, v.copy(stateDir = newStateDir,
       deltaPred = newDeltaPred,
       // once retracted, always retracted — the artifact excludes the
       // deleted rows whatever later cutoff-only refreshes do
-      retracted = v.retracted || retracted))
+      retracted = v.retracted || retracted,
+      // replaying servers accumulate the same tombstone history the
+      // folding server recorded, so a LATER retraction they fold
+      // composes identically
+      deletedSoFar = deletedPred.map(d =>
+        v.deletedSoFar.map(_ || d).getOrElse(d)).orElse(v.deletedSoFar)))
     reindex()
     schemaCache.remove(newStateDir)
     ()
@@ -827,8 +843,15 @@ object MaterializedViews {
     val merged = stTouched.unionByName(delta)
       .withColumn("__pmax", max(col("__last_ms"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      // BOUNDARY SEMANTICS: merge at EXACTLY gap (split only when the
+      // inter-session gap strictly exceeds it) — Spark's session_window
+      // merges an event landing exactly on a session's end (= last +
+      // gap), and Kafka Streams' SessionWindows merges on
+      // |t1−t2| <= inactivityGap; the repair must agree or a boundary
+      // event crossing the state/delta seam would split in the served
+      // answer and merge in the engine's own recompute.
       .withColumn("__brk", when(col("__pmax").isNull ||
-        col("__first_ms") - col("__pmax") >= gap, 1L).otherwise(0L))
+        col("__first_ms") - col("__pmax") > gap, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy((keyNames :+ "__sid").map(col): _*)
@@ -1040,13 +1063,100 @@ object MaterializedViews {
     spark.sessionState.optimizer.execute(frame.queryExecution.analyzed)
   }
 
+  /** NULL-safe broadcast semi/anti join of `df` against a key frame —
+    * the touched-key routing both session refresh forms share (a
+    * NULL-keyed group's rows must route WITH their group). */
+  private def keyRouted(df: DataFrame, keys: DataFrame,
+      keyNames: Seq[String], joinType: String): DataFrame = {
+    val l = df.alias("__l")
+    val r = broadcast(keys.alias("__r"))
+    val cond = keyNames.map(n => col(s"__l.$n") <=> col(s"__r.$n"))
+      .reduce(_ && _)
+    l.join(r, cond, joinType)
+  }
+
+  /** Session refresh under RETRACTIONS — the CDC posture for session
+    * views. A deleted event can SPLIT a session (the interval merge
+    * only ever widens), so subtraction is unsound; instead the keys
+    * with ANY deleted row RECOMPUTE their sessions from the surviving
+    * rows outside the new delta (`¬newPred ∧ ¬del`, key ∈ touched —
+    * one sessionize over |touched keys' events|, never |base|), while
+    * untouched keys take the ordinary interval repair of
+    * state ∪ sessionized(moved). Deletes still inside the NEW delta
+    * are refused — the serving delta branch rescans `base WHERE
+    * newPred` per query and would resurrect them. After this refresh
+    * the view's contract is sessions over `base WHERE NOT deletePred`
+    * for its OWN key signature (the flat retraction contract; session
+    * views never serve globally). Returns the touched-key count — the
+    * repair-cost observable. */
+  def refreshSessionWithDeletes(spark: SparkSession, name: String,
+      newDeltaPred: Column, deletePred: Column,
+      newStateDir: String): Long = {
+    val v = views.getOrElse(name,
+      throw new IllegalArgumentException(s"mv $name: not registered"))
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"mv $name: $msg")
+    require(v.sessionGap.isDefined, s"mv $name is not a session view")
+    requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
+      name)
+    requireTotalPredicate(spark, v.base, deletePred, "delete predicate",
+      name)
+    if (!v.base(spark).filter(newDeltaPred && deletePred).isEmpty)
+      fail("deletes still inside the NEW delta — the serving delta " +
+        "branch rescans base WHERE newPred per query and would " +
+        "resurrect them; advance the cutoff past the retractions")
+    val keyNames = v.groupNames
+    val gap = v.sessionGap.get
+    val tc = v.sessionTimeCol.get
+    val delKeys = v.base(spark).filter(deletePred)
+      .select(keyNames.map(col): _*).distinct()
+      .localCheckpoint() // evaluated twice (semi + anti routing) and
+      // small by the retraction regime's nature; pin one value
+    val nTouched = delKeys.count()
+    // touched keys: full per-key recompute over surviving non-delta
+    // rows — surviving excludes EVERY retraction folded so far, not
+    // just this statement's (the raw base still carries rows earlier
+    // DELETED refreshes removed; rescanning them would resurrect
+    // deleted events into repaired sessions)
+    val allDeleted = v.deletedSoFar
+      .map(_ || deletePred).getOrElse(deletePred)
+    val surviving = v.base(spark)
+      .filter(org.apache.spark.sql.functions.not(newDeltaPred) &&
+        org.apache.spark.sql.functions.not(allDeleted))
+    val touchedIntervals = sessionPartials(
+      keyRouted(surviving, delKeys, keyNames, "left_semi"),
+      tc, gap, keyNames, v.aggCols)
+    // untouched keys: the ordinary repair — by definition they carry no
+    // deleted rows, so moved = oldPred ∧ ¬newPred restricted to them
+    val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
+      spark.read.parquet(v.stateDir).schema)
+    val stateUntouched = keyRouted(
+      spark.read.schema(stateSchema).parquet(v.stateDir),
+      delKeys, keyNames, "left_anti")
+    val movedUntouched = sessionPartials(
+      keyRouted(v.base(spark).filter(v.deltaPred &&
+        org.apache.spark.sql.functions.not(newDeltaPred)),
+        delKeys, keyNames, "left_anti"),
+      tc, gap, keyNames, v.aggCols)
+    sessionRepair(v, stateUntouched, movedUntouched)
+      .unionByName(touchedIntervals)
+      .write.mode("overwrite").parquet(newStateDir)
+    views.put(name, v.copy(stateDir = newStateDir,
+      deltaPred = newDeltaPred, retracted = true,
+      deletedSoFar = Some(allDeleted)))
+    reindex()
+    schemaCache.remove(newStateDir)
+    nTouched
+  }
+
   /** Advance a session view's cutoff: repair the rows that LEAVE the
     * delta (`oldPred ∧ ¬newPred`, sessionized) into a fresh interval
     * artifact at `newStateDir`, then swap the registration — the
     * session half of [[refresh]], same single-writer/write-once
-    * contract. Retraction (DELETED) is refused at the dialect: a
-    * deleted event can SPLIT a session, which the interval merge
-    * cannot express. */
+    * contract. Retraction (DELETED) routes through
+    * [[refreshSessionWithDeletes]] (touched-key recompute — a deleted
+    * event can SPLIT a session, which the interval merge cannot
+    * express). */
   def refreshSession(spark: SparkSession, name: String,
       newDeltaPred: Column, newStateDir: String): Unit = {
     val v = views.getOrElse(name,
@@ -1243,9 +1353,15 @@ object MaterializedViews {
     val touchCond = minMax.map { case (n, _) =>
       col(s"__d_$n") === col(n)
     }.reduceOption(_ || _)
+    // survivors exclude EVERY retraction folded so far, not just this
+    // statement's — the raw base still carries rows earlier DELETED
+    // refreshes removed, and an argmax recompute that rescanned them
+    // would resurrect a deleted extremum
+    val allDeleted = v.deletedSoFar
+      .map(_ || deletePred).getOrElse(deletePred)
     val survivors = base.filter(
       org.apache.spark.sql.functions.not(newDeltaPred) &&
-        org.apache.spark.sql.functions.not(deletePred))
+        org.apache.spark.sql.functions.not(allDeleted))
     var touchedGroups = 0L
     val repaired: Option[DataFrame] = touchCond.map { tc =>
       val touched = joined.filter(tc).select(v.groupNames.map(col): _*)
@@ -1304,7 +1420,8 @@ object MaterializedViews {
     // view's retraction history — chosen by registry iteration order —
     // is the wrong-answer-served-silently failure mode.
     views.put(name, v.copy(stateDir = newStateDir,
-      deltaPred = newDeltaPred, retracted = true))
+      deltaPred = newDeltaPred, retracted = true,
+      deletedSoFar = Some(allDeleted)))
     reindex()
     schemaCache.remove(newStateDir)
     touchedGroups

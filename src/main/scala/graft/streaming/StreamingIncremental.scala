@@ -91,7 +91,7 @@ object StreamingIncremental {
       val evs = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
       val fresh = scala.collection.mutable.ArrayBuffer.empty[Sess]
       evs.foreach { case (ts, cents) =>
-        if (fresh.nonEmpty && ts - fresh.last._2 < gapMs) {
+        if (fresh.nonEmpty && ts - fresh.last._2 <= gapMs) {
           val (f, _, n, s) = fresh.last
           fresh(fresh.length - 1) = (f, ts, n + 1, s + cents)
         } else fresh += ((ts, ts, 1L, cents))
@@ -104,7 +104,7 @@ object StreamingIncremental {
         ++ fresh).sortBy(s => (s._1, s._2))
       val merged = scala.collection.mutable.ArrayBuffer.empty[Sess]
       all.foreach { case s @ (f, l, n, c) =>
-        if (merged.nonEmpty && f - merged.last._2 < gapMs) {
+        if (merged.nonEmpty && f - merged.last._2 <= gapMs) {
           val (pf, pl, pn, pc) = merged.last
           merged(merged.length - 1) = (pf, math.max(pl, l), pn + n, pc + c)
         } else merged += s
@@ -543,7 +543,7 @@ object StreamingIncremental {
       val evs = rows.toArray.sortBy(_._2)
       val fresh = scala.collection.mutable.ArrayBuffer.empty[SessV]
       evs.foreach { case (_, ts, v, p) =>
-        if (fresh.nonEmpty && ts - fresh.last._2 < gapMs) {
+        if (fresh.nonEmpty && ts - fresh.last._2 <= gapMs) {
           val (f, _, acc, pres) = fresh.last
           mergeInto(acc, pres, v, p)
           fresh(fresh.length - 1) = (f, ts, acc, pres)
@@ -560,7 +560,7 @@ object StreamingIncremental {
         ++ fresh).sortBy(s => (s._1, s._2))
       val merged = scala.collection.mutable.ArrayBuffer.empty[SessV]
       all.foreach { case s @ (f, l, v, p) =>
-        if (merged.nonEmpty && f - merged.last._2 < gapMs) {
+        if (merged.nonEmpty && f - merged.last._2 <= gapMs) {
           val (pf, pl, acc, pres) = merged.last
           mergeInto(acc, pres, v, p)
           merged(merged.length - 1) = (pf, math.max(pl, l), acc, pres)

@@ -320,6 +320,41 @@ class MvHardeningSpec extends SparkSpec {
     assert(rows.length == 3 && rows.exists(_.isNullAt(0)))
   }
 
+  // --- sequential retractions compose (round 15, late) -----------------
+
+  test("a SECOND retraction's argmax repair excludes the FIRST fold's " +
+    "tombstones: the recompute must not resurrect a deleted extremum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = freshDir("mv_del2")
+    // g=1: 500 (deleted in fold 1, the max), 400 (deleted in fold 2,
+    // the NEXT max — its repair rescans the base), 100, 50
+    Seq((1L, 97L, 500L), (1L, 98L, 400L), (1L, 1L, 100L), (1L, 2L, 50L))
+      .toDF("g", "id", "v")
+      .write.mode("overwrite").parquet(s"$root/t.parquet")
+    val base = spark.read.parquet(s"$root/t.parquet")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      max(col("v")).as("m"))
+    base.filter(!(col("id") >= 1000L)).groupBy(col("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$root/state")
+    MaterializedViews.register(spark, "mv_del2", _ => base,
+      stateDir = s"$root/state", deltaPred = col("id") >= 1000L,
+      groupCols = Seq(col("g")), aggCols = aggs)
+    try {
+      MaterializedViews.refreshWithDeletes(spark, "mv_del2",
+        col("id") >= 1000L, col("id") === 97L, s"$root/state2")
+      MaterializedViews.refreshWithDeletes(spark, "mv_del2",
+        col("id") >= 1000L, col("id") === 98L, s"$root/state3")
+      val row = spark.read.parquet(s"$root/state3").collect().head
+      // without deletedSoFar the repair rescans id=97 (v=500) and
+      // resurrects the fold-1 extremum; the true surviving max is 100
+      assert(row.getAs[Long]("m") == 100L,
+        s"second retraction resurrected a deleted extremum: $row")
+      assert(row.getAs[Long]("n") == 2L && row.getAs[Long]("s") == 150L)
+    } finally { MaterializedViews.drop("mv_del2"); () }
+  }
+
   // --- JOIN views through the CMV DDL (round 15) -----------------------
 
   test("CREATE MATERIALIZED VIEW over an INNER equi-join: the DDL " +

@@ -104,7 +104,8 @@ class SessionMvSpec extends SparkSpec {
   }
 
   test("session CMV REFRESH: the fold advances the cutoff, the pull " +
-    "still equals the recompute, and DELETED refuses") {
+    "still equals the recompute; DELETED recomputes touched keys — a " +
+    "mid-session delete SPLITS, a full-key delete leaves the view") {
     val dir = freshDir("sess_ref")
     corpus().write.mode("overwrite").parquet(s"$dir/ev.parquet")
     val (c1, _) = Translator.run(spark, Map.empty,
@@ -132,14 +133,84 @@ class SessionMvSpec extends SparkSpec {
       val (_, Some(df)) = Translator.run(spark, Map.empty,
         "SELECT * FROM sess_mv_ref"): @unchecked
       assert(served(df) == recompute(corpus(), 10000L))
-      val e = intercept[IllegalArgumentException] {
-        Translator.run(spark, c1,
-          s"""REFRESH MATERIALIZED VIEW sess_mv_ref WITH (
-             |  STATE_DIR='$dir/state3', DELTA='arr >= 3',
-             |  DELETED='points = 30')""".stripMargin)
-      }
-      assert(e.getMessage.contains("SPLIT a session"))
+      // RETRACTION: delete alice's 40 s AND 46 s events (mid-chain —
+      // the surviving 36→52 gap is 16 s > 10 s, so her bridged [30..62]
+      // session SPLITS into [30..36] and [52..62]) and ALL of bob's
+      // rows (his key leaves the view). Touched keys recompute from
+      // surviving rows; carol and the NULL key take the ordinary
+      // repair untouched.
+      Translator.run(spark, c1,
+        s"""REFRESH MATERIALIZED VIEW sess_mv_ref WITH (
+           |  STATE_DIR='$dir/state3', DELTA='arr >= 2',
+           |  DELETED='points = 30 OR points = 40 OR
+           |    coalesce(user_id, -1) = 2')""".stripMargin)
+      val (_, Some(df3)) = Translator.run(spark, Map.empty,
+        "SELECT * FROM sess_mv_ref"): @unchecked
+      val got3 = served(df3)
+      val del = col("points") === 30L || col("points") === 40L ||
+        coalesce(col("user_id"), lit(-1L)) === 2L
+      val want3 = recompute(corpus().filter(!del), 10000L)
+      assert(got3 == want3)
+      // the split is real: alice now holds [30..36] and [52..62]
+      assert(got3.exists(s => s._1 == Some(1L) && s._4 == 30000L &&
+        s._5 == 46000L))
+      assert(got3.exists(s => s._1 == Some(1L) && s._4 == 52000L &&
+        s._5 == 72000L))
+      // …and bob is gone
+      assert(!got3.exists(_._1 == Some(2L)))
+      // a SECOND retraction COMPOSES: the touched-key recompute excludes
+      // the FIRST fold's tombstones too (deletedSoFar) — alice's 52 s
+      // event leaves without resurrecting her deleted 40/46 s ones, and
+      // bob (touched again via points = 50) stays gone
+      Translator.run(spark, c1,
+        s"""REFRESH MATERIALIZED VIEW sess_mv_ref WITH (
+           |  STATE_DIR='$dir/state4', DELTA='arr >= 2',
+           |  DELETED='points = 50')""".stripMargin)
+      val (_, Some(df4)) = Translator.run(spark, Map.empty,
+        "SELECT * FROM sess_mv_ref"): @unchecked
+      val got4 = served(df4)
+      val want4 = recompute(
+        corpus().filter(!(del || col("points") === 50L)), 10000L)
+      assert(got4 == want4)
+      assert(got4.exists(s => s._1 == Some(1L) && s._4 == 60000L &&
+        s._5 == 72000L))
+      assert(!got4.exists(s => s._1 == Some(1L) && s._4 == 52000L))
+      assert(!got4.exists(_._1 == Some(2L)))
     } finally { MaterializedViews.drop("sess_mv_ref"); () }
+  }
+
+  test("exact-gap boundary MERGES across the state/delta seam — " +
+    "session_window / Kafka-Streams semantics (|Δt| <= gap joins), " +
+    "pinned") {
+    import spark.implicits._
+    val dir = freshDir("sess_edge")
+    // state session ends at 2 s; the delta event lands at EXACTLY
+    // 2 s + 10 s gap — Spark's session_window (and Kafka Streams'
+    // SessionWindows) merge it, so the interval repair must too
+    Seq[(Long, Long, Long, Int)](
+      (0L, 1L, 1L, 0), (2000L, 1L, 1L, 0), (12000L, 1L, 1L, 1))
+      .toDF("ts_ms", "user_id", "points", "arr")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .select("ts", "user_id", "points", "arr")
+      .write.mode("overwrite").parquet(s"$dir/ev.parquet")
+    val (c1, _) = Translator.run(spark, Map.empty,
+      s"CREATE STREAM sedge_src WITH (PATH='$dir/ev.parquet')")
+    Translator.run(spark, c1,
+      s"""CREATE MATERIALIZED VIEW sess_edge_mv WITH (
+         |  STATE_DIR='$dir/state', DELTA='arr = 1') AS
+         |SELECT user_id, COUNT(*) AS cnt, SUM(points) AS pts
+         |FROM sedge_src WINDOW SESSION (10 SECONDS)
+         |GROUP BY user_id""".stripMargin)
+    try {
+      val (_, Some(df)) = Translator.run(spark, Map.empty,
+        "SELECT * FROM sess_edge_mv"): @unchecked
+      val got = served(df)
+      // one merged session [0..12], windowend = 12 s + gap — and the
+      // engine's own recompute agrees
+      assert(got == Set((Some(1L), 3L, 3L, 0L, 22000L)), got.toString)
+      assert(got == recompute(
+        spark.read.parquet(s"$dir/ev.parquet"), 10000L))
+    } finally { MaterializedViews.drop("sess_edge_mv"); () }
   }
 
   test("session CMV on sf events: pull by name equals the direct " +

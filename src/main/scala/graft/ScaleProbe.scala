@@ -121,7 +121,24 @@ object ScaleProbe {
     // (the anti-join branch streams sort-free), so cost tracks
     // |touched sessions| + |Δ|. q_mv_ddl_join — the dialect-created
     // join view's serve (same shape as q_mv_join, different key).
-    "q_mv_ddl_session", "q_mv_ddl_join")
+    "q_mv_ddl_session", "q_mv_ddl_join",
+    // round 16: the six round-15 gates without an exponent on record.
+    // q_fk_table_join — fact-table ⋈ broadcast dim over latest-by-key
+    // tables; the latest-state reduction is one key shuffle, the join
+    // side stays broadcast, so cost tracks |fact events|.
+    // q_ksql_corr_where — Catalyst decorrelates the WHERE subquery to
+    // an aggregate-then-join; both sides scan once, linear by shape.
+    // q_mv_session_serve — the transparent session rewrite's serving
+    // plan (same touched-key repair as q_mv_ddl_session plus the
+    // struct-normalized substitution).
+    // q_mv_table_pull / _window — the named-pull merge(state ∪ Δ)
+    // forms; the windowed one repairs panes, both linear in |Δ| +
+    // |matching state|.
+    // q_mv_ddl_session_refresh — the session REFRESH fold's SERVING
+    // path (the fold itself is its prepare, like q_mv_ddl_refresh).
+    "q_fk_table_join", "q_ksql_corr_where", "q_mv_session_serve",
+    "q_mv_table_pull", "q_mv_table_pull_window",
+    "q_mv_ddl_session_refresh")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on
@@ -183,9 +200,21 @@ object ScaleProbe {
     // ~2× in a fresh one — same corpus, same conf, same plan). The
     // committed record protocol is: build once, then measure in a
     // REUSE run.
+    // the stamp sidecar pins the corpus to its build (factor, src): a
+    // stale corpus from a different scale run would silently measure
+    // the wrong exponent and record it as a `factor`x result
+    val stampFile = new java.io.File(s"$dst/.probe_stamp")
+    val stamp = s"factor=$factor src=$src"
     val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
       new java.io.File(s"$dst/documents.parquet").exists() &&
-      new java.io.File(s"${dst}_emb1x/embeddings.parquet").exists()
+      new java.io.File(s"${dst}_emb1x/embeddings.parquet").exists() &&
+      stampFile.exists() && {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          stampFile.toPath), "UTF-8").trim
+        if (s != stamp) System.err.println(
+          s"probe corpus stamp mismatch ('$s' != '$stamp') — rebuilding")
+        s == stamp
+      }
     if (!reuse) {
     def rep(name: String, idCols: Seq[String]): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")
@@ -272,6 +301,7 @@ object ScaleProbe {
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
     }
 
     def time(dir: String, q: String): Double = {

@@ -33,24 +33,42 @@ SF01=${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}
 SF1=${SPARK_GRAFT_SF1:-/tmp/graft_scaleprobe}
 MAX_LOAD=${GRAFT_CUT_MAX_LOAD:-2.0}
 
+# Wait for load1 to settle below MAX_LOAD (our own previous phase's load
+# takes ~5 min to decay out of load1), then gate. Only a host that stays
+# busy past the settle window — a co-tenant, not our own wake — fails.
 gate() {
-  local load1
-  load1=$(awk '{print $1}' /proc/loadavg)
-  if awk -v l="$load1" -v m="$MAX_LOAD" 'BEGIN{exit !(l > m)}'; then
-    echo "cut_records: host busy (load1=$load1 > $MAX_LOAD) before $1 —" \
-         "refusing; re-run when idle or raise GRAFT_CUT_MAX_LOAD" >&2
-    exit 1
-  fi
-  echo "cut_records: host ok before $1 (load1=$load1)"
+  local load1 waited=0
+  while :; do
+    load1=$(awk '{print $1}' /proc/loadavg)
+    if ! awk -v l="$load1" -v m="$MAX_LOAD" 'BEGIN{exit !(l > m)}'; then
+      echo "cut_records: host ok before $1 (load1=$load1)"
+      return 0
+    fi
+    if [ "$waited" -ge "${GRAFT_CUT_SETTLE_SEC:-900}" ]; then
+      echo "cut_records: host busy (load1=$load1 > $MAX_LOAD) before $1" \
+           "after ${waited}s settle — refusing; re-run when idle or" \
+           "raise GRAFT_CUT_MAX_LOAD" >&2
+      exit 1
+    fi
+    sleep 30; waited=$((waited + 30))
+  done
 }
 
 has() { case " $PHASES " in *" $1 "*) return 0;; *) return 1;; esac; }
 
 if has probe; then
-  gate "probe build"
-  echo "cut_records: ScaleProbe phase 1/2 (corpus build, numbers discarded)"
-  sbt -batch "runMain graft.ScaleProbe" > /tmp/cut_probe_build.log 2>&1 \
-    || { tail -20 /tmp/cut_probe_build.log >&2; exit 1; }
+  # phase 1 (corpus build) can be skipped when the stamped corpus is
+  # already fresh — ScaleProbe's REUSE path verifies the stamp itself,
+  # so a stale corpus would still rebuild in phase 2
+  if [ "$(cat "$SF1/.probe_stamp" 2>/dev/null)" != \
+       "factor=10 src=$SF01" ]; then
+    gate "probe build"
+    echo "cut_records: ScaleProbe phase 1/2 (corpus build, numbers discarded)"
+    sbt -batch "runMain graft.ScaleProbe" > /tmp/cut_probe_build.log 2>&1 \
+      || { tail -20 /tmp/cut_probe_build.log >&2; exit 1; }
+  else
+    echo "cut_records: probe corpus stamp fresh — skipping the build phase"
+  fi
   gate "probe measure"
   echo "cut_records: ScaleProbe phase 2/2 (fresh-JVM measure)"
   SPARK_GRAFT_PROBE_REUSE=1 sbt -batch "runMain graft.ScaleProbe" \

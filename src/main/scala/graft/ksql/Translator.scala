@@ -21,8 +21,42 @@ object Translator {
 
   final case class Source(df: DataFrame, timeColumn: String,
                           watermark: String = "10 minutes",
-                          key: Option[String] = None)
+                          key: Option[String] = None,
+                          isTable: Boolean = false,
+                          // CTAS-derived tables are table-shaped by
+                          // construction (one row per key) — reads skip
+                          // the snapshot compaction shuffle
+                          compacted: Boolean = false)
   type Catalog = Map[String, Source]
+
+  /** A TABLE read sees the changelog's COMPACTED snapshot — the latest
+    * record per key in changelog order. The order column is the
+    * declared TIMESTAMP: ksqlDB compacts by offset, and a topic dump's
+    * offset order is the order column its file carries. One key-shuffle
+    * `max_by` (KsqlTable.fromBatch); derived (CTAS) tables register
+    * `compacted = true` and skip it; live changelogs pass through (the
+    * caller owns streaming semantics). */
+  private def tableSnapshot(src: Source): Source =
+    if (!src.isTable || src.compacted || src.df.isStreaming) src
+    else src.key.fold(src) { k =>
+      val key = src.df.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"TABLE key '$k' is not a column of the source"))
+      val ord = src.df.columns.find(_.equalsIgnoreCase(src.timeColumn))
+        .getOrElse(throw new IllegalArgumentException(
+          s"TABLE compaction orders by the TIMESTAMP column " +
+            s"'${src.timeColumn}', which the source does not carry — " +
+            "declare WITH (TIMESTAMP='col')"))
+      src.copy(df = graft.streaming.KsqlTable.fromBatch(src.df, key, ord),
+        compacted = true)
+    }
+
+  /** `alias.col` / `col` → Some(col); anything else (an expression) →
+    * None. Table joins hit key COLUMNS, not expressions. */
+  private def plainColumn(e: String): Option[String] = {
+    val m = raw"(?i)^(?:[a-z_][a-z0-9_]*\.)?([a-z_][a-z0-9_]*)$$".r
+    e.trim match { case m(c) => Some(c); case _ => None }
+  }
 
   // KSQL functions that expand to Spark SQL (not simple renames):
   // name → usage line, served by SHOW FUNCTIONS / DESCRIBE FUNCTION
@@ -1329,10 +1363,149 @@ object Translator {
     (catalog, None)
   }
 
+  /** Streaming TABLE-TABLE join through the dialect (ksqlDB 0.19+):
+    * both sides are LIVE changelogs; the ON's right column must be the
+    * right table's PRIMARY KEY, the left column is any column (the FK
+    * form; the PK-PK form is the special case fk = left key). Routed to
+    * StreamingJoins.fkTableJoin — ONE stateful operator keyed by the
+    * right key (the subscription store: state is |left rows| + |right
+    * keys|, every emission O(affected rows)) — by packing each side's
+    * value columns as JSON for the operator's fixed tuple schema and
+    * unpacking after (the generic adapter; the hand-shaped tuple form
+    * stays the probe/perf path).
+    *
+    * Changelog contract, spec-pinned (FkDialectSpec):
+    *  - offsets: each side's declared TIMESTAMP column cast to BIGINT
+    *    (a topic dump's offset order is the order column its file
+    *    carries) — last-write-wins per key folds in this order;
+    *  - fk moves: the previous fk is read from a `prev_<fkcol>` column
+    *    when the changelog carries one (what a compacted-topic consumer
+    *    knows from its state store), else NULL — i.e. insert-only /
+    *    fk-stable changelogs need no extra column, movers do;
+    *  - right tombstones (deletes) are a programmatic-API surface
+    *    (StreamingJoins.fkTableJoin directly) — a file-backed dialect
+    *    changelog has no null-value record to express them.
+    *
+    * Output is the join CHANGELOG flattened back to named columns plus
+    * `__deleted` / `__off`: materialize per left key by max __off,
+    * non-deleted preferred on ties. INNER only; WHERE/HAVING refuse
+    * (a retract row carries NULL values — a value filter would drop
+    * retractions and resurrect deleted rows downstream). */
+  private def streamingTableJoin(spark: SparkSession, catalog: Catalog,
+      s: SelectStmt, left: Source): DataFrame = {
+    if (s.joins.size > 1) throw new IllegalArgumentException(
+      "streaming TABLE-TABLE joins serve one join per statement — " +
+        "chain CREATE TABLE … AS statements")
+    val j = s.joins.head
+    val right = catalog(j.table.toLowerCase)
+    if (j.joinType != "inner") throw new IllegalArgumentException(
+      s"streaming TABLE-TABLE joins serve INNER — ${j.joinType.toUpperCase} " +
+        "needs unmatched-row emission in the subscription store")
+    if (j.withinMs.isDefined) throw new IllegalArgumentException(
+      "WITHIN is a stream-stream interval bound — both sides are TABLEs")
+    if (s.where.isDefined || s.having.isDefined)
+      throw new IllegalArgumentException(
+        "WHERE/HAVING over a TABLE-TABLE join CHANGELOG would drop " +
+          "retractions (a retract row carries NULL values) — filter " +
+          "the source tables upstream")
+    if (s.orderBy.nonEmpty || s.limit.isDefined || s.partitionBy.isDefined)
+      throw new IllegalArgumentException(
+        "ORDER BY / LIMIT / PARTITION BY do not apply to a join changelog")
+    def actual(df: DataFrame, c: String, what: String): String =
+      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"$what column '$c' not found"))
+    val lKey = actual(left.df, left.key.getOrElse(
+      throw new IllegalArgumentException(
+        s"TABLE ${s.from} needs WITH (KEY='col')")), "key")
+    val fkCol = plainColumn(j.onLeft).map(actual(left.df, _, "join"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"the FK side of a TABLE-TABLE join is a COLUMN — '${j.onLeft}' " +
+          "is an expression; derive it upstream (CREATE TABLE … AS)"))
+    val rKeyDecl = right.key.getOrElse(throw new IllegalArgumentException(
+      s"TABLE ${j.table} needs WITH (KEY='col')"))
+    val rKey = plainColumn(j.onRight).map(actual(right.df, _, "join"))
+      .filter(_.equalsIgnoreCase(rKeyDecl))
+      .getOrElse(throw new IllegalArgumentException(
+        s"joins against TABLE ${j.table} hit its PRIMARY KEY " +
+          s"($rKeyDecl) — ON names '${j.onRight}'"))
+    // the subscription store is keyed BIGINT
+    def integral(df: DataFrame, c: String): Unit =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => ()
+        case t => throw new IllegalArgumentException(
+          s"the subscription store is keyed BIGINT — '$c' is " +
+            s"${t.simpleString}; CAST upstream")
+      }
+    integral(left.df, lKey); integral(left.df, fkCol)
+    integral(right.df, rKey)
+    def offExpr(src: Source): Column = {
+      val t = actual(src.df, src.timeColumn, "TIMESTAMP")
+      src.df.schema(t).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_millis(col(t))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_millis(col(t).cast("timestamp"))
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => col(t).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"changelog offset column '$t' must be a timestamp or " +
+            s"integer — is ${dt.simpleString}")
+      }
+    }
+    val prevCol = left.df.columns.find(_.equalsIgnoreCase(s"prev_$fkCol"))
+    val lVals = left.df.columns.filterNot(c =>
+      c.equalsIgnoreCase(lKey) || c.equalsIgnoreCase(fkCol) ||
+        prevCol.exists(_.equalsIgnoreCase(c))).toIndexedSeq
+    val rVals = right.df.columns.filterNot(_.equalsIgnoreCase(rKey)).toIndexedSeq
+    val overlap = (Seq(lKey, fkCol) ++ lVals).map(_.toLowerCase).toSet
+      .intersect(rVals.map(_.toLowerCase).toSet)
+    if (overlap.nonEmpty) throw new IllegalArgumentException(
+      s"both tables carry column(s) ${overlap.mkString(", ")} — alias " +
+        "upstream; the flattened join changelog needs distinct names")
+    val lStruct = org.apache.spark.sql.types.StructType(
+      lVals.map(c => left.df.schema(c)))
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rVals.map(c => right.df.schema(c)))
+    val lChangelog = left.df.select(
+      col(lKey).cast("long").as("l_pk"),
+      col(fkCol).cast("long").as("fk"),
+      prevCol.map(c => col(c).cast("long"))
+        .getOrElse(lit(null).cast("long")).as("prev_fk"),
+      to_json(struct(lVals.map(col): _*)).as("l_val"),
+      offExpr(left).as("off"))
+    val rChangelog = right.df.select(
+      col(rKey).cast("long").as("pk"),
+      to_json(struct(rVals.map(col): _*)).as("r_val"),
+      offExpr(right).as("off"))
+    val joined = graft.streaming.StreamingJoins
+      .fkTableJoin(lChangelog, rChangelog)
+    val data = joined.select(
+      col("l_pk").cast(left.df.schema(lKey).dataType).as(lKey),
+      col("fk").cast(left.df.schema(fkCol).dataType).as(fkCol),
+      from_json(col("l_val"), lStruct).as("__l"),
+      from_json(col("r_val"), rStruct).as("__r"),
+      col("deleted").as("__deleted"), col("off").as("__off"))
+      .select(Seq(col(lKey), col(fkCol)) ++
+        lVals.map(c => col(s"__l.$c").as(c)) ++
+        rVals.map(c => col(s"__r.$c").as(c)) ++
+        Seq(col("__deleted"), col("__off")): _*)
+    // projection: '*' keeps everything; an explicit list projects data
+    // columns (unqualified names — the changelog is flattened) and
+    // ALWAYS re-appends the changelog meta
+    if (s.columns.forall(_._1.trim == "*")) data
+    else data.select(s.columns.map { case (e, a) =>
+      val c = expr(rewriteExpr(e)); a.fold(c)(c.as)
+    } ++ Seq(col("__deleted"), col("__off")): _*)
+  }
+
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
     // derived table (FROM (SELECT ...)) recurses; a named FROM resolves
     // through the catalog
-    val src: Source = s.fromSub match {
+    val src0: Source = s.fromSub match {
       case Some(sub) =>
         // s.from carries the derived table's alias — apply it so
         // qualified references (a.col) resolve against the subquery
@@ -1353,6 +1526,26 @@ object Translator {
         }
       }
     }
+    // KSQL TABLE semantics (the ksqlDB stream/table duality): a batch
+    // TABLE read sees the changelog's COMPACTED snapshot (tableSnapshot
+    // below); a LIVE changelog passes through as the table's update
+    // stream (push projection/filter — ksqlDB's `SELECT … FROM t EMIT
+    // CHANGES`); re-aggregating a live changelog needs retraction-aware
+    // aggregates, which is the MATERIALIZED VIEW surface's job; and a
+    // live TABLE⋈TABLE join routes to the streaming subscription store
+    // (StreamingJoins.fkTableJoin).
+    if (src0.isTable && src0.df.isStreaming) {
+      if (s.groupBy.nonEmpty || s.window.isDefined || s.groupingMode.isDefined)
+        throw new IllegalArgumentException(
+          "re-aggregating a LIVE TABLE changelog needs retraction-aware " +
+            "aggregates — CREATE MATERIALIZED VIEW and query the view, " +
+            "or aggregate the underlying STREAM")
+      if (s.joins.nonEmpty && s.joins.forall(j =>
+          catalog.get(j.table.toLowerCase).exists(r =>
+            r.isTable && r.df.isStreaming)))
+        return streamingTableJoin(spark, catalog, s, src0)
+    }
+    val src = tableSnapshot(src0)
     // streaming sources get a watermark so windowed aggs / WITHIN joins
     // keep bounded state; batch frames pass through untouched. GRACE
     // PERIOD is KSQL's per-statement late-arrival bound — exactly
@@ -1409,8 +1602,42 @@ object Translator {
     var df = s.fromAlias.fold(starOrdered)(a => starOrdered.alias(a))
 
     s.joins.foreach { j =>
-      val right = catalog.getOrElse(j.table.toLowerCase,
+      val right0 = catalog.getOrElse(j.table.toLowerCase,
         throw new IllegalArgumentException(s"unknown source ${j.table}"))
+      // ksqlDB's join matrix: STREAM⋈STREAM (WITHIN), STREAM⋈TABLE,
+      // TABLE⋈TABLE (PK-PK, or FK: a non-key left column = right PK).
+      // TABLE⋈STREAM does not exist — refuse like the engine rather
+      // than silently joining a snapshot against raw events.
+      if (src.isTable && !right0.isTable)
+        throw new IllegalArgumentException(
+          s"TABLE ${s.from} cannot join STREAM ${j.table} — ksqlDB has " +
+            "no TABLE-STREAM join; reverse the sides (STREAM JOIN " +
+            "TABLE) or declare both sources as TABLEs")
+      if (right0.isTable && j.withinMs.isDefined)
+        throw new IllegalArgumentException(
+          s"WITHIN is a stream-stream interval bound — ${j.table} is a " +
+            "TABLE (its snapshot has no event-time spread to bound)")
+      // a LIVE right-side changelog needs the streaming subscription
+      // store, which serves the both-sides-live TABLE⋈TABLE form (the
+      // intercept above); any other live-table mix is refused with the
+      // pointer rather than silently joined with stream semantics
+      if (right0.isTable && right0.df.isStreaming)
+        throw new IllegalArgumentException(
+          s"a LIVE TABLE changelog (${j.table}) joins through the " +
+            "streaming subscription store, which serves TABLE JOIN " +
+            "TABLE with both sides live — bind it as a batch snapshot " +
+            "here, or make both sides live TABLEs")
+      // joins against a TABLE hit its PRIMARY KEY (ksqlDB: the table
+      // side of any join is looked up by key; the FK form is the LEFT
+      // column being free). CTAS tables whose key could not be derived
+      // (composite/expression group keys) skip the check.
+      if (right0.isTable && right0.key.isDefined &&
+          !plainColumn(j.onRight).exists(c =>
+            right0.key.exists(_.equalsIgnoreCase(c))))
+        throw new IllegalArgumentException(
+          s"joins against TABLE ${j.table} hit its PRIMARY KEY " +
+            s"(${right0.key.get}) — ON names '${j.onRight}'")
+      val right = tableSnapshot(right0)
       val rbase =
         if (right.df.isStreaming && j.withinMs.isDefined)
           right.df.withWatermark(right.timeColumn, right.watermark)
@@ -1458,7 +1685,8 @@ object Translator {
         df = sqlOverFrames(spark,
           s"SELECT * FROM $vn AS ${s.fromAlias.getOrElse(s.from)} WHERE $rw",
           catalog.map { case (n, c) =>
-            n.toLowerCase(java.util.Locale.ROOT) -> c.df } + (vn -> df))
+            n.toLowerCase(java.util.Locale.ROOT) ->
+              tableSnapshot(c).df } + (vn -> df))
       } else df = df.filter(expr(rw))
     }
 
@@ -1591,7 +1819,8 @@ object Translator {
           s"SELECT ${colTexts.mkString(", ")} " +
             s"FROM $vn AS ${s.fromAlias.getOrElse(s.from)}",
           catalog.map { case (n, c) =>
-            n.toLowerCase(java.util.Locale.ROOT) -> c.df } + (vn -> df))
+            n.toLowerCase(java.util.Locale.ROOT) ->
+              tableSnapshot(c).df } + (vn -> df))
       } else {
         val cols = s.columns.map {
           case ("*", _) => col("*")
@@ -1623,7 +1852,7 @@ object Translator {
     // registration is idempotent
     graft.GraftExtensions.register(spark)
     Parser.parse(substituteVars(spark, sql)) match {
-      case CreateSource(_, name, cols, props, ifNotExists, orReplace) =>
+      case CreateSource(isTable, name, cols, props, ifNotExists, orReplace) =>
         // Physical binding, in order of preference:
         //  1. catalog already provides the frame (driver/tests) → rebind time col
         //  2. WITH (PATH='...', VALUE_FORMAT=PARQUET|JSON|DELIMITED) → file read
@@ -1642,9 +1871,18 @@ object Translator {
         // WITH (KEY='col') declares which value column mirrors the
         // record key — the column ROWKEY resolves to (KSQL 5.x model)
         val keyCol = props.get("KEY")
+        // a TABLE is a changelog compacted per key (ksqlDB's PRIMARY
+        // KEY requirement in the 5.x WITH(KEY=…) spelling): without a
+        // key there is nothing to compact on, so the declaration
+        // refuses rather than silently behaving as a stream
+        if (isTable && keyCol.isEmpty &&
+            catalog.get(name.toLowerCase).forall(_.key.isEmpty))
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $name needs WITH (KEY='col') — a table is a " +
+              "changelog compacted to the latest record per key")
         val bound: Source = catalog.get(name.toLowerCase).filter(_ => !orReplace) match {
           case Some(src) => src.copy(timeColumn = ts,
-            key = keyCol.orElse(src.key))
+            key = keyCol.orElse(src.key), isTable = isTable)
           case None => props.get("PATH") match {
             case Some(path) =>
               val fmt = props.getOrElse("VALUE_FORMAT", "PARQUET").toUpperCase
@@ -1709,11 +1947,11 @@ object Translator {
               // units of parallel work downstream"
               val parted = props.get("PARTITIONS")
                 .map(n => df.repartition(n.toInt)).getOrElse(df)
-              Source(parted, ts, key = keyCol)
+              Source(parted, ts, key = keyCol, isTable = isTable)
             case None =>
               Source(spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-                ts, key = keyCol)
+                ts, key = keyCol, isTable = isTable)
           }
         }
         // ksqlDB's PROCESSING LOG (ksql.logging.processing.* — the
@@ -1754,10 +1992,25 @@ object Translator {
             }
           else None
         (catalog + (name.toLowerCase -> bound) ++ procLog, None)
-      case CreateAsSelect(_, name, sel, props, ifNotExists) =>
+      case CreateAsSelect(isTable, name, sel, props, ifNotExists) =>
         // IF NOT EXISTS: an existing binding wins; the SELECT does not run
         if (ifNotExists && catalog.contains(name.toLowerCase))
           return (catalog, None)
+        // stream/table result-shape rules (ksqlDB): a SELECT over a
+        // TABLE is a table, and an aggregation produces a table — CSAS
+        // refuses both rather than registering table-shaped data under
+        // stream semantics. (CTAS stays lenient the other way — the
+        // dialect has historically accepted CREATE TABLE as a naming
+        // convenience for derived frames; SURVEY §8 records it.)
+        val fromTable = sel.fromSub.isEmpty &&
+          catalog.get(sel.from.toLowerCase).exists(_.isTable)
+        if (!isTable && fromTable) throw new IllegalArgumentException(
+          s"CREATE STREAM $name: a SELECT over TABLE ${sel.from} " +
+            "produces a TABLE — use CREATE TABLE … AS SELECT")
+        if (!isTable && (sel.groupBy.nonEmpty || sel.groupingMode.isDefined))
+          throw new IllegalArgumentException(
+            s"CREATE STREAM $name: an aggregation produces a TABLE — " +
+              "use CREATE TABLE … AS SELECT")
         val df = select(spark, catalog, sel)
         val srcTime = resolveTime(catalog, sel)
         val tc = if (df.columns.contains(srcTime)) srcTime
@@ -1828,11 +2081,37 @@ object Translator {
             }
           }
         }
-        (catalog + (name.toLowerCase -> Source(df, tc)), Some(df))
+        // a CTAS table's PRIMARY KEY, when derivable: a single plain
+        // GROUP BY column (by alias or name), or — for a projection of
+        // a table — the source table's key if it survives projection.
+        // Composite / expression keys register keyless: reads are
+        // already table-shaped (compacted = true), joins against the
+        // table just skip the PK check.
+        val ident = raw"[A-Za-z_][A-Za-z0-9_]*".r.pattern
+        val ctasKey: Option[String] =
+          if (!isTable) None
+          else if (sel.groupBy.size == 1 && sel.groupingMode.isEmpty) {
+            val gt = sel.groupBy.head.trim
+            sel.columns.collectFirst {
+              case (e, Some(a)) if e.trim.equalsIgnoreCase(gt) => a
+              case (e, None) if e.trim.equalsIgnoreCase(gt) &&
+                ident.matcher(gt).matches() => gt
+            }.filter(a => df.columns.exists(_.equalsIgnoreCase(a)))
+          } else if (sel.groupBy.isEmpty && fromTable)
+            catalog.get(sel.from.toLowerCase).flatMap(_.key)
+              .filter(k => df.columns.exists(_.equalsIgnoreCase(k)))
+          else None
+        (catalog + (name.toLowerCase -> Source(df, tc, key = ctasKey,
+          isTable = isTable, compacted = isTable)), Some(df))
       case InsertInto(target, sel) =>
         val df = select(spark, catalog, sel)
         val tgt = catalog.getOrElse(target.toLowerCase,
           throw new IllegalArgumentException(s"unknown target $target"))
+        // ksqlDB: INSERT INTO <query> appends to STREAMS only — a
+        // table changes through its changelog (INSERT VALUES upserts)
+        if (tgt.isTable) throw new IllegalArgumentException(
+          s"INSERT INTO targets a STREAM — $target is a TABLE (use " +
+            "INSERT VALUES for a changelog upsert)")
         val merged = tgt.copy(df = tgt.df.unionByName(df, allowMissingColumns = true))
         (catalog + (target.toLowerCase -> merged), Some(merged.df))
       case InsertValues(target, colsSpec, values) =>
@@ -1863,7 +2142,12 @@ object Translator {
           s"$sql AS ${f.name}"
         }
         val row = spark.sql(s"SELECT ${projected.mkString(", ")}")
-        val merged = tgt.copy(df = tgt.df.unionByName(row))
+        // INSERT VALUES into a TABLE is a changelog upsert: the new
+        // record appends and the next read's snapshot compaction keeps
+        // the latest per key (compacted resets so a derived table
+        // recompacts too)
+        val merged = tgt.copy(df = tgt.df.unionByName(row),
+          compacted = tgt.compacted && tgt.key.isEmpty)
         (catalog + (target.toLowerCase -> merged), Some(merged.df))
       case PrintRows(name, limit, interval, _) =>
         // FROM BEGINNING is accepted for syntax parity and is the only

@@ -138,7 +138,14 @@ object ScaleProbe {
     // path (the fold itself is its prepare, like q_mv_ddl_refresh).
     "q_fk_table_join", "q_ksql_corr_where", "q_mv_session_serve",
     "q_mv_table_pull", "q_mv_table_pull_window",
-    "q_mv_ddl_session_refresh")
+    "q_mv_ddl_session_refresh",
+    // round-16 gates. q_ksql_fk_join — the dialect FK table-table join:
+    // both snapshots are one key-shuffle max_by reductions, the dim
+    // side broadcasts, so cost tracks |events|. q_mv_pull_window_range
+    // — the WINDOWSTART-bounded pull: the range prunes the state scan
+    // to |matching panes| and the delta scan to the range∩delta rows,
+    // so its wall should track the MATCHING fraction, not the corpus.
+    "q_ksql_fk_join", "q_mv_pull_window_range")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

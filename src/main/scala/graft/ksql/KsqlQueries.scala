@@ -535,6 +535,7 @@ object KsqlQueries {
       "q_avro_registry" -> ((s, d) => { avroRegistryDir(s, d); () }),
       "q_mv_ddl" -> ((s, d) => { mvDdlDir(s, d); () }),
       "q_mv_ddl_window" -> ((s, d) => { mvDdlWindowDir(s, d); () }),
+      "q_mv_pull_window_range" -> ((s, d) => { mvDdlWindowDir(s, d); () }),
       "q_mv_ddl_refresh" -> ((s, d) => { mvRefreshDir(s, d); () }),
       "q_mv_ddl_refresh_delete" -> ((s, d) => { mvRefreshDelDir(s, d); () }),
       "q_mv_ddl_session" -> ((s, d) => { mvDdlSessionDir(s, d); () }),
@@ -897,6 +898,33 @@ object KsqlQueries {
         |  (epoch_ms(ts) // 7200000) * 7200000 AS windowstart,
         |  (epoch_ms(ts) // 7200000) * 7200000 + 7200000 AS windowend
         |FROM events GROUP BY 1, 4, 5""".stripMargin),
+
+    // WINDOWSTART-bounded windowed pull (round 16): ksqlDB's canonical
+    // windowed pull `SELECT * FROM v WHERE WINDOWSTART >= x AND
+    // WINDOWSTART < y` — the bounds become a PANE-RANGE pull predicate
+    // pushed into BOTH branches of the pane repair (state scan filtered
+    // on the stored pane struct; the delta branch's range pushed into
+    // the raw scan beside the delta predicate — WindowPullRangeSpec
+    // pins the plan). The oracle re-windows events in DuckDB and
+    // applies the same range.
+    "q_mv_pull_window_range" -> Q(
+      (s, d) => {
+        mvDdlWindowDir(s, d)
+        val (_, Some(df)) = Translator.run(s, Map.empty,
+          s"""SELECT * FROM ${mvDdlWindowName(d)}
+             |WHERE WINDOWSTART >= 1704672000000
+             |  AND WINDOWSTART < 1704844800000""".stripMargin): @unchecked
+        df
+      },
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  (epoch_ms(ts) // 7200000) * 7200000 AS windowstart,
+        |  (epoch_ms(ts) // 7200000) * 7200000 + 7200000 AS windowend
+        |FROM events
+        |WHERE (epoch_ms(ts) // 7200000) * 7200000 >= 1704672000000
+        |  AND (epoch_ms(ts) // 7200000) * 7200000 < 1704844800000
+        |GROUP BY 1, 4, 5""".stripMargin),
 
     // the WINDOWED dialect materialized view (round 13): CREATE
     // MATERIALIZED VIEW ... WINDOW TUMBLING (SIZE 2 HOURS) through the

@@ -1189,19 +1189,7 @@ object Translator {
             "the state store by string-encoded parts; use string or " +
             "integral keys")
     }
-    // the seeded continuation runs on transformWithState, which needs a
-    // multi-column-family store — RocksDB is the in-tree one. The conf
-    // is read at query START, so bind time is the right moment; an
-    // operator's EXPLICIT non-HDFS provider choice is respected
-    // (HDFSBacked cannot run this operator at all, so unset-or-
-    // HDFSBacked both switch; get(key, "") yields the USER-SET value
-    // only, never the registered HDFSBacked default).
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val currentProvider = spark.conf.get(providerKey, "")
-    if (currentProvider.isEmpty ||
-      currentProvider.contains("HDFSBackedStateStoreProvider"))
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ensureStatefulStoreProvider(spark)
     val folded = graft.streaming.StreamingIncremental.seededViewAggregate(
       delta, seed, keyNames, keyExprs, v.liveContribs,
       v.mergeAgg.map(_._2))
@@ -1215,6 +1203,23 @@ object Translator {
       case None => folded
     }
     Source(out, live.timeColumn)
+  }
+
+  /** The seeded push continuations run on transformWithState, which
+    * needs a multi-column-family store — RocksDB is the in-tree one.
+    * The conf is read at query START, so bind time is the right moment;
+    * an operator's EXPLICIT non-HDFS provider choice is respected
+    * (HDFSBacked cannot run these operators at all, so unset-or-
+    * HDFSBacked both switch; get(key, "") yields the USER-SET value
+    * only, never the registered HDFSBacked default). ONE shared helper:
+    * the flat and session push paths must not drift (round-16 ADVICE —
+    * the session copy had re-grown its own mutation). */
+  private def ensureStatefulStoreProvider(spark: SparkSession): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val current = spark.conf.get(providerKey, "")
+    if (current.isEmpty || current.contains("HDFSBackedStateStoreProvider"))
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
   }
 
   /** The PUSH form of a SESSION view (EMIT CHANGES over its LIVE
@@ -1243,7 +1248,8 @@ object Translator {
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.ByteType)
-    val stateSchema = spark.read.parquet(v.stateDir).schema
+    val stateSchema =
+      graft.plans.MaterializedViews.stateSchemaOf(spark, v.stateDir)
     v.mergeAgg.map(_._1).foreach { n =>
       val dt = stateSchema(n).dataType
       if (!integral.contains(dt)) throw new IllegalArgumentException(
@@ -1258,12 +1264,7 @@ object Translator {
             "the state store by string-encoded parts; use string or " +
             "integral keys")
     }
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val currentProvider = spark.conf.get(providerKey, "")
-    if (currentProvider.isEmpty ||
-      currentProvider.contains("HDFSBackedStateStoreProvider"))
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ensureStatefulStoreProvider(spark)
     val seed = graft.plans.MaterializedViews
       .sessionServeIntervals(spark, v)
     val tsExpr = unix_millis(col(live.timeColumn).cast("timestamp"))

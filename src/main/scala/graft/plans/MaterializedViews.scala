@@ -5,8 +5,8 @@ import java.util.Locale
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression, SessionWindow}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression, SessionWindow, UnixMillis}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
@@ -193,6 +193,15 @@ object MaterializedViews {
     }
   }
   private val schemaCache = TrieMap.empty[String, StructType]
+
+  /** The cached schema of a state artifact (one footer read per dir per
+    * JVM — every serving/refresh path shares this; callers outside the
+    * registry — the dialect's push bind, e.g. — go through it too
+    * rather than paying a fresh parquet schema inference). */
+  private[graft] def stateSchemaOf(spark: SparkSession,
+      stateDir: String): StructType =
+    schemaCache.getOrElseUpdate(stateDir,
+      spark.read.parquet(stateDir).schema)
   // rewrite EVENTS per view (each optimization that substituted this
   // view's serving plan — an explain and an execution both count, like
   // any optimizer-level counter). Exposed via the REST /metrics
@@ -663,6 +672,31 @@ object MaterializedViews {
     * the implication contract newPred ⊆ oldPred (the cutoff only
     * advances) and the write-once discipline of `newStateDir`.
     */
+  /** Refuse a cutoff that re-covers retracted ground (round-16 ADVICE):
+    * rows removed by ANY earlier DELETED refresh must stay outside the
+    * new delta — the serving delta branch rescans raw base WHERE
+    * newPred per query (resurrecting them immediately), and the NEXT
+    * cutoff fold's `oldPred ∧ ¬newerPred` would move them into state
+    * permanently. Checked on EVERY refresh flavor against the full
+    * composed tombstone history (`deletedSoFar`), with this statement's
+    * own delete predicate folded into the same bounded probe.
+    * (`repin` — the command-log replay half — carries no SparkSession
+    * and replays only statements whose folding server passed this very
+    * guard, so it re-pins unchecked by design.) */
+  private def requireCutoffClearOfDeletes(spark: SparkSession, v: MvView,
+      newDeltaPred: Column, extraDeleted: Option[Column],
+      name: String): Unit =
+    (v.deletedSoFar.toSeq ++ extraDeleted.toSeq).reduceOption(_ || _)
+      .foreach { d =>
+        if (!v.base(spark).filter(newDeltaPred && d).isEmpty)
+          throw new IllegalArgumentException(s"mv $name: the NEW delta " +
+            "predicate re-covers retracted rows — the serving delta " +
+            "branch rescans base WHERE newPred per query and the next " +
+            "cutoff fold would bake them into state, resurrecting " +
+            "deleted rows; advance the cutoff past every folded " +
+            "retraction")
+      }
+
   def refresh(spark: SparkSession, name: String, newDeltaPred: Column,
               newStateDir: String): Unit = {
     val v = views.getOrElse(name,
@@ -675,6 +709,7 @@ object MaterializedViews {
     // post-refresh delta
     requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
       name)
+    requireCutoffClearOfDeletes(spark, v, newDeltaPred, None, name)
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
     val movedRows = v.base(spark)
@@ -1101,10 +1136,8 @@ object MaterializedViews {
       name)
     requireTotalPredicate(spark, v.base, deletePred, "delete predicate",
       name)
-    if (!v.base(spark).filter(newDeltaPred && deletePred).isEmpty)
-      fail("deletes still inside the NEW delta — the serving delta " +
-        "branch rescans base WHERE newPred per query and would " +
-        "resurrect them; advance the cutoff past the retractions")
+    requireCutoffClearOfDeletes(spark, v, newDeltaPred, Some(deletePred),
+      name)
     val keyNames = v.groupNames
     val gap = v.sessionGap.get
     val tc = v.sessionTimeCol.get
@@ -1164,6 +1197,7 @@ object MaterializedViews {
     require(v.sessionGap.isDefined, s"mv $name is not a session view")
     requireTotalPredicate(spark, v.base, newDeltaPred, "refresh predicate",
       name)
+    requireCutoffClearOfDeletes(spark, v, newDeltaPred, None, name)
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
     val state = spark.read.schema(stateSchema).parquet(v.stateDir)
@@ -1235,12 +1269,10 @@ object MaterializedViews {
     requireTotalPredicate(spark, v.base, deletePred, "delete predicate",
       name)
     val base = v.base(spark)
-    // a delete inside the new delta would be re-read by every served
-    // query — bounded probe (limit-1 semantics via isEmpty)
-    if (!base.filter(newDeltaPred && deletePred).isEmpty)
-      fail("deletePred must not overlap the NEW delta predicate — the " +
-        "serving delta branch rescans it per query and would resurrect " +
-        "the deleted rows; advance the cutoff past the retractions")
+    // bounded probe (limit-1 semantics via isEmpty) over the COMPOSED
+    // tombstone history + this statement's deletes
+    requireCutoffClearOfDeletes(spark, v, newDeltaPred, Some(deletePred),
+      name)
     v.distinctOf.foreach { x =>
       // the multiplicity-carrying pair-set retraction: counts subtract
       // EXACTLY, so the whole refresh is one union of three per-pair
@@ -1450,17 +1482,26 @@ object MaterializedViews {
     * state artifact was built under it.
     */
   private def servingPlan(spark: SparkSession, v: MvView,
-                          extraCond: Option[Expression]): LogicalPlan = {
+                          extraCond: Option[Expression],
+                          windowCond: Option[Expression] = None): LogicalPlan = {
     val condCol = extraCond.map { c =>
       ColumnBridge.column(c.transformUp {
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
     }
+    // WINDOWSTART/WINDOWEND pull bounds (already rebuilt over the pane
+    // struct by name — rewriteWindowBound): the state scan filters
+    // directly on its stored pane column; the delta side applies ABOVE
+    // the delta pre-aggregate, where the pane struct exists by name, and
+    // Catalyst pushes it through the aggregate into the raw scan (the
+    // pane derivation is the grouping key, so the predicate commutes)
+    val winCol = windowCond.map(ColumnBridge.column)
     val stateSchema = schemaCache.getOrElseUpdate(v.stateDir,
       spark.read.parquet(v.stateDir).schema)
     var state = spark.read.schema(stateSchema).parquet(v.stateDir)
     var delta = v.base(spark).filter(v.deltaPred)
     condCol.foreach { c => state = state.filter(c); delta = delta.filter(c) }
+    winCol.foreach { c => state = state.filter(c) }
     val analyzed = (v.distinctOf match {
       case Some(x) =>
         // pair-set serving: distinct(state-pairs ∪ distinct(Δ-pairs)) —
@@ -1478,8 +1519,9 @@ object MaterializedViews {
           .groupBy(v.groupNames.map(col): _*)
           .agg(count(col("__dv")).as(outName))
       case None =>
-        val deltaPart = delta.groupBy(v.groupCols: _*)
+        var deltaPart = delta.groupBy(v.groupCols: _*)
           .agg(v.aggCols.head, v.aggCols.tail: _*)
+        winCol.foreach { c => deltaPart = deltaPart.filter(c) }
         val merges = mergeCols(v)
         state.unionByName(deltaPart)
           .groupBy(v.groupNames.map(col): _*)
@@ -1977,6 +2019,73 @@ object MaterializedViews {
     if (complete && typeOk) Some(replaced) else None
   }
 
+  /** For a TUMBLING-windowed view: (pane column name, norm of the
+    * pane-start expression over the base, norm of pane-end). Derived
+    * from the definition's own analyzed+optimized aggregate — the
+    * optimizer collapses the TimeWindowing projects exactly the way it
+    * collapses them under a user aggregate before pushing a WINDOWSTART
+    * filter below it, so the two renderings compare equal. Hopping
+    * panes plan through an Expand (no single struct-alias project) and
+    * are not derivable this way — a hopping view just refuses the bound
+    * and the query falls back to the correct full recompute. Cache key
+    * includes the state dir: registries re-register names across spec
+    * runs. */
+  private val winNormCache =
+    TrieMap.empty[String, Option[(String, String, String)]]
+  private def windowKeyNorms(spark: SparkSession, v: MvView)
+    : Option[(String, String, String)] =
+    winNormCache.getOrElseUpdate(v.name + "|" + v.stateDir, try {
+      // ANALYZED plan + the unwrap inliner, NOT the session optimizer:
+      // optimizing the definition here would re-enter this very rule on
+      // the definition's own aggregate (exact match → servingPlan →
+      // optimize → …). TimeWindowing is an analyzer rule, so the
+      // analyzed struct already carries the same pane arithmetic the
+      // optimizer pushes below a user aggregate; inline maps it onto
+      // base attributes exactly like the user side's unwrap did.
+      val def0 = v.base(spark).groupBy(v.groupCols: _*)
+        .agg(v.aggCols.head, v.aggCols.tail: _*)
+      val analyzed = def0.queryExecution.analyzed
+      val out = for {
+        a <- analyzed.collectFirst { case a: Aggregate => a }
+        winAttr <- a.groupingExpressions.collectFirst {
+          case attr: AttributeReference if (attr.dataType match {
+            case st: StructType =>
+              st.fieldNames.sameElements(Array("start", "end"))
+            case _ => false
+          }) => attr
+        }
+        (_, inline, _, _) <- unwrap(a.child)
+        struct <- Some(inline(winAttr)).collect {
+          case cns: CreateNamedStruct => cns }
+        sN <- norm(struct.valExprs.head)
+        eN <- norm(struct.valExprs(1))
+      } yield (winAttr.name, sN, eN)
+      out
+    } catch { case scala.util.control.NonFatal(_) => None })
+
+  /** Rebuild a pushed-down WINDOWSTART/WINDOWEND conjunct over the
+    * serving plan's pane struct: every `unix_millis(<pane start/end
+    * derivation over the time column>)` subtree becomes
+    * `unix_millis(<pane col>.start|end)` by name; a conjunct with any
+    * OTHER base reference left over is not a pure window bound and
+    * refuses (None → the whole rewrite refuses, the query stays a
+    * correct full recompute). */
+  private def rewriteWindowBound(c: Expression, winName: String,
+      startNorm: String, endNorm: String): Option[Expression] = {
+    def pane(field: String): Expression = UnixMillis(UnresolvedExtractValue(
+      UnresolvedAttribute.quoted(winName), Literal(field)))
+    val out = c.transformUp {
+      case u: UnixMillis => norm(u.child) match {
+        case Some(n) if n == startNorm => pane("start")
+        case Some(n) if n == endNorm => pane("end")
+        case _ => u
+      }
+    }
+    if (out.exists { case _: AttributeReference => true; case _ => false })
+      None
+    else Some(out)
+  }
+
   private def rewriteWith(v: MvView, agg: Aggregate,
                           inline: Expression => Expression,
                           condOpt: Option[Expression]): Option[LogicalPlan] = {
@@ -2004,16 +2113,34 @@ object MaterializedViews {
       case (_, k) => v.defCondKeys.contains(k)
     }
     if (defMatched.map(_._2).toSet != v.defCondKeys) return None
-    val extraOk = extra.forall { case (c, _) =>
+    // extras split two ways: plain group-column conjuncts (the classic
+    // pull predicate, pushed into both RAW branches by name) and
+    // WINDOWSTART/WINDOWEND bounds (round 16 — the ksqlDB windowed-pull
+    // idiom `WHERE WINDOWSTART >= x AND WINDOWSTART < y`, which the
+    // optimizer pushes below the user aggregate as unix_millis over the
+    // pane-start derivation). Window bounds become a PANE-RANGE pull
+    // predicate: filtered on the stored pane struct in the state branch
+    // and above the delta pre-aggregate (→ pushed into the raw delta
+    // scan). Anything neither plain nor a window bound refuses.
+    val (plainExtra, windowExtra) = extra.partition { case (c, _) =>
       c.references.forall(a =>
         v.plainGroupNames.contains(a.name.toLowerCase(Locale.ROOT)))
     }
-    if (!extraOk) return None
-    val extraCond = extra.map(_._1).reduceOption(And)
+    if (windowExtra.nonEmpty && v.distinctOf.isDefined) return None
+    val extraCond = plainExtra.map(_._1).reduceOption(And)
 
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .flatMap { spark =>
-        val rep = servingPlan(spark, v, extraCond)
+        val windowCond: Option[Option[Expression]] =
+          if (windowExtra.isEmpty) Some(None)
+          else windowKeyNorms(spark, v).flatMap { case (wn, sN, eN) =>
+            val rs = windowExtra.map { case (c, _) =>
+              rewriteWindowBound(c, wn, sN, eN) }
+            if (rs.forall(_.isDefined)) Some(rs.flatten.reduceOption(And))
+            else None
+          }
+        windowCond.flatMap { winCond =>
+        val rep = servingPlan(spark, v, extraCond, winCond)
         val mapped: Seq[Option[NamedExpression]] =
           agg.aggregateExpressions.map { ne =>
             val inner = ne match { case Alias(c, _) => c; case e => e }
@@ -2027,6 +2154,7 @@ object MaterializedViews {
         // rule because its child unwraps to an Aggregate, not a relation
         else if (global) Some(Aggregate(Nil, mapped.flatten, rep))
         else Some(Project(mapped.flatten, rep))
+        }
       }
   }
 }

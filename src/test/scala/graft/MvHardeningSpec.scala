@@ -355,6 +355,50 @@ class MvHardeningSpec extends SparkSpec {
     } finally { MaterializedViews.drop("mv_del2"); () }
   }
 
+  test("a cutoff that RE-COVERS retracted ground refuses on every " +
+    "refresh flavor — the serving delta branch would resurrect the " +
+    "deleted rows (round-16 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = freshDir("mv_recover")
+    Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 70L), (1L, 4L, 30L))
+      .toDF("g", "id", "v")
+      .write.mode("overwrite").parquet(s"$root/t.parquet")
+    val base = spark.read.parquet(s"$root/t.parquet")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      max(col("v")).as("m"))
+    base.filter(!(col("id") >= 3L)).groupBy(col("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$root/state")
+    MaterializedViews.register(spark, "mv_recover", _ => base,
+      stateDir = s"$root/state", deltaPred = col("id") >= 3L,
+      groupCols = Seq(col("g")), aggCols = aggs)
+    try {
+      // fold 1: retract id=2 from the state region, cutoff unchanged
+      MaterializedViews.refreshWithDeletes(spark, "mv_recover",
+        col("id") >= 3L, col("id") === 2L, s"$root/state2")
+      // a cutoff-only refresh whose NEW delta re-covers id=2 refuses:
+      // serving would rescan base WHERE id >= 2 and resurrect it
+      val e1 = intercept[IllegalArgumentException] {
+        MaterializedViews.refresh(spark, "mv_recover",
+          col("id") >= 2L, s"$root/state3")
+      }
+      assert(e1.getMessage.contains("re-covers retracted rows"))
+      // ...and so does a second DELETED refresh with the same re-cover
+      val e2 = intercept[IllegalArgumentException] {
+        MaterializedViews.refreshWithDeletes(spark, "mv_recover",
+          col("id") >= 2L, col("id") === 4L, s"$root/state3")
+      }
+      assert(e2.getMessage.contains("re-covers retracted rows"))
+      // a clean cutoff still folds (control): delta shrinks to id >= 4
+      MaterializedViews.refresh(spark, "mv_recover",
+        col("id") >= 4L, s"$root/state4")
+      val row = spark.read.parquet(s"$root/state4").collect().head
+      assert(row.getAs[Long]("n") == 2L && row.getAs[Long]("s") == 170L &&
+        row.getAs[Long]("m") == 100L)
+    } finally { MaterializedViews.drop("mv_recover"); () }
+  }
+
   // --- JOIN views through the CMV DDL (round 15) -----------------------
 
   test("CREATE MATERIALIZED VIEW over an INNER equi-join: the DDL " +

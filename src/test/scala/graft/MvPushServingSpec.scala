@@ -21,6 +21,9 @@ import graft.plans.MaterializedViews
 case class MvPushLiveRow(o_orderstatus: String, o_orderkey: Long)
 /** Windowed live event: (ts, event_type) — the events-table shape. */
 case class MvPushWinRow(ts: java.sql.Timestamp, event_type: String)
+/** Session live event — the session corpus's shape. */
+case class MvPushSessRow(ts: java.sql.Timestamp, user_id: Long,
+                         points: Long)
 
 class MvPushServingSpec extends SparkSpec {
   private type LiveRow = MvPushLiveRow
@@ -321,6 +324,111 @@ class MvPushServingSpec extends SparkSpec {
     } finally {
       srv.stop()
       MaterializedViews.drop("rest_push_mv")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("POST /query-stream over a SESSION view (round-16 verdict #6): " +
+    "chunked emissions carry version-stamped FULL session sets, a " +
+    "bridge event retracts the subsumed sessions in the next emission, " +
+    "and connection teardown stops the continuation") {
+    import spark.implicits._
+    val root = freshDir("mv_push_sess_rest")
+    // state corpus, gap 10 s: user 1 holds session A = [0 s, 2 s]
+    // (points 5, 7) and session B = [20 s, 22 s] (points 1, 2); all
+    // arr = 0 (pure state, empty batch delta)
+    Seq((0L, 1L, 5L, 0L), (2000L, 1L, 7L, 0L),
+      (20000L, 1L, 1L, 0L), (22000L, 1L, 2L, 0L))
+      .toDF("ts_ms", "user_id", "points", "arr")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .select("ts", "user_id", "points", "arr")
+      .write.mode("overwrite").parquet(s"$root/ev.parquet")
+    val mem = MemoryStream[MvPushSessRow](spark)
+    val srv = new graft.ksql.RestServer(spark, Map(
+      "sess_src" -> Translator.Source(
+        spark.read.parquet(s"$root/ev.parquet"), "ts"),
+      "sess_live" -> Translator.Source(mem.toDF(), "ts")),
+      maxRows = 10).start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def ksql(stmt: String): Unit = {
+        val body = JsonMethods.compact(JObject("ksql" -> JString(stmt)))
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(
+              s"http://127.0.0.1:${srv.boundPort}/ksql"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+      }
+      ksql(s"""CREATE MATERIALIZED VIEW rest_sess_mv WITH (
+              |  STATE_DIR='$root/state', DELTA='arr >= 1',
+              |  LIVE='sess_live') AS
+              |SELECT user_id, COUNT(*) AS n, SUM(points) AS sp
+              |FROM sess_src WINDOW SESSION (10 SECONDS)
+              |GROUP BY user_id;""".stripMargin)
+      val activeBefore = spark.streams.active.length
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/query-stream").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setDoOutput(true); conn.setRequestMethod("POST")
+      val body = JsonMethods.compact(JObject(
+        "sql" -> JString("SELECT * FROM rest_sess_mv EMIT CHANGES;"),
+        "maxRows" -> JInt(10)))
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      val header = reader.readLine()
+      assert(header != null && header.contains("\"header\""), header)
+      def nextLine(): String = {
+        var l = reader.readLine()
+        while (l != null && l.trim.isEmpty) l = reader.readLine()
+        assert(l != null, "stream ended unexpectedly")
+        l
+      }
+      // columns: user_id, n, sp, windowstart, windowend, __ver
+      def parseRow(line: String): (Long, Long, Long, Long, Long, Long) = {
+        val JArray(cols) =
+          (JsonMethods.parse(line) \ "row" \ "columns"): @unchecked
+        def l(i: Int) = BigInt(cols(i).values.toString).toLong
+        (l(0), l(1), l(2), l(3), l(4), l(5))
+      }
+      // micro-batch 1: a live event at 30 s EXTENDS session B to
+      // [20 s, 30 s]. The emission is user 1's FULL session set —
+      // session A arrives too, though untouched, under ONE version
+      mem.addData(MvPushSessRow(
+        new java.sql.Timestamp(30000L), 1L, 100L))
+      val e1 = Set(parseRow(nextLine()), parseRow(nextLine()))
+      val ver1 = e1.head._6
+      assert(e1.forall(_._6 == ver1), s"mixed versions in one set: $e1")
+      assert(e1.map(r => (r._1, r._2, r._3, r._4, r._5)) === Set(
+        (1L, 2L, 12L, 0L, 12000L),        // session A, untouched
+        (1L, 3L, 103L, 20000L, 40000L)),  // session B extended by 30 s
+        s"got $e1")
+      // micro-batch 2: an event at 12 s touches A (exact-gap boundary
+      // merges) AND reaches B (20 − 12 ≤ gap) — the BRIDGE. The next
+      // emission's full set is ONE merged session; the subsumed pair is
+      // retracted by its absence under the newer version
+      mem.addData(MvPushSessRow(
+        new java.sql.Timestamp(12000L), 1L, 1000L))
+      val e2 = parseRow(nextLine())
+      assert(e2._6 > ver1, s"version did not advance: $e2 vs $ver1")
+      assert((e2._1, e2._2, e2._3, e2._4, e2._5) ===
+        ((1L, 6L, 1115L, 0L, 40000L)), s"got $e2")
+      // teardown: closing the connection stops the continuation query
+      reader.close(); conn.disconnect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.length > activeBefore &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      assert(spark.streams.active.length == activeBefore,
+        "continuation query still running after connection teardown")
+      ksql("DROP MATERIALIZED VIEW rest_sess_mv;")
+    } finally {
+      srv.stop()
+      MaterializedViews.drop("rest_sess_mv")
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }

@@ -172,6 +172,14 @@ object ScaleProbe {
     *     floor, and the floor is corpus-size-independent. */
   private val Flagged = Set("q_ann_pq", "q_dq_checks")
 
+  /** Documented-baseline entries (round 16): deliberately exhaustive
+    * A/B references whose exponent tracks the corpus BY CONSTRUCTION —
+    * q_ann_pq is the compressed-exhaustive half of the PQ A/B (the
+    * production search path is the cell-pruned q_ann_ivfpq). They stay
+    * in the probe for the record but are EXCLUDED from the ≤2.5×
+    * contract; their regression alarm is ratio ≫ factor. */
+  private[graft] val Baselines = Set("q_ann_pq")
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_scaleprobe")

@@ -456,11 +456,14 @@ object Parser {
         depth -= 1
       }
       // the deref arrow glues tight on both sides (s->f), matching the
-      // rewriter's tight-form structDeref rule
-      val glue = !t.isString && t.text == "->"
+      // rewriter's tight-form structDeref rule; dots glue too, so
+      // qualified names ("e.col") and decimal literals render tight
+      val glue = !t.isString && (t.text == "->" || t.text == ".")
       if (glue && sb.nonEmpty && sb.last == ' ') sb.deleteCharAt(sb.length - 1)
-      if (sb.nonEmpty && !glue && !(sb.nonEmpty && sb.last == '>'
-          && sb.length >= 2 && sb.charAt(sb.length - 2) == '-')) sb.append(' ')
+      val afterGlue = sb.nonEmpty && (sb.last == '.' ||
+        (sb.last == '>' && sb.length >= 2 &&
+          sb.charAt(sb.length - 2) == '-'))
+      if (sb.nonEmpty && !glue && !afterGlue) sb.append(' ')
       if (t.isString) sb.append('\'').append(t.text.replace("'", "''")).append('\'')
       else sb.append(t.text)
     }
@@ -521,9 +524,14 @@ object Parser {
             } else { val d = parseDuration(p); (d, d) }
           } else None
           p.expect("ON")
-          val l = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
+          // ksqlDB 0.14+ join conditions are a single equality whose
+          // sides may be EXPRESSIONS (ON a % 2 = abs(b)) — scan each
+          // side as an expression: left to the top-level '=', right to
+          // the next clause keyword. Table-side joins still validate
+          // down to the PRIMARY KEY column in the translator.
+          val l = exprUntil(p, Set("="))
           p.expect("=")
-          val r = p.next().text + (if (p.peekUp == ".") { p.next(); "." + p.next().text } else "")
+          val r = exprUntil(p, selectStops)
           joins += JoinClause(joinType, t, ta, within, l, r)
       }
     }

@@ -55,7 +55,9 @@ object Translator {
     * None. Table joins hit key COLUMNS, not expressions. */
   private def plainColumn(e: String): Option[String] = {
     val m = raw"(?i)^(?:[a-z_][a-z0-9_]*\.)?([a-z_][a-z0-9_]*)$$".r
-    e.trim match { case m(c) => Some(c); case _ => None }
+    // the parser's expression scan spaces its tokens ("e . col") —
+    // identifiers carry no whitespace, so stripping it is lossless here
+    e.replaceAll("\\s", "") match { case m(c) => Some(c); case _ => None }
   }
 
   // KSQL functions that expand to Spark SQL (not simple renames):
@@ -612,8 +614,11 @@ object Translator {
       val c = e.charAt(i)
       if (c == '\'') { in = !in; sb.append(c); i += 1 }
       else if (!in && c == '-' && i + 1 < e.length && e.charAt(i + 1) == '>'
+          // ')' admits deref on a call result — STRUCT(f := v)->f after
+          // constructor expansion; lambdas keep their idiomatic space
           && i > 0 && { val p = e.charAt(i - 1)
-                        p.isLetterOrDigit || p == '_' || p == ']' }
+                        p.isLetterOrDigit || p == '_' || p == ']' ||
+                          p == ')' }
           && i + 2 < e.length && { val n = e.charAt(i + 2)
                                    n.isLetter || n == '_' }) {
         sb.append('.'); i += 2
@@ -917,52 +922,60 @@ object Translator {
             "array(" + s.substring(m.end, i - 1) + ")" + s.substring(i))
       }
     }
-    // MAP(k := v, …): a skip-forward scan (NOT rewriteCall — a
-    // passthrough MAP(..) would re-match the case-insensitive name and
-    // never terminate). Only calls with a top-level := rewrite.
-    var cur = arrays(sql)
-    var from = 0
-    val re = raw"(?i)\bMAP\s*\(".r
-    var go = true
-    while (go) {
-      re.findAllMatchIn(cur).find(m => m.start >= from && {
-        var in = false; var i = 0
-        while (i < m.start) { if (cur.charAt(i) == '\'') in = !in; i += 1 }
-        !in
-      }) match {
-        case None => go = false
-        case Some(m) =>
-          var i = m.end; var depth = 1; var in = false
-          var argStart = m.end
-          val args = Seq.newBuilder[String]
-          while (depth > 0 && i < cur.length) {
-            val c = cur.charAt(i)
-            if (c == '\'') in = !in
-            else if (!in && c == '(') depth += 1
-            else if (!in && c == ')') { depth -= 1
-              if (depth == 0) { args += cur.substring(argStart, i).trim } }
-            else if (!in && c == ',' && depth == 1) {
-              args += cur.substring(argStart, i).trim; argStart = i + 1 }
-            i += 1
-          }
-          if (depth > 0) throw new IllegalArgumentException(
-            s"unbalanced parens in MAP(…): $cur")
-          val as = args.result().filter(_.nonEmpty)
-          if (!as.exists(_.contains(":="))) from = m.end
-          else {
-            val kvs = as.map { a =>
-              val parts = a.split(":=", 2)
-              if (parts.length != 2) throw new IllegalArgumentException(
-                s"MAP entry needs 'key' := value, got: $a")
-              s"${parts(0).trim}, ${parts(1).trim}"
+    // MAP(k := v, …) / STRUCT(f := v, …): a skip-forward scan (NOT
+    // rewriteCall — a passthrough MAP(..) would re-match the
+    // case-insensitive name and never terminate). Only calls with a
+    // top-level := rewrite. STRUCT's field names are bare identifiers
+    // on the KSQL side and string literals in Spark's named_struct.
+    def kvCalls(sql0: String, name: String, out: String,
+                key: String => String): String = {
+      var cur = sql0
+      var from = 0
+      val re = raw"(?i)\b$name\s*\(".r
+      var go = true
+      while (go) {
+        re.findAllMatchIn(cur).find(m => m.start >= from && {
+          var in = false; var i = 0
+          while (i < m.start) { if (cur.charAt(i) == '\'') in = !in; i += 1 }
+          !in
+        }) match {
+          case None => go = false
+          case Some(m) =>
+            var i = m.end; var depth = 1; var in = false
+            var argStart = m.end
+            val args = Seq.newBuilder[String]
+            while (depth > 0 && i < cur.length) {
+              val c = cur.charAt(i)
+              if (c == '\'') in = !in
+              else if (!in && c == '(') depth += 1
+              else if (!in && c == ')') { depth -= 1
+                if (depth == 0) { args += cur.substring(argStart, i).trim } }
+              else if (!in && c == ',' && depth == 1) {
+                args += cur.substring(argStart, i).trim; argStart = i + 1 }
+              i += 1
             }
-            cur = cur.substring(0, m.start) + "map(" + kvs.mkString(", ") +
-              ")" + cur.substring(i)
-            from = m.start + 4
-          }
+            if (depth > 0) throw new IllegalArgumentException(
+              s"unbalanced parens in $name(…): $cur")
+            val as = args.result().filter(_.nonEmpty)
+            if (!as.exists(_.contains(":="))) from = m.end
+            else {
+              val kvs = as.map { a =>
+                val parts = a.split(":=", 2)
+                if (parts.length != 2) throw new IllegalArgumentException(
+                  s"$name entry needs key := value, got: $a")
+                s"${key(parts(0).trim)}, ${parts(1).trim}"
+              }
+              cur = cur.substring(0, m.start) + out + "(" +
+                kvs.mkString(", ") + ")" + cur.substring(i)
+              from = m.start + out.length + 1
+            }
+        }
       }
+      cur
     }
-    cur
+    val withMaps = kvCalls(arrays(sql), "MAP", "map", identity)
+    kvCalls(withMaps, "STRUCT", "named_struct",
+      f => if (f.startsWith("'")) f else s"'${f.replace("'", "''")}'")
   }
 
   /** 1-arg LATEST_BY_OFFSET / EARLIEST_BY_OFFSET — KSQL's offset-implicit
@@ -1004,15 +1017,132 @@ object Translator {
   }
 
   /** Rewrite KSQL function names to Spark SQL equivalents. */
+  /** ksqlDB subscript semantics (round 16): `arr[i]` is ONE-indexed
+    * (a negative index counts from the end) and a missing array index
+    * or map key yields NULL — exactly Spark's `try_element_at` — while
+    * Spark's own `[ ]` is 0-indexed and errors under ANSI. Runs after
+    * expandConstructors, so every surviving `[` following an
+    * identifier, `)` or `]` is a subscript; each rewrites to
+    * `try_element_at(primary, idx)`, rescanning so chains
+    * (`m['a']['b']`, `split(x, ',')[2]`) nest inside-out. Quote-aware
+    * and whitespace-tolerant (the statement parser spaces its tokens).
+    * The primary walk-back covers identifier/dotted chains and one
+    * balanced call/group; subscripting a bare CASE…END needs parens
+    * (fails loud at Spark's parser, never silently). */
+  private def indexAccess(sql: String): String = {
+    def once(s: String): Option[String] = {
+      val n = s.length
+      val inStr = new Array[Boolean](n)
+      val open = new Array[Int](n)
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var in = false
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '\'') in = !in
+        inStr(i) = in
+        if (!in) {
+          if (c == '(' || c == '[') stack += i
+          else if (c == ')' || c == ']') {
+            if (stack.isEmpty) throw new IllegalArgumentException(
+              s"unbalanced '$c' in: $s")
+            open(i) = stack.remove(stack.size - 1)
+          }
+        }
+        i += 1
+      }
+      def prevNonSpace(k: Int): Int = {
+        var j = k
+        while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+        j
+      }
+      // first subscript '[': preceded (over spaces) by an identifier
+      // char, ')' or ']'
+      var found = -1
+      i = 0
+      while (found < 0 && i < n) {
+        if (s.charAt(i) == '[' && !inStr(i)) {
+          val j = prevNonSpace(i - 1)
+          if (j >= 0 && !inStr(j)) {
+            val p = s.charAt(j)
+            if (p.isLetterOrDigit || p == '_' || p == ')' || p == ']')
+              found = i
+          }
+        }
+        i += 1
+      }
+      if (found < 0) return None
+      // matching ']'
+      var depth = 0; var k = found; var close = -1
+      while (close < 0 && k < n) {
+        if (!inStr(k)) {
+          val c = s.charAt(k)
+          if (c == '[' || c == '(') depth += 1
+          else if (c == ']' || c == ')') { depth -= 1
+            if (depth == 0) close = k }
+        }
+        k += 1
+      }
+      if (close < 0) throw new IllegalArgumentException(
+        s"unbalanced subscript in: $s")
+      // primary start: identifier/dotted chain, jumping over ONE
+      // balanced () / [] group per hop (call args, a chained subscript,
+      // or a parenthesized group)
+      var start = prevNonSpace(found - 1)
+      var scanning = true
+      while (scanning && start >= 0) {
+        val p = s.charAt(start)
+        if (!inStr(start) && (p == ')' || p == ']')) {
+          start = open(start) - 1
+          // a call's name (or a chained primary) may precede the group
+          val j = prevNonSpace(start)
+          if (j >= 0 && !inStr(j) && { val q = s.charAt(j)
+            q.isLetterOrDigit || q == '_' || q == ']' || q == ')' })
+            start = j
+          else scanning = false
+        } else if (p.isLetterOrDigit || p == '_') {
+          while (start >= 0 && { val q = s.charAt(start)
+            q.isLetterOrDigit || q == '_' }) start -= 1
+          // continue only through a (possibly spaced) dot
+          val j = prevNonSpace(start)
+          if (j >= 0 && !inStr(j) && s.charAt(j) == '.') {
+            start = prevNonSpace(j - 1)
+          } else scanning = false
+        } else scanning = false
+      }
+      val pStart = {
+        // start sits one before the primary (or at -1); re-trim spaces
+        var b = start + 1
+        while (b < found && s.charAt(b).isWhitespace) b += 1
+        b
+      }
+      val primary = s.substring(pStart, prevNonSpace(found - 1) + 1)
+      val idx = s.substring(found + 1, close).trim
+      Some(s.substring(0, pStart) + "try_element_at(" + primary + ", " +
+        idx + ")" + s.substring(close + 1))
+    }
+    var cur = sql
+    var more = true
+    while (more) once(cur) match {
+      case Some(next) => cur = next
+      case None => more = false
+    }
+    cur
+  }
+
   def rewriteExpr(e: String): String = {
     // expandConstructors BEFORE expandLambdas: rewriteCall's arg scan
     // tracks parens and quotes but not square brackets, so a TRANSFORM
     // over an ARRAY[1, 2] literal would mis-split at the bracketed
     // commas — once constructors have become array(1, 2) the commas sit
-    // at depth 2 and split correctly
+    // at depth 2 and split correctly. indexAccess right after: the only
+    // brackets left are subscripts, and rewriting them to
+    // try_element_at removes brackets from every later expansion's
+    // scan entirely.
     val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
       expandTopK(expandHistogram(expandMask(expandJsonDatetime(expandArrayJson(
-        expandLambdas(expandConstructors(lambdaArrows(structDeref(e))))))))))))))
+        expandLambdas(indexAccess(expandConstructors(
+          lambdaArrows(structDeref(e)))))))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)
@@ -1600,7 +1730,10 @@ object Translator {
         val rest = withPseudo.columns.filterNot(c => lead.exists(_.equalsIgnoreCase(c)))
         withPseudo.select((lead ++ rest).map(col): _*)
       }
-    var df = s.fromAlias.fold(starOrdered)(a => starOrdered.alias(a))
+    // FROM x ≡ FROM x AS x: alias unconditionally so qualified
+    // references — the WITHIN bound's own time columns included —
+    // resolve without a user-written alias
+    var df = starOrdered.alias(s.fromAlias.getOrElse(s.from))
 
     s.joins.foreach { j =>
       val right0 = catalog.getOrElse(j.table.toLowerCase,
@@ -1643,7 +1776,7 @@ object Translator {
         if (right.df.isStreaming && j.withinMs.isDefined)
           right.df.withWatermark(right.timeColumn, right.watermark)
         else right.df
-      val rdf = j.alias.fold(rbase)(a => rbase.alias(a))
+      val rdf = rbase.alias(j.alias.getOrElse(j.table))
       val cond0 = expr(s"${rewriteExpr(j.onLeft)} = ${rewriteExpr(j.onRight)}")
       // KSQL WITHIN is symmetric (|lt - rt| <= d); WITHIN (b, a) bounds
       // the right event to [lt - b, lt + a]. Both directions bounded →
@@ -1832,7 +1965,26 @@ object Translator {
         df.select(cols: _*)
       }
 
-    val withHaving = s.having.fold(projected)(h => projected.filter(expr(rewriteExpr(h))))
+    // HAVING may repeat an aggregate from the SELECT list verbatim (the
+    // ksqlDB idiom: `HAVING COUNT(*) > 1`) — the projected frame
+    // carries only the ALIASED outputs, so each aliased non-identifier
+    // select expression's rewritten text substitutes to its alias
+    // before parsing (the mirror of the GROUP BY alias substitution;
+    // whole-token match so a column named like a prefix can't corrupt)
+    val withHaving = s.having.fold(projected) { h =>
+      val identRe = raw"[A-Za-z_][A-Za-z0-9_]*".r.pattern
+      val rewritten = s.columns.foldLeft(rewriteExpr(h)) {
+        case (acc, (e, Some(a))) =>
+          val t = rewriteExpr(e)
+          if (t.isEmpty || identRe.matcher(t).matches()) acc
+          else java.util.regex.Pattern.compile(
+            "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(t) +
+              "(?![A-Za-z0-9_])").matcher(acc)
+            .replaceAll(java.util.regex.Matcher.quoteReplacement(a))
+        case (acc, _) => acc
+      }
+      projected.filter(expr(rewritten))
+    }
     val keyed = s.partitionBy.fold(withHaving)(k => withHaving.repartition(col(k)))
     // ORDER BY + LIMIT (KSQL pull-query tail): Catalyst plans the pair
     // as TakeOrderedAndProject — a per-partition top-k then a k-row

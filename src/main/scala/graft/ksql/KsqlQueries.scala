@@ -899,6 +899,42 @@ object KsqlQueries {
         |  (epoch_ms(ts) // 7200000) * 7200000 + 7200000 AS windowend
         |FROM events GROUP BY 1, 4, 5""".stripMargin),
 
+    // LEFT flavor of the FK table-table join (ksqlDB 0.19 ships INNER
+    // and LEFT): a user keyed to a dim value with NO dim row survives
+    // with a NULL right side. The fk here maps user_id % 31 onto 25
+    // nations, so ids with fk in [25, 30] are genuinely unmatched and
+    // the LEFT/INNER difference is exercised, not vacuous. Streaming
+    // form: the same statement over live changelogs routes to the
+    // subscription store's leftOuter mode (FkTableJoinSpec +
+    // FkDialectSpec drive unmatch/fill/right-delete regimes).
+    "q_ksql_fk_left_join" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog = Map(
+          "events_t" -> Translator.Source(
+            Tables.events(s, d).drop("props"), "event_id",
+            key = Some("user_id"), isTable = true),
+          "nation_t" -> Translator.Source(Tables.nation(s, d),
+            "n_nationkey", key = Some("n_nationkey"), isTable = true))
+        val (_, Some(df)) = Translator.runScript(s, cat,
+          """CREATE TABLE users_fk31 AS
+            |  SELECT user_id, event_id, event_type, user_id % 31 AS nat_fk
+            |  FROM events_t;
+            |CREATE TABLE fk_left_joined AS
+            |  SELECT user_id, event_id AS last_event,
+            |    event_type AS last_type, n_name AS nation_name
+            |  FROM users_fk31 LEFT JOIN nation_t ON nat_fk = n_nationkey;"""
+            .stripMargin): @unchecked
+        df
+      },
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  n_name AS nation_name
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) AS rn
+        |      FROM events) e
+        |LEFT JOIN nation ON user_id % 31 = n_nationkey
+        |WHERE rn = 1""".stripMargin),
+
     // WINDOWSTART-bounded windowed pull (round 16): ksqlDB's canonical
     // windowed pull `SELECT * FROM v WHERE WINDOWSTART >= x AND
     // WINDOWSTART < y` — the bounds become a PANE-RANGE pull predicate

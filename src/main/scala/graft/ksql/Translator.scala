@@ -1529,9 +1529,10 @@ object Translator {
         "chain CREATE TABLE … AS statements")
     val j = s.joins.head
     val right = catalog(j.table.toLowerCase)
-    if (j.joinType != "inner") throw new IllegalArgumentException(
-      s"streaming TABLE-TABLE joins serve INNER — ${j.joinType.toUpperCase} " +
-        "needs unmatched-row emission in the subscription store")
+    if (j.joinType != "inner" && j.joinType != "left")
+      throw new IllegalArgumentException(
+        s"TABLE-TABLE joins are INNER or LEFT (ksqlDB 0.19) — " +
+          s"${j.joinType.toUpperCase} has no subscription-store form")
     if (j.withinMs.isDefined) throw new IllegalArgumentException(
       "WITHIN is a stream-stream interval bound — both sides are TABLEs")
     if (s.where.isDefined || s.having.isDefined)
@@ -1613,7 +1614,7 @@ object Translator {
       to_json(struct(rVals.map(col): _*)).as("r_val"),
       offExpr(right).as("off"))
     val joined = graft.streaming.StreamingJoins
-      .fkTableJoin(lChangelog, rChangelog)
+      .fkTableJoin(lChangelog, rChangelog, j.joinType)
     val data = joined.select(
       col("l_pk").cast(left.df.schema(lKey).dataType).as(lKey),
       col("fk").cast(left.df.schema(fkCol).dataType).as(fkCol),

@@ -35,7 +35,12 @@ object StreamingJoins {
     * upsert half, and the upsert reflects the newer state). */
   private type FkOut = (Long, Long, String, String, Boolean, Long)
 
-  private class FkJoinProcessor
+  /** `leftOuter = false`: INNER — a left row emits only while its key
+    * has a right value; a right delete retracts the subscribers.
+    * `leftOuter = true`: LEFT — a left row ALWAYS emits (null r_val
+    * while unmatched, ksqlDB's LEFT FK join), and a right delete
+    * re-emits the subscribers unmatched instead of retracting them. */
+  private class FkJoinProcessor(leftOuter: Boolean)
     extends StatefulProcessor[Long, FkIn, FkOut] {
     @transient private var right: ValueState[String] = _
     @transient private var lefts: MapState[Long, String] = _
@@ -56,6 +61,8 @@ object StreamingJoins {
           lefts.updateValue(lPk, lVal)
           if (right.exists())
             out += ((lPk, key, lVal, right.get(), false, off))
+          else if (leftOuter)
+            out += ((lPk, key, lVal, null, false, off))
         case (_, 1, lPk, _, _, off) => // left retract (fk move / delete)
           if (lefts.containsKey(lPk)) lefts.removeKey(lPk)
           out += ((lPk, key, null, null, true, off))
@@ -64,10 +71,13 @@ object StreamingJoins {
           lefts.iterator().foreach { case (lPk, lVal) =>
             out += ((lPk, key, lVal, rVal, false, off))
           }
-        case (_, _, _, _, _, off) => // right delete: subscribers unmatch
+        case (_, _, _, _, _, off) => // right delete
           if (right.exists()) right.clear()
-          lefts.iterator().foreach { case (lPk, _) =>
-            out += ((lPk, key, null, null, true, off))
+          lefts.iterator().foreach { case (lPk, lVal) =>
+            // INNER: subscribers unmatch (retract); LEFT: they stay,
+            // re-emitted with a null right side
+            if (leftOuter) out += ((lPk, key, lVal, null, false, off))
+            else out += ((lPk, key, null, null, true, off))
           }
       }
       out.result().iterator
@@ -88,8 +98,15 @@ object StreamingJoins {
     * preferred on ties (see [[FkJoinProcessor]]). Batch equivalence:
     * latest-left ⋈ latest-right on fk = pk — the spec's oracle. */
   def fkTableJoin(leftChangelog: DataFrame,
-                  rightChangelog: DataFrame): DataFrame = {
+                  rightChangelog: DataFrame,
+                  joinType: String = "inner"): DataFrame = {
     import leftChangelog.sparkSession.implicits._
+    val leftOuter = joinType match {
+      case "inner" => false
+      case "left" => true
+      case t => throw new IllegalArgumentException(
+        s"FK TABLE-TABLE joins are INNER or LEFT (ksqlDB 0.19) — got $t")
+    }
     val lc = leftChangelog.select(
       col("l_pk").cast("long"), col("fk").cast("long"),
       col("prev_fk").cast("long"), col("l_val").cast("string"),
@@ -110,11 +127,31 @@ object StreamingJoins {
       col("pk").cast("long").as("key"), lit(2).as("side"),
       lit(-1L).as("l_pk"), lit(null).cast("string").as("l_val"),
       col("r_val").cast("string"), col("off").cast("long"))
-    leftUpserts.unionByName(leftRetracts).unionByName(rightUpdates)
+    val joined = leftUpserts.unionByName(leftRetracts)
+      .unionByName(rightUpdates)
       .as[FkIn]
       .groupByKey(_._1)
-      .transformWithState(new FkJoinProcessor, TimeMode.None(),
+      .transformWithState(new FkJoinProcessor(leftOuter), TimeMode.None(),
         OutputMode.Update(), Encoders.product[FkOut])
       .toDF("l_pk", "fk", "l_val", "r_val", "deleted", "off")
+    if (!leftOuter) joined
+    else {
+      // LEFT keeps alive rows whose fk is NULL: they subscribe nowhere
+      // (no right key can ever match NULL), so they bypass the store
+      // statelessly as unmatched emissions. A later fk move to a real
+      // key emits through the store under the higher offset; a move
+      // back to NULL pairs this emission with the retract at prev_fk
+      // (same offset — the reader's non-deleted-on-ties rule keeps the
+      // unmatched row). A DELETE (null l_val) whose previous fk was a
+      // real key retracts through the store; one whose previous fk was
+      // NULL never subscribed anywhere, so its tombstone emits here
+      // statelessly (deleted = l_val IS NULL).
+      val nullFk = lc.filter(col("fk").isNull &&
+          (col("l_val").isNotNull || col("prev_fk").isNull))
+        .select(col("l_pk"), col("fk"), col("l_val"),
+          lit(null).cast("string").as("r_val"),
+          col("l_val").isNull.as("deleted"), col("off"))
+      joined.unionByName(nullFk)
+    }
   }
 }

@@ -189,9 +189,63 @@ class FkDialectSpec extends SparkSpec {
     }
     refuses("SELECT dept, COUNT(*) AS n FROM users_t GROUP BY dept;",
       "retraction-aware")
-    refuses("SELECT uid FROM users_t LEFT JOIN depts_t " +
-      "ON dept = dept_id;", "INNER")
+    refuses("SELECT uid FROM users_t FULL OUTER JOIN depts_t " +
+      "ON dept = dept_id;", "INNER or LEFT")
     refuses("SELECT uid FROM users_t JOIN depts_t ON dept = dept_id " +
       "WHERE uid > 1;", "retractions")
+  }
+
+  test("streaming LEFT TABLE-TABLE join through the dialect (ksqlDB " +
+    "0.19): unmatched rows emit with a NULL right side, fill on right " +
+    "arrival, unmatch again on right delete semantics") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val lMem = MemoryStream[DlgLeft](spark)
+    val rMem = MemoryStream[DlgRight](spark)
+    val cat: Translator.Catalog = Map(
+      "users_t" -> Source(lMem.toDF(), "off", key = Some("uid"),
+        isTable = true),
+      "depts_t" -> Source(rMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """CREATE TABLE joined_l AS
+        |  SELECT uid, dept, uname, dept_name
+        |  FROM users_t LEFT JOIN depts_t ON dept = dept_id;"""
+        .stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("fk_dlg_left")
+      .outputMode("update").start()
+    try {
+      def latest(): Map[Long, (Option[Long], String, Option[String])] = {
+        import org.apache.spark.sql.expressions.Window
+        spark.table("fk_dlg_left")
+          .withColumn("__rn", row_number().over(Window
+            .partitionBy(col("uid"))
+            .orderBy(col("__off").desc, col("__deleted").asc)))
+          .filter(col("__rn") === 1 && !col("__deleted")).drop("__rn")
+          .collect()
+          .map(r => r.getLong(0) -> ((
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getString(2),
+            Option(r.getString(3))))).toMap
+      }
+      // unmatched left rows emit immediately (null right), a NULL-fk
+      // row included
+      lMem.addData(DlgLeft(1L, 10L, null, "ann", 1),
+        DlgLeft(2L, null, null, "bob", 2))
+      q.processAllAvailable()
+      assert(latest() === Map(
+        1L -> ((Some(10L), "ann", None)),
+        2L -> ((None, "bob", None))))
+      // the right side arrives: ann fills, bob stays unmatched
+      rMem.addData(DlgRight(10L, "eng", 3))
+      q.processAllAvailable()
+      assert(latest() === Map(
+        1L -> ((Some(10L), "ann", Some("eng"))),
+        2L -> ((None, "bob", None))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }

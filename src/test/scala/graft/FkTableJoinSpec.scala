@@ -101,4 +101,72 @@ class FkTableJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  /** LEFT batch oracle: latest-left (non-deleted — l_val null = delete)
+    * LEFT-joined against latest-right; fk may be NULL (alive,
+    * unmatched). */
+  private def oracleLeft(lefts: Seq[FkLeft], rights: Seq[FkRight])
+      : Map[Long, (Option[Long], String, Option[String])] = {
+    val latestL = lefts.groupBy(_.l_pk).view.mapValues(_.maxBy(_.off))
+      .values.filter(_.l_val != null)
+    val latestR = rights.groupBy(_.pk).view.mapValues(_.maxBy(_.off))
+      .values.filter(_.r_val != null).map(r => r.pk -> r.r_val).toMap
+    latestL.map { l =>
+      val fk = Option(l.fk).map(_.longValue())
+      l.l_pk -> ((fk, l.l_val, fk.flatMap(latestR.get)))
+    }.toMap
+  }
+
+  test("LEFT fk table-table join (ksqlDB 0.19): unmatched rows emit " +
+    "with a NULL right side, fill on right arrival, UNMATCH (not " +
+    "retract) on right delete; NULL-fk rows live and die statelessly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val lMem = MemoryStream[FkLeft](spark)
+    val rMem = MemoryStream[FkRight](spark)
+    val out = StreamingJoins.fkTableJoin(lMem.toDF(), rMem.toDF(), "left")
+    val q = out.writeStream.format("memory").queryName("fk_left_out")
+      .outputMode("update").start()
+    try {
+      var allL = Seq.empty[FkLeft]; var allR = Seq.empty[FkRight]
+      def materializeL(): Map[Long, (Option[Long], String, Option[String])] = {
+        import org.apache.spark.sql.expressions.Window
+        spark.table("fk_left_out")
+          .withColumn("__rn", row_number().over(Window
+            .partitionBy(col("l_pk"))
+            .orderBy(col("off").desc, col("deleted").asc)))
+          .filter(col("__rn") === 1 && !col("deleted")).drop("__rn")
+          .collect()
+          .map(r => r.getLong(0) -> ((
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getString(2), Option(r.getString(3))))).toMap
+      }
+      def drive(ls: Seq[FkLeft], rs: Seq[FkRight]): Unit = {
+        if (ls.nonEmpty) lMem.addData(ls: _*)
+        if (rs.nonEmpty) rMem.addData(rs: _*)
+        q.processAllAvailable()
+        allL ++= ls; allR ++= rs
+        val got = materializeL(); val want = oracleLeft(allL, allR)
+        assert(got == want, s"got $got\nwant $want")
+      }
+      // batch 1: no right rows yet — every left row emits unmatched,
+      // the NULL-fk row included
+      drive(Seq(FkLeft(1L, 7L, null, "L1", 1),
+        FkLeft(2L, null, null, "L2", 2)), Nil)
+      // batch 2: right 7 arrives — l_pk 1 fills, 2 stays unmatched
+      drive(Nil, Seq(FkRight(7L, "R7", 3)))
+      // batch 3: right DELETE — l_pk 1 UNMATCHES but survives
+      drive(Nil, Seq(FkRight(7L, null, 4)))
+      assert(materializeL()(1L) == ((Some(7L), "L1", None)))
+      // batch 4: fk move 7→8 (right 8 absent → unmatched at the new
+      // key), and the NULL-fk row DELETES via the stateless tombstone
+      drive(Seq(FkLeft(1L, 8L, 7L, "L1b", 5),
+        FkLeft(2L, null, null, null, 6)), Nil)
+      assert(materializeL() == Map(1L -> ((Some(8L), "L1b", None))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -1634,6 +1634,110 @@ object Translator {
     } ++ Seq(col("__deleted"), col("__off")): _*)
   }
 
+  /** STREAM ⋈ LIVE-TABLE join through the dialect (ksqlDB's
+    * stream-table join with the table still flowing): routed to
+    * StreamingJoins.streamTableJoin — one ValueState per table key,
+    * stream facts join the state AS OF their fold position (a later
+    * table update affects only later facts; nothing retracts), by the
+    * same JSON pack/unpack adapter as the TABLE-TABLE form. INNER
+    * drops unmatched facts, LEFT emits them with a null right side.
+    * WHERE is allowed here (a fact stream carries no retractions to
+    * drop); GROUP BY refuses with the ksqlDB idiom's pointer —
+    * register the enriched stream (CSAS) and aggregate that. */
+  private def streamingStreamTableJoin(spark: SparkSession,
+      catalog: Catalog, s: SelectStmt, left: Source): DataFrame = {
+    if (s.joins.size > 1) throw new IllegalArgumentException(
+      "a live stream-table join serves one join per statement — " +
+        "chain CREATE STREAM … AS statements")
+    val j = s.joins.head
+    val right = catalog(j.table.toLowerCase)
+    if (j.withinMs.isDefined) throw new IllegalArgumentException(
+      s"WITHIN is a stream-stream interval bound — ${j.table} is a TABLE")
+    if (s.groupBy.nonEmpty || s.window.isDefined ||
+        s.groupingMode.isDefined) throw new IllegalArgumentException(
+      "aggregating over a live stream-table join in one statement is " +
+        "not served — CREATE STREAM enriched AS the join, then " +
+        "aggregate the enriched stream (the ksqlDB idiom)")
+    if (s.orderBy.nonEmpty || s.limit.isDefined || s.partitionBy.isDefined)
+      throw new IllegalArgumentException(
+        "ORDER BY / LIMIT / PARTITION BY do not apply to a live join")
+    def actual(df: DataFrame, c: String, what: String): String =
+      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"$what column '$c' not found"))
+    val sKey = plainColumn(j.onLeft).map(actual(left.df, _, "join"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"the stream side of a live stream-table join is a COLUMN — " +
+          s"'${j.onLeft}' is an expression; derive it upstream (CSAS)"))
+    val rKeyDecl = right.key.getOrElse(throw new IllegalArgumentException(
+      s"TABLE ${j.table} needs WITH (KEY='col')"))
+    val rKey = plainColumn(j.onRight).map(actual(right.df, _, "join"))
+      .filter(_.equalsIgnoreCase(rKeyDecl))
+      .getOrElse(throw new IllegalArgumentException(
+        s"joins against TABLE ${j.table} hit its PRIMARY KEY " +
+          s"($rKeyDecl) — ON names '${j.onRight}'"))
+    def integral(df: DataFrame, c: String): Unit =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => ()
+        case t => throw new IllegalArgumentException(
+          s"the table state is keyed BIGINT — '$c' is " +
+            s"${t.simpleString}; CAST upstream")
+      }
+    integral(left.df, sKey); integral(right.df, rKey)
+    def offExpr(src: Source): Column = {
+      val t = actual(src.df, src.timeColumn, "TIMESTAMP")
+      src.df.schema(t).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_millis(col(t))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_millis(col(t).cast("timestamp"))
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => col(t).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"changelog offset column '$t' must be a timestamp or " +
+            s"integer — is ${dt.simpleString}")
+      }
+    }
+    val sVals = left.df.columns.filterNot(_.equalsIgnoreCase(sKey))
+      .toIndexedSeq
+    val rVals = right.df.columns.filterNot(_.equalsIgnoreCase(rKey))
+      .toIndexedSeq
+    val overlap = (sKey +: sVals).map(_.toLowerCase).toSet
+      .intersect(rVals.map(_.toLowerCase).toSet)
+    if (overlap.nonEmpty) throw new IllegalArgumentException(
+      s"both sides carry column(s) ${overlap.mkString(", ")} — alias " +
+        "upstream; the flattened join needs distinct names")
+    val sStruct = org.apache.spark.sql.types.StructType(
+      sVals.map(c => left.df.schema(c)))
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rVals.map(c => right.df.schema(c)))
+    val sRows = left.df.select(
+      col(sKey).cast("long").as("key"),
+      to_json(struct(sVals.map(col): _*)).as("s_val"),
+      offExpr(left).as("off"))
+    val rChangelog = right.df.select(
+      col(rKey).cast("long").as("pk"),
+      to_json(struct(rVals.map(col): _*)).as("r_val"),
+      offExpr(right).as("off"))
+    val joined = graft.streaming.StreamingJoins
+      .streamTableJoin(sRows, rChangelog, j.joinType)
+    val data = joined.select(
+      col("key").cast(left.df.schema(sKey).dataType).as(sKey),
+      from_json(col("s_val"), sStruct).as("__s"),
+      from_json(col("r_val"), rStruct).as("__r"))
+      .select(col(sKey) +:
+        (sVals.map(c => col(s"__s.$c").as(c)) ++
+          rVals.map(c => col(s"__r.$c").as(c))): _*)
+    val filtered = s.where.fold(data)(w => data.filter(expr(rewriteExpr(w))))
+    if (s.columns.forall(_._1.trim == "*")) filtered
+    else filtered.select(s.columns.map { case (e, a) =>
+      val c = expr(rewriteExpr(e)); a.fold(c)(c.as)
+    }: _*)
+  }
+
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
     // derived table (FROM (SELECT ...)) recurses; a named FROM resolves
     // through the catalog
@@ -1677,6 +1781,13 @@ object Translator {
             r.isTable && r.df.isStreaming)))
         return streamingTableJoin(spark, catalog, s, src0)
     }
+    // STREAM ⋈ LIVE TABLE (round 16): a streaming non-table source
+    // joining one live table changelog routes to the keyed-lookup
+    // store — facts join state as of their position, nothing retracts
+    if (!src0.isTable && src0.df.isStreaming && s.joins.size == 1 &&
+        catalog.get(s.joins.head.table.toLowerCase).exists(r =>
+          r.isTable && r.df.isStreaming))
+      return streamingStreamTableJoin(spark, catalog, s, src0)
     val src = tableSnapshot(src0)
     // streaming sources get a watermark so windowed aggs / WITHIN joins
     // keep bounded state; batch frames pass through untouched. GRACE
@@ -1752,16 +1863,19 @@ object Translator {
         throw new IllegalArgumentException(
           s"WITHIN is a stream-stream interval bound — ${j.table} is a " +
             "TABLE (its snapshot has no event-time spread to bound)")
-      // a LIVE right-side changelog needs the streaming subscription
-      // store, which serves the both-sides-live TABLE⋈TABLE form (the
-      // intercept above); any other live-table mix is refused with the
-      // pointer rather than silently joined with stream semantics
+      // a LIVE right-side changelog joins through the keyed stores,
+      // which serve the single-join forms (the intercepts above:
+      // live STREAM ⋈ live TABLE, live TABLE ⋈ live TABLE); what
+      // remains here — a batch left side, or a multi-join chain — is
+      // refused with the pointer rather than silently joined with
+      // stream semantics
       if (right0.isTable && right0.df.isStreaming)
         throw new IllegalArgumentException(
           s"a LIVE TABLE changelog (${j.table}) joins through the " +
-            "streaming subscription store, which serves TABLE JOIN " +
-            "TABLE with both sides live — bind it as a batch snapshot " +
-            "here, or make both sides live TABLEs")
+            "streaming keyed stores, which serve ONE live join per " +
+            "statement (STREAM JOIN TABLE, TABLE JOIN TABLE) — chain " +
+            "CREATE STREAM/TABLE … AS statements, or bind the table " +
+            "as a batch snapshot here")
       // joins against a TABLE hit its PRIMARY KEY (ksqlDB: the table
       // side of any join is looked up by key; the FK form is the LEFT
       // column being free). CTAS tables whose key could not be derived

@@ -84,6 +84,82 @@ object StreamingJoins {
     }
   }
 
+  /** Stream-row or table-changelog record for the STREAM⋈TABLE join:
+    * (key, side 0=stream/1=table, s_val, r_val, off). */
+  private type StIn = (Long, Int, String, String, Long)
+  /** Output FACT: (key, s_val, r_val, off) — append semantics, never
+    * retracted. */
+  private type StOut = (Long, String, String, Long)
+
+  private class StreamTableJoinProcessor(leftOuter: Boolean)
+    extends StatefulProcessor[Long, StIn, StOut] {
+    @transient private var right: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      right = getHandle.getValueState[String]("right",
+        Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[StIn],
+        tv: TimerValues): Iterator[StOut] = {
+      val out = Seq.newBuilder[StOut]
+      // fold in OFFSET order (the shared event-time domain): a stream
+      // fact joins the table state AS OF its position — the ksqlDB
+      // timestamp-synchronization contract within a micro-batch
+      rows.toArray.sortBy(_._5).foreach {
+        case (_, 0, sVal, _, off) => // stream fact
+          if (right.exists()) out += ((key, sVal, right.get(), off))
+          else if (leftOuter) out += ((key, sVal, null, off))
+        case (_, _, _, rVal, _) => // table upsert / delete (null)
+          if (rVal == null) { if (right.exists()) right.clear() }
+          else right.update(rVal)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** STREAM ⋈ TABLE join with a LIVE table side — ksqlDB's stream-table
+    * join when the table is itself a changelog still flowing. Each
+    * stream row is an immutable FACT that joins the table's state AS OF
+    * its fold position: a later table update affects only later facts —
+    * nothing retracts (the key contrast with [[fkTableJoin]]'s
+    * subscription store, where output rows are table rows and must
+    * retract). State is |table keys| only; stream rows pass through.
+    *
+    * `streamRows` columns: `key` (the join column, cast to BIGINT;
+    * NULL-keyed rows drop under INNER and emit unmatched under LEFT),
+    * `s_val`, `off`. `tableChangelog` columns: `pk`, `r_val`
+    * (null = delete), `off` — offsets share a domain (each side's
+    * declared event time). Emits (key, s_val, r_val, off); INNER drops
+    * unmatched facts, LEFT emits them with a null right side. */
+  def streamTableJoin(streamRows: DataFrame, tableChangelog: DataFrame,
+                      joinType: String = "inner"): DataFrame = {
+    import streamRows.sparkSession.implicits._
+    val leftOuter = joinType match {
+      case "inner" => false
+      case "left" => true
+      case t => throw new IllegalArgumentException(
+        s"stream-table joins are INNER or LEFT (ksqlDB) — got $t")
+    }
+    val sSide = streamRows.filter(col("key").isNotNull).select(
+      col("key").cast("long"), lit(0).as("side"),
+      col("s_val").cast("string"),
+      lit(null).cast("string").as("r_val"), col("off").cast("long"))
+    val tSide = tableChangelog.select(
+      col("pk").cast("long").as("key"), lit(1).as("side"),
+      lit(null).cast("string").as("s_val"),
+      col("r_val").cast("string"), col("off").cast("long"))
+    val joined = sSide.unionByName(tSide)
+      .as[StIn]
+      .groupByKey(_._1)
+      .transformWithState(new StreamTableJoinProcessor(leftOuter),
+        TimeMode.None(), OutputMode.Update(), Encoders.product[StOut])
+      .toDF("key", "s_val", "r_val", "off")
+    if (!leftOuter) joined
+    else joined.unionByName(
+      // NULL-keyed facts match nothing, ever — they bypass the store
+      streamRows.filter(col("key").isNull).select(
+        lit(null).cast("long").as("key"), col("s_val").cast("string"),
+        lit(null).cast("string").as("r_val"), col("off").cast("long")))
+  }
+
   /** FK TABLE-TABLE join (inner), streaming form.
     *
     * `leftChangelog` columns: `l_pk` (the left table's key), `fk` (the

@@ -11,6 +11,8 @@ import graft.ksql.Translator.Source
 case class DlgLeft(uid: Long, dept: java.lang.Long,
                    prev_dept: java.lang.Long, uname: String, off: Long)
 case class DlgRight(dept_id: Long, dept_name: String, roff: Long)
+/** Stream fact for the live STREAM⋈TABLE join (nullable join key). */
+case class DlgFact(fid: Long, dept: java.lang.Long, amt: Long, off: Long)
 
 /** KSQL TABLE semantics through the dialect (round 16 — the round-15
   * verdict's #3): CREATE TABLE sources compact latest-per-key at read,
@@ -165,6 +167,109 @@ class FkDialectSpec extends SparkSpec {
         Seq(DlgRight(10L, "engineering", 7)))
       // left delete (dept null) retracts
       drive(Seq(DlgLeft(3L, null, 11L, null, 8)), Nil)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("live STREAM JOIN TABLE through the dialect (round 16 — the last " +
+    "refused live-join form): facts join the table state AS OF their " +
+    "position, a later table update never rewrites earlier facts, LEFT " +
+    "emits unmatched (NULL-key facts included), WHERE composes") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[DlgFact](spark)
+    val tMem = MemoryStream[DlgRight](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "off"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """CREATE STREAM enriched AS
+        |  SELECT fid, dept, amt, dept_name
+        |  FROM facts LEFT JOIN depts_t ON dept = dept_id
+        |  WHERE amt > 5;""".stripMargin): @unchecked
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("st_join_out")
+      .outputMode("update").start()
+    try {
+      def rows(): Set[(Long, Option[Long], Long, Option[String])] =
+        spark.table("st_join_out").collect().map(r => (
+          r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2), Option(r.getString(3)))).toSet
+      // batch 1: table row for dept 10 arrives FIRST (off 1), then
+      // facts — one matched, one to a missing dept, one NULL-keyed,
+      // one filtered by WHERE
+      tMem.addData(DlgRight(10L, "eng", 1))
+      fMem.addData(DlgFact(100L, 10L, 50L, 2),
+        DlgFact(101L, 11L, 60L, 3),
+        DlgFact(102L, null, 70L, 4),
+        DlgFact(103L, 10L, 1L, 5))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (100L, Some(10L), 50L, Some("eng")),
+        (101L, Some(11L), 60L, None),
+        (102L, None, 70L, None)))
+      // batch 2: dept 10 RENAMES and dept 11 appears — only NEW facts
+      // see the new state; fact 100's earlier emission is untouched
+      tMem.addData(DlgRight(10L, "engineering", 6),
+        DlgRight(11L, "ops", 7))
+      fMem.addData(DlgFact(104L, 10L, 80L, 8),
+        DlgFact(105L, 11L, 90L, 9))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (100L, Some(10L), 50L, Some("eng")),
+        (101L, Some(11L), 60L, None),
+        (102L, None, 70L, None),
+        (104L, Some(10L), 80L, Some("engineering")),
+        (105L, Some(11L), 90L, Some("ops"))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("live STREAM JOIN TABLE: INNER drops unmatched facts; in-batch " +
+    "offset order decides which state a fact sees") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[DlgFact](spark)
+    val tMem = MemoryStream[DlgRight](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "off"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      "SELECT fid, dept_name FROM facts JOIN depts_t ON dept = dept_id;")
+      : @unchecked
+    val q = out.writeStream.format("memory").queryName("st_inner_out")
+      .outputMode("update").start()
+    try {
+      def got(): Set[(Long, String)] =
+        spark.table("st_inner_out").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      // a fact arriving BEFORE any table row is DROPPED under INNER —
+      // and stays dropped: the later table arrival must not resurrect
+      // it (facts are immutable, nothing re-emits)
+      fMem.addData(DlgFact(1L, 7L, 1L, 1))
+      q.processAllAvailable()
+      assert(got() === Set.empty)
+      tMem.addData(DlgRight(7L, "a", 2))
+      q.processAllAvailable()
+      assert(got() === Set.empty, "a table arrival must not re-emit facts")
+      // facts join the state as of their batch; a rename affects only
+      // LATER facts
+      fMem.addData(DlgFact(2L, 7L, 1L, 3))
+      q.processAllAvailable()
+      tMem.addData(DlgRight(7L, "b", 4))
+      q.processAllAvailable()
+      fMem.addData(DlgFact(3L, 7L, 1L, 5))
+      q.processAllAvailable()
+      assert(got() === Set((2L, "a"), (3L, "b")))
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

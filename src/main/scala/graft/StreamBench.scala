@@ -425,12 +425,40 @@ object StreamBench {
             System.err.println(s"[streambench] fk_join_rocksdb failed: $e")
             Result("fk_join_rocksdb", -1.0, -1.0, -1.0)
         }
+      // STREAM ⋈ LIVE TABLE (round 16): the keyed-lookup store — every
+      // row is a fact keyed to one of 997 table keys; the per-1000-row
+      // burst leaders double as table upserts, so the state stays 997
+      // rows while facts flow through (output ≈ input volume, the
+      // as-of lookup path, no fan-out).
+      val stJoin =
+        try {
+          drive(spark, "stream_table_join_rocksdb", batches, batchRows,
+            rows,
+            df => {
+              val facts = df.select(
+                col("user_id").as("key"),
+                col("event_type").as("s_val"),
+                col("event_id").as("off"))
+              val table = df.filter(col("event_id") % 1000L === 0)
+                .select(col("user_id").as("pk"),
+                  concat(lit("v"), col("event_id")).as("r_val"),
+                  col("event_id").as("off"))
+              graft.streaming.StreamingJoins
+                .streamTableJoin(facts, table, "left")
+            },
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] stream_table_join_rocksdb failed: $e")
+            Result("stream_table_join_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
       Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView,
-        seededViewWin, seededSessView, fkJoin)
+        seededViewWin, seededSessView, fkJoin, stJoin)
     }
     single ++ (join +: underRocks)
   }

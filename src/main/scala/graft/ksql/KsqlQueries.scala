@@ -263,6 +263,39 @@ object KsqlQueries {
       t
     }
 
+  /** The HOPPING dialect view (q_mv_pull_hopping_range): 3-hour panes
+    * advancing by 90 minutes over events (each event fans into 2 panes),
+    * created entirely in KSQL text — size/advance keep the signature
+    * disjoint from both the 2h tumbling dialect view and the
+    * programmatic 1h/30m hopping view over the same parquet. */
+  private val mvDdlHopDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mvDdlHopLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def mvDdlHopName(d: String): String =
+    "ev_hop3h_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def mvDdlHopDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvDdlHopLocks.computeIfAbsent(d, _ => new Object).synchronized {
+      val t = mvDdlHopDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("mv_ddl_hop").toString)
+      if (!graft.plans.MaterializedViews.registered
+        .contains(mvDdlHopName(d))) {
+        val (c1, _) = Translator.run(s, Map.empty,
+          s"CREATE STREAM ev_src WITH (PATH='$d/events.parquet')")
+        Translator.run(s, c1,
+          s"""CREATE MATERIALIZED VIEW ${mvDdlHopName(d)} WITH (
+             |  STATE_DIR='$t/state',
+             |  DELTA='ts >= TIMESTAMP ''2024-01-25 12:00:00''') AS
+             |SELECT event_type, $mvDdlWinAggText
+             |FROM ev_src WINDOW HOPPING (SIZE 3 HOURS, ADVANCE BY 90 MINUTES)
+             |GROUP BY event_type""".stripMargin)
+      }
+      t
+    }
+
   // ─── REFRESH MATERIALIZED VIEW through the dialect (round 14) ──────
   // The maintenance half of the MV lifecycle in KSQL text: the CMV
   // registers at the standard cutoff, then REFRESH folds the delta
@@ -536,6 +569,7 @@ object KsqlQueries {
       "q_mv_ddl" -> ((s, d) => { mvDdlDir(s, d); () }),
       "q_mv_ddl_window" -> ((s, d) => { mvDdlWindowDir(s, d); () }),
       "q_mv_pull_window_range" -> ((s, d) => { mvDdlWindowDir(s, d); () }),
+      "q_mv_pull_hopping_range" -> ((s, d) => { mvDdlHopDir(s, d); () }),
       "q_mv_ddl_refresh" -> ((s, d) => { mvRefreshDir(s, d); () }),
       "q_mv_ddl_refresh_delete" -> ((s, d) => { mvRefreshDelDir(s, d); () }),
       "q_mv_ddl_session" -> ((s, d) => { mvDdlSessionDir(s, d); () }),
@@ -961,6 +995,37 @@ object KsqlQueries {
         |WHERE (epoch_ms(ts) // 7200000) * 7200000 >= 1704672000000
         |  AND (epoch_ms(ts) // 7200000) * 7200000 < 1704844800000
         |GROUP BY 1, 4, 5""".stripMargin),
+
+    // WINDOWSTART-bounded HOPPING pull through the dialect (round 17):
+    // the same canonical windowed-pull idiom over a HOPPING view. The
+    // bound can't push below the hopping Expand (panes differ per
+    // projection row), so it reaches the rewrite in name-marker form
+    // and is rebuilt over the STORED pane column — previously this
+    // shape silently fell back to a full recompute (correct answer,
+    // wrong 100 TB posture). The range straddles the DELTA cutoff so
+    // both repair branches serve rows; the oracle re-windows events in
+    // DuckDB with the two-pane unnest and applies the same range.
+    "q_mv_pull_hopping_range" -> Q(
+      (s, d) => {
+        mvDdlHopDir(s, d)
+        val (_, Some(df)) = Translator.run(s, Map.empty,
+          s"""SELECT * FROM ${mvDdlHopName(d)}
+             |WHERE WINDOWSTART >= 1706054400000
+             |  AND WINDOWSTART < 1706270400000""".stripMargin): @unchecked
+        df
+      },
+      """WITH hops AS (
+        |  SELECT (epoch_ms(ts) // 5400000) * 5400000 - i * 5400000
+        |    AS windowstart, event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+        |)
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  windowstart, windowstart + 10800000 AS windowend
+        |FROM hops
+        |WHERE windowstart >= 1706054400000 AND windowstart < 1706270400000
+        |GROUP BY 1, 4""".stripMargin),
 
     // the WINDOWED dialect materialized view (round 13): CREATE
     // MATERIALIZED VIEW ... WINDOW TUMBLING (SIZE 2 HOURS) through the

@@ -553,6 +553,39 @@ object Incremental {
         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
         |FROM hops GROUP BY 1, 2""".stripMargin),
 
+    // WINDOWSTART-bounded HOPPING pull (round 17): the same hopping
+    // rollup with a pane-range filter. The bound can NOT push below the
+    // Expand (panes differ per projection row), so it reaches the
+    // rewrite in the unwrap's name-marker form and is rebuilt over the
+    // STORED pane column — state scan filtered on the struct, delta
+    // branch's range applied above its pre-aggregate (below it the range
+    // stops at the Expand, which is as far as any plan can push it).
+    // Previously this shape silently fell back to a full recompute.
+    // The range straddles the cutoff so both branches stay non-empty.
+    "q_mv_hopping_range" -> Q(
+      (s, d) => {
+        Incremental.mvHoppingPrepare(s, d)
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("value"))).as("sum_cents"))
+          .filter(unix_millis(col("window.start")) >= lit(1706054400000L) &&
+            unix_millis(col("window.start")) < lit(1706270400000L))
+          .select(unix_millis(col("window.start")).as("ws"),
+            col("event_type"), col("cnt"), col("sum_cents"))
+      },
+      s"""WITH hops AS (
+        |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - i * 1800000 AS ws,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+        |)
+        |SELECT ws, event_type, count(*) AS cnt,
+        |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
+        |FROM hops
+        |WHERE ws >= 1706054400000 AND ws < 1706270400000
+        |GROUP BY 1, 2""".stripMargin),
+
     // The GLOBAL (no-key) aggregate served by RE-AGGREGATING the view —
     // the most common dashboard query ("total orders, total revenue"):
     // the user writes the plain keyless rollup and the rule substitutes
@@ -842,6 +875,7 @@ object Incremental {
     "q_mv_rollup" -> ((s, d) => mvRollupPrepare(s, d)),
     "q_mv_window" -> ((s, d) => mvWindowPrepare(s, d)),
     "q_mv_hopping" -> ((s, d) => mvHoppingPrepare(s, d)),
+    "q_mv_hopping_range" -> ((s, d) => mvHoppingPrepare(s, d)),
     "q_mv_refresh" -> ((s, d) => mvRefresh(s, d)),
     "q_mv_refresh_delete" -> ((s, d) => mvDeletePrepare(s, d)))
 

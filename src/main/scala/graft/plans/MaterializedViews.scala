@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression, SessionWindow, UnixMillis}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, GetStructField, IsNotNull, Literal, NamedExpression, SessionWindow, UnixMillis}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
@@ -2086,6 +2086,50 @@ object MaterializedViews {
     else Some(out)
   }
 
+  /** HOPPING flavor (round 17): sliding panes plan through an Expand, so
+    * a WINDOWSTART/WINDOWEND bound can NOT push below it — the conjunct
+    * arrives still referencing the pane attribute, which the unwrap's
+    * Expand case re-expressed as a lowercased NAME MARKER (exprId 0).
+    * The shape-key match already proved the user's pane derivation IS
+    * the view's (the Expand projections' window structs norm-compared
+    * equal), so rebuilding every `marker.start|end` extraction over the
+    * serving plan's stored pane column BY NAME is exact. Any other
+    * reference left over means the conjunct is not a pure window bound
+    * and refuses (None → full-recompute fallback, correct but unserved). */
+  private def rewriteMarkerBound(c: Expression, winName: String)
+      : Option[Expression] = {
+    val out = c.transformUp {
+      case g: GetStructField if (g.child match {
+          case a: AttributeReference =>
+            a.name.equalsIgnoreCase(winName) && (a.dataType match {
+              case st: StructType =>
+                st.fieldNames.sameElements(Array("start", "end"))
+              case _ => false
+            })
+          case _ => false
+        }) =>
+        UnresolvedExtractValue(UnresolvedAttribute.quoted(winName),
+          Literal(if (g.ordinal == 0) "start" else "end"))
+    }
+    if (out.exists { case _: AttributeReference => true; case _ => false })
+      None
+    else Some(out)
+  }
+
+  /** The stored pane column of a windowed view: the unique group output
+    * whose STATE type is a {start, end} struct. Resolved from the state
+    * schema (already cached for serving) — no definition re-analysis. */
+  private def paneColName(spark: SparkSession, v: MvView): Option[String] = {
+    val st = schemaCache.getOrElseUpdate(v.stateDir,
+      spark.read.parquet(v.stateDir).schema)
+    val panes = st.fields.filter(f => v.groupNames.contains(f.name) &&
+      (f.dataType match {
+        case s: StructType => s.fieldNames.sameElements(Array("start", "end"))
+        case _ => false
+      }))
+    if (panes.length == 1) Some(panes.head.name) else None
+  }
+
   private def rewriteWith(v: MvView, agg: Aggregate,
                           inline: Expression => Expression,
                           condOpt: Option[Expression]): Option[LogicalPlan] = {
@@ -2133,11 +2177,24 @@ object MaterializedViews {
       .flatMap { spark =>
         val windowCond: Option[Option[Expression]] =
           if (windowExtra.isEmpty) Some(None)
-          else windowKeyNorms(spark, v).flatMap { case (wn, sN, eN) =>
-            val rs = windowExtra.map { case (c, _) =>
-              rewriteWindowBound(c, wn, sN, eN) }
-            if (rs.forall(_.isDefined)) Some(rs.flatten.reduceOption(And))
-            else None
+          else windowKeyNorms(spark, v) match {
+            case Some((wn, sN, eN)) =>
+              val rs = windowExtra.map { case (c, _) =>
+                rewriteWindowBound(c, wn, sN, eN) }
+              if (rs.forall(_.isDefined)) Some(rs.flatten.reduceOption(And))
+              else None
+            case None =>
+              // HOPPING: the bound stayed ABOVE the Expand (panes differ
+              // per projection row, so it can't push through) and inlined
+              // to the name-marker form — rebuild it over the stored pane
+              // column. Tumbling conjuncts (derivation form) never match
+              // the marker rewrite and refuse here, as before.
+              paneColName(spark, v).flatMap { wn =>
+                val rs = windowExtra.map { case (c, _) =>
+                  rewriteMarkerBound(c, wn) }
+                if (rs.forall(_.isDefined)) Some(rs.flatten.reduceOption(And))
+                else None
+              }
           }
         windowCond.flatMap { winCond =>
         val rep = servingPlan(spark, v, extraCond, winCond)

@@ -67,4 +67,54 @@ class WindowPullRangeSpec extends SparkSpec {
       s"WINDOWEND bound did not serve:\n${plan.treeString}")
     assert(byEnd.collect().toSet === served) // same panes
   }
+
+  // ─── HOPPING (round 17): the bound can't push below the Expand, so it
+  //     reaches the rewrite in the unwrap's name-marker form and is
+  //     rebuilt over the STORED pane column ─────────────────────────────
+  private val hlo = 1706054400000L // 2024-01-24 UTC, on the 90m grid
+  private val hhi = 1706270400000L // 2024-01-26 12:00 (straddles cutoff)
+
+  private def hopRangePull(d: String) = {
+    KsqlQueries.mvDdlHopDir(spark, d)
+    val (_, Some(df)) = Translator.run(spark, Map.empty,
+      s"SELECT * FROM ${KsqlQueries.mvDdlHopName(d)} " +
+        s"WHERE WINDOWSTART >= $hlo AND WINDOWSTART < $hhi"): @unchecked
+    df
+  }
+
+  test("HOPPING range pull SERVES from the view: marker-form bound " +
+    "rebuilt over the stored pane struct, on BOTH repair branches") {
+    val d = "/root/testdata/sf0.001"
+    val df = hopRangePull(d)
+    val plan = df.queryExecution.optimizedPlan
+    val union = plan.collectFirst { case u: Union => u }
+    assert(union.isDefined, s"rewrite did not fire:\n${plan.treeString}")
+    val branchesWithRange = union.get.children.count(_.exists {
+      case f: Filter =>
+        val s = f.condition.sql
+        s.contains(hlo.toString) && s.contains(hhi.toString)
+      case _ => false
+    })
+    assert(branchesWithRange == 2,
+      s"range filter on $branchesWithRange/2 branches:\n${plan.treeString}")
+    // the delta branch keeps its pane Expand below its pre-aggregate —
+    // raw events fan into panes and merge before crossing the union
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    assert(union.get.children.exists(_.exists {
+      case a: Aggregate => a.exists { case _: Expand => true; case _ => false }
+      case _ => false
+    }), s"no pane Expand under the delta aggregate:\n${plan.treeString}")
+  }
+
+  test("HOPPING range pull ≡ the unserved recompute") {
+    val d = "/root/testdata/sf0.001"
+    val served = hopRangePull(d).collect().toSet
+    val recompute = {
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try hopRangePull(d).collect().toSet
+      finally spark.conf.unset("spark.graft.mv.enabled")
+    }
+    assert(served === recompute)
+    assert(served.nonEmpty)
+  }
 }

@@ -1653,11 +1653,31 @@ object Translator {
     val right = catalog(j.table.toLowerCase)
     if (j.withinMs.isDefined) throw new IllegalArgumentException(
       s"WITHIN is a stream-stream interval bound — ${j.table} is a TABLE")
-    if (s.groupBy.nonEmpty || s.window.isDefined ||
-        s.groupingMode.isDefined) throw new IllegalArgumentException(
-      "aggregating over a live stream-table join in one statement is " +
-        "not served — CREATE STREAM enriched AS the join, then " +
-        "aggregate the enriched stream (the ksqlDB idiom)")
+    if (s.groupingMode.isDefined) throw new IllegalArgumentException(
+      "ROLLUP/CUBE/GROUPING SETS is a batch (pull) construct — a " +
+        "streaming grouping-set state would multiply every update")
+    // Single-statement aggregation over the live join (round 17 —
+    // ksqlDB's `CREATE TABLE … AS SELECT … FROM s JOIN t ON … GROUP BY
+    // …`, previously refused with the two-statement pointer): desugared
+    // into that very idiom, FUSED — the enrichment (this operator, '*'
+    // projection, WHERE applied inside) feeds the standard streaming
+    // aggregate in ONE query. Sound because stream facts never retract:
+    // each enriched row leaves the keyed-lookup store exactly once, so
+    // the downstream fold sees the same rows the CSAS hop would publish
+    // (StreamTableAggSpec pins fused ≡ aggregate-of-enriched, flat and
+    // windowed).
+    if (s.groupBy.nonEmpty || s.window.isDefined) {
+      val enrichStmt = s.copy(columns = Seq(("*", None)), groupBy = Nil,
+        window = None, having = None, orderBy = Nil, limit = None,
+        partitionBy = None)
+      val enriched =
+        streamingStreamTableJoin(spark, catalog, enrichStmt, left)
+      val aggStmt = s.copy(joins = Nil, where = None)
+      return select(spark,
+        catalog + (s.from.toLowerCase ->
+          left.copy(df = enriched, key = None, isTable = false)),
+        aggStmt)
+    }
     if (s.orderBy.nonEmpty || s.limit.isDefined || s.partitionBy.isDefined)
       throw new IllegalArgumentException(
         "ORDER BY / LIMIT / PARTITION BY do not apply to a live join")

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ksql.Translator
+import graft.ksql.Translator.Source
+
+/** Stream fact with a real event-time column (windowed flavor). */
+case class StAgFact(fid: Long, dept: java.lang.Long, amt: Long,
+                    ts: java.sql.Timestamp)
+case class StAgDept(dept_id: Long, dept_name: String, roff: Long)
+
+/** Single-statement aggregation over a live STREAM ⋈ TABLE join
+  * (round 17): ksqlDB's `CREATE TABLE … AS SELECT … FROM s JOIN t ON …
+  * GROUP BY …` — previously refused with the two-statement CSAS
+  * pointer. The translator now desugars it into that very idiom FUSED:
+  * the keyed-lookup enrichment feeds the standard streaming aggregate
+  * in one query (Spark chains the two stateful operators). Sound
+  * because stream facts never retract — each enriched row leaves the
+  * store exactly once, so the fold sees exactly what the CSAS hop
+  * would publish. */
+class StreamTableAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  /** Latest emission per key in an update-mode memory sink: the count
+    * aggregate is monotone per key, so max-cnt is the newest row. */
+  private def latest(sink: String, keyCols: Int): Map[Seq[Any], (Long, Long)] =
+    spark.table(sink).collect().map { r =>
+      val k = (0 until keyCols).map(r.get)
+      k -> ((r.getLong(keyCols), r.getLong(keyCols + 1)))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+
+  test("fused join+GROUP BY: facts aggregate under the dim value they " +
+    "joined AS OF their position — a later rename opens a NEW group, " +
+    "earlier contributions stay") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val tMem = MemoryStream[StAgDept](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT dept_name, COUNT(*) AS cnt, SUM(amt) AS total
+        |FROM facts JOIN depts_t ON dept = dept_id
+        |GROUP BY dept_name EMIT CHANGES;""".stripMargin): @unchecked
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("st_agg_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: dept 10 = "eng" first (off 1 < fact times), then facts
+      // — two join eng, one hits a missing dept (INNER drops), one is
+      // NULL-keyed (INNER drops)
+      tMem.addData(StAgDept(10L, "eng", 1))
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)),
+        StAgFact(101L, 11L, 60L, ts(3000)),
+        StAgFact(102L, null, 70L, ts(4000)),
+        StAgFact(103L, 10L, 1L, ts(5000)))
+      q.processAllAvailable()
+      assert(latest("st_agg_out", 1) ===
+        Map(Seq("eng") -> ((2L, 51L))))
+      // batch 2: dept 10 renames, dept 11 appears — only NEW facts see
+      // the new state; "eng"'s earlier contributions never move
+      tMem.addData(StAgDept(10L, "engineering", 6000),
+        StAgDept(11L, "ops", 7000))
+      fMem.addData(StAgFact(104L, 10L, 80L, ts(8000)),
+        StAgFact(105L, 11L, 90L, ts(9000)))
+      q.processAllAvailable()
+      assert(latest("st_agg_out", 1) === Map(
+        Seq("eng") -> ((2L, 51L)),
+        Seq("engineering") -> ((1L, 80L)),
+        Seq("ops") -> ((1L, 90L))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("fused join+WINDOW TUMBLING GROUP BY: panes cut on the FACT's " +
+    "event time, groups keyed by the as-of dim value") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val tMem = MemoryStream[StAgDept](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT dept_name, WINDOWSTART AS ws, COUNT(*) AS cnt,
+        |  SUM(amt) AS total
+        |FROM facts JOIN depts_t ON dept = dept_id
+        |WINDOW TUMBLING (SIZE 10 SECONDS)
+        |GROUP BY dept_name EMIT CHANGES;""".stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("st_agg_win_out")
+      .outputMode("update").start()
+    try {
+      tMem.addData(StAgDept(10L, "eng", 1))
+      // facts straddle the 10s pane boundary
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)),
+        StAgFact(101L, 10L, 7L, ts(9000)),
+        StAgFact(102L, 10L, 30L, ts(12000)))
+      q.processAllAvailable()
+      val got = spark.table("st_agg_win_out").collect().map { r =>
+        (r.getAs[String]("dept_name"), r.getAs[Long]("ws")) ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("total")))
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(got === Map(
+        ("eng", 0L) -> ((2L, 57L)),
+        ("eng", 10000L) -> ((1L, 30L))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("HAVING composes with the fused form; grouping sets still refuse") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val tMem = MemoryStream[StAgDept](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT dept_name, COUNT(*) AS cnt, SUM(amt) AS total
+        |FROM facts JOIN depts_t ON dept = dept_id
+        |GROUP BY dept_name HAVING COUNT(*) > 1 EMIT CHANGES;"""
+        .stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("st_agg_hav_out")
+      .outputMode("update").start()
+    try {
+      tMem.addData(StAgDept(10L, "eng", 1), StAgDept(11L, "ops", 2))
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(3000)),
+        StAgFact(101L, 10L, 1L, ts(4000)),
+        StAgFact(102L, 11L, 90L, ts(5000)))
+      q.processAllAvailable()
+      // ops has one fact — HAVING filters its emission
+      assert(latest("st_agg_hav_out", 1) ===
+        Map(Seq("eng") -> ((2L, 51L))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, cat,
+        """SELECT dept_name, COUNT(*) AS cnt FROM facts
+          |JOIN depts_t ON dept = dept_id
+          |GROUP BY ROLLUP(dept_name) EMIT CHANGES;""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("rollup"))
+  }
+}

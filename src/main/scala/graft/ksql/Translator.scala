@@ -1540,9 +1540,14 @@ object Translator {
         "WHERE/HAVING over a TABLE-TABLE join CHANGELOG would drop " +
           "retractions (a retract row carries NULL values) — filter " +
           "the source tables upstream")
-    if (s.orderBy.nonEmpty || s.limit.isDefined || s.partitionBy.isDefined)
+    if (s.orderBy.nonEmpty || s.limit.isDefined)
       throw new IllegalArgumentException(
-        "ORDER BY / LIMIT / PARTITION BY do not apply to a join changelog")
+        "ORDER BY / LIMIT do not apply to a join changelog")
+    if (s.partitionBy.isDefined) throw new IllegalArgumentException(
+      "PARTITION BY cannot re-key a TABLE changelog (ksqlDB: PARTITION " +
+        "BY is a STREAM operation — a table's state is keyed by its " +
+        "PRIMARY KEY); re-key the STREAM side upstream, or derive a " +
+        "new table with CREATE TABLE … AS GROUP BY <new key>")
     def actual(df: DataFrame, c: String, what: String): String =
       df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"$what column '$c' not found"))
@@ -1678,9 +1683,9 @@ object Translator {
           left.copy(df = enriched, key = None, isTable = false)),
         aggStmt)
     }
-    if (s.orderBy.nonEmpty || s.limit.isDefined || s.partitionBy.isDefined)
+    if (s.orderBy.nonEmpty || s.limit.isDefined)
       throw new IllegalArgumentException(
-        "ORDER BY / LIMIT / PARTITION BY do not apply to a live join")
+        "ORDER BY / LIMIT do not apply to a live join")
     def actual(df: DataFrame, c: String, what: String): String =
       df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"$what column '$c' not found"))
@@ -1752,10 +1757,16 @@ object Translator {
         (sVals.map(c => col(s"__s.$c").as(c)) ++
           rVals.map(c => col(s"__r.$c").as(c))): _*)
     val filtered = s.where.fold(data)(w => data.filter(expr(rewriteExpr(w))))
-    if (s.columns.forall(_._1.trim == "*")) filtered
-    else filtered.select(s.columns.map { case (e, a) =>
-      val c = expr(rewriteExpr(e)); a.fold(c)(c.as)
-    }: _*)
+    val projd =
+      if (s.columns.forall(_._1.trim == "*")) filtered
+      else filtered.select(s.columns.map { case (e, a) =>
+        val c = expr(rewriteExpr(e)); a.fold(c)(c.as)
+      }: _*)
+    // PARTITION BY re-keys the enriched STREAM (ksqlDB: a stream
+    // operation — the join output here IS a stream of facts, so the
+    // re-keyed-output-topic analogue is a content-neutral repartition
+    // on the new key; the TABLE-TABLE changelog keeps its refusal)
+    s.partitionBy.fold(projd)(k => projd.repartition(col(k)))
   }
 
   def select(spark: SparkSession, catalog: Catalog, s: SelectStmt): DataFrame = {
@@ -2377,7 +2388,12 @@ object Translator {
         // table just skip the PK check.
         val ident = raw"[A-Za-z_][A-Za-z0-9_]*".r.pattern
         val ctasKey: Option[String] =
-          if (!isTable) None
+          // PARTITION BY re-keys a STREAM (ksqlDB): the output's ROWKEY
+          // is the partitioning column when it is a plain identifier
+          // surviving the projection; expression re-keys register keyless
+          if (!isTable) sel.partitionBy.map(_.trim)
+            .filter(k => ident.matcher(k).matches() &&
+              df.columns.exists(_.equalsIgnoreCase(k)))
           else if (sel.groupBy.size == 1 && sel.groupingMode.isEmpty) {
             val gt = sel.groupBy.head.trim
             sel.columns.collectFirst {

@@ -158,4 +158,66 @@ class StreamTableAggSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("rollup"))
   }
+
+  test("PARTITION BY re-keys the enriched stream (CSAS over the live " +
+    "join): repartition on the new key, ROWKEY annotated; the " +
+    "TABLE-TABLE changelog keeps its refusal") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val tMem = MemoryStream[StAgDept](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (cat2, Some(out)) = Translator.run(spark, cat,
+      """CREATE STREAM enriched AS
+        |  SELECT fid, amt, dept_name
+        |  FROM facts JOIN depts_t ON dept = dept_id
+        |  PARTITION BY dept_name;""".stripMargin): @unchecked
+    assert(out.isStreaming)
+    // the re-key is in the plan: a repartition on the new key
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    assert(out.queryExecution.logical.exists {
+      case r: RepartitionByExpression =>
+        r.partitionExpressions.exists(_.references.exists(
+          _.name.equalsIgnoreCase("dept_name")))
+      case _ => false
+    })
+    // the registered stream's ROWKEY is the partitioning column
+    assert(cat2("enriched").key === Some("dept_name"))
+    assert(!cat2("enriched").isTable)
+    // ...and the re-keyed stream still runs end to end
+    val q = out.writeStream.format("memory").queryName("st_rekey_out")
+      .outputMode("update").start()
+    try {
+      tMem.addData(StAgDept(10L, "eng", 1))
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)))
+      q.processAllAvailable()
+      assert(spark.table("st_rekey_out").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+        Set((100L, 50L, "eng")))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // TABLE-TABLE changelog: PARTITION BY refuses with the ksqlDB
+    // stream-operation pointer (re-keying a keyed changelog would need
+    // retraction rewrites the store doesn't carry)
+    val tMemL = MemoryStream[StAgDept](spark)
+    val tMemR = MemoryStream[StAgDept](spark)
+    val tcat: Translator.Catalog = Map(
+      "t1" -> Source(tMemL.toDF().withColumnRenamed("dept_name", "v1"),
+        "roff", key = Some("dept_id"), isTable = true),
+      "t2" -> Source(tMemR.toDF().toDF("d2", "v2", "roff2"), "roff2",
+        key = Some("d2"), isTable = true))
+    val e2 = intercept[IllegalArgumentException] {
+      Translator.run(spark, tcat,
+        """CREATE TABLE j AS SELECT dept_id, v1, v2
+          |FROM t1 JOIN t2 ON dept_id = d2
+          |PARTITION BY v1;""".stripMargin)
+    }
+    assert(e2.getMessage.contains("STREAM operation"))
+  }
 }

@@ -145,7 +145,13 @@ object ScaleProbe {
     // — the WINDOWSTART-bounded pull: the range prunes the state scan
     // to |matching panes| and the delta scan to the range∩delta rows,
     // so its wall should track the MATCHING fraction, not the corpus.
-    "q_ksql_fk_join", "q_mv_pull_window_range")
+    "q_ksql_fk_join", "q_mv_pull_window_range",
+    // round 17: the HOPPING range pulls — the bound reaches the rewrite
+    // in name-marker form and prunes the state scan to |matching panes|;
+    // the delta branch's range stops at the Expand (as far as ANY plan
+    // can push it), so the delta cost is |Δ| fan-out, linear. Both walls
+    // should track the matching fraction, like q_mv_pull_window_range.
+    "q_mv_hopping_range", "q_mv_pull_hopping_range")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

@@ -453,12 +453,43 @@ object StreamBench {
               s"[streambench] stream_table_join_rocksdb failed: $e")
             Result("stream_table_join_rocksdb", -1.0, -1.0, -1.0)
         }
+      // FUSED join+aggregate (round 17): the single-statement ksqlDB
+      // CTAS over a stream-table join — the keyed-lookup TWS chained
+      // with a streaming aggregate in ONE query (the dialect's desugared
+      // form). Same fact volume as stream_table_join_rocksdb, so the
+      // delta between the two IS the chained-second-operator tax; the
+      // aggregate keys on the joined dim value (as-of grouping).
+      val stJoinAgg =
+        try {
+          drive(spark, "stream_table_join_agg_rocksdb", batches, batchRows,
+            rows,
+            df => {
+              val facts = df.select(
+                col("user_id").as("key"),
+                col("event_type").as("s_val"),
+                col("event_id").as("off"))
+              val table = df.filter(col("event_id") % 1000L === 0)
+                .select(col("user_id").as("pk"),
+                  concat(lit("v"), col("event_id")).as("r_val"),
+                  col("event_id").as("off"))
+              graft.streaming.StreamingJoins
+                .streamTableJoin(facts, table, "left")
+                .groupBy(col("r_val"))
+                .agg(count(lit(1)).as("cnt"), sum(col("off")).as("sum_off"))
+            },
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] stream_table_join_agg_rocksdb failed: $e")
+            Result("stream_table_join_agg_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
       Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView,
-        seededViewWin, seededSessView, fkJoin, stJoin)
+        seededViewWin, seededSessView, fkJoin, stJoin, stJoinAgg)
     }
     single ++ (join +: underRocks)
   }

@@ -286,6 +286,66 @@ class MvRewriteFuzzSpec extends SparkSpec {
         "the join views")
   }
 
+  test("randomized WINDOWSTART/WINDOWEND range bounds over tumbling AND " +
+    "hopping views: served values always equal the direct plan; a " +
+    "healthy fraction serves") {
+    Incremental.mvWindowPrepare(spark, sfDir)
+    Incremental.mvHoppingPrepare(spark, sfDir)
+    val stateDirs = Seq(
+      Option(Incremental.mvWindowStateDir(sfDir)),
+      Option(Incremental.mvHoppingStateDir(sfDir))).flatten
+    val rnd = new scala.util.Random(20260817)
+    val evCents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val t0 = 1704067200000L // 2024-01-01, the events calendar start
+    val span = 30L * 86400000L
+
+    var servedCount = 0
+    for (i <- 0 until 30) {
+      val hopping = rnd.nextBoolean()
+      val win =
+        if (hopping) window(col("ts"), "1 hour", "30 minutes")
+        else window(col("ts"), "1 day")
+      // random range anywhere in (and slightly past) the calendar,
+      // DELIBERATELY not pane-aligned on most draws — alignment is a
+      // convenience, not a requirement of the range predicate
+      val lo = t0 + (rnd.nextLong().abs % span)
+      val hi = lo + 3600000L + (rnd.nextLong().abs % (7L * 86400000L))
+      val ws = unix_millis(col("window.start"))
+      val we = unix_millis(col("window.end"))
+      val bound: Column = rnd.nextInt(6) match {
+        case 0 => ws >= lit(lo) && ws < lit(hi)
+        case 1 => ws >= lit(lo) // one-sided
+        case 2 => we > lit(lo) && we <= lit(hi) // WINDOWEND flavor
+        case 3 => ws >= lit(lo) && we <= lit(hi) // mixed start+end
+        case 4 => ws + lit(1800000L) < lit(hi) // arithmetic over the bound
+        case _ => ws >= lit(lo) && ws < lit(lo) // empty range (degenerate)
+      }
+      val withPull = rnd.nextBoolean() // optional plain pull predicate
+      def q: DataFrame = {
+        val base = Tables.events(spark, sfDir)
+          .groupBy(win, col("event_type"))
+          .agg(count(lit(1)).as(s"c$i"), sum(evCents).as(s"s$i"))
+          .filter(bound)
+        if (withPull) base.filter(col("event_type") =!= "view") else base
+      }
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val (got, plan) = try {
+        val df = q
+        (df.collect().toSet, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.mv.enabled")
+      if (stateDirs.exists(plan.contains)) servedCount += 1
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val want = try q.collect().toSet
+        finally spark.conf.unset("spark.graft.mv.enabled")
+      assert(got == want,
+        s"draw $i (hopping=$hopping lo=$lo hi=$hi pull=$withPull) " +
+          s"diverged (served=${stateDirs.exists(plan.contains)})\n$plan")
+    }
+    assert(servedCount >= 20,
+      s"only $servedCount/30 draws served — the fuzz stopped exercising " +
+        "the range-bounded serving path")
+  }
+
   test("randomized dialect SESSION shapes over the registered session " +
     "view: served values always equal the direct plan; a healthy " +
     "fraction serves") {

@@ -159,6 +159,46 @@ class StreamTableAggSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("rollup"))
   }
 
+  test("EMIT FINAL over the fused windowed join: only watermark-closed " +
+    "panes emit (append), keyed by the as-of dim value") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val tMem = MemoryStream[StAgDept](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT dept_name, WINDOWSTART AS ws, COUNT(*) AS cnt
+        |FROM facts JOIN depts_t ON dept = dept_id
+        |WINDOW TUMBLING (SIZE 10 SECONDS, GRACE PERIOD 1 SECONDS)
+        |GROUP BY dept_name EMIT FINAL;""".stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("st_agg_final_out")
+      .outputMode("append") // = Translator.outputModeFor(EMIT FINAL)
+      .start()
+    try {
+      tMem.addData(StAgDept(10L, "eng", 1))
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)),
+        StAgFact(101L, 10L, 7L, ts(9000)))
+      q.processAllAvailable()
+      // pane [0, 10000) is still open — nothing emitted
+      assert(spark.table("st_agg_final_out").isEmpty)
+      // ts 12000 advances the watermark past 10000 + 1s grace
+      fMem.addData(StAgFact(102L, 10L, 30L, ts(12500)))
+      q.processAllAvailable()
+      fMem.addData(StAgFact(103L, 10L, 1L, ts(13000)))
+      q.processAllAvailable()
+      assert(spark.table("st_agg_final_out").collect().map(r =>
+        (r.getAs[String]("dept_name"), r.getAs[Long]("ws"),
+          r.getAs[Long]("cnt"))).toSet === Set(("eng", 0L, 2L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("PARTITION BY re-keys the enriched stream (CSAS over the live " +
     "join): repartition on the new key, ROWKEY annotated; the " +
     "TABLE-TABLE changelog keeps its refusal") {

@@ -1651,9 +1651,26 @@ object Translator {
     * register the enriched stream (CSAS) and aggregate that. */
   private def streamingStreamTableJoin(spark: SparkSession,
       catalog: Catalog, s: SelectStmt, left: Source): DataFrame = {
-    if (s.joins.size > 1) throw new IllegalArgumentException(
-      "a live stream-table join serves one join per statement — " +
-        "chain CREATE STREAM … AS statements")
+    if (s.joins.size > 1) {
+      // N-WAY live enrichment (round 17 — ksqlDB 0.24 multi-joins):
+      // fold left-to-right, ONE keyed-lookup store per table. Each hop
+      // enriches with '*' (flattened, per-hop overlap check inside);
+      // the statement's WHERE / projection / aggregate / PARTITION BY
+      // apply once, at the LAST hop — Spark chains the TWS operators in
+      // one query, so the whole chain is still a single statement. Hop
+      // N's join key may be a column TABLE N-1 contributed (snowflake
+      // chains: fact → dim → dim-of-dim), because the enriched frame
+      // carries every column unqualified.
+      val headStmt = s.copy(columns = Seq(("*", None)),
+        joins = Seq(s.joins.head), where = None, groupBy = Nil,
+        window = None, having = None, orderBy = Nil, limit = None,
+        partitionBy = None)
+      val enriched = streamingStreamTableJoin(spark, catalog, headStmt, left)
+      val hopped = left.copy(df = enriched, key = None)
+      return streamingStreamTableJoin(spark,
+        catalog + (s.from.toLowerCase -> hopped),
+        s.copy(joins = s.joins.tail), hopped)
+    }
     val j = s.joins.head
     val right = catalog(j.table.toLowerCase)
     if (j.withinMs.isDefined) throw new IllegalArgumentException(
@@ -1812,12 +1829,14 @@ object Translator {
             r.isTable && r.df.isStreaming)))
         return streamingTableJoin(spark, catalog, s, src0)
     }
-    // STREAM ⋈ LIVE TABLE (round 16): a streaming non-table source
-    // joining one live table changelog routes to the keyed-lookup
-    // store — facts join state as of their position, nothing retracts
-    if (!src0.isTable && src0.df.isStreaming && s.joins.size == 1 &&
-        catalog.get(s.joins.head.table.toLowerCase).exists(r =>
-          r.isTable && r.df.isStreaming))
+    // STREAM ⋈ LIVE TABLE (round 16; N-way round 17): a streaming
+    // non-table source joining live table changelogs routes to the
+    // keyed-lookup stores (one per table, folded left-to-right) —
+    // facts join state as of their position, nothing retracts
+    if (!src0.isTable && src0.df.isStreaming && s.joins.nonEmpty &&
+        s.joins.forall(j =>
+          catalog.get(j.table.toLowerCase).exists(r =>
+            r.isTable && r.df.isStreaming)))
       return streamingStreamTableJoin(spark, catalog, s, src0)
     val src = tableSnapshot(src0)
     // streaming sources get a watermark so windowed aggs / WITHIN joins

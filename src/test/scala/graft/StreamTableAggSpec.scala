@@ -10,6 +10,10 @@ import graft.ksql.Translator.Source
 case class StAgFact(fid: Long, dept: java.lang.Long, amt: Long,
                     ts: java.sql.Timestamp)
 case class StAgDept(dept_id: Long, dept_name: String, roff: Long)
+/** Dept with a region FK — the snowflake middle hop for N-way joins. */
+case class StAgDeptR(dept_id: Long, dept_name: String, region_fk: Long,
+                     roff: Long)
+case class StAgRegion(region_id: Long, region_name: String, roff2: Long)
 
 /** Single-statement aggregation over a live STREAM ⋈ TABLE join
   * (round 17): ksqlDB's `CREATE TABLE … AS SELECT … FROM s JOIN t ON …
@@ -193,6 +197,134 @@ class StreamTableAggSpec extends SparkSpec {
       assert(spark.table("st_agg_final_out").collect().map(r =>
         (r.getAs[String]("dept_name"), r.getAs[Long]("ws"),
           r.getAs[Long]("cnt"))).toSet === Set(("eng", 0L, 2L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("fused join+WINDOW SESSION GROUP BY under EMIT FINAL: sessions " +
+    "cut on the FACT's event time per as-of dim value, closed sessions " +
+    "emit append-mode (EMIT CHANGES refuses in Spark for session aggs)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val tMem = MemoryStream[StAgDept](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(tMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT dept_name, COUNT(*) AS cnt
+        |FROM facts JOIN depts_t ON dept = dept_id
+        |WINDOW SESSION (5 SECONDS, GRACE PERIOD 1 SECONDS)
+        |GROUP BY dept_name EMIT FINAL;""".stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("st_agg_sess_out")
+      .outputMode("append").start()
+    try {
+      tMem.addData(StAgDept(10L, "eng", 1))
+      // two facts 3 s apart (one session); a fact 20 s later opens a
+      // new session AND advances the watermark past the first's close
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)),
+        StAgFact(101L, 10L, 7L, ts(5000)),
+        StAgFact(102L, 10L, 30L, ts(25000)))
+      q.processAllAvailable()
+      fMem.addData(StAgFact(103L, 10L, 1L, ts(40000)))
+      q.processAllAvailable()
+      val got = spark.table("st_agg_sess_out").collect().map(r =>
+        (r.getAs[String]("dept_name"), r.getAs[Long]("cnt"))).toSet
+      assert(got === Set(("eng", 2L), ("eng", 1L)), s"got $got")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("N-WAY live enrichment in one statement: facts JOIN dept JOIN " +
+    "region (snowflake — hop 2 keys on a column hop 1 contributed), " +
+    "as-of at every store, INNER drops at the failing hop") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val dMem = MemoryStream[StAgDeptR](spark)
+    val rMem = MemoryStream[StAgRegion](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(dMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true),
+      "regions_t" -> Source(rMem.toDF(), "roff2", key = Some("region_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT fid, amt, dept_name, region_name
+        |FROM facts
+        |JOIN depts_t ON dept = dept_id
+        |JOIN regions_t ON region_fk = region_id
+        |EMIT CHANGES;""".stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("st_nway_out")
+      .outputMode("update").start()
+    try {
+      // dept 10 → region 1 (named), dept 11 → region 2 (MISSING)
+      dMem.addData(StAgDeptR(10L, "eng", 1L, 1),
+        StAgDeptR(11L, "ops", 2L, 2))
+      rMem.addData(StAgRegion(1L, "emea", 1))
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)),
+        StAgFact(101L, 11L, 60L, ts(3000)), // region 2 missing — drops
+        StAgFact(102L, 12L, 70L, ts(4000))) // dept 12 missing — drops
+      q.processAllAvailable()
+      assert(spark.table("st_nway_out").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet === Set((100L, 50L, "eng", "emea")))
+      // region 2 appears + region 1 renames — only NEW facts see it
+      rMem.addData(StAgRegion(2L, "apac", 3), StAgRegion(1L, "europe", 4))
+      fMem.addData(StAgFact(103L, 11L, 80L, ts(5000)),
+        StAgFact(104L, 10L, 90L, ts(6000)))
+      q.processAllAvailable()
+      assert(spark.table("st_nway_out").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet === Set(
+        (100L, 50L, "eng", "emea"),
+        (103L, 80L, "ops", "apac"),
+        (104L, 90L, "eng", "europe")))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("N-WAY enrichment fused with GROUP BY in the same statement") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val fMem = MemoryStream[StAgFact](spark)
+    val dMem = MemoryStream[StAgDeptR](spark)
+    val rMem = MemoryStream[StAgRegion](spark)
+    val cat: Translator.Catalog = Map(
+      "facts" -> Source(fMem.toDF(), "ts"),
+      "depts_t" -> Source(dMem.toDF(), "roff", key = Some("dept_id"),
+        isTable = true),
+      "regions_t" -> Source(rMem.toDF(), "roff2", key = Some("region_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """SELECT region_name, COUNT(*) AS cnt, SUM(amt) AS total
+        |FROM facts
+        |JOIN depts_t ON dept = dept_id
+        |JOIN regions_t ON region_fk = region_id
+        |GROUP BY region_name EMIT CHANGES;""".stripMargin): @unchecked
+    val q = out.writeStream.format("memory").queryName("st_nway_agg_out")
+      .outputMode("update").start()
+    try {
+      dMem.addData(StAgDeptR(10L, "eng", 1L, 1),
+        StAgDeptR(11L, "ops", 1L, 2), StAgDeptR(12L, "hr", 2L, 3))
+      rMem.addData(StAgRegion(1L, "emea", 1), StAgRegion(2L, "apac", 2))
+      fMem.addData(StAgFact(100L, 10L, 50L, ts(2000)),
+        StAgFact(101L, 11L, 60L, ts(3000)),
+        StAgFact(102L, 12L, 70L, ts(4000)))
+      q.processAllAvailable()
+      assert(latest("st_nway_agg_out", 1) === Map(
+        Seq("emea") -> ((2L, 110L)),
+        Seq("apac") -> ((1L, 70L))))
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

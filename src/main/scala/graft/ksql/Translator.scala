@@ -110,7 +110,11 @@ object Translator {
     "GENERATE_SERIES" -> "GENERATE_SERIES(start, end[, step]) - integer array",
     "MAP_UNION" -> "MAP_UNION(m1, m2) - merge maps, later keys win",
     "AS_MAP" -> "AS_MAP(keys, vals) - zip two arrays into a map",
-    "FROM_DAYS" -> "FROM_DAYS(n) - days since epoch to DATE")
+    "FROM_DAYS" -> "FROM_DAYS(n) - days since epoch to DATE",
+    "ENTRIES" -> "ENTRIES(map, sorted) - ARRAY<STRUCT<K, V>>, sorted by K when true",
+    "FROM_BYTES" -> "FROM_BYTES(bytes, 'hex'|'base64'|'utf8'|'ascii') - bytes to string",
+    "TO_BYTES" -> "TO_BYTES(str, 'hex'|'base64'|'utf8'|'ascii') - string to bytes",
+    "AS_VALUE" -> "AS_VALUE(keyCol) - copy the key column into the value schema")
 
   // Session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES).
   // WeakHashMap so a stopped/dropped SparkSession doesn't stay pinned
@@ -370,7 +374,10 @@ object Translator {
     // UNIX_DATE already pass through by name)
     "GENERATE_SERIES" -> "sequence", "MAP_UNION" -> "map_concat",
     "AS_MAP" -> "map_from_arrays", "FROM_DAYS" -> "date_from_unix_date",
-    "PARSE_DATE" -> "to_date", "FORMAT_DATE" -> "date_format")
+    "PARSE_DATE" -> "to_date", "FORMAT_DATE" -> "date_format",
+    // round 17: CORRELATION is ksqlDB 0.21's Pearson aggregate (Spark
+    // spells it corr); STDDEV_SAMP/VAR_SAMP/VAR_POP pass through by name
+    "CORRELATION" -> "corr")
 
   /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
     * balanced parens (quote-aware) so nested calls and arbitrary
@@ -678,6 +685,65 @@ object Translator {
     * native transform — `__xform` is a loop-breaking placeholder
     * (rewriteCall rescans to a fixpoint, and the output still contains
     * the function). */
+  /** Round 17: the remaining ksqlDB byte/map-entry scalars. ENTRIES
+    * surfaces ksqlDB's ARRAY<STRUCT<K, V>> shape (field names K/V, not
+    * Spark's key/value) with the sort-by-key flag; FROM_BYTES/TO_BYTES
+    * carry the same encoding table as ENCODE (lowercase hex, US-ASCII
+    * '?' replacement); AS_VALUE is ksqlDB's key-into-value marker — an
+    * identity projection in graft's flattened model (the key IS a data
+    * column here). Second-pass identity holds: the emitted transform/
+    * array_sort/encode forms re-match their own expansions' pass-through
+    * arms (__xform/__asort/__encb), never this one's names. */
+  private def expandBytesEntries(sql: String): String = {
+    def enc(fn: String, a: String): String = {
+      val t = a.trim
+      if (!(t.startsWith("'") && t.endsWith("'")))
+        throw new IllegalArgumentException(
+          s"$fn encodings must be string literals, got: $a")
+      t.substring(1, t.length - 1).toLowerCase(java.util.Locale.ROOT)
+    }
+    val s1 = rewriteCall(sql, "ENTRIES") { args =>
+      arity("ENTRIES", args, 2)
+      val entries = s"transform(map_entries(${args.head}), " +
+        "__e -> named_struct('K', __e.key, 'V', __e.value))"
+      args(1).trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => s"array_sort($entries)" // struct sort = by K first
+        case "false" => entries
+        case other => throw new IllegalArgumentException(
+          s"ENTRIES(map, sorted): sorted must be a boolean literal, " +
+            s"got: $other")
+      }
+    }
+    val s2 = rewriteCall(s1, "FROM_BYTES") { args =>
+      arity("FROM_BYTES", args, 2)
+      val b = args.head
+      enc("FROM_BYTES", args(1)) match {
+        case "hex" => s"lower(hex($b))"
+        case "base64" => s"base64($b)"
+        case "utf8" => s"decode($b, 'UTF-8')"
+        case "ascii" => s"decode($b, 'US-ASCII')"
+        case other => throw new IllegalArgumentException(
+          s"FROM_BYTES: unsupported encoding '$other'")
+      }
+    }
+    val s3 = rewriteCall(s2, "TO_BYTES") { args =>
+      arity("TO_BYTES", args, 2)
+      val x = args.head
+      enc("TO_BYTES", args(1)) match {
+        case "hex" => s"unhex($x)"
+        case "base64" => s"unbase64($x)"
+        case "utf8" => s"encode($x, 'UTF-8')"
+        case "ascii" => s"encode($x, 'US-ASCII')"
+        case other => throw new IllegalArgumentException(
+          s"TO_BYTES: unsupported encoding '$other'")
+      }
+    }
+    rewriteCall(s3, "AS_VALUE") { args =>
+      arity("AS_VALUE", args, 1)
+      s"(${args.head})"
+    }
+  }
+
   private def expandLambdas(sql: String): String = {
     val lam = raw"(?s)^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.*)$$".r
     val out = rewriteCall(sql, "TRANSFORM") { args =>
@@ -1139,10 +1205,11 @@ object Translator {
     // brackets left are subscripts, and rewriting them to
     // try_element_at removes brackets from every later expansion's
     // scan entirely.
-    val expanded = expandLatest(expandUrl(expandField(expandGeo(expandTimeFns(
+    val expanded = expandBytesEntries(expandLatest(expandUrl(expandField(
+      expandGeo(expandTimeFns(
       expandTopK(expandHistogram(expandMask(expandJsonDatetime(expandArrayJson(
         expandLambdas(indexAccess(expandConstructors(
-          lambdaArrows(structDeref(e)))))))))))))))
+          lambdaArrows(structDeref(e))))))))))))))))
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)

@@ -110,4 +110,43 @@ class StatementSurfaceSpec extends SparkSpec {
       "CREATE STREAM IF NOT EXISTS s1 (x INT);")
     assert(c2("s1").df.columns.toSeq === Seq("id"))
   }
+
+  test("round-17 function-surface closers: ENTRIES (K/V struct names, " +
+    "sorted flag), FROM_BYTES/TO_BYTES round-trips, AS_VALUE identity, " +
+    "CORRELATION aggregate") {
+    def one(sel: String): org.apache.spark.sql.Row = {
+      val (_, Some(df)) = Translator.run(spark, cat(),
+        s"SELECT $sel AS x FROM ev WHERE id = 1;"): @unchecked
+      df.collect().head
+    }
+    // ENTRIES: ksqlDB's ARRAY<STRUCT<K, V>> with the sort-by-key flag
+    val ent = one("ENTRIES(MAP('b' := 2, 'a' := 1), true)")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(ent.map(r => (r.getString(0), r.getInt(1))) ===
+      Seq(("a", 1), ("b", 2)))
+    assert(ent.head.schema.fieldNames.toSeq === Seq("K", "V"))
+    val entU = one("ENTRIES(MAP('b' := 2, 'a' := 1), false)")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(entU.map(r => (r.getString(0), r.getInt(1))).toSet ===
+      Set(("a", 1), ("b", 2)))
+    // byte round-trips: string → bytes → string through each encoding
+    assert(one("FROM_BYTES(TO_BYTES('5A', 'hex'), 'hex')")
+      .getString(0) === "5a") // lowercase hex, the ENCODE convention
+    assert(one("FROM_BYTES(TO_BYTES('graft', 'utf8'), 'base64')")
+      .getString(0) === java.util.Base64.getEncoder
+        .encodeToString("graft".getBytes("UTF-8")))
+    assert(one("FROM_BYTES(TO_BYTES('hi', 'ascii'), 'utf8')")
+      .getString(0) === "hi")
+    // AS_VALUE: the key-into-value marker is identity here
+    assert(one("AS_VALUE(id)").getLong(0) === 1L)
+    // CORRELATION → corr (Pearson): exact ±1 on a linear column pair
+    val (_, Some(c)) = Translator.run(spark, cat(),
+      "SELECT CORRELATION(value, value) AS r FROM ev;"): @unchecked
+    assert(math.abs(c.collect().head.getDouble(0) - 1.0) < 1e-12)
+    // refusals stay loud: a non-literal encoding
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, cat(), "SELECT TO_BYTES('x', etype) FROM ev;")
+    }
+    assert(e.getMessage.contains("string literals"))
+  }
 }

@@ -484,12 +484,44 @@ object StreamBench {
               s"[streambench] stream_table_join_agg_rocksdb failed: $e")
             Result("stream_table_join_agg_rocksdb", -1.0, -1.0, -1.0)
         }
+      // Retraction-aware TABLE re-aggregation (round 18): the
+      // previous-image store under full churn — every row upserts one
+      // of 5000 recycled table keys (each key rewritten ~10× per
+      // batch, event_type cycling so most upserts MOVE groups), the
+      // delta converter emits the ±image pair, and the built-in
+      // streaming aggregate folds sign-weighted COUNT/SUM. State =
+      // 5000 images + 3 groups; output delta volume ≈ 2× input.
+      val tableReagg =
+        try {
+          drive(spark, "table_reagg_rocksdb", batches, batchRows, rows,
+            df => {
+              val changelog = df.select(
+                (col("event_id") % 5000L).as("pk"),
+                to_json(struct(col("event_type"), col("value"))).as("img"),
+                col("event_id").as("off"), lit(false).as("del"))
+              val img = new org.apache.spark.sql.types.StructType()
+                .add("event_type", "string").add("value", "double")
+              graft.streaming.StreamingTableAgg.changelogDeltas(changelog)
+                .select(from_json(col("img"), img).as("i"),
+                  col("__sign").cast("long").as("sg"))
+                .groupBy(col("i.event_type"))
+                .agg(sum(col("sg")).as("n"),
+                  sum(col("sg") * col("i.value")).as("sv"))
+            },
+            "update")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[streambench] table_reagg_rocksdb failed: $e")
+            Result("table_reagg_rocksdb", -1.0, -1.0, -1.0)
+        }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
       Seq(rocksJoin, tws, seeded, seededSess, seededPane, seededView,
-        seededViewWin, seededSessView, fkJoin, stJoin, stJoinAgg)
+        seededViewWin, seededSessView, fkJoin, stJoin, stJoinAgg,
+        tableReagg)
     }
     single ++ (join +: underRocks)
   }

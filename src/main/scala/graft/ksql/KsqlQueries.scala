@@ -1599,6 +1599,42 @@ object KsqlQueries {
         |JOIN nation ON user_id % 25 = n_nationkey
         |WHERE rn = 1""".stripMargin),
 
+    // Table→table aggregation typed as KSQL (round 18 — the §8.0
+    // statement form previously recorded as refused): GROUP BY over a
+    // TABLE re-aggregates the changelog. The BATCH form (this gate)
+    // compacts latest-per-key then aggregates — the full DuckDB oracle
+    // replays the compaction as a row_number window. The LIVE form of
+    // the SAME statement text routes to
+    // StreamingTableAgg.changelogDeltas (previous-image store keyed by
+    // the table's PRIMARY KEY) + sign-weighted built-in streaming sums;
+    // TableReaggSpec drives group moves, tombstones, HAVING, WHERE
+    // symmetry, and the delta-fold ≡ recompute parity changelog-for-
+    // changelog. BIGINT-cents keeps every fold oracle-exact.
+    "q_ksql_table_reagg" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog = Map(
+          "events_t" -> Translator.Source(
+            Tables.events(s, d).drop("props"), "event_id",
+            key = Some("user_id"), isTable = true))
+        val (_, Some(df)) = Translator.run(s, cat,
+          """CREATE TABLE type_stats AS
+            |  SELECT event_type, COUNT(*) AS n,
+            |    COUNT(value) AS nv,
+            |    SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+            |    AVG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS avg_cents
+            |  FROM events_t GROUP BY event_type;""".stripMargin): @unchecked
+        df
+      },
+      """SELECT event_type, count(*) AS n, count(value) AS nv,
+        |  sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+        |  avg(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS avg_cents
+        |FROM (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) AS rn
+        |      FROM events) e
+        |WHERE rn = 1
+        |GROUP BY event_type""".stripMargin),
+
     // GROUP BY on a SELECT alias (the KSQL idiom) through the dialect,
     // hash-matched against DuckDB resolving the same alias
     "q_ksql_group_alias" -> Q(

@@ -1706,6 +1706,241 @@ object Translator {
     } ++ Seq(col("__deleted"), col("__off")): _*)
   }
 
+  /** Retraction-aware GROUP BY over a LIVE TABLE changelog — ksqlDB's
+    * table→table aggregation (`CREATE TABLE agg AS SELECT g, COUNT(*)
+    * … FROM a_table GROUP BY g`), round 18; previously refused with a
+    * materialized-view pointer.
+    *
+    * Routed to StreamingTableAgg.changelogDeltas — ONE stateful
+    * operator keyed by the table's PRIMARY KEY holding each row's
+    * previous image (the state ksqlDB's undo functions consult) — then
+    * Spark's BUILT-IN streaming aggregation folds the ±signed images
+    * with sign-weighted columns: COUNT(*) = Σ sign, COUNT(x) =
+    * Σ [x≠null]·sign, SUM(x) = Σ sign·x served NULL while the group
+    * holds no non-null x (per SQL), AVG = that SUM/COUNT pair. Only
+    * those SUBTRACTABLE aggregates are legal — MIN, MAX, COLLECT_LIST,
+    * COLLECT_SET, LATEST/EARLIEST, TOPK, HISTOGRAM, COUNT(DISTINCT)
+    * cannot undo an update and refuse exactly as ksqlDB refuses them
+    * on tables.
+    *
+    * WHERE composes: it filters row IMAGES, and the −1/+1 pair is
+    * symmetric under any image predicate — a row UPDATING OUT of the
+    * predicate set still retracts its old, matching image. HAVING is a
+    * TOMBSTONE, not a filter: a group falling below the bound must
+    * emit a retraction (suppressing the update would leave readers
+    * serving its last passing value), so the output carries the
+    * fk-join changelog convention — `__deleted` (group emptied, or
+    * HAVING now fails) and `__off` (latest contributing offset);
+    * materialize per group key by max __off, non-deleted preferred.
+    * At scale: level-1 state is |table keys| × one row image, level 2
+    * shuffles only (group key, partial sums) with map-side combine —
+    * the same two stores ksqlDB keeps for this statement. */
+  private def streamingTableReaggregate(spark: SparkSession,
+      s: SelectStmt, src: Source): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    if (s.emitFinal) throw new IllegalArgumentException(
+      "EMIT FINAL closes WINDOWS — a table aggregate has none; its " +
+        "changelog is continuous (EMIT CHANGES)")
+    if (s.orderBy.nonEmpty || s.limit.isDefined)
+      throw new IllegalArgumentException(
+        "ORDER BY / LIMIT do not apply to a live changelog aggregate")
+    if (s.partitionBy.isDefined) throw new IllegalArgumentException(
+      "PARTITION BY cannot re-key a TABLE (ksqlDB: PARTITION BY is a " +
+        "STREAM operation) — the aggregate table is keyed by its GROUP BY")
+    def actual(c: String, what: String): String =
+      src.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"$what column '$c' not found"))
+    val pkCol = actual(src.key.getOrElse(throw new IllegalArgumentException(
+      s"TABLE ${s.from} needs WITH (KEY='col')")), "key")
+    src.df.schema(pkCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case t => throw new IllegalArgumentException(
+        s"the previous-image store is keyed BIGINT — '$pkCol' is " +
+          s"${t.simpleString}; CAST upstream")
+    }
+    val offc = actual(src.timeColumn, "TIMESTAMP")
+    val off: Column = src.df.schema(offc).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(offc))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col(offc).cast("timestamp"))
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => col(offc).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"changelog offset column '$offc' must be a timestamp or " +
+          s"integer — is ${dt.simpleString}")
+    }
+    val valCols = src.df.columns.toIndexedSeq
+    val clash = valCols.filter(c => c.equalsIgnoreCase("__sign") ||
+      c.equalsIgnoreCase("__delta_off") || c.equalsIgnoreCase("__img"))
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"column(s) ${clash.mkString(", ")} collide with the delta " +
+        "adapter's internals — alias upstream")
+    val imgStruct = StructType(valCols.map(src.df.schema(_)))
+    val changelog = src.df.select(
+      col(pkCol).cast("long").as("pk"),
+      to_json(struct(valCols.map(col): _*)).as("img"),
+      off.as("off"), lit(false).as("del"))
+    val unpacked = graft.streaming.StreamingTableAgg
+      .changelogDeltas(changelog)
+      .select(from_json(col("img"), imgStruct).as("__img"),
+        col("__sign"), col("__delta_off"))
+      .select(valCols.map(c => col(s"__img.$c").as(c)) ++
+        Seq(col("__sign"), col("__delta_off")): _*)
+    val filtered = s.where.fold(unpacked)(w =>
+      unpacked.filter(expr(rewriteExpr(w))))
+    // grouping keys resolve exactly like the batch path (alias-of-select
+    // or plain column) but each must carry a NAME — it is the derived
+    // table's key
+    val aliasMap = s.columns.collect {
+      case (e, Some(a)) => a.toLowerCase -> e
+    }.toMap
+    val keyCols: Seq[(String, Column)] = s.groupBy.map { g =>
+      val t = g.trim
+      aliasMap.get(t.toLowerCase) match {
+        case Some(e) => (t, expr(rewriteExpr(e)).as(t))
+        case None => plainColumn(t) match {
+          case Some(c0) =>
+            val c = valCols.find(_.equalsIgnoreCase(c0)).getOrElse(
+              throw new IllegalArgumentException(
+                s"grouping column '$c0' not found"))
+            (c, col(c))
+          case None => throw new IllegalArgumentException(
+            s"alias the grouping expression '$t' in the SELECT list — " +
+              "the aggregate table's key needs a column name")
+        }
+      }
+    }
+    val keyByText: Map[String, String] = s.groupBy.zip(keyCols).map {
+      case (g, (n, _)) =>
+        rewriteExpr(aliasMap.getOrElse(g.trim.toLowerCase, g)) -> n
+    }.toMap
+    // each select column is a grouping key or ONE subtractable aggregate
+    val subtractable = Set("COUNT", "SUM", "AVG")
+    val unsubtractable = Set("MIN", "MAX", "COLLECT_LIST", "COLLECT_SET",
+      "LATEST_BY_OFFSET", "EARLIEST_BY_OFFSET", "TOPK", "TOPKDISTINCT",
+      "HISTOGRAM", "COUNT_DISTINCT", "STDDEV_SAMP", "VAR_SAMP", "VAR_POP",
+      "CORRELATION")
+    def singleAgg(e: String): Option[(String, String)] = {
+      val m = raw"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$$".r
+      e.trim match {
+        case m(f, inner) =>
+          // the WHOLE text must be this one call: the inner text has to
+          // be paren-balanced outside quotes
+          var d = 0; var q = false; var ok = true
+          inner.foreach {
+            case '\'' => q = !q
+            case '(' if !q => d += 1
+            case ')' if !q => d -= 1; if (d < 0) ok = false
+            case _ => ()
+          }
+          if (ok && d == 0 && !q) Some((f.toUpperCase, inner.trim))
+          else None
+        case _ => None
+      }
+    }
+    sealed trait OutCol
+    case class KeyOut(keyName: String) extends OutCol
+    case class AggOut(fn: String, inner: String) extends OutCol
+    val outs: Seq[(OutCol, String)] = s.columns.zipWithIndex.map {
+      case ((e, alias), i) =>
+        val rw = rewriteExpr(e)
+        keyByText.get(rw) match {
+          case Some(kn) => (KeyOut(kn), alias.getOrElse(kn))
+          case None => singleAgg(e) match {
+            case Some((f, inner)) if subtractable.contains(f) =>
+              if (f == "COUNT" && raw"(?i)^\s*DISTINCT\b".r
+                  .findFirstIn(inner).isDefined)
+                throw new IllegalArgumentException(
+                  "COUNT(DISTINCT …) cannot subtract without per-value " +
+                    "counts — ksqlDB refuses it on tables too; CREATE " +
+                    "MATERIALIZED VIEW and query the view")
+              (AggOut(f, inner), alias.getOrElse(s"KSQL_COL_$i"))
+            case Some((f, _)) if unsubtractable.contains(f) =>
+              throw new IllegalArgumentException(
+                s"$f cannot subtract an update's previous value — " +
+                  "ksqlDB refuses it on tables too; aggregate the " +
+                  "underlying STREAM, or CREATE MATERIALIZED VIEW " +
+                  "and query the view")
+            case _ => throw new IllegalArgumentException(
+              s"'$e' is neither a grouping key nor a single " +
+                "subtractable aggregate (COUNT/SUM/AVG) — a table " +
+                "changelog re-aggregates by folding ±deltas, so each " +
+                "output column is one undoable aggregate; compose " +
+                "expressions in a second statement over this table")
+          }
+        }
+    }
+    val bad = outs.map(_._2).filter(n => n.startsWith("__"))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"output name(s) ${bad.mkString(", ")} collide with the " +
+        "changelog meta columns (__deleted/__off) — pick other aliases")
+    // sign-weighted internal aggregates: one running Σsign for the
+    // tombstone, max(offset) for materialization order, and per
+    // aggregate the (Σ sign·x, Σ [x≠null]·sign) pair
+    val sign = col("__sign").cast("long")
+    var internal = Seq[Column](sum(sign).as("__cnt"),
+      max(col("__delta_off")).as("__off"))
+    outs.zipWithIndex.foreach {
+      case ((AggOut(fn, inner), _), i) if !(fn == "COUNT" && inner == "*") =>
+        val x = expr(rewriteExpr(inner))
+        if (fn == "COUNT")
+          internal :+= sum(when(x.isNotNull, sign).otherwise(0L)).as(s"__c$i")
+        else {
+          internal :+= sum(when(x.isNotNull, sign * x)).as(s"__s$i")
+          internal :+= sum(when(x.isNotNull, sign).otherwise(0L)).as(s"__n$i")
+        }
+      case _ => ()
+    }
+    val grouped = filtered.groupBy(keyCols.map(_._2): _*)
+      .agg(internal.head, internal.tail: _*)
+    val finalCols: Seq[Column] = outs.zipWithIndex.map {
+      case ((KeyOut(kn), name), _) => col(kn).as(name)
+      case ((AggOut("COUNT", "*"), name), _) => col("__cnt").as(name)
+      case ((AggOut("COUNT", _), name), i) => col(s"__c$i").as(name)
+      case ((AggOut("SUM", _), name), i) =>
+        when(col(s"__n$i") > 0, col(s"__s$i")).as(name)
+      case ((AggOut(_, _), name), i) => // AVG
+        when(col(s"__n$i") > 0,
+          col(s"__s$i").cast("double") / col(s"__n$i")).as(name)
+    }
+    val selected = grouped.select(
+      finalCols ++ Seq(col("__cnt"), col("__off")): _*)
+    // HAVING → tombstone: substitute each select aggregate's rewritten
+    // text (the ksqlDB `HAVING COUNT(*) > 1` idiom) and rely on aliases
+    // already BEING output columns; any aggregate call left over cannot
+    // be served from the folded state and refuses
+    val havingFail: Option[Column] = s.having.map { h =>
+      val identRe = raw"[A-Za-z_][A-Za-z0-9_]*".r.pattern
+      var t = rewriteExpr(h)
+      outs.zipWithIndex.foreach {
+        case ((_: AggOut, name), i) =>
+          val srcTxt = rewriteExpr(s.columns(i)._1)
+          if (srcTxt.nonEmpty && !identRe.matcher(srcTxt).matches())
+            t = java.util.regex.Pattern.compile(
+              "(?i)(?<![A-Za-z0-9_])" +
+                java.util.regex.Pattern.quote(srcTxt) + "(?![A-Za-z0-9_])")
+              .matcher(t).replaceAll(
+                java.util.regex.Matcher.quoteReplacement(name))
+        case _ => ()
+      }
+      if (raw"(?i)\b(count|sum|avg|min|max|collect_list|collect_set|topk)\s*\("
+          .r.findFirstIn(t).isDefined)
+        throw new IllegalArgumentException(
+          "HAVING over a table-changelog aggregate must reference the " +
+            s"SELECT list (an alias or a verbatim select aggregate) — " +
+            s"'$h' does not reduce to output columns")
+      !coalesce(expr(t), lit(false))
+    }
+    val tomb = havingFail.fold(col("__cnt") === 0L)(hf =>
+      col("__cnt") === 0L || hf)
+    selected.withColumn("__deleted", tomb).drop("__cnt")
+  }
+
   /** STREAM ⋈ LIVE-TABLE join through the dialect (ksqlDB's
     * stream-table join with the table still flowing): routed to
     * StreamingJoins.streamTableJoin — one ValueState per table key,
@@ -1886,11 +2121,23 @@ object Translator {
     // live TABLE⋈TABLE join routes to the streaming subscription store
     // (StreamingJoins.fkTableJoin).
     if (src0.isTable && src0.df.isStreaming) {
-      if (s.groupBy.nonEmpty || s.window.isDefined || s.groupingMode.isDefined)
-        throw new IllegalArgumentException(
-          "re-aggregating a LIVE TABLE changelog needs retraction-aware " +
-            "aggregates — CREATE MATERIALIZED VIEW and query the view, " +
-            "or aggregate the underlying STREAM")
+      if (s.window.isDefined) throw new IllegalArgumentException(
+        "windows apply to STREAMS — a TABLE changelog has no event " +
+          "stream to window (ksqlDB refuses windowed table " +
+          "aggregations too); window the underlying STREAM")
+      if (s.groupingMode.isDefined) throw new IllegalArgumentException(
+        "ROLLUP/CUBE/GROUPING SETS is a batch (pull) construct — a " +
+          "streaming grouping-set state would multiply every update")
+      // retraction-aware re-aggregation of the live changelog
+      // (ksqlDB's table→table aggregation) — round 18, previously a
+      // refusal pointing at MATERIALIZED VIEWs
+      if (s.groupBy.nonEmpty) {
+        if (s.joins.nonEmpty) throw new IllegalArgumentException(
+          "aggregating a live TABLE-TABLE join is two statements — " +
+            "CREATE TABLE joined AS SELECT … JOIN …, then " +
+            "re-aggregate the joined table")
+        return streamingTableReaggregate(spark, s, src0)
+      }
       if (s.joins.nonEmpty && s.joins.forall(j =>
           catalog.get(j.table.toLowerCase).exists(r =>
             r.isTable && r.df.isStreaming)))

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ksql.Translator
+import graft.ksql.Translator.Source
+
+/** Live-table changelog record: nullable balance so COUNT(x)/SUM skip
+  * null contributions while COUNT(*) still counts the row. */
+case class ReaggRow(id: Long, seg: String, bal: java.lang.Long, off: Long)
+
+/** Retraction-aware GROUP BY over a LIVE TABLE changelog (round 18 —
+  * ksqlDB's table→table aggregation, previously refused): every upsert
+  * retracts the row's previous contribution and adds its new one, so a
+  * key MOVING between groups decrements one aggregate and increments
+  * the other; emptied groups and HAVING failures TOMBSTONE
+  * (`__deleted`) instead of silently keeping their last served value.
+  */
+class TableReaggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stmt =
+    """CREATE TABLE seg_stats AS
+      |  SELECT seg, COUNT(*) AS n, COUNT(bal) AS nb,
+      |         SUM(bal) AS bal_sum, AVG(bal) AS bal_avg
+      |  FROM accts GROUP BY seg;""".stripMargin
+
+  private def withRocks[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try body finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** Materialize the aggregate changelog: per group the max-__off
+    * emission (monotone per group — it is the latest contributing
+    * changelog offset), dropping tombstones. */
+  private def materialize(table: String): Map[String, (Long, Long, Option[Long], Option[Double])] = {
+    import org.apache.spark.sql.expressions.Window
+    spark.table(table)
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("seg")).orderBy(col("__off").desc)))
+      .filter(col("__rn") === 1 && !col("__deleted")).drop("__rn")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+  }
+
+  test("live re-aggregation: group moves retract-and-add, null values " +
+    "skip COUNT(x)/SUM, stale replays no-op, emptied groups tombstone, " +
+    "and the materialized result converges on the snapshot recompute") {
+    withRocks {
+      val mem = MemoryStream[ReaggRow](spark)
+      val cat: Translator.Catalog = Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true))
+      val (_, Some(out)) = Translator.run(spark, cat, stmt): @unchecked
+      assert(out.isStreaming, "the live form must stay a streaming frame")
+      assert(out.columns.toSeq ===
+        Seq("seg", "n", "nb", "bal_sum", "bal_avg", "__off", "__deleted"))
+      val q = out.writeStream.format("memory").queryName("reagg_out")
+        .outputMode("update").start()
+      try {
+        var all = Seq.empty[ReaggRow]
+        def oracle(): Map[String, (Long, Long, Option[Long], Option[Double])] = {
+          val latest = all.groupBy(_.id).view.mapValues(_.maxBy(_.off))
+            .values.toSeq
+          latest.groupBy(_.seg).view.mapValues { rows =>
+            val vals = rows.flatMap(r => Option(r.bal).map(_.longValue()))
+            (rows.size.toLong, vals.size.toLong,
+              if (vals.isEmpty) None else Some(vals.sum),
+              if (vals.isEmpty) None
+              else Some(vals.sum.toDouble / vals.size))
+          }.toMap
+        }
+        def drive(rows: ReaggRow*): Unit = {
+          mem.addData(rows: _*)
+          q.processAllAvailable()
+          all ++= rows
+          assert(materialize("reagg_out") === oracle())
+        }
+        // batch 1: two groups
+        drive(ReaggRow(1, "a", 10L, 1), ReaggRow(2, "a", 20L, 2),
+          ReaggRow(3, "b", 30L, 3))
+        // batch 2: id 1 MOVES a→b (retract from a, add to b); id 4
+        // arrives with a NULL balance (counts in n, not nb/sum)
+        drive(ReaggRow(1, "b", 15L, 4), ReaggRow(4, "a", null, 5))
+        // batch 3: a STALE replay of id 1's first image (offset below
+        // the stored one) must not resurrect the old contribution
+        drive(ReaggRow(1, "a", 10L, 0))
+        // batch 4: id 2 moves a→c; id 4's balance materializes in c —
+        // group a is now EMPTY and must be served tombstoned
+        drive(ReaggRow(2, "c", 25L, 6), ReaggRow(4, "c", 40L, 7))
+        val aRows = spark.table("reagg_out").filter(col("seg") === "a")
+          .orderBy(col("__off").desc).collect()
+        assert(aRows.nonEmpty && aRows.head.getAs[Boolean]("__deleted"),
+          "an emptied group must emit a tombstone, not go silent")
+        // batch 5: the same key updating IN PLACE (same group, new
+        // value) adjusts the sums without touching counts
+        drive(ReaggRow(4, "c", 50L, 8))
+      } finally q.stop()
+    }
+  }
+
+  test("HAVING is a tombstone: a group falling below the bound emits " +
+    "a retraction (verbatim-aggregate and alias forms both serve)") {
+    withRocks {
+      val mem = MemoryStream[ReaggRow](spark)
+      val cat: Translator.Catalog = Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true))
+      val (_, Some(out)) = Translator.run(spark, cat,
+        """CREATE TABLE big_segs AS
+          |  SELECT seg, COUNT(*) AS n FROM accts
+          |  GROUP BY seg HAVING COUNT(*) >= 2;""".stripMargin)
+        : @unchecked
+      val q = out.writeStream.format("memory").queryName("reagg_hav")
+        .outputMode("update").start()
+      try {
+        mem.addData(ReaggRow(1, "a", 1L, 1), ReaggRow(2, "a", 2L, 2))
+        q.processAllAvailable()
+        val served = spark.table("reagg_hav")
+          .filter(col("seg") === "a" && !col("__deleted")).collect()
+        assert(served.map(_.getLong(1)).toSeq === Seq(2L),
+          "a group meeting HAVING serves")
+        // id 2 moves away: a falls to 1 — HAVING now fails, and the
+        // emission must be a TOMBSTONE (a filter would stay silent and
+        // readers would keep serving n=2)
+        mem.addData(ReaggRow(2, "b", 2L, 3))
+        q.processAllAvailable()
+        val aLast = spark.table("reagg_hav").filter(col("seg") === "a")
+          .orderBy(col("__off").desc).collect().head
+        assert(aLast.getAs[Boolean]("__deleted"),
+          "falling below HAVING must tombstone")
+      } finally q.stop()
+    }
+  }
+
+  test("WHERE filters row images symmetrically: an update moving a row " +
+    "OUT of the predicate set retracts its old, matching image") {
+    withRocks {
+      val mem = MemoryStream[ReaggRow](spark)
+      val cat: Translator.Catalog = Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true))
+      val (_, Some(out)) = Translator.run(spark, cat,
+        """CREATE TABLE rich AS
+          |  SELECT seg, COUNT(*) AS n FROM accts
+          |  WHERE bal >= 20 GROUP BY seg;""".stripMargin): @unchecked
+      val q = out.writeStream.format("memory").queryName("reagg_where")
+        .outputMode("update").start()
+      try {
+        mem.addData(ReaggRow(1, "a", 25L, 1), ReaggRow(2, "a", 30L, 2))
+        q.processAllAvailable()
+        // id 1 drops to 5: leaves the predicate set — its OLD image
+        // (bal 25, passing) must still retract, n falls to 1
+        mem.addData(ReaggRow(1, "a", 5L, 3))
+        q.processAllAvailable()
+        val aLast = spark.table("reagg_where").filter(col("seg") === "a")
+          .orderBy(col("__off").desc).collect().head
+        assert(!aLast.getAs[Boolean]("__deleted") && aLast.getLong(1) === 1L,
+          s"expected n=1 after the update left the WHERE set, got $aLast")
+      } finally q.stop()
+    }
+  }
+
+  test("the live form matches the batch snapshot aggregation of the " +
+    "same changelog (delta-fold ≡ recompute)") {
+    withRocks {
+      val rows = Seq(
+        ReaggRow(1, "a", 10L, 1), ReaggRow(2, "a", 20L, 2),
+        ReaggRow(3, "b", 30L, 3), ReaggRow(1, "b", 15L, 4),
+        ReaggRow(4, "a", null, 5), ReaggRow(2, "c", 25L, 6))
+      val mem = MemoryStream[ReaggRow](spark)
+      val liveCat: Translator.Catalog = Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true))
+      val (_, Some(out)) = Translator.run(spark, liveCat, stmt): @unchecked
+      val q = out.writeStream.format("memory").queryName("reagg_parity")
+        .outputMode("update").start()
+      try {
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      import org.apache.spark.sql.expressions.Window
+      val live = spark.table("reagg_parity")
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("seg")).orderBy(col("__off").desc)))
+        .filter(col("__rn") === 1 && !col("__deleted"))
+        .select("seg", "n", "nb", "bal_sum", "bal_avg")
+      val batchCat: Translator.Catalog = Map(
+        "accts" -> Source(rows.toDF(), "off", key = Some("id"),
+          isTable = true))
+      val (_, Some(batch)) = Translator.run(spark, batchCat, stmt.replace(
+        "CREATE TABLE seg_stats AS", "CREATE TABLE seg_stats_b AS"))
+        : @unchecked
+      assert(live.collect().toSet === batch.collect().toSet,
+        "live delta-fold and batch snapshot recompute must agree")
+    }
+  }
+
+  test("subtractable-only surface: the refusals ksqlDB makes on tables") {
+    val mem = MemoryStream[ReaggRow](spark)
+    val cat: Translator.Catalog = Map(
+      "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+        isTable = true))
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Translator.run(spark, cat, sql)
+      }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"message '${e.getMessage}' lacks '$needle'")
+    }
+    refuses("CREATE TABLE x AS SELECT seg, MAX(bal) AS m FROM accts " +
+      "GROUP BY seg;", "cannot subtract")
+    refuses("CREATE TABLE x AS SELECT seg, COLLECT_LIST(bal) AS l " +
+      "FROM accts GROUP BY seg;", "cannot subtract")
+    refuses("CREATE TABLE x AS SELECT seg, COUNT(DISTINCT bal) AS d " +
+      "FROM accts GROUP BY seg;", "per-value counts")
+    refuses("CREATE TABLE x AS SELECT seg, SUM(bal) + 1 AS s " +
+      "FROM accts GROUP BY seg;", "one undoable aggregate")
+    refuses("CREATE TABLE x AS SELECT seg, COUNT(*) AS n FROM accts " +
+      "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY seg;",
+      "windows apply to STREAMS")
+    refuses("CREATE TABLE x AS SELECT seg, COUNT(*) AS n FROM accts " +
+      "GROUP BY seg ORDER BY n;", "ORDER BY / LIMIT")
+    refuses("CREATE TABLE x AS SELECT seg, COUNT(*) AS n FROM accts " +
+      "GROUP BY seg PARTITION BY seg;", "PARTITION BY")
+    refuses("CREATE TABLE x AS SELECT seg || '!' , COUNT(*) AS n " +
+      "FROM accts GROUP BY seg || '!';", "alias the grouping expression")
+    refuses("CREATE TABLE x AS SELECT seg, COUNT(*) AS n FROM accts " +
+      "GROUP BY seg HAVING MAX(bal) > 1;", "does not reduce")
+    refuses("CREATE TABLE x AS SELECT seg, COUNT(*) AS n FROM accts " +
+      "GROUP BY seg EMIT FINAL;", "EMIT FINAL")
+  }
+}

@@ -151,7 +151,13 @@ object ScaleProbe {
     // the delta branch's range stops at the Expand (as far as ANY plan
     // can push it), so the delta cost is |Δ| fan-out, linear. Both walls
     // should track the matching fraction, like q_mv_pull_window_range.
-    "q_mv_hopping_range", "q_mv_pull_hopping_range")
+    "q_mv_hopping_range", "q_mv_pull_hopping_range",
+    // round 18: q_ksql_table_reagg — the BATCH form of the table
+    // re-aggregation (snapshot compaction = one key-shuffle max_by,
+    // then a partial-agg GROUP BY over 5 types), linear in |events|;
+    // the LIVE form's cost is per-update O(1) and is probed by
+    // StreamBench's table_reagg_rocksdb instead.
+    "q_ksql_table_reagg")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

@@ -38,32 +38,41 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   */
 object StreamingTableAgg {
 
-  /** Input record: (pk, image JSON, offset, delete?). */
-  private type In = (Long, String, Long, Boolean)
+  /** Input record: (pk, image JSON, offset, delete?). The key is a
+    * STRING — casting any atomic PRIMARY KEY to string is injective,
+    * so string-keyed tables (the common user_id case) and the derived
+    * tables a GROUP BY produces re-aggregate without a BIGINT bound. */
+  private type In = (String, String, Long, Boolean)
   /** Output delta: (image JSON, sign ±1, offset). */
   private type Out = (String, Int, Long)
 
   /** Previous-image store: (last applied offset, image JSON). */
   private class DeltaProcessor
-    extends StatefulProcessor[Long, In, Out] {
+    extends StatefulProcessor[String, In, Out] {
     @transient private var prev: ValueState[(Long, String)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       prev = getHandle.getValueState[(Long, String)]("prev",
         Encoders.product[(Long, String)], TTLConfig.NONE)
-    override def handleInputRows(key: Long, rows: Iterator[In],
+    override def handleInputRows(key: String, rows: Iterator[In],
         tv: TimerValues): Iterator[Out] = {
       val out = Seq.newBuilder[Out]
       // fold in OFFSET order: a micro-batch may carry several changelog
       // records for one key and TABLE semantics are last-write-wins by
       // offset; across batches a STALE replay (offset below the stored
-      // one) is a no-op — applying it would resurrect an older image
-      rows.toArray.sortBy(_._3).foreach { case (_, img, off, del) =>
-        val stored = Option(prev.get())
-        if (!stored.exists(off < _._1)) {
-          stored.foreach { case (_, old) => out += ((old, -1, off)) }
-          if (del) { if (stored.isDefined) prev.clear() }
-          else { out += ((img, 1, off)); prev.update((off, img)) }
-        }
+      // one) is a no-op — applying it would resurrect an older image.
+      // On EQUAL offsets deletes apply FIRST: an upstream changelog's
+      // move emits its retract and upsert halves with the same offset
+      // (the fkTableJoin contract), and shuffles do not preserve their
+      // order — retract-then-upsert is the only fold that cannot end a
+      // move tombstoned.
+      rows.toArray.sortBy(r => (r._3, !r._4)).foreach {
+        case (_, img, off, del) =>
+          val stored = Option(prev.get())
+          if (!stored.exists(off < _._1)) {
+            stored.foreach { case (_, old) => out += ((old, -1, off)) }
+            if (del) { if (stored.isDefined) prev.clear() }
+            else { out += ((img, 1, off)); prev.update((off, img)) }
+          }
       }
       out.result().iterator
     }
@@ -71,11 +80,14 @@ object StreamingTableAgg {
 
   /** Changelog → signed delta stream.
     *
-    * `changelog` columns: `pk` (BIGINT — the table's PRIMARY KEY),
-    * `img` (JSON of the full row image), `off` (BIGINT, monotone per
-    * key), `del` (BOOLEAN — true retracts the key; the file-backed
-    * dialect path has no tombstone record and always passes false,
-    * the same contract note as StreamingJoins.fkTableJoin).
+    * `changelog` columns: `pk` (any atomic type — cast to STRING for
+    * the store key), `img` (JSON of the full row image), `off`
+    * (BIGINT, monotone per key), `del` (BOOLEAN — true retracts the
+    * key; a file-backed dialect source has no tombstone record and
+    * passes false, the same contract note as
+    * StreamingJoins.fkTableJoin — but DERIVED changelogs, a GROUP BY's
+    * or an FK join's output, carry real tombstones in `__deleted` and
+    * the translator maps them through).
     *
     * Emits (img, sign, off): the row's previous image with sign −1 and
     * (for upserts) the new image with sign +1. Downstream, any
@@ -84,7 +96,10 @@ object StreamingTableAgg {
   def changelogDeltas(changelog: DataFrame): DataFrame = {
     import changelog.sparkSession.implicits._
     changelog
-      .select(col("pk").cast("long"), col("img").cast("string"),
+      // a changelog record with a NULL key addresses no table row —
+      // ksqlDB drops them (a keyless tombstone has nothing to delete)
+      .filter(col("pk").isNotNull)
+      .select(col("pk").cast("string"), col("img").cast("string"),
         col("off").cast("long"), col("del").cast("boolean"))
       .as[In]
       .groupByKey(_._1)

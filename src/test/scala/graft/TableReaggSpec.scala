@@ -202,6 +202,159 @@ class TableReaggSpec extends SparkSpec {
     }
   }
 
+  test("CHAINED re-aggregation: a GROUP BY over another GROUP BY's " +
+    "changelog honors its tombstones and offsets (__deleted/__off are " +
+    "the authoritative delete/order signals of a derived table)") {
+    withRocks {
+      val mem = MemoryStream[ReaggRow](spark)
+      val cat0: Translator.Catalog = Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true))
+      // hop 1: rows per segment; hop 2: how many segments carry each
+      // row count — a seg moving between counts must decrement its old
+      // count's tally, and a TOMBSTONED seg must leave the histogram
+      val (cat1, _) = Translator.run(spark, cat0,
+        """CREATE TABLE seg_stats AS
+          |  SELECT seg, COUNT(*) AS n FROM accts GROUP BY seg;"""
+          .stripMargin)
+      val (_, Some(out)) = Translator.run(spark, cat1,
+        """CREATE TABLE seg_sizes AS
+          |  SELECT n, COUNT(*) AS segs FROM seg_stats GROUP BY n;"""
+          .stripMargin): @unchecked
+      assert(out.isStreaming)
+      val q = out.writeStream.format("memory").queryName("reagg_chain")
+        .outputMode("update").start()
+      try {
+        var all = Seq.empty[ReaggRow]
+        def oracle(): Map[Long, Long] = {
+          val latest = all.groupBy(_.id).view.mapValues(_.maxBy(_.off))
+            .values.toSeq
+          latest.groupBy(_.seg).view.mapValues(_.size.toLong).values
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        }
+        def materialized(): Map[Long, Long] = {
+          import org.apache.spark.sql.expressions.Window
+          spark.table("reagg_chain")
+            .withColumn("__rn", row_number().over(Window
+              .partitionBy(col("n")).orderBy(col("__off").desc)))
+            .filter(col("__rn") === 1 && !col("__deleted")).drop("__rn")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        def drive(rows: ReaggRow*): Unit = {
+          mem.addData(rows: _*)
+          q.processAllAvailable()
+          all ++= rows
+          assert(materialized() === oracle(),
+            s"after ${all.size} records")
+        }
+        // a:2 b:1 → histogram {2→1, 1→1}
+        drive(ReaggRow(1, "a", 1L, 1), ReaggRow(2, "a", 2L, 2),
+          ReaggRow(3, "b", 3L, 3))
+        // id 2 moves a→b: both segs now 1... a:1 b:2 → {1→1, 2→1}
+        drive(ReaggRow(2, "b", 2L, 4))
+        // id 1 moves a→c: seg a EMPTIES (hop-1 tombstone) — the
+        // histogram must not keep counting it; a:gone b:2 c:1
+        drive(ReaggRow(1, "c", 1L, 5))
+        // pile everyone into b: b:3 c:gone... {3→1}? id1,id2,id3 all b
+        drive(ReaggRow(1, "b", 1L, 6), ReaggRow(3, "b", 3L, 7))
+      } finally q.stop()
+    }
+  }
+
+  test("FK-join changelog feeds a re-aggregation (the two-statement " +
+    "pointer): right renames MOVE groups, fk moves re-count, join " +
+    "retractions leave the tally") {
+    withRocks {
+      val lMem = MemoryStream[DlgLeft](spark)
+      val rMem = MemoryStream[DlgRight](spark)
+      val cat0: Translator.Catalog = Map(
+        "users_t" -> Source(lMem.toDF(), "off", key = Some("uid"),
+          isTable = true),
+        "depts_t" -> Source(rMem.toDF(), "roff", key = Some("dept_id"),
+          isTable = true))
+      val (cat1, _) = Translator.run(spark, cat0,
+        """CREATE TABLE joined AS
+          |  SELECT uid, dept, uname, dept_name
+          |  FROM users_t JOIN depts_t ON dept = dept_id;""".stripMargin)
+      val (_, Some(out)) = Translator.run(spark, cat1,
+        """CREATE TABLE dept_counts AS
+          |  SELECT dept_name, COUNT(*) AS members
+          |  FROM joined GROUP BY dept_name;""".stripMargin): @unchecked
+      val q = out.writeStream.format("memory").queryName("reagg_fk")
+        .outputMode("update").start()
+      try {
+        var allL = Seq.empty[DlgLeft]; var allR = Seq.empty[DlgRight]
+        def oracle(): Map[String, Long] = {
+          val lLatest = allL.groupBy(_.uid).view.mapValues(_.maxBy(_.off))
+            .values.filter(_.dept != null)
+          val rLatest = allR.groupBy(_.dept_id).view
+            .mapValues(_.maxBy(_.roff)).values
+            .map(r => r.dept_id -> r.dept_name).toMap
+          lLatest.flatMap(l => rLatest.get(l.dept.longValue()))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        }
+        def materialized(): Map[String, Long] = {
+          import org.apache.spark.sql.expressions.Window
+          spark.table("reagg_fk")
+            .withColumn("__rn", row_number().over(Window
+              .partitionBy(col("dept_name")).orderBy(col("__off").desc)))
+            .filter(col("__rn") === 1 && !col("__deleted")).drop("__rn")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        def drive(ls: Seq[DlgLeft], rs: Seq[DlgRight]): Unit = {
+          if (ls.nonEmpty) lMem.addData(ls: _*)
+          if (rs.nonEmpty) rMem.addData(rs: _*)
+          q.processAllAvailable()
+          allL ++= ls; allR ++= rs
+          assert(materialized() === oracle())
+        }
+        drive(
+          Seq(DlgLeft(1L, 10L, null, "ann", 3),
+            DlgLeft(2L, 10L, null, "bob", 4),
+            DlgLeft(3L, 11L, null, "cid", 5)),
+          Seq(DlgRight(10L, "eng", 1), DlgRight(11L, "ops", 2)))
+        // fk move 10→11: eng falls to 1, ops rises to 2
+        drive(Seq(DlgLeft(1L, 11L, 10L, "ann", 6)), Nil)
+        // right RENAME 10→"platform": the subscribers' dept_name value
+        // changes — the count must MOVE from eng to platform
+        drive(Nil, Seq(DlgRight(10L, "platform", 7)))
+        // left delete: uid 3 leaves ops
+        drive(Seq(DlgLeft(3L, null, 11L, null, 8)), Nil)
+      } finally q.stop()
+    }
+  }
+
+  test("STRING-keyed tables re-aggregate (the previous-image store " +
+    "keys on the PRIMARY KEY's string form)") {
+    withRocks {
+      val mem = MemoryStream[(String, String, Long, Long)](spark)
+      val cat: Translator.Catalog = Map(
+        "users" -> Source(
+          mem.toDF().toDF("handle", "team", "score", "off"), "off",
+          key = Some("handle"), isTable = true))
+      val (_, Some(out)) = Translator.run(spark, cat,
+        """CREATE TABLE team_sizes AS
+          |  SELECT team, COUNT(*) AS n FROM users GROUP BY team;"""
+          .stripMargin): @unchecked
+      val q = out.writeStream.format("memory").queryName("reagg_str")
+        .outputMode("update").start()
+      try {
+        mem.addData(("ann", "red", 1L, 1L), ("bob", "red", 2L, 2L),
+          ("cid", "blue", 3L, 3L))
+        q.processAllAvailable()
+        mem.addData(("ann", "blue", 1L, 4L)) // move red→blue
+        q.processAllAvailable()
+        import org.apache.spark.sql.expressions.Window
+        val m = spark.table("reagg_str")
+          .withColumn("__rn", row_number().over(Window
+            .partitionBy(col("team")).orderBy(col("__off").desc)))
+          .filter(col("__rn") === 1 && !col("__deleted")).drop("__rn")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(m === Map("red" -> 1L, "blue" -> 2L))
+      } finally q.stop()
+    }
+  }
+
   test("subtractable-only surface: the refusals ksqlDB makes on tables") {
     val mem = MemoryStream[ReaggRow](spark)
     val cat: Translator.Catalog = Map(

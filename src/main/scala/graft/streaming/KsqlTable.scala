@@ -108,6 +108,64 @@ object KsqlTable {
     * ACID table format's MERGE; the streaming contract (foreachBatch +
     * per-key latest + checkpointed offsets) is identical.
     */
+  /** Continuous materialization of a CHANGELOG WITH TOMBSTONES — the
+    * sink for derived tables (an FK join's or a re-aggregation's
+    * output, the `__deleted`/`__off` convention). [[upsertSink]] can
+    * only keep the latest row per key; here a `__deleted` emission
+    * REMOVES its key from the stored snapshot, so the parquet table
+    * tracks exactly the live table's state (emptied groups disappear,
+    * HAVING failures retract, join unmatches drop).
+    *
+    * Per batch: latest emission per key by `__off`, non-deleted
+    * preferred on ties (the fk-join move contract — its retract and
+    * upsert halves share an offset); merged against the stored
+    * snapshot by the same rule, then tombstoned keys filter OUT. The
+    * stored rows keep `__off` (they must lose to any newer emission)
+    * with `__deleted` always false by construction. Same crash-safe
+    * two-phase swap as [[upsertSink]].
+    */
+  def changelogSink(changelog: DataFrame, keyCol: String,
+                    path: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    changelog.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns.toIndexedSeq
+        require(cols.exists(_.equalsIgnoreCase("__deleted")) &&
+          cols.exists(_.equalsIgnoreCase("__off")),
+          "changelogSink consumes the derived-changelog convention — " +
+            "columns __deleted and __off are required (plain streams " +
+            "use upsertSink)")
+        // higher offset wins; on a tie the non-deleted half of a move
+        // pair reflects the newer state
+        def pick(df: DataFrame): DataFrame = df
+          .groupBy(col(keyCol))
+          .agg(max_by(struct(cols.map(col): _*),
+            struct(col("__off"),
+              when(col("__deleted"), 0).otherwise(1))).as("r"))
+          .select(col("r.*"))
+        val latest = pick(batch)
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hPath) && fs.exists(staging)) fs.rename(staging, hPath)
+        val existing =
+          if (fs.exists(hPath)) spark.read.parquet(path)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            batch.schema)
+        // staging-first: the merge still READS the live dir while the
+        // staging write runs; only after it lands does the swap delete
+        val merged = pick(existing.unionByName(latest))
+          .filter(!col("__deleted"))
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(hPath)) fs.delete(hPath, true)
+        fs.rename(staging, hPath)
+        ()
+      }
+  }
+
   def upsertSink(stream: DataFrame, keyCol: String, offsetCol: String,
                  path: String, checkpoint: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {

@@ -355,6 +355,44 @@ class TableReaggSpec extends SparkSpec {
     }
   }
 
+  test("changelogSink materializes the aggregate table to parquet: " +
+    "upserts win by offset, tombstoned groups DISAPPEAR from the " +
+    "snapshot, and a move pair's tie resolves non-deleted") {
+    withRocks {
+      val dir = java.nio.file.Files.createTempDirectory("reagg_sink")
+        .toString
+      val mem = MemoryStream[ReaggRow](spark)
+      val cat: Translator.Catalog = Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true))
+      val (_, Some(out)) = Translator.run(spark, cat,
+        """CREATE TABLE seg_stats AS
+          |  SELECT seg, COUNT(*) AS n FROM accts GROUP BY seg;"""
+          .stripMargin): @unchecked
+      val q = graft.streaming.KsqlTable
+        .changelogSink(out, "seg", s"$dir/tab", s"$dir/cp").start()
+      try {
+        def snapshot(): Map[String, Long] =
+          spark.read.parquet(s"$dir/tab").collect()
+            .map(r => r.getAs[String]("seg") -> r.getAs[Long]("n")).toMap
+        mem.addData(ReaggRow(1, "a", 1L, 1), ReaggRow(2, "a", 2L, 2),
+          ReaggRow(3, "b", 3L, 3))
+        q.processAllAvailable()
+        assert(snapshot() === Map("a" -> 2L, "b" -> 1L))
+        // empty group a across two moves: the stored 'a' row must be
+        // REMOVED by the tombstone, not left at its last value
+        mem.addData(ReaggRow(1, "b", 1L, 4), ReaggRow(2, "b", 2L, 5))
+        q.processAllAvailable()
+        assert(snapshot() === Map("b" -> 3L),
+          "a tombstoned group must disappear from the materialization")
+        // resurrect a with one member
+        mem.addData(ReaggRow(3, "a", 3L, 6))
+        q.processAllAvailable()
+        assert(snapshot() === Map("a" -> 1L, "b" -> 2L))
+      } finally q.stop()
+    }
+  }
+
   test("subtractable-only surface: the refusals ksqlDB makes on tables") {
     val mem = MemoryStream[ReaggRow](spark)
     val cat: Translator.Catalog = Map(

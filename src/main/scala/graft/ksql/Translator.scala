@@ -1632,19 +1632,23 @@ object Translator {
       .getOrElse(throw new IllegalArgumentException(
         s"joins against TABLE ${j.table} hit its PRIMARY KEY " +
           s"($rKeyDecl) — ON names '${j.onRight}'"))
-    // the subscription store is keyed BIGINT
-    def integral(df: DataFrame, c: String): Unit =
+    // the subscription store keys on the column's STRING form —
+    // injective for every atomic type (round 18: string-keyed tables,
+    // ksqlDB's common VARCHAR ids, join without a BIGINT bound)
+    def atomicKey(df: DataFrame, c: String): Unit =
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => ()
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.StringType => ()
         case t => throw new IllegalArgumentException(
-          s"the subscription store is keyed BIGINT — '$c' is " +
-            s"${t.simpleString}; CAST upstream")
+          s"the subscription store keys on the column's string form — " +
+            s"'$c' is ${t.simpleString}, which has no injective " +
+            "rendering; CAST upstream")
       }
-    integral(left.df, lKey); integral(left.df, fkCol)
-    integral(right.df, rKey)
+    atomicKey(left.df, lKey); atomicKey(left.df, fkCol)
+    atomicKey(right.df, rKey)
     def offExpr(src: Source): Column = {
       val t = actual(src.df, src.timeColumn, "TIMESTAMP")
       src.df.schema(t).dataType match {
@@ -1675,14 +1679,14 @@ object Translator {
     val rStruct = org.apache.spark.sql.types.StructType(
       rVals.map(c => right.df.schema(c)))
     val lChangelog = left.df.select(
-      col(lKey).cast("long").as("l_pk"),
-      col(fkCol).cast("long").as("fk"),
-      prevCol.map(c => col(c).cast("long"))
-        .getOrElse(lit(null).cast("long")).as("prev_fk"),
+      col(lKey).cast("string").as("l_pk"),
+      col(fkCol).cast("string").as("fk"),
+      prevCol.map(c => col(c).cast("string"))
+        .getOrElse(lit(null).cast("string")).as("prev_fk"),
       to_json(struct(lVals.map(col): _*)).as("l_val"),
       offExpr(left).as("off"))
     val rChangelog = right.df.select(
-      col(rKey).cast("long").as("pk"),
+      col(rKey).cast("string").as("pk"),
       to_json(struct(rVals.map(col): _*)).as("r_val"),
       offExpr(right).as("off"))
     val joined = graft.streaming.StreamingJoins
@@ -2053,17 +2057,22 @@ object Translator {
       .getOrElse(throw new IllegalArgumentException(
         s"joins against TABLE ${j.table} hit its PRIMARY KEY " +
           s"($rKeyDecl) — ON names '${j.onRight}'"))
-    def integral(df: DataFrame, c: String): Unit =
+    // the keyed-lookup store keys on the column's STRING form —
+    // injective for every atomic type (round 18, like the
+    // subscription store)
+    def atomicKey(df: DataFrame, c: String): Unit =
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => ()
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.StringType => ()
         case t => throw new IllegalArgumentException(
-          s"the table state is keyed BIGINT — '$c' is " +
-            s"${t.simpleString}; CAST upstream")
+          s"the table state keys on the column's string form — '$c' " +
+            s"is ${t.simpleString}, which has no injective rendering; " +
+            "CAST upstream")
       }
-    integral(left.df, sKey); integral(right.df, rKey)
+    atomicKey(left.df, sKey); atomicKey(right.df, rKey)
     def offExpr(src: Source): Column = {
       val t = actual(src.df, src.timeColumn, "TIMESTAMP")
       src.df.schema(t).dataType match {
@@ -2093,11 +2102,11 @@ object Translator {
     val rStruct = org.apache.spark.sql.types.StructType(
       rVals.map(c => right.df.schema(c)))
     val sRows = left.df.select(
-      col(sKey).cast("long").as("key"),
+      col(sKey).cast("string").as("key"),
       to_json(struct(sVals.map(col): _*)).as("s_val"),
       offExpr(left).as("off"))
     val rChangelog = right.df.select(
-      col(rKey).cast("long").as("pk"),
+      col(rKey).cast("string").as("pk"),
       to_json(struct(rVals.map(col): _*)).as("r_val"),
       offExpr(right).as("off"))
     val joined = graft.streaming.StreamingJoins

@@ -26,14 +26,17 @@ object StreamingJoins {
 
   /** Tagged, fanned-out input row: (key, side, l_pk, l_val, r_val, off)
     * where side 0 = left upsert, 1 = left retract, 2 = right update
-    * (null r_val = right delete). */
-  private type FkIn = (Long, Int, Long, String, String, Long)
+    * (null r_val = right delete). Keys and l_pk travel as STRINGS —
+    * the PRIMARY KEY's string form is injective for every atomic key
+    * type, so string-keyed tables (ksqlDB's common VARCHAR ids) join
+    * without a BIGINT bound; callers cast back to the declared type. */
+  private type FkIn = (String, Int, String, String, String, Long)
   /** Output changelog row: (l_pk, fk, l_val, r_val, deleted, off). A
     * reader materializes the join as: per l_pk keep the max-offset
     * emission, preferring the non-deleted one on an equal offset (the
     * retract half of an fk move carries the same offset as its
     * upsert half, and the upsert reflects the newer state). */
-  private type FkOut = (Long, Long, String, String, Boolean, Long)
+  private type FkOut = (String, String, String, String, Boolean, Long)
 
   /** `leftOuter = false`: INNER — a left row emits only while its key
     * has a right value; a right delete retracts the subscribers.
@@ -41,16 +44,16 @@ object StreamingJoins {
     * while unmatched, ksqlDB's LEFT FK join), and a right delete
     * re-emits the subscribers unmatched instead of retracting them. */
   private class FkJoinProcessor(leftOuter: Boolean)
-    extends StatefulProcessor[Long, FkIn, FkOut] {
+    extends StatefulProcessor[String, FkIn, FkOut] {
     @transient private var right: ValueState[String] = _
-    @transient private var lefts: MapState[Long, String] = _
+    @transient private var lefts: MapState[String, String] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       right = getHandle.getValueState[String]("right",
         Encoders.STRING, TTLConfig.NONE)
-      lefts = getHandle.getMapState[Long, String]("lefts",
-        Encoders.scalaLong, Encoders.STRING, TTLConfig.NONE)
+      lefts = getHandle.getMapState[String, String]("lefts",
+        Encoders.STRING, Encoders.STRING, TTLConfig.NONE)
     }
-    override def handleInputRows(key: Long, rows: Iterator[FkIn],
+    override def handleInputRows(key: String, rows: Iterator[FkIn],
         tv: TimerValues): Iterator[FkOut] = {
       val out = Seq.newBuilder[FkOut]
       // fold in OFFSET order: a micro-batch may deliver several
@@ -86,18 +89,18 @@ object StreamingJoins {
 
   /** Stream-row or table-changelog record for the STREAM⋈TABLE join:
     * (key, side 0=stream/1=table, s_val, r_val, off). */
-  private type StIn = (Long, Int, String, String, Long)
+  private type StIn = (String, Int, String, String, Long)
   /** Output FACT: (key, s_val, r_val, off) — append semantics, never
     * retracted. */
-  private type StOut = (Long, String, String, Long)
+  private type StOut = (String, String, String, Long)
 
   private class StreamTableJoinProcessor(leftOuter: Boolean)
-    extends StatefulProcessor[Long, StIn, StOut] {
+    extends StatefulProcessor[String, StIn, StOut] {
     @transient private var right: ValueState[String] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       right = getHandle.getValueState[String]("right",
         Encoders.STRING, TTLConfig.NONE)
-    override def handleInputRows(key: Long, rows: Iterator[StIn],
+    override def handleInputRows(key: String, rows: Iterator[StIn],
         tv: TimerValues): Iterator[StOut] = {
       val out = Seq.newBuilder[StOut]
       // fold in OFFSET order (the shared event-time domain): a stream
@@ -123,7 +126,8 @@ object StreamingJoins {
     * subscription store, where output rows are table rows and must
     * retract). State is |table keys| only; stream rows pass through.
     *
-    * `streamRows` columns: `key` (the join column, cast to BIGINT;
+    * `streamRows` columns: `key` (the join column, any atomic type —
+    * stored by its string form;
     * NULL-keyed rows drop under INNER and emit unmatched under LEFT),
     * `s_val`, `off`. `tableChangelog` columns: `pk`, `r_val`
     * (null = delete), `off` — offsets share a domain (each side's
@@ -139,11 +143,11 @@ object StreamingJoins {
         s"stream-table joins are INNER or LEFT (ksqlDB) — got $t")
     }
     val sSide = streamRows.filter(col("key").isNotNull).select(
-      col("key").cast("long"), lit(0).as("side"),
+      col("key").cast("string"), lit(0).as("side"),
       col("s_val").cast("string"),
       lit(null).cast("string").as("r_val"), col("off").cast("long"))
-    val tSide = tableChangelog.select(
-      col("pk").cast("long").as("key"), lit(1).as("side"),
+    val tSide = tableChangelog.filter(col("pk").isNotNull).select(
+      col("pk").cast("string").as("key"), lit(1).as("side"),
       lit(null).cast("string").as("s_val"),
       col("r_val").cast("string"), col("off").cast("long"))
     val joined = sSide.unionByName(tSide)
@@ -156,7 +160,7 @@ object StreamingJoins {
     else joined.unionByName(
       // NULL-keyed facts match nothing, ever — they bypass the store
       streamRows.filter(col("key").isNull).select(
-        lit(null).cast("long").as("key"), col("s_val").cast("string"),
+        lit(null).cast("string").as("key"), col("s_val").cast("string"),
         lit(null).cast("string").as("r_val"), col("off").cast("long")))
   }
 
@@ -184,8 +188,8 @@ object StreamingJoins {
         s"FK TABLE-TABLE joins are INNER or LEFT (ksqlDB 0.19) — got $t")
     }
     val lc = leftChangelog.select(
-      col("l_pk").cast("long"), col("fk").cast("long"),
-      col("prev_fk").cast("long"), col("l_val").cast("string"),
+      col("l_pk").cast("string"), col("fk").cast("string"),
+      col("prev_fk").cast("string"), col("l_val").cast("string"),
       col("off").cast("long"))
     // stateless fan-out: an fk move becomes a retract at prev_fk and an
     // upsert at fk (same offset, the upsert the newer truth); inserts
@@ -199,9 +203,10 @@ object StreamingJoins {
       col("prev_fk").as("key"), lit(1).as("side"), col("l_pk"),
       lit(null).cast("string").as("l_val"),
       lit(null).cast("string").as("r_val"), col("off"))
-    val rightUpdates = rightChangelog.select(
-      col("pk").cast("long").as("key"), lit(2).as("side"),
-      lit(-1L).as("l_pk"), lit(null).cast("string").as("l_val"),
+    val rightUpdates = rightChangelog.filter(col("pk").isNotNull).select(
+      col("pk").cast("string").as("key"), lit(2).as("side"),
+      lit(null).cast("string").as("l_pk"),
+      lit(null).cast("string").as("l_val"),
       col("r_val").cast("string"), col("off").cast("long"))
     val joined = leftUpserts.unionByName(leftRetracts)
       .unionByName(rightUpdates)

@@ -13,6 +13,11 @@ case class DlgLeft(uid: Long, dept: java.lang.Long,
 case class DlgRight(dept_id: Long, dept_name: String, roff: Long)
 /** Stream fact for the live STREAM⋈TABLE join (nullable join key). */
 case class DlgFact(fid: Long, dept: java.lang.Long, amt: Long, off: Long)
+/** STRING-keyed changelogs (round 18): sku is the left PRIMARY KEY,
+  * cat the string fk, prev_cat the move-contract column. */
+case class SkuRow(sku: String, cat: String, prev_cat: String,
+                  sname: String, off: Long)
+case class CatRow(cat_id: String, cat_label: String, roff: Long)
 
 /** KSQL TABLE semantics through the dialect (round 16 — the round-15
   * verdict's #3): CREATE TABLE sources compact latest-per-key at read,
@@ -292,8 +297,14 @@ class FkDialectSpec extends SparkSpec {
       assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
         s"message '${e.getMessage}' lacks '$needle'")
     }
-    refuses("SELECT dept, COUNT(*) AS n FROM users_t GROUP BY dept;",
-      "retraction-aware")
+    // GROUP BY over the live changelog RUNS since round 18 (the
+    // table→table aggregation, TableReaggSpec) — the refusals left
+    // here are the non-subtractable aggregate and the windowed form
+    refuses("SELECT dept, MAX(off) AS m FROM users_t GROUP BY dept;",
+      "cannot subtract")
+    refuses("SELECT dept, COUNT(*) AS n FROM users_t " +
+      "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY dept;",
+      "windows apply to STREAMS")
     refuses("SELECT uid FROM users_t FULL OUTER JOIN depts_t " +
       "ON dept = dept_id;", "INNER or LEFT")
     refuses("SELECT uid FROM users_t JOIN depts_t ON dept = dept_id " +
@@ -348,6 +359,58 @@ class FkDialectSpec extends SparkSpec {
       assert(latest() === Map(
         1L -> ((Some(10L), "ann", Some("eng"))),
         2L -> ((None, "bob", None))))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("STRING-keyed tables join (round 18): the subscription store " +
+    "keys on the column's string form — VARCHAR ids need no CAST") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val lMem = MemoryStream[SkuRow](spark)
+    val rMem = MemoryStream[CatRow](spark)
+    val cat: Translator.Catalog = Map(
+      "skus_t" -> Source(lMem.toDF(), "off", key = Some("sku"),
+        isTable = true),
+      "cats_t" -> Source(rMem.toDF(), "roff", key = Some("cat_id"),
+        isTable = true))
+    val (_, Some(out)) = Translator.run(spark, cat,
+      """CREATE TABLE labeled AS
+        |  SELECT sku, sname, cat_label
+        |  FROM skus_t JOIN cats_t ON cat = cat_id;""".stripMargin)
+      : @unchecked
+    val q = out.writeStream.format("memory").queryName("fk_str_out")
+      .outputMode("update").start()
+    try {
+      def latest(): Map[String, (String, String)] = {
+        import org.apache.spark.sql.expressions.Window
+        spark.table("fk_str_out")
+          .withColumn("__rn", row_number().over(Window
+            .partitionBy(col("sku"))
+            .orderBy(col("__off").desc, col("__deleted").asc)))
+          .filter(col("__rn") === 1 && !col("__deleted")).drop("__rn")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+          .toMap
+      }
+      lMem.addData(SkuRow("a-1", "tools", null, "hammer", 1),
+        SkuRow("b-2", "toys", null, "block", 2))
+      rMem.addData(CatRow("tools", "Hardware", 1),
+        CatRow("toys", "Children", 2))
+      q.processAllAvailable()
+      assert(latest() === Map(
+        "a-1" -> (("hammer", "Hardware")),
+        "b-2" -> (("block", "Children"))))
+      // a string-keyed fk MOVE via prev_<col>, and a right rename
+      lMem.addData(SkuRow("a-1", "toys", "tools", "hammer", 3))
+      rMem.addData(CatRow("toys", "Kids", 4))
+      q.processAllAvailable()
+      assert(latest() === Map(
+        "a-1" -> (("hammer", "Kids")),
+        "b-2" -> (("block", "Kids"))))
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

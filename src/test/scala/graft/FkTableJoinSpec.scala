@@ -26,11 +26,16 @@ class FkTableJoinSpec extends SparkSpec {
     * drop tombstones. */
   private def materialize(sink: String): Map[Long, (Long, String, String)] = {
     import org.apache.spark.sql.expressions.Window
+    // the operator's keys travel as STRINGS (round 18 — any atomic key
+    // type joins by its string form); the spec casts back like the
+    // dialect does
     spark.table(sink)
       .withColumn("__rn", row_number().over(Window
         .partitionBy(col("l_pk"))
         .orderBy(col("off").desc, col("deleted").asc)))
       .filter(col("__rn") === 1 && !col("deleted")).drop("__rn")
+      .select(col("l_pk").cast("long"), col("fk").cast("long"),
+        col("l_val"), col("r_val"), col("deleted"), col("off"))
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
         r.getString(3)))).toMap
@@ -137,6 +142,8 @@ class FkTableJoinSpec extends SparkSpec {
             .partitionBy(col("l_pk"))
             .orderBy(col("off").desc, col("deleted").asc)))
           .filter(col("__rn") === 1 && !col("deleted")).drop("__rn")
+          .select(col("l_pk").cast("long"), col("fk").cast("long"),
+            col("l_val"), col("r_val"), col("deleted"), col("off"))
           .collect()
           .map(r => r.getLong(0) -> ((
             if (r.isNullAt(1)) None else Some(r.getLong(1)),

@@ -393,6 +393,61 @@ class TableReaggSpec extends SparkSpec {
     }
   }
 
+  test("POST /query-stream serves the table re-aggregation push form " +
+    "over real HTTP: chunked emissions track group moves, a tombstone " +
+    "arrives as a __deleted row") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    withRocks {
+      val mem = MemoryStream[ReaggRow](spark)
+      val srv = new graft.ksql.RestServer(spark, Map(
+        "accts" -> Source(mem.toDF(), "off", key = Some("id"),
+          isTable = true)), maxRows = 10).start()
+      try {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/query-stream").toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setDoOutput(true); conn.setRequestMethod("POST")
+        val body = JsonMethods.compact(JObject(
+          "sql" -> JString("SELECT seg, COUNT(*) AS n FROM accts " +
+            "GROUP BY seg EMIT CHANGES;"),
+          "maxRows" -> JInt(8)))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getOutputStream.close()
+        assert(conn.getResponseCode == 200)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+        val header = reader.readLine()
+        assert(header != null && header.contains("\"header\""), header)
+        def rows(k: Int): Seq[(String, Long, Boolean)] = (1 to k).map { _ =>
+          var l = reader.readLine()
+          while (l != null && l.trim.isEmpty) l = reader.readLine()
+          assert(l != null, "stream ended unexpectedly")
+          val JArray(cols) =
+            (JsonMethods.parse(l) \ "row" \ "columns"): @unchecked
+          (cols.head.values.toString,
+            BigInt(cols(1).values.toString).toLong,
+            cols.last.values.toString.toBoolean)
+        }
+        // batch 1: both rows land in 'a' — one emission
+        mem.addData(ReaggRow(1, "a", 1L, 1), ReaggRow(2, "a", 2L, 2))
+        val e1 = rows(1)
+        assert(e1 == Seq(("a", 2L, false)), e1.toString)
+        // batch 2: id 2 moves a→b — 'a' falls to 1, 'b' appears at 1
+        mem.addData(ReaggRow(2, "b", 2L, 3))
+        val e2 = rows(2).toSet
+        assert(e2 == Set(("a", 1L, false), ("b", 1L, false)), e2.toString)
+        // batch 3: id 1 moves too — 'a' EMPTIES: its emission is a
+        // tombstone row (__deleted=true, the zeroed count), not silence
+        mem.addData(ReaggRow(1, "b", 1L, 4))
+        val e3 = rows(2).toSet
+        assert(e3 == Set(("a", 0L, true), ("b", 2L, false)), e3.toString)
+        reader.close()
+      } finally srv.stop()
+    }
+  }
+
   test("subtractable-only surface: the refusals ksqlDB makes on tables") {
     val mem = MemoryStream[ReaggRow](spark)
     val cat: Translator.Catalog = Map(

@@ -156,8 +156,9 @@ object ScaleProbe {
     // re-aggregation (snapshot compaction = one key-shuffle max_by,
     // then a partial-agg GROUP BY over 5 types), linear in |events|;
     // the LIVE form's cost is per-update O(1) and is probed by
-    // StreamBench's table_reagg_rocksdb instead.
-    "q_ksql_table_reagg")
+    // StreamBench's table_reagg_rocksdb instead. The chain adds one
+    // more tiny aggregate over the 5-row derived table — same shape.
+    "q_ksql_table_reagg", "q_ksql_table_reagg_chain")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

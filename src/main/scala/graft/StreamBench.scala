@@ -45,10 +45,16 @@ object StreamBench {
 
   /** One op: build a streaming frame from the fed MemoryStream, run it
     * to a noop sink, feed+drain `batches` rounds, report throughput. */
+  /** Solo-mode filter (see run(only=…)); empty = run everything. */
+  @volatile private var onlyFilter: Seq[String] = Nil
+  private def skipped(name: String): Boolean =
+    onlyFilter.nonEmpty && !onlyFilter.exists(name.contains)
+
   private def drive(spark: SparkSession, name: String, batches: Int,
                     batchRows: Int, mkRows: (Int, Int) => Seq[StreamRow],
                     plan: DataFrame => DataFrame,
                     outputMode: String): Result = {
+    if (skipped(name)) return Result(name, -1.0, -1.0, -1.0)
     import spark.implicits._
     val mem = MemoryStream[StreamRow](spark)
     val df = plan(mem.toDF())
@@ -120,8 +126,12 @@ object StreamBench {
     }
   }
 
+  /** `only` non-empty = solo mode: probes whose names match no
+    * substring are SKIPPED (drive() short-circuits), so a matching
+    * probe measures in a fresh JVM free of its neighbors' GC debt. */
   def run(spark: SparkSession, batches: Int = 10,
-          batchRows: Int = 50000): Seq[Result] = {
+          batchRows: Int = 50000, only: Seq[String] = Nil): Seq[Result] = {
+    onlyFilter = only
     val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
       ("tumbling_agg", df => df
         .withWatermark("ts", "2 minutes")
@@ -543,6 +553,7 @@ object StreamBench {
     */
   private def driveJoin(spark: SparkSession, batches: Int,
                         batchRows: Int): Result = {
+    if (skipped("interval_join")) return Result("interval_join", -1.0, -1.0, -1.0)
     import spark.implicits._
     val left = MemoryStream[StreamRow](spark)
     val right = MemoryStream[StreamRow](spark)
@@ -584,7 +595,14 @@ object StreamBench {
     } finally q.stop()
   }
 
-  /** Standalone entry for iterating on the probe itself. */
+  /** Standalone entry for iterating on the probe itself. Optional args
+    * are name substrings — when given, only matching probes PRINT
+    * (every probe still runs, keeping each probe's position — and its
+    * accumulated-JVM-state neighborhood — identical to the full run,
+    * so a filtered number stays comparable to the record's). Pass
+    * SPARK_GRAFT_STREAMBENCH_SOLO=1 to instead SKIP non-matching
+    * probes entirely: a fresh-JVM solo measurement, the streaming
+    * analogue of ScaleProbe's build-once-then-measure protocol. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -592,8 +610,13 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark).foreach(r => println(
-      f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch  p95 ${r.p95BatchMs}%8.1f ms  state ${r.stateRows}%9d rows ${r.stateBytes}%12d B"))
+    val solo = sys.env.get("SPARK_GRAFT_STREAMBENCH_SOLO").contains("1")
+    val results =
+      if (solo && args.nonEmpty) run(spark, only = args.toSeq)
+      else run(spark)
+    results.filter(r => args.isEmpty || args.exists(r.name.contains))
+      .foreach(r => println(
+        f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch  p95 ${r.p95BatchMs}%8.1f ms  state ${r.stateRows}%9d rows ${r.stateBytes}%12d B"))
     spark.stop()
   }
 }

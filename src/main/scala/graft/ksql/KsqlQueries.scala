@@ -1635,6 +1635,37 @@ object KsqlQueries {
         |WHERE rn = 1
         |GROUP BY event_type""".stripMargin),
 
+    // CHAINED table→table aggregation (round 18): the second statement
+    // re-aggregates the first's derived table — batch form compacts,
+    // aggregates, then aggregates again (this gate); the LIVE form of
+    // the same chain folds the first aggregate's tombstones through
+    // the second's previous-image store (TableReaggSpec's chained
+    // cases). The histogram-of-counts shape: how many users share each
+    // per-user event count band.
+    "q_ksql_table_reagg_chain" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog = Map(
+          "events_t" -> Translator.Source(
+            Tables.events(s, d).drop("props"), "event_id",
+            key = Some("user_id"), isTable = true))
+        val (_, Some(df)) = Translator.runScript(s, cat,
+          """CREATE TABLE user_last AS
+            |  SELECT user_id, event_type AS last_type
+            |  FROM events_t;
+            |CREATE TABLE type_users AS
+            |  SELECT last_type, COUNT(*) AS users
+            |  FROM user_last GROUP BY last_type;""".stripMargin)
+          : @unchecked
+        df
+      },
+      """SELECT last_type, count(*) AS users
+        |FROM (SELECT user_id, event_type AS last_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) AS rn
+        |      FROM events) e
+        |WHERE rn = 1
+        |GROUP BY last_type""".stripMargin),
+
     // GROUP BY on a SELECT alias (the KSQL idiom) through the dialect,
     // hash-matched against DuckDB resolving the same alias
     "q_ksql_group_alias" -> Q(

@@ -72,9 +72,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => GetJsonObject(args(0), args(1))))
 
   /** Runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    // Spark 4.1 gates its TIME type behind a flag; the dialect's
+    // PARSE_TIME/FORMAT_TIME/TIMEADD family and the avro time logicals
+    // need it on. Runtime-settable, idempotent, and register() is the
+    // engine's session front door (Translator.run calls it), so every
+    // graft path gets the type without user configuration.
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     definitions.foreach { case (name, i, b) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), i, b)
     }
+  }
 }

@@ -158,7 +158,11 @@ object ScaleProbe {
     // the LIVE form's cost is per-update O(1) and is probed by
     // StreamBench's table_reagg_rocksdb instead. The chain adds one
     // more tiny aggregate over the 5-row derived table — same shape.
-    "q_ksql_table_reagg", "q_ksql_table_reagg_chain")
+    "q_ksql_table_reagg", "q_ksql_table_reagg_chain",
+    // q_ksql_time — scalar TIME kernels over one scan then a GROUP BY
+    // on |seconds-of-day|-bounded keys: the aggregate's key space is
+    // capped at 86,400 whatever the corpus, so cost is the linear scan.
+    "q_ksql_time")
 
   /** Historically variance-prone entries (round 14, the round-13 verdict
     * ask): q_ann_pq and q_dq_checks oscillated 1.7–4.9× across rounds on

@@ -1860,6 +1860,40 @@ object KsqlQueries {
         |  event_id AS mu
         |FROM events WHERE event_id < 300""".stripMargin),
 
+    // ksqlDB 0.20's TIME type through the dialect (round 18): PARSE_TIME
+    // parses a wall-clock string onto Spark 4.1's TIME type, FORMAT_TIME
+    // renders it, TIMEADD/TIMESUB shift it with LocalTime wrap-around
+    // (the epoch-date anchor absorbs day overflow — a +90-minute shift
+    // on a 23:xx time lands at 00:xx). The oracle replays the wrap by
+    // shifting the TIMESTAMP and taking its time-of-day — wrap by
+    // construction, independent of DuckDB's own TIME arithmetic.
+    "q_ksql_time" -> Q(
+      (s, d) => {
+        val cat: Translator.Catalog =
+          Map("ev" -> Translator.Source(Tables.events(s, d), "ts"))
+        val q =
+          """SELECT
+            |  FORMAT_TIME(PARSE_TIME(FORMAT_TIMESTAMP(ts, 'HH:mm:ss'),
+            |    'HH:mm:ss'), 'HH') AS hh,
+            |  FORMAT_TIME(TIMEADD(MINUTES, 90,
+            |    PARSE_TIME(FORMAT_TIMESTAMP(ts, 'HH:mm:ss'), 'HH:mm:ss')),
+            |    'HH:mm:ss') AS plus90,
+            |  FORMAT_TIME(TIMESUB(SECONDS, 45,
+            |    PARSE_TIME(FORMAT_TIMESTAMP(ts, 'HH:mm:ss'), 'HH:mm:ss')),
+            |    'HH:mm:ss') AS minus45,
+            |  COUNT(*) AS n
+            |FROM ev
+            |GROUP BY hh, plus90, minus45""".stripMargin
+        val (_, Some(df)) = Translator.run(s, cat, q): @unchecked
+        df
+      },
+      """SELECT strftime(ts, '%H') AS hh,
+        |  strftime(ts + INTERVAL 90 MINUTE, '%H:%M:%S') AS plus90,
+        |  strftime(ts - INTERVAL 45 SECOND, '%H:%M:%S') AS minus45,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin),
+
     // ksqlDB's one table function: EXPLODE(array) in the select list —
     // passes straight through to Spark's generator (case-insensitive
     // registry), composing with the lambda pass upstream of it

@@ -951,6 +951,14 @@ final class RestServer(spark: SparkSession, catalog0: Translator.Catalog,
     case s: String => JString(s)
     case t: java.sql.Timestamp => JString(t.toString)
     case d: java.sql.Date => JString(d.toString)
+    // TIME columns (round 18): ksqlDB's JSON form is HH:mm:ss[.fff] —
+    // LocalTime.toString drops ":00" seconds, so pin the whole-second
+    // render (the fractional form is already canonical)
+    case t: java.time.LocalTime => JString(
+      if (t.getNano == 0)
+        t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+      else t.toString)
+    case d: java.time.LocalDate => JString(d.toString)
     case a: Array[Byte] => JString(java.util.Base64.getEncoder.encodeToString(a))
     case seq: scala.collection.Seq[_] => JArray(seq.toList.map(jsonValue))
     case m: scala.collection.Map[_, _] =>

@@ -114,7 +114,11 @@ object Translator {
     "ENTRIES" -> "ENTRIES(map, sorted) - ARRAY<STRUCT<K, V>>, sorted by K when true",
     "FROM_BYTES" -> "FROM_BYTES(bytes, 'hex'|'base64'|'utf8'|'ascii') - bytes to string",
     "TO_BYTES" -> "TO_BYTES(str, 'hex'|'base64'|'utf8'|'ascii') - string to bytes",
-    "AS_VALUE" -> "AS_VALUE(keyCol) - copy the key column into the value schema")
+    "AS_VALUE" -> "AS_VALUE(keyCol) - copy the key column into the value schema",
+    "PARSE_TIME" -> "PARSE_TIME(s, fmt) - parse a wall-clock string to TIME",
+    "FORMAT_TIME" -> "FORMAT_TIME(t, fmt) - render a time of day",
+    "TIMEADD" -> "TIMEADD(unit, n, time) - add n units to a time (wraps at midnight)",
+    "TIMESUB" -> "TIMESUB(unit, n, time) - subtract n units from a time (wraps)")
 
   // Session-scoped KSQL CLI properties (SET / UNSET / SHOW PROPERTIES).
   // WeakHashMap so a stopped/dropped SparkSession doesn't stay pinned
@@ -377,7 +381,12 @@ object Translator {
     "PARSE_DATE" -> "to_date", "FORMAT_DATE" -> "date_format",
     // round 17: CORRELATION is ksqlDB 0.21's Pearson aggregate (Spark
     // spells it corr); STDDEV_SAMP/VAR_SAMP/VAR_POP pass through by name
-    "CORRELATION" -> "corr")
+    "CORRELATION" -> "corr",
+    // round 18: ksqlDB 0.20's TIME type carried on Spark 4.1's TIME —
+    // PARSE_TIME is a direct rename (to_time takes (str, fmt) with the
+    // same time-field pattern letters); FORMAT_TIME/TIMEADD/TIMESUB
+    // need expansions (expandTimestamps)
+    "PARSE_TIME" -> "to_time")
 
   /** Rewrite every `name(arg, …)` call in `sql` via `f`, scanning
     * balanced parens (quote-aware) so nested calls and arbitrary
@@ -954,7 +963,38 @@ object Translator {
           s"__tsadd(MILLISECOND, unix_millis(${args(0)}), $ntzEpoch)), " +
           s"${args(1)})" }
     }
-    s11.replaceAll(raw"(?i)\b__tsadd\(", "timestampadd(")
+    // ksqlDB 0.20 TIME scalars (round 18), carried on Spark 4.1's TIME
+    // type. FORMAT_TIME anchors the time on the epoch date and renders
+    // with date_format (Spark has no time_format); TIMEADD/TIMESUB ride
+    // the same anchor so a cross-midnight add wraps exactly like
+    // java.time LocalTime.plus (ksqlDB's implementation): day overflow
+    // lands in the date part and the cast back to TIME drops it.
+    // make_timestamp_ntz, not make_timestamp: the LTZ form consults the
+    // session zone, and TIMESTAMP → TIME casts are refused — only the
+    // NTZ wall-clock form casts back to TIME
+    val epochD = "date'1970-01-01'"
+    val s12 = rewriteCall(s11, "FORMAT_TIME") { args =>
+      arity("FORMAT_TIME", args, 2)
+      s"date_format(make_timestamp_ntz($epochD, ${args(0)}), ${args(1)})"
+    }
+    def timeAdd(args: Seq[String], neg: Boolean): String = {
+      // ksqlDB's TIMEADD is LocalTime.plus — it WRAPS at midnight.
+      // Spark 4.1 has no wrapping path: TIME + INTERVAL throws
+      // DATETIME_OVERFLOW past midnight, no timestamp→TIME cast
+      // exists, and make_time isn't registered. So shift the NTZ
+      // epoch-date anchor and re-parse the formatted time-of-day —
+      // the date part absorbs the overflow, which IS the wrap. All
+      // codegen'd string/datetime kernels; ~µs per row, scalar-linear.
+      val n = if (neg) s"-(${args(1)})" else args(1)
+      s"to_time(date_format(__tsadd(${unit(args.head)}, $n, " +
+        s"make_timestamp_ntz($epochD, ${args(2)})), 'HH:mm:ss.SSSSSS'), " +
+        "'HH:mm:ss.SSSSSS')"
+    }
+    val s13 = rewriteCall(s12, "TIMEADD") { args =>
+      arity("TIMEADD", args, 3); timeAdd(args, neg = false) }
+    val s14 = rewriteCall(s13, "TIMESUB") { args =>
+      arity("TIMESUB", args, 3); timeAdd(args, neg = true) }
+    s14.replaceAll(raw"(?i)\b__tsadd\(", "timestampadd(")
   }
 
   /** KSQL constructor syntax: ARRAY[a, b] → array(a, b) and
@@ -1213,7 +1253,7 @@ object Translator {
     // plain renames are quote-aware too: a match starting inside a
     // single-quoted literal must survive verbatim (same rule as
     // rewriteCall; '' escapes toggle twice and net out)
-    fnRename.foldLeft(expanded) { case (acc, (k, v)) =>
+    val renamed = fnRename.foldLeft(expanded) { case (acc, (k, v)) =>
       val re = s"(?i)\\b$k\\s*\\(".r
       val sb = new StringBuilder
       var last = 0; var in = false
@@ -1230,6 +1270,30 @@ object Translator {
       sb.append(acc.substring(last))
       sb.toString
     }
+    // ksqlDB's string type is bare VARCHAR; Spark's varchar demands a
+    // length, so CAST(x AS VARCHAR) — the canonical ksqlDB cast — was
+    // an analysis error. Rewrite the bare type token to STRING
+    // (quote-aware); an explicit VARCHAR(n) passes through to Spark's
+    // own sized varchar. Idempotent: STRING re-matches nothing.
+    replaceTypeToken(renamed, "VARCHAR", "STRING")
+  }
+
+  /** Quote-aware whole-word token replace, skipping `word(` call forms
+    * — the type-token analogue of the fnRename scan. */
+  private def replaceTypeToken(sql: String, from: String, to: String)
+  : String = {
+    val re = s"(?i)\\b$from\\b(?!\\s*\\()".r
+    val sb = new StringBuilder
+    var last = 0; var in = false
+    for (m <- re.findAllMatchIn(sql)) {
+      var i = last
+      while (i < m.start) { if (sql.charAt(i) == '\'') in = !in; i += 1 }
+      sb.append(sql.substring(last, m.start))
+      sb.append(if (in) m.matched else to)
+      last = m.end
+    }
+    sb.append(sql.substring(last))
+    sb.toString
   }
 
   /** The streaming output mode a statement's EMIT clause implies:
@@ -3527,6 +3591,13 @@ object Translator {
       case "DOUBLE" => DoubleType
       case "BOOLEAN" => BooleanType
       case "TIMESTAMP" => TimestampType
+      // ksqlDB 0.20/0.21 column types (round 18): TIME rides Spark
+      // 4.1's TIME (micros precision — parquet TIME_MICROS, what
+      // to_time returns); DATE and BYTES previously fell through to
+      // the VARCHAR default silently
+      case "DATE" => DateType
+      case "TIME" => TimeType(6)
+      case "BYTES" => BinaryType
       case a if a.startsWith("ARRAY") =>
         // recurse on the ORIGINAL-case text: the uppercased match
         // string would destroy nested STRUCT field-name case

@@ -57,7 +57,8 @@ object Sources {
   // FileSystem API from each partition, so the same code path works
   // against HDFS/S3 on a cluster. Supported field types: the KSQL
   // value surface (boolean/int/long/float/double/string/bytes +
-  // timestamp-micros logical).
+  // timestamp-micros/date/time logicals — TIME writes time-micros and
+  // reads ksqlDB's own time-millis INT serialization too).
 
   private def avroFieldSchema(dt: org.apache.spark.sql.types.DataType)
   : org.apache.avro.Schema = {
@@ -73,8 +74,16 @@ object Sources {
       case BinaryType => ASchema.create(ASchema.Type.BYTES)
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      // round 18, with the dialect's TIME/DATE column types: DATE is
+      // avro's `date` logical (INT days), TIME writes `time-micros`
+      // (LONG — full TimeType(6) precision; reads also accept ksqlDB's
+      // own `time-millis` INT serialization, see sparkTypeOf)
+      case DateType =>
+        LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
+      case _: TimeType =>
+        LogicalTypes.timeMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
       case other => throw new IllegalArgumentException(
-        s"AVRO value format supports primitive/timestamp columns, got $other")
+        s"AVRO value format supports primitive/timestamp/date/time columns, got $other")
     }
   }
 
@@ -105,10 +114,21 @@ object Sources {
         require(nonNull.size == 1, s"unsupported avro union $s")
         (sparkTypeOf(nonNull.head)._1, true)
       case ASchema.Type.BOOLEAN => (BooleanType, false)
-      case ASchema.Type.INT => (IntegerType, false)
+      case ASchema.Type.INT =>
+        // ksqlDB serializes DATE as `date` (INT days) and TIME as
+        // `time-millis` (INT millis-of-day) — both land on the
+        // dialect's column types, TIME at the uniform micros precision
+        if (s.getLogicalType.isInstanceOf[LogicalTypes.Date])
+          (DateType, false)
+        else if (s.getLogicalType.isInstanceOf[LogicalTypes.TimeMillis])
+          (TimeType(6), false)
+        else (IntegerType, false)
       case ASchema.Type.LONG =>
         if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros])
-          (TimestampType, false) else (LongType, false)
+          (TimestampType, false)
+        else if (s.getLogicalType.isInstanceOf[LogicalTypes.TimeMicros])
+          (TimeType(6), false)
+        else (LongType, false)
       case ASchema.Type.FLOAT => (FloatType, false)
       case ASchema.Type.DOUBLE => (DoubleType, false)
       case ASchema.Type.STRING => (StringType, false)
@@ -165,6 +185,12 @@ object Sources {
             Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
               ts.getNanos / 1000L)
         case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+        case DateType =>
+          java.lang.Integer.valueOf(
+            row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+        case _: TimeType =>
+          java.lang.Long.valueOf(
+            row.getAs[java.time.LocalTime](i).toNanoOfDay / 1000L)
         case _ => row.get(i).asInstanceOf[AnyRef]
       }
       rec.put(f.name, v)
@@ -189,6 +215,19 @@ object Sources {
         case BinaryType =>
           val bb = v.asInstanceOf[java.nio.ByteBuffer]
           val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+        case DateType =>
+          java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(
+              v.asInstanceOf[java.lang.Integer].longValue()))
+        case _: TimeType => v match {
+          // time-micros lands as LONG; ksqlDB's own time-millis as INT
+          case l: java.lang.Long =>
+            java.time.LocalTime.ofNanoOfDay(l.longValue() * 1000L)
+          case i: java.lang.Integer =>
+            java.time.LocalTime.ofNanoOfDay(i.longValue() * 1000000L)
+          case other => throw new IllegalArgumentException(
+            s"unexpected avro time value ${other.getClass}")
+        }
         case _ => v
       }
     })

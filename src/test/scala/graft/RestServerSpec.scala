@@ -100,6 +100,20 @@ class RestServerSpec extends SparkSpec {
       JString("Limit Reached"))
   }
 
+  test("TIME values render over REST in ksqlDB's HH:mm:ss[.fff] JSON " +
+    "form (whole seconds pinned — LocalTime.toString would drop :00)") {
+    val (code, body) = post("/query",
+      "SELECT PARSE_TIME('09:05:00', 'HH:mm:ss') AS t, " +
+        "TIMEADD(MILLISECONDS, 250, PARSE_TIME('09:05:00', 'HH:mm:ss')) " +
+        "AS tf FROM orders EMIT CHANGES;")
+    assert(code == 200, body)
+    val row = body.linesIterator.find(_.contains("\"row\"")).get
+    val cols = (JsonMethods.parse(row) \ "row" \ "columns")
+      .asInstanceOf[JArray].arr
+    assert(cols.head == JString("09:05:00"))
+    assert(cols(1) == JString("09:05:00.250"))
+  }
+
   test("SHOW on /ksql answers with its entity listing inline") {
     val (code, body) = post("/ksql", "SHOW STREAMS;")
     assert(code == 200, body)

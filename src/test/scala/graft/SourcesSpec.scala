@@ -53,6 +53,50 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.avro(spark, s"$tmp/avro", inferred).count() == 3)
   }
 
+  test("avro DATE/TIME logicals (round 18): Spark DATE/TIME round-trip " +
+    "via date + time-micros, and ksqlDB's time-millis INT serialization " +
+    "reads onto the TIME type") {
+    val df = spark.range(2).selectExpr("id",
+      "DATE'2024-03-01' AS d", "TIME'23:59:59.123456' AS t")
+    Sources.avroSink(df, s"$tmp/avro_dt")
+    val inferred = Sources.avroInferSchema(spark, s"$tmp/avro_dt")
+    assert(inferred("d").dataType === DateType)
+    assert(inferred("t").dataType === TimeType(6))
+    val back = Sources.avro(spark, s"$tmp/avro_dt", inferred)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+
+    // ksqlDB's own TIME serialization is `time-millis` on INT (and DATE
+    // is `date` on INT) — a topic dump written by ksqlDB must read
+    // without a cast shim
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    val rec = ASchema.createRecord("r", null, "g", false)
+    rec.setFields(java.util.Arrays.asList(
+      new ASchema.Field("d",
+        LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT)),
+        null, null.asInstanceOf[Object]),
+      new ASchema.Field("t",
+        LogicalTypes.timeMillis().addToSchema(ASchema.create(ASchema.Type.INT)),
+        null, null.asInstanceOf[Object])))
+    val dir2 = new java.io.File(s"$tmp/avro_tmillis"); dir2.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](rec))
+    w.create(rec, new java.io.File(dir2, "part-0.avro"))
+    val r0 = new org.apache.avro.generic.GenericData.Record(rec)
+    r0.put("d", Integer.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).toEpochDay.toInt))
+    r0.put("t", Integer.valueOf((23 * 3600 + 59 * 60 + 59) * 1000 + 123))
+    w.append(r0); w.close()
+    val inf2 = Sources.avroInferSchema(spark, dir2.toString)
+    assert(inf2("t").dataType === TimeType(6))
+    assert(inf2("d").dataType === DateType)
+    val got = Sources.avro(spark, dir2.toString, inf2).collect().head
+    assert(got.getAs[java.time.LocalTime]("t") ===
+      java.time.LocalTime.of(23, 59, 59, 123000000))
+    assert(got.getAs[java.sql.Date]("d").toLocalDate ===
+      java.time.LocalDate.of(2024, 3, 1))
+  }
+
   test("avro schema evolution: added-with-default, dropped, promoted fields " +
       "resolve across mixed writer versions") {
     import spark.implicits._

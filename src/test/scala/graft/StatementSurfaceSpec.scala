@@ -149,4 +149,56 @@ class StatementSurfaceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("string literals"))
   }
+
+  test("round-18 TIME type (ksqlDB 0.20 on Spark 4.1's TIME): " +
+    "PARSE_TIME/FORMAT_TIME round-trip, TIMEADD/TIMESUB with LocalTime " +
+    "wrap-around at midnight, TIME/DATE/BYTES column types") {
+    def one(sel: String): org.apache.spark.sql.Row = {
+      val (_, Some(df)) = Translator.run(spark, cat(),
+        s"SELECT $sel AS x FROM ev WHERE id = 1;"): @unchecked
+      df.collect().head
+    }
+    // parse → format round-trip, and PARSE_TIME lands on the TIME type
+    assert(one("FORMAT_TIME(PARSE_TIME('09:05:30', 'HH:mm:ss'), " +
+      "'HH:mm:ss')").getString(0) === "09:05:30")
+    val (_, Some(tdf)) = Translator.run(spark, cat(),
+      "SELECT PARSE_TIME('09:05:30', 'HH:mm:ss') AS t FROM ev WHERE id = 1;")
+      : @unchecked
+    assert(tdf.schema.head.dataType ===
+      org.apache.spark.sql.types.TimeType(6))
+    // wrap-around: ksqlDB's TIMEADD is LocalTime.plus — +90 min on
+    // 23:30 crosses midnight to 01:00, −2 h on 01:00 lands at 23:00
+    assert(one("FORMAT_TIME(TIMEADD(MINUTES, 90, " +
+      "PARSE_TIME('23:30:00', 'HH:mm:ss')), 'HH:mm:ss')")
+      .getString(0) === "01:00:00")
+    assert(one("FORMAT_TIME(TIMESUB(HOURS, 2, " +
+      "PARSE_TIME('01:00:00', 'HH:mm:ss')), 'HH:mm:ss')")
+      .getString(0) === "23:00:00")
+    // sub-second unit: MILLISECONDS shift renders in the fraction
+    assert(one("FORMAT_TIME(TIMEADD(MILLISECONDS, 1500, " +
+      "PARSE_TIME('00:00:00', 'HH:mm:ss')), 'HH:mm:ss.SSS')")
+      .getString(0) === "00:00:01.500")
+    // ksqlDB's CAST forms pass through (Spark parses TIME natively)
+    assert(one("FORMAT_TIME(CAST('07:08:09' AS TIME), 'HH:mm:ss')")
+      .getString(0) === "07:08:09")
+    assert(one("CAST(PARSE_TIME('07:08:09', 'HH:mm:ss') AS VARCHAR)")
+      .getString(0) === "07:08:09")
+    // arity refusal
+    val e = intercept[IllegalArgumentException] {
+      Translator.run(spark, cat(),
+        "SELECT FORMAT_TIME(PARSE_TIME('09:00:00', 'HH:mm:ss')) FROM ev;")
+    }
+    assert(e.getMessage.toLowerCase.contains("format_time"))
+    // column types: TIME/DATE/BYTES previously fell through to VARCHAR
+    val (c1, _) = Translator.run(spark, cat(),
+      "CREATE STREAM typed (t TIME, d DATE, b BYTES, s VARCHAR);")
+    val sch = c1("typed").df.schema
+    assert(sch("t").dataType === org.apache.spark.sql.types.TimeType(6))
+    assert(sch("d").dataType === org.apache.spark.sql.types.DateType)
+    assert(sch("b").dataType === org.apache.spark.sql.types.BinaryType)
+    // the function registry serves the new names
+    val (_, Some(desc)) = Translator.run(spark, cat(),
+      "DESCRIBE FUNCTION TIMEADD;"): @unchecked
+    assert(desc.collect().map(_.toString).mkString.contains("wraps"))
+  }
 }

@@ -201,4 +201,31 @@ class StatementSurfaceSpec extends SparkSpec {
       "DESCRIBE FUNCTION TIMEADD;"): @unchecked
     assert(desc.collect().map(_.toString).mkString.contains("wraps"))
   }
+
+  test("TIMEADD wrap property fuzz: 200 random (time, shift) draws in " +
+    "one statement match java.time.LocalTime.plus bit for bit — the " +
+    "exact contract ksqlDB's implementation carries") {
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")
+    val rnd = new scala.util.Random(18)
+    val draws = (1 to 200).map { i =>
+      val t = java.time.LocalTime.ofNanoOfDay(
+        ((rnd.nextLong() % 86400000000000L) + 86400000000000L) % 86400000000000L)
+      // ± up to ~2.3 days of millis: multi-day wraps included
+      val n = rnd.nextLong() % 200000000L
+      (i.toLong, t.format(fmt), n)
+    }
+    val c = Map("draws" -> Translator.Source(
+      draws.toDF("id", "tstr", "n"), "id"))
+    val (_, Some(df)) = Translator.run(spark, c,
+      "SELECT id, FORMAT_TIME(TIMEADD(MILLISECONDS, n, " +
+        "PARSE_TIME(tstr, 'HH:mm:ss.SSSSSS')), 'HH:mm:ss.SSSSSS') AS got " +
+        "FROM draws;"): @unchecked
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    draws.foreach { case (id, tstr, n) =>
+      val expect = java.time.LocalTime.parse(tstr, fmt)
+        .plusNanos(Math.multiplyExact(n, 1000000L)).format(fmt)
+      assert(got(id) === expect, s"draw $id: $tstr + ${n}ms")
+    }
+  }
 }

@@ -202,6 +202,21 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(desc.collect().map(_.toString).mkString.contains("wraps"))
   }
 
+  test("a computed TIME column survives CSAS PATH materialization — " +
+    "Spark 4.1 parquet TIME_MICROS round-trip, the user's persisted-" +
+    "stream path (and what changelogSink inherits)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ksql-time-csas").toString
+    val (c1, _) = Translator.run(spark, cat(),
+      s"""CREATE STREAM tstream WITH (PATH='$dir/out',
+         |VALUE_FORMAT='PARQUET') AS
+         |SELECT id, PARSE_TIME('23:59:59', 'HH:mm:ss') AS t
+         |FROM ev;""".stripMargin)
+    val got = c1("tstream").df.select("t").distinct().collect()
+    assert(got.map(_.get(0)).toSeq ===
+      Seq(java.time.LocalTime.of(23, 59, 59)))
+  }
+
   test("TIMEADD wrap property fuzz: 200 random (time, shift) draws in " +
     "one statement match java.time.LocalTime.plus bit for bit — the " +
     "exact contract ksqlDB's implementation carries") {

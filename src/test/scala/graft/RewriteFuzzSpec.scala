@@ -21,13 +21,18 @@ class RewriteFuzzSpec extends AnyFunSuite {
   private val literal = Gen.oneOf(
     "'MASK(x)'", "'see UCASE(b'", "'a''b'", "'plain text'",
     "'GEO_DISTANCE(1,2,3,4)'", "'field, elt'", "'a => b'", "'k := v'",
-    "'TRANSFORM(m)'")
+    "'TRANSFORM(m)'", "'CAST(a AS VARCHAR)'")
+  // TIMEADD/TIMESUB stay out for the same reason TIMESTAMPADD/DATEADD
+  // do: their first argument is a bare TimeUnit identifier the rewrite
+  // consumes, so an arbitrary fuzz expression there isn't structurally
+  // valid input (the wrap property fuzz covers their semantics)
   private val fnName = Gen.oneOf(
     "UCASE", "LCASE", "LEN", "TRIM", "IFNULL", "MASK", "MASK_LEFT",
     "MASK_KEEP_RIGHT", "FIELD", "ELT", "CONCAT_WS", "GEO_DISTANCE",
     "STRINGTOTIMESTAMP", "TIMESTAMPTOSTRING", "URL_EXTRACT_HOST",
     "LATEST_BY_OFFSET", "TOPK", "HISTOGRAM", "ROUND", "ABS",
-    "ARRAY_SORT", "IS_JSON_STRING", "ARRAY_CONCAT", "SPLIT_TO_MAP")
+    "ARRAY_SORT", "IS_JSON_STRING", "ARRAY_CONCAT", "SPLIT_TO_MAP",
+    "PARSE_TIME", "FORMAT_TIME")
 
   private def exprGen(depth: Int): Gen[String] =
     if (depth <= 0) Gen.oneOf(ident, number, literal)
@@ -49,7 +54,10 @@ class RewriteFuzzSpec extends AnyFunSuite {
       } yield s"REDUCE($arr, $init, (acc, w) => $body)"),
       1 -> (for {
         a <- exprGen(depth - 1); b <- exprGen(depth - 1)
-      } yield s"$a + $b"))
+      } yield s"$a + $b"),
+      // the bare-VARCHAR type token (round 18): rewrites to STRING
+      // outside quotes, survives verbatim inside them
+      1 -> exprGen(depth - 1).map(e => s"CAST($e AS VARCHAR)"))
 
   /** quoted-literal contents, honoring '' escapes (same scan discipline
     * as the rewriter's). */

@@ -25,9 +25,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 ROUND=${1:?usage: scripts/cut_records.sh <round-number> [phase...]
-  phases (default: all): probe sf1 nobase sf01 plans}
+  phases (default: all): probe sf1 nobase sf01 streambench plans}
 shift || true
-PHASES=${*:-probe sf1 nobase sf01 plans}
+PHASES=${*:-probe sf1 nobase sf01 streambench plans}
 
 SF01=${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}
 SF1=${SPARK_GRAFT_SF1:-/tmp/graft_scaleprobe}
@@ -107,6 +107,22 @@ if has sf01; then
     || { tail -20 /tmp/cut_bench_sf01.log >&2; exit 1; }
 fi
 
+if has streambench; then
+  # settled streaming record: the in-Bench probes run on the query
+  # suite's decaying load and read 25-45% low on busy windows; this
+  # phase runs the same probes in a fresh gated JVM (same position-
+  # for-position neighborhood as the full run — no per-probe solo
+  # filtering, which cold-JIT distorts)
+  gate "streambench"
+  echo "cut_records: StreamBench (settled, fresh JVM)"
+  sbt -batch "runMain graft.StreamBench" > /tmp/cut_streambench.log 2>&1 \
+    || { tail -20 /tmp/cut_streambench.log >&2; exit 1; }
+  grep -o '{"metric":"streambench".*}' /tmp/cut_streambench.log \
+    | tail -1 > "STREAMBENCH_r${ROUND}.json"
+  [ -s "STREAMBENCH_r${ROUND}.json" ] \
+    || { echo "cut_records: no streambench JSON line" >&2; exit 1; }
+fi
+
 if has plans; then
   echo "cut_records: regenerating PLANS.md"
   sbt -batch "runMain graft.Explain" > /tmp/cut_plans.log 2>&1 \
@@ -115,7 +131,7 @@ fi
 
 echo "cut_records: done. Summary:"
 for f in "SCALEPROBE_r${ROUND}.json" BENCH_SF1.json BENCH_SF1_NOBASE.json \
-         BENCH_DETAIL.json; do
+         BENCH_DETAIL.json "STREAMBENCH_r${ROUND}.json"; do
   [ -f "$f" ] && python3 - "$f" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
@@ -129,6 +145,11 @@ if d.get("metric") == "scaleprobe":
            and isinstance(v, dict) and v.get("ratio", 0) > 2.5}
     print(f"{sys.argv[1]}: {len(qs)} entries, >2.5x (non-baseline): "
           f"{ {k: round(v['ratio'],2) for k,v in bad.items()} or 'none'}")
+elif d.get("metric") == "streambench":
+    ps = d["probes"]
+    slow = min(ps.items(), key=lambda kv: kv[1]["rows_per_sec"])
+    print(f"{sys.argv[1]}: {len(ps)} probes, slowest "
+          f"{slow[0]} {slow[1]['rows_per_sec']:.0f} rows/s")
 else:
     h = d.get("host", {})
     print(f"{sys.argv[1]}: run1 {d['run1']['total']:.1f}s "

@@ -617,6 +617,18 @@ object StreamBench {
     results.filter(r => args.isEmpty || args.exists(r.name.contains))
       .foreach(r => println(
         f"${r.name}%-18s ${r.rowsPerSec}%12.0f rows/s  ${r.avgBatchMs}%8.1f ms/batch  p95 ${r.p95BatchMs}%8.1f ms  state ${r.stateRows}%9d rows ${r.stateBytes}%12d B"))
+    // one machine-parseable record line (the settled-run artifact —
+    // cut_records' streambench phase greps it): Locale.ROOT like
+    // Bench's emitter, a comma decimal separator would corrupt the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(results.map(r =>
+      "\"" + r.name + "\":{\"rows_per_sec\":" + fmt(r.rowsPerSec) +
+        ",\"avg_batch_ms\":" + fmt(r.avgBatchMs) +
+        ",\"p95_batch_ms\":" + fmt(r.p95BatchMs) +
+        ",\"state_rows\":" + r.stateRows +
+        ",\"state_bytes\":" + r.stateBytes + "}")
+      .mkString("{\"metric\":\"streambench\",\"probes\":{", ",", "}}"))
     spark.stop()
   }
 }

@@ -80,6 +80,18 @@ if has probe; then
     || { echo "cut_records: no scaleprobe JSON line" >&2; exit 1; }
 fi
 
+# Bench at ANY sf overwrites BENCH_DETAIL.json in cwd. When this run's
+# phase list includes a bench phase but NOT sf01, the sf0.1 record
+# would be silently clobbered by the sf1/nobase side effect (it struck
+# the committed artifact in r15 and twice in r18's partial re-runs) —
+# stash it up front and restore after.
+RESTORE_DETAIL=""
+if { has sf1 || has nobase; } && ! has sf01 \
+   && [ -f BENCH_DETAIL.json ]; then
+  cp BENCH_DETAIL.json /tmp/cut_records_detail_stash.json
+  RESTORE_DETAIL=1
+fi
+
 if has sf1; then
   gate "sf1 bench"
   echo "cut_records: Bench sf1 (dir=$SF1)"
@@ -105,6 +117,12 @@ if has sf01; then
   SPARK_GRAFT_SF_DIR="$SF01" sbt -batch "runMain graft.Bench" \
     > /tmp/cut_bench_sf01.log 2>&1 \
     || { tail -20 /tmp/cut_bench_sf01.log >&2; exit 1; }
+fi
+
+if [ -n "$RESTORE_DETAIL" ]; then
+  cp /tmp/cut_records_detail_stash.json BENCH_DETAIL.json
+  echo "cut_records: restored BENCH_DETAIL.json (sf0.1 record) after" \
+       "the sf1-side bench phases"
 fi
 
 if has streambench; then

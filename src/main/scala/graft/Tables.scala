@@ -30,7 +30,33 @@ object Tables {
 
   /** Drop memoized schemas — for callers that rewrite a table dir with a
     * DIFFERENT schema mid-session (same-schema rewrites need nothing). */
-  def invalidate(): Unit = schemaCache.clear()
+  def invalidate(): Unit = { schemaCache.clear(); partitionsCache.clear() }
+
+  /** Scale-adaptive partition count for operator-INTERNAL repartitions
+    * (cached graph adjacency, self-join inputs): ceil(source parquet
+    * bytes × an expansion allowance ÷ 32 MiB), clamped to [1, 4096].
+    * Derived from the INPUT SIZE, never from the local core count —
+    * `spark.sql.shuffle.partitions` is sized to cores here, so a cached
+    * frame repartitioned without an explicit count inherits 32 tiny
+    * partitions at sf0.1 and an iterative operator then pays 32 task
+    * launches per pass for KB-sized shards (guide §2.2/§6: partitions
+    * should target ~100 MB–1 GB of data; the 32 MiB target reflects
+    * that these frames are decompressed/widened relative to the parquet
+    * bytes). At cluster scale the same formula yields thousands of
+    * partitions. Memoized per path alongside the schema cache — the
+    * value is a pure function of the committed file set. */
+  def sizedPartitions(spark: SparkSession, dir: String, name: String,
+                      targetBytes: Long = 32L << 20): Int =
+    partitionsCache.getOrElseUpdate(s"$dir/$name.parquet", {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val bytes =
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        catch { case _: Throwable => 0L }
+      math.min(4096L, math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
+    })
+  private val partitionsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

@@ -46,7 +46,8 @@ object Graph {
     * the dangling term is load-bearing, not decorative — without it the
     * total mass drains by ~d per pass and ranks are wrong.
     */
-  def pageRank(edges: DataFrame, iters: Int = Iters, d: Double = Damping): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = Iters, d: Double = Damping,
+               parts: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
     // distinct once, outside the loop, CACHED and HASH-PARTITIONED ON
     // dst: every iteration reuses the same deduplicated edge frame, and
@@ -56,8 +57,21 @@ object Graph {
     // pays ONE edge shuffle total, at cache fill. (At cluster scale
     // where the frontier outgrows broadcast, the same cached layout
     // serves a shuffled join that co-locates on dst for the agg.)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("dst")).cache()
+    //
+    // Round 16: repartition(dst) BEFORE the distinct — hash(dst) is a
+    // subset of the dedup keys {src,dst}, so the aggregate runs on the
+    // repartition's layout and the separate distinct exchange the old
+    // `.distinct().repartition(dst)` order paid disappears (plan:
+    // 2 Exchange → 1 on the edge build). `parts` sizes that one
+    // exchange to the DATA (Tables.sizedPartitions — bytes-derived,
+    // guide §2), not to spark.sql.shuffle.partitions: the k-pass loop
+    // re-reads the cached layout every iteration, so 32 core-count
+    // shards of a 9 MB edge set cost 32 task launches per pass where
+    // the data fills one.
+    val ePart = parts.map(n => edges.select(col("src"), col("dst"))
+        .repartition(n, col("dst")))
+      .getOrElse(edges.select(col("src"), col("dst")).repartition(col("dst")))
+    val e = ePart.dropDuplicates("src", "dst").cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
@@ -182,8 +196,22 @@ object Graph {
     // (distinct, order-key re-key [one exchange, reused by both sides],
     // pair count). Hash-join machinery beats object aggregation here;
     // the join stays bounded by items-per-order either way.
+    // Round 16: one exchange + one evaluation for the distinct item set.
+    // repartition(l_orderkey) BEFORE the dedup (hash(orderkey) ⊆ the
+    // dedup keys, so the aggregate adds no exchange and its output is
+    // already the self-join's required distribution), then an EAGER
+    // localCheckpoint so BOTH join sides read the one materialized
+    // frame — the old `.distinct()` shape evaluated the scan+dedup once
+    // per broadcast side (the q_basket_pairs final plan showed 2 full
+    // scans + 2 dedup exchanges for the identical subtree; AQE reused
+    // only one of them). LogicalRDD preserves the hash(orderkey)
+    // partitioning, so the pair join needs no exchange at all.
     val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(Tables.sizedPartitions(s, d, "lineitem"),
+        col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .localCheckpoint(true)
     li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
       .filter(col("a") < col("b"))
@@ -205,11 +233,16 @@ object Graph {
     * degrees), and the clustering coefficient 3·Δ/wedges.
     */
   def triangleCensus(edgesRaw: DataFrame): DataFrame = {
-    // cache the edge set: it is tiny (support-pruned) but EXPENSIVE to
-    // derive (the per-order pair join), and the census reads it twice
-    // (triangle count + wedge count) — without the cache the pair join
-    // runs once per consumer
-    val edges = edgesRaw.cache()
+    // materialize the edge set EAGERLY, once: it is tiny (support-
+    // pruned) but EXPENSIVE to derive (the per-order pair join), and
+    // the census reads it three times (degree/wedge count + both
+    // orientation sides). localCheckpoint rather than cache (round 16):
+    // the census is now ONE distributed plan (below), so an explicit
+    // unpersist after "both consumers have run" no longer has a spot to
+    // live — the checkpointed blocks are released by the context
+    // cleaner when the frame is collected, and every consumer reads the
+    // one materialized RDD instead of re-running the pair join.
+    val edges = edgesRaw.localCheckpoint(true)
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -217,6 +250,11 @@ object Graph {
     // total order (ids are table keys, far below 2^32)
     val rank = deg.select(col("u"),
       (col("deg") * lit(4294967296L) + col("u")).as("rank"))
+    // oriented is read three times below (two wedge sides + the closing
+    // edge); it is support-pruned-tiny, so materialize it too — the
+    // closing join needs a different key layout than the wedge join,
+    // and without the checkpoint the und⋈rank⋈rank derivation runs
+    // once per layout.
     val oriented = und
       .join(rank.withColumnRenamed("u", "src_u").withColumnRenamed("rank", "ru"),
         col("u") === col("src_u"))
@@ -224,22 +262,33 @@ object Graph {
         col("v") === col("src_v"))
       .filter(col("ru") < col("rv"))
       .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(true)
     val wedges = oriented.select(col("src").as("pivot"), col("dst").as("x"))
       .join(oriented.select(col("src").as("pivot"), col("dst").as("y")), "pivot")
       .filter(col("x") =!= col("y"))
     val closed = wedges.join(oriented,
       col("x") === col("src") && col("y") === col("dst"))
-    val nTri = closed.count().toDouble
-    val nWedge = deg.agg(coalesce(sum(col("deg") * (col("deg") - 1) / lit(2)),
-      lit(0.0))).head.getDouble(0)
-    // both consumers have run — release the cached edge set (see
-    // pageRank: repeated callers in one JVM must not leak blocks)
-    edges.unpersist()
-    val spark = edges.sparkSession
-    import spark.implicits._
-    Seq((nTri.toLong, nWedge.toLong,
-      math.floor(3.0 * nTri / nWedge * 1e6 + 0.5) / 1e6))
-      .toDF("n_triangles", "n_wedges", "clustering_coeff")
+    // Round 16: the census is ONE distributed plan instead of two
+    // sequential driver actions (count() then head) + a driver-local
+    // result frame — the triangle count and the wedge aggregate are
+    // both one-row aggregates, cross-joined broadcast like every other
+    // scalar in the suite, and the coefficient arithmetic replays the
+    // retired driver-side expression IEEE-op-for-op:
+    //   math.floor(3.0 * nTri / nWedge * 1e6 + 0.5) / 1e6
+    // (count → double widening, left-associated multiply/divide chain,
+    // Spark FLOOR's bigint result re-widened by the /1e6). nWedge = 0
+    // keeps the old 0/0 → NaN behavior via the explicit guard — Spark's
+    // FLOOR(NaN) is 0, math.floor(NaN) is NaN.
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val wed = deg.agg(coalesce(sum(col("deg") * (col("deg") - 1) / lit(2)),
+      lit(0.0)).as("__wed"))
+    tri.crossJoin(broadcast(wed))
+      .select(col("n_triangles"),
+        col("__wed").cast("long").as("n_wedges"),
+        when(col("__wed") > 0,
+          floor(lit(3.0) * col("n_triangles") / col("__wed") * lit(1e6)
+            + lit(0.5)) / lit(1e6))
+          .otherwise(lit(Double.NaN)).as("clustering_coeff"))
   }
 
   /** Bounded-hop BFS: shortest hop distance from a seed node to every
@@ -264,15 +313,21 @@ object Graph {
     * metadata-scale scalar aggregate (like |V| in pageRank), embedded
     * so both engines start from the identical root.
     */
-  def bfsHops(edgesRaw: DataFrame, maxHops: Int = 4): DataFrame = {
+  def bfsHops(edgesRaw: DataFrame, maxHops: Int = 4,
+              parts: Option[Int] = None): DataFrame = {
     val spark = edgesRaw.sparkSession
     import spark.implicits._
     val edges = edgesRaw.cache()
     // undirected adjacency, hash-partitioned on the expansion key so
-    // every level's frontier join reuses one edge layout
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
+    // every level's frontier join reuses one edge layout; `parts` sizes
+    // the cached layout to the data (Tables.sizedPartitions) instead of
+    // spark.sql.shuffle.partitions — every BFS level re-reads it, and
+    // core-count shards of a KB-scale adjacency pay per-level task
+    // launches for nothing (guide §2.2)
+    val undBase = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
-      .repartition(col("u")).cache()
+    val und = parts.map(n => undBase.repartition(n, col("u")))
+      .getOrElse(undBase.repartition(col("u"))).cache()
     val seedRow = und.agg(min(col("u"))).head
     if (seedRow.isNullAt(0)) { // no edges at all → empty result, not an NPE
       und.unpersist(); edges.unpersist()
@@ -317,7 +372,8 @@ object Graph {
     // update, same literals), so the gate checks the fixpoint math,
     // not just the plumbing.
     "q_pagerank" -> Q(
-      (s, d) => pageRank(purchaseEdges(s, d))
+      (s, d) => pageRank(purchaseEdges(s, d),
+        parts = Some(Tables.sizedPartitions(s, d, "lineitem")))
         .select(displayId(col("id")).as("id"),
           round(col("rank") * lit(1e6), 6).as("rank_ppm")),
       pageRankOracle(Iters, Damping)),
@@ -367,7 +423,8 @@ object Graph {
     // formulation of reachability (a different algorithm entirely),
     // not a replay of the same loop.
     "q_bfs_hops" -> Q(
-      (s, d) => bfsHops(coPurchaseEdges(s, d)),
+      (s, d) => bfsHops(coPurchaseEdges(s, d),
+        parts = Some(Tables.sizedPartitions(s, d, "lineitem"))),
       """WITH RECURSIVE
         | li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         | e0 AS (

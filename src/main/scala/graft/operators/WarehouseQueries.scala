@@ -585,9 +585,28 @@ object WarehouseQueries {
     // bounds the reported tail without changing the heavy pairs.
     "q_basket_pairs" -> Q(
       (s, d) => {
+        // Round 16: the distinct item set is materialized ONCE (eager
+        // localCheckpoint) and every consumer — both pair-join sides,
+        // both marginal broadcasts, and the order count — reads that
+        // one frame. The old shape evaluated the scan+distinct once per
+        // broadcast side (final plan: 2 full lineitem scans + 2 dedup
+        // exchanges, AQE reused only one) and paid a THIRD scan +
+        // double distinct in a separate driver action for n_orders.
+        // repartition(l_orderkey) BEFORE the dedup: hash(orderkey) ⊆
+        // the dedup keys, so the aggregate adds no exchange and the
+        // checkpointed layout already satisfies the self-join (plan:
+        // 4 Exchange → 1 up to the pair aggregate). n_orders becomes a
+        // one-row broadcast scalar — same exact integer-valued double
+        // the retired count().toDouble produced, now inside the one
+        // plan instead of a second sequential action.
         val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val nOrders = items.select(col("l_orderkey")).distinct().count().toDouble
+          .select(col("l_orderkey"), col("l_partkey"))
+          .repartition(Tables.sizedPartitions(s, d, "lineitem"),
+            col("l_orderkey"))
+          .dropDuplicates("l_orderkey", "l_partkey")
+          .localCheckpoint(true)
+        val nOrders = items.agg(
+          countDistinct(col("l_orderkey")).cast("double").as("__n_orders"))
         val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
         val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
           .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
@@ -601,9 +620,10 @@ object WarehouseQueries {
             .withColumnRenamed("n_part", "n_a")), "part_a")
           .join(broadcast(marg.withColumnRenamed("l_partkey", "part_b")
             .withColumnRenamed("n_part", "n_b")), "part_b")
+          .crossJoin(broadcast(nOrders))
           .select(col("part_a"), col("part_b"), col("n_pair"),
-            round(col("n_pair") / lit(nOrders), 6).as("support"),
-            round((col("n_pair") * lit(nOrders)) / (col("n_a") * col("n_b")), 4)
+            round(col("n_pair") / col("__n_orders"), 6).as("support"),
+            round((col("n_pair") * col("__n_orders")) / (col("n_a") * col("n_b")), 4)
               .as("lift"))
       },
       """WITH items AS (
